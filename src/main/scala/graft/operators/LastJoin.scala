@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** OpenMLDB `LAST JOIN`: every left row is paired with the **last**
+  * matching right row — "last" by the right-side `ORDER BY` column
+  * (ties broken arbitrarily), or an arbitrary match when unordered.
+  * Unmatched left rows keep nulls on the right (left-outer semantics).
+  *
+  * Reference semantics: docs/en/openmldb_sql/dql/JOIN_CLAUSE.md:1-60,
+  * hybridse/include/vm/physical_op.h:1213 (kJoinTypeLast), and the
+  * reference's own stock-Spark fallback in
+  * java/openmldb-batch/.../nodes/JoinPlan.scala:176-210. The reference
+  * also asserts the row_number()-filter equivalence in
+  * hybridse/src/rewriter/ast_rewriter.cc:31-160.
+  *
+  * Scale design: two physical strategies, chosen by the caller's join
+  * condition shape.
+  *
+  *  1. [[apply]] (equi-keys): reduce the right side FIRST with a
+  *     map-side-combinable `max_by(struct(rightCols), order)` aggregate —
+  *     one shuffle of the (deduped) right side by key, then a plain
+  *     equi-join that Catalyst can broadcast when small. At 100 TB this
+  *     is strictly better than joining then deduping: the join input is
+  *     pre-shrunk to one row per key and AQE can pick broadcast.
+  *  2. [[general]] (arbitrary condition / residual predicates): tag left
+  *     rows with a synthetic id, left-outer join, keep the top-1 right
+  *     row per left id via `row_number`. Costs a full shuffle of the
+  *     joined output — only used when 1. can't express the condition.
+  */
+object LastJoin {
+
+  /** Equi-key LAST JOIN.
+    *
+    * @param leftKeys   join key column names on the left
+    * @param rightKeys  matching key column names on the right
+    * @param orderBy    right-side ordering; last = max of this expression.
+    *                   Pass e.g. struct(col("ts"), col("id")) for
+    *                   deterministic tie-breaks. None = arbitrary match
+    *                   (we still make it deterministic by taking the max
+    *                   over all right columns).
+    */
+  def apply(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[String],
+      rightKeys: Seq[String],
+      orderBy: Option[Column]): DataFrame = {
+    require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length)
+    val payloadCols = right.columns.toSeq
+    val ord = orderBy.getOrElse(struct(payloadCols.map(col): _*))
+    // One row per right key: partial-aggregates map-side, so the shuffle
+    // moves at most |distinct keys| rows regardless of right-side size.
+    val reduced = right
+      .groupBy(rightKeys.map(col): _*)
+      .agg(max_by(struct(payloadCols.map(col): _*), ord).as("__last"))
+      .select(rightKeys.map(col) ++ Seq(col("__last")): _*)
+    val renamed = rightKeys.foldLeft(reduced)((d, k) => d.withColumnRenamed(k, s"__rk_$k"))
+    val cond = leftKeys.zip(rightKeys)
+      .map { case (l, r) => left(l) <=> renamed(s"__rk_$r") }
+      .reduce(_ && _)
+    val joined = left.join(renamed, cond, "left")
+    // Explode the struct back to the right-side payload columns.
+    val rightOut = payloadCols.map(c => col(s"__last.$c").as(c))
+    joined.select(left.columns.map(left(_)).toSeq ++ rightOut: _*)
+  }
+
+  /** General-condition LAST JOIN (non-equi / residual predicates).
+    * `cond` must reference columns via `left(...)` / `right(...)`.
+    */
+  def general(
+      left: DataFrame,
+      right: DataFrame,
+      cond: Column,
+      orderBy: Column): DataFrame = {
+    val lid = "__graft_lid"
+    val tagged = left.withColumn(lid, monotonically_increasing_id())
+    val joined = tagged.join(right, cond, "left")
+    val w = Window.partitionBy(col(lid)).orderBy(orderBy.desc_nulls_last)
+    joined
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", lid)
+  }
+}
