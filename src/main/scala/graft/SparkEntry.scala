@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.{LastJoin, WindowOps}
+import graft.functions.{GraftAggregates => A}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
   * implemented operator from SURVEY.md §2. Column names/types are
@@ -167,6 +168,146 @@ object SparkEntry {
       T(s, d, "orders").groupBy(col("o_orderstatus")).agg(
         countDistinct(col("o_custkey")).as("dc_cust"),
         count(lit(1)).as("cnt"))
+    },
+
+    // ---- window extensions (WINDOW_CLAUSE.md attributes) ----
+
+    // MAXSIZE: ROWS_RANGE 10min capped to the 5 newest rows
+    "q_window_maxsize" -> q { (s, d) =>
+      val arr = WindowOps.frameArray(col("value"), col("ts_ms"), col("event_id"),
+        Seq(col("user_id")), 600000L, maxSize = 5)
+      T(s, d, "events").select(
+        col("event_id"),
+        round(WindowOps.aggSum(arr), 3).as("m_sum"),
+        WindowOps.aggCount(arr).as("m_cnt"),
+        WindowOps.aggMin(arr).as("m_min"),
+        WindowOps.aggMax(arr).as("m_max"),
+        round(WindowOps.aggAvg(arr), 4).as("m_avg"),
+        WindowOps.aggDistinctCount(arr).as("m_dc"))
+    },
+
+    // EXCLUDE CURRENT_TIME over a minute-granular order key (forces
+    // same-ts peers so the attribute actually bites)
+    "q_window_exclude_ct" -> q { (s, d) =>
+      val tsu = floor(col("ts_ms") / 60000L).cast("long")
+      val arr = WindowOps.frameArray(col("value"), tsu, col("event_id"),
+        Seq(col("user_id")), 10L, excludeCurrentTime = true)
+      T(s, d, "events").select(
+        col("event_id"),
+        round(WindowOps.aggSum(arr), 3).as("x_sum"),
+        WindowOps.aggCount(arr).as("x_cnt"))
+    },
+
+    // EXCLUDE CURRENT_ROW (same-ts peers stay, unlike range-to(-1))
+    "q_window_exclude_cr" -> q { (s, d) =>
+      val tsu = floor(col("ts_ms") / 60000L).cast("long")
+      val arr = WindowOps.frameArray(col("value"), tsu, col("event_id"),
+        Seq(col("user_id")), 10L, excludeCurrentRow = true)
+      T(s, d, "events").select(
+        col("event_id"),
+        round(WindowOps.aggSum(arr), 3).as("c_sum"),
+        WindowOps.aggCount(arr).as("c_cnt"))
+    },
+
+    // WINDOW ... UNION: frame drawn from primary ∪ side table, output
+    // rows only for primary rows
+    "q_window_union" -> q { (s, d) =>
+      val ev = T(s, d, "events")
+      val primary = ev.filter(col("event_type") === "purchase")
+      val side = ev.filter(col("event_type") =!= "purchase")
+      val flag = "__graft_primary"
+      val u = WindowOps.windowUnion(primary, Seq(side), flag)
+      val w = WindowOps.rowsRange(Seq(col("user_id")), col("ts_ms"), 600000L)
+      u.select(col("event_id"), round(sum(col("value")).over(w), 3).as("u_sum"),
+          col(flag))
+        .filter(col(flag)).drop(flag)
+    },
+
+    // WINDOW ... UNION ... INSTANCE_NOT_IN_WINDOW: only union-side rows
+    // (plus the current row) populate the frame
+    "q_window_inw" -> q { (s, d) =>
+      val ev = T(s, d, "events")
+      val primary = ev.filter(col("event_type") === "purchase")
+      val side = ev.filter(col("event_type") =!= "purchase")
+      val flag = "__graft_primary"
+      val u = WindowOps.windowUnion(primary, Seq(side), flag)
+      val arr = WindowOps.frameArray(col("value"), col("ts_ms"), col("event_id"),
+        Seq(col("user_id")), 600000L,
+        isPrimary = col(flag), instanceNotInWindow = true)
+      u.select(col("event_id"), round(WindowOps.aggSum(arr), 3).as("i_sum"),
+          col(flag))
+        .filter(col(flag)).drop(flag)
+    },
+
+    // OPEN PRECEDING: exclusive lower bound = (lo, cur] on the ms key
+    "q_window_open" -> q { (s, d) =>
+      val w = WindowOps.rowsRange(Seq(col("user_id")), col("ts_ms"), 599999L)
+      T(s, d, "events").select(
+        col("event_id"),
+        round(sum(col("value")).over(w), 3).as("o_sum"),
+        count(col("value")).over(w).as("o_cnt"))
+    },
+
+    // ---- UDAF long tail (SURVEY §2.3) ----
+
+    // median (exact; interpolated middle like the reference's two-heap)
+    "q_median" -> q { (s, d) =>
+      T(s, d, "orders").groupBy(col("o_orderstatus"))
+        .agg(round(median(col("o_totalprice")), 4).as("med_price"))
+    },
+
+    // top(value, k): k largest values desc, comma-joined string
+    "q_top_k" -> q { (s, d) =>
+      T(s, d, "events").groupBy(col("user_id"))
+        .agg(A.topStr(col("value"), 3).as("top3"))
+    },
+
+    // entropy (Shannon, log2)
+    "q_entropy" -> q { (s, d) =>
+      T(s, d, "events").groupBy(col("user_id"))
+        .agg(round(A.entropy(col("event_type")), 6).as("ent"))
+    },
+
+    // top1_ratio
+    "q_top1_ratio" -> q { (s, d) =>
+      T(s, d, "events").groupBy(col("user_id"))
+        .agg(round(A.top1_ratio(col("event_type")), 6).as("t1r"))
+    },
+
+    // topn_frequency(x, 3)
+    "q_topn_freq" -> q { (s, d) =>
+      T(s, d, "events").groupBy(col("user_id"))
+        .agg(A.topn_frequency(col("event_type"), 3).as("topn"))
+    },
+
+    // ew_avg(value, 0.5) — newest-first exponential weights
+    "q_ew_avg" -> q { (s, d) =>
+      T(s, d, "events").groupBy(col("user_id"))
+        .agg(round(A.ew_avg(col("ts_ns"), col("value"), 0.5), 6).as("ew"))
+    },
+
+    // drawdown — max peak-to-(newer)-trough ratio
+    "q_drawdown" -> q { (s, d) =>
+      T(s, d, "events").groupBy(col("user_id"))
+        .agg(round(A.drawdown(col("ts_ns"), col("value")), 6).as("dd"))
+    },
+
+    // *_cate family: "k1:v1,k2:v2" strings sorted by key
+    "q_cate" -> q { (s, d) =>
+      val ev = T(s, d, "events")
+      ev.groupBy(col("user_id")).agg(
+        A.cate("sum", col("value"), col("event_type")).as("sum_cate"),
+        A.cate("count", col("value"), col("event_type")).as("count_cate"),
+        A.cate("avg", col("value"), col("event_type")).as("avg_cate"),
+        A.cate("min", col("value"), col("event_type")).as("min_cate"),
+        A.cate("max", col("value"), col("event_type")).as("max_cate"))
+    },
+
+    // sum_cate_where: condition masks the category key to null (skipped)
+    "q_cate_where" -> q { (s, d) =>
+      T(s, d, "events").groupBy(col("user_id")).agg(
+        A.cate("sum", col("value"),
+          when(col("value") > 100, col("event_type"))).as("sum_cate_w"))
     }
   )
 
@@ -261,7 +402,148 @@ object SparkEntry {
 
     "q_distinct_count" ->
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS dc_cust, count(*) AS cnt
-        |FROM orders GROUP BY o_orderstatus""".stripMargin
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q_window_maxsize" ->
+      """SELECT e.event_id, round(t.s, 3) AS m_sum, t.c AS m_cnt, t.mn AS m_min,
+        |  t.mx AS m_max, round(t.s / t.c, 4) AS m_avg, t.dc AS m_dc
+        |FROM events e, LATERAL (
+        |  SELECT sum(v) AS s, count(v) AS c, min(v) AS mn, max(v) AS mx,
+        |         count(DISTINCT v) AS dc
+        |  FROM (SELECT b.value AS v FROM events b
+        |        WHERE b.user_id = e.user_id
+        |          AND epoch_ms(b.ts) BETWEEN epoch_ms(e.ts) - 600000 AND epoch_ms(e.ts)
+        |        ORDER BY epoch_ms(b.ts) DESC, b.event_id DESC LIMIT 5)
+        |) t""".stripMargin,
+
+    "q_window_exclude_ct" ->
+      """SELECT e.event_id,
+        | (SELECT round(sum(b.value), 3) FROM events b
+        |  WHERE b.user_id = e.user_id
+        |    AND epoch_ms(b.ts) // 60000
+        |        BETWEEN epoch_ms(e.ts) // 60000 - 10 AND epoch_ms(e.ts) // 60000
+        |    AND (epoch_ms(b.ts) // 60000 <> epoch_ms(e.ts) // 60000
+        |         OR b.event_id = e.event_id)) AS x_sum,
+        | (SELECT count(b.value) FROM events b
+        |  WHERE b.user_id = e.user_id
+        |    AND epoch_ms(b.ts) // 60000
+        |        BETWEEN epoch_ms(e.ts) // 60000 - 10 AND epoch_ms(e.ts) // 60000
+        |    AND (epoch_ms(b.ts) // 60000 <> epoch_ms(e.ts) // 60000
+        |         OR b.event_id = e.event_id)) AS x_cnt
+        |FROM events e""".stripMargin,
+
+    "q_window_exclude_cr" ->
+      """SELECT e.event_id,
+        | (SELECT round(sum(b.value), 3) FROM events b
+        |  WHERE b.user_id = e.user_id
+        |    AND epoch_ms(b.ts) // 60000
+        |        BETWEEN epoch_ms(e.ts) // 60000 - 10 AND epoch_ms(e.ts) // 60000
+        |    AND b.event_id <> e.event_id) AS c_sum,
+        | (SELECT count(b.value) FROM events b
+        |  WHERE b.user_id = e.user_id
+        |    AND epoch_ms(b.ts) // 60000
+        |        BETWEEN epoch_ms(e.ts) // 60000 - 10 AND epoch_ms(e.ts) // 60000
+        |    AND b.event_id <> e.event_id) AS c_cnt
+        |FROM events e""".stripMargin,
+
+    "q_window_union" ->
+      """SELECT e.event_id,
+        | (SELECT round(sum(b.value), 3) FROM events b
+        |  WHERE b.user_id = e.user_id
+        |    AND epoch_ms(b.ts) BETWEEN epoch_ms(e.ts) - 600000 AND epoch_ms(e.ts)) AS u_sum
+        |FROM events e WHERE e.event_type = 'purchase'""".stripMargin,
+
+    "q_window_inw" ->
+      """SELECT e.event_id,
+        | (SELECT round(sum(b.value), 3) FROM events b
+        |  WHERE b.user_id = e.user_id
+        |    AND epoch_ms(b.ts) BETWEEN epoch_ms(e.ts) - 600000 AND epoch_ms(e.ts)
+        |    AND (b.event_type <> 'purchase' OR b.event_id = e.event_id)) AS i_sum
+        |FROM events e WHERE e.event_type = 'purchase'""".stripMargin,
+
+    "q_window_open" ->
+      """SELECT event_id,
+        | round(sum(value) OVER w, 3) AS o_sum,
+        | count(value) OVER w AS o_cnt
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+        |             RANGE BETWEEN 599999 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_median" ->
+      """SELECT o_orderstatus, round(median(o_totalprice), 4) AS med_price
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q_top_k" ->
+      """SELECT user_id, string_agg(printf('%.6f', v), ',' ORDER BY v DESC) AS top3
+        |FROM (SELECT user_id, value AS v,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY value DESC) AS rn
+        |      FROM events)
+        |WHERE rn <= 3 GROUP BY user_id""".stripMargin,
+
+    "q_entropy" ->
+      """SELECT user_id, round(-sum(p * log2(p)), 6) AS ent
+        |FROM (SELECT user_id,
+        |        CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (PARTITION BY user_id) AS p
+        |      FROM events GROUP BY user_id, event_type)
+        |GROUP BY user_id""".stripMargin,
+
+    "q_top1_ratio" ->
+      """SELECT user_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS t1r
+        |FROM (SELECT user_id, event_type, count(*) AS c
+        |      FROM events GROUP BY user_id, event_type)
+        |GROUP BY user_id""".stripMargin,
+
+    "q_topn_freq" ->
+      """WITH counts AS (
+        |  SELECT user_id, event_type, count(*) AS c
+        |  FROM events GROUP BY user_id, event_type),
+        |ranked AS (
+        |  SELECT user_id, event_type, c,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY c DESC, event_type) AS rn
+        |  FROM counts)
+        |SELECT user_id,
+        |  string_agg(event_type, ',' ORDER BY rn)
+        |    || repeat(',NULL', GREATEST(3 - CAST(count(*) AS INTEGER), 0)) AS topn
+        |FROM ranked WHERE rn <= 3 GROUP BY user_id""".stripMargin,
+
+    "q_ew_avg" ->
+      """SELECT user_id, round(sum(value * w) / sum(w), 6) AS ew
+        |FROM (SELECT user_id, value,
+        |        pow(0.5, CAST(row_number() OVER
+        |          (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS DOUBLE) - 1) AS w
+        |      FROM events)
+        |GROUP BY user_id""".stripMargin,
+
+    "q_drawdown" ->
+      """SELECT user_id,
+        | round(max(CASE WHEN mn < v AND v <> 0 THEN (v - mn) / v ELSE 0 END), 6) AS dd
+        |FROM (SELECT user_id, value AS v,
+        |        min(value) OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn
+        |      FROM events)
+        |GROUP BY user_id""".stripMargin,
+
+    "q_cate" ->
+      """WITH g AS (SELECT user_id, event_type AS k, count(*) AS c, sum(value) AS s,
+        |             min(value) AS mn, max(value) AS mx
+        |           FROM events GROUP BY user_id, event_type)
+        |SELECT user_id,
+        | string_agg(k || ':' || printf('%.6f', s), ',' ORDER BY k) AS sum_cate,
+        | string_agg(k || ':' || c, ',' ORDER BY k) AS count_cate,
+        | string_agg(k || ':' || printf('%.6f', s / c), ',' ORDER BY k) AS avg_cate,
+        | string_agg(k || ':' || printf('%.6f', mn), ',' ORDER BY k) AS min_cate,
+        | string_agg(k || ':' || printf('%.6f', mx), ',' ORDER BY k) AS max_cate
+        |FROM g GROUP BY user_id""".stripMargin,
+
+    "q_cate_where" ->
+      """WITH g AS (SELECT user_id, event_type AS k, sum(value) AS s
+        |           FROM events WHERE value > 100 GROUP BY user_id, event_type),
+        |agg AS (SELECT user_id,
+        |          string_agg(k || ':' || printf('%.6f', s), ',' ORDER BY k) AS sum_cate_w
+        |        FROM g GROUP BY user_id)
+        |SELECT u.user_id, coalesce(a.sum_cate_w, '') AS sum_cate_w
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN agg a USING (user_id)""".stripMargin
   )
 
   /** Headline subset run by graft.Bench at sf0.1. */

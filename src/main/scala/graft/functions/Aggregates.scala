@@ -1,0 +1,214 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Custom UDAFs matching the reference's SQL-callable aggregate
+  * semantics (SURVEY §2.3). Implemented as typed
+  * `org.apache.spark.sql.expressions.Aggregator`s — Spark's partial/
+  * final split applies automatically (reduce runs map-side), so each
+  * aggregate shuffles only its buffer, not its input rows.
+  *
+  * Order-sensitive aggregates (ew_avg, drawdown — the reference feeds
+  * rows newest-first: default_udf_library.cc:303 "data is fed in the
+  * reverse order of timestamp") take a (ts, value) pair and sort
+  * newest-first in `finish`, making them order-insensitive to Spark's
+  * partial aggregation while reproducing the reference's fold order.
+  *
+  * String-emitting aggregates reproduce the reference's exact
+  * formatting: doubles as C "%f" (6 decimals, udf.cc:1298), no
+  * trailing comma (containers.h:138-140), cate maps sorted by key
+  * ascending (std::map iteration, containers.h:203+).
+  */
+object GraftAggregates {
+
+  /** C "%f" double formatting used by all string-emitting UDAFs. */
+  def fmtDouble(v: Double): String = "%.6f".formatLocal(java.util.Locale.ROOT, v)
+
+  case class TsVal(ts: Long, v: java.lang.Double)
+  case class TsValBuf(items: Seq[TsVal])
+
+  private def tsValEnc: Encoder[TsValBuf] = Encoders.product[TsValBuf]
+
+  /** ew_avg(value, alpha): exponentially-weighted average, weight
+    * (1-alpha)^i for the i-th newest row
+    * (default_udf_library.cc:280-325, EwAvgUdafDef). */
+  class EwAvg(alpha: Double) extends Aggregator[TsVal, TsValBuf, java.lang.Double] {
+    def zero: TsValBuf = TsValBuf(Nil)
+    def reduce(b: TsValBuf, a: TsVal): TsValBuf =
+      if (a == null || a.v == null) b else TsValBuf(b.items :+ a)
+    def merge(x: TsValBuf, y: TsValBuf): TsValBuf = TsValBuf(x.items ++ y.items)
+    def finish(b: TsValBuf): java.lang.Double = {
+      val sorted = b.items.sortBy(t => (-t.ts, t.v.doubleValue))
+      if (sorted.isEmpty) null
+      else {
+        var sum = 0.0; var cnt = 0.0; var w = 1.0
+        sorted.foreach { t => sum += w * t.v; cnt += w; w *= (1 - alpha) }
+        if (cnt == 0) null else java.lang.Double.valueOf(sum / cnt)
+      }
+    }
+    def bufferEncoder: Encoder[TsValBuf] = tsValEnc
+    def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
+  }
+
+  /** drawdown(value): max peak-to-trough decline ratio where the
+    * trough is NEWER than the peak (default_udf_library.cc:609-655,
+    * DrawdownUdafDef: processes newest-first keeping the running min;
+    * for each older value t with min<t, dd=(t-min)/t). */
+  class Drawdown extends Aggregator[TsVal, TsValBuf, java.lang.Double] {
+    def zero: TsValBuf = TsValBuf(Nil)
+    def reduce(b: TsValBuf, a: TsVal): TsValBuf =
+      if (a == null || a.v == null) b else TsValBuf(b.items :+ a)
+    def merge(x: TsValBuf, y: TsValBuf): TsValBuf = TsValBuf(x.items ++ y.items)
+    def finish(b: TsValBuf): java.lang.Double = {
+      val sorted = b.items.sortBy(t => (-t.ts, t.v.doubleValue))
+      var dd = -1.0
+      var mn = Double.MaxValue
+      sorted.foreach { t =>
+        val v = t.v.doubleValue
+        if (v >= 0) { // reference rejects negatives (logs error, skips)
+          var cur = 0.0
+          if (mn < v) { if (v != 0) cur = (v - mn) / v }
+          else mn = v
+          dd = math.max(dd, cur)
+        }
+      }
+      if (dd < 0) null else java.lang.Double.valueOf(dd)
+    }
+    def bufferEncoder: Encoder[TsValBuf] = tsValEnc
+    def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
+  }
+
+  case class KeyCountBuf(m: Map[String, Long])
+  private def kcEnc: Encoder[KeyCountBuf] = Encoders.product[KeyCountBuf]
+  private def addKey(b: KeyCountBuf, k: String): KeyCountBuf =
+    if (k == null) b else KeyCountBuf(b.m.updated(k, b.m.getOrElse(k, 0L) + 1L))
+  private def mergeKC(x: KeyCountBuf, y: KeyCountBuf): KeyCountBuf =
+    KeyCountBuf(y.m.foldLeft(x.m) { case (m, (k, c)) => m.updated(k, m.getOrElse(k, 0L) + c) })
+
+  /** entropy(x): Shannon entropy -Σ p·log2(p) over the value histogram
+    * (aggregate_def.cc:114-158, ShannonEntropy). Null when empty. */
+  class Entropy extends Aggregator[String, KeyCountBuf, java.lang.Double] {
+    def zero: KeyCountBuf = KeyCountBuf(Map.empty)
+    def reduce(b: KeyCountBuf, k: String): KeyCountBuf = addKey(b, k)
+    def merge(x: KeyCountBuf, y: KeyCountBuf): KeyCountBuf = mergeKC(x, y)
+    def finish(b: KeyCountBuf): java.lang.Double = {
+      val n = b.m.values.sum
+      if (n == 0) null
+      else {
+        val total = n.toDouble
+        var h = 0.0
+        b.m.values.foreach { c => val p = c / total; h -= p * (math.log(p) / math.log(2)) }
+        java.lang.Double.valueOf(h)
+      }
+    }
+    def bufferEncoder: Encoder[KeyCountBuf] = kcEnc
+    def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
+  }
+
+  /** top1_ratio(x): frequency of the most common value / total; 0.0
+    * (not null) when empty (feature_zero_def.cc:426-471). */
+  class Top1Ratio extends Aggregator[String, KeyCountBuf, Double] {
+    def zero: KeyCountBuf = KeyCountBuf(Map.empty)
+    def reduce(b: KeyCountBuf, k: String): KeyCountBuf = addKey(b, k)
+    def merge(x: KeyCountBuf, y: KeyCountBuf): KeyCountBuf = mergeKC(x, y)
+    def finish(b: KeyCountBuf): Double =
+      if (b.m.isEmpty) 0.0
+      else b.m.values.max.toDouble / b.m.values.sum
+    def bufferEncoder: Encoder[KeyCountBuf] = kcEnc
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** topn_frequency(x, n): the n most frequent values (count desc, key
+    * asc), comma-joined, padded with "NULL" to exactly n entries
+    * (feature_zero_def.cc:473-588). */
+  class TopNFrequency(n: Int) extends Aggregator[String, KeyCountBuf, String] {
+    def zero: KeyCountBuf = KeyCountBuf(Map.empty)
+    def reduce(b: KeyCountBuf, k: String): KeyCountBuf = addKey(b, k)
+    def merge(x: KeyCountBuf, y: KeyCountBuf): KeyCountBuf = mergeKC(x, y)
+    def finish(b: KeyCountBuf): String = {
+      if (n <= 0) return ""
+      val keys = b.m.toSeq.sortBy { case (k, c) => (-c, k) }.take(n).map(_._1)
+      (keys ++ Seq.fill(n - keys.size)("NULL")).mkString(",")
+    }
+    def bufferEncoder: Encoder[KeyCountBuf] = kcEnc
+    def outputEncoder: Encoder[String] = Encoders.STRING
+  }
+
+  // ----- the *_cate family -------------------------------------------------
+
+  case class CateIn(k: String, v: java.lang.Double)
+  case class CateAcc(cnt: Long, sum: Double, mn: Double, mx: Double)
+  case class CateBuf(m: Map[String, CateAcc])
+
+  /** sum/count/avg/min/max_cate(value, key): per-category aggregate
+    * rendered as "k1:v1,k2:v2" sorted by key ascending
+    * ({sum,avg,...}_by_category_def.cc via BoundedGroupByDict,
+    * containers.h:203-300). `mode` ∈ sum|count|avg|min|max;
+    * `integral` formats values as integers ("%d") instead of "%f".
+    * The *_cate_where variants are this aggregate over rows whose
+    * condition holds (callers mask non-matching rows to null key). */
+  class Cate(mode: String, integral: Boolean)
+      extends Aggregator[CateIn, CateBuf, String] {
+    def zero: CateBuf = CateBuf(Map.empty)
+    def reduce(b: CateBuf, a: CateIn): CateBuf = {
+      if (a == null || a.k == null || a.v == null) b
+      else {
+        val v = a.v.doubleValue
+        val acc = b.m.getOrElse(a.k, CateAcc(0, 0.0, Double.MaxValue, Double.MinValue))
+        CateBuf(b.m.updated(a.k,
+          CateAcc(acc.cnt + 1, acc.sum + v, math.min(acc.mn, v), math.max(acc.mx, v))))
+      }
+    }
+    def merge(x: CateBuf, y: CateBuf): CateBuf =
+      CateBuf(y.m.foldLeft(x.m) { case (m, (k, a)) =>
+        val acc = m.getOrElse(k, CateAcc(0, 0.0, Double.MaxValue, Double.MinValue))
+        m.updated(k, CateAcc(acc.cnt + a.cnt, acc.sum + a.sum,
+          math.min(acc.mn, a.mn), math.max(acc.mx, a.mx)))
+      })
+    private def fmt(v: Double): String =
+      if (integral) v.toLong.toString else fmtDouble(v)
+    def finish(b: CateBuf): String =
+      b.m.toSeq.sortBy(_._1).map { case (k, a) =>
+        val v = mode match {
+          case "sum"   => fmt(a.sum)
+          case "count" => a.cnt.toString
+          case "avg"   => fmtDouble(a.sum / a.cnt)
+          case "min"   => fmt(a.mn)
+          case "max"   => fmt(a.mx)
+        }
+        s"$k:$v"
+      }.mkString(",")
+    def bufferEncoder: Encoder[CateBuf] = Encoders.product[CateBuf]
+    def outputEncoder: Encoder[String] = Encoders.STRING
+  }
+
+  // ----- Column-level helpers (registered udafs) ---------------------------
+
+  def ew_avg(ts: Column, v: Column, alpha: Double): Column =
+    udaf(new EwAvg(alpha)).apply(ts.cast("long"), v.cast("double"))
+
+  def drawdown(ts: Column, v: Column): Column =
+    udaf(new Drawdown).apply(ts.cast("long"), v.cast("double"))
+
+  def entropy(x: Column): Column = udaf(new Entropy).apply(x.cast("string"))
+
+  def top1_ratio(x: Column): Column = udaf(new Top1Ratio).apply(x.cast("string"))
+
+  def topn_frequency(x: Column, n: Int): Column =
+    udaf(new TopNFrequency(n)).apply(x.cast("string"))
+
+  def cate(mode: String, v: Column, k: Column, integral: Boolean = false): Column =
+    udaf(new Cate(mode, integral)).apply(k.cast("string"), v.cast("double"))
+
+  /** top(value, k): the k largest values desc (dups kept), comma-joined
+    * (TopKDef, containers.h:72-160). Pure built-in pipeline. */
+  def topStr(v: Column, k: Int, integral: Boolean = false): Column = {
+    val topVals = slice(reverse(array_sort(collect_list(v))), 1, k)
+    val fmted =
+      if (integral) transform(topVals, x => x.cast("long").cast("string"))
+      else transform(topVals, x => format_string("%.6f", x.cast("double")))
+    array_join(fmted, ",")
+  }
+}
