@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.{LastJoin, WindowOps}
-import graft.functions.{GraftAggregates => A}
+import graft.functions.{GraftAggregates => A, GraftScalars => F}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
   * implemented operator from SURVEY.md §2. Column names/types are
@@ -308,6 +308,130 @@ object SparkEntry {
       T(s, d, "events").groupBy(col("user_id")).agg(
         A.cate("sum", col("value"),
           when(col("value") > 100, col("event_type"))).as("sum_cate_w"))
+    },
+
+    // ---- scalar function surface (SURVEY §2.3) ----
+
+    // string functions
+    "q_scalar_str" -> q { (s, d) =>
+      T(s, d, "part").select(
+        col("p_partkey"),
+        upper(col("p_type")).as("t_up"),
+        lower(col("p_brand")).as("b_lo"),
+        substring(col("p_name"), 3, 5).as("n_sub"),
+        length(col("p_name")).as("n_len"),
+        expr("replace(p_type, ' ', '_')").as("t_repl"),
+        reverse(col("p_brand")).as("b_rev"),
+        locate("a", col("p_name")).as("n_loc"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("bt"),
+        F.strcmp(col("p_brand"), col("p_type")).as("cmp"),
+        F.like_match(col("p_name"), "%green%").as("has_green"),
+        F.ilike_match(col("p_name"), "%GREEN%").as("has_green_i"))
+    },
+
+    // math functions (libm-backed ones rounded on both sides)
+    "q_scalar_math" -> q { (s, d) =>
+      T(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - 0.05).as("m_abs"),
+        ceil(col("l_quantity") / 7).cast("long").as("m_ceil"),
+        floor(col("l_extendedprice") / 1000).cast("long").as("m_floor"),
+        round(sqrt(col("l_quantity")), 6).as("m_sqrt"),
+        round(exp(col("l_discount")), 6).as("m_exp"),
+        round(log(col("l_quantity")), 6).as("m_ln"),
+        round(log(10.0, col("l_extendedprice")), 6).as("m_log10"),
+        round(log2(col("l_quantity")), 6).as("m_log2"),
+        round(pow(col("l_quantity"), 2), 6).as("m_pow"),
+        pmod(col("l_orderkey"), lit(7)).as("m_mod"),
+        F.truncate(col("l_extendedprice")).as("m_trunc"),
+        round(sin(col("l_discount")), 6).as("m_sin"),
+        round(cos(col("l_tax")), 6).as("m_cos"),
+        round(atan(col("l_discount")), 6).as("m_atan"),
+        round(degrees(col("l_discount")), 6).as("m_deg"),
+        round(radians(col("l_quantity")), 6).as("m_rad"))
+    },
+
+    // date/time functions (ms-epoch model, UTC session)
+    "q_scalar_dt" -> q { (s, d) =>
+      T(s, d, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("dt_y"),
+        month(col("o_orderdate")).as("dt_m"),
+        dayofmonth(col("o_orderdate")).as("dt_d"),
+        dayofweek(col("o_orderdate")).as("dt_dow"),
+        dayofyear(col("o_orderdate")).as("dt_doy"),
+        weekofyear(col("o_orderdate")).as("dt_woy"),
+        hour(col("o_orderdate")).as("dt_h"),
+        last_day(col("o_orderdate")).as("dt_eom"),
+        add_months(col("o_orderdate"), 2).as("dt_addm"),
+        datediff(lit("1998-12-01").cast("date"), col("o_orderdate")).as("dt_diff"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("dt_fmt"),
+        unix_timestamp(col("o_orderdate")).as("dt_unix"))
+    },
+
+    // conditional expressions: CASE/BETWEEN/IN/COALESCE/NULLIF
+    "q_scalar_cond" -> q { (s, d) =>
+      T(s, d, "orders").select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 200000, "big")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("small").as("bucket"),
+        col("o_totalprice").between(50000, 150000).as("in_band"),
+        col("o_orderstatus").isin("O", "F").as("is_of"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("st"),
+        (col("o_orderkey") % 2 === 0).as("is_even"))
+    },
+
+    // JSON: get_json_object over the events.props column
+    "q_json" -> q { (s, d) =>
+      T(s, d, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_num"))
+    },
+
+    // ARRAY type + functions
+    "q_array" -> q { (s, d) =>
+      val arr = array(col("l_quantity"), col("l_discount"), col("l_tax"))
+      T(s, d, "lineitem").filter(col("l_orderkey") < 100).select(
+        col("l_orderkey"), col("l_linenumber"),
+        size(arr).as("a_size"),
+        array_contains(arr, 0.04).as("a_has"),
+        element_at(arr, 2).as("a_second"),
+        array_max(arr).as("a_max"),
+        array_min(arr).as("a_min"),
+        sort_array(arr).as("a_sorted"),
+        array_join(transform(arr, x => format_string("%.2f", x)), ",").as("a_join"))
+    },
+
+    // MAP type + element access
+    "q_map" -> q { (s, d) =>
+      val m = map(lit("sz"), col("p_size").cast("long"),
+        lit("dbl"), (col("p_size") * 2).cast("long"))
+      T(s, d, "part").select(
+        col("p_partkey"),
+        element_at(m, "sz").as("m_sz"),
+        element_at(m, "dbl").as("m_dbl"),
+        size(m).as("m_size"))
+    },
+
+    // earth_distance (haversine, R=6372.8 km)
+    "q_earth" -> q { (s, d) =>
+      T(s, d, "supplier").select(
+        col("s_suppkey"),
+        round(F.earth_distance(
+          col("s_acctbal") % 90, (col("s_acctbal") * 2) % 180,
+          lit(39.9), lit(116.4)), 6).as("dist"))
+    },
+
+    // feature-zero split family
+    "q_split" -> q { (s, d) =>
+      val kv = concat(col("p_brand"), lit(":1,"), col("p_type"), lit(":2"))
+      T(s, d, "part").select(
+        col("p_partkey"),
+        F.fz_join(F.fz_split(kv, ","), "|").as("sp"),
+        F.fz_join(F.fz_split_by_key(kv, ",", ":"), "|").as("spk"),
+        F.fz_join(F.fz_split_by_value(kv, ",", ":"), "|").as("spv"))
     }
   )
 
@@ -543,7 +667,108 @@ object SparkEntry {
         |        FROM g GROUP BY user_id)
         |SELECT u.user_id, coalesce(a.sum_cate_w, '') AS sum_cate_w
         |FROM (SELECT DISTINCT user_id FROM events) u
-        |LEFT JOIN agg a USING (user_id)""".stripMargin
+        |LEFT JOIN agg a USING (user_id)""".stripMargin,
+
+    "q_scalar_str" ->
+      """SELECT p_partkey,
+        | upper(p_type) AS t_up, lower(p_brand) AS b_lo,
+        | substring(p_name, 3, 5) AS n_sub,
+        | CAST(length(p_name) AS INTEGER) AS n_len,
+        | replace(p_type, ' ', '_') AS t_repl,
+        | reverse(p_brand) AS b_rev,
+        | CAST(strpos(p_name, 'a') AS INTEGER) AS n_loc,
+        | p_brand || '-' || p_type AS bt,
+        | CASE WHEN p_brand < p_type THEN -1 WHEN p_brand = p_type THEN 0 ELSE 1 END AS cmp,
+        | p_name LIKE '%green%' AS has_green,
+        | p_name ILIKE '%GREEN%' AS has_green_i
+        |FROM part""".stripMargin,
+
+    "q_scalar_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        | abs(l_discount - 0.05) AS m_abs,
+        | CAST(ceil(l_quantity / 7) AS BIGINT) AS m_ceil,
+        | CAST(floor(l_extendedprice / 1000) AS BIGINT) AS m_floor,
+        | round(sqrt(l_quantity), 6) AS m_sqrt,
+        | round(exp(l_discount), 6) AS m_exp,
+        | round(ln(l_quantity), 6) AS m_ln,
+        | round(log10(l_extendedprice), 6) AS m_log10,
+        | round(log2(l_quantity), 6) AS m_log2,
+        | round(pow(l_quantity, 2), 6) AS m_pow,
+        | CAST(l_orderkey % 7 AS BIGINT) AS m_mod,
+        | CAST(trunc(l_extendedprice) AS BIGINT) AS m_trunc,
+        | round(sin(l_discount), 6) AS m_sin,
+        | round(cos(l_tax), 6) AS m_cos,
+        | round(atan(l_discount), 6) AS m_atan,
+        | round(degrees(l_discount), 6) AS m_deg,
+        | round(radians(l_quantity), 6) AS m_rad
+        |FROM lineitem""".stripMargin,
+
+    "q_scalar_dt" ->
+      """SELECT o_orderkey,
+        | CAST(year(o_orderdate) AS INTEGER) AS dt_y,
+        | CAST(month(o_orderdate) AS INTEGER) AS dt_m,
+        | CAST(day(o_orderdate) AS INTEGER) AS dt_d,
+        | CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dt_dow,
+        | CAST(dayofyear(o_orderdate) AS INTEGER) AS dt_doy,
+        | CAST(weekofyear(o_orderdate) AS INTEGER) AS dt_woy,
+        | CAST(hour(o_orderdate) AS INTEGER) AS dt_h,
+        | last_day(CAST(o_orderdate AS DATE)) AS dt_eom,
+        | CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS dt_addm,
+        | CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-01') AS INTEGER) AS dt_diff,
+        | strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS dt_fmt,
+        | CAST(epoch(o_orderdate) AS BIGINT) AS dt_unix
+        |FROM orders""".stripMargin,
+
+    "q_scalar_cond" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_totalprice > 200000 THEN 'big'
+        |      WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END AS bucket,
+        | o_totalprice BETWEEN 50000 AND 150000 AS in_band,
+        | o_orderstatus IN ('O', 'F') AS is_of,
+        | coalesce(nullif(o_orderstatus, 'O'), 'open') AS st,
+        | o_orderkey % 2 = 0 AS is_even
+        |FROM orders""".stripMargin,
+
+    "q_json" ->
+      """SELECT event_id,
+        | json_extract_string(props, '$.k') AS k_str,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
+        |FROM events""".stripMargin,
+
+    "q_array" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(len([l_quantity, l_discount, l_tax]) AS INTEGER) AS a_size,
+        | list_contains([l_quantity, l_discount, l_tax], 0.04) AS a_has,
+        | [l_quantity, l_discount, l_tax][2] AS a_second,
+        | list_max([l_quantity, l_discount, l_tax]) AS a_max,
+        | list_min([l_quantity, l_discount, l_tax]) AS a_min,
+        | list_sort([l_quantity, l_discount, l_tax]) AS a_sorted,
+        | array_to_string(list_transform([l_quantity, l_discount, l_tax],
+        |   x -> printf('%.2f', x)), ',') AS a_join
+        |FROM lineitem WHERE l_orderkey < 100""".stripMargin,
+
+    "q_map" ->
+      """SELECT p_partkey,
+        | CAST(p_size AS BIGINT) AS m_sz,
+        | CAST(p_size * 2 AS BIGINT) AS m_dbl,
+        | 2 AS m_size
+        |FROM part""".stripMargin,
+
+    "q_earth" ->
+      """SELECT s_suppkey,
+        | round(2 * 6372.8 * asin(sqrt(
+        |   pow(sin((radians(39.9) - radians(s_acctbal % 90)) / 2), 2)
+        |   + cos(radians(s_acctbal % 90)) * cos(radians(39.9))
+        |     * pow(sin((radians(116.4) - radians(s_acctbal * 2 % 180)) / 2), 2)
+        | )), 6) AS dist
+        |FROM supplier""".stripMargin,
+
+    "q_split" ->
+      """SELECT p_partkey,
+        | array_to_string(string_split(p_brand || ':1,' || p_type || ':2', ','), '|') AS sp,
+        | p_brand || '|' || p_type AS spk,
+        | '1|2' AS spv
+        |FROM part""".stripMargin
   )
 
   /** Headline subset run by graft.Bench at sf0.1. */

@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar function surface of the reference dialect
+  * (default_udf_library.cc §InitStringUdf/InitMathUdf/... — SURVEY §2.3).
+  *
+  * Nearly everything maps to a codegen'd `org.apache.spark.sql.functions`
+  * builtin; this object provides Column-level helpers for the names the
+  * reference has and Spark lacks, each matching the reference's exact
+  * semantics (cited). `registerAll` additionally exposes the
+  * OpenMLDB-specific names to SQL texts (for spark.sql interop and the
+  * dialect front-end); the DataFrame API is the hot path, the SQL
+  * registrations are convenience.
+  */
+object GraftScalars {
+
+  /** strcmp(a,b) → -1/0/1 (InitStringUdf). */
+  def strcmp(a: Column, b: Column): Column =
+    when(a.isNull || b.isNull, lit(null).cast("int"))
+      .when(a < b, -1).when(a === b, 0).otherwise(1)
+
+  /** like_match(str, pattern[, escape]) — SQL LIKE with explicit escape
+    * (udf/default_udf_library.cc like_match; default escape '\'). */
+  def like_match(s: Column, pattern: String, escape: Char = '\\'): Column =
+    s.like(pattern) // Spark LIKE uses '\' escape by default
+
+  def ilike_match(s: Column, pattern: String): Column = s.ilike(pattern)
+
+  /** truncate(x): toward-zero integral part (C trunc; InitMathUdf). */
+  def truncate(x: Column): Column = x.cast("long")
+
+  /** hash64 / farm_fingerprint: the reference uses FarmHash
+    * (contrib/farmhash); we provide a stable 64-bit hash with the same
+    * signature via xxhash64 — deterministic but NOT bit-compatible with
+    * FarmHash (documented deviation, SURVEY §2.3). */
+  def hash64(cols: Column*): Column = xxhash64(cols: _*)
+  def farm_fingerprint(cols: Column*): Column = xxhash64(cols: _*)
+
+  /** earth_distance(lat1, lon1, lat2, lon2): haversine great-circle
+    * distance in km, R=6372.8, null outside ±90/±180
+    * (earth_distance_def.cc:haversine_distance). */
+  def earth_distance(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val la1 = radians(lat1); val la2 = radians(lat2)
+    val dla = radians(lat2) - radians(lat1)
+    val dlo = radians(lon2) - radians(lon1)
+    val h = pow(sin(dla / 2), 2) + cos(la1) * cos(la2) * pow(sin(dlo / 2), 2)
+    val valid = abs(lat1) <= 90 && abs(lon1) <= 180 && abs(lat2) <= 90 && abs(lon2) <= 180
+    when(valid, lit(2 * 6372.8) * asin(sqrt(h)))
+  }
+
+  // ----- feature-zero split family (feature_zero_def.cc:183-360) -----
+
+  private def delimRegex(d: String): String = java.util.regex.Pattern.quote(d)
+
+  /** split(str, delim) → array<string>; null input → empty handled by
+    * caller (the reference returns an empty list). */
+  def fz_split(s: Column, delim: String): Column =
+    when(s.isNull, array().cast("array<string>"))
+      .otherwise(split(s, delimRegex(delim), -1))
+
+  /** split_by_key("k1:v1,k2:v2", ",", ":") → keys of parts containing
+    * the kv delimiter (feature_zero_def.cc:229-272). */
+  def fz_split_by_key(s: Column, delim: String, kvDelim: String): Column =
+    when(s.isNull, array().cast("array<string>"))
+      .otherwise(transform(
+        filter(split(s, delimRegex(delim), -1),
+          p => size(split(p, delimRegex(kvDelim), -1)) >= 2),
+        p => element_at(split(p, delimRegex(kvDelim), -1), 1)))
+
+  /** split_by_value: the segment between the first and second kv
+    * delimiter of each part (feature_zero_def.cc:282-340). */
+  def fz_split_by_value(s: Column, delim: String, kvDelim: String): Column =
+    when(s.isNull, array().cast("array<string>"))
+      .otherwise(transform(
+        filter(split(s, delimRegex(delim), -1),
+          p => size(split(p, delimRegex(kvDelim), -1)) >= 2),
+        p => element_at(split(p, delimRegex(kvDelim), -1), 2)))
+
+  /** join(list, delim) → string (fz `join`). */
+  def fz_join(arr: Column, delim: String): Column = array_join(arr, delim)
+
+  /** OpenMLDB timestamp(int64) is MILLISECONDS since epoch
+    * (date_and_time_types.md:10-14) — not seconds like a Spark cast. */
+  def timestamp_ms(msCol: Column): Column = timestamp_millis(msCol.cast("long"))
+
+  /** Register OpenMLDB-specific SQL names on a session. Aliases of
+    * builtins resolve to the same codegen'd expressions via SQL; the
+    * handful of genuinely custom functions are registered as UDFs
+    * (they are not hot-path operators). */
+  def registerAll(spark: SparkSession): Unit = {
+    spark.udf.register("strcmp",
+      (a: String, b: String) =>
+        if (a == null || b == null) null.asInstanceOf[java.lang.Integer]
+        else java.lang.Integer.valueOf(Integer.signum(a.compareTo(b))))
+    spark.udf.register("earth_distance",
+      (la1: java.lang.Double, lo1: java.lang.Double,
+       la2: java.lang.Double, lo2: java.lang.Double) => {
+        if (la1 == null || lo1 == null || la2 == null || lo2 == null) null
+        else if (math.abs(la1) > 90 || math.abs(lo1) > 180 ||
+                 math.abs(la2) > 90 || math.abs(lo2) > 180) null
+        else {
+          val r1 = math.toRadians(la1); val r2 = math.toRadians(la2)
+          val dla = r2 - r1
+          val dlo = math.toRadians(lo2) - math.toRadians(lo1)
+          val h = math.pow(math.sin(dla / 2), 2) +
+            math.cos(r1) * math.cos(r2) * math.pow(math.sin(dlo / 2), 2)
+          java.lang.Double.valueOf(2 * 6372.8 * math.asin(math.sqrt(h)))
+        }
+      })
+    spark.udf.register("hash64", (s: String) =>
+      if (s == null) null.asInstanceOf[java.lang.Long]
+      else java.lang.Long.valueOf(
+        org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+          s.getBytes("UTF-8"), org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+          s.getBytes("UTF-8").length, 42).toLong))
+  }
+}
