@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{LastJoin, WindowOps}
+import graft.operators.{Dedup, LastJoin, Multimodal, Similarity, TextOps, WindowOps}
 import graft.functions.{GraftAggregates => A, GraftScalars => F}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
@@ -432,6 +432,84 @@ object SparkEntry {
         F.fz_join(F.fz_split(kv, ","), "|").as("sp"),
         F.fz_join(F.fz_split_by_key(kv, ",", ":"), "|").as("spk"),
         F.fz_join(F.fz_split_by_value(kv, ",", ":"), "|").as("spv"))
+    },
+
+    // ---- training-data pipeline operators ----
+
+    // exact deduplication (hash-groupBy)
+    "q_dedup_exact" -> q { (s, d) =>
+      Dedup.exact(T(s, d, "documents"), "doc_id", "text")
+    },
+
+    // word-level Jaccard near-dup pairs (inverted-index join)
+    "q_dedup_jaccard" -> q { (s, d) =>
+      Dedup.jaccardPairs(T(s, d, "documents"), "doc_id", "text", 0.6)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+    },
+
+    // MinHash+LSH candidate pairs (rows-only: hash family not SQL-portable)
+    "q_dedup_minhash" -> q { (s, d) =>
+      Dedup.minhashLshPairs(T(s, d, "documents"), "doc_id", "text",
+        shingleN = 1, bands = 4, rowsPerBand = 4, threshold = 0.25)
+    },
+
+    // SimHash 64-bit fingerprints (rows-only)
+    "q_dedup_simhash" -> q { (s, d) =>
+      T(s, d, "documents").select(col("doc_id"),
+        Dedup.simhash(col("text")).as("sh"))
+    },
+
+    // embedding cosine near-dup via sign-LSH buckets (rows-only)
+    "q_dedup_embed" -> q { (s, d) =>
+      Dedup.embeddingNearDup(T(s, d, "embeddings"), "vec_id", "embedding",
+        threshold = 0.5, planes = 4)
+    },
+
+    // brute-force cosine top-k (exact ANN baseline)
+    "q_ann_topk" -> q { (s, d) =>
+      val e = T(s, d, "embeddings")
+      Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e,
+          "vec_id", "embedding", 5)
+        .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cos"),
+          col("rnk"))
+    },
+
+    // LSH-bucketed approximate top-k (rows-only; scale path)
+    "q_ann_lsh" -> q { (s, d) =>
+      val e = T(s, d, "embeddings")
+      Similarity.lshTopK(e.filter(col("vec_id") < 10), e,
+        "vec_id", "embedding", k = 3, planes = 4)
+    },
+
+    // token/char counts, stopword ratio, quality score
+    "q_text_stats" -> q { (s, d) =>
+      val t = col("text")
+      T(s, d, "documents").select(
+        col("doc_id"),
+        TextOps.tokenCount(t).as("n_tokens"),
+        TextOps.charCount(t).as("n_chars_x"),
+        round(TextOps.avgWordLen(t), 6).as("avg_wlen"),
+        round(TextOps.stopwordRatio(t), 6).as("stop_ratio"),
+        round(TextOps.qualityScore(t), 6).as("q_score"))
+    },
+
+    // n-gram-heuristic language ID
+    "q_lang_id" -> q { (s, d) =>
+      T(s, d, "documents").select(col("doc_id"),
+        TextOps.langId(col("text")).as("lang_pred"))
+    },
+
+    // document fingerprinting (normalized md5)
+    "q_fingerprint" -> q { (s, d) =>
+      T(s, d, "documents").select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp"))
+    },
+
+    // multimodal binary-column plumbing with stubbed decode (rows-only)
+    "q_multimodal" -> q { (s, d) =>
+      val media = Multimodal.withPayload(T(s, d, "documents"), "doc_id", "text")
+      Multimodal.extractFeatures(media, new Multimodal.FakeDecoder(8))(s)
+        .toDF()
     }
   )
 
@@ -768,11 +846,89 @@ object SparkEntry {
         | array_to_string(string_split(p_brand || ':1,' || p_type || ':2', ','), '|') AS sp,
         | p_brand || '|' || p_type AS spk,
         | '1|2' AS spv
-        |FROM part""".stripMargin
+        |FROM part""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "q_dedup_jaccard" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS w
+        |  FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+        |  FROM w a JOIN w b ON a.w = b.w AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT id1, id2,
+        |  round(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 6) AS jaccard
+        |FROM inter
+        |JOIN sz s1 ON id1 = s1.doc_id
+        |JOIN sz s2 ON id2 = s2.doc_id
+        |WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.6""".stripMargin,
+
+    "q_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS qid,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |      FROM embeddings),
+        |s AS (SELECT qid, vec_id,
+        |        list_dot_product(q.e, c.e)
+        |          / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))) AS cos
+        |      FROM q, c WHERE c.vec_id <> q.qid),
+        |r AS (SELECT qid, vec_id, cos,
+        |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+        |      FROM s)
+        |SELECT qid, vec_id, round(cos, 6) AS cos, CAST(rnk AS INTEGER) AS rnk
+        |FROM r WHERE rnk <= 5""".stripMargin,
+
+    "q_text_stats" ->
+      """WITH t AS (SELECT doc_id,
+        |             regexp_split_to_array(trim(text), '\s+') AS ws,
+        |             length(regexp_replace(text, '\s+', '', 'g')) AS nc
+        |           FROM documents),
+        |s AS (SELECT doc_id, ws, nc,
+        |        len(list_filter(ws, w -> lower(w) IN
+        |          ('the','a','and','of','to','in','is'))) AS nstop
+        |      FROM t)
+        |SELECT doc_id,
+        | CAST(len(ws) AS INTEGER) AS n_tokens,
+        | CAST(nc AS INTEGER) AS n_chars_x,
+        | round(CAST(nc AS DOUBLE) / len(ws), 6) AS avg_wlen,
+        | round(CAST(nstop AS DOUBLE) / len(ws), 6) AS stop_ratio,
+        | round(CAST(0.5 AS DOUBLE) * least(CAST(len(ws) AS DOUBLE) / 100, 1.0)
+        |   + CAST(0.3 AS DOUBLE) * (1 - CAST(nstop AS DOUBLE) / len(ws))
+        |   + CAST(0.2 AS DOUBLE) * least((CAST(nc AS DOUBLE) / len(ws)) / 8, 1.0), 6) AS q_score
+        |FROM s""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH t AS (SELECT doc_id,
+        |             list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |               w -> lower(w)) AS ws
+        |           FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(list_filter(ws, w -> w IN ('the','a','and','of','to','in','is'))) AS en,
+        |  len(list_filter(ws, w -> w IN ('el','la','de','y','que','los'))) AS es,
+        |  len(list_filter(ws, w -> w IN ('der','die','das','und','ist','ein'))) AS de,
+        |  len(list_filter(ws, w -> w IN ('le','la','et','les','un','une'))) AS fr
+        |FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+        |       WHEN es >= de AND es >= fr THEN 'es'
+        |       WHEN de >= fr THEN 'de' ELSE 'fr' END AS lang_pred
+        |FROM s""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        | md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin
   )
 
   /** Headline subset run by graft.Bench at sf0.1. */
   def benchQueries: Seq[String] = Seq(
     "q1_agg", "q_window_rows_range", "q_window_rows", "q_last_join",
-    "q_groupby_having", "q_distinct_count")
+    "q_groupby_having", "q_distinct_count", "q_window_maxsize",
+    "q_dedup_exact", "q_dedup_minhash", "q_ann_topk", "q_text_stats")
 }

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Large-scale document deduplication operators.
+  *
+  * All stages are shuffle-planned for 100 TB: exact dedup is one
+  * hash-partitioned groupBy; MinHash-LSH explodes b band rows per doc
+  * (b≈16) and shuffles by (band, bandHash) — candidate generation never
+  * compares all pairs; the verify stage joins only bucket-colliding
+  * pairs. The word-level Jaccard join is an inverted-index join
+  * (explode distinct tokens, join by token, count) — the standard
+  * scalable set-similarity plan.
+  */
+object Dedup {
+
+  /** Exact dedup: group identical texts by md5, keep the smallest id. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct word tokens of a text column. */
+  def tokens(textCol: Column): Column =
+    array_distinct(split(trim(textCol), "\\s+"))
+
+  /** Word-level Jaccard near-dup pairs via inverted-index join.
+    * Returns (id1, id2, jaccard) for pairs with jaccard >= threshold.
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val words = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("w"))
+    val sizes = words.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = words.as("a").join(words.as("b"),
+        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("s1"), col("id1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("id2") === col("s2.doc_id"))
+      .select(col("id1"), col("id2"),
+        (col("inter").cast("double") /
+          (col("s1.sz") + col("s2.sz") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signature: k permutations approximated by k seeded hashes
+    * (min over shingles of xxhash64(shingle, seed)). */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    array((0 until k).map { i =>
+      array_min(transform(shingles, s => xxhash64(s, lit(i))))
+    }: _*)
+
+  /** Word n-gram shingles. */
+  def wordShingles(textCol: Column, n: Int): Column = {
+    val words = split(trim(textCol), "\\s+")
+    array_distinct(
+      when(size(words) < n, array(array_join(words, " ")))
+        .otherwise(transform(sequence(lit(0), size(words) - n),
+          i => array_join(slice(words, i + 1, n), " "))))
+  }
+
+  /** MinHash-LSH candidate pairs: band the signature (bands × rowsPerBand
+    * = k), bucket-join docs sharing any band hash, then estimate
+    * similarity as matching-minhash fraction. Returns
+    * (id1, id2, est_jaccard >= threshold).
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, bands: Int, rowsPerBand: Int,
+      threshold: Double): DataFrame = {
+    val k = bands * rowsPerBand
+    val sig = docs.select(col(idCol).as("doc_id"),
+      minhashSignature(wordShingles(col(textCol), shingleN), k).as("sig"))
+    // one row per (doc, band): band hash = xxhash64 over the band's slice
+    val banded = sig.select(col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws("_",
+            transform(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
+              v => v.cast("string")): _*), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        col("a.sig").as("sig1"), col("b.sig").as("sig2"))
+      .dropDuplicates("id1", "id2")
+    cand.select(col("id1"), col("id2"),
+        (size(filter(zip_with(col("sig1"), col("sig2"), (x, y) =>
+          when(x === y, 1)), v => v.isNotNull)).cast("double") / k)
+          .as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash over word tokens: per-bit weighted vote of token
+    * hashes; bit b set iff Σ_tokens sign(bit b of xxhash64(token)) > 0. */
+  def simhash(textCol: Column): Column = {
+    val words = split(trim(textCol), "\\s+")
+    val hashes = transform(words, w => xxhash64(w))
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, b) => acc + when(
+        aggregate(hashes, lit(0L),
+          (v, h) => v + when(shiftright(h, b.cast("int")).bitwiseAND(1L) === 1L, 1L)
+            .otherwise(-1L)) > 0,
+        shiftleft(lit(1L), b.cast("int"))).otherwise(0L))
+  }
+
+  /** Embedding cosine near-duplicate pairs above a threshold, bucketed
+    * by a sign-LSH key to avoid the full cross product at scale. */
+  def embeddingNearDup(embs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int = 8): DataFrame = {
+    val keyed = embs.select(col(idCol).as("vec_id"),
+      Similarity.toDoubleVec(col(vecCol)).as("e"))
+      .withColumn("bucket", Similarity.signLshKey(col("e"), planes))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        Similarity.cosine(col("a.e"), col("b.e")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

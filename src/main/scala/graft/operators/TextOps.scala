@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token stats,
+  * quality scoring, n-gram-heuristic language ID, and document
+  * fingerprinting. Pure codegen'd expression pipelines — no UDFs —
+  * so they scan-scale linearly and stay inside whole-stage codegen.
+  */
+object TextOps {
+
+  def words(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(words(text))
+
+  /** Characters excluding whitespace. */
+  def charCount(text: Column): Column =
+    length(regexp_replace(text, "\\s+", ""))
+
+  def avgWordLen(text: Column): Column =
+    charCount(text).cast("double") / tokenCount(text)
+
+  private val EN = Seq("the", "a", "and", "of", "to", "in", "is")
+  private val ES = Seq("el", "la", "de", "y", "que", "los")
+  private val DE = Seq("der", "die", "das", "und", "ist", "ein")
+  private val FR = Seq("le", "la", "et", "les", "un", "une")
+
+  private def hits(text: Column, stop: Seq[String]): Column =
+    size(filter(words(text), w => lower(w).isin(stop: _*)))
+
+  def stopwordRatio(text: Column): Column =
+    hits(text, EN).cast("double") / tokenCount(text)
+
+  /** Heuristic quality score in [0,1]: length, information density and
+    * word-shape terms (deterministic; thresholds are pipeline config). */
+  def qualityScore(text: Column): Column = {
+    val lenTerm = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
+    val stopTerm = lit(1.0) - stopwordRatio(text)
+    val shapeTerm = least(avgWordLen(text) / 8.0, lit(1.0))
+    lit(0.5) * lenTerm + lit(0.3) * stopTerm + lit(0.2) * shapeTerm
+  }
+
+  /** Stopword-hit-count language ID with a fixed preference order on
+    * ties (en > es > de > fr). */
+  def langId(text: Column): Column = {
+    val (en, es, de, fr) = (hits(text, EN), hits(text, ES), hits(text, DE), hits(text, FR))
+    when(en >= es && en >= de && en >= fr, "en")
+      .when(es >= de && es >= fr, "es")
+      .when(de >= fr, "de")
+      .otherwise("fr")
+  }
+
+  /** Content fingerprint: md5 of case/whitespace-normalized text. */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** 64-bit fingerprint (xxhash64 of the normalized text). */
+  def fingerprint64(text: Column): Column =
+    xxhash64(lower(regexp_replace(trim(text), "\\s+", " ")))
+}
