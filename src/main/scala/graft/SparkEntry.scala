@@ -490,7 +490,9 @@ object SparkEntry {
         TextOps.charCount(t).as("n_chars_x"),
         round(TextOps.avgWordLen(t), 6).as("avg_wlen"),
         round(TextOps.stopwordRatio(t), 6).as("stop_ratio"),
-        round(TextOps.qualityScore(t), 6).as("q_score"))
+        // floor(x*1e6), not round(x,6): Spark HALF_UP and DuckDB's
+        // multiply-then-std::round disagree 1 ulp on .5-boundary doubles
+        floor(TextOps.qualityScore(t) * 1e6).cast("long").as("q_score"))
     },
 
     // n-gram-heuristic language ID
@@ -898,9 +900,10 @@ object SparkEntry {
         | CAST(nc AS INTEGER) AS n_chars_x,
         | round(CAST(nc AS DOUBLE) / len(ws), 6) AS avg_wlen,
         | round(CAST(nstop AS DOUBLE) / len(ws), 6) AS stop_ratio,
-        | round(CAST(0.5 AS DOUBLE) * least(CAST(len(ws) AS DOUBLE) / 100, 1.0)
+        | CAST(floor((CAST(0.5 AS DOUBLE) * least(CAST(len(ws) AS DOUBLE) / 100, 1.0)
         |   + CAST(0.3 AS DOUBLE) * (1 - CAST(nstop AS DOUBLE) / len(ws))
-        |   + CAST(0.2 AS DOUBLE) * least((CAST(nc AS DOUBLE) / len(ws)) / 8, 1.0), 6) AS q_score
+        |   + CAST(0.2 AS DOUBLE) * least((CAST(nc AS DOUBLE) / len(ws)) / 8, 1.0)) * 1000000)
+        |   AS BIGINT) AS q_score
         |FROM s""".stripMargin,
 
     "q_lang_id" ->

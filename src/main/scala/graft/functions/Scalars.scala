@@ -21,15 +21,38 @@ object GraftScalars {
     when(a.isNull || b.isNull, lit(null).cast("int"))
       .when(a < b, -1).when(a === b, 0).otherwise(1)
 
+  /** Rewrite a LIKE pattern written with a custom escape char into an
+    * equivalent pattern under Spark's default '\' escape. */
+  private[functions] def rewriteLikeEscape(pattern: String, escape: Char): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < pattern.length) {
+      val c = pattern.charAt(i)
+      if (c == escape && i + 1 < pattern.length) {
+        sb.append('\\').append(pattern.charAt(i + 1)); i += 2
+      } else if (c == '\\') { // literal backslash under a non-'\' escape
+        sb.append("\\\\"); i += 1
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** like_match(str, pattern[, escape]) — SQL LIKE with explicit escape
-    * (udf/default_udf_library.cc like_match; default escape '\'). */
+    * (udf/default_udf_library.cc like_match; default escape '\').
+    * Non-default escapes are rewritten into the default-escape pattern. */
   def like_match(s: Column, pattern: String, escape: Char = '\\'): Column =
-    s.like(pattern) // Spark LIKE uses '\' escape by default
+    if (escape == '\\') s.like(pattern)
+    else s.like(rewriteLikeEscape(pattern, escape))
 
-  def ilike_match(s: Column, pattern: String): Column = s.ilike(pattern)
+  def ilike_match(s: Column, pattern: String, escape: Char = '\\'): Column =
+    if (escape == '\\') s.ilike(pattern)
+    else s.ilike(rewriteLikeEscape(pattern, escape))
 
-  /** truncate(x): toward-zero integral part (C trunc; InitMathUdf). */
-  def truncate(x: Column): Column = x.cast("long")
+  /** truncate(x): toward-zero integral part (C trunc; InitMathUdf).
+    * `x - x % 1` preserves the input type (int stays int, double stays
+    * double) and truncates toward zero for either sign; known deviation:
+    * +/-Infinity yields NaN (the reference returns the infinity). */
+  def truncate(x: Column): Column = x - (x % lit(1))
 
   /** hash64 / farm_fingerprint: the reference uses FarmHash
     * (contrib/farmhash); we provide a stable 64-bit hash with the same
@@ -109,11 +132,16 @@ object GraftScalars {
           java.lang.Double.valueOf(2 * 6372.8 * math.asin(math.sqrt(h)))
         }
       })
+    // Must agree bit-for-bit with the DataFrame-level hash64/xxhash64
+    // (the single documented FarmHash deviation): XXH64 over UTF-8 bytes,
+    // seed 42 — exactly what Spark's xxhash64 computes for a string.
     spark.udf.register("hash64", (s: String) =>
       if (s == null) null.asInstanceOf[java.lang.Long]
-      else java.lang.Long.valueOf(
-        org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
-          s.getBytes("UTF-8"), org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-          s.getBytes("UTF-8").length, 42).toLong))
+      else {
+        val b = s.getBytes("UTF-8")
+        java.lang.Long.valueOf(
+          org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+            b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L))
+      })
   }
 }

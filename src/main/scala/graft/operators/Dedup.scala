@@ -59,7 +59,7 @@ object Dedup {
     array_distinct(
       when(size(words) < n, array(array_join(words, " ")))
         .otherwise(transform(sequence(lit(0), size(words) - n),
-          i => array_join(slice(words, i + 1, n), " "))))
+          i => array_join(slice(words, i + 1, lit(n)), " "))))
   }
 
   /** MinHash-LSH candidate pairs: band the signature (bands × rowsPerBand
@@ -77,8 +77,8 @@ object Dedup {
     val banded = sig.select(col("doc_id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws("_",
-            transform(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
-              v => v.cast("string")): _*), b))))
+            transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+              v => v.cast("string"))), b))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -98,14 +98,15 @@ object Dedup {
   def simhash(textCol: Column): Column = {
     val words = split(trim(textCol), "\\s+")
     val hashes = transform(words, w => xxhash64(w))
-    aggregate(
-      sequence(lit(0), lit(63)),
-      lit(0L),
-      (acc, b) => acc + when(
+    // bits iterated at the Scala level: shift amounts must be Ints, and the
+    // 64 per-bit vote expressions stay inside whole-stage codegen
+    (0 until 64).map { b =>
+      when(
         aggregate(hashes, lit(0L),
-          (v, h) => v + when(shiftright(h, b.cast("int")).bitwiseAND(1L) === 1L, 1L)
+          (v, h) => v + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L)
             .otherwise(-1L)) > 0,
-        shiftleft(lit(1L), b.cast("int"))).otherwise(0L))
+        lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
   }
 
   /** Embedding cosine near-duplicate pairs above a threshold, bucketed

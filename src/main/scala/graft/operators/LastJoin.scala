@@ -58,8 +58,11 @@ object LastJoin {
       .agg(max_by(struct(payloadCols.map(col): _*), ord).as("__last"))
       .select(rightKeys.map(col) ++ Seq(col("__last")): _*)
     val renamed = rightKeys.foldLeft(reduced)((d, k) => d.withColumnRenamed(k, s"__rk_$k"))
+    // Plain equality: a NULL left key matches nothing (standard SQL join
+    // semantics and the reference's stock-Spark fallback) — the left row
+    // survives the left-outer join with nulls on the right.
     val cond = leftKeys.zip(rightKeys)
-      .map { case (l, r) => left(l) <=> renamed(s"__rk_$r") }
+      .map { case (l, r) => left(l) === renamed(s"__rk_$r") }
       .reduce(_ && _)
     val joined = left.join(renamed, cond, "left")
     // Explode the struct back to the right-side payload columns.

@@ -38,7 +38,7 @@ object Similarity {
       val proj = aggregate(zip_with(vec,
         transform(sequence(lit(0), size(vec) - 1), i => planeComponent(p, i)),
         (x, w) => x * w), lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, lit(1L) << p).otherwise(0L)
+      when(proj > 0, lit(1L << p)).otherwise(0L)
     }.reduce(_ + _)
 
   /** Brute-force cosine top-k: for each query vector, the k nearest

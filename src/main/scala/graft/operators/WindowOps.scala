@@ -26,7 +26,16 @@ import org.apache.spark.sql.functions._
   */
 object WindowOps {
 
-  /** ROWS_RANGE frame: range over a millis long order key. */
+  /** ROWS_RANGE frame: range over a millis long order key.
+    *
+    * KNOWN DEVIATION for tied order keys: Spark's `rangeBetween` (like
+    * ANSI RANGE and DuckDB) includes ALL peers of the current order value
+    * — including rows that sort after the current row — whereas the
+    * reference's HistoryWindow buffer only holds rows at-or-before the
+    * current row in partition order (runner.cc:624, mem_catalog.h:344).
+    * When exact at-or-before semantics matter under ties, use
+    * [[frameArray]] with `strictRowOrder = true` and a unique `uid`
+    * consistent with ingestion order. */
   def rowsRange(partition: Seq[Column], orderMs: Column,
       precedingMs: Long, followingMs: Long = 0): WindowSpec =
     Window.partitionBy(partition: _*).orderBy(orderMs)
@@ -60,12 +69,17 @@ object WindowOps {
       excludeCurrentTime: Boolean = false,
       excludeCurrentRow: Boolean = false,
       isPrimary: Column = lit(true),
-      instanceNotInWindow: Boolean = false): Column = {
+      instanceNotInWindow: Boolean = false,
+      strictRowOrder: Boolean = false): Column = {
     val spec = rowsRange(partition, tsMs, precedingMs)
     val arr0 = collect_list(entry(tsMs, uid, isPrimary, v)).over(spec)
     val curTs = tsMs
     val curUid = uid
     var arr = arr0
+    if (strictRowOrder)
+      // reference ROWS_RANGE: same-ts peers that sort AFTER the current
+      // row (by uid = ingestion order) are not yet in the buffer
+      arr = filter(arr, x => x("ts") =!= curTs || x("uid") <= curUid)
     if (instanceNotInWindow)
       arr = filter(arr, x => !x("flag") || x("uid") === curUid)
     if (excludeCurrentTime)
