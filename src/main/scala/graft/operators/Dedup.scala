@@ -46,20 +46,29 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** MinHash signature: k permutations approximated by k seeded hashes
-    * (min over shingles of xxhash64(shingle, seed)). */
-  def minhashSignature(shingles: Column, k: Int): Column =
+  /** MinHash signature over 64-bit shingle hashes: each shingle string
+    * is hashed ONCE; the k "permutations" re-mix that long with
+    * xxhash64(seed_i, h) — a two-long hash per shingle per permutation
+    * instead of k string hashes, and overflow-safe under ANSI mode. */
+  def minhashSignature(shingleHashes: Column, k: Int): Column =
     array((0 until k).map { i =>
-      array_min(transform(shingles, s => xxhash64(s, lit(i))))
+      array_min(transform(shingleHashes, h => xxhash64(lit(i.toLong), h)))
     }: _*)
 
-  /** Word n-gram shingles. */
-  def wordShingles(textCol: Column, n: Int): Column = {
+  /** 64-bit hashes of distinct word n-gram shingles. Each word is
+    * xxhash64'd once; n-grams hash the word-hash slice (an array of
+    * longs — never re-slicing string arrays, which is O(words²) string
+    * copies under interpreted higher-order-function eval). */
+  def shingleHashes(textCol: Column, n: Int): Column = {
     val words = split(trim(textCol), "\\s+")
-    array_distinct(
-      when(size(words) < n, array(array_join(words, " ")))
-        .otherwise(transform(sequence(lit(0), size(words) - n),
-          i => array_join(slice(words, i + 1, lit(n)), " "))))
+    if (n == 1) transform(array_distinct(words), w => xxhash64(w))
+    else {
+      val wh = transform(words, w => xxhash64(w))
+      array_distinct(
+        when(size(wh) < n, array(xxhash64(wh)))
+          .otherwise(transform(sequence(lit(0), size(wh) - n),
+            i => xxhash64(slice(wh, i + 1, lit(n))))))
+    }
   }
 
   /** MinHash-LSH candidate pairs: band the signature (bands × rowsPerBand
@@ -71,22 +80,35 @@ object Dedup {
       shingleN: Int, bands: Int, rowsPerBand: Int,
       threshold: Double): DataFrame = {
     val k = bands * rowsPerBand
+    // Persist the signature table: without a materialization barrier
+    // Catalyst inlines the k-minhash expression into every band-hash
+    // reference and both self-join sides — a >10× recompute blowup
+    // (measured 90s → 8s at sf0.1). The cached table is n_docs × ~(8+8k)
+    // bytes — negligible next to the corpus at any scale.
     val sig = docs.select(col(idCol).as("doc_id"),
-      minhashSignature(wordShingles(col(textCol), shingleN), k).as("sig"))
-    // one row per (doc, band): band hash = xxhash64 over the band's slice
+      minhashSignature(shingleHashes(col(textCol), shingleN), k).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one row per (doc, band): band hash = xxhash64 of the band's
+    // signature slice (a long array; the join key includes the band
+    // index, so the hash needs no band seed)
     val banded = sig.select(col("doc_id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws("_",
-            transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
-              v => v.cast("string"))), b))))
+          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    // Candidate pairs stay NARROW (two ids) through the dedup shuffle;
+    // the 2×k-long signatures are re-attached afterwards by joining the
+    // per-doc sig table twice. On near-dup-dense corpora the candidate
+    // set approaches O(n²) rows — shuffling signatures per pair instead
+    // of per doc was a >100× data-volume difference.
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-        col("a.sig").as("sig1"), col("b.sig").as("sig2"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .dropDuplicates("id1", "id2")
-    cand.select(col("id1"), col("id2"),
+    cand
+      .join(sig.select(col("doc_id").as("id1"), col("sig").as("sig1")), "id1")
+      .join(sig.select(col("doc_id").as("id2"), col("sig").as("sig2")), "id2")
+      .select(col("id1"), col("id2"),
         (size(filter(zip_with(col("sig1"), col("sig2"), (x, y) =>
           when(x === y, 1)), v => v.isNotNull)).cast("double") / k)
           .as("est_jaccard"))
@@ -113,9 +135,12 @@ object Dedup {
     * by a sign-LSH key to avoid the full cross product at scale. */
   def embeddingNearDup(embs: DataFrame, idCol: String, vecCol: String,
       threshold: Double, planes: Int = 8): DataFrame = {
+    // persist: the bucket-key expression (planes × vector dot products)
+    // would otherwise be recomputed inlined on both self-join sides
     val keyed = embs.select(col(idCol).as("vec_id"),
       Similarity.toDoubleVec(col(vecCol)).as("e"))
       .withColumn("bucket", Similarity.signLshKey(col("e"), planes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     keyed.as("a").join(keyed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),

@@ -60,7 +60,8 @@ object Multimodal {
   def extractFeatures(media: DataFrame, decoder: Decoder)
       (implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
-    media.select(col("id"), col("payload"), col("mime_type"))
+    media.select(col("id"), col("payload"),
+        col("mime_type").as("mimeType"))
       .as[MediaRow]
       .mapPartitions { rows =>
         rows.map { r =>
