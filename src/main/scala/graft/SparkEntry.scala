@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, LastJoin, Multimodal, Similarity, TextOps, WindowOps}
-import graft.functions.{GraftAggregates => A, GraftScalars => F}
+import graft.operators.{Dedup, LastJoin, Multimodal, RequestMode, Similarity, TextOps, WindowOps}
+import graft.functions.{FeatureSignature => FS, GraftAggregates => A, GraftScalars => F}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
   * implemented operator from SURVEY.md §2. Column names/types are
@@ -512,6 +512,164 @@ object SparkEntry {
       val media = Multimodal.withPayload(T(s, d, "documents"), "doc_id", "text")
       Multimodal.extractFeatures(media, new Multimodal.FakeDecoder(8))(s)
         .toDF()
+    },
+
+    // ---- round 2: wider SURVEY §2 coverage ----
+
+    // statistical UDAFs (aggregate_def.cc:294-445)
+    "q_stddev" -> q { (s, d) =>
+      T(s, d, "orders").groupBy(col("o_orderstatus")).agg(
+        round(stddev_samp(col("o_totalprice")), 4).as("sd_samp"),
+        round(stddev_pop(col("o_totalprice")), 4).as("sd_pop"),
+        round(var_samp(col("o_totalprice")), 2).as("v_samp"),
+        round(var_pop(col("o_totalprice")), 2).as("v_pop"))
+    },
+
+    // WITH clause / subquery-in-FROM (transform.cc:181-185, kQuerySub)
+    "q_with" -> q { (s, d) =>
+      val big = T(s, d, "orders").filter(col("o_totalprice") > 150000)
+        .select(col("o_custkey"), col("o_totalprice"))
+      val cnt = big.groupBy(col("o_custkey")).agg(count(lit(1)).as("n_big"))
+      val sum = big.groupBy(col("o_custkey"))
+        .agg(round(org.apache.spark.sql.functions.sum(col("o_totalprice")), 2).as("s_big"))
+      cnt.join(sum, "o_custkey")
+    },
+
+    // SetOperation: UNION ALL / INTERSECT / EXCEPT
+    "q_union_all" -> q { (s, d) =>
+      T(s, d, "customer").select(col("c_nationkey").as("nk"))
+        .unionAll(T(s, d, "supplier").select(col("s_nationkey")))
+        .groupBy(col("nk")).agg(count(lit(1)).as("cnt"))
+    },
+    "q_intersect" -> q { (s, d) =>
+      T(s, d, "customer").select(col("c_custkey").as("key"))
+        .intersect(T(s, d, "orders").select(col("o_custkey")))
+    },
+    "q_except" -> q { (s, d) =>
+      T(s, d, "customer").select(col("c_custkey").as("key"))
+        .except(T(s, d, "orders").select(col("o_custkey")))
+    },
+
+    // failable casts return NULL (OpenMLDB cast semantics → try_cast)
+    "q_cast" -> q { (s, d) =>
+      T(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        expr("try_cast(cast(l_orderkey AS string) AS int)").as("c_ok"),
+        expr("try_cast(concat('x', l_orderkey) AS int)").as("c_bad"),
+        expr("try_cast(l_orderkey AS smallint)").as("c_narrow"),
+        col("l_quantity").cast("string").as("c_str"),
+        expr("try_cast('1994-02-15' AS date)").as("c_date"),
+        expr("try_cast('not a date' AS date)").as("c_nodate"))
+    },
+
+    // nth_value_where(value, n, cond) (window_functions_def.cc:342)
+    "q_nth_value_where" -> q { (s, d) =>
+      val cond = col("event_type") === "click"
+      val v = struct(col("value").as("value"), cond.as("cond"))
+      val arr = WindowOps.frameArray(v, col("ts_ms"), col("event_id"),
+        Seq(col("user_id")), 3600000L)
+      T(s, d, "events").select(
+        col("event_id"),
+        round(WindowOps.aggNthValueWhere(arr, 2), 3).as("nth2"),
+        round(WindowOps.aggNthValueWhere(arr, -1), 3).as("nth_last"))
+    },
+
+    // window_split family (feature_zero_def.cc window_split*)
+    "q_window_split" -> q { (s, d) =>
+      val kv = concat(col("event_type"), lit(":"),
+        format_string("%.3f", col("value")))
+      val arr = WindowOps.frameArray(kv, col("ts_ms"), col("event_id"),
+        Seq(col("user_id")), 600000L)
+      T(s, d, "events").select(
+        col("event_id"),
+        F.fz_join(WindowOps.aggWindowSplitByKey(arr, ",", ":"), "|").as("wsk"),
+        F.fz_join(WindowOps.aggWindowSplitByValue(arr, ",", ":"), "|").as("wsv"))
+    },
+
+    // top_n_{key,value}_sum_cate_where (sum_by_category_def.cc:275-339)
+    "q_topn_cate" -> q { (s, d) =>
+      val cond = col("value") > 50
+      T(s, d, "events").groupBy(col("user_id")).agg(
+        A.top_n_key_cate("sum", col("value"),
+          when(cond, col("event_type")), 2).as("tnk"),
+        A.top_n_value_cate("sum", col("value"),
+          when(cond, col("event_type")), 2).as("tnv"))
+    },
+
+    // list_except_by_key / list_except_by_value (feature_zero_def.cc:768-800)
+    "q_list_except" -> q { (s, d) =>
+      val kv = concat(col("p_brand"), lit(":1,"), col("p_type"), lit(":2"))
+      val list = F.fz_split(kv, ",")
+      T(s, d, "part").select(
+        col("p_partkey"),
+        F.fz_join(F.fz_list_except_by_key(list, col("p_brand")), "|").as("lek"),
+        F.fz_join(F.fz_list_except_by_value(list, lit("2")), "|").as("lev"))
+    },
+
+    // feature-signature export formats (feature_signature_def.cc)
+    "q_feature_sig" -> q { (s, d) =>
+      val price = col("o_totalprice")
+      val label = (col("o_orderstatus") === "F").cast("boolean")
+      T(s, d, "orders").select(
+        col("o_orderkey"),
+        FS.csvFormat(FS.continuous(price), FS.binary_label(label),
+          FS.continuous(col("o_custkey"))).as("f_csv"),
+        FS.libsvmFormat(FS.continuous(price), FS.binary_label(label),
+          FS.continuous(col("o_custkey"))).as("f_libsvm"),
+        FS.gcformat(FS.continuous(price), FS.binary_label(label),
+          FS.gcformat_index(col("o_orderkey"))).as("f_gc"))
+    },
+
+    // LAST JOIN feeding window features (window_joins_, the reference's
+    // benchmark query shape — Util.java:71-110)
+    "q_join_window" -> q { (s, d) =>
+      val o = T(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate"))
+      val li = T(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"))
+      val lj = LastJoin(o, li, Seq("o_orderkey"), Seq("l_orderkey"),
+        Some(struct(col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))))
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey")).rowsBetween(-3, 0)
+      lj.select(col("o_orderkey"),
+        round(sum(col("l_quantity")).over(w), 3).as("w_qty"),
+        count(col("l_quantity")).over(w).as("w_cnt"))
+    },
+
+    // batch request mode: point-in-time features for request rows
+    // (BuildBatchRequestModePhysicalPlan, RequestUnionRunner)
+    "q_request_mode" -> q { (s, d) =>
+      val ev = T(s, d, "events")
+      val requests = ev.filter(col("event_id") % 97 === 0)
+      val history = ev.filter(col("event_id") % 97 =!= 0)
+      val u = RequestMode.unionWithHistory(requests, history)
+      val arr = RequestMode.pointInTimeFrame(u, col("value"), col("ts_ms"),
+        col("event_id"), Seq(col("user_id")), 600000L)
+      u.select(col("event_id"),
+          round(WindowOps.aggSum(arr), 3).as("pit_sum"),
+          WindowOps.aggCount(arr).as("pit_cnt"),
+          col(RequestMode.FlagCol))
+        .filter(col(RequestMode.FlagCol)).drop(RequestMode.FlagCol)
+    },
+
+    // SELECT INTO OUTFILE csv → LOAD DATA INFILE round-trip
+    // (LoadDataPlan.scala:40-135, SelectIntoPlan.scala)
+    "q_out_in" -> q { (s, d) =>
+      val out = s"/tmp/graft_io/out_in_${new java.io.File(d).getName}"
+      val src = T(s, d, "region").select(col("r_regionkey"), col("r_name"))
+      graft.sources.Sources.selectInto(src, out,
+        Map("format" -> "csv", "mode" -> "overwrite", "delimiter" -> ";",
+          "header" -> "true", "null_value" -> "NULL"))
+      graft.sources.Sources.loadData(s, out,
+          Map("format" -> "csv", "delimiter" -> ";", "header" -> "true",
+            "null_value" -> "NULL"),
+          Some(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("r_regionkey",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("r_name",
+              org.apache.spark.sql.types.StringType)))))
+        .groupBy(col("r_name")).agg(max(col("r_regionkey")).as("max_key"))
     }
   )
 
@@ -926,7 +1084,134 @@ object SparkEntry {
     "q_fingerprint" ->
       """SELECT doc_id,
         | md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q_stddev" ->
+      """SELECT o_orderstatus,
+        | round(stddev_samp(o_totalprice), 4) AS sd_samp,
+        | round(stddev_pop(o_totalprice), 4) AS sd_pop,
+        | round(var_samp(o_totalprice), 2) AS v_samp,
+        | round(var_pop(o_totalprice), 2) AS v_pop
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q_with" ->
+      """WITH big AS (
+        |  SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 150000)
+        |SELECT c.o_custkey, c.n_big, s.s_big
+        |FROM (SELECT o_custkey, count(*) AS n_big FROM big GROUP BY o_custkey) c
+        |JOIN (SELECT o_custkey, round(sum(o_totalprice), 2) AS s_big
+        |      FROM big GROUP BY o_custkey) s USING (o_custkey)""".stripMargin,
+
+    "q_union_all" ->
+      """SELECT nk, count(*) AS cnt FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  UNION ALL SELECT s_nationkey FROM supplier)
+        |GROUP BY nk""".stripMargin,
+
+    "q_intersect" ->
+      "SELECT c_custkey AS key FROM customer INTERSECT SELECT o_custkey FROM orders",
+
+    "q_except" ->
+      "SELECT c_custkey AS key FROM customer EXCEPT SELECT o_custkey FROM orders",
+
+    "q_cast" ->
+      """SELECT l_orderkey, l_linenumber,
+        | TRY_CAST(CAST(l_orderkey AS VARCHAR) AS INTEGER) AS c_ok,
+        | TRY_CAST('x' || l_orderkey AS INTEGER) AS c_bad,
+        | TRY_CAST(l_orderkey AS SMALLINT) AS c_narrow,
+        | CAST(l_quantity AS VARCHAR) AS c_str,
+        | TRY_CAST('1994-02-15' AS DATE) AS c_date,
+        | TRY_CAST('not a date' AS DATE) AS c_nodate
+        |FROM lineitem""".stripMargin,
+
+    "q_nth_value_where" ->
+      """SELECT e.event_id,
+        | (SELECT round(b.value, 3) FROM events b
+        |  WHERE b.user_id = e.user_id AND b.event_type = 'click'
+        |    AND epoch_ms(b.ts) BETWEEN epoch_ms(e.ts) - 3600000 AND epoch_ms(e.ts)
+        |  ORDER BY epoch_ms(b.ts), b.event_id OFFSET 1 LIMIT 1) AS nth2,
+        | (SELECT round(b.value, 3) FROM events b
+        |  WHERE b.user_id = e.user_id AND b.event_type = 'click'
+        |    AND epoch_ms(b.ts) BETWEEN epoch_ms(e.ts) - 3600000 AND epoch_ms(e.ts)
+        |  ORDER BY epoch_ms(b.ts) DESC, b.event_id DESC LIMIT 1) AS nth_last
+        |FROM events e""".stripMargin,
+
+    "q_window_split" ->
+      """SELECT e.event_id,
+        | (SELECT string_agg(b.event_type, '|'
+        |    ORDER BY epoch_ms(b.ts) DESC, b.event_id DESC) FROM events b
+        |  WHERE b.user_id = e.user_id
+        |    AND epoch_ms(b.ts) BETWEEN epoch_ms(e.ts) - 600000 AND epoch_ms(e.ts)) AS wsk,
+        | (SELECT string_agg(printf('%.3f', b.value), '|'
+        |    ORDER BY epoch_ms(b.ts) DESC, b.event_id DESC) FROM events b
+        |  WHERE b.user_id = e.user_id
+        |    AND epoch_ms(b.ts) BETWEEN epoch_ms(e.ts) - 600000 AND epoch_ms(e.ts)) AS wsv
+        |FROM events e""".stripMargin,
+
+    "q_topn_cate" ->
+      """WITH g AS (SELECT user_id, event_type AS k, sum(value) AS s
+        |           FROM events WHERE value > 50 GROUP BY user_id, event_type),
+        |rk AS (SELECT user_id, k, s,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY k DESC) AS rn FROM g),
+        |rv AS (SELECT user_id, k, s,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY s DESC, k DESC) AS rn FROM g),
+        |a AS (SELECT user_id, string_agg(k || ':' || printf('%.6f', s), ','
+        |        ORDER BY k DESC) AS tnk FROM rk WHERE rn <= 2 GROUP BY user_id),
+        |b AS (SELECT user_id, string_agg(k || ':' || printf('%.6f', s), ','
+        |        ORDER BY rn) AS tnv FROM rv WHERE rn <= 2 GROUP BY user_id)
+        |SELECT u.user_id, coalesce(a.tnk, '') AS tnk, coalesce(b.tnv, '') AS tnv
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN a USING (user_id) LEFT JOIN b USING (user_id)""".stripMargin,
+
+    "q_list_except" ->
+      """SELECT p_partkey,
+        | p_type || ':2' AS lek,
+        | p_brand || ':1' AS lev
+        |FROM part""".stripMargin,
+
+    "q_feature_sig" -> {
+      val h1 = graft.functions.FeatureSignature.hashLongConst(1L)
+      s"""SELECT o_orderkey,
+         | printf('%.6f', o_totalprice) || ',' ||
+         |   CAST(CAST(o_orderstatus = 'F' AS INTEGER) AS VARCHAR) || ',' ||
+         |   printf('%.6f', CAST(o_custkey AS DOUBLE)) AS f_csv,
+         | CAST(CAST(o_orderstatus = 'F' AS INTEGER) AS VARCHAR) || ' 1:' ||
+         |   printf('%.6f', o_totalprice) || ' 2:' ||
+         |   printf('%.6f', CAST(o_custkey AS DOUBLE)) AS f_libsvm,
+         | CAST(CAST(o_orderstatus = 'F' AS INTEGER) AS VARCHAR) || ' ' ||
+         |   CAST(o_orderkey AS VARCHAR) || '| 1:' || '$h1' || ':' ||
+         |   printf('%.6f', o_totalprice) AS f_gc
+         |FROM orders""".stripMargin
+    },
+
+    "q_join_window" ->
+      """WITH lj AS (
+        |  SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, r.last_qty
+        |  FROM orders o LEFT JOIN (
+        |    SELECT l_orderkey, l_quantity AS last_qty,
+        |      row_number() OVER (PARTITION BY l_orderkey
+        |        ORDER BY l_linenumber DESC, l_quantity DESC, l_extendedprice DESC) AS rn
+        |    FROM lineitem) r ON o.o_orderkey = r.l_orderkey AND r.rn = 1)
+        |SELECT o_orderkey, round(sum(last_qty) OVER w, 3) AS w_qty,
+        |  count(last_qty) OVER w AS w_cnt
+        |FROM lj
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_request_mode" ->
+      """SELECT e.event_id,
+        | round(coalesce((SELECT sum(b.value) FROM events b
+        |   WHERE b.user_id = e.user_id AND b.event_id % 97 <> 0
+        |     AND epoch_ms(b.ts) BETWEEN epoch_ms(e.ts) - 600000 AND epoch_ms(e.ts)), 0)
+        |   + e.value, 3) AS pit_sum,
+        | (SELECT count(b.value) FROM events b
+        |   WHERE b.user_id = e.user_id AND b.event_id % 97 <> 0
+        |     AND epoch_ms(b.ts) BETWEEN epoch_ms(e.ts) - 600000 AND epoch_ms(e.ts)) + 1 AS pit_cnt
+        |FROM events e WHERE e.event_id % 97 = 0""".stripMargin,
+
+    "q_out_in" ->
+      """SELECT r_name, CAST(max(r_regionkey) AS BIGINT) AS max_key
+        |FROM region GROUP BY r_name""".stripMargin
   )
 
   /** Headline subset run by graft.Bench at sf0.1. */

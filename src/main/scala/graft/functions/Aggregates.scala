@@ -148,8 +148,17 @@ object GraftAggregates {
     * containers.h:203-300). `mode` ∈ sum|count|avg|min|max;
     * `integral` formats values as integers ("%d") instead of "%f".
     * The *_cate_where variants are this aggregate over rows whose
-    * condition holds (callers mask non-matching rows to null key). */
-  class Cate(mode: String, integral: Boolean)
+    * condition holds (callers mask non-matching rows to null key).
+    *
+    * `order` selects the output ordering/truncation:
+    *  - "key_asc": all keys ascending (plain *_cate family)
+    *  - "key_desc": top `topN` keys, descending key order
+    *    (top_n_key_*_cate_where, containers.h OutputString is_desc)
+    *  - "value_desc": top `topN` entries by aggregate value descending,
+    *    value ties broken by key descending
+    *    (top_n_value_*_cate_where, containers.h OutputTopNByValue) */
+  class Cate(mode: String, integral: Boolean,
+      order: String = "key_asc", topN: Int = -1)
       extends Aggregator[CateIn, CateBuf, String] {
     def zero: CateBuf = CateBuf(Map.empty)
     def reduce(b: CateBuf, a: CateIn): CateBuf = {
@@ -169,17 +178,33 @@ object GraftAggregates {
       })
     private def fmt(v: Double): String =
       if (integral) v.toLong.toString else fmtDouble(v)
-    def finish(b: CateBuf): String =
-      b.m.toSeq.sortBy(_._1).map { case (k, a) =>
+    private def aggValue(a: CateAcc): Double = mode match {
+      case "sum"   => a.sum
+      case "count" => a.cnt.toDouble
+      case "avg"   => a.sum / a.cnt
+      case "min"   => a.mn
+      case "max"   => a.mx
+    }
+    def finish(b: CateBuf): String = {
+      val entries = order match {
+        case "key_asc"  => b.m.toSeq.sortBy(_._1)
+        case "key_desc" =>
+          val s = b.m.toSeq.sortBy(_._1)(Ordering[String].reverse)
+          if (topN >= 0) s.take(topN) else s
+        case "value_desc" =>
+          val s = b.m.toSeq.sortBy { case (k, a) => (aggValue(a), k) }(
+            Ordering.Tuple2(Ordering[Double].reverse, Ordering[String].reverse))
+          if (topN >= 0) s.take(topN) else s
+      }
+      entries.map { case (k, a) =>
         val v = mode match {
-          case "sum"   => fmt(a.sum)
           case "count" => a.cnt.toString
           case "avg"   => fmtDouble(a.sum / a.cnt)
-          case "min"   => fmt(a.mn)
-          case "max"   => fmt(a.mx)
+          case _       => fmt(aggValue(a))
         }
         s"$k:$v"
       }.mkString(",")
+    }
     def bufferEncoder: Encoder[CateBuf] = Encoders.product[CateBuf]
     def outputEncoder: Encoder[String] = Encoders.STRING
   }
@@ -201,6 +226,21 @@ object GraftAggregates {
 
   def cate(mode: String, v: Column, k: Column, integral: Boolean = false): Column =
     udaf(new Cate(mode, integral)).apply(k.cast("string"), v.cast("double"))
+
+  /** top_n_key_{mode}_cate_where: condition-masked key (pass
+    * `when(cond, key)`), top n keys in DESCENDING key order
+    * (sum_by_category_def.cc:275-305). */
+  def top_n_key_cate(mode: String, v: Column, k: Column, n: Int,
+      integral: Boolean = false): Column =
+    udaf(new Cate(mode, integral, "key_desc", n))
+      .apply(k.cast("string"), v.cast("double"))
+
+  /** top_n_value_{mode}_cate_where: top n entries by aggregate value
+    * descending (sum_by_category_def.cc:307-339). */
+  def top_n_value_cate(mode: String, v: Column, k: Column, n: Int,
+      integral: Boolean = false): Column =
+    udaf(new Cate(mode, integral, "value_desc", n))
+      .apply(k.cast("string"), v.cast("double"))
 
   /** top(value, k): the k largest values desc (dups kept), comma-joined
     * (TopKDef, containers.h:72-160). Pure built-in pipeline. */

@@ -23,7 +23,7 @@ object GraftScalars {
 
   /** Rewrite a LIKE pattern written with a custom escape char into an
     * equivalent pattern under Spark's default '\' escape. */
-  private[functions] def rewriteLikeEscape(pattern: String, escape: Char): String = {
+  def rewriteLikeEscape(pattern: String, escape: Char): String = {
     val sb = new StringBuilder
     var i = 0
     while (i < pattern.length) {
@@ -103,6 +103,24 @@ object GraftScalars {
 
   /** join(list, delim) → string (fz `join`). */
   def fz_join(arr: Column, delim: String): Column = array_join(arr, delim)
+
+  /** list_except_by_key(list, "k1,k2"): drop "key:value" elements whose
+    * key (before the first ':') is in the except set
+    * (feature_zero_def.cc:394,768-784). */
+  def fz_list_except_by_key(list: Column, exceptStr: Column): Column = {
+    val ex = split(exceptStr, ",", -1)
+    filter(list, p => !array_contains(ex, substring_index(p, ":", 1)))
+  }
+
+  /** list_except_by_value: drop elements whose value (after the first
+    * ':') is in the except set (feature_zero_def.cc:785-800). */
+  def fz_list_except_by_value(list: Column, exceptStr: Column): Column = {
+    val ex = split(exceptStr, ",", -1)
+    val value = (p: Column) =>
+      when(instr(p, ":") > 0,
+        substring(p, instr(p, ":") + 1, length(p))).otherwise(lit(""))
+    filter(list, p => !array_contains(ex, value(p)))
+  }
 
   /** OpenMLDB timestamp(int64) is MILLISECONDS since epoch
     * (date_and_time_types.md:10-14) — not seconds like a Spark cast. */

@@ -115,6 +115,41 @@ object WindowOps {
     size(array_distinct(transform(filter(arr, x => x("v").isNotNull),
       x => x("v")))).cast("long")
 
+  /** nth_value_where over a frame array whose `v` entries are
+    * `struct(value, cond)`: the idx-th row matching cond, counted from
+    * the frame START for idx > 0 and from the frame END for idx < 0;
+    * NULL when idx = 0 or there are fewer than |idx| matches
+    * (window_functions_def.cc:113-205,342-365 NthValueWhere).
+    */
+  def aggNthValueWhere(arr: Column, idx: Int): Column = {
+    if (idx == 0) lit(null)
+    else {
+      // arr is newest-first; matches keeps that order
+      val matches = filter(arr, x => x("v")("cond"))
+      val n = size(matches)
+      if (idx > 0) // from frame start = oldest
+        when(n >= idx, element_at(matches, -idx)("v")("value"))
+      else // from frame end = newest
+        when(n >= -idx, element_at(matches, -idx)("v")("value"))
+    }
+  }
+
+  /** window_split(str, delim): every row's split list, concatenated in
+    * frame order (newest first, matching the reference's reverse-ts
+    * iteration — feature_zero_def.cc window_split family). Returns
+    * array<string>. */
+  def aggWindowSplit(arr: Column, delim: String): Column =
+    flatten(transform(arr,
+      x => graft.functions.GraftScalars.fz_split(x("v"), delim)))
+
+  def aggWindowSplitByKey(arr: Column, delim: String, kvDelim: String): Column =
+    flatten(transform(arr,
+      x => graft.functions.GraftScalars.fz_split_by_key(x("v"), delim, kvDelim)))
+
+  def aggWindowSplitByValue(arr: Column, delim: String, kvDelim: String): Column =
+    flatten(transform(arr,
+      x => graft.functions.GraftScalars.fz_split_by_value(x("v"), delim, kvDelim)))
+
   /** Union the primary table with WINDOW UNION side tables
     * (schema-aligned by name), tagging provenance. Output rows are
     * produced only for primary rows — callers window over the union

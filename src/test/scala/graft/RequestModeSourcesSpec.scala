@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{RequestMode, WindowOps, Multimodal, TextOps}
+import graft.sources.Sources
+
+class RequestModeSourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("point-in-time frame sees history + self, never other requests") {
+    val history = Seq(
+      (1L, "u1", 10L, 1.0), (2L, "u1", 20L, 2.0), (3L, "u1", 100L, 50.0)
+    ).toDF("id", "k", "ts", "v")
+    val requests = Seq(
+      (10L, "u1", 25L, 0.5), (11L, "u1", 25L, 0.7) // same key+ts requests
+    ).toDF("id", "k", "ts", "v")
+    val u = RequestMode.unionWithHistory(requests, history)
+    val arr = RequestMode.pointInTimeFrame(u, col("v"), col("ts"), col("id"),
+      Seq(col("k")), precedingMs = 20L)
+    val out = u.select(col("id"), WindowOps.aggSum(arr).as("s"),
+        col(RequestMode.FlagCol))
+      .filter(col(RequestMode.FlagCol))
+      .select("id", "s").as[(Long, Double)].collect().toMap
+    // frame [5,25]: history rows 10,20 + the request row itself;
+    // the other same-ts request must NOT leak in
+    assert(out(10L) == 1.0 + 2.0 + 0.5)
+    assert(out(11L) == 1.0 + 2.0 + 0.7)
+  }
+
+  test("selectInto/loadData csv round-trip preserves values and nulls") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_io_spec").toString + "/t"
+    val src = Seq((1L, "alpha"), (2L, null.asInstanceOf[String]), (3L, "c;d"))
+      .toDF("id", "s")
+    Sources.selectInto(src, dir, Map("format" -> "csv", "mode" -> "overwrite",
+      "delimiter" -> ";", "null_value" -> "NULL"))
+    val back = Sources.loadData(spark, dir,
+      Map("format" -> "csv", "delimiter" -> ";", "null_value" -> "NULL"),
+      Some(src.schema))
+    val out = back.orderBy("id").as[(Long, Option[String])].collect().toSeq
+    assert(out == Seq((1L, Some("alpha")), (2L, None), (3L, Some("c;d"))))
+  }
+
+  test("multimodal decode stub produces fixed-size features per row") {
+    val media = Multimodal.withPayload(
+      Seq((1L, "abc"), (2L, "")).toDF("doc_id", "text"), "doc_id", "text")
+    val out = Multimodal.extractFeatures(media, new Multimodal.FakeDecoder(4))(spark)
+      .collect().map(r => r.id -> (r.n_bytes, r.features.length)).toMap
+    assert(out(1L) == (3, 4))
+    assert(out(2L) == (0, 4))
+  }
+
+  test("text ops: token counts and language id heuristics") {
+    val out = Seq(Tuple1("the quick fox is in the barn"))
+      .toDF("text")
+      .select(TextOps.tokenCount(col("text")), TextOps.charCount(col("text")),
+        TextOps.langId(col("text")))
+      .collect()(0)
+    assert(out.getInt(0) == 7)
+    assert(out.getInt(1) == "thequickfoxisinthebarn".length)
+    assert(out.getString(2) == "en")
+  }
+}
