@@ -653,6 +653,57 @@ object SparkEntry {
         .filter(col(RequestMode.FlagCol)).drop(RequestMode.FlagCol)
     },
 
+    // ---- SQL dialect front-end (graft.sql.GraftSql) ----
+    // The same semantics as the DataFrame-level queries, but entering
+    // through the OpenMLDB SQL dialect text — parser + planner under
+    // the same DuckDB correctness gate.
+
+    "q_sql_agg" -> q { (s, d) =>
+      graft.sql.GraftSql.sql(s,
+        """SELECT o_orderstatus, round(sum(o_totalprice), 2) AS s_price,
+          |  count(*) AS cnt
+          |FROM orders GROUP BY o_orderstatus HAVING count(*) > 10""".stripMargin,
+        Map("orders" -> T(s, d, "orders")))
+    },
+
+    "q_sql_window" -> q { (s, d) =>
+      graft.sql.GraftSql.sql(s,
+        """SELECT event_id, round(sum(value) OVER w, 3) AS r_sum,
+          |  count(value) OVER w AS r_cnt
+          |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+          |  ROWS_RANGE BETWEEN 10m PRECEDING AND CURRENT ROW)""".stripMargin,
+        Map("events" -> T(s, d, "events")))
+    },
+
+    "q_sql_maxsize" -> q { (s, d) =>
+      graft.sql.GraftSql.sql(s,
+        """SELECT event_id, count(value) OVER w AS m_cnt
+          |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+          |  ROWS_RANGE BETWEEN 10m PRECEDING AND CURRENT ROW MAXSIZE 5)""".stripMargin,
+        Map("events" -> T(s, d, "events")))
+    },
+
+    "q_sql_last_join" -> q { (s, d) =>
+      graft.sql.GraftSql.sql(s,
+        """SELECT o.o_orderkey AS o_orderkey, o.o_totalprice AS o_totalprice,
+          |  li.l_linenumber AS last_line, li.l_quantity AS last_qty
+          |FROM orders o LAST JOIN lineitem li
+          |  ORDER BY struct(li.l_linenumber, li.l_quantity, li.l_extendedprice)
+          |  ON o.o_orderkey = li.l_orderkey""".stripMargin,
+        Map("orders" -> T(s, d, "orders"), "lineitem" -> T(s, d, "lineitem")))
+    },
+
+    "q_sql_window_union" -> q { (s, d) =>
+      val ev = T(s, d, "events")
+      graft.sql.GraftSql.sql(s,
+        """SELECT event_id, round(sum(value) OVER w, 3) AS u_sum
+          |FROM ev_primary WINDOW w AS (UNION ev_side
+          |  PARTITION BY user_id ORDER BY ts_ms
+          |  ROWS_RANGE BETWEEN 10m PRECEDING AND CURRENT ROW)""".stripMargin,
+        Map("ev_primary" -> ev.filter(col("event_type") === "purchase"),
+          "ev_side" -> ev.filter(col("event_type") =!= "purchase")))
+    },
+
     // SELECT INTO OUTFILE csv → LOAD DATA INFILE round-trip
     // (LoadDataPlan.scala:40-135, SelectIntoPlan.scala)
     "q_out_in" -> q { (s, d) =>
@@ -1211,7 +1262,45 @@ object SparkEntry {
 
     "q_out_in" ->
       """SELECT r_name, CAST(max(r_regionkey) AS BIGINT) AS max_key
-        |FROM region GROUP BY r_name""".stripMargin
+        |FROM region GROUP BY r_name""".stripMargin,
+
+    "q_sql_agg" ->
+      """SELECT o_orderstatus, round(sum(o_totalprice), 2) AS s_price, count(*) AS cnt
+        |FROM orders GROUP BY o_orderstatus HAVING count(*) > 10""".stripMargin,
+
+    "q_sql_window" ->
+      """SELECT event_id,
+        | round(sum(value) OVER w, 3) AS r_sum,
+        | count(value) OVER w AS r_cnt
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+        |             RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_sql_maxsize" ->
+      """SELECT e.event_id, t.c AS m_cnt
+        |FROM events e, LATERAL (
+        |  SELECT count(v) AS c
+        |  FROM (SELECT b.value AS v FROM events b
+        |        WHERE b.user_id = e.user_id
+        |          AND epoch_ms(b.ts) BETWEEN epoch_ms(e.ts) - 600000 AND epoch_ms(e.ts)
+        |        ORDER BY epoch_ms(b.ts) DESC, b.event_id DESC LIMIT 5)
+        |) t""".stripMargin,
+
+    "q_sql_last_join" ->
+      """SELECT o_orderkey, o_totalprice, r.last_line, r.last_qty
+        |FROM orders LEFT JOIN (
+        |  SELECT l_orderkey, l_linenumber AS last_line, l_quantity AS last_qty
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey
+        |          ORDER BY l_linenumber DESC, l_quantity DESC, l_extendedprice DESC) AS rn
+        |        FROM lineitem) WHERE rn = 1
+        |) r ON o_orderkey = r.l_orderkey""".stripMargin,
+
+    "q_sql_window_union" ->
+      """SELECT e.event_id,
+        | (SELECT round(sum(b.value), 3) FROM events b
+        |  WHERE b.user_id = e.user_id
+        |    AND epoch_ms(b.ts) BETWEEN epoch_ms(e.ts) - 600000 AND epoch_ms(e.ts)) AS u_sum
+        |FROM events e WHERE e.event_type = 'purchase'""".stripMargin
   )
 
   /** Headline subset run by graft.Bench at sf0.1. */

@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sql.GraftSql
+
+class GraftSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val t1 = Seq(
+    ("u1", 10L, 1.0), ("u1", 20L, 2.0), ("u1", 30L, 3.0),
+    ("u2", 10L, 10.0), ("u2", 40L, 20.0)
+  ).toDF("pk", "ts", "v")
+
+  private lazy val t2 = Seq(
+    ("u1", 5L, 100.0), ("u1", 25L, 200.0), ("u2", 50L, 500.0)
+  ).toDF("pk", "ts", "v")
+
+  private lazy val dim = Seq(
+    ("u1", 1L, "gold"), ("u1", 2L, "silver"), ("u2", 1L, "bronze")
+  ).toDF("pk", "version", "tier")
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    t1.createOrReplaceTempView("t1")
+    t2.createOrReplaceTempView("t2")
+    dim.createOrReplaceTempView("dim")
+  }
+
+  private def m(sql: String): Map[String, Any] =
+    GraftSql.sql(spark, sql).collect()
+      .map(r => s"${r.get(0)}_${r.get(1)}" -> r.get(r.length - 1)).toMap
+
+  test("projection, filter, limit") {
+    val out = GraftSql.sql(spark,
+      "SELECT pk, v * 2 AS dbl FROM t1 WHERE v >= 2.0 LIMIT 10")
+    assert(out.columns.toSeq == Seq("pk", "dbl"))
+    assert(out.count() == 4)
+  }
+
+  test("group by with having") {
+    val out = GraftSql.sql(spark,
+      "SELECT pk, sum(v) AS s, count(*) AS c FROM t1 GROUP BY pk HAVING count(*) >= 3")
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).getString(0) == "u1" && out(0).getDouble(1) == 6.0)
+  }
+
+  test("ROWS window via the minimum-slice query shape") {
+    val out = GraftSql.sql(spark,
+      """SELECT pk, ts, sum(v) OVER w AS sum_v, count(v) OVER w AS cnt_v
+        |FROM t1 WINDOW w AS (PARTITION BY pk ORDER BY ts
+        |                     ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out(("u1", 30L)) == 5.0) // 2 + 3
+    assert(out(("u2", 40L)) == 30.0)
+  }
+
+  test("ROWS_RANGE window with time-unit bound") {
+    // 10s = 10000ms on the long key; ts values are ms-scale here so use
+    // a raw-number bound instead
+    val out = GraftSql.sql(spark,
+      """SELECT pk, ts, sum(v) OVER w AS s
+        |FROM t1 WINDOW w AS (PARTITION BY pk ORDER BY ts
+        |                     ROWS_RANGE BETWEEN 15 PRECEDING AND CURRENT ROW)""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out(("u1", 30L)) == 5.0) // [15,30] → 2,3
+    assert(out(("u1", 20L)) == 3.0) // [5,20] → 1,2
+  }
+
+  test("ROWS_RANGE MAXSIZE routes through the frame-array path") {
+    val out = GraftSql.sql(spark,
+      """SELECT pk, ts, sum(v) OVER w AS s
+        |FROM t1 WINDOW w AS (PARTITION BY pk ORDER BY ts
+        |  ROWS_RANGE BETWEEN 100 PRECEDING AND CURRENT ROW MAXSIZE 2)""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out(("u1", 30L)) == 5.0) // newest 2 of {1,2,3}
+  }
+
+  test("EXCLUDE CURRENT_ROW on ROWS_RANGE") {
+    val out = GraftSql.sql(spark,
+      """SELECT pk, ts, count(v) OVER w AS c
+        |FROM t1 WINDOW w AS (PARTITION BY pk ORDER BY ts
+        |  ROWS_RANGE BETWEEN 100 PRECEDING AND CURRENT ROW EXCLUDE CURRENT_ROW)""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out(("u1", 30L)) == 2L)
+    assert(out(("u2", 10L)) == 0L)
+  }
+
+  test("WINDOW UNION draws frame rows from the side table") {
+    val out = GraftSql.sql(spark,
+      """SELECT pk, ts, sum(v) OVER w AS s
+        |FROM t1 WINDOW w AS (UNION t2 PARTITION BY pk ORDER BY ts
+        |  ROWS_RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.size == 5) // output rows only for primary (t1) rows
+    assert(out(("u1", 10L)) == 1.0 + 100.0)
+    assert(out(("u1", 30L)) == 1.0 + 2.0 + 3.0 + 100.0 + 200.0)
+  }
+
+  test("WINDOW UNION INSTANCE_NOT_IN_WINDOW keeps only union rows + self") {
+    val out = GraftSql.sql(spark,
+      """SELECT pk, ts, sum(v) OVER w AS s
+        |FROM t1 WINDOW w AS (UNION t2 PARTITION BY pk ORDER BY ts
+        |  ROWS_RANGE BETWEEN 100 PRECEDING AND CURRENT ROW INSTANCE_NOT_IN_WINDOW)""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out(("u1", 30L)) == 3.0 + 100.0 + 200.0) // t1 peers excluded
+  }
+
+  test("LAST JOIN picks the last right row by ORDER BY") {
+    val out = GraftSql.sql(spark,
+      """SELECT t1.pk AS pk, t1.ts AS ts, dim.tier AS tier
+        |FROM t1 LAST JOIN dim ORDER BY dim.version ON t1.pk = dim.pk""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(out(("u1", 10L)) == "silver") // version 2 wins
+    assert(out(("u2", 40L)) == "bronze")
+  }
+
+  test("WITH clause and UNION ALL") {
+    val out = GraftSql.sql(spark,
+      """WITH big AS (SELECT pk, v FROM t1 WHERE v >= 3.0)
+        |SELECT pk, v FROM big UNION ALL SELECT pk, v FROM big""".stripMargin)
+    assert(out.count() == 6) // 3 rows with v >= 3, doubled
+  }
+
+  test("window navigation functions over a plain frame") {
+    val out = GraftSql.sql(spark,
+      """SELECT pk, ts, lag(v, 1) OVER w AS prev
+        |FROM t1 WINDOW w AS (PARTITION BY pk ORDER BY ts
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+    assert(out(("u1", 20L)) == 1.0)
+    assert(out(("u1", 10L)) == null)
+  }
+
+  test("OPEN PRECEDING makes the lower bound exclusive") {
+    val out = GraftSql.sql(spark,
+      """SELECT pk, ts, sum(v) OVER w AS s
+        |FROM t1 WINDOW w AS (PARTITION BY pk ORDER BY ts
+        |  ROWS_RANGE BETWEEN 10 OPEN PRECEDING AND CURRENT ROW)""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out(("u1", 20L)) == 2.0) // (10,20] excludes the ts=10 row
+  }
+}
