@@ -653,6 +653,20 @@ object SparkEntry {
         .filter(col(RequestMode.FlagCol)).drop(RequestMode.FlagCol)
     },
 
+    // long-window pre-agg MV (LongWindowOptimized): 30-minute frame
+    // answered from 5-minute bucket partials + raw edges; oracle is the
+    // DIRECT window formulation — proving the rewrite is lossless
+    "q_long_window" -> q { (s, d) =>
+      val ev = T(s, d, "events")
+      val pre = graft.operators.LongWindow.buildPreAgg(
+        ev, col("user_id"), col("ts_ms"), col("value"), 300000L)
+      graft.operators.LongWindow.sumCountOverLongWindow(ev, pre,
+          col("user_id"), col("ts_ms"), col("value"), col("event_id"),
+          precedingMs = 1800000L, bucketMs = 300000L)
+        .select(col("event_id"), round(col("lw_sum"), 3).as("lw_sum"),
+          col("lw_cnt"))
+    },
+
     // ---- SQL dialect front-end (graft.sql.GraftSql) ----
     // The same semantics as the DataFrame-level queries, but entering
     // through the OpenMLDB SQL dialect text — parser + planner under
@@ -1300,12 +1314,21 @@ object SparkEntry {
         | (SELECT round(sum(b.value), 3) FROM events b
         |  WHERE b.user_id = e.user_id
         |    AND epoch_ms(b.ts) BETWEEN epoch_ms(e.ts) - 600000 AND epoch_ms(e.ts)) AS u_sum
-        |FROM events e WHERE e.event_type = 'purchase'""".stripMargin
+        |FROM events e WHERE e.event_type = 'purchase'""".stripMargin,
+
+    "q_long_window" ->
+      """SELECT event_id,
+        | round(sum(value) OVER w, 3) AS lw_sum,
+        | count(value) OVER w AS lw_cnt
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+        |             RANGE BETWEEN 1800000 PRECEDING AND CURRENT ROW)""".stripMargin
   )
 
   /** Headline subset run by graft.Bench at sf0.1. */
   def benchQueries: Seq[String] = Seq(
     "q1_agg", "q_window_rows_range", "q_window_rows", "q_last_join",
     "q_groupby_having", "q_distinct_count", "q_window_maxsize",
-    "q_dedup_exact", "q_dedup_minhash", "q_ann_topk", "q_text_stats")
+    "q_dedup_exact", "q_dedup_minhash", "q_ann_topk", "q_text_stats",
+    "q_join_window", "q_request_mode", "q_long_window", "q_sql_window")
 }

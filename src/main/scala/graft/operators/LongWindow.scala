@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Long-window pre-aggregation: the reference's LongWindowOptimized
+  * rewrite (hybridse/src/passes/physical/long_window_optimized.h:29-50;
+  * storage aggregators src/storage/aggregator.cc; deploy option
+  * `long_windows="w1:1d"`, DEPLOY_STATEMENT.md:100-156).
+  *
+  * A huge ROWS_RANGE frame (30d of ms-ticks) makes per-row frame scans
+  * O(rows-in-frame). The rewrite answers each row from:
+  *   head-bucket raw rows  +  Σ full-bucket partials  +  tail-bucket
+  *   raw rows up to the current row
+  * so per-row work is O(rows-per-bucket + buckets-per-frame).
+  *
+  * Spark formulation, all shuffles keyed on the partition key:
+  *  - [[buildPreAgg]]: one groupBy (key, bucket) → the MV. Incremental
+  *    maintenance = re-aggregating only new buckets (append-only data).
+  *  - tail: cumulative sum within (key, bucket) — a window with a
+  *    constant frame, whole-stage codegen.
+  *  - full buckets: an equi-join on key against the MV with a bucket
+  *    range predicate, aggregated back per row uid.
+  *  - head: an equi-join on (key, head bucket) against raw rows,
+  *    filtered to the frame's left edge.
+  */
+object LongWindow {
+
+  /** The pre-agg MV: per (key, bucket) partials. */
+  def buildPreAgg(df: DataFrame, key: Column, tsMs: Column, v: Column,
+      bucketMs: Long): DataFrame =
+    df.groupBy(key.as("k"), floor(tsMs / bucketMs).cast("long").as("bucket"))
+      .agg(sum(v).as("b_sum"), count(v).as("b_cnt"),
+        min(v).as("b_min"), max(v).as("b_max"))
+
+  /** sum/count of `v` over `ROWS_RANGE precedingMs PRECEDING` answered
+    * via the MV. `uid` must be unique per row. Returns the input rows
+    * plus `lw_sum`, `lw_cnt`. */
+  def sumCountOverLongWindow(df: DataFrame, preAgg: DataFrame,
+      key: Column, tsMs: Column, v: Column, uid: Column,
+      precedingMs: Long, bucketMs: Long): DataFrame = {
+    // a "long" window spans at least one full bucket; this also
+    // guarantees the frame start never lands inside the row's own
+    // bucket, so the tail cum-window never overcounts
+    require(precedingMs >= bucketMs,
+      s"long window requires precedingMs ($precedingMs) >= bucketMs ($bucketMs)")
+    val hb = floor(tsMs / bucketMs).cast("long")         // row's bucket
+    val lb = floor((tsMs - precedingMs) / bucketMs).cast("long") // frame-start bucket
+
+    // tail: rows in the row's own bucket with ts' <= ts — cumulative
+    // window inside (key, bucket); same-ts peers included (RANGE)
+    val wTail = Window.partitionBy(key, hb).orderBy(tsMs)
+      .rangeBetween(Window.unboundedPreceding, 0)
+    val base = df
+      .withColumn("__hb", hb).withColumn("__lb", lb)
+      .withColumn("__tail_sum", sum(v).over(wTail))
+      .withColumn("__tail_cnt", count(v).over(wTail))
+
+    // full buckets strictly between lb and hb
+    val fullJoin = base.select(uid.as("__uid"), key.as("__k"),
+        col("__hb"), col("__lb"))
+      .join(preAgg,
+        col("__k") === col("k") &&
+          col("bucket") > col("__lb") && col("bucket") < col("__hb"))
+      .groupBy(col("__uid"))
+      .agg(sum(col("b_sum")).as("__full_sum"), sum(col("b_cnt")).as("__full_cnt"))
+
+    // head bucket (lb): raw rows with ts' >= ts - precedingMs, only
+    // when the head bucket differs from the row's own bucket
+    val rawHead = df.select(key.as("hk"), tsMs.as("hts"), v.as("hv"))
+    val headJoin = base.select(uid.as("__uid"), key.as("__k"), tsMs.as("__ts"),
+        col("__hb"), col("__lb"))
+      .filter(col("__lb") < col("__hb"))
+      .join(rawHead,
+        col("__k") === col("hk") &&
+          floor(col("hts") / bucketMs).cast("long") === col("__lb") &&
+          col("hts") >= col("__ts") - precedingMs)
+      .groupBy(col("__uid"))
+      .agg(sum(col("hv")).as("__head_sum"), count(col("hv")).as("__head_cnt"))
+
+    base
+      .join(fullJoin, uid === col("__uid"), "left").drop("__uid")
+      .join(headJoin, uid === col("__uid"), "left").drop("__uid")
+      .withColumn("lw_sum",
+        coalesce(col("__tail_sum"), lit(0.0)) +
+          coalesce(col("__full_sum"), lit(0.0)) +
+          coalesce(col("__head_sum"), lit(0.0)))
+      .withColumn("lw_cnt",
+        coalesce(col("__tail_cnt"), lit(0L)) +
+          coalesce(col("__full_cnt"), lit(0L)) +
+          coalesce(col("__head_cnt"), lit(0L)))
+      .drop("__hb", "__lb", "__tail_sum", "__tail_cnt",
+        "__full_sum", "__full_cnt", "__head_sum", "__head_cnt")
+  }
+}
