@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** DDL/DML surface: CREATE TABLE / INSERT / DELETE / TRUNCATE
+  * (reference: physical_op.h:1917 CreateTable, :1935 Insert, :1895
+  * Delete; docs/en/openmldb_sql/ddl/CREATE_TABLE_STATEMENT.md,
+  * dml/INSERT_STATEMENT.md, dml/DELETE_STATEMENT.md).
+  *
+  * Tables are session temp views over DataFrames; INSERT unions and
+  * re-registers, DELETE re-registers the anti-filter — the standard
+  * immutable-snapshot formulation (a production deployment points these
+  * at Delta/Iceberg tables where INSERT/DELETE are native; the API here
+  * is the engine-level contract). Schema validation on INSERT mirrors
+  * the reference's strict column check.
+  */
+object GraftCatalog {
+
+  /** CREATE TABLE name (schema): registers an empty table. */
+  def createTable(spark: SparkSession, name: String, schema: StructType): Unit =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      .createOrReplaceTempView(name)
+
+  /** INSERT INTO name SELECT ...: schema-checked append. */
+  def insertInto(spark: SparkSession, name: String, rows: DataFrame): Unit = {
+    val cur = spark.table(name)
+    require(rows.schema.fields.map(f => (f.name, f.dataType)).sameElements(
+      cur.schema.fields.map(f => (f.name, f.dataType))),
+      s"INSERT schema mismatch for $name: ${rows.schema.simpleString} " +
+        s"vs ${cur.schema.simpleString}")
+    cur.unionByName(rows).createOrReplaceTempView(name)
+  }
+
+  /** INSERT INTO name VALUES (...): literal rows against the declared
+    * schema. */
+  def insertValues(spark: SparkSession, name: String, rows: Seq[Row]): Unit = {
+    val schema = spark.table(name).schema
+    insertInto(spark, name,
+      spark.createDataFrame(spark.sparkContext.parallelize(rows), schema))
+  }
+
+  /** DELETE FROM name WHERE cond: anti-filter rewrite. */
+  def delete(spark: SparkSession, name: String, cond: Column): Unit =
+    spark.table(name).filter(!cond || cond.isNull)
+      .createOrReplaceTempView(name)
+
+  /** TRUNCATE TABLE name. */
+  def truncate(spark: SparkSession, name: String): Unit =
+    createTable(spark, name, spark.table(name).schema)
+}

@@ -653,6 +653,84 @@ object SparkEntry {
         .filter(col(RequestMode.FlagCol)).drop(RequestMode.FlagCol)
     },
 
+    // full-table Aggregate (physical_op.h:814 — one output row, no keys)
+    "q_agg_full" -> q { (s, d) =>
+      T(s, d, "lineitem").agg(
+        round(sum(col("l_extendedprice")), 2).as("s_price"),
+        count(lit(1)).as("cnt"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"))
+    },
+
+    // multiple windows in one SELECT — the reference stitches parallel
+    // window ops with ConcatJoin (transform.cc:393-465); Spark plans
+    // them as chained Window operators in one pass, no stitch join
+    "q_multi_window" -> q { (s, d) =>
+      val w1 = WindowOps.rowsRange(Seq(col("user_id")), col("ts_ms"), 600000L)
+      val w2 = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts_ms"), col("event_id")).rowsBetween(-2, 0)
+      T(s, d, "events").select(
+        col("event_id"),
+        round(sum(col("value")).over(w1), 3).as("w1_sum"),
+        round(sum(col("value")).over(w2), 3).as("w2_sum"),
+        count(col("value")).over(w1).as("w1_cnt"))
+    },
+
+    // string long tail: hex/unhex/char/char_length (InitStringUdf)
+    "q_scalar_str2" -> q { (s, d) =>
+      T(s, d, "part").select(
+        col("p_partkey"),
+        hex(encode(col("p_brand"), "UTF-8")).as("hx"),
+        decode(unhex(hex(encode(col("p_brand"), "UTF-8"))), "UTF-8").as("unhx"),
+        char_length(col("p_name")).as("clen"),
+        expr("char(65 + CAST(p_partkey % 26 AS INT))").as("chr"),
+        substring_index(col("p_type"), " ", 1).as("first_word"),
+        lpad(col("p_brand"), 12, "*").as("pad"),
+        rtrim(ltrim(concat(lit("  "), col("p_brand"), lit("  ")))).as("trimmed"))
+    },
+
+    // json_array_length (json_defs.cc:109-133) + nested get_json_object
+    "q_json2" -> q { (s, d) =>
+      val arr = concat(lit("[1,2,"), col("event_id") % 10, lit("]"))
+      T(s, d, "events").select(
+        col("event_id"),
+        json_array_length(arr).as("jlen"),
+        get_json_object(concat(lit("{\"a\":{\"b\":"), col("user_id"),
+          lit("}}")), "$.a.b").cast("long").as("nested"))
+    },
+
+    // array long tail: array_combine-style zip, array_position, slice
+    "q_array2" -> q { (s, d) =>
+      val a = array(col("l_quantity"), col("l_discount"), col("l_tax"))
+      T(s, d, "lineitem").filter(col("l_orderkey") < 100).select(
+        col("l_orderkey"), col("l_linenumber"),
+        array_position(a, col("l_discount")).as("pos"),
+        slice(a, 1, 2).as("sl"),
+        array_join(transform(zip_with(a, a, (x, y) => x + y), v =>
+          format_string("%.2f", v)), ",").as("zipped"),
+        size(array_distinct(a)).as("ndist"))
+    },
+
+    // CREATE TABLE + INSERT + DELETE + SELECT (GraftCatalog)
+    "q_ddl_dml" -> q { (s, d) =>
+      import org.apache.spark.sql.types._
+      // fixed name + createOrReplace = idempotent; the view must outlive
+      // this call because the returned plan evaluates lazily
+      val name = "t_graft_ddl_demo"
+      GraftCatalog.createTable(s, name, StructType(Seq(
+        StructField("id", LongType), StructField("grp", StringType),
+        StructField("v", DoubleType))))
+      GraftCatalog.insertValues(s, name, Seq(
+        org.apache.spark.sql.Row(1L, "a", 10.0),
+        org.apache.spark.sql.Row(2L, "a", 20.0),
+        org.apache.spark.sql.Row(3L, "b", 30.0),
+        org.apache.spark.sql.Row(4L, "b", 40.0)))
+      GraftCatalog.delete(s, name, col("id") === 2L)
+      s.table(name).groupBy(col("grp"))
+        .agg(round(sum(col("v")), 2).as("s"), count(lit(1)).as("c"))
+    },
+
     // long-window pre-agg MV (LongWindowOptimized): 30-minute frame
     // answered from 5-minute bucket partials + raw edges; oracle is the
     // DIRECT window formulation — proving the rewrite is lossless
@@ -1322,7 +1400,55 @@ object SparkEntry {
         | count(value) OVER w AS lw_cnt
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
-        |             RANGE BETWEEN 1800000 PRECEDING AND CURRENT ROW)""".stripMargin
+        |             RANGE BETWEEN 1800000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_agg_full" ->
+      """SELECT round(sum(l_extendedprice), 2) AS s_price, count(*) AS cnt,
+        | round(avg(l_quantity), 6) AS avg_qty,
+        | min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+        |FROM lineitem""".stripMargin,
+
+    "q_multi_window" ->
+      """SELECT event_id,
+        | round(sum(value) OVER w1, 3) AS w1_sum,
+        | round(sum(value) OVER w2, 3) AS w2_sum,
+        | count(value) OVER w1 AS w1_cnt
+        |FROM events
+        |WINDOW w1 AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+        |              RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW),
+        |       w2 AS (PARTITION BY event_type ORDER BY epoch_ms(ts), event_id
+        |              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_scalar_str2" ->
+      """SELECT p_partkey,
+        | hex(encode(p_brand)) AS hx,
+        | decode(unhex(hex(encode(p_brand)))) AS unhx,
+        | CAST(length(p_name) AS INTEGER) AS clen,
+        | chr(65 + CAST(p_partkey % 26 AS INTEGER)) AS chr,
+        | split_part(p_type, ' ', 1) AS first_word,
+        | lpad(p_brand, 12, '*') AS pad,
+        | rtrim(ltrim('  ' || p_brand || '  ')) AS trimmed
+        |FROM part""".stripMargin,
+
+    "q_json2" ->
+      """SELECT event_id,
+        | CAST(json_array_length('[1,2,' || (event_id % 10) || ']') AS INTEGER) AS jlen,
+        | CAST(json_extract_string('{"a":{"b":' || user_id || '}}', '$.a.b') AS BIGINT) AS nested
+        |FROM events""".stripMargin,
+
+    "q_array2" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(list_position([l_quantity, l_discount, l_tax], l_discount) AS BIGINT) AS pos,
+        | [l_quantity, l_discount][:2] AS sl,
+        | array_to_string(list_transform([l_quantity, l_discount, l_tax],
+        |   x -> printf('%.2f', x + x)), ',') AS zipped,
+        | CAST(len(list_distinct([l_quantity, l_discount, l_tax])) AS INTEGER) AS ndist
+        |FROM lineitem WHERE l_orderkey < 100""".stripMargin,
+
+    "q_ddl_dml" ->
+      """SELECT grp, round(sum(v), 2) AS s, count(*) AS c
+        |FROM (VALUES (1, 'a', 10.0), (3, 'b', 30.0), (4, 'b', 40.0)) t(id, grp, v)
+        |GROUP BY grp""".stripMargin
   )
 
   /** Headline subset run by graft.Bench at sf0.1. */

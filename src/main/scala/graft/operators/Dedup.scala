@@ -105,13 +105,17 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .dropDuplicates("id1", "id2")
+    // k static element compares stay inside whole-stage codegen — a
+    // zip_with/filter pipeline here is interpreted per pair and was the
+    // remaining hotspot on the O(n²)-pair candidate set
+    val matches = (1 to k).map(i =>
+      when(element_at(col("sig1"), i) === element_at(col("sig2"), i), 1)
+        .otherwise(0)).reduce(_ + _)
     cand
       .join(sig.select(col("doc_id").as("id1"), col("sig").as("sig1")), "id1")
       .join(sig.select(col("doc_id").as("id2"), col("sig").as("sig2")), "id2")
       .select(col("id1"), col("id2"),
-        (size(filter(zip_with(col("sig1"), col("sig2"), (x, y) =>
-          when(x === y, 1)), v => v.isNotNull)).cast("double") / k)
-          .as("est_jaccard"))
+        (matches.cast("double") / k).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }
 

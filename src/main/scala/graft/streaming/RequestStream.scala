@@ -76,6 +76,72 @@ object RequestStream {
   implicit private val outEnc: Encoder[FeatureRow] = Encoders.product[FeatureRow]
   implicit private val strEnc: Encoder[String] = Encoders.STRING
 
+  // ---------------------------------------------------------------
+  // Long-window serving (RequestAggUnion, runner.cc:1504 — the
+  // pre-agg-backed request path)
+  // ---------------------------------------------------------------
+
+  case class LwBuffer(items: List[(Long, Double)],
+      partials: Map[Long, (Double, Long)])
+
+  implicit private val lwEnc: Encoder[LwBuffer] = Encoders.product[LwBuffer]
+
+  /** Long-window deploy: same outputs as [[deploy]] (sum/cnt only are
+    * exact; avg derives), but each request is answered from
+    * incrementally-maintained per-bucket partials plus raw head/tail
+    * edge scans — O(rows-per-bucket + buckets-per-frame) per request
+    * instead of O(rows-in-frame). Mirrors the reference's
+    * RequestAggUnionRunner, which merges pre-agg table buckets with raw
+    * index rows at the frame edges. */
+  def deployLongWindow(events: Dataset[Event], precedingMs: Long,
+      bucketMs: Long, ttl: Ttl): Dataset[FeatureRow] = {
+    require(precedingMs >= bucketMs)
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[LwBuffer, FeatureRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[Event], state: GroupState[LwBuffer]) =>
+          var buf = state.getOption.getOrElse(LwBuffer(Nil, Map.empty))
+          val out = List.newBuilder[FeatureRow]
+          rows.toList.sortBy(e => (e.tsMs, e.value)).foreach { e =>
+            val (newer, older) = buf.items.span(_._1 > e.tsMs)
+            val items = newer ::: ((e.tsMs, e.value) :: older)
+            val b = math.floorDiv(e.tsMs, bucketMs)
+            val (ps, pc) = buf.partials.getOrElse(b, (0.0, 0L))
+            var partials = buf.partials.updated(b, (ps + e.value, pc + 1))
+            val newest = items.head._1
+            val kept = evict(items, ttl, newest)
+            // partials for buckets with no surviving raw rows are dead
+            // for every future frame (raw retention >= frame span)
+            val liveBuckets = kept.map(t => math.floorDiv(t._1, bucketMs)).toSet
+            partials = partials.filter { case (bk, _) => liveBuckets(bk) }
+            buf = LwBuffer(kept, partials)
+
+            // answer from partials + edges
+            val reqTs = e.tsMs
+            val hb = math.floorDiv(reqTs, bucketMs)
+            val lb = math.floorDiv(reqTs - precedingMs, bucketMs)
+            val tail = buf.items.filter(t =>
+              math.floorDiv(t._1, bucketMs) == hb && t._1 <= reqTs)
+            val head = if (lb < hb) buf.items.filter(t =>
+              math.floorDiv(t._1, bucketMs) == lb && t._1 >= reqTs - precedingMs)
+            else Nil
+            // .toSeq first: collecting pairs straight off a Map would
+            // rebuild a Map and collapse buckets with equal partial sums
+            val full = buf.partials.toSeq.collect {
+              case (bk, p) if bk > lb && bk < hb => p }
+            val sum = tail.map(_._2).sum + head.map(_._2).sum +
+              full.map(_._1).sum
+            val cnt = tail.length.toLong + head.length.toLong +
+              full.map(_._2).sum
+            out += FeatureRow(key, reqTs, sum, cnt,
+              if (cnt > 0) sum / cnt else Double.NaN,
+              Double.NaN, Double.NaN, 0L) // min/max/distinct not pre-aggable here
+          }
+          state.update(buf)
+          out.result().iterator
+      }
+  }
+
   /** Deploy: events in → one feature row per event out (append mode).
     * Works identically on a streaming or batch Dataset[Event]. */
   def deploy(events: Dataset[Event], precedingMs: Long,

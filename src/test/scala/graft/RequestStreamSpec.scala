@@ -37,6 +37,26 @@ class RequestStreamSpec extends SparkSpec {
     assert(out(("u1", 30L)) == 2L) // ts=10 older than 30-15
   }
 
+  test("long-window deploy equals plain deploy on sum/cnt") {
+    val rng = new scala.util.Random(11)
+    val many = (1 to 400).map { i =>
+      Event(if (i % 2 == 0) "a" else "b", rng.nextInt(5000).toLong,
+        rng.nextInt(50).toDouble)
+    }
+    // time-TTL must retain at least the frame span for partial/raw parity
+    val ttl = AbsoluteTime(10000L)
+    val plain = deploy(many.toDS(), precedingMs = 1000L, ttl = ttl)
+      .collect().map(f => (f.key, f.tsMs, f.sum, f.cnt)).sortBy(t => (t._1, t._2, t._3))
+    val lw = deployLongWindow(many.toDS(), precedingMs = 1000L,
+        bucketMs = 100L, ttl = ttl)
+      .collect().map(f => (f.key, f.tsMs, f.sum, f.cnt)).sortBy(t => (t._1, t._2, t._3))
+    assert(plain.length == lw.length)
+    plain.zip(lw).foreach { case (p, l) =>
+      assert(p._1 == l._1 && p._2 == l._2 && p._4 == l._4, s"$p vs $l")
+      assert(math.abs(p._3 - l._3) < 1e-6, s"$p vs $l")
+    }
+  }
+
   test("streaming (MemoryStream) agrees with the batch frame semantics") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
