@@ -745,6 +745,16 @@ object SparkEntry {
           col("lw_cnt"))
     },
 
+    // skew-parallelized window (openmldb.window.skew.opt analog):
+    // oracle is the DIRECT window — the rewrite must be lossless
+    "q_skew_window" -> q { (s, d) =>
+      graft.operators.SkewWindow.rangeSumCount(T(s, d, "events"),
+          col("user_id"), col("ts_ms"), col("value"),
+          precedingMs = 600000L, bucketMs = 600000L)
+        .select(col("event_id"), round(col("sw_sum"), 3).as("sw_sum"),
+          col("sw_cnt"))
+    },
+
     // ---- SQL dialect front-end (graft.sql.GraftSql) ----
     // The same semantics as the DataFrame-level queries, but entering
     // through the OpenMLDB SQL dialect text — parser + planner under
@@ -1448,7 +1458,15 @@ object SparkEntry {
     "q_ddl_dml" ->
       """SELECT grp, round(sum(v), 2) AS s, count(*) AS c
         |FROM (VALUES (1, 'a', 10.0), (3, 'b', 30.0), (4, 'b', 40.0)) t(id, grp, v)
-        |GROUP BY grp""".stripMargin
+        |GROUP BY grp""".stripMargin,
+
+    "q_skew_window" ->
+      """SELECT event_id,
+        | round(sum(value) OVER w, 3) AS sw_sum,
+        | count(value) OVER w AS sw_cnt
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+        |             RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW)""".stripMargin
   )
 
   /** Headline subset run by graft.Bench at sf0.1. */

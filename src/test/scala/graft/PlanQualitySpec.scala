@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SkewWindow
+
+/** Plan-shape assertions — the properties that decide whether these
+  * operators survive a 100 TB scale-up: filters and projections must
+  * reach the parquet scan, small dimensions must broadcast, the LAST
+  * JOIN right side must pre-reduce before the join, and scalar
+  * pipelines must stay inside whole-stage codegen. */
+class PlanQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
+
+  test("filter pushes down to the parquet scan and prunes columns") {
+    val p = plan("q_filter")
+    assert(p.contains("PushedFilters: ["), "no pushed filters in scan")
+    assert(p.contains("IsNotNull") || p.contains("EqualTo"),
+      "filter not pushed to parquet")
+    // projection pruning: untouched wide columns must not be read
+    assert(!p.contains("l_comment") && !p.contains("l_partkey"),
+      "scan reads columns the query never uses")
+  }
+
+  test("small dimension joins broadcast (no shuffle of the fact side)") {
+    val p = plan("q_join_left")
+    assert(p.contains("BroadcastHashJoin"), "dim join did not broadcast")
+  }
+
+  test("LAST JOIN pre-reduces the right side before joining") {
+    val df = SparkEntry.queries("q_last_join")(spark, d)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("max_by"), "right side not reduced with max_by")
+    val p = plan("q_last_join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "reduced right side did not join as an equi-join")
+  }
+
+  test("scalar pipelines run inside whole-stage codegen") {
+    // codegen'd stages print with the "*(n)" marker in simple format
+    val p = plan("q_scalar_math")
+    assert(p.contains("*("), "scalar pipeline not codegen'd")
+  }
+
+  test("group-by aggregate does map-side partial aggregation") {
+    val p = plan("q1_agg")
+    // two HashAggregate layers: partial before exchange, final after
+    val first = p.indexOf("HashAggregate")
+    val second = p.indexOf("HashAggregate", first + 1)
+    assert(first >= 0 && second > first, "no partial/final aggregate split")
+    assert(p.contains("Exchange hashpartitioning"), "no hash exchange")
+  }
+
+  test("skew-parallelized window equals the direct window") {
+    // one giant key — the shape that breaks PARTITION BY at scale
+    val rng = new scala.util.Random(5)
+    val df = (1 to 500).map(i =>
+      ("hot", rng.nextInt(10000).toLong, rng.nextInt(100).toDouble))
+      .toDF("k", "ts", "v")
+    val skewed = SkewWindow.rangeSumCount(df, col("k"), col("ts"), col("v"),
+        precedingMs = 500L, bucketMs = 500L)
+      .select(col("ts"), col("v"), col("sw_sum"), col("sw_cnt"))
+      .as[(Long, Double, Double, Long)].collect().sorted.toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("ts")).rangeBetween(-500L, 0)
+    val direct = df.select(col("ts"), col("v"),
+        sum(col("v")).over(w), count(col("v")).over(w))
+      .as[(Long, Double, Double, Long)].collect().sorted.toSeq
+    assert(skewed == direct)
+  }
+
+  test("skew window partitions by (key, bucket), not key alone") {
+    val df = Seq(("hot", 1L, 1.0)).toDF("k", "ts", "v")
+    val p = SkewWindow.rangeSumCount(df, col("k"), col("ts"), col("v"),
+      500L, 500L).queryExecution.executedPlan.toString
+    assert(p.contains("__bucket"), "bucket column missing from partitioning")
+  }
+}
