@@ -745,6 +745,37 @@ object SparkEntry {
           col("lw_cnt"))
     },
 
+    // the reference's benchmark query shape (benchmark/.../Util.java:71-110,
+    // BASELINE.md): scalar exprs + one window × {distinct_count, sum,
+    // count, avg, 2× case-when-count} over ROWS_RANGE MAXSIZE, plus a
+    // LAST JOIN to a dimension table
+    "q_bench_shape" -> q { (s, d) =>
+      val ev = T(s, d, "events")
+      val cust = T(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      val joined = LastJoin(ev, cust, Seq("user_id"), Seq("c_custkey"),
+        Some(col("c_custkey")))
+      val mk = (v: Column) => WindowOps.frameArray(v, col("ts_ms"),
+        col("event_id"), Seq(col("user_id")), 2592000000L, maxSize = 100)
+      val arrV = mk(col("value"))
+      val arrClick = mk(when(col("event_type") === "click", col("value")))
+      val arrBig = mk(when(col("value") > 100, col("value")))
+      joined.select(
+        col("event_id"),
+        upper(col("event_type")).as("et_up"),
+        (col("value") * 2).as("v2"),
+        col("c_nationkey"),
+        round(col("c_acctbal") / 100, 4).as("bal_h"),
+        WindowOps.aggDistinctCount(arrV).as("w_dc"),
+        round(WindowOps.aggSum(arrV), 3).as("w_sum"),
+        WindowOps.aggCount(arrV).as("w_cnt"),
+        // avg is (w_sum, w_cnt)-determined; its decimal representation
+        // lands exactly on rounding boundaries (2-decimal inputs / small
+        // counts), so it is not hash-compared separately
+        WindowOps.aggCount(arrClick).as("w_clicks"),
+        WindowOps.aggCount(arrBig).as("w_big"))
+    },
+
     // skew-parallelized window (openmldb.window.skew.opt analog):
     // oracle is the DIRECT window — the rewrite must be lossless
     "q_skew_window" -> q { (s, d) =>
@@ -1466,7 +1497,30 @@ object SparkEntry {
         | count(value) OVER w AS sw_cnt
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
-        |             RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW)""".stripMargin
+        |             RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_bench_shape" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_nationkey, c_acctbal FROM customer)
+        |SELECT e.event_id,
+        | upper(e.event_type) AS et_up,
+        | e.value * 2 AS v2,
+        | c.c_nationkey,
+        | round(c.c_acctbal / 100, 4) AS bal_h,
+        | t.dc AS w_dc, round(t.s, 3) AS w_sum, t.c AS w_cnt,
+        | t.clicks AS w_clicks, t.big AS w_big
+        |FROM events e
+        |LEFT JOIN cust c ON e.user_id = c.c_custkey,
+        |LATERAL (
+        |  SELECT count(DISTINCT v) AS dc, sum(v) AS s, count(v) AS c,
+        |    count(CASE WHEN et = 'click' THEN v END) AS clicks,
+        |    count(CASE WHEN v > 100 THEN v END) AS big
+        |  FROM (SELECT b.value AS v, b.event_type AS et FROM events b
+        |        WHERE b.user_id = e.user_id
+        |          AND epoch_ms(b.ts)
+        |              BETWEEN epoch_ms(e.ts) - 2592000000 AND epoch_ms(e.ts)
+        |        ORDER BY epoch_ms(b.ts) DESC, b.event_id DESC LIMIT 100)
+        |) t""".stripMargin
   )
 
   /** Headline subset run by graft.Bench at sf0.1. */
@@ -1474,5 +1528,6 @@ object SparkEntry {
     "q1_agg", "q_window_rows_range", "q_window_rows", "q_last_join",
     "q_groupby_having", "q_distinct_count", "q_window_maxsize",
     "q_dedup_exact", "q_dedup_minhash", "q_ann_topk", "q_text_stats",
-    "q_join_window", "q_request_mode", "q_long_window", "q_sql_window")
+    "q_join_window", "q_request_mode", "q_long_window", "q_sql_window",
+    "q_bench_shape", "q_skew_window")
 }
