@@ -534,9 +534,6 @@ object GraftSql {
             } else plainSpec(w)
           expr(text).over(spec)
         } else {
-          if (w.isRows)
-            throw new IllegalArgumentException(
-              "MAXSIZE/EXCLUDE CURRENT_TIME/UNION attrs require ROWS_RANGE")
           val (fn, argText) = splitCall(fnText)
           if (!extAggs(fn))
             throw new IllegalArgumentException(
@@ -544,18 +541,38 @@ object GraftSql {
           val v = if (argText == "*") lit(1L) else expr(argText)
           val ts = expr(w.order.getOrElse(
             throw new IllegalArgumentException("extended window needs ORDER BY")))
-          val preceding = w.lo match {
-            case Prec(n, open) => n - (if (open) 1 else 0)
-            case Unbounded     => Long.MaxValue / 4
-            case CurrentRow    => 0L
-          }
+          // ROWS frames over an extended window: a row-count frame is an
+          // unbounded range capped to the newest (n+1) at-or-before rows
+          // (strict row order makes same-ts peers behave like ROWS)
+          val (preceding, rowCap, strict) =
+            if (w.isRows) {
+              val n = w.lo match {
+                case Prec(n0, open) => n0 - (if (open) 1 else 0)
+                case Unbounded      => -1L
+                case CurrentRow     => 0L
+              }
+              val frameCap =
+                if (n < 0) 0 else (n + (if (w.exclCR) 0 else 1)).toInt
+              val cap =
+                if (w.maxSize > 0 && frameCap > 0) math.min(w.maxSize, frameCap)
+                else math.max(w.maxSize, frameCap)
+              (Long.MaxValue / 4, cap, true)
+            } else {
+              val p = w.lo match {
+                case Prec(n, open) => n - (if (open) 1 else 0)
+                case Unbounded     => Long.MaxValue / 4
+                case CurrentRow    => 0L
+              }
+              (p, w.maxSize, false)
+            }
           val arr = WindowOps.frameArray(v, ts, col(UidCol),
             w.partition.map(expr), preceding,
-            maxSize = w.maxSize,
+            maxSize = rowCap,
             excludeCurrentTime = w.exclCT,
             excludeCurrentRow = w.exclCR,
             isPrimary = if (unionTables.nonEmpty) col(FlagCol) else lit(true),
-            instanceNotInWindow = w.inw)
+            instanceNotInWindow = w.inw,
+            strictRowOrder = strict)
           fn match {
             case "sum"            => WindowOps.aggSum(arr)
             case "count"          => WindowOps.aggCount(arr)
