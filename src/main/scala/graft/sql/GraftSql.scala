@@ -371,8 +371,27 @@ object GraftSql {
       df = jc.kind match {
         case "left" => df.join(right, expr(jc.cond), "left")
         case "last" =>
-          val ord = jc.order.map(expr).getOrElse(lit(1))
-          LastJoin.general(df, right, expr(jc.cond), ord)
+          val rightQual = jc.alias.getOrElse(jc.table)
+          equiKeys(jc.cond, rightQual, right.columns.toSet) match {
+            case Some(keys) if jc.order.isDefined =>
+              // scalable path: pre-reduce the right side to one row per
+              // key with map-side max_by, then a plain equi-join the
+              // optimizer can broadcast (LastJoin.apply's strategy,
+              // inlined so the right alias survives for projections)
+              val ord = expr(jc.order.get)
+              val payload = right.columns.toSeq
+              val reduced = right
+                .groupBy(keys.map(_._2).map(col): _*)
+                .agg(max_by(struct(payload.map(col): _*), ord).as("__last"))
+                .select(payload.map(c => col(s"__last.$c").as(c)): _*)
+                .alias(rightQual)
+              val cond = keys.map { case (l, r) =>
+                expr(l) === reduced(r) }.reduce(_ && _)
+              df.join(reduced, cond, "left")
+            case _ =>
+              val ord = jc.order.map(expr).getOrElse(lit(1))
+              LastJoin.general(df, right, expr(jc.cond), ord)
+          }
       }
     }
 
@@ -388,6 +407,29 @@ object GraftSql {
 
     s.limit.foreach(n => out = out.limit(n))
     out
+  }
+
+  /** Detect a pure equi-conjunction join condition; returns
+    * (leftExprText, rightColumnName) pairs when every conjunct is
+    * `<left> = <rightQual>.<col>` (either side order). */
+  private def equiKeys(cond: String, rightQual: String,
+      rightCols: Set[String]): Option[Seq[(String, String)]] = {
+    val ident = "[A-Za-z_][A-Za-z0-9_]*"
+    val out = Seq.newBuilder[(String, String)]
+    for (part <- cond.split("(?i)\\bAND\\b").map(_.trim)) {
+      val sides = part.split("=").map(_.trim)
+      if (sides.length != 2) return None
+      def rightKey(sd: String): Option[String] = {
+        val m = s"$rightQual \\. ($ident)".r
+        sd match { case m(c) if rightCols(c) => Some(c); case _ => None }
+      }
+      (rightKey(sides(0)), rightKey(sides(1))) match {
+        case (Some(r), None) => out += ((sides(1).replace(" . ", "."), r))
+        case (None, Some(r)) => out += ((sides(0).replace(" . ", "."), r))
+        case _               => return None
+      }
+    }
+    Some(out.result())
   }
 
   private def planAggregate(s: Select, df: DataFrame): DataFrame = {

@@ -115,6 +115,14 @@ class GraftSqlSpec extends SparkSpec {
     assert(out(("u2", 40L)) == "bronze")
   }
 
+  test("equi-condition LAST JOIN takes the max_by pre-reduction path") {
+    val df = GraftSql.sql(spark,
+      """SELECT t1.pk AS pk, dim.tier AS tier
+        |FROM t1 LAST JOIN dim ORDER BY dim.version ON t1.pk = dim.pk""".stripMargin)
+    assert(df.queryExecution.optimizedPlan.toString.contains("max_by"),
+      "equi LAST JOIN did not pre-reduce with max_by")
+  }
+
   test("WITH clause and UNION ALL") {
     val out = GraftSql.sql(spark,
       """WITH big AS (SELECT pk, v FROM t1 WHERE v >= 3.0)
