@@ -13,6 +13,7 @@ class ReferenceCasesSpec extends SparkSpec {
 
   private def typ(t: String): DataType = t match {
     case "int"       => IntegerType
+    case "smallint"  => ShortType
     case "string"    => StringType
     case "bigint"    => LongType
     case "float"     => FloatType
@@ -37,6 +38,7 @@ class ReferenceCasesSpec extends SparkSpec {
     case null      => null
     case i: Int    => BigDecimal(i).setScale(6)
     case l: Long   => BigDecimal(l).setScale(6)
+    case sh: Short => BigDecimal(sh.toInt).setScale(6)
     case f: Float  => BigDecimal(f.toDouble).setScale(4, BigDecimal.RoundingMode.HALF_UP)
     case d: Double => BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP)
     case s         => s
@@ -223,6 +225,39 @@ class ReferenceCasesSpec extends SparkSpec {
         |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW INSTANCE_NOT_IN_WINDOW)""".stripMargin,
       "id",
       Seq(Seq(1, "aa", 20, 93L), Seq(4, "dd", 20, 96L), Seq(5, "ee", 21, 34L)))
+  }
+
+  test("last_join_window_query.yaml id 0: LAST JOIN feeding window features") {
+    tbl("t1", Seq("col0 string", "col1 int", "col2 smallint", "col3 float",
+      "col4 double", "col5 bigint", "col6 string"), Seq(
+      Seq("0", 1, 5.toShort, 1.1f, 11.1, 1L, "1"),
+      Seq("0", 2, 5.toShort, 2.2f, 22.2, 2L, "22"),
+      Seq("1", 3, 55.toShort, 3.3f, 33.3, 1L, "333"),
+      Seq("1", 4, 55.toShort, 4.4f, 44.4, 2L, "4444"),
+      Seq("2", 5, 55.toShort, 5.5f, 55.5, 3L, "a" * 66)))
+    tbl("t2", Seq("str0 string", "str1 string", "col3 float", "col4 double",
+      "col2 smallint", "col1 int", "col5 bigint"), Seq(
+      Seq("2", "EEEEE", 5.5f, 550.5, 550.toShort, 5, 3L),
+      Seq("1", "DDDD", 4.4f, 440.4, 550.toShort, 4, 2L),
+      Seq("1", "CCC", 3.3f, 330.3, 550.toShort, 3, 1L),
+      Seq("0", "BB", 2.2f, 220.2, 50.toShort, 2, 2L),
+      Seq("0", "A", 1.1f, 110.1, 50.toShort, 1, 1L)))
+    check(
+      """SELECT t1.col1 as id, t1.col2 as t1_col2, t1.col5 as t1_col5,
+        |sum(t1.col1) OVER w1 as w1_col1_sum, sum(t1.col3) OVER w1 as w1_col3_sum,
+        |sum(t2.col4) OVER w1 as w1_t2_col4_sum, sum(t2.col2) OVER w1 as w1_t2_col2_sum,
+        |sum(t1.col5) OVER w1 as w1_col5_sum,
+        |str1 as t2_str1 FROM t1
+        |last join t2 order by t2.col5 on t1.col1 = t2.col1 and t1.col5 = t2.col5
+        |WINDOW w1 AS (PARTITION BY t1.col2 ORDER BY t1.col5
+        |  ROWS_RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) limit 10""".stripMargin,
+      "id",
+      Seq(
+        Seq(1, 5, 1L, 1L, 1.1, 110.1, 50L, 1L, "A"),
+        Seq(2, 5, 2L, 3L, 3.3, 330.3, 100L, 3L, "BB"),
+        Seq(3, 55, 1L, 3L, 3.3, 330.3, 550L, 1L, "CCC"),
+        Seq(4, 55, 2L, 7L, 7.7, 770.7, 1100L, 3L, "DDDD"),
+        Seq(5, 55, 3L, 12L, 13.2, 1321.2, 1650L, 6L, "EEEEE")))
   }
 
   test("test_window.yaml shape: anonymous window over ROWS frame") {
