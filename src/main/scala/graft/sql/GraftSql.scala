@@ -80,7 +80,7 @@ object GraftSql {
   private[sql] final case class Prec(n: Long, open: Boolean) extends Bound
 
   private[sql] final case class WinDef(
-      unions: Seq[String], partition: Seq[String],
+      unions: Seq[TRef], partition: Seq[String],
       order: Option[String], orderDesc: Boolean,
       isRows: Boolean, lo: Bound, hi: Bound,
       maxSize: Int, exclCT: Boolean, exclCR: Boolean, inw: Boolean) {
@@ -94,11 +94,14 @@ object GraftSql {
     def hasNestedOver: Boolean = tokens.exists(_.equalsIgnoreCase("OVER"))
   }
 
-  private[sql] final case class JoinClause(kind: String, table: String,
+  /** a table reference: a named table or a parenthesized subquery */
+  private[sql] type TRef = Either[String, Query]
+
+  private[sql] final case class JoinClause(kind: String, table: TRef,
       alias: Option[String], order: Option[String], cond: String)
 
   private[sql] final case class Select(
-      projs: Seq[Proj], fromTable: String, fromAlias: Option[String],
+      projs: Seq[Proj], fromTable: TRef, fromAlias: Option[String],
       joins: Seq[JoinClause], where: Option[String],
       groupBy: Seq[String], having: Option[String],
       windows: Map[String, WinDef], limit: Option[Int])
@@ -198,7 +201,7 @@ object GraftSql {
         more = accept(",")
       }
       expect("FROM")
-      val fromTable = next()
+      val fromTable = parseTableRef()
       val fromAlias =
         if (accept("AS")) Some(next())
         else if (peek.nonEmpty && peek.head.isLetter &&
@@ -209,7 +212,7 @@ object GraftSql {
       while (j) {
         if (accept("LAST")) {
           expect("JOIN")
-          val t = next()
+          val t = parseTableRef()
           val a = if (accept("AS")) Some(next())
             else if (peek.nonEmpty && peek.head.isLetter &&
               peekUp != "ORDER" && peekUp != "ON") Some(next())
@@ -219,7 +222,7 @@ object GraftSql {
           joins += JoinClause("last", t, a, ord, readExpr())
         } else if (accept("LEFT")) {
           expect("JOIN")
-          val t = next()
+          val t = parseTableRef()
           val a = if (accept("AS")) Some(next())
             else if (peek.nonEmpty && peek.head.isLetter && peekUp != "ON") Some(next())
             else None
@@ -251,15 +254,19 @@ object GraftSql {
         groupBy.result(), having, windows.result(), limit)
     }
 
+    def parseTableRef(): TRef =
+      if (peek == "(") { next(); val q = parseQuery(); expect(")"); Right(q) }
+      else Left(next())
+
     /** UNION t1,t2 [INSTANCE_NOT_IN_WINDOW] PARTITION BY ... ORDER BY ...
       * ROWS|ROWS_RANGE BETWEEN <bound> AND <bound>
       * [MAXSIZE n] [EXCLUDE CURRENT_TIME] [EXCLUDE CURRENT_ROW]
       * [INSTANCE_NOT_IN_WINDOW] */
     def parseWinDef(): WinDef = {
-      val unions = Seq.newBuilder[String]
+      val unions = Seq.newBuilder[TRef]
       if (accept("UNION")) {
-        unions += next()
-        while (accept(",")) unions += next()
+        unions += parseTableRef()
+        while (accept(",")) unions += parseTableRef()
       }
       val partition = Seq.newBuilder[String]
       expect("PARTITION"); expect("BY")
@@ -352,6 +359,12 @@ object GraftSql {
       scope: Map[String, DataFrame]): DataFrame =
     scope.getOrElse(name, spark.table(name))
 
+  private def resolveRef(spark: SparkSession, ref: TRef,
+      scope: Map[String, DataFrame]): DataFrame = ref match {
+    case Left(name) => resolve(spark, name, scope)
+    case Right(sub) => planQuery(spark, sub, scope)
+  }
+
   private def projName(pr: Proj, i: Int): String =
     pr.alias.getOrElse {
       val t = pr.exprText
@@ -362,16 +375,16 @@ object GraftSql {
 
   private def planSelect(spark: SparkSession, s: Select,
       scope: Map[String, DataFrame]): DataFrame = {
-    var df = resolve(spark, s.fromTable, scope)
+    var df = resolveRef(spark, s.fromTable, scope)
     s.fromAlias.foreach(a => df = df.alias(a))
 
     s.joins.foreach { jc =>
-      var right = resolve(spark, jc.table, scope)
+      var right = resolveRef(spark, jc.table, scope)
       jc.alias.foreach(a => right = right.alias(a))
       df = jc.kind match {
         case "left" => df.join(right, expr(jc.cond), "left")
         case "last" =>
-          val rightQual = jc.alias.getOrElse(jc.table)
+          val rightQual = jc.alias.orElse(jc.table.left.toOption).getOrElse("")
           equiKeys(jc.cond, rightQual, right.columns.toSet) match {
             case Some(keys) if jc.order.isDefined =>
               // scalable path: pre-reduce the right side to one row per
@@ -552,7 +565,7 @@ object GraftSql {
     val needsExtended = used.exists(_.isExtended)
     if (needsExtended) df = df.withColumn(UidCol, monotonically_increasing_id())
     if (unionTables.nonEmpty) {
-      val sides = unionTables.map(t => resolve(spark, t, scope))
+      val sides = unionTables.map(t => resolveRef(spark, t, scope))
       df = df.withColumn(FlagCol, lit(true))
       sides.foreach { side =>
         var u = side.withColumn(FlagCol, lit(false))

@@ -141,6 +141,20 @@ class GraftSqlSpec extends SparkSpec {
     assert(out(("u1", 10L)) == null)
   }
 
+  test("subquery in FROM and as WINDOW UNION side") {
+    val out = GraftSql.sql(spark,
+      """SELECT pk, v FROM ( SELECT pk, v FROM t1 WHERE v >= 2.0 ) f
+        |WHERE v < 20.0""".stripMargin)
+    assert(out.count() == 3)
+    val u = GraftSql.sql(spark,
+      """SELECT pk, ts, sum(v) OVER w AS s
+        |FROM t1 WINDOW w AS (UNION ( SELECT * FROM t2 )
+        |  PARTITION BY pk ORDER BY ts
+        |  ROWS_RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(u(("u1", 10L)) == 1.0 + 100.0)
+  }
+
   test("OPEN PRECEDING makes the lower bound exclusive") {
     val out = GraftSql.sql(spark,
       """SELECT pk, ts, sum(v) OVER w AS s

@@ -260,6 +260,42 @@ class ReferenceCasesSpec extends SparkSpec {
         Seq(5, 55, 3L, 12L, 13.2, 1321.2, 1650L, 6L, "EEEEE")))
   }
 
+  test("test_window_union.yaml id 11: FROM subquery + UNION subquery") {
+    tbl("t0", stdCols, Seq(
+      Seq(1, "aa", 20, 30L, 1.1f, 2.1, 1590738990000L, "2020-05-01"),
+      Seq(4, "dd", 20, 33L, 1.4f, 2.4, 1590738993000L, "2020-05-04"),
+      Seq(5, "ee", 21, 34L, 1.5f, 2.5, 1590738994000L, "2020-05-05")))
+    tbl("t1", stdCols, Seq(
+      Seq(2, "bb", 20, 31L, 1.2f, 2.2, 1590738991000L, "2020-05-02"),
+      Seq(3, "cc", 20, 32L, 1.3f, 2.3, 1590738992000L, "2020-05-03")))
+    check(
+      """SELECT id, c1, c3, sum(c4) OVER w1 as w1_c4_sum
+        |FROM ( select * from t0 )
+        |WINDOW w1 AS (UNION ( select * from t1 ) PARTITION BY t0.c3
+        |  ORDER BY t0.c7 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+      "id",
+      Seq(Seq(1, "aa", 20, 30L), Seq(4, "dd", 20, 96L), Seq(5, "ee", 21, 34L)))
+  }
+
+  test("test_window_union.yaml id 12: multiple union tables, one a subquery") {
+    tbl("t0", stdCols, Seq(
+      Seq(1, "aa", 20, 30L, 1.1f, 2.1, 1590738990000L, "2020-05-01"),
+      Seq(4, "dd", 20, 33L, 1.4f, 2.4, 1590738993000L, "2020-05-04"),
+      Seq(5, "dd", 20, 33L, 1.4f, 2.4, 1590738994000L, "2020-05-04"),
+      Seq(6, "ee", 21, 34L, 1.5f, 2.5, 1590738995000L, "2020-05-05")))
+    tbl("t1", stdCols, Seq(
+      Seq(3, "cc", 20, 32L, 1.3f, 2.3, 1590738992000L, "2020-05-03")))
+    tbl("t2", stdCols, Seq(
+      Seq(2, "bb", 20, 31L, 1.2f, 2.2, 1590738991000L, "2020-05-02")))
+    check(
+      """SELECT id, c1, c3, sum(c4) OVER w1 as w1_c4_sum FROM t0
+        |WINDOW w1 AS (UNION ( select * from t1 ), t2 PARTITION BY t0.c3
+        |  ORDER BY t0.c7 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin,
+      "id",
+      Seq(Seq(1, "aa", 20, 30L), Seq(4, "dd", 20, 126L),
+        Seq(5, "dd", 20, 129L), Seq(6, "ee", 21, 34L)))
+  }
+
   test("test_window.yaml shape: anonymous window over ROWS frame") {
     tbl("t0", stdCols, stdRows)
     check(
