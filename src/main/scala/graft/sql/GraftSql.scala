@@ -256,7 +256,11 @@ object GraftSql {
 
     def parseTableRef(): TRef =
       if (peek == "(") { next(); val q = parseQuery(); expect(")"); Right(q) }
-      else Left(next())
+      else {
+        var name = next()
+        while (peek == ".") { next(); name = name + "." + next() } // db.table
+        Left(name)
+      }
 
     /** UNION t1,t2 [INSTANCE_NOT_IN_WINDOW] PARTITION BY ... ORDER BY ...
       * ROWS|ROWS_RANGE BETWEEN <bound> AND <bound>
