@@ -242,6 +242,15 @@ object GraftAggregates {
     udaf(new Cate(mode, integral, "value_desc", n))
       .apply(k.cast("string"), v.cast("double"))
 
+  /** Expose the parameterless UDAFs to SQL texts (parameterized ones —
+    * cate/top_n/topn_frequency/ew_avg — stay DataFrame-level: SQL UDAF
+    * registration fixes the constructor). */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.udf.register("entropy", udaf(new Entropy))
+    spark.udf.register("top1_ratio", udaf(new Top1Ratio))
+    spark.udf.register("drawdown", udaf(new Drawdown))
+  }
+
   /** top(value, k): the k largest values desc (dups kept), comma-joined
     * (TopKDef, containers.h:72-160). Pure built-in pipeline. */
   def topStr(v: Column, k: Int, integral: Boolean = false): Column = {

@@ -122,6 +122,27 @@ object GraftScalars {
     filter(list, p => !array_contains(ex, value(p)))
   }
 
+  /** LIKE pattern → Java regex (for the SQL-registered like_match). */
+  private[functions] def likeToRegex(pattern: String, escape: Char): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < pattern.length) {
+      val c = pattern.charAt(i)
+      if (c == escape && i + 1 < pattern.length) {
+        sb.append(java.util.regex.Pattern.quote(pattern.charAt(i + 1).toString))
+        i += 2
+      } else {
+        c match {
+          case '%' => sb.append(".*")
+          case '_' => sb.append(".")
+          case x   => sb.append(java.util.regex.Pattern.quote(x.toString))
+        }
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
   /** OpenMLDB timestamp(int64) is MILLISECONDS since epoch
     * (date_and_time_types.md:10-14) — not seconds like a Spark cast. */
   def timestamp_ms(msCol: Column): Column = timestamp_millis(msCol.cast("long"))
@@ -150,6 +171,45 @@ object GraftScalars {
           java.lang.Double.valueOf(2 * 6372.8 * math.asin(math.sqrt(h)))
         }
       })
+    // feature-zero string family as SQL names (Scala impls mirror the
+    // Column-level codegen'd versions; SQL registration is convenience)
+    def splitList(s: String, d: String): Array[String] =
+      if (s == null) Array.empty
+      else s.split(java.util.regex.Pattern.quote(d), -1)
+    spark.udf.register("fz_split", (s: String, d: String) => splitList(s, d))
+    spark.udf.register("fz_split_by_key", (s: String, d: String, kv: String) =>
+      splitList(s, d).filter(_.split(java.util.regex.Pattern.quote(kv), -1).length >= 2)
+        .map(_.split(java.util.regex.Pattern.quote(kv), -1)(0)))
+    spark.udf.register("fz_split_by_value", (s: String, d: String, kv: String) =>
+      splitList(s, d).filter(_.split(java.util.regex.Pattern.quote(kv), -1).length >= 2)
+        .map(_.split(java.util.regex.Pattern.quote(kv), -1)(1)))
+    spark.udf.register("fz_join", (a: Seq[String], d: String) =>
+      if (a == null) "" else a.mkString(d))
+    spark.udf.register("list_except_by_key", (a: Seq[String], ex: String) => {
+      val set = if (ex == null) Set.empty[String] else ex.split(",", -1).toSet
+      if (a == null) Seq.empty[String]
+      else a.filterNot(p => set(p.split(":", 2)(0)))
+    })
+    spark.udf.register("list_except_by_value", (a: Seq[String], ex: String) => {
+      val set = if (ex == null) Set.empty[String] else ex.split(",", -1).toSet
+      if (a == null) Seq.empty[String]
+      else a.filterNot { p =>
+        val i = p.indexOf(':')
+        set(if (i >= 0) p.substring(i + 1) else "")
+      }
+    })
+    spark.udf.register("like_match", (s: String, p: String) =>
+      if (s == null || p == null) null.asInstanceOf[java.lang.Boolean]
+      else java.lang.Boolean.valueOf(
+        s.matches(likeToRegex(p, '\\'))))
+    spark.udf.register("ilike_match", (s: String, p: String) =>
+      if (s == null || p == null) null.asInstanceOf[java.lang.Boolean]
+      else java.lang.Boolean.valueOf(
+        s.toLowerCase.matches(likeToRegex(p.toLowerCase, '\\'))))
+    spark.udf.register("truncate", (x: java.lang.Double) =>
+      if (x == null) null
+      else java.lang.Double.valueOf(
+        if (x >= 0) math.floor(x) else math.ceil(x)))
     // Must agree bit-for-bit with the DataFrame-level hash64/xxhash64
     // (the single documented FarmHash deviation): XXH64 over UTF-8 bytes,
     // seed 42 — exactly what Spark's xxhash64 computes for a string.

@@ -200,6 +200,10 @@ object GraftSql {
         projs += Proj(e, over, alias)
         more = accept(",")
       }
+      // no-FROM constant select (dql/NO_TABLE_SELECT_CLAUSE.md)
+      if (peekUp != "FROM")
+        return Select(projs.result(), Left(""), None, Nil, None, Nil, None,
+          Map.empty, None)
       expect("FROM")
       val fromTable = parseTableRef()
       val fromAlias =
@@ -336,16 +340,40 @@ object GraftSql {
   private val UidCol = "__graft_uid"
   private val FlagCol = "__graft_primary"
 
+  /** Render a parameter value as a SQL literal token. */
+  private def literal(v: Any): String = v match {
+    case null       => "NULL"
+    case s: String  => "'" + s.replace("'", "''") + "'"
+    case b: Boolean => b.toString
+    case n          => String.valueOf(n)
+  }
+
   /** Run a dialect query. `tables` overrides/augments the session's
-    * temp-view catalog for table-name resolution. */
+    * temp-view catalog for table-name resolution; `params` bind `?`
+    * placeholders in order (the reference's parameterized query mode —
+    * cases/query/parameterized_query.yaml). */
   def sql(spark: SparkSession, text: String,
-      tables: Map[String, DataFrame] = Map.empty): DataFrame = {
-    val parser = new Parser(tokenize(text))
+      tables: Map[String, DataFrame] = Map.empty,
+      params: Seq[Any] = Nil): DataFrame = {
+    var remaining = params
+    val toks = tokenize(text).map {
+      case "?" if remaining.nonEmpty =>
+        val v = remaining.head; remaining = remaining.tail; literal(v)
+      case t => t
+    }
+    val parser = new Parser(toks)
     val q = parser.parseQuery()
     if (parser.p != parser.toks.length)
       parser.fail("trailing tokens")
     planQuery(spark, q, tables)
   }
+
+  /** EXPLAIN: the planned query's formatted physical plan (the
+    * reference's EXPLAIN surface, engine.cc:236-321). */
+  def explain(spark: SparkSession, text: String,
+      tables: Map[String, DataFrame] = Map.empty): String =
+    sql(spark, text, tables).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
 
   private def planQuery(spark: SparkSession, q: Query,
       scope0: Map[String, DataFrame]): DataFrame = {
@@ -365,6 +393,7 @@ object GraftSql {
 
   private def resolveRef(spark: SparkSession, ref: TRef,
       scope: Map[String, DataFrame]): DataFrame = ref match {
+    case Left("")   => spark.range(1).toDF() // constant select anchor
     case Left(name) => resolve(spark, name, scope)
     case Right(sub) => planQuery(spark, sub, scope)
   }

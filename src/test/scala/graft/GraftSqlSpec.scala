@@ -155,6 +155,40 @@ class GraftSqlSpec extends SparkSpec {
     assert(u(("u1", 10L)) == 1.0 + 100.0)
   }
 
+  test("parameterized query binds ? placeholders in order") {
+    val out = GraftSql.sql(spark,
+      "SELECT pk, v FROM t1 WHERE v >= ? AND pk = ?",
+      params = Seq(2.0, "u1"))
+    assert(out.count() == 2) // u1 rows with v in {2.0, 3.0}
+  }
+
+  test("no-FROM constant select") {
+    val out = GraftSql.sql(spark,
+      "SELECT 1 + 2 AS a, upper('x') AS b").collect()(0)
+    assert(out.getInt(0) == 3 && out.getString(1) == "X")
+  }
+
+  test("SQL-registered dialect functions work in query text") {
+    graft.functions.GraftScalars.registerAll(spark)
+    graft.functions.GraftAggregates.registerAll(spark)
+    val scalar = GraftSql.sql(spark,
+      """SELECT fz_join(fz_split_by_key('a:1,b:2,c', ',', ':'), '|') AS k,
+        |  like_match('100%', '100#%') AS no_esc,
+        |  truncate(-3.7) AS tr""".stripMargin).collect()(0)
+    assert(scalar.getString(0) == "a|b")
+    assert(!scalar.getBoolean(1)) // '#' is not the default escape
+    assert(scalar.getDouble(2) == -3.0)
+    val agg = GraftSql.sql(spark,
+      """SELECT pk, entropy(pk) AS e, top1_ratio(pk) AS r
+        |FROM t1 GROUP BY pk""".stripMargin)
+    assert(agg.count() == 2)
+  }
+
+  test("explain returns a formatted physical plan") {
+    val p = GraftSql.explain(spark, "SELECT pk, v FROM t1 WHERE v > 1.0")
+    assert(p.contains("Physical Plan"))
+  }
+
   test("OPEN PRECEDING makes the lower bound exclusive") {
     val out = GraftSql.sql(spark,
       """SELECT pk, ts, sum(v) OVER w AS s
