@@ -837,6 +837,19 @@ object SparkEntry {
           "ev_side" -> ev.filter(col("event_type") =!= "purchase")))
     },
 
+    // SQL-driven request mode (DEPLOY semantics): same split and frame
+    // as q_request_mode, entering through dialect SQL text
+    "q_sql_request" -> q { (s, d) =>
+      val ev = T(s, d, "events")
+      graft.sql.GraftSql.requestMode(s,
+        """SELECT event_id, round(sum(value) OVER w, 3) AS pit_sum,
+          |  count(value) OVER w AS pit_cnt
+          |FROM hist WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+          |  ROWS_RANGE BETWEEN 10m PRECEDING AND CURRENT ROW)""".stripMargin,
+        requests = ev.filter(col("event_id") % 97 === 0),
+        tables = Map("hist" -> ev.filter(col("event_id") % 97 =!= 0)))
+    },
+
     // SELECT INTO OUTFILE csv → LOAD DATA INFILE round-trip
     // (LoadDataPlan.scala:40-135, SelectIntoPlan.scala)
     "q_out_in" -> q { (s, d) =>
@@ -1498,6 +1511,17 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
         |             RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_sql_request" ->
+      """SELECT e.event_id,
+        | round(coalesce((SELECT sum(b.value) FROM events b
+        |   WHERE b.user_id = e.user_id AND b.event_id % 97 <> 0
+        |     AND epoch_ms(b.ts) BETWEEN epoch_ms(e.ts) - 600000 AND epoch_ms(e.ts)), 0)
+        |   + e.value, 3) AS pit_sum,
+        | (SELECT count(b.value) FROM events b
+        |   WHERE b.user_id = e.user_id AND b.event_id % 97 <> 0
+        |     AND epoch_ms(b.ts) BETWEEN epoch_ms(e.ts) - 600000 AND epoch_ms(e.ts)) + 1 AS pit_cnt
+        |FROM events e WHERE e.event_id % 97 = 0""".stripMargin,
 
     "q_bench_shape" ->
       """WITH cust AS (

@@ -339,6 +339,8 @@ object GraftSql {
 
   private val UidCol = "__graft_uid"
   private val FlagCol = "__graft_primary"
+  private val RequestFlagCol = "__graft_is_request"
+  private val RequestUnionTable = "__graft_request_union"
 
   /** Render a parameter value as a SQL literal token. */
   private def literal(v: Any): String = v match {
@@ -366,6 +368,34 @@ object GraftSql {
     if (parser.p != parser.toks.length)
       parser.fail("trailing tokens")
     planQuery(spark, q, tables)
+  }
+
+  /** Request mode: compute the query's features point-in-time for each
+    * request row against the stored history — the reference's DEPLOY /
+    * online-request semantics in batch form (sql_compiler.cc:173,
+    * RequestUnionRunner). `requests` must be schema-compatible with the
+    * query's FROM table; every window frame sees history rows plus the
+    * request row itself, never other request rows
+    * (PhysicalRequestUnionNode, physical_op.h:1504). Returns one output
+    * row per request row. */
+  def requestMode(spark: SparkSession, text: String, requests: DataFrame,
+      tables: Map[String, DataFrame] = Map.empty): DataFrame = {
+    val parser = new Parser(tokenize(text))
+    val q = parser.parseQuery()
+    if (parser.p != parser.toks.length) parser.fail("trailing tokens")
+    require(q.ctes.isEmpty && q.selects.length == 1,
+      "request mode supports a single SELECT")
+    val sel = q.selects.head
+    require(sel.groupBy.isEmpty && sel.joins.forall(_.kind == "last"),
+      "request mode supports window projections and LAST JOINs only")
+    val history = resolveRef(spark, sel.fromTable, tables)
+    // union with provenance flag; the request row is the only primary
+    val flagged = requests.withColumn(RequestFlagCol, lit(true))
+      .unionByName(history.withColumn(RequestFlagCol, lit(false)),
+        allowMissingColumns = true)
+    val sel2 = sel.copy(fromTable = Left(RequestUnionTable))
+    planSelect(spark, sel2, tables + (RequestUnionTable -> flagged),
+      requestMode = true)
   }
 
   /** EXPLAIN: the planned query's formatted physical plan (the
@@ -407,7 +437,7 @@ object GraftSql {
     }
 
   private def planSelect(spark: SparkSession, s: Select,
-      scope: Map[String, DataFrame]): DataFrame = {
+      scope: Map[String, DataFrame], requestMode: Boolean = false): DataFrame = {
     var df = resolveRef(spark, s.fromTable, scope)
     s.fromAlias.foreach(a => df = df.alias(a))
 
@@ -446,7 +476,7 @@ object GraftSql {
     var out: DataFrame =
       if (s.groupBy.nonEmpty) planAggregate(s, df)
       else if (s.projs.exists(p => p.over.isDefined || p.hasNestedOver))
-        planWindows(spark, s, df, scope)
+        planWindows(spark, s, df, scope, requestMode)
       else if (s.projs.length == 1 && s.projs.head.exprText == "*") df
       else df.select(s.projs.zipWithIndex.map { case (pr, i) =>
         expr(pr.exprText).as(projName(pr, i)) }: _*)
@@ -528,7 +558,7 @@ object GraftSql {
     * inside scalar calls like `round(sum(v) OVER w, 3)`), compute each
     * as a hidden window column, then evaluate the outer expressions. */
   private def planWindows(spark: SparkSession, s: Select, base: DataFrame,
-      scope: Map[String, DataFrame]): DataFrame = {
+      scope: Map[String, DataFrame], requestMode: Boolean = false): DataFrame = {
     var counter = 0
     val winExprs = Seq.newBuilder[(String, String, WinDef)]
     def fresh(): String = { counter += 1; s"__graft_w$counter" }
@@ -595,7 +625,7 @@ object GraftSql {
         "multiple WINDOW UNION lists in one SELECT are unsupported")
 
     var df = base
-    val needsExtended = used.exists(_.isExtended)
+    val needsExtended = used.exists(_.isExtended) || requestMode
     if (needsExtended) df = df.withColumn(UidCol, monotonically_increasing_id())
     if (unionTables.nonEmpty) {
       val sides = unionTables.map(t => resolveRef(spark, t, scope))
@@ -609,7 +639,7 @@ object GraftSql {
 
     val winCols: Seq[Column] = exprs.map { case (id, fnText, w) =>
       val c: Column =
-        if (!w.isExtended) {
+        if (!w.isExtended && !requestMode) {
           // offset functions reject explicit frames in Spark; `at` is the
           // reference's alias for lag (window_functions_def.cc:252)
           val (fn0, argText) = splitCall(fnText)
@@ -658,8 +688,10 @@ object GraftSql {
             maxSize = rowCap,
             excludeCurrentTime = w.exclCT,
             excludeCurrentRow = w.exclCR,
-            isPrimary = if (unionTables.nonEmpty) col(FlagCol) else lit(true),
-            instanceNotInWindow = w.inw,
+            isPrimary =
+              if (requestMode) col(RequestFlagCol)
+              else if (unionTables.nonEmpty) col(FlagCol) else lit(true),
+            instanceNotInWindow = w.inw || requestMode,
             strictRowOrder = strict)
           fn match {
             case "sum"            => WindowOps.aggSum(arr)
@@ -675,6 +707,7 @@ object GraftSql {
 
     var windowed = df.select(col("*") +: winCols: _*)
     if (unionTables.nonEmpty) windowed = windowed.filter(col(FlagCol))
+    if (requestMode) windowed = windowed.filter(col(RequestFlagCol))
     windowed.select(s.projs.zip(outerTokens).zipWithIndex.map {
       case ((pr, toks), i) => expr(toks.mkString(" ")).as(projName(pr, i)) }: _*)
   }

@@ -189,6 +189,21 @@ class GraftSqlSpec extends SparkSpec {
     assert(p.contains("Physical Plan"))
   }
 
+  test("request mode: per-request point-in-time features via SQL") {
+    // history = t1; two request rows for u1, one sharing key+ts range
+    val reqs = Seq(("u1", 25L, 100.0), ("u1", 25L, 200.0))
+      .toDF("pk", "ts", "v")
+    val out = GraftSql.requestMode(spark,
+      """SELECT pk, ts, sum(v) OVER w AS s, count(v) OVER w AS c
+        |FROM t1 WINDOW w AS (PARTITION BY pk ORDER BY ts
+        |  ROWS_RANGE BETWEEN 15 PRECEDING AND CURRENT ROW)""".stripMargin,
+      reqs)
+      .collect().map(r => r.getDouble(2) -> r.getLong(3))
+    // frame [10,25]: history rows 1.0(ts10) + 2.0(ts20) + the request
+    // itself; the OTHER request row must not leak in
+    assert(out.toSet == Set(103.0 -> 3L, 203.0 -> 3L))
+  }
+
   test("OPEN PRECEDING makes the lower bound exclusive") {
     val out = GraftSql.sql(spark,
       """SELECT pk, ts, sum(v) OVER w AS s
