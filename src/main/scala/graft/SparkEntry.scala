@@ -481,6 +481,14 @@ object SparkEntry {
         "vec_id", "embedding", k = 3, planes = 4)
     },
 
+    // IVF approximate top-k: k-means centroid lists, nprobe probing
+    // (rows-only; the second scale path for ANN)
+    "q_ann_ivf" -> q { (s, d) =>
+      val e = T(s, d, "embeddings")
+      Similarity.ivfTopK(e.filter(col("vec_id") < 10), e,
+        "vec_id", "embedding", k = 3, nlist = 8, nprobe = 2, iters = 2)
+    },
+
     // token/char counts, stopword ratio, quality score
     "q_text_stats" -> q { (s, d) =>
       val t = col("text")

@@ -34,9 +34,11 @@ object LongWindow {
       .agg(sum(v).as("b_sum"), count(v).as("b_cnt"),
         min(v).as("b_min"), max(v).as("b_max"))
 
-  /** sum/count of `v` over `ROWS_RANGE precedingMs PRECEDING` answered
-    * via the MV. `uid` must be unique per row. Returns the input rows
-    * plus `lw_sum`, `lw_cnt`. */
+  /** sum/count/min/max of `v` over `ROWS_RANGE precedingMs PRECEDING`
+    * answered via the MV (the reference pre-aggregates exactly these —
+    * src/storage/aggregator.h:121-278). `uid` must be unique per row.
+    * Returns the input rows plus `lw_sum`, `lw_cnt`, `lw_min`, `lw_max`
+    * (least/greatest skip null partials from absent edge groups). */
   def sumCountOverLongWindow(df: DataFrame, preAgg: DataFrame,
       key: Column, tsMs: Column, v: Column, uid: Column,
       precedingMs: Long, bucketMs: Long): DataFrame = {
@@ -56,6 +58,8 @@ object LongWindow {
       .withColumn("__hb", hb).withColumn("__lb", lb)
       .withColumn("__tail_sum", sum(v).over(wTail))
       .withColumn("__tail_cnt", count(v).over(wTail))
+      .withColumn("__tail_min", min(v).over(wTail))
+      .withColumn("__tail_max", max(v).over(wTail))
 
     // full buckets strictly between lb and hb
     val fullJoin = base.select(uid.as("__uid"), key.as("__k"),
@@ -64,7 +68,8 @@ object LongWindow {
         col("__k") === col("k") &&
           col("bucket") > col("__lb") && col("bucket") < col("__hb"))
       .groupBy(col("__uid"))
-      .agg(sum(col("b_sum")).as("__full_sum"), sum(col("b_cnt")).as("__full_cnt"))
+      .agg(sum(col("b_sum")).as("__full_sum"), sum(col("b_cnt")).as("__full_cnt"),
+        min(col("b_min")).as("__full_min"), max(col("b_max")).as("__full_max"))
 
     // head bucket (lb): raw rows with ts' >= ts - precedingMs, only
     // when the head bucket differs from the row's own bucket
@@ -77,7 +82,8 @@ object LongWindow {
           floor(col("hts") / bucketMs).cast("long") === col("__lb") &&
           col("hts") >= col("__ts") - precedingMs)
       .groupBy(col("__uid"))
-      .agg(sum(col("hv")).as("__head_sum"), count(col("hv")).as("__head_cnt"))
+      .agg(sum(col("hv")).as("__head_sum"), count(col("hv")).as("__head_cnt"),
+        min(col("hv")).as("__head_min"), max(col("hv")).as("__head_max"))
 
     base
       .join(fullJoin, uid === col("__uid"), "left").drop("__uid")
@@ -90,7 +96,12 @@ object LongWindow {
         coalesce(col("__tail_cnt"), lit(0L)) +
           coalesce(col("__full_cnt"), lit(0L)) +
           coalesce(col("__head_cnt"), lit(0L)))
-      .drop("__hb", "__lb", "__tail_sum", "__tail_cnt",
-        "__full_sum", "__full_cnt", "__head_sum", "__head_cnt")
+      .withColumn("lw_min",
+        least(col("__tail_min"), col("__full_min"), col("__head_min")))
+      .withColumn("lw_max",
+        greatest(col("__tail_max"), col("__full_max"), col("__head_max")))
+      .drop("__hb", "__lb", "__tail_sum", "__tail_cnt", "__tail_min",
+        "__tail_max", "__full_sum", "__full_cnt", "__full_min", "__full_max",
+        "__head_sum", "__head_cnt", "__head_min", "__head_max")
   }
 }

@@ -60,6 +60,68 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Distance of `vec` to each centroid as array<struct<d,c>> (squared
+    * L2; centroids ship as literals — code, not data). */
+  private def centroidDists(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    array(centroids.zipWithIndex.map { case (ctr, i) =>
+      val cLit = array(ctr.map(lit): _*)
+      val d = aggregate(zip_with(vec, cLit, (x, c) => (x - c) * (x - c)),
+        lit(0.0), (acc, x) => acc + x)
+      struct(d.as("d"), lit(i).as("c"))
+    }: _*)
+
+  /** Nearest-centroid id (argmin over [[centroidDists]]; array_min
+    * orders struct arrays by the first field). */
+  def nearestCentroid(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    array_min(centroidDists(vec, centroids))("c")
+
+  /** Lloyd k-means over an embedding column, distributed: assignment is
+    * a codegen'd argmin against broadcast centroid literals, the update
+    * step one (cid, dim) grouped mean. Returns nlist centroids.
+    * Deterministic init: the nlist lowest xxhash64(id) corpus vectors. */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int = 3): Seq[Seq[Double]] = {
+    val vecs = corpus.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("e"))
+    var centroids: Seq[Seq[Double]] = vecs
+      .orderBy(xxhash64(col("id"))).limit(nlist)
+      .select(col("e")).collect().toSeq.map(_.getSeq[Double](0))
+    for (_ <- 1 to iters) {
+      val assigned = vecs.withColumn("cid", nearestCentroid(col("e"), centroids))
+      val means = assigned
+        .select(col("cid"), posexplode(col("e")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
+        .select(col("cid"), transform(col("ps"), p => p("m")).as("ctr"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      // empty clusters keep their previous centroid
+      centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
+    }
+    centroids
+  }
+
+  /** IVF top-k: corpus partitioned into nlist centroid lists; each
+    * query probes its `nprobe` nearest lists. nprobe = nlist degrades
+    * gracefully to exact brute force (asserted in spec). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
+    val centroids = kmeansCentroids(corpus, idCol, vecCol, nlist, iters)
+    val c = corpus.select(col(idCol).as("vec_id"),
+        toDoubleVec(col(vecCol)).as("ce"))
+      .withColumn("cid", nearestCentroid(col("ce"), centroids))
+    val q = broadcast(queries.select(col(idCol).as("qid"),
+        toDoubleVec(col(vecCol)).as("qe"))
+      .withColumn("cid", explode(slice(transform(
+        array_sort(centroidDists(col("qe"), centroids)), s => s("c")),
+        1, nprobe))))
+    val scored = q.join(c, q("cid") === c("cid") && col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"), cosine(col("qe"), col("ce")).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
   /** LSH-bucketed approximate top-k: candidates restricted to the
     * query's sign-LSH bucket; ranking as in the brute-force path.
     * Recall trades off with `planes` (more planes → smaller buckets). */

@@ -60,6 +60,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.toSet.subsetOf(Set(2L, 5L)))
   }
 
+  test("IVF top-k with nprobe = nlist equals brute force") {
+    val rng = new scala.util.Random(13)
+    val corpus = (1L to 60L).map(i =>
+      (i, Array.fill(8)(rng.nextFloat()))).toDF("vec_id", "embedding")
+    val qs = corpus.filter(col("vec_id") <= 3)
+    val bf = Similarity.bruteForceTopK(qs, corpus, "vec_id", "embedding", 5)
+      .select("qid", "rnk", "vec_id").as[(Long, Int, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(qs, corpus, "vec_id", "embedding", 5,
+        nlist = 4, nprobe = 4, iters = 2)
+      .select("qid", "rnk", "vec_id").as[(Long, Int, Long)].collect().toSet
+    assert(ivf == bf)
+  }
+
+  test("IVF with fewer probes still finds each query's own cluster") {
+    val rng = new scala.util.Random(17)
+    val corpus = (1L to 60L).map(i =>
+      (i, Array.fill(8)(rng.nextFloat()))).toDF("vec_id", "embedding")
+    val qs = corpus.filter(col("vec_id") <= 3)
+    val out = Similarity.ivfTopK(qs, corpus, "vec_id", "embedding", 3,
+      nlist = 4, nprobe = 2, iters = 2)
+    // 3 queries × up to 3 neighbors, all ranked 1..3
+    val rows = out.select("qid", "rnk").as[(Long, Int)].collect()
+    assert(rows.nonEmpty && rows.forall(_._2 <= 3))
+    assert(rows.map(_._1).toSet == Set(1L, 2L, 3L))
+  }
+
   test("embedding near-dup finds identical vectors via LSH buckets") {
     // identical vectors always collide in every sign-LSH bucket; a merely
     // close pair can straddle a hyperplane, so only (1,5) is guaranteed

@@ -19,20 +19,24 @@ class LongWindowSpec extends SparkSpec {
     val mv = LongWindow.sumCountOverLongWindow(df, preAgg,
       col("k"), col("ts"), col("v"), col("uid"),
       precedingMs = 1000L, bucketMs = 100L)
-      .select(col("uid"), col("lw_sum"), col("lw_cnt"))
-      .as[(Long, Double, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+      .select(col("uid"), col("lw_sum"), col("lw_cnt"), col("lw_min"), col("lw_max"))
+      .as[(Long, Double, Long, Double, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4, t._5)).toMap
 
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("k")).orderBy(col("ts")).rangeBetween(-1000L, 0)
     val direct = df.select(col("uid"),
-        sum(col("v")).over(w).as("s"), count(col("v")).over(w).as("c"))
-      .as[(Long, Double, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+        sum(col("v")).over(w).as("s"), count(col("v")).over(w).as("c"),
+        min(col("v")).over(w).as("mn"), max(col("v")).over(w).as("mx"))
+      .as[(Long, Double, Long, Double, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4, t._5)).toMap
 
     assert(mv.keySet == direct.keySet)
-    direct.foreach { case (uid, (s, c)) =>
-      val (ms, mc) = mv(uid)
+    direct.foreach { case (uid, (s, c, mn, mx)) =>
+      val (ms, mc, mmn, mmx) = mv(uid)
       assert(mc == c, s"count mismatch for uid $uid")
       assert(math.abs(ms - s) < 1e-6, s"sum mismatch for uid $uid: $ms vs $s")
+      assert(mmn == mn && mmx == mx, s"min/max mismatch for uid $uid")
     }
   }
 
