@@ -503,6 +503,14 @@ object SparkEntry {
         floor(TextOps.qualityScore(t) * 1e6).cast("long").as("q_score"))
     },
 
+    // BPE-ish token counting (letter/digit/punct runs)
+    "q_token_bpe" -> q { (s, d) =>
+      T(s, d, "documents").select(
+        col("doc_id"),
+        TextOps.tokenCountBpe(col("text")).as("n_bpe"),
+        TextOps.tokenCount(col("text")).as("n_ws"))
+    },
+
     // n-gram-heuristic language ID
     "q_lang_id" -> q { (s, d) =>
       T(s, d, "documents").select(col("doc_id"),
@@ -1268,6 +1276,12 @@ object SparkEntry {
         |   + CAST(0.2 AS DOUBLE) * least((CAST(nc AS DOUBLE) / len(ws)) / 8, 1.0)) * 1000000)
         |   AS BIGINT) AS q_score
         |FROM s""".stripMargin,
+
+    "q_token_bpe" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS INTEGER) AS n_bpe,
+        | CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_ws
+        |FROM documents""".stripMargin,
 
     "q_lang_id" ->
       """WITH t AS (SELECT doc_id,

@@ -14,6 +14,15 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(words(text))
 
+  /** BPE-ish subword proxy: letter runs, digit runs, and punctuation
+    * runs each count as one token (the GPT-2-style pre-tokenizer
+    * classes, without the merge table — a standard corpus-costing
+    * heuristic). Pure RE2/Java-regex-portable pattern. */
+  val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+
   /** Characters excluding whitespace. */
   def charCount(text: Column): Column =
     length(regexp_replace(text, "\\s+", ""))

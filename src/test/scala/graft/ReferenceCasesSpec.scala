@@ -296,6 +296,23 @@ class ReferenceCasesSpec extends SparkSpec {
         Seq(5, "dd", 20, 129L), Seq(6, "ee", 21, 34L)))
   }
 
+  test("group_query.yaml id 1: group by with mixed-type sums") {
+    tbl("t1", Seq("col0 string", "col1 int", "col2 smallint", "col3 float",
+      "col4 double", "col5 bigint", "col6 string"), Seq(
+      Seq("0", 1, 5.toShort, 1.1f, 11.1, 1L, "1"),
+      Seq("0", 2, 5.toShort, 2.2f, 22.2, 2L, "22"),
+      Seq("1", 3, 55.toShort, 3.3f, 33.3, 1L, "333"),
+      Seq("1", 4, 55.toShort, 4.4f, 44.4, 2L, "4444"),
+      Seq("2", 5, 55.toShort, 5.5f, 55.5, 3L, "a" * 66)))
+    check(
+      """SELECT col2, sum(col1) as col1_sum, sum(col3) as col3_sum,
+        |sum(col4) as col4_sum, sum(col2) as col2_sum,
+        |sum(col5) as col5_sum FROM t1 Group By t1.col2""".stripMargin,
+      "col2",
+      Seq(Seq(5, 3L, 3.3, 33.3, 10L, 3L),
+        Seq(55, 12L, 13.2, 133.2, 165L, 6L)))
+  }
+
   test("test_window.yaml shape: anonymous window over ROWS frame") {
     tbl("t0", stdCols, stdRows)
     check(
