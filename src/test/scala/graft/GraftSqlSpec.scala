@@ -204,6 +204,26 @@ class GraftSqlSpec extends SparkSpec {
     assert(out.toSet == Set(103.0 -> 3L, 203.0 -> 3L))
   }
 
+  test("clear errors for unsupported dialect surface") {
+    // top-level ORDER BY is rejected by the reference dialect
+    // (dql/SELECT_STATEMENT.md:111) — and by our grammar
+    intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, "SELECT pk FROM t1 ORDER BY pk")
+    }
+    // undefined window name
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, "SELECT sum(v) OVER nope FROM t1 WINDOW w AS " +
+        "(PARTITION BY pk ORDER BY ts ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)")
+    }
+    assert(e.getMessage.contains("undefined window"))
+    // unsupported aggregate over an extended window
+    val e2 = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, "SELECT median(v) OVER w FROM t1 WINDOW w AS " +
+        "(PARTITION BY pk ORDER BY ts ROWS_RANGE BETWEEN 10 PRECEDING AND CURRENT ROW MAXSIZE 2)")
+    }
+    assert(e2.getMessage.contains("unsupported aggregate"))
+  }
+
   test("OPEN PRECEDING makes the lower bound exclusive") {
     val out = GraftSql.sql(spark,
       """SELECT pk, ts, sum(v) OVER w AS s
