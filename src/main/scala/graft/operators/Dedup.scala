@@ -8,11 +8,10 @@ import org.apache.spark.sql.functions._
   *
   * All stages are shuffle-planned for 100 TB: exact dedup is one
   * hash-partitioned groupBy; MinHash-LSH explodes b band rows per doc
-  * (b≈16) and shuffles by (band, bandHash) — candidate generation never
-  * compares all pairs; the verify stage joins only bucket-colliding
-  * pairs. The word-level Jaccard join is an inverted-index join
-  * (explode distinct tokens, join by token, count) — the standard
-  * scalable set-similarity plan.
+  * and shuffles by (band, bandHash) — candidate generation never
+  * compares all pairs; the word-level Jaccard join collapses duplicate
+  * token sets then prefix-filters the inverted index (AllPairs/PPJoin)
+  * so hot tokens cannot quadratically explode the join.
   */
 object Dedup {
 
@@ -25,25 +24,75 @@ object Dedup {
   def tokens(textCol: Column): Column =
     array_distinct(split(trim(textCol), "\\s+"))
 
-  /** Word-level Jaccard near-dup pairs via inverted-index join.
-    * Returns (id1, id2, jaccard) for pairs with jaccard >= threshold.
+  /** Word-level Jaccard near-dup pairs, scalable formulation:
+    *
+    *  1. collapse documents to DISTINCT token sets (near-dup corpora
+    *     carry many exact token-set duplicates — they pay once);
+    *  2. PREFIX-FILTERED candidate generation (AllPairs/PPJoin): two
+    *     sets with J >= t must share a token among each set's
+    *     `|s| - ceil(t*|s|) + 1` RAREST tokens, so the inverted index
+    *     is built over prefixes only — hot tokens (df ~ n) never
+    *     explode the join the way a naive token self-join does
+    *     (448M intermediate rows -> prefix-bounded at sf0.1);
+    *  3. verify candidates exactly with one array_intersect per
+    *     distinct-set pair; expand back to doc pairs last, so the
+    *     quadratic doc fan-out only materializes true results.
+    *
+    * Returns (id1, id2, jaccard) with jaccard >= threshold, id1 < id2.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
-    val words = docs.select(col(idCol).as("doc_id"),
-      explode(tokens(col(textCol))).as("w"))
-    val sizes = words.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = words.as("a").join(words.as("b"),
-        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("s1"), col("id1") === col("s1.doc_id"))
-      .join(sizes.as("s2"), col("id2") === col("s2.doc_id"))
-      .select(col("id1"), col("id2"),
-        (col("inter").cast("double") /
-          (col("s1.sz") + col("s2.sz") - col("inter"))).as("jaccard"))
+    val docSets = docs.select(col(idCol).as("doc_id"),
+      array_sort(tokens(col(textCol))).as("toks"))
+    // distinct token sets, keyed by set hash; persisted — referenced by
+    // the prefix index, the verify join (twice), and the expansion
+    val sets = docSets.select(xxhash64(col("toks")).as("set_id"), col("toks"))
+      .dropDuplicates("set_id")
+      .withColumn("sz", size(col("toks")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docsBySet = docSets.select(xxhash64(col("toks")).as("set_id"),
+      col("doc_id"))
+
+    // global token rarity over distinct sets → rarest-first ordering
+    val df_ = sets.select(col("set_id"), explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val prefixLen = (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")
+    val prefixes = sets.select(col("set_id"), col("sz"),
+        explode(col("toks")).as("w"))
+      .join(df_, "w")
+      .groupBy(col("set_id"), col("sz"))
+      .agg(array_sort(collect_list(struct(col("df"), col("w")))).as("o"))
+      .select(col("set_id"),
+        explode(slice(transform(col("o"), x => x("w")), lit(1), prefixLen)).as("w"))
+
+    // candidates: sets sharing a prefix token
+    val cand = prefixes.as("a").join(prefixes.as("b"),
+        col("a.w") === col("b.w") && col("a.set_id") < col("b.set_id"))
+      .select(col("a.set_id").as("s1"), col("b.set_id").as("s2"))
+      .dropDuplicates("s1", "s2")
+
+    // exact verification per distinct-set pair
+    val verified = cand
+      .join(sets.select(col("set_id").as("s1"), col("toks").as("t1"),
+        col("sz").as("z1")), "s1")
+      .join(sets.select(col("set_id").as("s2"), col("toks").as("t2"),
+        col("sz").as("z2")), "s2")
+      .withColumn("inter", size(array_intersect(col("t1"), col("t2"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("z1") + col("z2") - col("inter")))
       .filter(col("jaccard") >= threshold)
+      .select(col("s1"), col("s2"), col("jaccard"))
+    // identical token sets: J = 1.0 by definition
+    val selfPairs = sets.select(col("set_id").as("s1"),
+      col("set_id").as("s2"), lit(1.0).as("jaccard"))
+
+    // expand set pairs back to doc pairs (id1 < id2)
+    verified.unionByName(selfPairs)
+      .join(docsBySet.select(col("set_id").as("s1"), col("doc_id").as("d1")), "s1")
+      .join(docsBySet.select(col("set_id").as("s2"), col("doc_id").as("d2")), "s2")
+      .filter(col("s1") =!= col("s2") || col("d1") < col("d2"))
+      .select(least(col("d1"), col("d2")).as("id1"),
+        greatest(col("d1"), col("d2")).as("id2"), col("jaccard"))
   }
 
   /** MinHash signature over 64-bit shingle hashes: each shingle string
