@@ -173,15 +173,17 @@ object Dedup {
   def simhash(textCol: Column): Column = {
     val words = split(trim(textCol), "\\s+")
     val hashes = transform(words, w => xxhash64(w))
-    // bits iterated at the Scala level: shift amounts must be Ints, and the
-    // 64 per-bit vote expressions stay inside whole-stage codegen
-    (0 until 64).map { b =>
-      when(
-        aggregate(hashes, lit(0L),
-          (v, h) => v + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L)
-            .otherwise(-1L)) > 0,
-        lit(1L << b)).otherwise(0L)
-    }.reduce(_ + _)
+    // single pass over the word hashes: each word votes ±1 on all 64
+    // bits via a zip with a bitmask literal array — the per-word
+    // xxhash64 evaluates ONCE (64 separate per-bit expressions would
+    // re-inline the hashing 64x under Catalyst projection collapse)
+    val masks = array((0 until 64).map(b => lit(1L << b)): _*)
+    val votes = aggregate(hashes,
+      transform(masks, _ => lit(0)),
+      (acc, h) => zip_with(acc, masks, (a, m) =>
+        a + when(h.bitwiseAND(m) =!= 0L, 1).otherwise(-1)))
+    aggregate(zip_with(votes, masks, (v, m) => when(v > 0, m).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
   }
 
   /** Embedding cosine near-duplicate pairs above a threshold, bucketed
