@@ -296,6 +296,45 @@ class ReferenceCasesSpec extends SparkSpec {
         Seq(5, "dd", 20, 129L), Seq(6, "ee", 21, 34L)))
   }
 
+  test("test_window_exclude_current_time.yaml id 1: MAXSIZE 2 + OPEN + EXCLUDE CT") {
+    val cols = Seq("c1 string", "c3 int", "c4 double", "c7 timestamp")
+    val rows: Seq[Seq[Any]] = Seq(
+      Seq("aa", 1, 1.0, 1590738990000L), Seq("aa", 2, 1.0, 1590738990000L),
+      Seq("aa", 3, 1.0, 1590738992000L), Seq("aa", 4, 1.0, 1590738993000L),
+      Seq("aa", 5, 1.0, 1590738994000L), Seq("aa", 6, 1.0, 1590738994000L),
+      Seq("aa", 7, 1.0, 1590738999000L), Seq("aa", 8, 1.0, 1590739001000L),
+      Seq("aa", 9, 1.0, 1590739002000L))
+    tbl("t0", cols, rows)
+    check(
+      """SELECT c3, c7, sum(c4) OVER w1 as w1_c4_sum FROM t0
+        |WINDOW w1 AS (PARTITION BY t0.c1 ORDER BY t0.c7
+        |  ROWS_RANGE BETWEEN 4s OPEN PRECEDING AND CURRENT ROW
+        |  MAXSIZE 2 EXCLUDE CURRENT_TIME)""".stripMargin,
+      "c3",
+      Seq(Seq(1, 1590738990000L, 1.0), Seq(2, 1590738990000L, 1.0),
+        Seq(3, 1590738992000L, 2.0), Seq(4, 1590738993000L, 2.0),
+        Seq(5, 1590738994000L, 2.0), Seq(6, 1590738994000L, 2.0),
+        Seq(7, 1590738999000L, 1.0), Seq(8, 1590739001000L, 2.0),
+        Seq(9, 1590739002000L, 2.0)))
+  }
+
+  test("window_attributes.yaml id 11: UNBOUNDED ROWS EXCLUDE CURRENT_ROW with min/max") {
+    // note Seq[Any]: an all-numeric Seq literal weak-lub-widens Ints to
+    // Long, breaking the IntegerType row encoder
+    tbl("t1", Seq("id int", "ts timestamp", "g int", "val int"), Seq(
+      Seq[Any](1, 99000L, 111, 21), Seq[Any](2, 100000L, 111, 22),
+      Seq[Any](3, 101000L, 111, 23), Seq[Any](4, 102000L, 111, 44),
+      Seq[Any](5, 100000L, 114, 56), Seq[Any](6, 102000L, 114, 52)))
+    check(
+      """select id, count(val) over w as cnt, max(val) over w as mv,
+        |  min(val) over w as mi
+        |FROM t1 WINDOW w as (PARTITION by g ORDER by ts
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE CURRENT_ROW)""".stripMargin,
+      "id",
+      Seq(Seq(1, 0L, null, null), Seq(2, 1L, 21, 21), Seq(3, 2L, 22, 21),
+        Seq(4, 3L, 23, 21), Seq(5, 0L, null, null), Seq(6, 1L, 56, 56)))
+  }
+
   test("group_query.yaml id 1: group by with mixed-type sums") {
     tbl("t1", Seq("col0 string", "col1 int", "col2 smallint", "col3 float",
       "col4 double", "col5 bigint", "col6 string"), Seq(
