@@ -115,6 +115,21 @@ object WindowOps {
     size(array_distinct(transform(filter(arr, x => x("v").isNotNull),
       x => x("v")))).cast("long")
 
+  /** lag/at over the frame buffer: offset n from the newest row
+    * (lag(v, 0) = newest = current row when not excluded) —
+    * window_functions_def.cc:252 AtList semantics. */
+  def aggLag(arr: Column, n: Int): Column =
+    when(size(arr) > n, element_at(arr, n + 1)("v"))
+
+  /** first_value = the frame's FIRST (oldest) row's value
+    * (corrected post-0.9.0 semantics, window_functions_def.cc:276). */
+  def aggFirstValue(arr: Column): Column =
+    when(size(arr) > 0, element_at(arr, -1)("v"))
+
+  /** last_value = the frame's LAST (newest) row's value. */
+  def aggLastValue(arr: Column): Column =
+    when(size(arr) > 0, element_at(arr, 1)("v"))
+
   /** nth_value_where over a frame array whose `v` entries are
     * `struct(value, cond)`: the idx-th row matching cond, counted from
     * the frame START for idx > 0 and from the frame END for idx < 0;

@@ -552,7 +552,22 @@ object GraftSql {
     if (w.isRows) base.rowsBetween(lo, hi) else base.rangeBetween(lo, hi)
   }
 
-  private val extAggs = Set("sum", "count", "avg", "min", "max", "distinct_count")
+  private val extAggs = Set("sum", "count", "avg", "min", "max",
+    "distinct_count", "lag", "at", "first_value", "last_value")
+
+  /** split an argument list at top-level commas */
+  private def splitArgs(t: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; val b = new StringBuilder
+    t.foreach {
+      case '(' => depth += 1; b.append('(')
+      case ')' => depth -= 1; b.append(')')
+      case ',' if depth == 0 => out += b.toString.trim; b.clear()
+      case c => b.append(c)
+    }
+    if (b.nonEmpty) out += b.toString.trim
+    out.result()
+  }
 
   /** Extract `fn(args) OVER <w>` sub-expressions (top-level or nested
     * inside scalar calls like `round(sum(v) OVER w, 3)`), compute each
@@ -656,7 +671,8 @@ object GraftSql {
           if (!extAggs(fn))
             throw new IllegalArgumentException(
               s"unsupported aggregate '$fn' over an extended window")
-          val v = if (argText == "*") lit(1L) else expr(argText)
+          val args = splitArgs(argText)
+          val v = if (argText == "*") lit(1L) else expr(args.head)
           val ts = expr(w.order.getOrElse(
             throw new IllegalArgumentException("extended window needs ORDER BY")))
           // ROWS frames over an extended window: a row-count frame is an
@@ -700,6 +716,10 @@ object GraftSql {
             case "min"            => WindowOps.aggMin(arr)
             case "max"            => WindowOps.aggMax(arr)
             case "distinct_count" => WindowOps.aggDistinctCount(arr)
+            case "lag" | "at"     =>
+              WindowOps.aggLag(arr, if (args.length > 1) args(1).toInt else 1)
+            case "first_value"    => WindowOps.aggFirstValue(arr)
+            case "last_value"     => WindowOps.aggLastValue(arr)
           }
         }
       c.as(id)

@@ -204,6 +204,19 @@ class GraftSqlSpec extends SparkSpec {
     assert(out.toSet == Set(103.0 -> 3L, 203.0 -> 3L))
   }
 
+  test("navigation functions over extended windows (request-mode style)") {
+    val out = GraftSql.sql(spark,
+      """SELECT pk, ts, lag(v, 1) OVER w AS prev,
+        |  first_value(v) OVER w AS fv, last_value(v) OVER w AS lv
+        |FROM t1 WINDOW w AS (PARTITION BY pk ORDER BY ts
+        |  ROWS_RANGE BETWEEN 100 PRECEDING AND CURRENT ROW MAXSIZE 2)""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) null else r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // u1 ts=30: MAXSIZE-2 buffer newest-first = [3.0, 2.0]
+    assert(out(("u1", 30L)) == (2.0, 2.0, 3.0))
+    assert(out(("u1", 10L)) == (null, 1.0, 1.0)) // lone row: lag null
+  }
+
   test("clear errors for unsupported dialect surface") {
     // top-level ORDER BY is rejected by the reference dialect
     // (dql/SELECT_STATEMENT.md:111) — and by our grammar
