@@ -343,7 +343,9 @@ object SparkEntry {
         round(log2(col("l_quantity")), 6).as("m_log2"),
         round(pow(col("l_quantity"), 2), 6).as("m_pow"),
         pmod(col("l_orderkey"), lit(7)).as("m_mod"),
-        F.truncate(col("l_extendedprice")).as("m_trunc"),
+        // cast to long: oracle's CAST(trunc(..) AS BIGINT) is int64 and the
+        // driver's hash is dtype-sensitive (44473.0 hashes != 44473)
+        F.truncate(col("l_extendedprice")).cast("long").as("m_trunc"),
         round(sin(col("l_discount")), 6).as("m_sin"),
         round(cos(col("l_tax")), 6).as("m_cos"),
         round(atan(col("l_discount")), 6).as("m_atan"),
@@ -400,7 +402,10 @@ object SparkEntry {
         element_at(arr, 2).as("a_second"),
         array_max(arr).as("a_max"),
         array_min(arr).as("a_min"),
-        sort_array(arr).as("a_sorted"),
+        // array-typed outputs are serialized to strings: the driver's
+        // pandas-side canonicalizer cannot sort/hash ndarray cells
+        array_join(transform(sort_array(arr),
+          x => format_string("%.2f", x)), ",").as("a_sorted"),
         array_join(transform(arr, x => format_string("%.2f", x)), ",").as("a_join"))
     },
 
@@ -528,6 +533,10 @@ object SparkEntry {
       val media = Multimodal.withPayload(T(s, d, "documents"), "doc_id", "text")
       Multimodal.extractFeatures(media, new Multimodal.FakeDecoder(8))(s)
         .toDF()
+        // serialize the feature vector: the driver's pandas-side
+        // canonicalizer cannot sort/hash ndarray cells
+        .withColumn("features", array_join(
+          transform(col("features"), x => format_string("%.4f", x)), ","))
     },
 
     // ---- round 2: wider SURVEY §2 coverage ----
@@ -722,7 +731,8 @@ object SparkEntry {
       T(s, d, "lineitem").filter(col("l_orderkey") < 100).select(
         col("l_orderkey"), col("l_linenumber"),
         array_position(a, col("l_discount")).as("pos"),
-        slice(a, 1, 2).as("sl"),
+        array_join(transform(slice(a, 1, 2),
+          x => format_string("%.2f", x)), ",").as("sl"),
         array_join(transform(zip_with(a, a, (x, y) => x + y), v =>
           format_string("%.2f", v)), ",").as("zipped"),
         size(array_distinct(a)).as("ndist"))
@@ -1193,7 +1203,8 @@ object SparkEntry {
         | [l_quantity, l_discount, l_tax][2] AS a_second,
         | list_max([l_quantity, l_discount, l_tax]) AS a_max,
         | list_min([l_quantity, l_discount, l_tax]) AS a_min,
-        | list_sort([l_quantity, l_discount, l_tax]) AS a_sorted,
+        | array_to_string(list_transform(list_sort([l_quantity, l_discount, l_tax]),
+        |   x -> printf('%.2f', x)), ',') AS a_sorted,
         | array_to_string(list_transform([l_quantity, l_discount, l_tax],
         |   x -> printf('%.2f', x)), ',') AS a_join
         |FROM lineitem WHERE l_orderkey < 100""".stripMargin,
@@ -1515,7 +1526,8 @@ object SparkEntry {
     "q_array2" ->
       """SELECT l_orderkey, l_linenumber,
         | CAST(list_position([l_quantity, l_discount, l_tax], l_discount) AS BIGINT) AS pos,
-        | [l_quantity, l_discount][:2] AS sl,
+        | array_to_string(list_transform([l_quantity, l_discount],
+        |   x -> printf('%.2f', x)), ',') AS sl,
         | array_to_string(list_transform([l_quantity, l_discount, l_tax],
         |   x -> printf('%.2f', x + x)), ',') AS zipped,
         | CAST(len(list_distinct([l_quantity, l_discount, l_tax])) AS INTEGER) AS ndist
