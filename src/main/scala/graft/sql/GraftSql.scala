@@ -641,16 +641,19 @@ object GraftSql {
 
     var df = base
     val needsExtended = used.exists(_.isExtended) || requestMode
-    if (needsExtended) df = df.withColumn(UidCol, monotonically_increasing_id())
     if (unionTables.nonEmpty) {
       val sides = unionTables.map(t => resolveRef(spark, t, scope))
       df = df.withColumn(FlagCol, lit(true))
       sides.foreach { side =>
-        var u = side.withColumn(FlagCol, lit(false))
-        if (needsExtended) u = u.withColumn(UidCol, monotonically_increasing_id())
-        df = df.unionByName(u, allowMissingColumns = true)
+        df = df.unionByName(side.withColumn(FlagCol, lit(false)),
+          allowMissingColumns = true)
       }
     }
+    // uid is assigned ONCE, after any WINDOW UNION: per-side generators
+    // would restart at (partition<<33)+0 and collide across sides, and
+    // frameArray relies on uid uniqueness for EXCLUDE CURRENT_ROW,
+    // strict-row-order ties, and the (ts, uid) MAXSIZE tie-break
+    if (needsExtended) df = df.withColumn(UidCol, monotonically_increasing_id())
 
     val winCols: Seq[Column] = exprs.map { case (id, fnText, w) =>
       val c: Column =

@@ -106,6 +106,26 @@ class GraftSqlSpec extends SparkSpec {
     assert(out(("u1", 30L)) == 3.0 + 100.0 + 200.0) // t1 peers excluded
   }
 
+  test("WINDOW UNION with ts ties across primary and side keeps side rows") {
+    // primary and side rows share (pk, ts): a per-side uid generator would
+    // collide and EXCLUDE CURRENT_ROW (uid =!= curUid) would silently drop
+    // the colliding side row from the frame
+    val p = Seq(("u1", 10L, 1.0), ("u1", 20L, 2.0)).toDF("pk", "ts", "v")
+    val s = Seq(("u1", 10L, 100.0), ("u1", 20L, 200.0)).toDF("pk", "ts", "v")
+    p.createOrReplaceTempView("tie_p")
+    s.createOrReplaceTempView("tie_s")
+    val out = GraftSql.sql(spark,
+      """SELECT pk, ts, sum(v) OVER w AS s, count(v) OVER w AS c
+        |FROM tie_p WINDOW w AS (UNION tie_s PARTITION BY pk ORDER BY ts
+        |  ROWS_RANGE BETWEEN 100 PRECEDING AND CURRENT ROW EXCLUDE CURRENT_ROW)""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getLong(3)))).toMap
+    // ts=10 frame: side row at ts=10 only (self excluded) → 100.0
+    assert(out(("u1", 10L)) == ((100.0, 1L)))
+    // ts=20 frame: primary ts=10, side ts=10, side ts=20 → 301.0
+    assert(out(("u1", 20L)) == ((301.0, 3L)))
+  }
+
   test("LAST JOIN picks the last right row by ORDER BY") {
     val out = GraftSql.sql(spark,
       """SELECT t1.pk AS pk, t1.ts AS ts, dim.tier AS tier
