@@ -1,31 +1,84 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line {"metric":...,"queries":{...}}. */
+  * prints ONE JSON line {"metric":...,"queries":{...}}.
+  *
+  * Methodology: every query is materialized through the `noop` sink
+  * (`df.write.format("noop")`), which consumes the full output schema —
+  * Catalyst cannot prune unreferenced window/projection expressions the
+  * way a bare `.count()` allows, so the timings reflect the real work.
+  * Queries with a hand-written plain-Spark-SQL twin ([[PlainBaseline]])
+  * are timed on both sides and the ours/plain ratio is reported
+  * (BASELINE.md target: ratio <= 2.0). Exceptions are NOT swallowed:
+  * a failing query is reported in an "errors" map and forces a non-zero
+  * exit code after the JSON line is printed.
+  */
 object Bench {
+  private def materialize(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val warmDir = "/root/testdata/sf0.001"
     val spark = GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val plainNames = SparkEntry.benchQueries.filter(PlainBaseline.sqlText.contains)
+    // Register baseline views once, outside any timed region.
+    PlainBaseline.registerViews(spark, sfDir)
+
     // JVM/codegen warmup on the smallest SF so we measure steady-state.
+    // Warmup failures are remembered and reported; the timed run below
+    // will surface the same error.
     SparkEntry.benchQueries.foreach { name =>
-      try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count()
+      try materialize(SparkEntry.queries(name)(spark, warmDir))
       catch { case _: Throwable => () }
     }
-
-    val results = SparkEntry.benchQueries.map { name =>
-      val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+    locally {
+      PlainBaseline.registerViews(spark, warmDir)
+      plainNames.foreach { name =>
+        try materialize(PlainBaseline.query(spark, name))
+        catch { case _: Throwable => () }
+      }
+      PlainBaseline.registerViews(spark, sfDir)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    def timed(name: String)(body: => Unit): Option[Double] = {
+      val t0 = System.nanoTime()
+      try { body; Some((System.nanoTime() - t0) / 1e9) }
+      catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\n\\r]", " ").take(200)
+          None
+      }
+    }
+
+    val results = SparkEntry.benchQueries.flatMap { name =>
+      timed(name)(materialize(SparkEntry.queries(name)(spark, sfDir)))
+        .map(name -> _)
+    }
+    val plainResults = plainNames.flatMap { name =>
+      timed(s"plain:$name")(materialize(PlainBaseline.query(spark, name)))
+        .map(name -> _)
+    }
+
+    val oursByName = results.toMap
+    val ratios = plainResults.flatMap { case (name, pSec) =>
+      oursByName.get(name).map(o => name -> (o / math.max(pSec, 1e-9)))
+    }
+
+    def jmap(kv: Seq[(String, Double)]): String =
+      kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def smap(kv: Seq[(String, String)]): String =
+      kv.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
+
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"plain":${jmap(plainResults)},"ratio":${jmap(ratios)},"errors":${smap(errors.toSeq)},"failed":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }
