@@ -172,18 +172,25 @@ object SparkEntry {
 
     // ---- window extensions (WINDOW_CLAUSE.md attributes) ----
 
-    // MAXSIZE: ROWS_RANGE 10min capped to the 5 newest rows
+    // MAXSIZE: ROWS_RANGE 10min capped to the 5 newest rows.
+    // strictRowOrder = reference at-or-before ties (and the bounded
+    // ROWS-frame fast path); identical to ANSI peers on this data.
     "q_window_maxsize" -> q { (s, d) =>
       val arr = WindowOps.frameArray(col("value"), col("ts_ms"), col("event_id"),
-        Seq(col("user_id")), 600000L, maxSize = 5)
-      T(s, d, "events").select(
+        Seq(col("user_id")), 600000L, maxSize = 5, strictRowOrder = true)
+      // materialize the frame array once in its own projection: the six
+      // consumers then reference an attribute (CollapseProject keeps the
+      // split because the producer expression is non-cheap and
+      // multiply-referenced) instead of re-deriving the array 6x
+      val a = col("__arr")
+      T(s, d, "events").withColumn("__arr", arr).select(
         col("event_id"),
-        round(WindowOps.aggSum(arr), 3).as("m_sum"),
-        WindowOps.aggCount(arr).as("m_cnt"),
-        WindowOps.aggMin(arr).as("m_min"),
-        WindowOps.aggMax(arr).as("m_max"),
-        round(WindowOps.aggAvg(arr), 4).as("m_avg"),
-        WindowOps.aggDistinctCount(arr).as("m_dc"))
+        round(WindowOps.aggSum(a), 3).as("m_sum"),
+        WindowOps.aggCount(a).as("m_cnt"),
+        WindowOps.aggMin(a).as("m_min"),
+        WindowOps.aggMax(a).as("m_max"),
+        round(WindowOps.aggAvg(a), 4).as("m_avg"),
+        WindowOps.aggDistinctCount(a).as("m_dc"))
     },
 
     // EXCLUDE CURRENT_TIME over a minute-granular order key (forces
@@ -781,25 +788,35 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
       val joined = LastJoin(ev, cust, Seq("user_id"), Seq("c_custkey"),
         Some(col("c_custkey")))
-      val mk = (v: Column) => WindowOps.frameArray(v, col("ts_ms"),
-        col("event_id"), Seq(col("user_id")), 2592000000L, maxSize = 100)
-      val arrV = mk(col("value"))
-      val arrClick = mk(when(col("event_type") === "click", col("value")))
-      val arrBig = mk(when(col("value") > 100, col("value")))
-      joined.select(
+      // ONE collect per row serves all five window outputs: the frame
+      // value is a (value, event_type) struct and each aggregate projects
+      // the field it needs. Materialized once via withColumn so the
+      // consumers share the array attribute instead of re-deriving it.
+      val fa = WindowOps.frameArray(
+        struct(col("value").as("v"), col("event_type").as("et")),
+        col("ts_ms"), col("event_id"), Seq(col("user_id")),
+        2592000000L, maxSize = 100, strictRowOrder = true)
+      val a = col("__arr")
+      val vOf = (x: Column) => x("v")("v")
+      val nn = filter(a, x => vOf(x).isNotNull)
+      joined.withColumn("__arr", fa).select(
         col("event_id"),
         upper(col("event_type")).as("et_up"),
         (col("value") * 2).as("v2"),
         col("c_nationkey"),
         round(col("c_acctbal") / 100, 4).as("bal_h"),
-        WindowOps.aggDistinctCount(arrV).as("w_dc"),
-        round(WindowOps.aggSum(arrV), 3).as("w_sum"),
-        WindowOps.aggCount(arrV).as("w_cnt"),
+        size(array_distinct(transform(nn, vOf))).cast("long").as("w_dc"),
+        round(when(size(nn) > 0,
+          aggregate(nn, lit(0.0), (acc, x) => acc + vOf(x).cast("double"))), 3)
+          .as("w_sum"),
+        size(nn).cast("long").as("w_cnt"),
         // avg is (w_sum, w_cnt)-determined; its decimal representation
         // lands exactly on rounding boundaries (2-decimal inputs / small
         // counts), so it is not hash-compared separately
-        WindowOps.aggCount(arrClick).as("w_clicks"),
-        WindowOps.aggCount(arrBig).as("w_big"))
+        size(filter(a, x => x("v")("et") === "click" && vOf(x).isNotNull))
+          .cast("long").as("w_clicks"),
+        size(filter(a, x => vOf(x).isNotNull && vOf(x) > 100))
+          .cast("long").as("w_big"))
     },
 
     // skew-parallelized window (openmldb.window.skew.opt analog):

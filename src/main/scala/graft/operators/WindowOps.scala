@@ -61,6 +61,10 @@ object WindowOps {
     * @param primaryOnlyOutput when true (WINDOW UNION INSTANCE_NOT_IN_WINDOW),
     *   frame rows are restricted to NON-primary rows plus the current row.
     */
+  /** Sentinel threshold: a `precedingMs` at or above this is treated as
+    * "no range bound" (pure row-count frame). */
+  val UnboundedMs: Long = Long.MaxValue / 8
+
   def frameArray(
       v: Column, tsMs: Column, uid: Column,
       partition: Seq[Column],
@@ -68,11 +72,35 @@ object WindowOps {
       maxSize: Int = 0,
       excludeCurrentTime: Boolean = false,
       excludeCurrentRow: Boolean = false,
-      isPrimary: Column = lit(true),
+      isPrimary: Column = null,
       instanceNotInWindow: Boolean = false,
       strictRowOrder: Boolean = false): Column = {
+    val hasUnion = isPrimary != null
+    // Fast path: a row-capped strict frame with no flag- or
+    // time-dependent membership is exactly the newest `maxSize`
+    // at-or-before rows — a native ROWS frame over (ts, uid). The
+    // per-row buffer is bounded by maxSize regardless of partition
+    // history (the collect-then-slice slow path buffers the whole range
+    // span), and collect order follows the frame order so no array_sort
+    // is needed. Requires strictRowOrder because a ROWS frame cannot see
+    // ANSI RANGE peers that sort after the current row; strict
+    // at-or-before IS the reference's tie handling (mem_catalog.h:344).
+    if (strictRowOrder && maxSize > 0 &&
+        !excludeCurrentTime && !instanceNotInWindow && !hasUnion) {
+      val lo = -(maxSize - 1 + (if (excludeCurrentRow) 1 else 0)).toLong
+      val hi = if (excludeCurrentRow) -1L else 0L
+      val spec = Window.partitionBy(partition: _*)
+        .orderBy(tsMs.asc, uid.asc).rowsBetween(lo, hi)
+      var arr = reverse(collect_list(entry(tsMs, uid, lit(true), v)).over(spec))
+      if (precedingMs < UnboundedMs) {
+        val minTs = tsMs - precedingMs
+        arr = filter(arr, x => x("ts") >= minTs)
+      }
+      return arr
+    }
     val spec = rowsRange(partition, tsMs, precedingMs)
-    val arr0 = collect_list(entry(tsMs, uid, isPrimary, v)).over(spec)
+    val flag = if (hasUnion) isPrimary else lit(true)
+    val arr0 = collect_list(entry(tsMs, uid, flag, v)).over(spec)
     val curTs = tsMs
     val curUid = uid
     var arr = arr0
@@ -90,6 +118,59 @@ object WindowOps {
     arr = reverse(array_sort(arr))
     if (maxSize > 0) arr = slice(arr, 1, maxSize)
     arr
+  }
+
+  /** Effectively-unbounded frame + simple aggregate, without buffering
+    * history: decompose into a native running aggregate over
+    * STRICTLY-PRIOR rows (constant per-row state at any scale) plus the
+    * current row's own contribution. Covers every attribute combo:
+    *
+    *  - EXCLUDE CURRENT_TIME → prior window is RANGE (-inf, ts-1] (all
+    *    same-ts peers drop; the current row stays unless excluded);
+    *    otherwise prior window is ROWS (-inf, -1) over (ts, uid) —
+    *    the reference's at-or-before ingestion order.
+    *  - `memberFlag` (INSTANCE_NOT_IN_WINDOW / request mode): prior rows
+    *    count only when the predicate holds; the current row is always
+    *    its own frame member.
+    *  - EXCLUDE CURRENT_ROW → skip the current row's contribution.
+    *
+    * Output types match the frame-array aggregates: sum/avg are double,
+    * count is long, min/max keep the value type.
+    */
+  def unboundedAgg(fn: String, v: Column, tsMs: Column, uid: Column,
+      partition: Seq[Column],
+      excludeCurrentTime: Boolean,
+      excludeCurrentRow: Boolean,
+      memberFlag: Option[Column]): Column = {
+    val wPrior =
+      if (excludeCurrentTime)
+        Window.partitionBy(partition: _*).orderBy(tsMs)
+          .rangeBetween(Window.unboundedPreceding, -1)
+      else
+        Window.partitionBy(partition: _*).orderBy(tsMs.asc, uid.asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+    val vp = memberFlag.map(m => when(m, v)).getOrElse(v)
+    val cur: Column => Column = c => if (excludeCurrentRow) lit(null) else c
+    fn match {
+      case "sum" =>
+        val sp = sum(vp.cast("double")).over(wPrior)
+        val cv = cur(v.cast("double"))
+        when(cv.isNotNull, coalesce(sp, lit(0.0)) + cv).otherwise(sp)
+      case "count" =>
+        count(vp).over(wPrior) +
+          (if (excludeCurrentRow) lit(0L)
+           else when(v.isNotNull, lit(1L)).otherwise(lit(0L)))
+      case "min" => least(min(vp).over(wPrior), cur(v))
+      case "max" => greatest(max(vp).over(wPrior), cur(v))
+      case "avg" =>
+        val s = unboundedAgg("sum", v, tsMs, uid, partition,
+          excludeCurrentTime, excludeCurrentRow, memberFlag)
+        val c = unboundedAgg("count", v, tsMs, uid, partition,
+          excludeCurrentTime, excludeCurrentRow, memberFlag)
+        when(c > 0, s / c)
+      case other =>
+        throw new IllegalArgumentException(s"unboundedAgg: unsupported $other")
+    }
   }
 
   /** SUM over a frame array (null values ignored, like SQL SUM). */

@@ -702,6 +702,23 @@ object GraftSql {
               }
               (p, w.maxSize, false)
             }
+          val effUnbounded = preceding >= WindowOps.UnboundedMs && rowCap == 0
+          val simpleAgg = Set("sum", "count", "avg", "min", "max")(fn)
+          if (effUnbounded && simpleAgg) {
+            // Scale-safe unbounded frames: a collect_list of the entire
+            // per-key history is O(partition^2) memory under a hot key.
+            // Simple aggregates decompose into a native running aggregate
+            // over STRICTLY-PRIOR rows plus the current row's own value —
+            // constant state per row at any scale.
+            WindowOps.unboundedAgg(fn, v, ts, col(UidCol),
+              w.partition.map(expr),
+              excludeCurrentTime = w.exclCT,
+              excludeCurrentRow = w.exclCR,
+              memberFlag =
+                if (w.inw || requestMode)
+                  Some(!col(if (requestMode) RequestFlagCol else FlagCol))
+                else None)
+          } else {
           val arr = WindowOps.frameArray(v, ts, col(UidCol),
             w.partition.map(expr), preceding,
             maxSize = rowCap,
@@ -709,7 +726,7 @@ object GraftSql {
             excludeCurrentRow = w.exclCR,
             isPrimary =
               if (requestMode) col(RequestFlagCol)
-              else if (unionTables.nonEmpty) col(FlagCol) else lit(true),
+              else if (unionTables.nonEmpty) col(FlagCol) else null,
             instanceNotInWindow = w.inw || requestMode,
             strictRowOrder = strict)
           fn match {
@@ -723,6 +740,7 @@ object GraftSql {
               WindowOps.aggLag(arr, if (args.length > 1) args(1).toInt else 1)
             case "first_value"    => WindowOps.aggFirstValue(arr)
             case "last_value"     => WindowOps.aggLastValue(arr)
+          }
           }
         }
       c.as(id)

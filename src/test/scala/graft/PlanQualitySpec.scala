@@ -79,4 +79,41 @@ class PlanQualitySpec extends SparkSpec {
       500L, 500L).queryExecution.executedPlan.toString
     assert(p.contains("__bucket"), "bucket column missing from partitioning")
   }
+
+  // Long.MaxValue/4 — the "effectively unbounded" range literal the old
+  // extended-frame lowering planted into a RangeFrame collect_list.
+  private val unboundedLit = (Long.MaxValue / 4).toString
+
+  test("unbounded frame + EXCLUDE CURRENT_ROW plans a running agg, not a history collect") {
+    Seq(("u1", 10L, 1.0), ("u1", 20L, 2.0)).toDF("pk", "ts", "v")
+      .createOrReplaceTempView("pq_unb")
+    val df = graft.sql.GraftSql.sql(spark,
+      """SELECT pk, sum(v) OVER w AS s FROM pq_unb
+        |WINDOW w AS (PARTITION BY pk ORDER BY ts
+        |  ROWS_RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        |  EXCLUDE CURRENT_ROW)""".stripMargin)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("collect_list"),
+      "unbounded EXCLUDE CURRENT_ROW still buffers the whole history")
+    assert(!p.contains(unboundedLit), "effectively-unbounded RangeFrame in plan")
+  }
+
+  test("bounded ROWS frame plans a rows-frame collect, not a history collect") {
+    Seq(("u1", 10L, 1.0), ("u1", 20L, 2.0)).toDF("pk", "ts", "v")
+      .createOrReplaceTempView("pq_rows")
+    val df = graft.sql.GraftSql.sql(spark,
+      """SELECT pk, sum(v) OVER w AS s FROM pq_rows
+        |WINDOW w AS (PARTITION BY pk ORDER BY ts
+        |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW EXCLUDE CURRENT_ROW)""".stripMargin)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains(unboundedLit),
+      "bounded ROWS frame still collects the whole history range")
+  }
+
+  test("MAXSIZE query uses a bounded ROWS frame (no RangeFrame collect, no sort)") {
+    val p = plan("q_window_maxsize")
+    assert(p.contains("specifiedwindowframe(RowFrame"),
+      "maxsize frame not lowered to a ROWS frame")
+    assert(!p.contains("array_sort"), "fast path should not sort the frame")
+  }
 }

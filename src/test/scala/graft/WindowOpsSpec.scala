@@ -95,4 +95,73 @@ class WindowOpsSpec extends SparkSpec {
       .collect()(0).getString(1)
     assert(out == "5|4|3|2|1")
   }
+
+  test("strict MAXSIZE fast path: at-or-before newest-n with range bound") {
+    val s = sums(frame(maxSize = 2, strict = true))
+    assert(s(3L) == 2.0 + 3.0)     // tie-after uid=4 not yet in buffer
+    assert(s(4L) == 3.0 + 4.0)
+    assert(s(5L) == 4.0 + 5.0)
+    assert(s(1L) == 1.0)
+  }
+
+  test("strict MAXSIZE + EXCLUDE CURRENT_ROW: empty frame sums to NULL") {
+    val c = WindowOps.frameArray(col("v"), col("ts"), col("uid"),
+      Seq(col("k")), 25L, maxSize = 2, excludeCurrentRow = true,
+      strictRowOrder = true)
+    val s = sums(c)
+    assert(s(1L).isNaN)            // no prior rows -> NULL sum
+    assert(s(4L) == 2.0 + 3.0)
+    assert(s(5L) == 3.0 + 4.0)
+    // count over the empty frame must be 0, not null/-1
+    val cnt = df.select(col("uid"), WindowOps.aggCount(c).as("c"))
+      .as[(Long, Long)].collect().toMap
+    assert(cnt(1L) == 0L && cnt(6L) == 0L)
+  }
+
+  test("unboundedAgg matches the collect-everything slow path") {
+    import graft.operators.WindowOps.{frameArray, unboundedAgg}
+    val unb = Long.MaxValue / 4
+    for {
+      exclCT <- Seq(false, true)
+      exclCR <- Seq(false, true)
+      fn <- Seq("sum", "count", "avg", "min", "max")
+    } {
+      val arr = frameArray(col("v"), col("ts"), col("uid"), Seq(col("k")),
+        unb, excludeCurrentTime = exclCT, excludeCurrentRow = exclCR,
+        strictRowOrder = true)
+      val slow: org.apache.spark.sql.Column = fn match {
+        case "sum"   => WindowOps.aggSum(arr)
+        case "count" => WindowOps.aggCount(arr)
+        case "avg"   => WindowOps.aggAvg(arr)
+        case "min"   => WindowOps.aggMin(arr)
+        case "max"   => WindowOps.aggMax(arr)
+      }
+      val fast = unboundedAgg(fn, col("v"), col("ts"), col("uid"),
+        Seq(col("k")), exclCT, exclCR, memberFlag = None)
+      val out = df.select(col("uid"), slow.as("slow"), fast.as("fast")).collect()
+      out.foreach { r =>
+        assert(r.isNullAt(1) == r.isNullAt(2) &&
+          (r.isNullAt(1) || r.get(1) == r.get(2)),
+          s"fn=$fn exclCT=$exclCT exclCR=$exclCR uid=${r.get(0)}: " +
+            s"slow=${r.get(1)} fast=${r.get(2)}")
+      }
+    }
+  }
+
+  test("unboundedAgg with memberFlag matches INSTANCE_NOT_IN_WINDOW slow path") {
+    import graft.operators.WindowOps.{frameArray, unboundedAgg}
+    val unb = Long.MaxValue / 4
+    val flag = col("v") <= 2.0 // "primary" rows
+    val arr = frameArray(col("v"), col("ts"), col("uid"), Seq(col("k")),
+      unb, isPrimary = flag, instanceNotInWindow = true, strictRowOrder = true)
+    val slow = WindowOps.aggSum(arr)
+    val fast = unboundedAgg("sum", col("v"), col("ts"), col("uid"),
+      Seq(col("k")), excludeCurrentTime = false, excludeCurrentRow = false,
+      memberFlag = Some(!flag))
+    df.select(col("uid"), slow.as("slow"), fast.as("fast")).collect().foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2) &&
+        (r.isNullAt(1) || r.get(1) == r.get(2)),
+        s"uid=${r.get(0)}: slow=${r.get(1)} fast=${r.get(2)}")
+    }
+  }
 }
