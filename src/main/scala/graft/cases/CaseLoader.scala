@@ -1,0 +1,151 @@
+package graft.cases
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
+import scala.jdk.CollectionConverters._
+
+/** One input table of a SQL case: `columns` are "name type" pairs,
+  * `rows` hold Boolean / Long (integral) / Double (floating) / String /
+  * null cells; `repeat` duplicates the row block. */
+case class CaseInput(name: Option[String], columns: Seq[String],
+    rows: Seq[Seq[Any]], repeat: Int)
+
+/** Expected result: `success = false` marks a must-fail case. */
+case class CaseExpect(success: Boolean, order: Option[String],
+    columns: Option[Seq[String]], rows: Option[Seq[Seq[Any]]],
+    count: Option[Long])
+
+/** A fully-expanded SQL case (dataProvider variants resolved).
+  * `key` is "file:id[variant]" — stable across runs, used for skip
+  * lists and reporting. */
+case class SqlCase(file: String, id: String, desc: String,
+    inputs: Seq[CaseInput], sql: String, expect: CaseExpect,
+    mode: Set[String], tags: Seq[String], variant: String) {
+  def key: String = s"$file:$id$variant"
+}
+
+/** Loader for the reference's YAML SQL-case corpus
+  * (reference: cases/function/window/test_window.yaml:18-44 for the
+  * schema; hybridse/src/testing/engine_test_base.h:75-100 runs the same
+  * files as the reference's correctness authority).
+  *
+  * Parses with jackson-dataformat-yaml (already on the Spark
+  * classpath), expands `dataProvider` cross-products into concrete
+  * cases substituting `d[i]` tokens, and resolves per-variant
+  * `expectProvider` overrides keyed by the first provider dimension.
+  */
+object CaseLoader {
+  private val mapper = new ObjectMapper(new YAMLFactory)
+
+  private def cell(n: JsonNode): Any =
+    if (n == null || n.isNull) null
+    else if (n.isBoolean) n.asBoolean()
+    else if (n.isIntegralNumber) n.asLong()
+    else if (n.isFloatingPointNumber) n.asDouble()
+    else n.asText()
+
+  private def rows(n: JsonNode): Seq[Seq[Any]] =
+    if (n == null || n.isNull) Seq.empty
+    else n.elements.asScala.toSeq.map(r => r.elements.asScala.toSeq.map(cell))
+
+  private def strs(n: JsonNode): Seq[String] =
+    if (n == null || n.isNull) Seq.empty
+    else n.elements.asScala.toSeq.map(_.asText())
+
+  private def opt(n: JsonNode): Option[JsonNode] =
+    if (n == null || n.isNull) None else Some(n)
+
+  private def parseInput(n: JsonNode): CaseInput = {
+    // columns: ["c1 string", ...]  OR  schema: "c1:string, c2:int32"
+    val columns = opt(n.get("schema")) match {
+      case Some(s) => s.asText().split(",").toSeq
+        .map(_.trim.split(":")).map(p => s"${p(0).trim} ${p(1).trim}")
+      case None => strs(n.get("columns"))
+    }
+    // rows: [[...]]  OR  data: "a, 1, 2\nb, 3, 4\n" (CSV block; cells
+    // stay strings — the runner's type-driven coercion parses them)
+    val rowData = opt(n.get("data")) match {
+      case Some(d) => d.asText().split("\n").toSeq.map(_.trim)
+        .filter(_.nonEmpty)
+        .map(_.split(",", -1).toSeq.map { c0 =>
+          val c = c0.trim
+          if (c.isEmpty || c.equalsIgnoreCase("null")) null else c
+        })
+      case None => rows(n.get("rows"))
+    }
+    CaseInput(
+      name = opt(n.get("name")).map(_.asText()),
+      columns = columns,
+      rows = rowData,
+      repeat = opt(n.get("repeat")).map(_.asInt()).getOrElse(1))
+  }
+
+  private def parseExpect(n: JsonNode): CaseExpect =
+    if (n == null || n.isNull) CaseExpect(success = true, None, None, None, None)
+    else CaseExpect(
+      success = opt(n.get("success")).forall(_.asBoolean()),
+      order = opt(n.get("order")).map(_.asText()),
+      columns = opt(n.get("columns")).map(strs),
+      rows = opt(n.get("rows")).map(rows),
+      count = opt(n.get("count")).map(_.asLong()))
+
+  /** expectProvider override: merge non-null fields over the base. */
+  private def mergeExpect(base: CaseExpect, n: JsonNode): CaseExpect =
+    CaseExpect(
+      success = opt(n.get("success")).map(_.asBoolean()).getOrElse(base.success),
+      order = opt(n.get("order")).map(_.asText()).orElse(base.order),
+      columns = opt(n.get("columns")).map(strs).orElse(base.columns),
+      rows = opt(n.get("rows")).map(rows).orElse(base.rows),
+      count = opt(n.get("count")).map(_.asLong()).orElse(base.count))
+
+  /** Load one YAML case file; `fileTag` labels case keys (use the
+    * basename without extension). Cases using unsupported schema
+    * features (`sqls` lists, input `resource` refs) are dropped. */
+  def load(path: String, fileTag: String): Seq[SqlCase] = {
+    val root = mapper.readTree(new java.io.File(path))
+    val cases = opt(root.get("cases")).map(_.elements.asScala.toSeq).getOrElse(Seq.empty)
+    cases.flatMap { c =>
+      val id = opt(c.get("id")).map(_.asText()).getOrElse("?")
+      val desc = opt(c.get("desc")).map(_.asText()).getOrElse("")
+      val sqlNode = c.get("sql")
+      val unsupported =
+        sqlNode == null || sqlNode.isNull ||
+          opt(c.get("inputs")).exists(_.elements.asScala.exists(i =>
+            opt(i.get("resource")).isDefined))
+      if (unsupported) Seq.empty
+      else {
+        val inputs = opt(c.get("inputs"))
+          .map(_.elements.asScala.toSeq.map(parseInput)).getOrElse(Seq.empty)
+        val baseSql = sqlNode.asText().trim.stripSuffix(";")
+        val baseExpect = parseExpect(c.get("expect"))
+        val mode = opt(c.get("mode")).map(_.asText())
+          .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty)
+        val tags = opt(c.get("tags")).map(strs).getOrElse(Seq.empty)
+        val providers: Seq[Seq[String]] = opt(c.get("dataProvider"))
+          .map(_.elements.asScala.toSeq.map(strs)).getOrElse(Seq.empty)
+        val expectProvider = opt(c.get("expectProvider"))
+
+        def mk(sql: String, expect: CaseExpect, variant: String) =
+          SqlCase(fileTag, id, desc, inputs, sql, expect, mode, tags, variant)
+
+        if (providers.isEmpty) Seq(mk(baseSql, baseExpect, ""))
+        else {
+          // cross-product of provider dimensions
+          val combos = providers.foldLeft(Seq(Seq.empty[Int])) { (acc, dim) =>
+            acc.flatMap(prefix => dim.indices.map(prefix :+ _))
+          }
+          combos.map { combo =>
+            val sql = combo.zipWithIndex.foldLeft(baseSql) {
+              case (s, (choice, dim)) =>
+                s.replace(s"d[$dim]", providers(dim)(choice))
+            }
+            val expect = expectProvider.flatMap(ep =>
+              opt(ep.get(combo.head.toString))).map(mergeExpect(baseExpect, _))
+              .getOrElse(baseExpect)
+            mk(sql, expect, combo.mkString("[", ",", "]"))
+          }
+        }
+      }
+    }
+  }
+}

@@ -74,7 +74,9 @@ object WindowOps {
       excludeCurrentRow: Boolean = false,
       isPrimary: Column = null,
       instanceNotInWindow: Boolean = false,
-      strictRowOrder: Boolean = false): Column = {
+      strictRowOrder: Boolean = false,
+      hiPrecedingMs: Long = 0,
+      skipNewest: Int = 0): Column = {
     val hasUnion = isPrimary != null
     // Fast path: a row-capped strict frame with no flag- or
     // time-dependent membership is exactly the newest `maxSize`
@@ -85,10 +87,11 @@ object WindowOps {
     // is needed. Requires strictRowOrder because a ROWS frame cannot see
     // ANSI RANGE peers that sort after the current row; strict
     // at-or-before IS the reference's tie handling (mem_catalog.h:344).
-    if (strictRowOrder && maxSize > 0 &&
+    if (strictRowOrder && maxSize > 0 && hiPrecedingMs == 0 &&
         !excludeCurrentTime && !instanceNotInWindow && !hasUnion) {
-      val lo = -(maxSize - 1 + (if (excludeCurrentRow) 1 else 0)).toLong
-      val hi = if (excludeCurrentRow) -1L else 0L
+      val skip = math.max(skipNewest, if (excludeCurrentRow) 1 else 0)
+      val lo = -(maxSize - 1 + skip).toLong
+      val hi = -skip.toLong
       val spec = Window.partitionBy(partition: _*)
         .orderBy(tsMs.asc, uid.asc).rowsBetween(lo, hi)
       var arr = reverse(collect_list(entry(tsMs, uid, lit(true), v)).over(spec))
@@ -114,10 +117,73 @@ object WindowOps {
       arr = filter(arr, x => x("ts") =!= curTs || x("uid") === curUid)
     if (excludeCurrentRow)
       arr = filter(arr, x => x("uid") =!= curUid)
+    if (hiPrecedingMs > 0) {
+      // frame ends hi ms before the current row (upper Prec bound)
+      val maxTs = curTs - hiPrecedingMs
+      arr = filter(arr, x => x("ts") <= maxTs)
+    }
     // newest first; (ts, uid) is a total order because uid is unique.
     arr = reverse(array_sort(arr))
+    if (skipNewest > 0)
+      arr = slice(arr, lit(skipNewest + 1),
+        greatest(size(arr) - skipNewest, lit(0)))
     if (maxSize > 0) arr = slice(arr, 1, maxSize)
     arr
+  }
+
+  /** Strict-tie plain RANGE frame for decomposable aggregates
+    * (sum/count/avg), without buffering the frame: the reference's
+    * ROWS_RANGE frame holds rows at-or-before the current row in
+    * ingestion order (mem_catalog.h:344), which ANSI RANGE peers cannot
+    * express. Decompose over prefix aggregates instead:
+    *
+    *   R(i)   = running agg over ROWS (-inf, 0] ordered by (ts, uid)
+    *   U(i)   = R at the frame's upper boundary: R itself when the frame
+    *            ends at the current row, else the R of the latest row
+    *            with ts <= curTs - hi (max_by over a RANGE window)
+    *   B(i)   = R of the latest row with ts < curTs - preceding
+    *   result = U - B   (count > 0 guards sum/avg nullability)
+    *
+    * All pieces are native window aggregates over the same partition
+    * keys — one shuffle, one sort at any scale. Returns the pieces as a
+    * pre-projection map: callers materialize `prep` columns first, then
+    * use `agg` (window-over-window needs two projection stages).
+    *
+    * @param precedingMs frame span (open-adjusted); Long >= UnboundedMs
+    *   means UNBOUNDED PRECEDING (no lower boundary subtraction)
+    * @param hiMs frame upper offset (0 = CURRENT ROW)
+    */
+  def strictRangeAgg(fn: String, id: String, v: Column, tsMs: Column,
+      uid: Column, partition: Seq[Column],
+      precedingMs: Long, hiMs: Long): (Seq[(String, Column)], Column) = {
+    val wPref = Window.partitionBy(partition: _*)
+      .orderBy(tsMs.asc, uid.asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val sumName = s"__graft_rsum_$id"
+    val cntName = s"__graft_rcnt_$id"
+    val prep = Seq(
+      sumName -> sum(v.cast("double")).over(wPref),
+      cntName -> count(v).over(wPref))
+    def boundary(c: Column, ofsMs: Long): Column =
+      max_by(c, struct(tsMs, uid)).over(
+        Window.partitionBy(partition: _*).orderBy(tsMs)
+          .rangeBetween(Window.unboundedPreceding, -ofsMs))
+    def diff(c: Column): Column = {
+      val up = if (hiMs == 0) c else coalesce(boundary(c, hiMs), lit(0.0))
+      val lo = if (precedingMs >= UnboundedMs) lit(0.0)
+        else coalesce(boundary(c, precedingMs + 1), lit(0.0))
+      up - lo
+    }
+    val cnt = diff(coalesce(col(cntName), lit(0L)).cast("double")).cast("long")
+    val agg = fn match {
+      case "count" => cnt
+      case "sum"   => when(cnt > 0, diff(coalesce(col(sumName), lit(0.0))))
+      case "avg"   => when(cnt > 0,
+        diff(coalesce(col(sumName), lit(0.0))) / cnt)
+      case other   =>
+        throw new IllegalArgumentException(s"strictRangeAgg: unsupported $other")
+    }
+    (prep, agg)
   }
 
   /** Effectively-unbounded frame + simple aggregate, without buffering

@@ -198,7 +198,9 @@ object GraftSql {
           if (accept("AS")) Some(next())
           else None
         projs += Proj(e, over, alias)
-        more = accept(",")
+        // tolerate a trailing comma before FROM/WINDOW (the reference's
+        // zetasql dialect accepts it — cases/query/last_join_window_query.yaml id 5)
+        more = accept(",") && peekUp != "FROM" && peekUp != "WINDOW"
       }
       // no-FROM constant select (dql/NO_TABLE_SELECT_CLAUSE.md)
       if (peekUp != "FROM")
@@ -298,7 +300,16 @@ object GraftSql {
       var exclCT = false; var exclCR = false; var inw = false
       var attrs = true
       while (attrs) {
-        if (accept("MAXSIZE")) maxSize = next().toInt
+        if (accept("MAXSIZE")) {
+          // reference grammar: MAXSIZE is a ROWS_RANGE-only attribute and
+          // must precede EXCLUDE clauses (WINDOW_CLAUSE.md:18; the
+          // corpus pins both: test_maxsize.yaml id 25, test_current_row
+          // .yaml id 30)
+          if (isRows) fail("MAXSIZE is only supported for ROWS_RANGE windows")
+          if (exclCT || exclCR) fail("MAXSIZE must precede EXCLUDE clauses")
+          maxSize = next().toInt
+          if (maxSize <= 0) fail("MAXSIZE must be a positive integer")
+        }
         else if (accept("EXCLUDE")) {
           if (accept("CURRENT_TIME")) exclCT = true
           else { expect("CURRENT_ROW"); exclCR = true }
@@ -479,10 +490,54 @@ object GraftSql {
         planWindows(spark, s, df, scope, requestMode)
       else if (s.projs.length == 1 && s.projs.head.exprText == "*") df
       else df.select(s.projs.zipWithIndex.map { case (pr, i) =>
-        expr(pr.exprText).as(projName(pr, i)) }: _*)
+        expr(coerceDateFns(pr.tokens, df).mkString(" ")).as(projName(pr, i)) }: _*)
 
     s.limit.foreach(n => out = out.limit(n))
     out
+  }
+
+  /** index of the ')' matching the '(' at `open` */
+  private def matchClose(toks: Vector[String], open: Int): Int = {
+    var depth = 0; var j = open
+    while (j < toks.length) {
+      if (toks(j) == "(") depth += 1
+      if (toks(j) == ")") { depth -= 1; if (depth == 0) return j }
+      j += 1
+    }
+    throw new IllegalArgumentException("unbalanced parens in expression")
+  }
+
+  private val dateFns = Set("month", "year", "day", "dayofmonth",
+    "dayofweek", "dayofyear", "weekofyear", "week", "hour", "minute",
+    "second")
+
+  /** The engine's canonical timestamp is an int64-ms column (SURVEY
+    * §1.2); Spark's date functions want TIMESTAMP. Wrap integral-typed
+    * arguments of date functions in timestamp_millis so dialect queries
+    * like month(std_ts + col2) analyze (udaf_query.yaml id 2). */
+  private def coerceDateFns(toks: Vector[String], df: DataFrame): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < toks.length) {
+      if (dateFns(toks(i).toLowerCase) && i + 1 < toks.length &&
+          toks(i + 1) == "(") {
+        val close = matchClose(toks, i + 1)
+        val inner = coerceDateFns(toks.slice(i + 2, close), df)
+        val integral =
+          try df.select(expr(inner.mkString(" "))).schema.head.dataType match {
+            case org.apache.spark.sql.types.LongType |
+                 org.apache.spark.sql.types.IntegerType |
+                 org.apache.spark.sql.types.ShortType => true
+            case _ => false
+          } catch { case _: Throwable => false }
+        out += toks(i); out += "("
+        if (integral) out ++= Vector("timestamp_millis", "(") ++ inner ++ Vector(")")
+        else out ++= inner
+        out += ")"
+        i = close + 1
+      } else { out += toks(i); i += 1 }
+    }
+    out.result()
   }
 
   /** Detect a pure equi-conjunction join condition; returns
@@ -493,7 +548,10 @@ object GraftSql {
     val ident = "[A-Za-z_][A-Za-z0-9_]*"
     val out = Seq.newBuilder[(String, String)]
     for (part <- cond.split("(?i)\\bAND\\b").map(_.trim)) {
-      val sides = part.split("=").map(_.trim)
+      // a bare `=` only: `>=` / `<=` / `!=` / `==` / `<=>` conjuncts are
+      // not equi keys (last_join_window_query.yaml id 3 joins on
+      // col1=col1 AND col5>=col5 — the >= must reach the general path)
+      val sides = part.split("(?<![<>!=])=(?![=>])").map(_.trim)
       if (sides.length != 2) return None
       def rightKey(sd: String): Option[String] = {
         val m = s"$rightQual \\. ($ident)".r
@@ -535,11 +593,17 @@ object GraftSql {
     else (t.substring(0, i).trim.toLowerCase, t.substring(i + 1, t.length - 1).trim)
   }
 
-  private def plainSpec(w: WinDef): WindowSpec = {
+  private def plainSpec(w: WinDef, uidTiebreak: Option[Column] = None): WindowSpec = {
     val part = w.partition.map(expr)
-    val ord = w.order.map(o => if (w.orderDesc) expr(o).desc else expr(o))
+    val ord0 = w.order.map(o => if (w.orderDesc) expr(o).desc else expr(o))
       .getOrElse(lit(1).asc)
-    val base = Window.partitionBy(part: _*).orderBy(ord)
+    // ROWS frames tie-break on uid (ingestion order) so positions are
+    // deterministic and at-or-before, matching the reference buffer
+    val ord = uidTiebreak match {
+      case Some(u) => Seq(ord0, if (w.orderDesc) u.desc else u.asc)
+      case None    => Seq(ord0)
+    }
+    val base = Window.partitionBy(part: _*).orderBy(ord: _*)
     def loVal(b: Bound): Long = b match {
       case Unbounded     => Window.unboundedPreceding
       case CurrentRow    => 0L
@@ -600,7 +664,16 @@ object GraftSql {
         if (isCall) {
           val close = matchingClose(toks, i + 1)
           if (close + 1 < toks.length && toks(close + 1).equalsIgnoreCase("OVER")) {
-            val fnText = toks.slice(i, close + 1).mkString(" ")
+            // a window call may nest another window call in its argument
+            // (udaf_query.yaml ids 4-5: count(case when c2 > last_value(c2)
+            // over w1 ...) over w1) — rewrite the argument first so the
+            // inner expression registers before (and is referable by) the
+            // outer one; materialization is sequential in that order
+            val argToks =
+              if (toks.slice(i + 2, close).exists(_.equalsIgnoreCase("OVER")))
+                rewrite(toks.slice(i + 2, close))
+              else toks.slice(i + 2, close)
+            val fnText = (Vector(toks(i), "(") ++ argToks ++ Vector(")")).mkString(" ")
             var after = close + 2
             val ref: Either[String, WinDef] =
               if (after < toks.length && toks(after) == "(") {
@@ -620,91 +693,220 @@ object GraftSql {
       out.result()
     }
 
+    val navFns = Set("first_value", "last_value", "lag", "at")
+    val aggHeads = Set("sum", "count", "avg", "min", "max", "distinct_count",
+      "sum_where", "count_where", "avg_where", "min_where", "max_where")
+
+    /** Inside an aggregate's argument, a window-only function WITHOUT its
+      * own OVER binds to the enclosing window (udaf_query.yaml id 6:
+      * count_where(id, val1 = first_value(val1)) over w1) — register it
+      * as a separate window column of `w` and substitute its id. */
+    def rewriteImplicitNav(toks: Vector[String], w: WinDef): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < toks.length) {
+        if (navFns(toks(i).toLowerCase) && i + 1 < toks.length &&
+            toks(i + 1) == "(" ) {
+          val close = matchingClose(toks, i + 1)
+          val after = close + 1
+          if (after < toks.length && toks(after).equalsIgnoreCase("OVER")) {
+            out ++= toks.slice(i, after); i = after
+          } else {
+            val id = fresh()
+            winExprs += ((id, toks.slice(i, close + 1).mkString(" "), w))
+            out += id
+            i = close + 1
+          }
+        } else { out += toks(i); i += 1 }
+      }
+      out.result()
+    }
+
+    def bindImplicit(toks: Vector[String], w: WinDef): Vector[String] =
+      if (toks.length > 2 && toks(1) == "(" && aggHeads(toks(0).toLowerCase) &&
+          toks.exists(t => navFns(t.toLowerCase))) {
+        val close = matchingClose(toks, 1)
+        (Vector(toks(0), "(") ++ rewriteImplicitNav(toks.slice(2, close), w) ++
+          Vector(")")) ++ toks.slice(close + 1, toks.length)
+      } else toks
+
     val outerTokens: Seq[Vector[String]] = s.projs.map { pr =>
+      val pt = coerceDateFns(pr.tokens, base)
       pr.over match {
         case Some(ref) =>
+          // the aggregate's argument may itself nest a window call
+          // (udaf_query.yaml ids 4-6) — rewrite it first so the inner
+          // expression registers before the outer one
+          val w = resolveWin(ref)
+          val ptR = bindImplicit(
+            if (pr.hasNestedOver) rewrite(pt) else pt, w)
           val id = fresh()
-          winExprs += ((id, pr.exprText, resolveWin(ref)))
+          winExprs += ((id, ptR.mkString(" "), w))
           Vector(id)
-        case None if pr.hasNestedOver => rewrite(pr.tokens)
-        case None => pr.tokens
+        case None if pr.hasNestedOver => rewrite(pt)
+        case None => pt
       }
     }
 
     val exprs = winExprs.result()
-    val used = exprs.map(_._3)
-    val unionTables = used.flatMap(_.unions).distinct
-    if (unionTables.nonEmpty && used.exists(w => w.unions.nonEmpty &&
-        w.unions.toSet != unionTables.toSet))
-      throw new IllegalArgumentException(
-        "multiple WINDOW UNION lists in one SELECT are unsupported")
 
-    var df = base
-    val needsExtended = used.exists(_.isExtended) || requestMode
-    if (unionTables.nonEmpty) {
-      val sides = unionTables.map(t => resolveRef(spark, t, scope))
-      df = df.withColumn(FlagCol, lit(true))
-      sides.foreach { side =>
-        df = df.unionByName(side.withColumn(FlagCol, lit(false)),
-          allowMissingColumns = true)
+    // reference sum() preserves integral input types with wraparound
+    // overflow (test_window.yaml id 21: sum(int32) wraps at 2^31);
+    // internal accumulation is wider, the result casts back
+    def sumCastType(vText: String): Option[org.apache.spark.sql.types.DataType] =
+      try base.select(expr(vText)).schema.head.dataType match {
+        case t @ (org.apache.spark.sql.types.IntegerType |
+                  org.apache.spark.sql.types.ShortType |
+                  org.apache.spark.sql.types.LongType) => Some(t)
+        case _ => None
+      } catch { case _: Throwable => None }
+
+    /** Build the output columns for one group of window expressions
+      * sharing a WINDOW UNION signature. Returns (pre-projection
+      * columns, output columns) — pure column expressions, no df. */
+    def groupCols(gexprs: Seq[(String, String, WinDef)], hasUnion: Boolean)
+        : (Seq[(String, Column)], Seq[(String, Column)]) = {
+    // pre-projection columns (prefix sums for strict-range decomposition:
+    // window-over-window needs two stages)
+    val prepCols = Seq.newBuilder[(String, Column)]
+
+    val winCols: Seq[(String, Column)] = gexprs.map { case (id, fnText0, w) =>
+      val (fnRaw, argRaw) = splitCall(fnText0)
+      // the *_where family over windows = the base aggregate over a
+      // CASE WHEN guard (udf_registry: *_where UDAFs; udaf_query.yaml id 4)
+      val (fn, argText) =
+        if (fnRaw.endsWith("_where") && extAggs(fnRaw.stripSuffix("_where"))) {
+          val as = splitArgs(argRaw)
+          (fnRaw.stripSuffix("_where"),
+            s"CASE WHEN ${as(1)} THEN ${as(0)} END")
+        } else (fnRaw, argRaw)
+      val fnText = s"$fn ( $argText )"
+      val args = splitArgs(argText)
+      // ANSI mode would throw on the overflow the reference wraps —
+      // reduce into range with mod arithmetic before the final cast
+      def wrapTo(c: Column, halfRange: Long, t: org.apache.spark.sql.types.DataType): Column = {
+        val full = 2 * halfRange
+        val l = c.cast("long")
+        ((((l + halfRange) % full + full) % full) - halfRange).cast(t)
       }
-    }
-    // uid is assigned ONCE, after any WINDOW UNION: per-side generators
-    // would restart at (partition<<33)+0 and collide across sides, and
-    // frameArray relies on uid uniqueness for EXCLUDE CURRENT_ROW,
-    // strict-row-order ties, and the (ts, uid) MAXSIZE tie-break
-    if (needsExtended) df = df.withColumn(UidCol, monotonically_increasing_id())
-
-    val winCols: Seq[Column] = exprs.map { case (id, fnText, w) =>
+      val sumCast: Column => Column =
+        if (fn == "sum" && argText != "*")
+          sumCastType(args.head).map { t => (c: Column) =>
+            t match {
+              case org.apache.spark.sql.types.IntegerType =>
+                wrapTo(c, 1L << 31, t)
+              case org.apache.spark.sql.types.ShortType =>
+                wrapTo(c, 1L << 15, t)
+              case _ => c.cast(t)
+            }
+          }.getOrElse(identity[Column] _)
+        else identity[Column] _
+      // frame upper bound: 0 = CURRENT ROW, else a Prec offset
+      // (ms for RANGE, rows for ROWS; OPEN excludes the boundary)
+      val hiOffset: Long = w.hi match {
+        case CurrentRow    => 0L
+        case Prec(h, open) => h + (if (open) 1 else 0)
+        case Unbounded     =>
+          throw new IllegalArgumentException("UNBOUNDED upper frame bound")
+      }
+      val plain = !w.isExtended && !requestMode
+      // an argument referencing a window result (__graft_wN) needs the
+      // current-row-binding HOF path — never the native window branches
+      val windowBound = argText.contains("__graft_w")
+      val decomposable = !windowBound && Set("sum", "count", "avg")(fn)
+      val isOffsetFn = fn == "lag" || fn == "lead" || fn == "at"
       val c: Column =
-        if (!w.isExtended && !requestMode) {
-          // offset functions reject explicit frames in Spark; `at` is the
-          // reference's alias for lag (window_functions_def.cc:252)
-          val (fn0, argText) = splitCall(fnText)
-          val text = if (fn0 == "at") s"lag ( $argText )" else fnText
-          val spec =
-            if (fn0 == "lag" || fn0 == "lead" || fn0 == "at") {
-              val ord = w.order.map(o => if (w.orderDesc) expr(o).desc else expr(o))
-                .getOrElse(lit(1).asc)
-              Window.partitionBy(w.partition.map(expr): _*).orderBy(ord)
-            } else plainSpec(w)
+        if (isOffsetFn && !hasUnion && !requestMode && !w.inw) {
+          // offset functions are FRAMELESS positional lookups over the
+          // partition's ingestion order — the corpus shows lag reaching
+          // rows outside the RANGE span and ignoring EXCLUDE attributes
+          // (window_attributes.yaml id 0: l1 of a row whose 2s frame is
+          // empty still sees its predecessor). `at` is the reference's
+          // alias for lag (window_functions_def.cc:252); uid tiebreak =
+          // ingestion order for same-ts peers.
+          val text = if (fn == "at") s"lag ( $argText )" else fnText
+          val ord = w.order.map(o => if (w.orderDesc) expr(o).desc else expr(o))
+            .getOrElse(lit(1).asc)
+          val spec = Window.partitionBy(w.partition.map(expr): _*)
+            .orderBy(ord, if (w.orderDesc) col(UidCol).desc else col(UidCol).asc)
           expr(text).over(spec)
+        } else if (plain && w.isRows && !windowBound) {
+          // plain ROWS: native frame over (order, uid) — deterministic
+          // at-or-before positions at native speed
+          expr(fnText).over(plainSpec(w, Some(col(UidCol))))
+        } else if (plain && !w.isRows && !w.orderDesc && decomposable) {
+          // plain ROWS_RANGE sum/count/avg: strict-tie prefix-sum
+          // decomposition (reference holds at-or-before rows in ingestion
+          // order, mem_catalog.h:344 — ANSI RANGE peers would overcount
+          // same-ts rows that sort after the current row)
+          val v = if (argText == "*") lit(1L) else expr(args.head)
+          val ts = expr(w.order.getOrElse(
+            throw new IllegalArgumentException("RANGE window needs ORDER BY")))
+          val preceding = w.lo match {
+            case Prec(n, open) => n - (if (open) 1 else 0)
+            case Unbounded     => Long.MaxValue / 4
+            case CurrentRow    => 0L
+          }
+          val (prep, agg) = WindowOps.strictRangeAgg(fn, id, v, ts,
+            col(UidCol), w.partition.map(expr), preceding, hiOffset)
+          prepCols ++= prep
+          agg
         } else {
-          val (fn, argText) = splitCall(fnText)
           if (!extAggs(fn))
             throw new IllegalArgumentException(
               s"unsupported aggregate '$fn' over an extended window")
-          val args = splitArgs(argText)
           val v = if (argText == "*") lit(1L) else expr(args.head)
           val ts = expr(w.order.getOrElse(
             throw new IllegalArgumentException("extended window needs ORDER BY")))
           // ROWS frames over an extended window: a row-count frame is an
           // unbounded range capped to the newest (n+1) at-or-before rows
-          // (strict row order makes same-ts peers behave like ROWS)
-          val (preceding, rowCap, strict) =
+          // (strict row order makes same-ts peers behave like ROWS);
+          // a ROWS upper bound h skips the h newest positions.
+          val (preceding, rowCap, strict, hiMs, skipRows, exclCRFilter) =
             if (w.isRows) {
               val n = w.lo match {
                 case Prec(n0, open) => n0 - (if (open) 1 else 0)
                 case Unbounded      => -1L
                 case CurrentRow     => 0L
               }
+              val h = hiOffset.toInt
               val frameCap =
-                if (n < 0) 0 else (n + (if (w.exclCR) 0 else 1)).toInt
+                if (n < 0) 0
+                else if (h > 0) (n - h + 1).toInt
+                else (n + (if (w.exclCR) 0 else 1)).toInt
               val cap =
                 if (w.maxSize > 0 && frameCap > 0) math.min(w.maxSize, frameCap)
-                else math.max(w.maxSize, frameCap)
-              (Long.MaxValue / 4, cap, true)
+                else math.max(w.maxSize, math.max(frameCap, 0))
+              // h > 0 already excludes the current row; exclCR is only a
+              // filter when the frame still ends at the current row
+              (Long.MaxValue / 4, cap, true, 0L, h,
+                w.exclCR && h == 0)
             } else {
               val p = w.lo match {
                 case Prec(n, open) => n - (if (open) 1 else 0)
                 case Unbounded     => Long.MaxValue / 4
                 case CurrentRow    => 0L
               }
-              (p, w.maxSize, false)
+              // Reference ROWS_RANGE frames hold at-or-before rows in
+              // ingestion order (mem_catalog.h:344) — strict tie
+              // handling, NOT ANSI RANGE peers. Union/request frames
+              // keep peer-inclusive ties: side rows share the primary
+              // row's ts but carry later uids, and strict filtering
+              // would wrongly drop them (the r3 uid-collision class).
+              (p, w.maxSize, !hasUnion && !requestMode,
+                hiOffset, 0, w.exclCR)
             }
-          val effUnbounded = preceding >= WindowOps.UnboundedMs && rowCap == 0
+          val effUnbounded = preceding >= WindowOps.UnboundedMs &&
+            rowCap == 0 && hiMs == 0 && skipRows == 0
           val simpleAgg = Set("sum", "count", "avg", "min", "max")(fn)
-          if (effUnbounded && simpleAgg) {
+          // Union/request frames without EXCLUDE CURRENT_TIME keep the
+          // collect path: their tie semantics are peer-inclusive (same-ts
+          // side rows carry later uids) and the running-agg decomposition
+          // is strictly-prior. With EXCLUDE CURRENT_TIME the prior window
+          // is range-based and tie-exact for every mode.
+          val tieSafe = w.exclCT ||
+            (!hasUnion && !requestMode && !w.inw)
+          if (effUnbounded && simpleAgg && tieSafe) {
             // Scale-safe unbounded frames: a collect_list of the entire
             // per-key history is O(partition^2) memory under a hot key.
             // Simple aggregates decompose into a native running aggregate
@@ -718,18 +920,76 @@ object GraftSql {
                 if (w.inw || requestMode)
                   Some(!col(if (requestMode) RequestFlagCol else FlagCol))
                 else None)
+          } else if (argText.contains("__graft_w")) {
+            // The argument references a window result (explicit nested
+            // OVER or an implicit nav fn) — the reference binds those to
+            // the CURRENT row while the rest of the argument evaluates
+            // per FRAME row (udaf_query.yaml ids 4-6 / upstream #2974).
+            // Collect whole rows and evaluate via a SQL HOF whose lambda
+            // rebinds base columns to the frame row; window-result ids
+            // stay free and resolve to the current row's columns.
+            val arrName = s"__graft_arr_$id"
+            val arr = WindowOps.frameArray(struct(col("*")), ts, col(UidCol),
+              w.partition.map(expr), preceding,
+              maxSize = rowCap,
+              excludeCurrentTime = w.exclCT,
+              excludeCurrentRow = exclCRFilter,
+              isPrimary =
+                if (requestMode) col(RequestFlagCol)
+                else if (hasUnion) col(FlagCol) else null,
+              instanceNotInWindow = w.inw || requestMode,
+              strictRowOrder = strict,
+              hiPrecedingMs = hiMs,
+              skipNewest = skipRows)
+            prepCols += (arrName -> arr)
+            val baseCols = base.columns.toSet
+            val sub = tokenize(argText).zipWithIndex.map { case (t, i0) =>
+              val toksA = tokenize(argText)
+              val isIdent = t.headOption.exists(c2 => c2.isLetter || c2 == '_')
+              val isCall = i0 + 1 < toksA.length && toksA(i0 + 1) == "("
+              val prevDot = i0 > 0 && toksA(i0 - 1) == "."
+              if (isIdent && !isCall && !prevDot && baseCols.contains(t))
+                s"__x.v.$t"
+              else t
+            }.mkString(" ")
+            val nn = s"filter($arrName, __x -> ($sub) IS NOT NULL)"
+            fn match {
+              case "count" => expr(s"CAST(size($nn) AS BIGINT)")
+              case "sum" => expr(
+                s"CASE WHEN size($nn) > 0 THEN aggregate($nn, " +
+                  s"CAST(0.0 AS DOUBLE), (__a, __x) -> __a + CAST(($sub) AS DOUBLE)) END")
+              case "avg" => expr(
+                s"CASE WHEN size($nn) > 0 THEN aggregate($nn, " +
+                  s"CAST(0.0 AS DOUBLE), (__a, __x) -> __a + CAST(($sub) AS DOUBLE)) " +
+                  s"/ size($nn) END")
+              case "min" => expr(s"array_min(transform($nn, __x -> ($sub)))")
+              case "max" => expr(s"array_max(transform($nn, __x -> ($sub)))")
+              case "distinct_count" => expr(
+                s"CAST(size(array_distinct(transform($nn, __x -> ($sub)))) AS BIGINT)")
+              case other => throw new IllegalArgumentException(
+                s"window-result-bound argument unsupported for '$other'")
+            }
           } else {
           val arr = WindowOps.frameArray(v, ts, col(UidCol),
             w.partition.map(expr), preceding,
             maxSize = rowCap,
             excludeCurrentTime = w.exclCT,
-            excludeCurrentRow = w.exclCR,
+            excludeCurrentRow = exclCRFilter,
             isPrimary =
               if (requestMode) col(RequestFlagCol)
-              else if (unionTables.nonEmpty) col(FlagCol) else null,
+              else if (hasUnion) col(FlagCol) else null,
             instanceNotInWindow = w.inw || requestMode,
-            strictRowOrder = strict)
+            strictRowOrder = strict,
+            hiPrecedingMs = hiMs,
+            skipNewest = skipRows)
           fn match {
+            case "sum" if skipRows > 0 && !w.exclCR =>
+              // reference quirk pinned by test_window.yaml id 31 vs
+              // test_current_row.yaml ids 4/12: a ROWS frame with a
+              // PRECEDING upper bound zero-fills an empty frame — unless
+              // EXCLUDE CURRENT_ROW is also present (then NULL). RANGE hi
+              // bounds stay NULL too (test_maxsize.yaml id 6).
+              coalesce(WindowOps.aggSum(arr), lit(0.0))
             case "sum"            => WindowOps.aggSum(arr)
             case "count"          => WindowOps.aggCount(arr)
             case "avg"            => WindowOps.aggAvg(arr)
@@ -737,18 +997,98 @@ object GraftSql {
             case "max"            => WindowOps.aggMax(arr)
             case "distinct_count" => WindowOps.aggDistinctCount(arr)
             case "lag" | "at"     =>
-              WindowOps.aggLag(arr, if (args.length > 1) args(1).toInt else 1)
+              val k = if (args.length > 1) args(1).toInt else 1
+              // lag counts positions from the CURRENT ROW; when the
+              // frame's newest positions are cut (EXCLUDE CURRENT_ROW /
+              // ROWS hi bound) the array index shifts accordingly
+              // (cases/function/window/test_current_row.yaml ids 24-27)
+              val effSkip = math.max(skipRows, if (exclCRFilter) 1 else 0)
+              if (effSkip == 0) WindowOps.aggLag(arr, k)
+              else {
+                val idx = k - effSkip + 1
+                if (idx < 1) lit(null)
+                else when(size(arr) >= idx, element_at(arr, idx)("v"))
+              }
             case "first_value"    => WindowOps.aggFirstValue(arr)
             case "last_value"     => WindowOps.aggLastValue(arr)
           }
           }
         }
-      c.as(id)
+      (id, sumCast(c))
     }
 
-    var windowed = df.select(col("*") +: winCols: _*)
-    if (unionTables.nonEmpty) windowed = windowed.filter(col(FlagCol))
-    if (requestMode) windowed = windowed.filter(col(RequestFlagCol))
+      (prepCols.result(), winCols)
+    }
+
+    // Windows are grouped by their UNION signature; each group computes
+    // over its own (primary ∪ sides) frame source.
+    val groups: Seq[(Seq[TRef], Seq[(String, String, WinDef)])] =
+      exprs.groupBy(_._3.unions).toSeq
+    if (groups.size > 1 && requestMode)
+      throw new IllegalArgumentException(
+        "request mode supports a single WINDOW UNION list")
+
+    var windowed: DataFrame = null
+    if (groups.size <= 1) {
+      // single signature: one union build, one window stage (fast path)
+      val unionTables = groups.headOption.map(_._1).getOrElse(Seq.empty)
+      var df = base
+      if (unionTables.nonEmpty) {
+        val sides = unionTables.map(t => resolveRef(spark, t, scope))
+        df = df.withColumn(FlagCol, lit(true))
+        sides.foreach { side =>
+          df = df.unionByName(side.withColumn(FlagCol, lit(false)),
+            allowMissingColumns = true)
+        }
+      }
+      // uid is assigned ONCE, after any WINDOW UNION: per-side generators
+      // would restart at (partition<<33)+0 and collide across sides, and
+      // frameArray relies on uid uniqueness for EXCLUDE CURRENT_ROW,
+      // strict-row-order ties, and the (ts, uid) MAXSIZE tie-break
+      if (exprs.nonEmpty) df = df.withColumn(UidCol, monotonically_increasing_id())
+      val (prep, winCols) = groupCols(exprs, unionTables.nonEmpty)
+      prep.foreach { case (n, c) => df = df.withColumn(n, c) }
+      // sequential: a window column may reference an earlier one
+      // (nested window calls); adjacent independent projects collapse
+      // back into one Window stage
+      winCols.foreach { case (n, c) => df = df.withColumn(n, c) }
+      windowed = df
+      if (unionTables.nonEmpty) windowed = windowed.filter(col(FlagCol))
+      if (requestMode) windowed = windowed.filter(col(RequestFlagCol))
+    } else {
+      // multiple signatures in one SELECT (reference
+      // cases/function/window/test_window.yaml ids 27-31): each group
+      // windows over its own union, then the per-group outputs join back
+      // on uid. Primary rows carry even uids, side rows odd — globally
+      // unique without coordinating generators across groups.
+      val df0 = base.withColumn(UidCol, monotonically_increasing_id() * 2)
+      var acc: DataFrame = null
+      groups.foreach { case (unions, gexprs) =>
+        var dfg =
+          if (unions.isEmpty) df0
+          else {
+            val sides = unions.map(t => resolveRef(spark, t, scope))
+            // sides union FIRST, then one uid generator — per-side
+            // generators would collide (the r3 uid-collision class)
+            val sideAll = sides
+              .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+              .withColumn(FlagCol, lit(false))
+              .withColumn(UidCol, monotonically_increasing_id() * 2 + 1)
+            df0.withColumn(FlagCol, lit(true))
+              .unionByName(sideAll, allowMissingColumns = true)
+          }
+        val (prep, winCols) = groupCols(gexprs, unions.nonEmpty)
+        prep.foreach { case (n, c) => dfg = dfg.withColumn(n, c) }
+        winCols.foreach { case (n, c) => dfg = dfg.withColumn(n, c) }
+        val outCols = Seq(col(UidCol)) ++
+          (if (unions.isEmpty) Seq.empty else Seq(col(FlagCol))) ++
+          winCols.map(nc => col(nc._1))
+        var out = dfg.select(outCols: _*)
+        if (unions.nonEmpty) out = out.filter(col(FlagCol)).drop(FlagCol)
+        acc = if (acc == null) out else acc.join(out, Seq(UidCol))
+      }
+      windowed = df0.join(acc, Seq(UidCol))
+    }
     windowed.select(s.projs.zip(outerTokens).zipWithIndex.map {
       case ((pr, toks), i) => expr(toks.mkString(" ")).as(projName(pr, i)) }: _*)
   }

@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.cases.{CaseLoader, SqlCase}
+import graft.sql.GraftSql
+
+/** Runs the reference's YAML SQL-case corpus verbatim through GraftSql
+  * (loader: [[graft.cases.CaseLoader]]). These files are the reference
+  * engine's own correctness authority
+  * (hybridse/src/testing/engine_test_base.h:75-100).
+  *
+  * Policy: cases tagged TODO/bug are upstream-disabled and skipped;
+  * `mode: batch-unsupport` cases don't define batch semantics and are
+  * skipped; everything else either runs green or sits in [[skip]] with
+  * an explicit reason (asserted non-silently as `cancel`, so the count
+  * is visible in the test report).
+  */
+class YamlCaseRunnerSpec extends SparkSpec {
+
+  private val base = "/root/reference/cases"
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    // the reference test harness registers `inc` as an external UDF
+    // (udaf_query.yaml id 4 "a expr registered udf as parameter")
+    spark.udf.register("inc", (x: Int) => x + 1)
+  }
+
+  private val files = Seq(
+    ("function/window/test_window.yaml", "test_window"),
+    ("function/window/test_maxsize.yaml", "test_maxsize"),
+    ("function/window/test_window_exclude_current_time.yaml", "test_excl_ct"),
+    ("function/window/test_current_row.yaml", "test_current_row"),
+    ("function/window/window_attributes.yaml", "window_attributes"),
+    ("query/udaf_query.yaml", "udaf_query"),
+    ("query/last_join_window_query.yaml", "last_join_window"))
+
+  /** Cases GraftSql cannot run yet, with the reason. Keyed by
+    * SqlCase.key = "<fileTag>:<id><variant>". */
+  private val skip: Map[String, String] = Map.empty
+
+  private def typ(t: String): DataType = t.toLowerCase match {
+    case "int" | "int32"             => IntegerType
+    case "smallint" | "int16"        => ShortType
+    case "bigint" | "int64" | "long" => LongType
+    case "float"                     => FloatType
+    case "double"                    => DoubleType
+    case "string" | "varchar"        => StringType
+    case "timestamp"                 => LongType // int64 ms (SURVEY §1.2)
+    case "date"                      => DateType
+    case "bool" | "boolean"          => BooleanType
+  }
+
+  private def tsToMs(s: String): Long =
+    java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+
+  private def num(v: Any): Number = v match {
+    case n: Number => n
+    case s: String => java.lang.Double.valueOf(s.trim) // data-block cell
+  }
+
+  private def coerce(v: Any, t: DataType): Any =
+    if (v == null) null
+    else t match {
+      case IntegerType => num(v).intValue
+      case ShortType   => num(v).shortValue
+      case LongType    => v match {
+        case n: Number                         => n.longValue
+        case s: String if s.trim.forall(c => c.isDigit || c == '-') =>
+          s.trim.toLong
+        case s: String                         => tsToMs(s)
+      }
+      case FloatType   => num(v).floatValue
+      case DoubleType  => num(v).doubleValue
+      case StringType  => v.toString
+      case DateType    => java.sql.Date.valueOf(v.toString)
+      case BooleanType => v match {
+        case b: Boolean => b
+        case s: String  => s.toBoolean
+      }
+    }
+
+  private def register(c: SqlCase): String = {
+    var sql = c.sql
+    c.inputs.zipWithIndex.foreach { case (in, k) =>
+      val name = in.name.getOrElse(s"t$k")
+      val schema = StructType(in.columns.map { cdef =>
+        val parts = cdef.trim.split("\\s+")
+        StructField(parts(0), typ(parts(1)))
+      })
+      val data = Seq.fill(in.repeat)(in.rows).flatten.map(r =>
+        Row(r.zip(schema.fields).map { case (v, f) => coerce(v, f.dataType) }: _*))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(data, math.max(1, math.min(4, data.size))),
+        schema).createOrReplaceTempView(name)
+      sql = sql.replace(s"{$k}", name)
+    }
+    sql
+  }
+
+  // normalize numerics to fixed-scale BigDecimal (float at 4, others at
+  // 6) so Int/Long/Double representations and fp noise compare equal
+  private def norm(x: Any): Any = x match {
+    case null                => null
+    case f: Float            => BigDecimal(f.toDouble).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    case d: Double           => BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    case n: Number           => BigDecimal(n.longValue).setScale(4)
+    case d: java.sql.Date    => d.toString
+    case other               => other
+  }
+
+  private def run(c: SqlCase): Unit = {
+    val sql = register(c)
+    if (!c.expect.success) {
+      intercept[Throwable] { GraftSql.sql(spark, sql).collect() }
+      return
+    }
+    val out = GraftSql.sql(spark, sql)
+    val got0 = out.collect().toSeq.map(_.toSeq.map(norm))
+    c.expect.count.foreach(n => assert(got0.size.toLong == n,
+      s"count: got ${got0.size}, want $n"))
+    c.expect.rows.foreach { wantRows =>
+      val wantCols = c.expect.columns.getOrElse(Seq.empty)
+        .map(_.trim.split("\\s+"))
+      val wantTypes = wantCols.map(p => typ(p(1)))
+      assert(out.columns.map(_.toLowerCase).toSeq ==
+        wantCols.map(_(0).toLowerCase).toSeq,
+        s"columns: got ${out.columns.toSeq}, want ${wantCols.map(_(0)).toSeq}")
+      val want = wantRows.map(_.zip(wantTypes).map { case (v, t) =>
+        norm(coerce(v, t))
+      })
+      val oi = c.expect.order.map(o =>
+        wantCols.indexWhere(_(0).equalsIgnoreCase(o))).getOrElse(-1)
+      def key(r: Seq[Any]): (BigDecimal, String) = {
+        val k = if (oi >= 0) r(oi) else r
+        k match {
+          case b: BigDecimal => (b, r.mkString("|"))
+          case other         => (BigDecimal(0), String.valueOf(other) + "|" + r.mkString("|"))
+        }
+      }
+      val got = got0.sortBy(key)
+      val sorted = want.sortBy(key)
+      assert(got == sorted,
+        s"\nsql: $sql\ngot:  ${got.mkString("\n      ")}\nwant: ${sorted.mkString("\n      ")}")
+    }
+  }
+
+  private val all: Seq[SqlCase] = files.flatMap { case (path, tag) =>
+    CaseLoader.load(s"$base/$path", tag)
+  }
+
+  private def upstreamDisabled(c: SqlCase): Boolean =
+    c.tags.exists(t => t.contains("TODO") || t.contains("bug")) ||
+      c.mode.contains("batch-unsupport")
+
+  all.foreach { c =>
+    val name = s"yaml ${c.key} ${c.desc}"
+    if (upstreamDisabled(c)) {
+      // upstream marks these disabled; don't count them as coverage
+    } else test(name) {
+      skip.get(c.key) match {
+        case Some(reason) => cancel(reason)
+        case None         => run(c)
+      }
+    }
+  }
+
+  test("yaml corpus: at least 60 reference cases execute") {
+    val executed = all.count(c => !upstreamDisabled(c) && !skip.contains(c.key))
+    info(s"executed=${executed} skipped=${skip.size} upstreamDisabled=${all.count(upstreamDisabled)}")
+    assert(executed >= 60, s"only $executed cases executed")
+  }
+}
