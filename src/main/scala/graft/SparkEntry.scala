@@ -472,9 +472,12 @@ object SparkEntry {
     },
 
     // embedding cosine near-dup via sign-LSH buckets (rows-only)
+    // threshold 0.3 ≈ the synthetic corpus's near-dup band (990 true
+    // pairs at sf0.01; 0.5 had exactly one — a vacuous rows>0 check);
+    // 8 tables × 2 planes → ~0.97 expected recall at cos 0.3
     "q_dedup_embed" -> q { (s, d) =>
       Dedup.embeddingNearDup(T(s, d, "embeddings"), "vec_id", "embedding",
-        threshold = 0.5, planes = 4)
+        threshold = 0.3, planes = 2, tables = 8)
     },
 
     // brute-force cosine top-k (exact ANN baseline)
@@ -490,7 +493,7 @@ object SparkEntry {
     "q_ann_lsh" -> q { (s, d) =>
       val e = T(s, d, "embeddings")
       Similarity.lshTopK(e.filter(col("vec_id") < 10), e,
-        "vec_id", "embedding", k = 3, planes = 4)
+        "vec_id", "embedding", k = 3, planes = 3, tables = 8)
     },
 
     // IVF approximate top-k: k-means centroid lists, nprobe probing

@@ -187,19 +187,37 @@ object Dedup {
   }
 
   /** Embedding cosine near-duplicate pairs above a threshold, bucketed
-    * by a sign-LSH key to avoid the full cross product at scale. */
+    * by BANDED sign-LSH (tables × planes independent plane families,
+    * same recall structure as MinHash banding) to avoid the full cross
+    * product at scale. Candidate pairs stay narrow (two ids) through the
+    * dedup shuffle; vectors re-attach afterwards and every emitted pair
+    * carries its EXACT cosine — precision is 1.0 by construction, recall
+    * is 1-(1-p^planes)^tables for plane-agreement probability p and is
+    * asserted against the exact pair set in DedupSimilaritySpec. */
   def embeddingNearDup(embs: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, planes: Int = 8): DataFrame = {
-    // persist: the bucket-key expression (planes × vector dot products)
-    // would otherwise be recomputed inlined on both self-join sides
-    val keyed = embs.select(col(idCol).as("vec_id"),
-      Similarity.toDoubleVec(col(vecCol)).as("e"))
-      .withColumn("bucket", Similarity.signLshKey(col("e"), planes))
+      threshold: Double, planes: Int = 2, tables: Int = 8): DataFrame = {
+    // persist: the bucket-key expressions (tables × planes × vector dot
+    // products) would otherwise be recomputed inlined on both self-join
+    // sides
+    val vecs = embs.select(col(idCol).as("vec_id"),
+        Similarity.toDoubleVec(col(vecCol)).as("e"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    keyed.as("a").join(keyed.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
-        Similarity.cosine(col("a.e"), col("b.e")).as("cos"))
+    val keyed = vecs.select(col("vec_id"),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("t"),
+            Similarity.signLshKey(col("e"), planes, t).as("b"))): _*)).as("tb"))
+      .select(col("vec_id"), col("tb")("t").as("t"), col("tb")("b").as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = keyed.as("a").join(keyed.as("b"),
+        col("a.t") === col("b.t") && col("a.b") === col("b.b") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
+      .dropDuplicates("id1", "id2")
+    cand
+      .join(vecs.select(col("vec_id").as("id1"), col("e").as("e1")), "id1")
+      .join(vecs.select(col("vec_id").as("id2"), col("e").as("e2")), "id2")
+      .select(col("id1"), col("id2"),
+        Similarity.cosine(col("e1"), col("e2")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

@@ -26,17 +26,19 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * uniform in [-0.5, 0.5) derived from xxhash64 — reproducible across
-    * the cluster without shipping plane matrices. */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    (pmod(xxhash64(lit(plane), dim), lit(1000000L)).cast("double") / 1e6) - 0.5
+  /** Deterministic pseudo-random hyperplane component for (table, plane,
+    * dim): uniform in [-0.5, 0.5) derived from xxhash64 — reproducible
+    * across the cluster without shipping plane matrices. */
+  private def planeComponent(table: Int, plane: Int, dim: Column): Column =
+    (pmod(xxhash64(lit(table.toLong * 1000 + plane), dim), lit(1000000L))
+      .cast("double") / 1e6) - 0.5
 
-  /** Sign-LSH bucket key: one bit per hyperplane. */
-  def signLshKey(vec: Column, planes: Int): Column =
+  /** Sign-LSH bucket key: one bit per hyperplane. `table` seeds an
+    * independent plane family (banded LSH uses several tables). */
+  def signLshKey(vec: Column, planes: Int, table: Int = 0): Column =
     (0 until planes).map { p =>
       val proj = aggregate(zip_with(vec,
-        transform(sequence(lit(0), size(vec) - 1), i => planeComponent(p, i)),
+        transform(sequence(lit(0), size(vec) - 1), i => planeComponent(table, p, i)),
         (x, w) => x * w), lit(0.0), (acc, x) => acc + x)
       when(proj > 0, lit(1L << p)).otherwise(0L)
     }.reduce(_ + _)
@@ -122,19 +124,36 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
-  /** LSH-bucketed approximate top-k: candidates restricted to the
-    * query's sign-LSH bucket; ranking as in the brute-force path.
-    * Recall trades off with `planes` (more planes → smaller buckets). */
+  /** Banded sign-LSH bucket rows: one (table, bucket) row per input row
+    * per table — independent plane families so a near neighbor missed
+    * by one table's split is caught by another (same recall structure
+    * as MinHash-LSH banding). */
+  private def bandedKeys(df: DataFrame, planes: Int, tables: Int,
+      vec: Column): DataFrame =
+    df.withColumn("__tb", explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), signLshKey(vec, planes, t).as("b"))): _*)))
+      .withColumn("__t", col("__tb")("t"))
+      .withColumn("bucket", col("__tb")("b"))
+      .drop("__tb")
+
+  /** LSH-bucketed approximate top-k: candidates restricted to buckets
+    * the query shares with the corpus row in ANY of `tables` independent
+    * plane families; ranking as in the brute-force path. Recall rises
+    * with `tables`, bucket selectivity with `planes`; recall vs the
+    * exact baseline is asserted in DedupSimilaritySpec. */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
-      idCol: String, vecCol: String, k: Int, planes: Int = 6): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("qid"),
-        toDoubleVec(col(vecCol)).as("qe"))
-      .withColumn("bucket", signLshKey(col("qe"), planes)))
-    val c = corpus.select(col(idCol).as("vec_id"),
-        toDoubleVec(col(vecCol)).as("ce"))
-      .withColumn("bucket", signLshKey(col("ce"), planes))
+      idCol: String, vecCol: String, k: Int, planes: Int = 6,
+      tables: Int = 4): DataFrame = {
+    val q = broadcast(bandedKeys(queries.select(col(idCol).as("qid"),
+      toDoubleVec(col(vecCol)).as("qe")), planes, tables, col("qe")))
+    val c = bandedKeys(corpus.select(col(idCol).as("vec_id"),
+        toDoubleVec(col(vecCol)).as("ce")), planes, tables, col("ce"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val scored = q.join(c,
-        col("qid") =!= col("vec_id") && q("bucket") === c("bucket"))
+        col("qid") =!= col("vec_id") && q("__t") === c("__t") &&
+          q("bucket") === c("bucket"))
+      .select(col("qid"), col("vec_id"), col("qe"), col("ce"))
+      .dropDuplicates("qid", "vec_id")
       .select(col("qid"), col("vec_id"),
         cosine(col("qe"), col("ce")).as("cos"))
     val w = Window.partitionBy(col("qid"))

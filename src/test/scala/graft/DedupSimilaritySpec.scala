@@ -93,4 +93,90 @@ class DedupSimilaritySpec extends SparkSpec {
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     assert(out.contains((1L, 5L)))
   }
+
+  // ------------------------------------------------------------------
+  // Falsifiability: measured recall / error bounds on the real corpus.
+  // A no-op implementation fails every one of these — they compare the
+  // approximate operators against exact baselines computed in-test.
+  // ------------------------------------------------------------------
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  private def exactPairs(threshold: Double): Set[(Long, Long)] = {
+    val v = emb.select(col("vec_id"),
+      Similarity.toDoubleVec(col("embedding")).as("e"))
+    v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        Similarity.cosine(col("a.e"), col("b.e")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+  }
+
+  test("embeddingNearDup: precision 1.0 and recall >= 0.85 vs the exact pair set") {
+    val got = Dedup
+      .embeddingNearDup(emb, "vec_id", "embedding", 0.3, planes = 2, tables = 8)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val truth = exactPairs(0.3)
+    assert(truth.nonEmpty, "vacuous: no true pairs at this threshold")
+    assert(got.subsetOf(truth),
+      s"false positives: ${(got -- truth).take(5)}")
+    val recall = got.size.toDouble / truth.size
+    info(f"embeddingNearDup recall=$recall%.3f (${got.size}/${truth.size})")
+    assert(recall >= 0.85, f"recall $recall%.3f below bound")
+  }
+
+  private def topkMap(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.select("qid", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, a) => q -> a.map(_._2).toSet }
+
+  test("LSH top-k recall@10 vs brute force on the real corpus") {
+    val qs = emb.filter(col("vec_id") < 20)
+    val bf = topkMap(Similarity.bruteForceTopK(qs, emb, "vec_id", "embedding", 10))
+    val lsh = topkMap(Similarity.lshTopK(qs, emb, "vec_id", "embedding", 10,
+      planes = 3, tables = 8))
+    val recalls = bf.map { case (q, truth) =>
+      lsh.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size }
+    val mean = recalls.sum / recalls.size
+    info(f"LSH mean recall@10 = $mean%.3f over ${recalls.size} queries")
+    assert(mean >= 0.7, f"mean recall $mean%.3f below bound")
+  }
+
+  test("IVF top-k recall@10 with nprobe=4/16 on the real corpus") {
+    val qs = emb.filter(col("vec_id") < 20)
+    val bf = topkMap(Similarity.bruteForceTopK(qs, emb, "vec_id", "embedding", 10))
+    val ivf = topkMap(Similarity.ivfTopK(qs, emb, "vec_id", "embedding", 10,
+      nlist = 16, nprobe = 4, iters = 3))
+    val recalls = bf.map { case (q, truth) =>
+      ivf.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size }
+    val mean = recalls.sum / recalls.size
+    info(f"IVF mean recall@10 = $mean%.3f over ${recalls.size} queries")
+    assert(mean >= 0.5, f"mean recall $mean%.3f below bound")
+  }
+
+  test("minhash estimate tracks true jaccard within k=64 error bounds") {
+    val k = 64
+    val sh = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 60)
+      .select(col("doc_id"),
+        array_sort(Dedup.shingleHashes(col("text"), 3)).as("sh"),
+        Dedup.minhashSignature(Dedup.shingleHashes(col("text"), 3), k).as("sig"))
+      .persist()
+    val matches = (1 to k).map(i =>
+      when(element_at(col("a.sig"), i) === element_at(col("b.sig"), i), 1)
+        .otherwise(0)).reduce(_ + _)
+    val pairs = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh")))).as("true_j"),
+        (matches.cast("double") / k).as("est_j"))
+      .as[(Double, Double)].collect()
+    assert(pairs.length > 1000)
+    val errs = pairs.map { case (t, e) => math.abs(t - e) }
+    val mae = errs.sum / errs.length
+    info(f"minhash mae=$mae%.4f max=${errs.max}%.3f over ${pairs.length} pairs")
+    assert(mae <= 0.02, f"mean abs error $mae%.4f above bound")
+    assert(errs.max <= 0.2, f"max abs error ${errs.max}%.3f above bound")
+    sh.unpersist()
+  }
 }
