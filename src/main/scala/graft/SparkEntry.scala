@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, LastJoin, Multimodal, RequestMode, Similarity, TextOps, WindowOps}
 import graft.functions.{FeatureSignature => FS, GraftAggregates => A, GraftScalars => F}
+import graft.sql.GraftSql
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql`) per
   * implemented operator from SURVEY.md §2. Column names/types are
@@ -749,22 +750,22 @@ object SparkEntry {
     },
 
     // CREATE TABLE + INSERT + DELETE + SELECT (GraftCatalog)
+    // the full statement lifecycle driven through SQL TEXT (the user's
+    // first contact surface): CREATE TABLE / INSERT VALUES / DELETE,
+    // then a dialect SELECT over the result. Fixed name + replace =
+    // idempotent; the view must outlive this call because the returned
+    // plan evaluates lazily.
     "q_ddl_dml" -> q { (s, d) =>
-      import org.apache.spark.sql.types._
-      // fixed name + createOrReplace = idempotent; the view must outlive
-      // this call because the returned plan evaluates lazily
       val name = "t_graft_ddl_demo"
-      GraftCatalog.createTable(s, name, StructType(Seq(
-        StructField("id", LongType), StructField("grp", StringType),
-        StructField("v", DoubleType))))
-      GraftCatalog.insertValues(s, name, Seq(
-        org.apache.spark.sql.Row(1L, "a", 10.0),
-        org.apache.spark.sql.Row(2L, "a", 20.0),
-        org.apache.spark.sql.Row(3L, "b", 30.0),
-        org.apache.spark.sql.Row(4L, "b", 40.0)))
-      GraftCatalog.delete(s, name, col("id") === 2L)
-      s.table(name).groupBy(col("grp"))
-        .agg(round(sum(col("v")), 2).as("s"), count(lit(1)).as("c"))
+      GraftSql.statement(s,
+        s"CREATE TABLE $name (id bigint, grp string, v double)")
+      GraftSql.statement(s,
+        s"""INSERT INTO $name VALUES
+           |(1, 'a', 10.0), (2, 'a', 20.0), (3, 'b', 30.0), (4, 'b', 40.0)""".stripMargin)
+      GraftSql.statement(s, s"DELETE FROM $name WHERE id = 2")
+      GraftSql.sql(s,
+        s"""SELECT grp, round(sum(v), 2) AS s, count(*) AS c
+           |FROM $name GROUP BY grp""".stripMargin)
     },
 
     // long-window pre-agg MV (LongWindowOptimized): 30-minute frame
@@ -898,21 +899,25 @@ object SparkEntry {
 
     // SELECT INTO OUTFILE csv → LOAD DATA INFILE round-trip
     // (LoadDataPlan.scala:40-135, SelectIntoPlan.scala)
+    // the IO round-trip driven through SQL TEXT: SELECT INTO OUTFILE,
+    // CREATE TABLE (declares the load schema), LOAD DATA INFILE, query
     "q_out_in" -> q { (s, d) =>
       val out = s"/tmp/graft_io/out_in_${new java.io.File(d).getName}"
-      val src = T(s, d, "region").select(col("r_regionkey"), col("r_name"))
-      graft.sources.Sources.selectInto(src, out,
-        Map("format" -> "csv", "mode" -> "overwrite", "delimiter" -> ";",
-          "header" -> "true", "null_value" -> "NULL"))
-      graft.sources.Sources.loadData(s, out,
-          Map("format" -> "csv", "delimiter" -> ";", "header" -> "true",
-            "null_value" -> "NULL"),
-          Some(org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("r_regionkey",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("r_name",
-              org.apache.spark.sql.types.StringType)))))
-        .groupBy(col("r_name")).agg(max(col("r_regionkey")).as("max_key"))
+      Tables.registerAll(s, d)
+      GraftSql.statement(s,
+        s"""SELECT r_regionkey, r_name FROM region INTO OUTFILE '$out'
+           |OPTIONS (format='csv', mode='overwrite', delimiter=';',
+           |  header='true', null_value='NULL')""".stripMargin)
+      GraftSql.statement(s, "DROP TABLE IF EXISTS t_graft_loaded")
+      GraftSql.statement(s,
+        "CREATE TABLE t_graft_loaded (r_regionkey bigint, r_name string)")
+      GraftSql.statement(s,
+        s"""LOAD DATA INFILE '$out' INTO TABLE t_graft_loaded
+           |OPTIONS (format='csv', delimiter=';', header='true',
+           |  null_value='NULL')""".stripMargin)
+      GraftSql.sql(s,
+        """SELECT r_name, max(r_regionkey) AS max_key
+          |FROM t_graft_loaded GROUP BY r_name""".stripMargin)
     }
   )
 

@@ -161,11 +161,18 @@ object WindowOps {
       .rowsBetween(Window.unboundedPreceding, 0)
     val sumName = s"__graft_rsum_$id"
     val cntName = s"__graft_rcnt_$id"
+    // (kept param name `id` — callers pass a stable (window, arg) key so
+    // several aggregates over the same frame/arg share ONE prefix pair)
     val prep = Seq(
       sumName -> sum(v.cast("double")).over(wPref),
       cntName -> count(v).over(wPref))
+    // R of the latest at-or-before row with ts <= curTs - ofs. The frame
+    // grows from UNBOUNDED PRECEDING (incremental processor) and its
+    // rows arrive in the physical (ts, uid) sort order the prefix window
+    // already established, so `last` IS the (ts, uid)-max row — no
+    // struct-compare max_by needed.
     def boundary(c: Column, ofsMs: Long): Column =
-      max_by(c, struct(tsMs, uid)).over(
+      last(c).over(
         Window.partitionBy(partition: _*).orderBy(tsMs)
           .rangeBetween(Window.unboundedPreceding, -ofsMs))
     def diff(c: Column): Column = {

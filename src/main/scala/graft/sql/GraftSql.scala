@@ -130,7 +130,7 @@ object GraftSql {
         s"GraftSql parse error at token $p ('$peek'): $msg")
 
     private val clauseStoppers = Set("FROM", "WHERE", "GROUP", "HAVING",
-      "WINDOW", "LIMIT", "UNION", "ON", "LAST", "LEFT", "ORDER")
+      "WINDOW", "LIMIT", "UNION", "ON", "LAST", "LEFT", "ORDER", "INTO")
 
     /** read expression tokens until a depth-0 stopper */
     def readExprTokens(extraStop: Set[String] = Set.empty): Vector[String] = {
@@ -415,6 +415,239 @@ object GraftSql {
       tables: Map[String, DataFrame] = Map.empty): String =
     sql(spark, text, tables).queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
+
+  // ------------------------------------------------------------------
+  // Statement surface: CREATE TABLE / DROP / INSERT / DELETE / TRUNCATE
+  // / LOAD DATA INFILE / SELECT INTO OUTFILE / DEPLOY
+  // (ddl/CREATE_TABLE_STATEMENT.md, dml/INSERT_STATEMENT.md,
+  // dml/LOAD_DATA_STATEMENT.md, dql/SELECT_INTO_STATEMENT.md,
+  // deployment_manage/DEPLOY_STATEMENT.md:97-168)
+  // ------------------------------------------------------------------
+
+  /** Deployed request-mode SELECTs by name (DEPLOY name SELECT ...).
+    * Validated at deploy time per ONLINE_REQUEST_REQUIREMENTS.md. */
+  private val deployed = scala.collection.concurrent.TrieMap[String, String]()
+
+  def deployment(name: String): Option[String] = deployed.get(name)
+
+  /** Serve a batch of request rows against a deployed query (the
+    * batch-request path; RequestStream serves the streaming path). */
+  def serveDeployment(spark: SparkSession, name: String, requests: DataFrame,
+      tables: Map[String, DataFrame] = Map.empty): DataFrame =
+    requestMode(spark, deployed.getOrElse(name,
+      throw new IllegalArgumentException(s"no deployment named '$name'")),
+      requests, tables)
+
+  /** Clause legality for online request mode
+    * (ONLINE_REQUEST_REQUIREMENTS.md): a single SELECT; no set ops or
+    * CTEs; no top-level WHERE / GROUP BY / HAVING; LAST JOIN only. */
+  private[sql] def validateRequestQuery(q: Query): Unit = {
+    def bad(msg: String) = throw new IllegalArgumentException(
+      s"not deployable under online request mode: $msg " +
+        "(ONLINE_REQUEST_REQUIREMENTS.md)")
+    if (q.selects.length != 1) bad("set operations (UNION) are unsupported")
+    if (q.ctes.nonEmpty) bad("WITH clauses are unsupported")
+    val sel = q.selects.head
+    if (sel.where.isDefined) bad("top-level WHERE is unsupported")
+    if (sel.groupBy.nonEmpty) bad("GROUP BY is unsupported")
+    if (sel.having.isDefined) bad("HAVING is unsupported")
+    sel.joins.find(_.kind != "last").foreach(j =>
+      bad(s"${j.kind.toUpperCase} JOIN is unsupported — only LAST JOIN"))
+  }
+
+  private def parseColType(t: String): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    t.toLowerCase match {
+      case "int" | "int32" | "integer"  => IntegerType
+      case "smallint" | "int16"         => ShortType
+      case "bigint" | "int64" | "long"  => LongType
+      case "float"                      => FloatType
+      case "double"                     => DoubleType
+      case "string" | "varchar"         => StringType
+      case "timestamp"                  => LongType // int64 ms (SURVEY §1.2)
+      case "date"                       => DateType
+      case "bool" | "boolean"           => BooleanType
+      case other => throw new IllegalArgumentException(s"unknown type '$other'")
+    }
+  }
+
+  private def stripQuotes(t: String): String =
+    if (t.length >= 2 && (t.head == '\'' || t.head == '"')) t.tail.init else t
+
+  /** OPTIONS ( k = v, ... ) → string map (lowercased keys). */
+  private def parseOptions(p: Parser): Map[String, String] =
+    if (!p.accept("OPTIONS")) Map.empty
+    else {
+      p.expect("(")
+      val out = Map.newBuilder[String, String]
+      var more = true
+      while (more) {
+        val k = p.next().toLowerCase
+        p.expect("=")
+        out += (k -> stripQuotes(p.next()))
+        more = p.accept(",")
+      }
+      p.expect(")")
+      out.result()
+    }
+
+  /** One literal token (with optional unary minus) coerced to `dt`. */
+  private def literalValue(p: Parser,
+      dt: org.apache.spark.sql.types.DataType): Any = {
+    import org.apache.spark.sql.types._
+    val neg = p.accept("-")
+    val t = p.next()
+    if (t.equalsIgnoreCase("NULL")) null
+    else {
+      val raw = stripQuotes(t)
+      val v: Any = dt match {
+        case IntegerType => raw.toInt
+        case ShortType   => raw.toShort
+        case LongType    => raw.toLong
+        case FloatType   => raw.toFloat
+        case DoubleType  => raw.toDouble
+        case BooleanType => raw.toBoolean
+        case DateType    => java.sql.Date.valueOf(raw)
+        case _           => raw
+      }
+      (neg, v) match {
+        case (false, x)         => x
+        case (true, x: Int)     => -x
+        case (true, x: Short)   => (-x).toShort
+        case (true, x: Long)    => -x
+        case (true, x: Float)   => -x
+        case (true, x: Double)  => -x
+        case (true, x)          => x
+      }
+    }
+  }
+
+  /** Execute one statement. DQL returns Some(result); DDL/DML/IO return
+    * None after executing eagerly. */
+  def statement(spark: SparkSession, text: String): Option[DataFrame] = {
+    val p = new Parser(tokenize(text.trim.stripSuffix(";")))
+    p.peekUp match {
+      case "CREATE" =>
+        p.expect("CREATE"); p.expect("TABLE")
+        if (p.accept("IF")) { p.expect("NOT"); p.expect("EXISTS") }
+        val name = p.next()
+        p.expect("(")
+        val fields = Seq.newBuilder[org.apache.spark.sql.types.StructField]
+        var more = true
+        while (more && p.peek != ")") {
+          if (p.peekUp == "INDEX") {
+            // INDEX(KEY=..., TS=..., TTL=..., TTL_TYPE=...) — storage
+            // hints; scan/partition planning is Spark's job here
+            p.next(); val close = matchClose(p.toks, p.p)
+            p.p = close + 1
+          } else {
+            val cn = p.next(); val ct = p.next()
+            fields += org.apache.spark.sql.types.StructField(cn, parseColType(ct))
+            // skip NOT NULL / DEFAULT v to the next ',' or ')'
+            while (p.peek != "," && p.peek != ")" && p.p < p.toks.length) p.next()
+          }
+          more = p.accept(",")
+        }
+        p.expect(")")
+        graft.GraftCatalog.createTable(spark, name,
+          org.apache.spark.sql.types.StructType(fields.result()))
+        None
+
+      case "DROP" =>
+        p.expect("DROP"); p.expect("TABLE")
+        if (p.accept("IF")) p.expect("EXISTS")
+        spark.catalog.dropTempView(p.next())
+        None
+
+      case "INSERT" =>
+        p.expect("INSERT"); p.expect("INTO")
+        val name = p.next()
+        val schema = spark.table(name).schema
+        val cols: Seq[String] =
+          if (p.peek == "(") {
+            val close = matchClose(p.toks, p.p)
+            val cs = p.toks.slice(p.p + 1, close).filter(_ != ",")
+            p.p = close + 1
+            cs
+          } else schema.fieldNames.toSeq
+        p.expect("VALUES")
+        val rows = Seq.newBuilder[org.apache.spark.sql.Row]
+        var more = true
+        while (more) {
+          p.expect("(")
+          val byName = cols.map { c =>
+            val f = schema(c)
+            val v = literalValue(p, f.dataType)
+            if (p.peek == ",") p.next()
+            c -> v
+          }.toMap
+          p.expect(")")
+          rows += org.apache.spark.sql.Row(
+            schema.fieldNames.map(f => byName.getOrElse(f, null)).toIndexedSeq: _*)
+          more = p.accept(",")
+        }
+        graft.GraftCatalog.insertValues(spark, name, rows.result())
+        None
+
+      case "DELETE" =>
+        p.expect("DELETE"); p.expect("FROM")
+        val name = p.next()
+        p.expect("WHERE")
+        graft.GraftCatalog.delete(spark, name,
+          expr(p.toks.slice(p.p, p.toks.length).mkString(" ")))
+        None
+
+      case "TRUNCATE" =>
+        p.expect("TRUNCATE"); p.expect("TABLE")
+        graft.GraftCatalog.truncate(spark, p.next())
+        None
+
+      case "LOAD" =>
+        p.expect("LOAD"); p.expect("DATA"); p.expect("INFILE")
+        val path = stripQuotes(p.next())
+        p.expect("INTO"); p.expect("TABLE")
+        val name = p.next()
+        val opts = parseOptions(p)
+        val existing = spark.catalog.tableExists(name)
+        if (existing) {
+          val schema = spark.table(name).schema
+          graft.GraftCatalog.insertInto(spark, name,
+            graft.sources.Sources.loadData(spark, path, opts, Some(schema)))
+        } else
+          graft.sources.Sources.loadData(spark, path, opts)
+            .createOrReplaceTempView(name)
+        None
+
+      case "DEPLOY" =>
+        p.expect("DEPLOY")
+        val name = p.next()
+        val opts = parseOptions(p) // DEPLOY OPTIONS are accepted, unused
+        val rest = p.toks.slice(p.p, p.toks.length)
+        val sub = new Parser(rest)
+        val q = sub.parseQuery()
+        if (sub.p != sub.toks.length) sub.fail("trailing tokens")
+        validateRequestQuery(q)
+        deployed.put(name, rest.mkString(" "))
+        None
+
+      case "SELECT" | "WITH" =>
+        val q = p.parseQuery()
+        if (p.accept("INTO")) {
+          p.expect("OUTFILE")
+          val path = stripQuotes(p.next())
+          val opts = parseOptions(p)
+          if (p.p != p.toks.length) p.fail("trailing tokens")
+          graft.sources.Sources.selectInto(
+            planQuery(spark, q, Map.empty), path, opts)
+          None
+        } else {
+          if (p.p != p.toks.length) p.fail("trailing tokens")
+          Some(planQuery(spark, q, Map.empty))
+        }
+
+      case other => p.fail(s"unsupported statement '$other'")
+    }
+  }
 
   private def planQuery(spark: SparkSession, q: Query,
       scope0: Map[String, DataFrame]): DataFrame = {
@@ -761,6 +994,26 @@ object GraftSql {
         case _ => None
       } catch { case _: Throwable => None }
 
+    /** Materialize named columns in dependency layers: columns whose
+      * source expression references an earlier window result (nested
+      * window calls — fnText contains a __graft_w id) go in a later
+      * projection; everything independent lands in ONE projection so
+      * same-spec window expressions share a single Window stage. */
+    def applyCols(df0: DataFrame, cols: Seq[(String, Column)],
+        gexprs: Seq[(String, String, WinDef)]): DataFrame = {
+      if (cols.isEmpty) return df0
+      val dependent = gexprs.collect {
+        case (id, fnText, _) if fnText.contains("__graft_w") => id
+      }.toSet
+      val (later, first) = cols.partition(nc => dependent(nc._1))
+      var df = df0
+      if (first.nonEmpty)
+        df = df.withColumns(first.toMap) // duplicate prep names collapse
+      // dependent columns stay sequential — one may reference another
+      later.foreach { case (n, c) => df = df.withColumn(n, c) }
+      df
+    }
+
     /** Build the output columns for one group of window expressions
       * sharing a WINDOW UNION signature. Returns (pre-projection
       * columns, output columns) — pure column expressions, no df. */
@@ -847,7 +1100,12 @@ object GraftSql {
             case Unbounded     => Long.MaxValue / 4
             case CurrentRow    => 0L
           }
-          val (prep, agg) = WindowOps.strictRangeAgg(fn, id, v, ts,
+          // stable key: aggregates over the same (window, argument)
+          // share one prefix-sum/count pair and one boundary lookup
+          val prepKey = java.lang.Long.toHexString(
+            scala.util.hashing.MurmurHash3.stringHash(
+              w.toString + "|" + argText).toLong & 0xffffffffL)
+          val (prep, agg) = WindowOps.strictRangeAgg(fn, prepKey, v, ts,
             col(UidCol), w.partition.map(expr), preceding, hiOffset)
           prepCols ++= prep
           agg
@@ -1047,11 +1305,8 @@ object GraftSql {
       // strict-row-order ties, and the (ts, uid) MAXSIZE tie-break
       if (exprs.nonEmpty) df = df.withColumn(UidCol, monotonically_increasing_id())
       val (prep, winCols) = groupCols(exprs, unionTables.nonEmpty)
-      prep.foreach { case (n, c) => df = df.withColumn(n, c) }
-      // sequential: a window column may reference an earlier one
-      // (nested window calls); adjacent independent projects collapse
-      // back into one Window stage
-      winCols.foreach { case (n, c) => df = df.withColumn(n, c) }
+      df = applyCols(df, prep, exprs)
+      df = applyCols(df, winCols, exprs)
       windowed = df
       if (unionTables.nonEmpty) windowed = windowed.filter(col(FlagCol))
       if (requestMode) windowed = windowed.filter(col(RequestFlagCol))
@@ -1078,8 +1333,8 @@ object GraftSql {
               .unionByName(sideAll, allowMissingColumns = true)
           }
         val (prep, winCols) = groupCols(gexprs, unions.nonEmpty)
-        prep.foreach { case (n, c) => dfg = dfg.withColumn(n, c) }
-        winCols.foreach { case (n, c) => dfg = dfg.withColumn(n, c) }
+        dfg = applyCols(dfg, prep, gexprs)
+        dfg = applyCols(dfg, winCols, gexprs)
         val outCols = Seq(col(UidCol)) ++
           (if (unions.isEmpty) Seq.empty else Seq(col(FlagCol))) ++
           winCols.map(nc => col(nc._1))

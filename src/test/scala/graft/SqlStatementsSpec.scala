@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sql.GraftSql
+
+/** Statement surface: CREATE TABLE / INSERT / DELETE / TRUNCATE / DROP
+  * / LOAD DATA INFILE / SELECT INTO OUTFILE / DEPLOY, plus the online
+  * request-mode clause legality checks
+  * (ONLINE_REQUEST_REQUIREMENTS.md). */
+class SqlStatementsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("CREATE TABLE + INSERT VALUES + DELETE + SELECT lifecycle") {
+    GraftSql.statement(spark, "DROP TABLE IF EXISTS st1")
+    GraftSql.statement(spark,
+      "CREATE TABLE st1 (id bigint, g string, v double, ok bool)")
+    GraftSql.statement(spark,
+      "INSERT INTO st1 VALUES (1, 'a', 1.5, true), (2, 'b', -2.5, false), (3, 'a', NULL, true)")
+    GraftSql.statement(spark, "DELETE FROM st1 WHERE id = 2")
+    val out = GraftSql.sql(spark,
+      "SELECT g, count(*) AS c, sum(v) AS s FROM st1 GROUP BY g")
+      .as[(String, Long, Option[Double])].collect().toSeq
+    assert(out.map(_._1).toSet == Set("a"))
+    val row = GraftSql.sql(spark, "SELECT id, ok FROM st1 WHERE g = 'a'")
+      .as[(Long, Boolean)].collect().sorted
+    assert(row.toSeq == Seq((1L, true), (3L, true)))
+  }
+
+  test("INSERT with explicit column subset null-fills the rest") {
+    GraftSql.statement(spark, "CREATE TABLE st2 (a int, b string, c double)")
+    GraftSql.statement(spark, "INSERT INTO st2 (a, c) VALUES (7, 3.5)")
+    val r = GraftSql.sql(spark, "SELECT a, b, c FROM st2").collect()(0)
+    assert(r.getInt(0) == 7 && r.isNullAt(1) && r.getDouble(2) == 3.5)
+  }
+
+  test("TRUNCATE empties, INSERT schema mismatch rejects") {
+    GraftSql.statement(spark, "CREATE TABLE st3 (a int)")
+    GraftSql.statement(spark, "INSERT INTO st3 VALUES (1), (2)")
+    GraftSql.statement(spark, "TRUNCATE TABLE st3")
+    assert(spark.table("st3").count() == 0)
+    intercept[Exception] {
+      GraftSql.statement(spark, "INSERT INTO st_missing VALUES (1)")
+    }
+  }
+
+  test("SELECT INTO OUTFILE then LOAD DATA INFILE round-trips") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stmt").toString
+    Seq((1L, "x"), (2L, "y")).toDF("k", "s").createOrReplaceTempView("st_src")
+    GraftSql.statement(spark,
+      s"""SELECT k, s FROM st_src INTO OUTFILE '$dir/out'
+         |OPTIONS (format='csv', mode='overwrite', header='true')""".stripMargin)
+    GraftSql.statement(spark, "DROP TABLE IF EXISTS st_loaded")
+    GraftSql.statement(spark, "CREATE TABLE st_loaded (k bigint, s string)")
+    GraftSql.statement(spark,
+      s"LOAD DATA INFILE '$dir/out' INTO TABLE st_loaded OPTIONS (format='csv', header='true')")
+    val got = GraftSql.sql(spark, "SELECT k, s FROM st_loaded")
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(got == Seq((1L, "x"), (2L, "y")))
+  }
+
+  test("DEPLOY stores a validated query and serves batch requests") {
+    val hist = Seq(("u1", 10L, 1.0), ("u1", 20L, 2.0), ("u2", 5L, 5.0))
+      .toDF("k", "ts", "v")
+    hist.createOrReplaceTempView("st_ev")
+    GraftSql.statement(spark,
+      """DEPLOY d1 SELECT k, sum(v) OVER w AS s FROM st_ev
+        |WINDOW w AS (PARTITION BY k ORDER BY ts
+        |  ROWS_RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)""".stripMargin)
+    assert(GraftSql.deployment("d1").isDefined)
+    val reqs = Seq(("u1", 30L, 3.0)).toDF("k", "ts", "v")
+    val out = GraftSql.serveDeployment(spark, "d1", reqs)
+      .as[(String, Double)].collect().toSeq
+    assert(out == Seq(("u1", 6.0))) // 1+2+request row's 3
+  }
+
+  // ---- request-mode clause legality (ONLINE_REQUEST_REQUIREMENTS.md) ----
+
+  private def deployFails(sql: String): String =
+    intercept[IllegalArgumentException] {
+      GraftSql.statement(spark, s"DEPLOY dx $sql")
+    }.getMessage
+
+  test("DEPLOY rejects clauses the reference forbids online") {
+    Seq(("u1", 1L, 1.0)).toDF("k", "ts", "v").createOrReplaceTempView("st_ev2")
+    assert(deployFails("SELECT k FROM st_ev2 WHERE v > 1")
+      .contains("WHERE"))
+    assert(deployFails("SELECT k, sum(v) AS s FROM st_ev2 GROUP BY k")
+      .contains("GROUP BY"))
+    assert(deployFails("SELECT k FROM st_ev2 UNION ALL SELECT k FROM st_ev2")
+      .contains("UNION"))
+    assert(deployFails("WITH c AS (SELECT k FROM st_ev2) SELECT k FROM c")
+      .contains("WITH"))
+    assert(deployFails(
+      "SELECT a.k FROM st_ev2 a LEFT JOIN st_ev2 b ON a.k = b.k")
+      .contains("LEFT JOIN"))
+  }
+}
