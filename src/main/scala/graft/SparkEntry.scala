@@ -863,6 +863,31 @@ object SparkEntry {
         Map("events" -> T(s, d, "events")))
     },
 
+    // window-then-aggregate composition: GROUP BY over a windowed
+    // subquery (the reference composes via subqueries and REJECTS
+    // window+GROUP BY in one SELECT — function/v040/test_groupby.yaml
+    // id 23 expects failure; transform.cc:393-465). Integer sums keep
+    // the oracle hash exact.
+    "q_window_then_agg" -> q { (s, d) =>
+      graft.sql.GraftSql.sql(s,
+        """SELECT et, sum(w_cnt) AS s, count(*) AS c FROM (
+          |  SELECT event_type AS et, count(value) OVER w AS w_cnt
+          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+          |    ROWS_RANGE BETWEEN 10m PRECEDING AND CURRENT ROW)
+          |) GROUP BY et""".stripMargin,
+        Map("events" -> T(s, d, "events")))
+    },
+
+    // aggregate-then-window composition: a window over GROUP BY output
+    "q_agg_then_window" -> q { (s, d) =>
+      graft.sql.GraftSql.sql(s,
+        """SELECT user_id, cnt, sum(cnt) OVER w AS run_cnt FROM (
+          |  SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+          |) WINDOW w AS (PARTITION BY user_id % 100 ORDER BY user_id
+          |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+        Map("events" -> T(s, d, "events")))
+    },
+
     "q_sql_last_join" -> q { (s, d) =>
       graft.sql.GraftSql.sql(s,
         """SELECT o.o_orderkey AS o_orderkey, o.o_totalprice AS o_totalprice,
@@ -1489,6 +1514,19 @@ object SparkEntry {
         |          AND epoch_ms(b.ts) BETWEEN epoch_ms(e.ts) - 600000 AND epoch_ms(e.ts)
         |        ORDER BY epoch_ms(b.ts) DESC, b.event_id DESC LIMIT 5)
         |) t""".stripMargin,
+
+    "q_window_then_agg" ->
+      """SELECT et, CAST(sum(w_cnt) AS BIGINT) AS s, count(*) AS c FROM (
+        |  SELECT event_type AS et,
+        |    count(value) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+        |      RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW) AS w_cnt
+        |  FROM events) GROUP BY et""".stripMargin,
+
+    "q_agg_then_window" ->
+      """SELECT user_id, cnt,
+        |  CAST(sum(cnt) OVER (PARTITION BY user_id % 100 ORDER BY user_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cnt
+        |FROM (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id)""".stripMargin,
 
     "q_sql_last_join" ->
       """SELECT o_orderkey, o_totalprice, r.last_line, r.last_qty

@@ -242,13 +242,34 @@ object GraftAggregates {
     udaf(new Cate(mode, integral, "value_desc", n))
       .apply(k.cast("string"), v.cast("double"))
 
-  /** Expose the parameterless UDAFs to SQL texts (parameterized ones —
-    * cate/top_n/topn_frequency/ew_avg — stay DataFrame-level: SQL UDAF
-    * registration fixes the constructor). */
+  /** SQL-callable *_cate adapter: the dialect call order is
+    * (value, key) while [[Cate]]'s input is (key, value). */
+  case class CateVK(v: java.lang.Double, k: String)
+  class CateVKAgg(mode: String, integral: Boolean)
+      extends Aggregator[CateVK, CateBuf, String] {
+    private val inner = new Cate(mode, integral)
+    def zero: CateBuf = inner.zero
+    def reduce(b: CateBuf, a: CateVK): CateBuf =
+      if (a == null) b else inner.reduce(b, CateIn(a.k, a.v))
+    def merge(x: CateBuf, y: CateBuf): CateBuf = inner.merge(x, y)
+    def finish(b: CateBuf): String = inner.finish(b)
+    def bufferEncoder: Encoder[CateBuf] = Encoders.product[CateBuf]
+    def outputEncoder: Encoder[String] = Encoders.STRING
+  }
+
+  /** Expose the UDAFs to SQL texts. The *_cate family registers twice:
+    * the plain name formats values as doubles, the __graft-prefixed
+    * variant as integers — GraftSql picks by probing the value
+    * expression's type (the reference formats by input type,
+    * containers.h OutputString). */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.udf.register("entropy", udaf(new Entropy))
     spark.udf.register("top1_ratio", udaf(new Top1Ratio))
     spark.udf.register("drawdown", udaf(new Drawdown))
+    Seq("sum", "count", "avg", "min", "max").foreach { m =>
+      spark.udf.register(s"${m}_cate", udaf(new CateVKAgg(m, false)))
+      spark.udf.register(s"__graft_${m}_cate_int", udaf(new CateVKAgg(m, true)))
+    }
   }
 
   /** top(value, k): the k largest values desc (dups kept), comma-joined

@@ -368,6 +368,7 @@ object GraftSql {
   def sql(spark: SparkSession, text: String,
       tables: Map[String, DataFrame] = Map.empty,
       params: Seq[Any] = Nil): DataFrame = {
+    ensureFunctions(spark)
     var remaining = params
     val toks = tokenize(text).map {
       case "?" if remaining.nonEmpty =>
@@ -391,6 +392,7 @@ object GraftSql {
     * row per request row. */
   def requestMode(spark: SparkSession, text: String, requests: DataFrame,
       tables: Map[String, DataFrame] = Map.empty): DataFrame = {
+    ensureFunctions(spark)
     val parser = new Parser(tokenize(text))
     val q = parser.parseQuery()
     if (parser.p != parser.toks.length) parser.fail("trailing tokens")
@@ -525,6 +527,7 @@ object GraftSql {
   /** Execute one statement. DQL returns Some(result); DDL/DML/IO return
     * None after executing eagerly. */
   def statement(spark: SparkSession, text: String): Option[DataFrame] = {
+    ensureFunctions(spark)
     val p = new Parser(tokenize(text.trim.stripSuffix(";")))
     p.peekUp match {
       case "CREATE" =>
@@ -723,7 +726,8 @@ object GraftSql {
         planWindows(spark, s, df, scope, requestMode)
       else if (s.projs.length == 1 && s.projs.head.exprText == "*") df
       else df.select(s.projs.zipWithIndex.map { case (pr, i) =>
-        expr(coerceDateFns(pr.tokens, df).mkString(" ")).as(projName(pr, i)) }: _*)
+        expr(rewriteAggFns(coerceDateFns(pr.tokens, df), df).mkString(" "))
+          .as(projName(pr, i)) }: _*)
 
     s.limit.foreach(n => out = out.limit(n))
     out
@@ -773,6 +777,75 @@ object GraftSql {
     out.result()
   }
 
+  // one-time per-session registration of dialect functions for SQL text
+  private val registeredSessions =
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+  private def ensureFunctions(spark: SparkSession): Unit = synchronized {
+    if (registeredSessions.add(spark)) {
+      graft.functions.GraftScalars.registerAll(spark)
+      graft.functions.GraftAggregates.registerAll(spark)
+    }
+  }
+
+  private val whereBases = Set("sum", "count", "avg", "min", "max")
+  private val intTypes: Set[org.apache.spark.sql.types.DataType] = Set(
+    org.apache.spark.sql.types.IntegerType,
+    org.apache.spark.sql.types.ShortType,
+    org.apache.spark.sql.types.LongType)
+
+  /** split tokens at depth-0 commas */
+  private def splitTokenArgs(toks: Vector[String]): Seq[Vector[String]] = {
+    val out = Seq.newBuilder[Vector[String]]
+    var depth = 0; var cur = Vector.newBuilder[String]
+    toks.foreach { t =>
+      if (t == "(") depth += 1
+      if (t == ")") depth -= 1
+      if (t == "," && depth == 0) { out += cur.result(); cur = Vector.newBuilder }
+      else cur += t
+    }
+    val last = cur.result()
+    if (last.nonEmpty) out += last
+    out.result()
+  }
+
+  /** Dialect aggregate families in arbitrary expression positions:
+    *  - {sum,count,avg,min,max}_where(v, cond) -> base(CASE WHEN cond
+    *    THEN v END) (udf_registry *_where UDAFs; group_query.yaml id 7)
+    *  - {sum,min,max}_cate(v, k) over an integral v renames to the
+    *    integer-formatting registration (group_query.yaml id 8 expects
+    *    "aa:160" for a bigint value column). */
+  private def rewriteAggFns(toks: Vector[String], df: DataFrame): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i).toLowerCase
+      val isCall = i + 1 < toks.length && toks(i + 1) == "("
+      if (isCall && t.endsWith("_where") &&
+          whereBases(t.stripSuffix("_where"))) {
+        val close = matchClose(toks, i + 1)
+        val args = splitTokenArgs(rewriteAggFns(toks.slice(i + 2, close), df))
+        require(args.length == 2, s"$t expects (value, condition)")
+        out += t.stripSuffix("_where")
+        out ++= Vector("(", "CASE", "WHEN") ++ args(1) ++
+          Vector("THEN") ++ args(0) ++ Vector("END", ")")
+        i = close + 1
+      } else if (isCall && t.endsWith("_cate") &&
+          Set("sum", "min", "max")(t.stripSuffix("_cate"))) {
+        val close = matchClose(toks, i + 1)
+        val args = splitTokenArgs(toks.slice(i + 2, close))
+        val integral = args.headOption.exists { a =>
+          try intTypes(df.select(expr(a.mkString(" "))).schema.head.dataType)
+          catch { case _: Throwable => false }
+        }
+        out += (if (integral) s"__graft_$t" + "_int" else t)
+        out ++= toks.slice(i + 1, close + 1)
+        i = close + 1
+      } else { out += toks(i); i += 1 }
+    }
+    out.result()
+  }
+
   /** Detect a pure equi-conjunction join condition; returns
     * (leftExprText, rightColumnName) pairs when every conjunct is
     * `<left> = <rightQual>.<col>` (either side order). */
@@ -800,12 +873,22 @@ object GraftSql {
   }
 
   private def planAggregate(s: Select, df: DataFrame): DataFrame = {
+    // the reference rejects grouping on floating-point keys
+    // (function/v040/test_groupby.yaml ids 6-7 expect failure)
+    s.groupBy.foreach { g =>
+      val dt = df.select(expr(g)).schema.head.dataType
+      if (dt == org.apache.spark.sql.types.FloatType ||
+          dt == org.apache.spark.sql.types.DoubleType)
+        throw new IllegalArgumentException(
+          s"GROUP BY on a float/double key ('" + g + "') is unsupported")
+    }
     val grouped = df.groupBy(s.groupBy.map(expr): _*)
     // hidden aliases: agg() auto-retains grouping columns, which would
     // collide with projections that re-select the group key by name
     val hidden = s.projs.indices.map(i => s"__graft_p$i")
     val aggCols = s.projs.zipWithIndex.map { case (pr, i) =>
-      expr(pr.exprText).as(hidden(i)) }
+      expr(rewriteAggFns(coerceDateFns(pr.tokens, df), df).mkString(" "))
+        .as(hidden(i)) }
     val hid = "__graft_having"
     val withHaving = s.having match {
       case None    => grouped.agg(aggCols.head, aggCols.tail: _*)
@@ -964,7 +1047,7 @@ object GraftSql {
       } else toks
 
     val outerTokens: Seq[Vector[String]] = s.projs.map { pr =>
-      val pt = coerceDateFns(pr.tokens, base)
+      val pt = rewriteAggFns(coerceDateFns(pr.tokens, base), base)
       pr.over match {
         case Some(ref) =>
           // the aggregate's argument may itself nest a window call

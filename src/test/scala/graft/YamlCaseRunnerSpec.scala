@@ -34,7 +34,9 @@ class YamlCaseRunnerSpec extends SparkSpec {
     ("function/window/test_current_row.yaml", "test_current_row"),
     ("function/window/window_attributes.yaml", "window_attributes"),
     ("query/udaf_query.yaml", "udaf_query"),
-    ("query/last_join_window_query.yaml", "last_join_window"))
+    ("query/last_join_window_query.yaml", "last_join_window"),
+    ("query/group_query.yaml", "group_query"),
+    ("function/v040/test_groupby.yaml", "test_groupby"))
 
   /** Cases GraftSql cannot run yet, with the reason. Keyed by
     * SqlCase.key = "<fileTag>:<id><variant>". */
