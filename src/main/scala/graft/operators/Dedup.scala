@@ -15,6 +15,19 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Eagerly materialize `result` (localCheckpoint truncates its lineage
+    * to the checkpointed blocks) then free the wide cached intermediates
+    * it was built from. Without this every invocation leaks signature /
+    * vector caches for the session lifetime; the results here are narrow
+    * (ids + one score), so the checkpoint footprint is small next to
+    * what it releases. */
+  private[operators] def materializeAndFree(result: DataFrame,
+      cached: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint(true)
+    cached.foreach(_.unpersist(false))
+    out
+  }
+
   /** Exact dedup: group identical texts by md5, keep the smallest id. */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.groupBy(md5(col(textCol)).as("text_hash"))
@@ -87,12 +100,13 @@ object Dedup {
       col("set_id").as("s2"), lit(1.0).as("jaccard"))
 
     // expand set pairs back to doc pairs (id1 < id2)
-    verified.unionByName(selfPairs)
+    val pairs = verified.unionByName(selfPairs)
       .join(docsBySet.select(col("set_id").as("s1"), col("doc_id").as("d1")), "s1")
       .join(docsBySet.select(col("set_id").as("s2"), col("doc_id").as("d2")), "s2")
       .filter(col("s1") =!= col("s2") || col("d1") < col("d2"))
       .select(least(col("d1"), col("d2")).as("id1"),
         greatest(col("d1"), col("d2")).as("id2"), col("jaccard"))
+    materializeAndFree(pairs, sets)
   }
 
   /** MinHash signature over 64-bit shingle hashes: each shingle string
@@ -160,12 +174,13 @@ object Dedup {
     val matches = (1 to k).map(i =>
       when(element_at(col("sig1"), i) === element_at(col("sig2"), i), 1)
         .otherwise(0)).reduce(_ + _)
-    cand
+    val pairs = cand
       .join(sig.select(col("doc_id").as("id1"), col("sig").as("sig1")), "id1")
       .join(sig.select(col("doc_id").as("id2"), col("sig").as("sig2")), "id2")
       .select(col("id1"), col("id2"),
         (matches.cast("double") / k).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+    materializeAndFree(pairs, sig)
   }
 
   /** 64-bit SimHash over word tokens: per-bit weighted vote of token
@@ -213,11 +228,12 @@ object Dedup {
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
       .dropDuplicates("id1", "id2")
-    cand
+    val pairs = cand
       .join(vecs.select(col("vec_id").as("id1"), col("e").as("e1")), "id1")
       .join(vecs.select(col("vec_id").as("id2"), col("e").as("e2")), "id2")
       .select(col("id1"), col("id2"),
         Similarity.cosine(col("e1"), col("e2")).as("cos"))
       .filter(col("cos") >= threshold)
+    materializeAndFree(pairs, vecs, keyed)
   }
 }

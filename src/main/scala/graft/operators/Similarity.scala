@@ -158,7 +158,8 @@ object Similarity {
         cosine(col("qe"), col("ce")).as("cos"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rnk", row_number().over(w))
+    val topk = scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
+    Dedup.materializeAndFree(topk, c)
   }
 }

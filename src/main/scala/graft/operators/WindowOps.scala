@@ -166,13 +166,14 @@ object WindowOps {
     val prep = Seq(
       sumName -> sum(v.cast("double")).over(wPref),
       cntName -> count(v).over(wPref))
-    // R of the latest at-or-before row with ts <= curTs - ofs. The frame
-    // grows from UNBOUNDED PRECEDING (incremental processor) and its
-    // rows arrive in the physical (ts, uid) sort order the prefix window
-    // already established, so `last` IS the (ts, uid)-max row — no
-    // struct-compare max_by needed.
+    // R of the latest at-or-before row with ts <= curTs - ofs, i.e. the
+    // (ts, uid)-max row inside the RANGE frame. max_by keeps that
+    // order-independent: `last` would lean on the previous stage's
+    // physical (ts, uid) sort surviving into this window, which is plan
+    // luck, not an API guarantee — a re-sort between stages would make
+    // tied-ts boundary rows arbitrary.
     def boundary(c: Column, ofsMs: Long): Column =
-      last(c).over(
+      max_by(c, struct(tsMs, uid)).over(
         Window.partitionBy(partition: _*).orderBy(tsMs)
           .rangeBetween(Window.unboundedPreceding, -ofsMs))
     def diff(c: Column): Column = {

@@ -426,17 +426,33 @@ object GraftSql {
   // deployment_manage/DEPLOY_STATEMENT.md:97-168)
   // ------------------------------------------------------------------
 
-  /** Deployed request-mode SELECTs by name (DEPLOY name SELECT ...).
-    * Validated at deploy time per ONLINE_REQUEST_REQUIREMENTS.md. */
-  private val deployed = scala.collection.concurrent.TrieMap[String, String]()
+  /** Deployed request-mode SELECTs by name (DEPLOY name SELECT ...),
+    * validated at deploy time per ONLINE_REQUEST_REQUIREMENTS.md.
+    * Scoped PER SparkSession (weak keys — dropped with the session):
+    * deployments are tenant state, and a process-global registry would
+    * leak them across sessions/tests. */
+  private val deployedBySession =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, String]]()
+  private def deployed(spark: SparkSession)
+      : scala.collection.concurrent.TrieMap[String, String] =
+    deployedBySession.synchronized {
+      var m = deployedBySession.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap[String, String]()
+        deployedBySession.put(spark, m)
+      }
+      m
+    }
 
-  def deployment(name: String): Option[String] = deployed.get(name)
+  def deployment(spark: SparkSession, name: String): Option[String] =
+    deployed(spark).get(name)
 
   /** Serve a batch of request rows against a deployed query (the
     * batch-request path; RequestStream serves the streaming path). */
   def serveDeployment(spark: SparkSession, name: String, requests: DataFrame,
       tables: Map[String, DataFrame] = Map.empty): DataFrame =
-    requestMode(spark, deployed.getOrElse(name,
+    requestMode(spark, deployed(spark).getOrElse(name,
       throw new IllegalArgumentException(s"no deployment named '$name'")),
       requests, tables)
 
@@ -630,7 +646,15 @@ object GraftSql {
         val q = sub.parseQuery()
         if (sub.p != sub.toks.length) sub.fail("trailing tokens")
         validateRequestQuery(q)
-        deployed.put(name, rest.mkString(" "))
+        // the reference errors on duplicate deployment names
+        // (deployment_manage/DEPLOY_STATEMENT.md); OPTIONS(overwrite=true)
+        // opts into replacement
+        val overwrite = opts.get("overwrite").exists(_.equalsIgnoreCase("true"))
+        val reg = deployed(spark)
+        if (!overwrite && reg.contains(name))
+          throw new IllegalArgumentException(
+            s"deployment '$name' already exists (use OPTIONS(overwrite=true))")
+        reg.put(name, rest.mkString(" "))
         None
 
       case "SELECT" | "WITH" =>
@@ -923,9 +947,17 @@ object GraftSql {
     def loVal(b: Bound): Long = b match {
       case Unbounded     => Window.unboundedPreceding
       case CurrentRow    => 0L
+      // OPEN excludes the boundary row: as a frame START that narrows
+      // toward the current row (-(n-1)) ...
       case Prec(n, open) => -(n - (if (open) 1 else 0))
     }
-    val (lo, hi0) = (loVal(w.lo), loVal(w.hi))
+    def hiVal(b: Bound): Long = b match {
+      case Unbounded     => Window.unboundedPreceding
+      case CurrentRow    => 0L
+      // ... but as a frame END it narrows away from it (-(n+1))
+      case Prec(n, open) => -(n + (if (open) 1 else 0))
+    }
+    val (lo, hi0) = (loVal(w.lo), hiVal(w.hi))
     // EXCLUDE CURRENT_ROW on a plain ROWS frame = end the frame one row
     // earlier (physical_op.h:1181-1186)
     val hi = if (w.exclCR && w.isRows) hi0 - 1 else hi0
@@ -1399,7 +1431,14 @@ object GraftSql {
       // windows over its own union, then the per-group outputs join back
       // on uid. Primary rows carry even uids, side rows odd — globally
       // unique without coordinating generators across groups.
+      // df0 is referenced in EVERY group's pipeline and the final join;
+      // monotonically_increasing_id is nondeterministic, so if base holds
+      // a shuffle each branch could re-evaluate it with different row
+      // order and the uid equi-joins would silently mis-align. Pin the
+      // uids once: eager localCheckpoint truncates lineage so no branch
+      // can recompute them (a lost block then fails loudly, not wrongly).
       val df0 = base.withColumn(UidCol, monotonically_increasing_id() * 2)
+        .localCheckpoint(true)
       var acc: DataFrame = null
       groups.foreach { case (unions, gexprs) =>
         var dfg =

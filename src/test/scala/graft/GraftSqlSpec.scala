@@ -55,6 +55,22 @@ class GraftSqlSpec extends SparkSpec {
     assert(out(("u2", 40L)) == 30.0)
   }
 
+  test("OPEN PRECEDING as the frame END excludes the boundary row") {
+    // 2 OPEN PRECEDING as an end bound means "strictly before row -2",
+    // i.e. the last included row is -3 — the plain-ROWS fast path used
+    // to widen it to -1 instead (advice r5)
+    (1 to 7).map(i => ("k", i * 10L, i.toDouble)).toDF("pk", "ts", "v")
+      .createOrReplaceTempView("t_open")
+    val out = GraftSql.sql(spark,
+      """SELECT pk, ts, sum(v) OVER w AS s FROM t_open
+        |WINDOW w AS (PARTITION BY pk ORDER BY ts
+        |  ROWS BETWEEN 5 PRECEDING AND 2 OPEN PRECEDING)""".stripMargin)
+      .collect().map(r => r.getLong(1) -> Option(r.get(2))).toMap
+    assert(out(70L).contains(9.0))  // rows at ts 20,30,40 -> 2+3+4
+    assert(out(40L).contains(1.0))  // only ts 10
+    assert(out(20L).isEmpty)        // frame entirely before the data
+  }
+
   test("ROWS_RANGE window with time-unit bound") {
     // 10s = 10000ms on the long key; ts values are ms-scale here so use
     // a raw-number bound instead

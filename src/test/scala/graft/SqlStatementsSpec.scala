@@ -66,11 +66,20 @@ class SqlStatementsSpec extends SparkSpec {
       """DEPLOY d1 SELECT k, sum(v) OVER w AS s FROM st_ev
         |WINDOW w AS (PARTITION BY k ORDER BY ts
         |  ROWS_RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)""".stripMargin)
-    assert(GraftSql.deployment("d1").isDefined)
+    assert(GraftSql.deployment(spark, "d1").isDefined)
     val reqs = Seq(("u1", 30L, 3.0)).toDF("k", "ts", "v")
     val out = GraftSql.serveDeployment(spark, "d1", reqs)
       .as[(String, Double)].collect().toSeq
     assert(out == Seq(("u1", 6.0))) // 1+2+request row's 3
+    // duplicate names are rejected unless overwrite is requested
+    val dup = intercept[IllegalArgumentException] {
+      GraftSql.statement(spark,
+        "DEPLOY d1 SELECT k FROM st_ev")
+    }
+    assert(dup.getMessage.contains("already exists"))
+    GraftSql.statement(spark,
+      "DEPLOY d1 OPTIONS(overwrite=true) SELECT k FROM st_ev")
+    assert(GraftSql.deployment(spark, "d1").get.startsWith("SELECT k"))
   }
 
   // ---- request-mode clause legality (ONLINE_REQUEST_REQUIREMENTS.md) ----
