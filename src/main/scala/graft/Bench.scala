@@ -25,14 +25,18 @@ object Bench {
     val spark = GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val plainNames = SparkEntry.benchQueries.filter(PlainBaseline.sqlText.contains)
+    // optional args: run only the named queries (iteration aid)
+    val benchNames =
+      if (args.nonEmpty) SparkEntry.benchQueries.filter(args.toSet)
+      else SparkEntry.benchQueries
+    val plainNames = benchNames.filter(PlainBaseline.sqlText.contains)
     // Register baseline views once, outside any timed region.
     PlainBaseline.registerViews(spark, sfDir)
 
     // JVM/codegen warmup on the smallest SF so we measure steady-state.
     // Warmup failures are remembered and reported; the timed run below
     // will surface the same error.
-    SparkEntry.benchQueries.foreach { name =>
+    benchNames.foreach { name =>
       try materialize(SparkEntry.queries(name)(spark, warmDir))
       catch { case _: Throwable => () }
     }
@@ -57,7 +61,7 @@ object Bench {
       }
     }
 
-    val results = SparkEntry.benchQueries.flatMap { name =>
+    val results = benchNames.flatMap { name =>
       timed(name)(materialize(SparkEntry.queries(name)(spark, sfDir)))
         .map(name -> _)
     }
@@ -66,9 +70,20 @@ object Bench {
         .map(name -> _)
     }
 
-    val oursByName = results.toMap
-    val ratios = plainResults.flatMap { case (name, pSec) =>
-      oursByName.get(name).map(o => name -> (o / math.max(pSec, 1e-9)))
+    // Ratio queries get a second interleaved pass, and each side reports
+    // its best-of-2: a single GC pause or compile hiccup on a shared box
+    // otherwise swings the reported ratio by 2x run-to-run.
+    val oursBest = scala.collection.mutable.Map(results: _*)
+    val plainBest = scala.collection.mutable.Map(plainResults: _*)
+    plainNames.foreach { name =>
+      timed(name)(materialize(SparkEntry.queries(name)(spark, sfDir)))
+        .foreach(t => oursBest(name) = math.min(oursBest.getOrElse(name, t), t))
+      timed(s"plain:$name")(materialize(PlainBaseline.query(spark, name)))
+        .foreach(t => plainBest(name) = math.min(plainBest.getOrElse(name, t), t))
+    }
+    val plainOut = plainNames.flatMap(n => plainBest.get(n).map(n -> _))
+    val ratios = plainOut.flatMap { case (name, pSec) =>
+      oursBest.get(name).map(o => name -> (o / math.max(pSec, 1e-9)))
     }
 
     def jmap(kv: Seq[(String, Double)]): String =
@@ -77,7 +92,7 @@ object Bench {
       kv.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
 
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"plain":${jmap(plainResults)},"ratio":${jmap(ratios)},"errors":${smap(errors.toSeq)},"failed":${errors.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"plain":${jmap(plainOut)},"ratio":${jmap(ratios)},"errors":${smap(errors.toSeq)},"failed":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -151,36 +151,57 @@ object Dedup {
     val sig = docs.select(col(idCol).as("doc_id"),
       minhashSignature(shingleHashes(col(textCol), shingleN), k).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // one row per (doc, band): band hash = xxhash64 of the band's
-    // signature slice (a long array; the join key includes the band
-    // index, so the hash needs no band seed)
-    val banded = sig.select(col("doc_id"), col("sig"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+    // one row per (doc, band), carrying ALL band hashes (bands longs —
+    // 32 bytes, not the 8+8k-byte signature): band hash = xxhash64 of
+    // the band's signature slice (a long array; the join key includes
+    // the band index, so the hash needs no band seed)
+    val banded = sig.select(col("doc_id"),
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1,
+            lit(rowsPerBand)))).as("bhs"))
+      .select(col("doc_id"), col("bhs"), posexplode(col("bhs")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
-    // Candidate pairs stay NARROW (two ids) through the dedup shuffle;
-    // the 2×k-long signatures are re-attached afterwards by joining the
-    // per-doc sig table twice. On near-dup-dense corpora the candidate
+    // Candidate pairs stay NARROW (two ids) through the join — the
+    // 2×k-long signatures re-attach afterwards via joins against the
+    // small per-doc sig table. On near-dup-dense corpora the candidate
     // set approaches O(n²) rows — shuffling signatures per pair instead
-    // of per doc was a >100× data-volume difference.
+    // of per doc was a >100× data-volume difference (and attaching them
+    // to the raw self-join output measured 5× slower end-to-end).
+    // First-match-only emission: a pair is produced ONLY by its lowest
+    // matching band (earlier band hashes must differ on both sides), so
+    // the join output IS the distinct candidate set and the O(raw-pairs)
+    // dropDuplicates shuffle disappears — the `bhs` arrays cost
+    // bands×8 bytes per banded row, paid once in the (band, bh) shuffle.
+    val firstMatch = (0 until bands).map { b =>
+      (0 until b).foldLeft(col("a.band") === b) { (acc, j) =>
+        acc && element_at(col("a.bhs"), j + 1) =!=
+          element_at(col("b.bhs"), j + 1)
+      }
+    }.reduce(_ || _)
     val cand = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
+        col("a.bh") === col("b.bh") && col("a.band") === col("b.band") &&
+          col("a.doc_id") < col("b.doc_id") && firstMatch)
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-      .dropDuplicates("id1", "id2")
     // k static element compares stay inside whole-stage codegen — a
     // zip_with/filter pipeline here is interpreted per pair and was the
     // remaining hotspot on the O(n²)-pair candidate set
     val matches = (1 to k).map(i =>
       when(element_at(col("sig1"), i) === element_at(col("sig2"), i), 1)
         .otherwise(0)).reduce(_ + _)
-    val pairs = cand
+    val scored = cand
       .join(sig.select(col("doc_id").as("id1"), col("sig").as("sig1")), "id1")
       .join(sig.select(col("doc_id").as("id2"), col("sig").as("sig2")), "id2")
       .select(col("id1"), col("id2"),
         (matches.cast("double") / k).as("est_jaccard"))
-      .filter(col("est_jaccard") >= threshold)
-    materializeAndFree(pairs, sig)
+      // BARRIER before the threshold filter, not after: pushed past the
+      // project, the filter lands in the sig-attach JOIN CONDITION and
+      // that stage falls out of whole-stage codegen — measured 24 s
+      // interpreted vs ~1 s codegen'd for the same 6.3M pairs at sf0.1.
+      // The checkpointed rows are narrow (two ids + a double) and double
+      // as the materialization that lets the sig cache be freed.
+      .localCheckpoint(true)
+    sig.unpersist(false)
+    scored.filter(col("est_jaccard") >= threshold)
   }
 
   /** 64-bit SimHash over word tokens: per-bit weighted vote of token
