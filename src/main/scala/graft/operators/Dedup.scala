@@ -84,7 +84,11 @@ object Dedup {
       .select(col("a.set_id").as("s1"), col("b.set_id").as("s2"))
       .dropDuplicates("s1", "s2")
 
-    // exact verification per distinct-set pair
+    // exact verification per distinct-set pair. The threshold filter
+    // goes AFTER a narrow checkpoint barrier: pushed past the project it
+    // would land in the toks-attach join condition, knocking that stage
+    // out of whole-stage codegen (same measured pattern as the MinHash
+    // sig-attach: ~25x slower interpreted).
     val verified = cand
       .join(sets.select(col("set_id").as("s1"), col("toks").as("t1"),
         col("sz").as("z1")), "s1")
@@ -93,8 +97,9 @@ object Dedup {
       .withColumn("inter", size(array_intersect(col("t1"), col("t2"))))
       .withColumn("jaccard", col("inter").cast("double") /
         (col("z1") + col("z2") - col("inter")))
-      .filter(col("jaccard") >= threshold)
       .select(col("s1"), col("s2"), col("jaccard"))
+      .localCheckpoint(true)
+      .filter(col("jaccard") >= threshold)
     // identical token sets: J = 1.0 by definition
     val selfPairs = sets.select(col("set_id").as("s1"),
       col("set_id").as("s2"), lit(1.0).as("jaccard"))
@@ -249,12 +254,16 @@ object Dedup {
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
       .dropDuplicates("id1", "id2")
-    val pairs = cand
+    // narrow checkpoint barrier before the threshold filter — pushed
+    // into the vec-attach join condition the interpreted cosine would
+    // evaluate twice per pair and the stage loses whole-stage codegen
+    val scored = cand
       .join(vecs.select(col("vec_id").as("id1"), col("e").as("e1")), "id1")
       .join(vecs.select(col("vec_id").as("id2"), col("e").as("e2")), "id2")
       .select(col("id1"), col("id2"),
         Similarity.cosine(col("e1"), col("e2")).as("cos"))
-      .filter(col("cos") >= threshold)
-    materializeAndFree(pairs, vecs, keyed)
+      .localCheckpoint(true)
+    vecs.unpersist(false); keyed.unpersist(false)
+    scored.filter(col("cos") >= threshold)
   }
 }
