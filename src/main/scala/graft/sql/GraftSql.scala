@@ -692,14 +692,14 @@ object GraftSql {
       scope: Map[String, DataFrame]): DataFrame =
     scope.getOrElse(name, spark.table(name))
 
-  private def resolveRef(spark: SparkSession, ref: TRef,
+  private[sql] def resolveRef(spark: SparkSession, ref: TRef,
       scope: Map[String, DataFrame]): DataFrame = ref match {
     case Left("")   => spark.range(1).toDF() // constant select anchor
     case Left(name) => resolve(spark, name, scope)
     case Right(sub) => planQuery(spark, sub, scope)
   }
 
-  private def projName(pr: Proj, i: Int): String =
+  private[sql] def projName(pr: Proj, i: Int): String =
     pr.alias.getOrElse {
       val t = pr.exprText
       if (t.matches("[A-Za-z_][A-Za-z0-9_]*( \\. [A-Za-z_][A-Za-z0-9_]*)?"))
@@ -707,12 +707,22 @@ object GraftSql {
       else s"_c$i"
     }
 
-  private def planSelect(spark: SparkSession, s: Select,
-      scope: Map[String, DataFrame], requestMode: Boolean = false): DataFrame = {
-    var df = resolveRef(spark, s.fromTable, scope)
-    s.fromAlias.foreach(a => df = df.alias(a))
+  /** Parse a complete query text (shared by sql() and StreamDeploy). */
+  private[sql] def parseQueryText(text: String): Query = {
+    val parser = new Parser(tokenize(text))
+    val q = parser.parseQuery()
+    if (parser.p != parser.toks.length) parser.fail("trailing tokens")
+    q
+  }
 
-    s.joins.foreach { jc =>
+  /** Apply a SELECT's JOIN clauses to `df0` (LEFT and LAST JOIN).
+    * Shared by the batch planner and the streaming deploy compiler —
+    * the right sides are static, so the same plan shapes
+    * (broadcast-able pre-reduced equi-join) serve both modes. */
+  private[sql] def applyJoins(spark: SparkSession, df0: DataFrame,
+      joins: Seq[JoinClause], scope: Map[String, DataFrame]): DataFrame = {
+    var df = df0
+    joins.foreach { jc =>
       var right = resolveRef(spark, jc.table, scope)
       jc.alias.foreach(a => right = right.alias(a))
       df = jc.kind match {
@@ -741,6 +751,14 @@ object GraftSql {
           }
       }
     }
+    df
+  }
+
+  private def planSelect(spark: SparkSession, s: Select,
+      scope: Map[String, DataFrame], requestMode: Boolean = false): DataFrame = {
+    var df = resolveRef(spark, s.fromTable, scope)
+    s.fromAlias.foreach(a => df = df.alias(a))
+    df = applyJoins(spark, df, s.joins, scope)
 
     s.where.foreach(w => df = df.filter(expr(w)))
 
@@ -805,7 +823,7 @@ object GraftSql {
   private val registeredSessions =
     java.util.Collections.newSetFromMap(
       new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
-  private def ensureFunctions(spark: SparkSession): Unit = synchronized {
+  private[sql] def ensureFunctions(spark: SparkSession): Unit = synchronized {
     if (registeredSessions.add(spark)) {
       graft.functions.GraftScalars.registerAll(spark)
       graft.functions.GraftAggregates.registerAll(spark)
@@ -927,7 +945,7 @@ object GraftSql {
   }
 
   /** split "fn ( args )" into (fn, argText); argText "*" for count(*) */
-  private def splitCall(t: String): (String, String) = {
+  private[sql] def splitCall(t: String): (String, String) = {
     val i = t.indexOf('(')
     if (i < 0 || !t.endsWith(")")) ("", t)
     else (t.substring(0, i).trim.toLowerCase, t.substring(i + 1, t.length - 1).trim)
@@ -964,11 +982,11 @@ object GraftSql {
     if (w.isRows) base.rowsBetween(lo, hi) else base.rangeBetween(lo, hi)
   }
 
-  private val extAggs = Set("sum", "count", "avg", "min", "max",
+  private[sql] val extAggs = Set("sum", "count", "avg", "min", "max",
     "distinct_count", "lag", "at", "first_value", "last_value")
 
   /** split an argument list at top-level commas */
-  private def splitArgs(t: String): Seq[String] = {
+  private[sql] def splitArgs(t: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     var depth = 0; val b = new StringBuilder
     t.foreach {
@@ -981,11 +999,14 @@ object GraftSql {
     out.result()
   }
 
-  /** Extract `fn(args) OVER <w>` sub-expressions (top-level or nested
-    * inside scalar calls like `round(sum(v) OVER w, 3)`), compute each
-    * as a hidden window column, then evaluate the outer expressions. */
-  private def planWindows(spark: SparkSession, s: Select, base: DataFrame,
-      scope: Map[String, DataFrame], requestMode: Boolean = false): DataFrame = {
+  /** Walk a SELECT's projections and pull out every `fn(args) OVER <w>`
+    * sub-expression (top-level or nested inside scalar calls like
+    * `round(sum(v) OVER w, 3)`), replacing each with a fresh
+    * `__graft_wN` id. Returns (outer projection tokens with ids
+    * substituted, the extracted (id, fnText, window) list). Shared by
+    * the batch window planner and the streaming deploy compiler. */
+  private[sql] def extractWinCalls(s: Select, base: DataFrame)
+      : (Seq[Vector[String]], Seq[(String, String, WinDef)]) = {
     var counter = 0
     val winExprs = Seq.newBuilder[(String, String, WinDef)]
     def fresh(): String = { counter += 1; s"__graft_w$counter" }
@@ -1096,7 +1117,14 @@ object GraftSql {
       }
     }
 
-    val exprs = winExprs.result()
+    (outerTokens, winExprs.result())
+  }
+
+  /** Compute each extracted window call as a hidden window column, then
+    * evaluate the outer expressions. */
+  private def planWindows(spark: SparkSession, s: Select, base: DataFrame,
+      scope: Map[String, DataFrame], requestMode: Boolean = false): DataFrame = {
+    val (outerTokens, exprs) = extractWinCalls(s, base)
 
     // reference sum() preserves integral input types with wraparound
     // overflow (test_window.yaml id 21: sum(int32) wraps at 2^31);
@@ -1198,9 +1226,12 @@ object GraftSql {
           val spec = Window.partitionBy(w.partition.map(expr): _*)
             .orderBy(ord, if (w.orderDesc) col(UidCol).desc else col(UidCol).asc)
           expr(text).over(spec)
-        } else if (plain && w.isRows && !windowBound) {
+        } else if (plain && w.isRows && !windowBound &&
+            fn != "distinct_count") {
           // plain ROWS: native frame over (order, uid) — deterministic
-          // at-or-before positions at native speed
+          // at-or-before positions at native speed. distinct_count is
+          // excluded: Spark has no DISTINCT window aggregate, so it
+          // takes the frame-array path below.
           expr(fnText).over(plainSpec(w, Some(col(UidCol))))
         } else if (plain && !w.isRows && !w.orderDesc && decomposable) {
           // plain ROWS_RANGE sum/count/avg: strict-tie prefix-sum

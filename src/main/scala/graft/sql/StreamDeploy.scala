@@ -1,0 +1,390 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+import graft.streaming.RequestStream.{AbsAndLat, AbsoluteTime, AbsOrLat, LatestCount, Ttl}
+
+/** Generic streaming DEPLOY: serve an arbitrary deployed SELECT over a
+  * stream of events, where every arriving event is simultaneously an
+  * insert into its key's history and a request row answered against
+  * that history — the reference's online request loop
+  * (hybridse/src/vm/runner.cc:1984-2123, DEPLOY_STATEMENT.md).
+  *
+  * Compilation strategy (Spark-first):
+  *   1. Every scalar sub-expression — window-aggregate arguments and
+  *      `*_where` guard conditions — is compiled to a native Column and
+  *      materialized BEFORE the key shuffle, so the per-event scalar
+  *      work stays inside whole-stage codegen.
+  *   2. One `groupByKey(partition keys)` shuffle feeds
+  *      `flatMapGroupsWithState`; per-key state is the ts-descending
+  *      buffer of pre-computed argument values only (not whole rows),
+  *      TTL-bounded exactly like the reference's index eviction
+  *      (fe_type.proto:35-41).
+  *   3. Frame membership per request replicates
+  *      [[graft.operators.WindowOps.frameArray]] (range bound, EXCLUDE
+  *      CURRENT_TIME / CURRENT_ROW, ROWS caps, OPEN / PRECEDING upper
+  *      bounds, MAXSIZE) over the buffer slice at-or-before the request.
+  *   4. Outer projections (scalar expressions wrapping window results)
+  *      are evaluated AFTER the stateful stage as native Columns again.
+  *
+  * The default TTL is derived from the deployed windows — the widest
+  * RANGE span and the deepest ROWS/lag lookback, kept with AND
+  * semantics — mirroring how the reference's DEPLOY derives index TTL
+  * from the window clauses it serves (DEPLOY_STATEMENT.md:97-168).
+  *
+  * Deviation (inherent to streaming): a row arriving AFTER a request
+  * with an OLDER timestamp is not retroactively added to that request's
+  * frame; the batch planner, seeing all rows at once, would include it.
+  * Per-key in-order feeds (the reference's assumption for its online
+  * index) make streaming and batch answers identical — asserted in
+  * StreamDeploySpec.
+  */
+object StreamDeploy {
+  import GraftSql._
+
+  private val KeyCol = "__graft_skey"
+  private val TsCol = "__graft_sts"
+
+  /** One compiled window-aggregate output column. */
+  private case class WinSpec(id: String, fn: String, argIdx: Int,
+      lagK: Int, frameless: Boolean, p: FrameParams, outType: DataType,
+      wrapSum: Option[DataType])
+
+  /** Frame parameters ported from the batch planner's groupCols
+    * derivation (GraftSql.planWindows): same bound arithmetic, same
+    * filter order. */
+  private case class FrameParams(precedingMs: Long, rowCap: Int,
+      hiMs: Long, skipNewest: Int, exclSelf: Boolean, exclCT: Boolean,
+      zeroFillSum: Boolean)
+
+  private def frameParams(w: WinDef): FrameParams = {
+    val hiOffset: Long = w.hi match {
+      case CurrentRow    => 0L
+      case Prec(h, open) => h + (if (open) 1 else 0)
+      case Unbounded =>
+        throw new IllegalArgumentException("UNBOUNDED upper frame bound")
+    }
+    if (w.isRows) {
+      val n = w.lo match {
+        case Prec(n0, open) => n0 - (if (open) 1 else 0)
+        case Unbounded      => -1L
+        case CurrentRow     => 0L
+      }
+      val h = hiOffset.toInt
+      val frameCap =
+        if (n < 0) 0
+        else if (h > 0) (n - h + 1).toInt
+        else (n + (if (w.exclCR) 0 else 1)).toInt
+      val cap =
+        if (w.maxSize > 0 && frameCap > 0) math.min(w.maxSize, frameCap)
+        else math.max(w.maxSize, math.max(frameCap, 0))
+      FrameParams(Long.MaxValue / 4, cap, 0L, h,
+        exclSelf = w.exclCR && h == 0, exclCT = w.exclCT,
+        zeroFillSum = h > 0 && !w.exclCR)
+    } else {
+      val p = w.lo match {
+        case Prec(n, open) => n - (if (open) 1 else 0)
+        case Unbounded     => Long.MaxValue / 4
+        case CurrentRow    => 0L
+      }
+      FrameParams(p, w.maxSize, hiOffset, 0,
+        exclSelf = w.exclCR, exclCT = w.exclCT, zeroFillSum = false)
+    }
+  }
+
+  /** Buffered history row: event-time, per-key arrival sequence (the
+    * ingestion-order uid of the batch path), pre-computed arg values.
+    * Public only because the Kryo state encoder requires it. */
+  case class BufRow(ts: Long, seq: Long, args: Array[Any])
+  case class Buf(seq: Long, rows: List[BufRow])
+
+  private def evict(rows: List[BufRow], ttl: Ttl, nowMs: Long): List[BufRow] =
+    ttl match {
+      case AbsoluteTime(ms) => rows.filter(_.ts >= nowMs - ms)
+      case LatestCount(n)   => rows.take(n)
+      case AbsAndLat(ms, n) => // keep while within EITHER limit
+        rows.zipWithIndex.filter { case (r, i) =>
+          r.ts >= nowMs - ms || i < n }.map(_._1)
+      case AbsOrLat(ms, n)  => // keep only while within BOTH
+        rows.zipWithIndex.filter { case (r, i) =>
+          r.ts >= nowMs - ms && i < n }.map(_._1)
+    }
+
+  /** TTL derived from the deployed windows (reference: DEPLOY builds
+    * index TTL from its window clauses). Rows are kept while inside the
+    * widest RANGE span OR among the newest maxRows — AND-eviction. */
+  private[sql] def deriveTtl(specs: Seq[WinDef], lagDepth: Int): Ttl = {
+    val spans = specs.map { w =>
+      if (w.isRows) 0L
+      else w.lo match {
+        case Prec(n, open) => n - (if (open) 1 else 0) + 1
+        case Unbounded     => Long.MaxValue / 4
+        case CurrentRow    => 1L
+      }
+    }
+    val rowCounts = specs.map { w =>
+      val fp = frameParams(w)
+      if (w.isRows) fp.rowCap + fp.skipNewest + 1
+      else math.max(fp.rowCap, 0) + 1 // MAXSIZE on a range frame
+    } :+ (lagDepth + 1)
+    AbsAndLat(spans.foldLeft(1L)(math.max), rowCounts.foldLeft(1)(math.max))
+  }
+
+  private def toD(v: Any): Double = v match {
+    case d: Double              => d
+    case f: Float               => f.toDouble
+    case n: java.lang.Number    => n.doubleValue
+    case b: java.lang.Boolean   => if (b) 1.0 else 0.0
+    case other => throw new IllegalArgumentException(
+      s"non-numeric aggregate input: $other (${other.getClass})")
+  }
+
+  /** Runtime ordering matching Spark's array_min/array_max for the
+    * value types the engine supports. */
+  private def lt(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: String, y: String)   => x < y
+    case (x: java.sql.Date, y: java.sql.Date) => x.before(y)
+    case (x: java.lang.Boolean, y: java.lang.Boolean) => !x && y
+    case (x, y)                   => toD(x) < toD(y)
+  }
+
+  /** Serve `events` through a deployment previously registered with
+    * `DEPLOY name SELECT ...`. */
+  def serveDeployment(spark: SparkSession, name: String, events: DataFrame,
+      ttl: Option[Ttl] = None,
+      tables: Map[String, DataFrame] = Map.empty): DataFrame =
+    serve(spark, GraftSql.deployment(spark, name).getOrElse(
+      throw new IllegalArgumentException(s"no deployment named '$name'")),
+      events, ttl, tables)
+
+  /** Compile `sqlText` (a deployable SELECT) into a streaming (or
+    * batch — flatMapGroupsWithState runs in both modes) DataFrame over
+    * `events`. Dimension tables for LAST JOIN resolve from `tables` or
+    * the session catalog; joins run stream-static before the stateful
+    * stage. */
+  def serve(spark: SparkSession, sqlText: String, events: DataFrame,
+      ttl: Option[Ttl] = None,
+      tables: Map[String, DataFrame] = Map.empty): DataFrame = {
+    ensureFunctions(spark)
+    val q = parseQueryText(sqlText)
+    validateRequestQuery(q)
+    val sel = q.selects.head
+
+    var base = events
+    sel.fromAlias.foreach(a => base = base.alias(a))
+    base = applyJoins(spark, base, sel.joins, tables)
+
+    val (outerTokens, winExprs) = extractWinCalls(sel, base)
+
+    // ---- streamability checks beyond request-mode legality ----
+    def notStreamable(msg: String) = throw new IllegalArgumentException(
+      s"not streamable: $msg")
+    val windows = winExprs.map(_._3)
+    windows.foreach { w =>
+      if (w.unions.nonEmpty) notStreamable("WINDOW ... UNION")
+      if (w.inw) notStreamable("INSTANCE_NOT_IN_WINDOW")
+      if (w.orderDesc) notStreamable("ORDER BY ... DESC")
+      if (w.order.isEmpty) notStreamable("window without ORDER BY")
+    }
+    val partitions = windows.map(_.partition).distinct
+    if (partitions.length > 1)
+      notStreamable(s"multiple PARTITION BY signatures: $partitions")
+    val orders = windows.map(_.order.get).distinct
+    if (orders.length > 1)
+      notStreamable(s"multiple ORDER BY keys: $orders")
+
+    if (winExprs.isEmpty) // no windows: a pure per-event projection
+      return base.select(outerTokens.zip(sel.projs).zipWithIndex.map {
+        case ((toks, pr), i) => expr(toks.mkString(" ")).as(projName(pr, i))
+      }: _*)
+
+    val partExprs = partitions.head
+    val orderExpr = orders.head
+
+    // ---- compile each window call ----
+    // distinct argument expressions share one buffered slot
+    val argSlots = scala.collection.mutable.LinkedHashMap[String, Int]()
+    def slot(argText: String): Int =
+      argSlots.getOrElseUpdate(argText, argSlots.size)
+
+    case class Pre(id: String, fn: String, argText: String, lagK: Int,
+        frameless: Boolean, w: WinDef)
+    val pres = winExprs.map { case (id, fnText0, w) =>
+      val (fnRaw, argRaw) = splitCall(fnText0)
+      if (argRaw.contains("__graft_w"))
+        notStreamable(s"nested window call in '$fnText0'")
+      val (fn, argText0) =
+        if (fnRaw.endsWith("_where") && extAggs(fnRaw.stripSuffix("_where"))) {
+          val as = splitArgs(argRaw)
+          (fnRaw.stripSuffix("_where"),
+            s"CASE WHEN ${as(1)} THEN ${as(0)} END")
+        } else (fnRaw, argRaw)
+      if (!extAggs(fn)) notStreamable(s"aggregate '$fn' online")
+      val isOffset = fn == "lag" || fn == "at"
+      val args = splitArgs(argText0)
+      val lagK =
+        if (!isOffset) 0
+        else if (args.length > 1) args(1).trim.toInt else 1
+      val argText = if (argText0 == "*") "1L" else args.head
+      Pre(id, if (fn == "at") "lag" else fn, argText, lagK, isOffset, w)
+    }
+    pres.foreach(p => slot(p.argText))
+
+    // ---- pre-shuffle projection: key, ts, argument values ----
+    val keyCol = to_json(struct(partExprs.map(p => expr(p)): _*))
+    var prep = base
+      .withColumn(KeyCol, keyCol)
+      .withColumn(TsCol, expr(orderExpr).cast(LongType))
+    argSlots.foreach { case (argText, i) =>
+      prep = prep.withColumn(s"__graft_sa_$i", expr(argText))
+    }
+
+    val baseWidth = base.schema.length
+    val prepSchema = prep.schema
+    val keyIdx = prepSchema.fieldIndex(KeyCol)
+    val tsIdx = prepSchema.fieldIndex(TsCol)
+    val slotIdx: Map[Int, Int] = argSlots.values.map(i =>
+      i -> prepSchema.fieldIndex(s"__graft_sa_$i")).toMap
+    val argTypes: Map[Int, DataType] = argSlots.values.map(i =>
+      i -> prepSchema(slotIdx(i)).dataType).toMap
+
+    val specs: Seq[WinSpec] = pres.map { p =>
+      val si = argSlots(p.argText)
+      val at = argTypes(si)
+      val integralSum = p.fn == "sum" && (at match {
+        case IntegerType | ShortType | LongType => true
+        case _                                  => false
+      })
+      val outType = p.fn match {
+        case "sum" | "avg"                => DoubleType
+        case "count" | "distinct_count"   => LongType
+        case _                            => at
+      }
+      WinSpec(p.id, p.fn, si, p.lagK, p.frameless, frameParams(p.w),
+        outType, if (integralSum) Some(at) else None)
+    }
+
+    val outSchema = StructType(base.schema.fields ++
+      specs.map(s => StructField(s.id, s.outType)))
+    val effTtl = ttl.getOrElse(
+      deriveTtl(windows, specs.filter(_.frameless).map(_.lagK)
+        .foldLeft(0)(math.max)))
+    val nSlots = argSlots.size
+
+    // ---- stateful stage ----
+    implicit val bufEnc: Encoder[Buf] = Encoders.kryo[Buf]
+    implicit val rowEnc: Encoder[Row] = Encoders.row(outSchema)
+    implicit val strEnc: Encoder[String] = Encoders.STRING
+
+    val served = prep.groupByKey(_.getString(keyIdx))
+      .flatMapGroupsWithState[Buf, Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, it: Iterator[Row], state) =>
+          var st = state.getOption.getOrElse(Buf(0L, Nil))
+          var rows = st.rows
+          var seq = st.seq
+          val out = Vector.newBuilder[Row]
+          // event-time order within the micro-batch; stable sort keeps
+          // arrival order for ties (= ingestion-order uid of the batch
+          // path)
+          it.toVector.sortBy(_.getLong(tsIdx)).foreach { r =>
+            val ts = r.getLong(tsIdx)
+            seq += 1
+            val args = new Array[Any](nSlots)
+            var i = 0
+            while (i < nSlots) {
+              val fi = slotIdx(i)
+              args(i) = if (r.isNullAt(fi)) null else r.get(fi)
+              i += 1
+            }
+            val (newer, older) = rows.span(b => b.ts > ts)
+            rows = newer ::: (BufRow(ts, seq, args) :: older)
+            rows = evict(rows, effTtl, rows.head.ts)
+            // history at-or-before the request (strict (ts, seq) order)
+            val basis = rows.dropWhile(b =>
+              b.ts > ts || (b.ts == ts && b.seq > seq))
+            val vals = specs.map(sp => evalSpec(sp, basis, ts, seq))
+            val outVals = new Array[Any](baseWidth + specs.length)
+            var j = 0
+            while (j < baseWidth) { outVals(j) = r.get(j); j += 1 }
+            vals.zipWithIndex.foreach { case (v, k) =>
+              outVals(baseWidth + k) = v }
+            out += new GenericRowWithSchema(outVals, outSchema)
+          }
+          state.update(Buf(seq, rows))
+          out.result().iterator
+      }
+
+    // integral-typed sum: wraparound cast back to the input type,
+    // identical to the batch path (test_window.yaml id 21)
+    var withIds: DataFrame = served
+    specs.foreach { sp =>
+      sp.wrapSum.foreach { t =>
+        val half = t match {
+          case IntegerType => 1L << 31
+          case ShortType   => 1L << 15
+          case _           => 0L
+        }
+        val c = col(sp.id)
+        val wrapped =
+          if (half == 0L) c.cast(t)
+          else {
+            val full = 2 * half
+            val l = c.cast("long")
+            ((((l + half) % full + full) % full) - half).cast(t)
+          }
+        withIds = withIds.withColumn(sp.id, wrapped)
+      }
+    }
+
+    withIds.select(outerTokens.zip(sel.projs).zipWithIndex.map {
+      case ((toks, pr), i) => expr(toks.mkString(" ")).as(projName(pr, i))
+    }: _*)
+  }
+
+  /** Evaluate one window aggregate for the request at (ts, seq) over
+    * `basis` = buffered rows at-or-before the request, newest-first.
+    * Filter order matches WindowOps.frameArray. */
+  private def evalSpec(sp: WinSpec, basis: List[BufRow], ts: Long,
+      seq: Long): Any = {
+    if (sp.frameless) {
+      // lag/at are frameless positional lookups over ingestion order
+      // (window_attributes.yaml id 0) — index from the request row
+      val tgt = basis.drop(sp.lagK)
+      return tgt.headOption.map(_.args(sp.argIdx)).orNull
+    }
+    val p = sp.p
+    var frame = basis
+    if (p.precedingMs < graft.operators.WindowOps.UnboundedMs)
+      frame = frame.takeWhile(_.ts >= ts - p.precedingMs)
+    if (p.exclCT) frame = frame.filter(b => b.ts != ts || b.seq == seq)
+    if (p.exclSelf) frame = frame.filter(_.seq != seq)
+    if (p.hiMs > 0) frame = frame.dropWhile(_.ts > ts - p.hiMs)
+    if (p.skipNewest > 0) frame = frame.drop(p.skipNewest)
+    if (p.rowCap > 0) frame = frame.take(p.rowCap)
+
+    val vs = frame.map(_.args(sp.argIdx))
+    lazy val nn = vs.filter(_ != null)
+    sp.fn match {
+      case "count" => nn.length.toLong
+      case "sum" =>
+        if (nn.isEmpty) { if (p.zeroFillSum) 0.0 else null }
+        // newest-first fold, same accumulation order as aggSum
+        else nn.foldLeft(0.0)((acc, v) => acc + toD(v))
+      case "avg" =>
+        if (nn.isEmpty) null
+        else nn.foldLeft(0.0)((acc, v) => acc + toD(v)) / nn.length
+      case "min" => if (nn.isEmpty) null else nn.reduce((a, b) => if (lt(b, a)) b else a)
+      case "max" => if (nn.isEmpty) null else nn.reduce((a, b) => if (lt(a, b)) b else a)
+      case "distinct_count" => nn.distinct.length.toLong
+      case "first_value" => frame.lastOption.map(_.args(sp.argIdx)).orNull
+      case "last_value"  => frame.headOption.map(_.args(sp.argIdx)).orNull
+      case other => throw new IllegalArgumentException(
+        s"unsupported online aggregate '$other'")
+    }
+  }
+}

@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.sql.{GraftSql, StreamDeploy}
+import graft.streaming.RequestStream.LatestCount
+
+case class Ev(user: String, ts: Long, amt: Double, qty: Long, tag: String)
+
+/** Train/serve consistency for the generic streaming deploy: the SAME
+  * deployed SELECT, run (a) through the batch window planner over the
+  * full event log and (b) through StreamDeploy.serve over the events
+  * as a stream, must produce identical rows — the reference's
+  * one-plan-two-backends guarantee (README.md:58), held here as
+  * one-semantics-two-run-modes. */
+class StreamDeploySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val evs = Seq(
+    Ev("u1", 10L, 1.0, 1L, "a"), Ev("u1", 20L, 2.5, 2L, "b"),
+    Ev("u1", 20L, 3.0, 3L, "a"), Ev("u1", 35L, 4.0, 4L, "c"),
+    Ev("u1", 50L, 5.5, 5L, "a"), Ev("u2", 15L, 10.0, 6L, "x"),
+    Ev("u2", 40L, 20.0, 7L, "y"), Ev("u3", 5L, 7.0, 8L, "z"))
+
+  private def sorted(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
+
+  /** serve() on the batch DataFrame (flatMapGroupsWithState executes
+    * identically in batch mode) vs the plain batch window planner. */
+  private def check(sql: String, events: DataFrame = evs.toDF()): Unit = {
+    val batch = GraftSql.sql(spark, sql, Map("events" -> events))
+    val streamed = StreamDeploy.serve(spark, sql, events)
+    // nullability is advisory in Spark; compare names + types
+    assert(streamed.schema.map(f => (f.name, f.dataType)) ==
+      batch.schema.map(f => (f.name, f.dataType)),
+      s"schema: ${streamed.schema} vs ${batch.schema}")
+    assert(sorted(streamed) == sorted(batch),
+      s"\nsql: $sql\nstream: ${sorted(streamed).mkString("\n        ")}" +
+        s"\nbatch:  ${sorted(batch).mkString("\n        ")}")
+  }
+
+  test("multi-column aggregates over a ROWS_RANGE frame") {
+    check("""SELECT user, ts, sum(amt) OVER w AS s, avg(qty) OVER w AS a,
+      min(amt) OVER w AS mn, max(qty) OVER w AS mx, count(*) OVER w AS c
+      FROM events
+      WINDOW w AS (PARTITION BY user ORDER BY ts
+        ROWS_RANGE BETWEEN 25 PRECEDING AND CURRENT ROW)""")
+  }
+
+  test("nav functions online: lag, first_value, last_value") {
+    check("""SELECT user, ts, lag(tag, 1) OVER w AS prev_tag,
+      at(amt, 2) OVER w AS amt2,
+      first_value(amt) OVER w AS fv, last_value(qty) OVER w AS lv
+      FROM events
+      WINDOW w AS (PARTITION BY user ORDER BY ts
+        ROWS_RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)""")
+  }
+
+  test("conditional aggregates online: *_where") {
+    check("""SELECT user, ts, count_where(qty, amt > 2.0) OVER w AS cw,
+      sum_where(amt, tag = 'a') OVER w AS sw
+      FROM events
+      WINDOW w AS (PARTITION BY user ORDER BY ts
+        ROWS_RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)""")
+  }
+
+  test("window attributes online: MAXSIZE + EXCLUDE CURRENT_TIME / ROW") {
+    check("""SELECT user, ts, sum(amt) OVER w1 AS s1, count(qty) OVER w2 AS c2,
+      sum(qty) OVER w3 AS s3
+      FROM events
+      WINDOW w1 AS (PARTITION BY user ORDER BY ts
+        ROWS_RANGE BETWEEN 100 PRECEDING AND CURRENT ROW MAXSIZE 2),
+      w2 AS (PARTITION BY user ORDER BY ts
+        ROWS_RANGE BETWEEN 100 PRECEDING AND CURRENT ROW EXCLUDE CURRENT_TIME),
+      w3 AS (PARTITION BY user ORDER BY ts
+        ROWS_RANGE BETWEEN 100 PRECEDING AND CURRENT ROW EXCLUDE CURRENT_ROW)""")
+  }
+
+  test("ROWS frames and scalar outer expressions") {
+    check("""SELECT user, ts, round(sum(amt) OVER w, 2) AS s2,
+      distinct_count(tag) OVER w AS dc, qty * 10 AS q10
+      FROM events
+      WINDOW w AS (PARTITION BY user ORDER BY ts
+        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""")
+  }
+
+  test("integral sum keeps its type (wraparound cast)") {
+    check("""SELECT user, ts, sum(qty) OVER w AS sq
+      FROM events
+      WINDOW w AS (PARTITION BY user ORDER BY ts
+        ROWS_RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)""")
+  }
+
+  test("LAST JOIN to a dimension table before the stateful stage") {
+    val dims = Seq(("u1", "gold", 1L), ("u2", "silver", 2L),
+      ("u1", "plat", 3L)).toDF("duser", "tier", "ver")
+    dims.createOrReplaceTempView("dims")
+    check("""SELECT user, ts, tier, sum(amt) OVER w AS s
+      FROM events
+      LAST JOIN dims ORDER BY ver ON user = duser
+      WINDOW w AS (PARTITION BY user ORDER BY ts
+        ROWS_RANGE BETWEEN 25 PRECEDING AND CURRENT ROW)""")
+  }
+
+  test("true streaming run (MemoryStream) carries state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val sql = """SELECT user, ts, sum(amt) OVER w AS s, lag(tag, 1) OVER w AS p
+      FROM events
+      WINDOW w AS (PARTITION BY user ORDER BY ts
+        ROWS_RANGE BETWEEN 25 PRECEDING AND CURRENT ROW)"""
+    val mem = MemoryStream[Ev]
+    val q = StreamDeploy.serve(spark, sql, mem.toDF())
+      .writeStream.format("memory").queryName("sd_out")
+      .outputMode("append").start()
+    // per-key in-order feed, split mid-key so state must carry over
+    mem.addData(evs.take(4): _*)
+    q.processAllAvailable()
+    mem.addData(evs.drop(4): _*)
+    q.processAllAvailable()
+    val streamed = sorted(spark.table("sd_out"))
+    q.stop()
+    val batch = sorted(GraftSql.sql(spark, sql, Map("events" -> evs.toDF())))
+    assert(streamed == batch)
+  }
+
+  test("derived TTL keeps frames exact; explicit TTL bounds state") {
+    // LatestCount(2) deliberately starves a 3-row frame: counts collapse
+    val out = StreamDeploy.serve(spark,
+      """SELECT user, ts, count(*) OVER w AS c FROM events
+        WINDOW w AS (PARTITION BY user ORDER BY ts
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
+      evs.toDF(), ttl = Some(LatestCount(2)))
+    val c = out.collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(c(("u1", 35L)) == 2L) // buffer held only the 2 newest (incl. self)
+    assert(c(("u1", 50L)) == 2L)
+  }
+
+  test("non-streamable constructs are rejected at deploy time") {
+    val ev = evs.toDF()
+    def rejects(sql: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        StreamDeploy.serve(spark, sql, ev) }
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    rejects("""SELECT user, ts, median(amt) OVER w AS m FROM events
+      WINDOW w AS (PARTITION BY user ORDER BY ts
+        ROWS_RANGE BETWEEN 10 PRECEDING AND CURRENT ROW)""", "median")
+    rejects("""SELECT user, sum(amt) OVER w AS s FROM events
+      WINDOW w AS (PARTITION BY user ORDER BY ts DESC
+        ROWS_RANGE BETWEEN 10 PRECEDING AND CURRENT ROW)""", "DESC")
+    rejects("""SELECT user, sum(amt) OVER w1 AS a, sum(amt) OVER w2 AS b
+      FROM events
+      WINDOW w1 AS (PARTITION BY user ORDER BY ts
+        ROWS_RANGE BETWEEN 10 PRECEDING AND CURRENT ROW),
+      w2 AS (PARTITION BY tag ORDER BY ts
+        ROWS_RANGE BETWEEN 10 PRECEDING AND CURRENT ROW)""",
+      "PARTITION BY")
+  }
+
+  test("DEPLOY statement + serveDeployment round trip") {
+    GraftSql.statement(spark,
+      """DEPLOY sd_spec_dep OPTIONS(overwrite='true') SELECT user, ts,
+        sum(amt) OVER w AS s FROM events
+        WINDOW w AS (PARTITION BY user ORDER BY ts
+          ROWS_RANGE BETWEEN 25 PRECEDING AND CURRENT ROW)""")
+    val out = StreamDeploy.serveDeployment(spark, "sd_spec_dep", evs.toDF())
+    assert(out.count() == evs.length)
+  }
+}
