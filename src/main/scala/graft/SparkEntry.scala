@@ -922,6 +922,22 @@ object SparkEntry {
         tables = Map("hist" -> ev.filter(col("event_id") % 97 =!= 0)))
     },
 
+    // Generic streaming DEPLOY, run in batch mode: every event is an
+    // insert + request, answered from per-key TTL state — the same
+    // compiled pipeline a readStream feed would run (StreamDeploy;
+    // reference runner.cc:1984-2123). Nav fn + range aggs in one deploy.
+    "q_stream_deploy" -> q { (s, d) =>
+      graft.sql.StreamDeploy.serve(s,
+        """SELECT event_id, round(sum(value) OVER w, 3) AS sd_sum,
+          |  count(value) OVER w AS sd_cnt, lag(value, 1) OVER w AS sd_prev,
+          |  round(first_value(value) OVER w, 3) AS sd_first
+          |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+          |  ROWS_RANGE BETWEEN 10m PRECEDING AND CURRENT ROW)""".stripMargin,
+        T(s, d, "events"))
+        .select(col("event_id"), col("sd_sum"), col("sd_cnt"),
+          col("sd_prev"), col("sd_first"))
+    },
+
     // SELECT INTO OUTFILE csv → LOAD DATA INFILE round-trip
     // (LoadDataPlan.scala:40-135, SelectIntoPlan.scala)
     // the IO round-trip driven through SQL TEXT: SELECT INTO OUTFILE,
@@ -1619,6 +1635,16 @@ object SparkEntry {
         |   WHERE b.user_id = e.user_id AND b.event_id % 97 <> 0
         |     AND epoch_ms(b.ts) BETWEEN epoch_ms(e.ts) - 600000 AND epoch_ms(e.ts)) + 1 AS pit_cnt
         |FROM events e WHERE e.event_id % 97 = 0""".stripMargin,
+
+    "q_stream_deploy" ->
+      """SELECT event_id,
+        | round(sum(value) OVER w, 3) AS sd_sum,
+        | count(value) OVER w AS sd_cnt,
+        | lag(value, 1) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)) AS sd_prev,
+        | round(first_value(value) OVER w, 3) AS sd_first
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+        |             RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q_bench_shape" ->
       """WITH cust AS (
