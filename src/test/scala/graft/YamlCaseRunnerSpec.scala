@@ -36,7 +36,21 @@ class YamlCaseRunnerSpec extends SparkSpec {
     ("query/udaf_query.yaml", "udaf_query"),
     ("query/last_join_window_query.yaml", "last_join_window"),
     ("query/group_query.yaml", "group_query"),
-    ("function/v040/test_groupby.yaml", "test_groupby"))
+    ("function/v040/test_groupby.yaml", "test_groupby"),
+    ("function/expression/test_arithmetic.yaml", "test_arithmetic"),
+    ("function/expression/test_condition.yaml", "test_condition"),
+    ("function/expression/test_logic.yaml", "test_logic"),
+    ("function/expression/test_predicate.yaml", "test_predicate"),
+    ("function/select/test_where.yaml", "test_where"),
+    ("function/select/test_sub_select.yaml", "test_sub_select"),
+    ("function/join/test_lastjoin_simple.yaml", "lastjoin_simple"),
+    ("query/simple_query.yaml", "simple_query"),
+    ("query/const_query.yaml", "const_query"),
+    ("query/operator_query.yaml", "operator_query"),
+    ("query/where_group_query.yaml", "where_group_query"),
+    ("query/having_query.yaml", "having_query"),
+    ("query/limit.yaml", "limit"),
+    ("query/fail_query.yaml", "fail_query"))
 
   /** Cases GraftSql cannot run yet, with the reason. Keyed by
     * SqlCase.key = "<fileTag>:<id><variant>". */
