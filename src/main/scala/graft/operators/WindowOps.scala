@@ -155,16 +155,31 @@ object WindowOps {
     */
   def strictRangeAgg(fn: String, id: String, v: Column, tsMs: Column,
       uid: Column, partition: Seq[Column],
-      precedingMs: Long, hiMs: Long): (Seq[(String, Column)], Column) = {
+      precedingMs: Long, hiMs: Long,
+      integral: Boolean = false): (Seq[(String, Column)], Column) = {
     val wPref = Window.partitionBy(partition: _*)
       .orderBy(tsMs.asc, uid.asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val sumName = s"__graft_rsum_$id"
+    // integral sums prefix-accumulate exactly in DECIMAL(38,0): the
+    // prefix-difference trick needs exact totals, and Double loses unit
+    // precision past 2^53 (the caller wraps the result back to the
+    // input type). The decimal pair gets its own prep name so a
+    // Double-path avg over the same argument still shares the plain one.
+    val accT: Column => Column =
+      if (integral)
+        c => c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+      else c => c.cast("double")
+    val accZero =
+      if (integral)
+        lit(java.math.BigDecimal.ZERO)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+      else lit(0.0)
+    val sumName = s"__graft_rsum_$id" + (if (integral) "_x" else "")
     val cntName = s"__graft_rcnt_$id"
     // (kept param name `id` — callers pass a stable (window, arg) key so
     // several aggregates over the same frame/arg share ONE prefix pair)
     val prep = Seq(
-      sumName -> sum(v.cast("double")).over(wPref),
+      sumName -> sum(accT(v)).over(wPref),
       cntName -> count(v).over(wPref))
     // R of the latest at-or-before row with ts <= curTs - ofs, i.e. the
     // (ts, uid)-max row inside the RANGE frame. max_by keeps that
@@ -177,17 +192,18 @@ object WindowOps {
         Window.partitionBy(partition: _*).orderBy(tsMs)
           .rangeBetween(Window.unboundedPreceding, -ofsMs))
     def diff(c: Column): Column = {
-      val up = if (hiMs == 0) c else coalesce(boundary(c, hiMs), lit(0.0))
-      val lo = if (precedingMs >= UnboundedMs) lit(0.0)
-        else coalesce(boundary(c, precedingMs + 1), lit(0.0))
+      val up = if (hiMs == 0) c else coalesce(boundary(c, hiMs), accZero)
+      val lo = if (precedingMs >= UnboundedMs) accZero
+        else coalesce(boundary(c, precedingMs + 1), accZero)
       up - lo
     }
-    val cnt = diff(coalesce(col(cntName), lit(0L)).cast("double")).cast("long")
+    val cnt = diff(coalesce(col(cntName), lit(0L)).cast(
+      if (integral) "decimal(38,0)" else "double")).cast("long")
     val agg = fn match {
       case "count" => cnt
-      case "sum"   => when(cnt > 0, diff(coalesce(col(sumName), lit(0.0))))
+      case "sum"   => when(cnt > 0, diff(coalesce(col(sumName), accZero)))
       case "avg"   => when(cnt > 0,
-        diff(coalesce(col(sumName), lit(0.0))) / cnt)
+        diff(coalesce(col(sumName), accZero)) / cnt)
       case other   =>
         throw new IllegalArgumentException(s"strictRangeAgg: unsupported $other")
     }
@@ -247,11 +263,35 @@ object WindowOps {
     }
   }
 
-  /** SUM over a frame array (null values ignored, like SQL SUM). */
-  def aggSum(arr: Column): Column =
-    when(aggCount(arr) > 0,
-      aggregate(filter(arr, x => x("v").isNotNull),
-        lit(0.0), (acc, x) => acc + x("v").cast("double")))
+  /** SUM over a frame array (null values ignored, like SQL SUM).
+    * Integral inputs accumulate exactly in DECIMAL(38,0) — a Double
+    * accumulator silently loses unit precision past 2^53, and a Long
+    * one would throw under ANSI on the overflow the reference wraps;
+    * [[wrapToLongRange]] brings the exact total back into Long range
+    * with wraparound semantics before any downstream cast. */
+  def aggSum(arr: Column, integral: Boolean = false): Column =
+    if (integral)
+      when(aggCount(arr) > 0,
+        aggregate(filter(arr, x => x("v").isNotNull),
+          lit(java.math.BigDecimal.ZERO)
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)),
+          (acc, x) => acc +
+            x("v").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+    else
+      when(aggCount(arr) > 0,
+        aggregate(filter(arr, x => x("v").isNotNull),
+          lit(0.0), (acc, x) => acc + x("v").cast("double")))
+
+  /** Reduce an exact DECIMAL(38,0) total into Long range with 2^64
+    * wraparound (the reference's integral-sum overflow behavior), so
+    * the final cast to long cannot throw under ANSI. */
+  def wrapToLongRange(c: Column): Column = {
+    val t = org.apache.spark.sql.types.DecimalType(38, 0)
+    val full = lit(new java.math.BigDecimal("18446744073709551616")).cast(t)
+    val half = lit(new java.math.BigDecimal("9223372036854775808")).cast(t)
+    val d = c.cast(t)
+    ((((d + half) % full + full) % full) - half).cast("long")
+  }
 
   /** COUNT of non-null values. */
   def aggCount(arr: Column): Column =

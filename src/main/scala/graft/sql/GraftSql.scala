@@ -1182,21 +1182,23 @@ object GraftSql {
       // reduce into range with mod arithmetic before the final cast
       def wrapTo(c: Column, halfRange: Long, t: org.apache.spark.sql.types.DataType): Column = {
         val full = 2 * halfRange
-        val l = c.cast("long")
+        // exact decimal total → long range first (cannot throw), then
+        // the narrower wraparound
+        val l = WindowOps.wrapToLongRange(c)
         ((((l + halfRange) % full + full) % full) - halfRange).cast(t)
       }
+      val sumIntegralType: Option[org.apache.spark.sql.types.DataType] =
+        if (fn == "sum" && argText != "*") sumCastType(args.head) else None
       val sumCast: Column => Column =
-        if (fn == "sum" && argText != "*")
-          sumCastType(args.head).map { t => (c: Column) =>
-            t match {
-              case org.apache.spark.sql.types.IntegerType =>
-                wrapTo(c, 1L << 31, t)
-              case org.apache.spark.sql.types.ShortType =>
-                wrapTo(c, 1L << 15, t)
-              case _ => c.cast(t)
-            }
-          }.getOrElse(identity[Column] _)
-        else identity[Column] _
+        sumIntegralType.map { t => (c: Column) =>
+          t match {
+            case org.apache.spark.sql.types.IntegerType =>
+              wrapTo(c, 1L << 31, t)
+            case org.apache.spark.sql.types.ShortType =>
+              wrapTo(c, 1L << 15, t)
+            case _ => WindowOps.wrapToLongRange(c)
+          }
+        }.getOrElse(identity[Column] _)
       // frame upper bound: 0 = CURRENT ROW, else a Prec offset
       // (ms for RANGE, rows for ROWS; OPEN excludes the boundary)
       val hiOffset: Long = w.hi match {
@@ -1252,7 +1254,8 @@ object GraftSql {
             scala.util.hashing.MurmurHash3.stringHash(
               w.toString + "|" + argText).toLong & 0xffffffffL)
           val (prep, agg) = WindowOps.strictRangeAgg(fn, prepKey, v, ts,
-            col(UidCol), w.partition.map(expr), preceding, hiOffset)
+            col(UidCol), w.partition.map(expr), preceding, hiOffset,
+            integral = fn == "sum" && sumIntegralType.isDefined)
           prepCols ++= prep
           agg
         } else {
@@ -1393,8 +1396,13 @@ object GraftSql {
               // PRECEDING upper bound zero-fills an empty frame — unless
               // EXCLUDE CURRENT_ROW is also present (then NULL). RANGE hi
               // bounds stay NULL too (test_maxsize.yaml id 6).
-              coalesce(WindowOps.aggSum(arr), lit(0.0))
-            case "sum"            => WindowOps.aggSum(arr)
+              if (sumIntegralType.isDefined)
+                coalesce(WindowOps.aggSum(arr, integral = true),
+                  lit(java.math.BigDecimal.ZERO)
+                    .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+              else coalesce(WindowOps.aggSum(arr), lit(0.0))
+            case "sum"            =>
+              WindowOps.aggSum(arr, integral = sumIntegralType.isDefined)
             case "count"          => WindowOps.aggCount(arr)
             case "avg"            => WindowOps.aggAvg(arr)
             case "min"            => WindowOps.aggMin(arr)

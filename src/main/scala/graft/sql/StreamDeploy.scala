@@ -48,6 +48,7 @@ object StreamDeploy {
 
   private val KeyCol = "__graft_skey"
   private val TsCol = "__graft_sts"
+  private val UidCol = "__graft_suid"
 
   /** One compiled window-aggregate output column. */
   private case class WinSpec(id: String, fn: String, argIdx: Int,
@@ -116,7 +117,10 @@ object StreamDeploy {
 
   /** TTL derived from the deployed windows (reference: DEPLOY builds
     * index TTL from its window clauses). Rows are kept while inside the
-    * widest RANGE span OR among the newest maxRows — AND-eviction. */
+    * widest RANGE span OR among the newest maxRows — AND-eviction.
+    * A ROWS frame with an UNBOUNDED lower bound and no MAXSIZE has no
+    * finite row cap (frameParams reports cap 0, which means "no cap",
+    * not "keep 1"): its retention is the full history. */
   private[sql] def deriveTtl(specs: Seq[WinDef], lagDepth: Int): Ttl = {
     val spans = specs.map { w =>
       if (w.isRows) 0L
@@ -128,8 +132,10 @@ object StreamDeploy {
     }
     val rowCounts = specs.map { w =>
       val fp = frameParams(w)
-      if (w.isRows) fp.rowCap + fp.skipNewest + 1
-      else math.max(fp.rowCap, 0) + 1 // MAXSIZE on a range frame
+      if (w.isRows) {
+        if (w.lo == Unbounded && fp.rowCap == 0) Int.MaxValue
+        else fp.rowCap + fp.skipNewest + 1
+      } else math.max(fp.rowCap, 0) + 1 // MAXSIZE on a range frame
     } :+ (lagDepth + 1)
     AbsAndLat(spans.foldLeft(1L)(math.max), rowCounts.foldLeft(1)(math.max))
   }
@@ -236,17 +242,35 @@ object StreamDeploy {
 
     // ---- pre-shuffle projection: key, ts, argument values ----
     val keyCol = to_json(struct(partExprs.map(p => expr(p)): _*))
-    var prep = base
+    var prep0 = base
       .withColumn(KeyCol, keyCol)
       .withColumn(TsCol, expr(orderExpr).cast(LongType))
     argSlots.foreach { case (argText, i) =>
-      prep = prep.withColumn(s"__graft_sa_$i", expr(argText))
+      prep0 = prep0.withColumn(s"__graft_sa_$i", expr(argText))
     }
 
+    // Ingestion-order uid, materialized BEFORE the key shuffle so
+    // same-ts ties sort deterministically inside the stateful stage —
+    // the same (partition << 33 | offset) shape as the batch planner's
+    // monotonically_increasing_id, built per-partition by hand because
+    // the MonotonicallyIncreasingID expression is rejected in streaming
+    // plans.
+    val prepSchema = StructType(prep0.schema.fields :+
+      StructField(UidCol, LongType, nullable = false))
+    val prepEnc: Encoder[Row] = Encoders.row(prepSchema)
+    val prep = prep0.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+      var off = 0L
+      it.map { r =>
+        val uid = (pid << 33) | off; off += 1
+        new GenericRowWithSchema((r.toSeq :+ uid).toArray, prepSchema): Row
+      }
+    }(prepEnc)
+
     val baseWidth = base.schema.length
-    val prepSchema = prep.schema
     val keyIdx = prepSchema.fieldIndex(KeyCol)
     val tsIdx = prepSchema.fieldIndex(TsCol)
+    val uidIdx = prepSchema.fieldIndex(UidCol)
     val slotIdx: Map[Int, Int] = argSlots.values.map(i =>
       i -> prepSchema.fieldIndex(s"__graft_sa_$i")).toMap
     val argTypes: Map[Int, DataType] = argSlots.values.map(i =>
@@ -260,6 +284,7 @@ object StreamDeploy {
         case _                                  => false
       })
       val outType = p.fn match {
+        case "sum" if integralSum         => LongType // exact Long accumulation
         case "sum" | "avg"                => DoubleType
         case "count" | "distinct_count"   => LongType
         case _                            => at
@@ -288,10 +313,11 @@ object StreamDeploy {
           var rows = st.rows
           var seq = st.seq
           val out = Vector.newBuilder[Row]
-          // event-time order within the micro-batch; stable sort keeps
-          // arrival order for ties (= ingestion-order uid of the batch
-          // path)
-          it.toVector.sortBy(_.getLong(tsIdx)).foreach { r =>
+          // (event-time, ingestion-uid) order within the micro-batch:
+          // the pre-shuffle uid makes tie order deterministic instead
+          // of shuffle-fetch order
+          it.toVector.sortBy(r => (r.getLong(tsIdx), r.getLong(uidIdx)))
+            .foreach { r =>
             val ts = r.getLong(tsIdx)
             seq += 1
             val args = new Array[Any](nSlots)
@@ -302,8 +328,14 @@ object StreamDeploy {
               i += 1
             }
             val (newer, older) = rows.span(b => b.ts > ts)
-            rows = newer ::: (BufRow(ts, seq, args) :: older)
+            val cur = BufRow(ts, seq, args)
+            rows = newer ::: (cur :: older)
             rows = evict(rows, effTtl, rows.head.ts)
+            // an out-of-order event older than the TTL span can be
+            // evicted by its own insert; it must still serve its own
+            // request, so re-admit it (as the oldest row — it only
+            // drops when beyond every retention bound)
+            if (!rows.exists(_.seq == seq)) rows = rows :+ cur
             // history at-or-before the request (strict (ts, seq) order)
             val basis = rows.dropWhile(b =>
               b.ts > ts || (b.ts == ts && b.seq > seq))
@@ -371,6 +403,13 @@ object StreamDeploy {
     lazy val nn = vs.filter(_ != null)
     sp.fn match {
       case "count" => nn.length.toLong
+      case "sum" if sp.wrapSum.isDefined =>
+        // integral inputs accumulate in Long (wrap arithmetic), exactly
+        // like Spark's native long sum on the batch path — a Double
+        // accumulator loses exactness past 2^53
+        if (nn.isEmpty) { if (p.zeroFillSum) 0L else null }
+        else nn.foldLeft(0L)((acc, v) =>
+          acc + v.asInstanceOf[java.lang.Number].longValue)
       case "sum" =>
         if (nn.isEmpty) { if (p.zeroFillSum) 0.0 else null }
         // newest-first fold, same accumulation order as aggSum

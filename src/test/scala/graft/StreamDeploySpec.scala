@@ -124,6 +124,62 @@ class StreamDeploySpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("UNBOUNDED PRECEDING ROWS frame retains full history (derived TTL)") {
+    // deriveTtl must not cap retention at 1 row when a ROWS frame has
+    // no finite depth — a running aggregate needs the whole history
+    check("""SELECT user, ts, count(*) OVER w AS c,
+      round(sum(amt) OVER w, 2) AS s, min(qty) OVER w AS mn
+      FROM events
+      WINDOW w AS (PARTITION BY user ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""")
+  }
+
+  test("same-ts ties order by pre-shuffle ingestion uid, not fetch order") {
+    val ties = Seq(
+      Ev("u1", 10L, 1.0, 1L, "t1"), Ev("u1", 10L, 2.0, 2L, "t2"),
+      Ev("u1", 10L, 3.0, 3L, "t3"), Ev("u1", 10L, 4.0, 4L, "t4"),
+      Ev("u1", 20L, 5.0, 5L, "t5"))
+    check("""SELECT user, ts, lag(tag, 1) OVER w AS prev,
+      first_value(amt) OVER w AS fv, count(*) OVER w AS c
+      FROM events
+      WINDOW w AS (PARTITION BY user ORDER BY ts
+        ROWS_RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)""",
+      ties.toDF())
+  }
+
+  test("integral sums accumulate exactly in Long past 2^53") {
+    val big = Seq(
+      Ev("u1", 1L, 0.0, 1L << 53, "a"), Ev("u1", 2L, 0.0, 3L, "b"),
+      Ev("u1", 3L, 0.0, 5L, "c"))
+    // a Double accumulator would round (2^53 + 3) to 2^53 + 4
+    check("""SELECT user, ts, sum(qty) OVER w AS sq FROM events
+      WINDOW w AS (PARTITION BY user ORDER BY ts
+        ROWS_RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)""",
+      big.toDF())
+  }
+
+  test("out-of-order event beyond the TTL span still sees itself") {
+    implicit val sqlCtx = spark.sqlContext
+    val sql = """SELECT user, ts, count(*) OVER w AS c FROM events
+      WINDOW w AS (PARTITION BY user ORDER BY ts
+        ROWS_RANGE BETWEEN 10 PRECEDING AND CURRENT ROW)"""
+    val mem = MemoryStream[Ev]
+    val q = StreamDeploy.serve(spark, sql, mem.toDF())
+      .writeStream.format("memory").queryName("sd_ooo")
+      .outputMode("append").start()
+    mem.addData(Ev("u1", 100L, 1.0, 1L, "a"))
+    q.processAllAvailable()
+    // arrives late, older than the newest buffered ts minus the TTL
+    // span: its own request's basis must still include it
+    mem.addData(Ev("u1", 5L, 2.0, 2L, "b"))
+    q.processAllAvailable()
+    val c = spark.table("sd_ooo").collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    q.stop()
+    assert(c(5L) == 1L, s"late event saw an empty frame: $c")
+    assert(c(100L) == 1L)
+  }
+
   test("derived TTL keeps frames exact; explicit TTL bounds state") {
     // LatestCount(2) deliberately starves a 3-row frame: counts collapse
     val out = StreamDeploy.serve(spark,
