@@ -927,13 +927,23 @@ object SparkEntry {
     // compiled pipeline a readStream feed would run (StreamDeploy;
     // reference runner.cc:1984-2123). Nav fn + range aggs in one deploy.
     "q_stream_deploy" -> q { (s, d) =>
+      // dedupe per (user, ms) on BOTH sides: graft orders same-ms ties
+      // by ingestion uid while the DuckDB oracle's ANSI RANGE frame is
+      // peer-inclusive and its lag has no tie-break, so the gate would
+      // be data-dependent if the generator ever emitted a per-user ms
+      // collision (none exist today — this keeps it that way)
+      val tieW = Window.partitionBy(col("user_id"), col("ts_ms"))
+        .orderBy(col("event_id"))
+      val ev = T(s, d, "events")
+        .withColumn("__rn", row_number().over(tieW))
+        .filter(col("__rn") === 1).drop("__rn")
       graft.sql.StreamDeploy.serve(s,
         """SELECT event_id, round(sum(value) OVER w, 3) AS sd_sum,
           |  count(value) OVER w AS sd_cnt, lag(value, 1) OVER w AS sd_prev,
           |  round(first_value(value) OVER w, 3) AS sd_first
           |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
           |  ROWS_RANGE BETWEEN 10m PRECEDING AND CURRENT ROW)""".stripMargin,
-        T(s, d, "events"))
+        ev)
         .select(col("event_id"), col("sd_sum"), col("sd_cnt"),
           col("sd_prev"), col("sd_first"))
     },
@@ -1637,12 +1647,16 @@ object SparkEntry {
         |FROM events e WHERE e.event_id % 97 = 0""".stripMargin,
 
     "q_stream_deploy" ->
-      """SELECT event_id,
+      """WITH ev AS (
+        |  SELECT * FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, epoch_ms(ts)
+        |                             ORDER BY event_id) = 1)
+        |SELECT event_id,
         | round(sum(value) OVER w, 3) AS sd_sum,
         | count(value) OVER w AS sd_cnt,
         | lag(value, 1) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)) AS sd_prev,
         | round(first_value(value) OVER w, 3) AS sd_first
-        |FROM events
+        |FROM ev
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
         |             RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW)""".stripMargin,
 
