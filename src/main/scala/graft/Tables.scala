@@ -48,6 +48,10 @@ object GraftSession {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // the engine's dialect is non-ANSI: failable casts → NULL,
+      // x % 0 → NULL, integral overflow wraps (reference
+      // test_arithmetic.yaml; docs/en/openmldb_sql)
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
@@ -55,6 +59,7 @@ object GraftSession {
     * driver may build its own SparkSession before calling entry/queries). */
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     // legacy.parquet.nanosAsLong is a static-ish read conf but settable
     // per-session; needed for the events table.
     try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
