@@ -206,6 +206,20 @@ object GraftScalars {
       if (s == null || p == null) null.asInstanceOf[java.lang.Boolean]
       else java.lang.Boolean.valueOf(
         s.toLowerCase.matches(likeToRegex(p.toLowerCase, '\\'))))
+    // LIKE/ILIKE with an arbitrary — or empty, meaning "no escaping" —
+    // escape string (docs LIKE ... ESCAPE; Spark restricts escape
+    // placement and rejects ESCAPE ''). ' ' never occurs in a
+    // pattern, so an empty escape disables escaping entirely.
+    def likeEscRegex(p: String, e: String): String =
+      likeToRegex(p, if (e == null || e.isEmpty) ' ' else e.charAt(0))
+    spark.udf.register("like_match_esc", (s: String, p: String, e: String) =>
+      if (s == null || p == null) null.asInstanceOf[java.lang.Boolean]
+      else java.lang.Boolean.valueOf(
+        s.matches("(?s)" + likeEscRegex(p, e))))
+    spark.udf.register("ilike_match_esc", (s: String, p: String, e: String) =>
+      if (s == null || p == null) null.asInstanceOf[java.lang.Boolean]
+      else java.lang.Boolean.valueOf(
+        s.matches("(?is)" + likeEscRegex(p, e))))
     spark.udf.register("truncate", (x: java.lang.Double) =>
       if (x == null) null
       else java.lang.Double.valueOf(

@@ -49,6 +49,15 @@ object GraftSql {
         while (i < n && (s.charAt(i).isDigit || s.charAt(i) == '.')) {
           b.append(s.charAt(i)); i += 1
         }
+        // interval literal: a digit run DIRECTLY followed by a single
+        // time-unit letter ("10m", "2s") is ONE token — legal only as a
+        // ROWS_RANGE frame bound, rejected in expressions
+        // (fail_query.yaml "un-support const node")
+        if (i < n && "smhdSMHD".indexOf(s.charAt(i)) >= 0 &&
+            (i + 1 >= n || !(s.charAt(i + 1).isLetterOrDigit ||
+              s.charAt(i + 1) == '_'))) {
+          b.append(s.charAt(i)); i += 1
+        }
         out += b.toString
       } else if (c.isLetter || c == '_' || c == '`') {
         val b = new StringBuilder
@@ -104,7 +113,12 @@ object GraftSql {
       projs: Seq[Proj], fromTable: TRef, fromAlias: Option[String],
       joins: Seq[JoinClause], where: Option[String],
       groupBy: Seq[String], having: Option[String],
-      windows: Map[String, WinDef], limit: Option[Int])
+      windows: Map[String, WinDef], limit: Option[Int],
+      // CONFIG ( execute_mode = 'request', values = (...) ) — the
+      // reference's per-query execution override
+      // (cases/query/simple_query.yaml id 108)
+      config: Map[String, String] = Map.empty,
+      configValues: Seq[Vector[String]] = Nil)
 
   private[sql] final case class Query(
       ctes: Seq[(String, Query)], selects: Seq[Select], setOps: Seq[String])
@@ -130,7 +144,8 @@ object GraftSql {
         s"GraftSql parse error at token $p ('$peek'): $msg")
 
     private val clauseStoppers = Set("FROM", "WHERE", "GROUP", "HAVING",
-      "WINDOW", "LIMIT", "UNION", "ON", "LAST", "LEFT", "ORDER", "INTO")
+      "WINDOW", "LIMIT", "UNION", "ON", "LAST", "LEFT", "ORDER", "INTO",
+      "CONFIG")
 
     /** read expression tokens until a depth-0 stopper */
     def readExprTokens(extraStop: Set[String] = Set.empty): Vector[String] = {
@@ -189,15 +204,33 @@ object GraftSql {
       while (more) {
         val e =
           if (peek == "*") { next(); Vector("*") } else readExprTokens()
-        val over: Option[Either[String, WinDef]] =
-          if (accept("OVER")) {
-            if (peek == "(") { next(); val w = parseWinDef(); expect(")"); Some(Right(w)) }
-            else Some(Left(next()))
-          } else None
+        var over: Option[Either[String, WinDef]] = None
+        var overToks: Vector[String] = Vector.empty
+        if (accept("OVER")) {
+          if (peek == "(") {
+            val start = p
+            next(); val w = parseWinDef(); expect(")")
+            over = Some(Right(w))
+            overToks = Vector("OVER") ++ toks.slice(start, p)
+          } else {
+            val n0 = next(); over = Some(Left(n0))
+            overToks = Vector("OVER", n0)
+          }
+        }
+        // a window call may continue into a larger expression
+        // (`sum(id) OVER w1 BETWEEN 2 AND 6`, `... OVER w1 IN (...)`:
+        // test_predicate.yaml between_predicate_4 /
+        // in_predicate_with_window) — splice the OVER inline and let
+        // extractWinCalls rewrite it
+        val cont = over.isDefined && peek.nonEmpty && peek != "," &&
+          peekUp != "AS" && !clauseStoppers(peekUp) && peek != ")"
+        val (tokens, overOut) =
+          if (cont) (e ++ overToks ++ readExprTokens(), None)
+          else (e, over)
         val alias =
           if (accept("AS")) Some(next())
           else None
-        projs += Proj(e, over, alias)
+        projs += Proj(tokens, overOut, alias)
         // tolerate a trailing comma before FROM/WINDOW (the reference's
         // zetasql dialect accepts it — cases/query/last_join_window_query.yaml id 5)
         more = accept(",") && peekUp != "FROM" && peekUp != "WINDOW"
@@ -256,8 +289,43 @@ object GraftSql {
         }
       }
       val limit = if (accept("LIMIT")) Some(next().toInt) else None
+      // CONFIG ( k = v, ..., values = ( expr, ... ) ) — per-query
+      // execution options (simple_query.yaml id 108)
+      var config = Map.empty[String, String]
+      var configValues: Seq[Vector[String]] = Nil
+      if (accept("CONFIG")) {
+        expect("(")
+        var m = true
+        while (m) {
+          val k = next().toLowerCase
+          expect("=")
+          if (k == "values") {
+            expect("(")
+            val vals = Seq.newBuilder[Vector[String]]
+            var cur = Vector.newBuilder[String]
+            var depth = 0
+            var done = false
+            while (!done && p < toks.length) {
+              val t = peek
+              if (t == "(") { depth += 1; cur += next() }
+              else if (t == ")") {
+                if (depth == 0) { next(); done = true }
+                else { depth -= 1; cur += next() }
+              }
+              else if (t == "," && depth == 0) { next(); vals += cur.result(); cur = Vector.newBuilder }
+              else cur += next()
+            }
+            val last = cur.result()
+            if (last.nonEmpty) vals += last
+            configValues = vals.result()
+          } else config += (k -> stripQuotes(next()))
+          m = accept(",")
+        }
+        expect(")")
+      }
       Select(projs.result(), fromTable, fromAlias, joins.result(), where,
-        groupBy.result(), having, windows.result(), limit)
+        groupBy.result(), having, windows.result(), limit, config,
+        configValues)
     }
 
     def parseTableRef(): TRef =
@@ -329,14 +397,21 @@ object GraftSql {
       case _   => None
     }
 
+    private val intervalTok = "^([0-9]+)([smhdSMHD])$".r
+
     def parseBound(isRows: Boolean): Bound = {
       if (accept("UNBOUNDED")) { expect("PRECEDING"); Unbounded }
       else if (accept("CURRENT")) { expect("ROW"); CurrentRow }
       else {
-        val n = next().toLong
-        val mult =
-          if (!isRows) unitMs(peek).map { m => p += 1; m }.getOrElse(1L)
-          else 1L
+        val (n, mult) = next() match {
+          case intervalTok(num, unit) =>
+            (num.toLong, unitMs(unit).getOrElse(1L))
+          case t =>
+            (t.toLong,
+              if (!isRows) unitMs(peek).map { m => p += 1; m }.getOrElse(1L)
+              else 1L)
+        }
+        if (isRows && mult != 1L) fail("interval bound on a ROWS frame")
         val open = accept("OPEN")
         expect("PRECEDING")
         Prec(n * mult, open)
@@ -352,6 +427,7 @@ object GraftSql {
   private val FlagCol = "__graft_primary"
   private val RequestFlagCol = "__graft_is_request"
   private val RequestUnionTable = "__graft_request_union"
+  private val RequestRowsTable = "__graft_request_rows"
 
   /** Render a parameter value as a SQL literal token. */
   private def literal(v: Any): String = v match {
@@ -379,6 +455,24 @@ object GraftSql {
     val q = parser.parseQuery()
     if (parser.p != parser.toks.length)
       parser.fail("trailing tokens")
+    // CONFIG (execute_mode = 'request', values = (...)): run in request
+    // mode with the literal tuple as the single request row
+    // (simple_query.yaml id 108)
+    val selC = q.selects.head
+    if (q.selects.length == 1 && q.ctes.isEmpty &&
+        selC.config.get("execute_mode").contains("request") &&
+        selC.configValues.nonEmpty) {
+      val hist = resolveRef(spark, selC.fromTable, tables)
+      val reqCols = selC.configValues.zip(hist.schema.fields.toSeq).map {
+        case (vt, f) =>
+          expr(rewriteDialect(vt, _ => None).mkString(" "))
+            .cast(f.dataType).as(f.name)
+      }
+      val requests = spark.range(1).select(reqCols: _*)
+      return requestModeQuery(spark,
+        q.copy(selects = Seq(selC.copy(config = Map.empty, configValues = Nil))),
+        requests, tables)
+    }
     planQuery(spark, q, tables)
   }
 
@@ -396,11 +490,28 @@ object GraftSql {
     val parser = new Parser(tokenize(text))
     val q = parser.parseQuery()
     if (parser.p != parser.toks.length) parser.fail("trailing tokens")
+    requestModeQuery(spark, q, requests, tables)
+  }
+
+  private def requestModeQuery(spark: SparkSession, q: Query,
+      requests: DataFrame, tables: Map[String, DataFrame]): DataFrame = {
     require(q.ctes.isEmpty && q.selects.length == 1,
       "request mode supports a single SELECT")
     val sel = q.selects.head
     require(sel.groupBy.isEmpty && sel.joins.forall(_.kind == "last"),
       "request mode supports window projections and LAST JOINs only")
+    val hasWin = sel.projs.exists(p => p.over.isDefined || p.hasNestedOver)
+    if (!hasWin) {
+      // no windows: features depend only on the request row itself —
+      // plan the SELECT (joins to static tables included) directly over
+      // the request rows, qualified by the FROM table's name
+      val fromName = sel.fromTable.left.toOption.getOrElse("")
+      val req =
+        if (fromName.nonEmpty && sel.fromAlias.isEmpty) requests.alias(fromName)
+        else requests
+      return planSelect(spark, sel.copy(fromTable = Left(RequestRowsTable)),
+        tables + (RequestRowsTable -> req))
+    }
     val history = resolveRef(spark, sel.fromTable, tables)
     // union with provenance flag; the request row is the only primary
     val flagged = requests.withColumn(RequestFlagCol, lit(true))
@@ -704,7 +815,9 @@ object GraftSql {
       val t = pr.exprText
       if (t.matches("[A-Za-z_][A-Za-z0-9_]*( \\. [A-Za-z_][A-Za-z0-9_]*)?"))
         t.split("\\.").last.trim
-      else s"_c$i"
+      // the reference names unaliased computed projections by their
+      // expression text ("c2 + 1"; test_sub_select.yaml id 0)
+      else t
     }
 
   /** Parse a complete query text (shared by sql() and StreamDeploy). */
@@ -725,11 +838,31 @@ object GraftSql {
     joins.foreach { jc =>
       var right = resolveRef(spark, jc.table, scope)
       jc.alias.foreach(a => right = right.alias(a))
+      val cond = rewriteDialect(tokenize(jc.cond), _ => None).mkString(" ")
       df = jc.kind match {
-        case "left" => df.join(right, expr(jc.cond), "left")
+        case "left" => df.join(right, expr(cond), "left")
         case "last" =>
+          // the reference restricts LAST JOIN ORDER BY keys to
+          // int16/int32/int64/timestamp (test_lastjoin_simple.yaml ids
+          // 7-10/29 expect failure on float/double/date/string/bool)
+          jc.order.foreach { o =>
+            try {
+              import org.apache.spark.sql.types._
+              right.select(expr(o)).schema.head.dataType match {
+                case FloatType | DoubleType | StringType | DateType |
+                     BooleanType =>
+                  throw new IllegalArgumentException(
+                    "LAST JOIN ORDER BY key must be an integral/timestamp " +
+                      s"column, not ${right.select(expr(o)).schema.head.dataType}")
+                case _ => ()
+              }
+            } catch {
+              case e: IllegalArgumentException => throw e
+              case _: Throwable => () // unresolvable here: leave to planning
+            }
+          }
           val rightQual = jc.alias.orElse(jc.table.left.toOption).getOrElse("")
-          equiKeys(jc.cond, rightQual, right.columns.toSet) match {
+          equiKeys(cond, rightQual, right.columns.toSet) match {
             case Some(keys) if jc.order.isDefined =>
               // scalable path: pre-reduce the right side to one row per
               // key with map-side max_by, then a plain equi-join the
@@ -747,7 +880,7 @@ object GraftSql {
               df.join(reduced, cond, "left")
             case _ =>
               val ord = jc.order.map(expr).getOrElse(lit(1))
-              LastJoin.general(df, right, expr(jc.cond), ord)
+              LastJoin.general(df, right, expr(cond), ord)
           }
       }
     }
@@ -760,20 +893,39 @@ object GraftSql {
     s.fromAlias.foreach(a => df = df.alias(a))
     df = applyJoins(spark, df, s.joins, scope)
 
-    s.where.foreach(w =>
+    // dialect token rewrites over every expression position (the type
+    // resolver sees the post-join schema)
+    val rt: String => Option[org.apache.spark.sql.types.DataType] = { t =>
+      try Some(df.select(expr(t)).schema.head.dataType)
+      catch { case _: Throwable => None }
+    }
+    val s1 = s.copy(
+      projs = s.projs.map { p =>
+        rejectIntervalLits(p.tokens)
+        p.copy(tokens = rewriteDialect(p.tokens, rt))
+      },
+      where = s.where.map { w =>
+        val t = tokenize(w); rejectIntervalLits(t)
+        rewriteDialect(t, rt).mkString(" ")
+      },
+      having = s.having.map(h => rewriteDialect(tokenize(h), rt).mkString(" ")),
+      groupBy = s.groupBy.map(g => rewriteDialect(tokenize(g), rt).mkString(" ")))
+
+    s1.where.foreach(w =>
       df = df.filter(expr(coerceOperands(tokenize(w), df).mkString(" "))))
 
     var out: DataFrame =
-      if (s.groupBy.nonEmpty) planAggregate(s, df)
-      else if (s.projs.exists(p => p.over.isDefined || p.hasNestedOver))
-        planWindows(spark, s, df, scope, requestMode)
-      else if (s.projs.length == 1 && s.projs.head.exprText == "*") df
-      else df.select(s.projs.zipWithIndex.map { case (pr, i) =>
-        expr(rewriteAggFns(
+      if (s1.groupBy.nonEmpty) planAggregate(s1, df)
+      else if (s1.projs.exists(p => p.over.isDefined || p.hasNestedOver))
+        planWindows(spark, s1, df, scope, requestMode)
+      else if (s1.projs.length == 1 && s1.projs.head.exprText == "*") df
+      else df.select(s1.projs.zipWithIndex.map { case (pr, i) =>
+        if (isStarProj(pr.tokens)) starCol(pr.tokens)
+        else expr(rewriteAggFns(
           coerceOperands(coerceDateFns(pr.tokens, df), df), df).mkString(" "))
           .as(projName(pr, i)) }: _*)
 
-    s.limit.foreach(n => out = out.limit(n))
+    s1.limit.foreach(n => out = out.limit(n))
     out
   }
 
@@ -787,6 +939,207 @@ object GraftSql {
     }
     throw new IllegalArgumentException("unbalanced parens in expression")
   }
+
+  // ------------------------------------------------------------------
+  // Dialect token rewrites: type-cast function names, the int64-ms
+  // timestamp model, LIKE ... ESCAPE, IN-list literal coercion
+  // ------------------------------------------------------------------
+
+  private val castFnRenames = Map(
+    "int16" -> "smallint", "int32" -> "int", "int64" -> "bigint",
+    "bool" -> "boolean")
+
+  private def isQuoted(t: String): Boolean =
+    t.length >= 2 && (t.head == '\'' || t.head == '"')
+  private def isNumericLit(t: String): Boolean =
+    t.matches("-?[0-9]+(\\.[0-9]*)?")
+
+  /** Wall-clock literal → epoch ms under the corpus's pinned UTC+8
+    * (test_predicate.yaml id 3). None when unparseable. */
+  private[sql] def parseWallClockMs(s: String): Option[Long] = {
+    val t = s.trim
+    Seq("y-M-d H:m:s", "y-M-d").view.flatMap { f =>
+      try {
+        val fmt = java.time.format.DateTimeFormatter.ofPattern(f)
+        val ldt =
+          if (f.contains("H")) java.time.LocalDateTime.parse(t, fmt)
+          else java.time.LocalDate.parse(t, fmt).atStartOfDay()
+        Some(ldt.toInstant(java.time.ZoneOffset.ofHours(8)).toEpochMilli)
+      } catch { case _: Throwable => None }
+    }.headOption
+  }
+
+  /** Interval literals ("1s", "30d") are legal ONLY as ROWS_RANGE frame
+    * bounds; as expressions the reference rejects them (fail_query.yaml
+    * "un-support const node"). Spark would silently read 1s/1d as
+    * typed-literal suffixes, so reject before expr(). */
+  private def rejectIntervalLits(toks: Vector[String]): Unit =
+    toks.foreach { t =>
+      if (t.matches("[0-9]+[smhdSMHD]"))
+        throw new IllegalArgumentException(
+          s"interval literal '$t' is not allowed outside a window frame bound")
+    }
+
+  /** Token-level rewrites for dialect surface Spark lacks:
+    *  - type-cast function names int16/int32/int64/bool
+    *  - `timestamp(x)` / `CAST(x AS timestamp)` under the int64-ms
+    *    model (docs date_and_time_types.md: timestamp(bigint) takes
+    *    MILLISECONDS, not Spark-cast seconds; strings are UTC+8 wall
+    *    clock) — const_query.yaml ids 5/7/9
+    *  - `date(ms)` = calendar date of the ms instant at UTC+8
+    *  - `[NOT] LIKE/ILIKE pat ESCAPE 'e'` with arbitrary or empty
+    *    escape → like_match_esc/ilike_match_esc UDFs (Spark restricts
+    *    escape placement and rejects ESCAPE '')
+    *  - IN lists mixing string and numeric literals compare
+    *    numerically (simple_query.yaml in_predicate_type_cast_3/4)
+    */
+  private[sql] def rewriteDialect(toks0: Vector[String],
+      resolveTy: String => Option[org.apache.spark.sql.types.DataType])
+      : Vector[String] = {
+    import org.apache.spark.sql.types._
+
+    def asBigint(v: Vector[String]): Vector[String] =
+      Vector("CAST", "(") ++ v ++ Vector("AS", "BIGINT", ")")
+
+    def tsCall(inner: Vector[String]): Vector[String] =
+      if (inner.length == 1 && isNumericLit(inner.head)) asBigint(inner)
+      else if (inner.length == 1 && inner.head.equalsIgnoreCase("null"))
+        asBigint(Vector("NULL"))
+      else if (inner.length == 1 && isQuoted(inner.head))
+        parseWallClockMs(stripQuotes(inner.head)) match {
+          case Some(ms) => asBigint(Vector(ms.toString))
+          case None     => asBigint(Vector("NULL"))
+        }
+      else resolveTy(inner.mkString(" ")) match {
+        case Some(StringType) | Some(DateType) =>
+          Vector("unix_millis", "(", "to_utc_timestamp", "(",
+            "to_timestamp", "(") ++ inner ++
+            Vector(")", ",", "'GMT+8'", ")", ")")
+        case _ => asBigint(inner)
+      }
+
+    def dateCall(inner: Vector[String]): Vector[String] = {
+      val integral =
+        (inner.length == 1 && isNumericLit(inner.head) &&
+          !inner.head.contains(".")) ||
+        (resolveTy(inner.mkString(" ")) match {
+          case Some(ShortType) | Some(IntegerType) | Some(LongType) => true
+          case _ => false
+        })
+      if (integral)
+        Vector("CAST", "(", "from_utc_timestamp", "(", "timestamp_millis",
+          "(", "CAST", "(") ++ inner ++ Vector("AS", "BIGINT", ")", ")",
+          ",", "'GMT+8'", ")", "AS", "DATE", ")")
+      else Vector("date", "(") ++ inner ++ Vector(")")
+    }
+
+    // recursive descent over call trees (innermost args rewritten first)
+    def go(ts: Vector[String]): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < ts.length) {
+        val low = ts(i).toLowerCase
+        val isCall = i + 1 < ts.length && ts(i + 1) == "(" &&
+          ts(i).headOption.exists(c => c.isLetter || c == '_')
+        if (isCall) {
+          val close = matchClose(ts, i + 1)
+          val inner = go(ts.slice(i + 2, close))
+          if (castFnRenames.contains(low)) {
+            out += castFnRenames(low); out += "("; out ++= inner; out += ")"
+          } else if (low == "cast" && inner.length >= 2 &&
+              inner(inner.length - 1).equalsIgnoreCase("timestamp") &&
+              inner(inner.length - 2).equalsIgnoreCase("as")) {
+            out ++= tsCall(inner.dropRight(2))
+          } else if (low == "timestamp") out ++= tsCall(inner)
+          else if (low == "date") out ++= dateCall(inner)
+          else { out += ts(i); out += "("; out ++= inner; out += ")" }
+          i = close + 1
+        } else { out += ts(i); i += 1 }
+      }
+      out.result()
+    }
+
+    var ts = go(toks0)
+
+    // [operand] [NOT] LIKE/ILIKE 'pat' ESCAPE 'e'
+    var i = 0
+    while (i < ts.length) {
+      val low = ts(i).toLowerCase
+      if ((low == "like" || low == "ilike") && i + 3 < ts.length &&
+          isQuoted(ts(i + 1)) && ts(i + 2).equalsIgnoreCase("escape") &&
+          isQuoted(ts(i + 3))) {
+        val neg = i > 0 && ts(i - 1).equalsIgnoreCase("not")
+        val opEnd = i + 3
+        val end = if (neg) i - 2 else i - 1
+        val startOpt: Option[Int] =
+          if (end < 0) None
+          else if (ts(end) == ")") { // call or parenthesized operand
+            var depth = 0; var k = end; var st = -1
+            while (k >= 0 && st < 0) {
+              if (ts(k) == ")") depth += 1
+              if (ts(k) == "(") { depth -= 1; if (depth == 0) st = k }
+              k -= 1
+            }
+            if (st < 0) None
+            else if (st - 1 >= 0 && ts(st - 1).headOption.exists(c =>
+              c.isLetter || c == '_')) Some(st - 1)
+            else Some(st)
+          } else if (ts(end).headOption.exists(c => c.isLetter ||
+              c == '_' || c == '\'' || c == '"' || c.isDigit)) {
+            var st = end
+            while (st - 2 >= 0 && ts(st - 1) == "." &&
+              ts(st - 2).headOption.exists(c => c.isLetter || c == '_'))
+              st -= 2
+            Some(st)
+          } else None
+        startOpt match {
+          case Some(st) =>
+            val fn = if (low == "like") "like_match_esc" else "ilike_match_esc"
+            val repl = (if (neg) Vector("NOT") else Vector.empty[String]) ++
+              Vector(fn, "(") ++ ts.slice(st, end + 1) ++
+              Vector(",", ts(i + 1), ",", ts(i + 3), ")")
+            ts = ts.patch(st, repl, opEnd - st + 1)
+            i = st + repl.length
+          case None => i += 1
+        }
+      } else i += 1
+    }
+
+    // IN ( literals ) mixing strings and numerics → numeric compare
+    i = 0
+    while (i < ts.length) {
+      if (ts(i).equalsIgnoreCase("in") && i + 1 < ts.length &&
+          ts(i + 1) == "(") {
+        val close = matchClose(ts, i + 1)
+        val elems = splitTokenArgs(ts.slice(i + 2, close))
+        var lhsIdx = i - 1
+        if (lhsIdx >= 0 && ts(lhsIdx).equalsIgnoreCase("not")) lhsIdx -= 1
+        val lhsLit = lhsIdx >= 0 &&
+          (isQuoted(ts(lhsIdx)) || isNumericLit(ts(lhsIdx)))
+        if (elems.nonEmpty && elems.forall(_.length == 1)) {
+          val lits = elems.map(_.head) ++
+            (if (lhsLit) Seq(ts(lhsIdx)) else Seq.empty)
+          if (lits.exists(isQuoted) && lits.exists(isNumericLit)) {
+            def wrap(t: String): Vector[String] =
+              if (isQuoted(t)) Vector("CAST", "(", t, "AS", "DOUBLE", ")")
+              else Vector(t)
+            val newList = elems.map(e => wrap(e.head))
+              .reduce((a, b) => a ++ Vector(",") ++ b)
+            ts = ts.patch(i + 2, newList, close - (i + 2))
+            if (lhsLit && isQuoted(ts(lhsIdx)))
+              ts = ts.patch(lhsIdx, wrap(ts(lhsIdx)), 1)
+          }
+        }
+      }
+      i += 1
+    }
+    ts
+  }
+
+  private def isStarProj(toks: Vector[String]): Boolean =
+    toks.lastOption.contains("*") && (toks.length == 1 ||
+      (toks.length >= 3 && toks(toks.length - 2) == "."))
+  private def starCol(toks: Vector[String]): Column = col(toks.mkString(""))
 
   private val dateFns = Set("month", "year", "day", "dayofmonth",
     "dayofweek", "dayofyear", "weekofyear", "week", "hour", "minute",
@@ -1031,6 +1384,18 @@ object GraftSql {
             illegal(if (tL.contains(DateType)) tL else tR)
           if (low == "mod") addEdit((i, i), Vector("%"))
           (tL, tR) match {
+            // bool ⊕ literal NULL keeps BOOLEAN (test_arithmetic.yaml
+            // id 20 r38-r42: c7 + NULL is a null bool; / yields double)
+            case (Some(NullType), Some(BooleanType)) if isArith =>
+              edits.remove(i)
+              addEdit((lp.get._1, rp.get._2),
+                Vector(if (low == "/") "CAST ( NULL AS DOUBLE )"
+                       else "CAST ( NULL AS BOOLEAN )"))
+            case (Some(BooleanType), Some(NullType)) if isArith =>
+              edits.remove(i)
+              addEdit((lp.get._1, rp.get._2),
+                Vector(if (low == "/") "CAST ( NULL AS DOUBLE )"
+                       else "CAST ( NULL AS BOOLEAN )"))
             case (Some(BooleanType), Some(BooleanType))
                 if isArith && low != "/" =>
               // bool⊕bool stays BOOLEAN in the reference (false+true =
@@ -1772,6 +2137,8 @@ object GraftSql {
       windowed = df0.join(acc, Seq(UidCol))
     }
     windowed.select(s.projs.zip(outerTokens).zipWithIndex.map {
-      case ((pr, toks), i) => expr(toks.mkString(" ")).as(projName(pr, i)) }: _*)
+      case ((pr, toks), i) =>
+        if (isStarProj(toks)) starCol(toks)
+        else expr(toks.mkString(" ")).as(projName(pr, i)) }: _*)
   }
 }
