@@ -903,10 +903,8 @@ object GraftSql {
 
     // dialect token rewrites over every expression position (the type
     // resolver sees the post-join schema)
-    val rt: String => Option[org.apache.spark.sql.types.DataType] = { t =>
-      try Some(df.select(expr(t)).schema.head.dataType)
-      catch { case _: Throwable => None }
-    }
+    val rt: String => Option[org.apache.spark.sql.types.DataType] =
+      t => resolveTypeCached(df, t)
     val s1 = s.copy(
       projs = s.projs.zipWithIndex.map { case (p, pi) =>
         rejectIntervalLits(p.tokens)
@@ -1275,12 +1273,12 @@ object GraftSql {
         val close = matchClose(toks, i + 1)
         val inner = coerceDateFns(toks.slice(i + 2, close), df)
         val integral =
-          try df.select(expr(inner.mkString(" "))).schema.head.dataType match {
-            case org.apache.spark.sql.types.LongType |
-                 org.apache.spark.sql.types.IntegerType |
-                 org.apache.spark.sql.types.ShortType => true
+          resolveTypeCached(df, inner.mkString(" ")) match {
+            case Some(org.apache.spark.sql.types.LongType |
+                      org.apache.spark.sql.types.IntegerType |
+                      org.apache.spark.sql.types.ShortType) => true
             case _ => false
-          } catch { case _: Throwable => false }
+          }
         out += toks(i); out += "("
         if (integral) out ++= Vector("timestamp_millis", "(") ++ inner ++ Vector(")")
         else out ++= inner
@@ -1311,8 +1309,7 @@ object GraftSql {
   private[sql] def coerceOperands(toks: Vector[String], df: DataFrame): Vector[String] = {
     import org.apache.spark.sql.types._
     def resolveType(text: String): Option[DataType] =
-      try Some(df.select(expr(text)).schema.head.dataType)
-      catch { case _: Throwable => None }
+      resolveTypeCached(df, text)
     def isIdentTok(t: String): Boolean =
       t.headOption.exists(c => c.isLetter || c == '_')
     // span [from, to] of a dotted-identifier primary ending at j
@@ -1563,6 +1560,29 @@ object GraftSql {
     out
   }
 
+  // ------------------------------------------------------------------
+  // Plan-time type probes, memoized. The dialect rewrites
+  // (rewriteDialect / coerceOperands / coerceDateFns) resolve operand
+  // types by analyzing tiny `df.select(expr(text))` plans — dozens per
+  // query, each a full analyzer pass. The result is deterministic per
+  // (resolved output attributes, text), so memoize globally: repeated
+  // planning of the same query (request serving, benchmark re-runs)
+  // skips every probe. Mirrors the reference's compiled-query LRU
+  // (hybridse/src/vm/engine.cc EngineLRUCache) at the analysis level.
+  // ------------------------------------------------------------------
+  private val typeProbeCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), Option[org.apache.spark.sql.types.DataType]]()
+  private[sql] def probeKey(df: DataFrame): Int =
+    df.queryExecution.analyzed.output
+      .map(a => (a.qualifier, a.name, a.dataType)).hashCode
+  private[sql] def resolveTypeCached(df: DataFrame, text: String)
+      : Option[org.apache.spark.sql.types.DataType] = {
+    if (typeProbeCache.size > 65536) typeProbeCache.clear()
+    typeProbeCache.computeIfAbsent((probeKey(df), text), _ =>
+      try Some(df.select(expr(text)).schema.head.dataType)
+      catch { case _: Throwable => None })
+  }
+
   // one-time per-session registration of dialect functions for SQL text
   private val registeredSessions =
     java.util.Collections.newSetFromMap(
@@ -1625,8 +1645,7 @@ object GraftSql {
         val close = matchClose(toks, i + 1)
         val args = splitTokenArgs(toks.slice(i + 2, close))
         val integral = args.headOption.exists { a =>
-          try intTypes(df.select(expr(a.mkString(" "))).schema.head.dataType)
-          catch { case _: Throwable => false }
+          resolveTypeCached(df, a.mkString(" ")).exists(intTypes)
         }
         out += (if (integral) s"__graft_$t" + "_int" else t)
         out ++= toks.slice(i + 1, close + 1)
@@ -1666,7 +1685,8 @@ object GraftSql {
     // the reference rejects grouping on floating-point keys
     // (function/v040/test_groupby.yaml ids 6-7 expect failure)
     s.groupBy.foreach { g =>
-      val dt = df.select(expr(g)).schema.head.dataType
+      val dt = resolveTypeCached(df, g).getOrElse(
+        df.select(expr(g)).schema.head.dataType)
       if (dt == org.apache.spark.sql.types.FloatType ||
           dt == org.apache.spark.sql.types.DoubleType)
         throw new IllegalArgumentException(
@@ -1878,12 +1898,12 @@ object GraftSql {
     // overflow (test_window.yaml id 21: sum(int32) wraps at 2^31);
     // internal accumulation is wider, the result casts back
     def sumCastType(vText: String): Option[org.apache.spark.sql.types.DataType] =
-      try base.select(expr(vText)).schema.head.dataType match {
-        case t @ (org.apache.spark.sql.types.IntegerType |
-                  org.apache.spark.sql.types.ShortType |
-                  org.apache.spark.sql.types.LongType) => Some(t)
+      resolveTypeCached(base, vText) match {
+        case Some(t @ (org.apache.spark.sql.types.IntegerType |
+                       org.apache.spark.sql.types.ShortType |
+                       org.apache.spark.sql.types.LongType)) => Some(t)
         case _ => None
-      } catch { case _: Throwable => None }
+      }
 
     /** Materialize named columns in dependency layers: columns whose
       * source expression references an earlier window result (nested
@@ -1913,6 +1933,29 @@ object GraftSql {
     // pre-projection columns (prefix sums for strict-range decomposition:
     // window-over-window needs two stages)
     val prepCols = Seq.newBuilder[(String, Column)]
+
+    // Aggregates over the SAME extended window spec share ONE
+    // struct-valued frame array — the frame buffer, sort and
+    // membership filtering are paid once per window, not once per
+    // aggregate (a 10-aggregate MAXSIZE query would otherwise hold 10
+    // identical (ts,uid,flag,v) buffers per row — the memory hazard
+    // that OOMs a hot key at scale). Each aggregate projects its own
+    // argument field back out to the (ts,uid,flag,v) shape the agg
+    // helpers expect.
+    final case class SharedFrame(arrName: String,
+        fields: scala.collection.mutable.LinkedHashMap[String, (String, Column)],
+        build: Column => Column)
+    val sharedFrames =
+      scala.collection.mutable.LinkedHashMap[String, SharedFrame]()
+    def sharedFrameFor(wKey: String, vText: String, v: Column,
+        mkArr: Column => Column): (String, String) = {
+      val sf = sharedFrames.getOrElseUpdate(wKey,
+        SharedFrame(s"__graft_sharr_${sharedFrames.size}",
+          scala.collection.mutable.LinkedHashMap.empty, mkArr))
+      val (fname, _) =
+        sf.fields.getOrElseUpdate(vText, (s"f${sf.fields.size}", v))
+      (sf.arrName, fname)
+    }
 
     val winCols: Seq[(String, Column)] = gexprs.map { case (id, fnText0, w) =>
       val (fnRaw, argRaw) = splitCall(fnText0)
@@ -2125,18 +2168,23 @@ object GraftSql {
                 s"window-result-bound argument unsupported for '$other'")
             }
           } else {
-          val arr = WindowOps.frameArray(v, ts, col(UidCol),
-            w.partition.map(expr), preceding,
-            maxSize = rowCap,
-            excludeCurrentTime = w.exclCT,
-            excludeCurrentRow = exclCRFilter,
-            isPrimary =
-              if (requestMode) col(RequestFlagCol)
-              else if (hasUnion) col(FlagCol) else null,
-            instanceNotInWindow = w.inw || requestMode,
-            strictRowOrder = strict,
-            hiPrecedingMs = hiMs,
-            skipNewest = skipRows)
+          val (arrName, fld) = sharedFrameFor(w.toString,
+            if (argText == "*") "*" else args.head, v,
+            sv => WindowOps.frameArray(sv, ts, col(UidCol),
+              w.partition.map(expr), preceding,
+              maxSize = rowCap,
+              excludeCurrentTime = w.exclCT,
+              excludeCurrentRow = exclCRFilter,
+              isPrimary =
+                if (requestMode) col(RequestFlagCol)
+                else if (hasUnion) col(FlagCol) else null,
+              instanceNotInWindow = w.inw || requestMode,
+              strictRowOrder = strict,
+              hiPrecedingMs = hiMs,
+              skipNewest = skipRows))
+          val arr = transform(col(arrName), x =>
+            struct(x("ts").as("ts"), x("uid").as("uid"),
+              x("flag").as("flag"), x("v")(fld).as("v")))
           fn match {
             case "sum" if skipRows > 0 && !w.exclCR =>
               // reference quirk pinned by test_window.yaml id 31 vs
@@ -2176,6 +2224,15 @@ object GraftSql {
         }
       (id, sumCast(c))
     }
+
+      // materialize the shared frame arrays (one per window spec) in
+      // the pre-projection stage; the winCols above reference them by
+      // name via col(arrName)
+      sharedFrames.values.foreach { sf =>
+        val sv = struct(
+          sf.fields.values.map { case (n, c) => c.as(n) }.toSeq: _*)
+        prepCols += (sf.arrName -> sf.build(sv))
+      }
 
       (prepCols.result(), winCols)
     }
