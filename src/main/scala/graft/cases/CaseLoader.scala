@@ -8,7 +8,8 @@ import scala.jdk.CollectionConverters._
   * `rows` hold Boolean / Long (integral) / Double (floating) / String /
   * null cells; `repeat` duplicates the row block. */
 case class CaseInput(name: Option[String], columns: Seq[String],
-    rows: Seq[Seq[Any]], repeat: Int)
+    rows: Seq[Seq[Any]], repeat: Int,
+    indexs: Seq[String] = Seq.empty)
 
 /** Expected result: `success = false` marks a must-fail case. */
 case class CaseExpect(success: Boolean, order: Option[String],
@@ -17,10 +18,12 @@ case class CaseExpect(success: Boolean, order: Option[String],
 
 /** A fully-expanded SQL case (dataProvider variants resolved).
   * `key` is "file:id[variant]" — stable across runs, used for skip
-  * lists and reporting. */
+  * lists and reporting. `parameters` (when present) bind the query's
+  * `?` placeholders in order (parameterized_query.yaml). */
 case class SqlCase(file: String, id: String, desc: String,
     inputs: Seq[CaseInput], sql: String, expect: CaseExpect,
-    mode: Set[String], tags: Seq[String], variant: String) {
+    mode: Set[String], tags: Seq[String], variant: String,
+    parameters: Option[CaseInput] = None) {
   def key: String = s"$file:$id$variant"
 }
 
@@ -55,29 +58,50 @@ object CaseLoader {
   private def opt(n: JsonNode): Option[JsonNode] =
     if (n == null || n.isNull) None else Some(n)
 
-  private def parseInput(n: JsonNode): CaseInput = {
+  private def schemaCols(s: String): Seq[String] =
+    s.split(",").toSeq.map(_.trim).filter(_.nonEmpty) // ",," appears
+      .map(_.split(":")).map(p => s"${p(0).trim} ${p(1).trim}")
+
+  private def csvRows(d: String): Seq[Seq[Any]] =
+    d.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+      .map(_.split(",", -1).toSeq.map { c0 =>
+        val c = c0.trim
+        if (c.isEmpty || c.equalsIgnoreCase("null")) null else c
+      })
+
+  private def parseInput(n: JsonNode, baseDir: String): CaseInput = {
+    // an input may alias a shared table definition file
+    // (cases/resource/*.yaml `table:` block — window_query.yaml id 0)
+    opt(n.get("resource")).foreach { r =>
+      val t = mapper.readTree(new java.io.File(baseDir, r.asText()))
+        .get("table")
+      return CaseInput(
+        name = opt(n.get("name")).orElse(opt(t.get("name"))).map(_.asText()),
+        columns = schemaCols(t.get("schema").asText()),
+        rows = csvRows(t.get("data").asText()),
+        repeat = 1,
+        indexs = strs(n.get("index")) ++ strs(t.get("index")) ++
+          opt(n.get("index")).filter(_.isTextual).map(_.asText()).toSeq ++
+          opt(t.get("index")).filter(_.isTextual).map(_.asText()).toSeq)
+    }
     // columns: ["c1 string", ...]  OR  schema: "c1:string, c2:int32"
     val columns = opt(n.get("schema")) match {
-      case Some(s) => s.asText().split(",").toSeq
-        .map(_.trim.split(":")).map(p => s"${p(0).trim} ${p(1).trim}")
+      case Some(s) => schemaCols(s.asText())
       case None => strs(n.get("columns"))
     }
     // rows: [[...]]  OR  data: "a, 1, 2\nb, 3, 4\n" (CSV block; cells
     // stay strings — the runner's type-driven coercion parses them)
     val rowData = opt(n.get("data")) match {
-      case Some(d) => d.asText().split("\n").toSeq.map(_.trim)
-        .filter(_.nonEmpty)
-        .map(_.split(",", -1).toSeq.map { c0 =>
-          val c = c0.trim
-          if (c.isEmpty || c.equalsIgnoreCase("null")) null else c
-        })
+      case Some(d) => csvRows(d.asText())
       case None => rows(n.get("rows"))
     }
     CaseInput(
       name = opt(n.get("name")).map(_.asText()),
       columns = columns,
       rows = rowData,
-      repeat = opt(n.get("repeat")).map(_.asInt()).getOrElse(1))
+      repeat = opt(n.get("repeat")).map(_.asInt()).getOrElse(1),
+      indexs = strs(n.get("indexs")) ++
+        opt(n.get("index")).filter(_.isTextual).map(_.asText()).toSeq)
   }
 
   private def parseExpect(n: JsonNode): CaseExpect =
@@ -85,8 +109,10 @@ object CaseLoader {
     else CaseExpect(
       success = opt(n.get("success")).forall(_.asBoolean()),
       order = opt(n.get("order")).map(_.asText()),
-      columns = opt(n.get("columns")).map(strs),
-      rows = opt(n.get("rows")).map(rows),
+      columns = opt(n.get("columns")).map(strs)
+        .orElse(opt(n.get("schema")).map(s => schemaCols(s.asText()))),
+      rows = opt(n.get("rows")).map(rows)
+        .orElse(opt(n.get("data")).map(d => csvRows(d.asText()))),
       count = opt(n.get("count")).map(_.asLong()))
 
   /** expectProvider override: merge non-null fields over the base. */
@@ -103,6 +129,9 @@ object CaseLoader {
     * features (`sqls` lists, input `resource` refs) are dropped. */
   def load(path: String, fileTag: String): Seq[SqlCase] = {
     val root = mapper.readTree(new java.io.File(path))
+    // resource refs are written relative to the repository root
+    // ("cases/resource/simple_t1.yaml")
+    val baseDir = path.substring(0, path.indexOf("/cases/") + 1)
     val cases = opt(root.get("cases")).map(_.elements.asScala.toSeq).getOrElse(Seq.empty)
     cases.flatMap { c =>
       val id = opt(c.get("id")).map(_.asText()).getOrElse("?")
@@ -110,12 +139,16 @@ object CaseLoader {
       val sqlNode = c.get("sql")
       val unsupported =
         sqlNode == null || sqlNode.isNull ||
+          // tables populated via INSERT statements (udf_query.yaml id
+          // 18, map-typed) are out of the loader's scope
           opt(c.get("inputs")).exists(_.elements.asScala.exists(i =>
-            opt(i.get("resource")).isDefined))
+            opt(i.get("inserts")).isDefined))
       if (unsupported) Seq.empty
       else {
         val inputs = opt(c.get("inputs"))
-          .map(_.elements.asScala.toSeq.map(parseInput)).getOrElse(Seq.empty)
+          .map(_.elements.asScala.toSeq.map(parseInput(_, baseDir)))
+          .getOrElse(Seq.empty)
+        val parameters = opt(c.get("parameters")).map(parseInput(_, baseDir))
         val baseSql = sqlNode.asText().trim.stripSuffix(";")
         val baseExpect = parseExpect(c.get("expect"))
         val mode = opt(c.get("mode")).map(_.asText())
@@ -126,7 +159,8 @@ object CaseLoader {
         val expectProvider = opt(c.get("expectProvider"))
 
         def mk(sql: String, expect: CaseExpect, variant: String) =
-          SqlCase(fileTag, id, desc, inputs, sql, expect, mode, tags, variant)
+          SqlCase(fileTag, id, desc, inputs, sql, expect, mode, tags,
+            variant, parameters)
 
         if (providers.isEmpty) Seq(mk(baseSql, baseExpect, ""))
         else {

@@ -43,10 +43,14 @@ object FeatureSignature {
   private def fmtBinary(v: Column): Column =
     v.cast("boolean").cast("int").cast("string")
   private def fmtMulticlass(v: Column): Column = v.cast("long").cast("string")
-  /** Discrete fingerprint (xxhash64 deviation); bucketed → non-negative
-    * remainder. */
-  private def dHash(v: Column, bucket: Long): Column =
-    if (bucket > 0) pmod(xxhash64(v), lit(bucket)) else xxhash64(v)
+  /** Discrete fingerprint: FarmHash over the STRING rendering (the SQL
+    * front-end uses the exact typed byte encodings; this Column-level
+    * DSL hashes strings — bit-exact for string columns). Bucketed →
+    * unsigned remainder (feature_signature_def.cc Discrete). */
+  private def dHash(v: Column, bucket: Long): Column = {
+    val h = call_udf("__graft_farm64_str", v.cast("string"))
+    if (bucket > 0) call_udf("__graft_umod", h, lit(bucket)) else h
+  }
 
   private def fmtAny(s: Sig): Column = s match {
     case SContinuous(v)      => when(v.isNotNull, fmtCont(v))
@@ -100,10 +104,10 @@ object FeatureSignature {
       .otherwise(featStr)
   }
 
-  /** xxhash64 of a long literal, computed at plan-build time — equals
-    * Spark's xxhash64(lit(v)) (seed 42). */
-  def hashLongConst(v: Long): Long =
-    org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(v, 42L)
+  /** FarmHash Fingerprint64 of an int64 slot number, computed at
+    * plan-build time — bit-identical to the reference's
+    * FarmFingerprint(slot_number) (feature_signature_def.cc:222). */
+  def hashLongConst(v: Long): Long = FarmHash.ofLong(v)
 
   /** GCFormat: "label index| slot:hash(slot):value ..." — continuous
     * emits slot:hash64(slot):value, discrete emits slot:hash; both

@@ -54,12 +54,14 @@ object GraftScalars {
     * +/-Infinity yields NaN (the reference returns the infinity). */
   def truncate(x: Column): Column = x - (x % lit(1))
 
-  /** hash64 / farm_fingerprint: the reference uses FarmHash
-    * (contrib/farmhash); we provide a stable 64-bit hash with the same
-    * signature via xxhash64 — deterministic but NOT bit-compatible with
-    * FarmHash (documented deviation, SURVEY §2.3). */
-  def hash64(cols: Column*): Column = xxhash64(cols: _*)
-  def farm_fingerprint(cols: Column*): Column = xxhash64(cols: _*)
+  /** hash64 / farm_fingerprint: bit-compatible FarmHash Fingerprint64
+    * ([[FarmHash]]; pinned by feature_signature_query.yaml ids 22/23).
+    * The Column helpers hash the STRING rendering; the SQL front-end
+    * dispatches to the typed byte encodings per operand type
+    * (GraftSql.rewriteDialect). */
+  def hash64(c: Column): Column =
+    call_udf("__graft_farm64_str", c.cast("string"))
+  def farm_fingerprint(c: Column): Column = hash64(c)
 
   /** earth_distance(lat1, lon1, lat2, lon2): haversine great-circle
     * distance in km, R=6372.8, null outside ±90/±180
@@ -268,16 +270,71 @@ object GraftScalars {
       if (x == null) null
       else java.lang.Double.valueOf(
         if (x >= 0) math.floor(x) else math.ceil(x)))
-    // Must agree bit-for-bit with the DataFrame-level hash64/xxhash64
-    // (the single documented FarmHash deviation): XXH64 over UTF-8 bytes,
-    // seed 42 — exactly what Spark's xxhash64 computes for a string.
-    spark.udf.register("hash64", (s: String) =>
-      if (s == null) null.asInstanceOf[java.lang.Long]
+    // FarmHash Fingerprint64 over the reference's typed byte encodings
+    // (literal_traits.h to_bytes_ref; udf.cc:1444) — the SQL front-end
+    // picks the variant by operand type. `hash64` keeps the dialect
+    // name for string operands.
+    def nn[T](v: T)(f: T => Long): java.lang.Long =
+      if (v == null) null.asInstanceOf[java.lang.Long]
+      else java.lang.Long.valueOf(f(v))
+    spark.udf.register("__graft_farm64_str",
+      (s: String) => nn(s)(FarmHash.ofString))
+    spark.udf.register("__graft_farm64_i16",
+      (v: java.lang.Short) => nn(v)(x => FarmHash.ofShort(x.shortValue)))
+    spark.udf.register("__graft_farm64_i32",
+      (v: java.lang.Integer) => nn(v)(x => FarmHash.ofInt(x.intValue)))
+    spark.udf.register("__graft_farm64_i64",
+      (v: java.lang.Long) => nn(v)(x => FarmHash.ofLong(x.longValue)))
+    spark.udf.register("__graft_farm64_f32",
+      (v: java.lang.Float) => nn(v)(x => FarmHash.ofFloat(x.floatValue)))
+    spark.udf.register("__graft_farm64_f64",
+      (v: java.lang.Double) => nn(v)(x => FarmHash.ofDouble(x.doubleValue)))
+    spark.udf.register("__graft_farm64_bool",
+      (v: java.lang.Boolean) => nn(v)(x => FarmHash.ofBool(x.booleanValue)))
+    spark.udf.register("__graft_farm64_date",
+      (v: java.sql.Date) => nn(v)(FarmHash.ofDate))
+    spark.udf.register("__graft_umod",
+      (h: java.lang.Long, b: java.lang.Long) =>
+        if (h == null || b == null) null.asInstanceOf[java.lang.Long]
+        else java.lang.Long.valueOf(
+          java.lang.Long.remainderUnsigned(h.longValue, b.longValue)))
+    spark.udf.register("hash64",
+      (s: String) => nn(s)(FarmHash.ofString))
+    spark.udf.register("farm_fingerprint",
+      (s: String) => nn(s)(FarmHash.ofString))
+    // float/double → string, C++ shortest style: integral values print
+    // without a decimal part ("30", not Java's "30.0" —
+    // test_type.yaml ids 0/19)
+    def numStr(d: Double): String =
+      if (d.isNaN) "nan"
+      else if (d.isPosInfinity) "inf"
+      else if (d.isNegInfinity) "-inf"
+      else if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString
+      else d.toString
+    spark.udf.register("__graft_num2str_f64", (v: java.lang.Double) =>
+      if (v == null) null else numStr(v.doubleValue))
+    spark.udf.register("__graft_num2str_f32", (v: java.lang.Float) =>
+      if (v == null) null
       else {
-        val b = s.getBytes("UTF-8")
-        java.lang.Long.valueOf(
-          org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-            b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L))
+        val f = v.floatValue
+        if (f.isNaN) "nan"
+        else if (f == math.rint(f.toDouble) && math.abs(f) < 1e15f)
+          f.toLong.toString
+        else f.toString
+      })
+    // C-printf %.6f: expand the EXACT binary double (Java's %f expands
+    // the shortest decimal, padding large magnitudes with zeros —
+    // feature_signature_query.yaml id 21 pins
+    // 1000000000000000019884624838656.000000 for pow(10,30))
+    spark.udf.register("__graft_fmt6", (v: java.lang.Double) =>
+      if (v == null) null
+      else {
+        val d = v.doubleValue
+        if (d.isNaN) "nan"
+        else if (d.isPosInfinity) "inf"
+        else if (d.isNegInfinity) "-inf"
+        else new java.math.BigDecimal(d)
+          .setScale(6, java.math.RoundingMode.HALF_EVEN).toPlainString
       })
   }
 }

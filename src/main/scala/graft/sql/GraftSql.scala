@@ -30,7 +30,7 @@ object GraftSql {
   // Tokenizer
   // ------------------------------------------------------------------
 
-  private val twoCharOps = Set("<=", ">=", "<>", "!=", "==", "||", "&&")
+  private val twoCharOps = Set("<=", ">=", "<>", "!=", "==", "||", "&&", "->")
 
   private[sql] def tokenize(s: String): Vector[String] = {
     val out = Vector.newBuilder[String]
@@ -39,7 +39,17 @@ object GraftSql {
     while (i < n) {
       val c = s.charAt(i)
       if (c.isWhitespace) i += 1
-      else if (c == '\'' || c == '"') {
+      else if ((c == '-' && i + 1 < n && s.charAt(i + 1) == '-') ||
+               c == '#') {
+        // line comment, -- or # (window_query.yaml id 22,
+        // udf_query.yaml id 13)
+        while (i < n && s.charAt(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < n && s.charAt(i + 1) == '*') {
+        i += 2
+        while (i + 1 < n && !(s.charAt(i) == '*' && s.charAt(i + 1) == '/'))
+          i += 1
+        i = math.min(n, i + 2)
+      } else if (c == '\'' || c == '"') {
         val q = c; val b = new StringBuilder().append(q); i += 1
         while (i < n && s.charAt(i) != q) { b.append(s.charAt(i)); i += 1 }
         if (i < n) { b.append(q); i += 1 }
@@ -49,11 +59,20 @@ object GraftSql {
         while (i < n && (s.charAt(i).isDigit || s.charAt(i) == '.')) {
           b.append(s.charAt(i)); i += 1
         }
-        // interval literal: a digit run DIRECTLY followed by a single
-        // time-unit letter ("10m", "2s") is ONE token — legal only as a
-        // ROWS_RANGE frame bound, rejected in expressions
-        // (fail_query.yaml "un-support const node")
-        if (i < n && "smhdSMHD".indexOf(s.charAt(i)) >= 0 &&
+        val hasDot = b.indexOf(".") >= 0
+        // typed-literal suffix on a FRACTIONAL literal ("0.0f" float,
+        // "1.5d" double — test_sub_select.yaml id 7); integral runs
+        // keep the interval rule: a digit run DIRECTLY followed by a
+        // single time-unit letter ("10m", "2s", "30d") is ONE token —
+        // legal only as a ROWS_RANGE frame bound, rejected in
+        // expressions (fail_query.yaml "un-support const node")
+        if (i < n && hasDot && "fFdD".indexOf(s.charAt(i)) >= 0 &&
+            (i + 1 >= n || !(s.charAt(i + 1).isLetterOrDigit ||
+              s.charAt(i + 1) == '_'))) {
+          b.append(s.charAt(i)); i += 1
+        } else if (i < n && !hasDot &&
+            ("smhdSMHD".indexOf(s.charAt(i)) >= 0 ||
+              s.charAt(i) == 'l' || s.charAt(i) == 'L') &&
             (i + 1 >= n || !(s.charAt(i + 1).isLetterOrDigit ||
               s.charAt(i + 1) == '_'))) {
           b.append(s.charAt(i)); i += 1
@@ -107,7 +126,8 @@ object GraftSql {
   private[sql] type TRef = Either[String, Query]
 
   private[sql] final case class JoinClause(kind: String, table: TRef,
-      alias: Option[String], order: Option[String], cond: String)
+      alias: Option[String], order: Option[String], cond: String,
+      orderDesc: Boolean = false)
 
   private[sql] final case class Select(
       projs: Seq[Proj], fromTable: TRef, fromAlias: Option[String],
@@ -147,7 +167,8 @@ object GraftSql {
       "WINDOW", "LIMIT", "UNION", "ON", "LAST", "LEFT", "ORDER", "INTO",
       "CONFIG")
 
-    /** read expression tokens until a depth-0 stopper */
+    /** read expression tokens until a depth-0 stopper ("[" counts as
+      * depth too — array literals / subscripts, udf_query.yaml) */
     def readExprTokens(extraStop: Set[String] = Set.empty): Vector[String] = {
       val stop = clauseStoppers ++ extraStop
       val b = Vector.newBuilder[String]
@@ -155,10 +176,11 @@ object GraftSql {
       var done = false
       while (!done && p < toks.length) {
         val t = peekUp
-        if (depth == 0 && (t == ")" || t == "," || stop(t) || t == "OVER" || t == "AS")) done = true
+        if (depth == 0 && (t == ")" || t == "]" || t == "," || stop(t) ||
+            t == "OVER" || t == "AS")) done = true
         else {
-          if (peek == "(") depth += 1
-          if (peek == ")") depth -= 1
+          if (peek == "(" || peek == "[") depth += 1
+          if (peek == ")" || peek == "]") depth -= 1
           b += next()
         }
       }
@@ -184,15 +206,23 @@ object GraftSql {
           more = accept(",")
         }
       }
+      // a UNION operand may be parenthesized — even a whole nested
+      // union (union_query.yml id 6); wrap it as SELECT * FROM (sub)
+      def parseOperand(): Select =
+        if (peek == "(") {
+          next(); val sub = parseQuery(); expect(")")
+          Select(Seq(Proj(Vector("*"), None, None)), Right(sub), None,
+            Nil, None, Nil, None, Map.empty, None)
+        } else parseSelect()
       val selects = Seq.newBuilder[Select]
       val ops = Seq.newBuilder[String]
-      selects += parseSelect()
+      selects += parseOperand()
       while (peekUp == "UNION") {
         next()
         val op = if (accept("ALL")) "all"
           else { accept("DISTINCT"); "distinct" }
         ops += op
-        selects += parseSelect()
+        selects += parseOperand()
       }
       Query(ctes.result(), selects.result(), ops.result())
     }
@@ -202,31 +232,44 @@ object GraftSql {
       val projs = Seq.newBuilder[Proj]
       var more = true
       while (more) {
-        val e =
+        var tokens =
           if (peek == "*") { next(); Vector("*") } else readExprTokens()
-        var over: Option[Either[String, WinDef]] = None
-        var overToks: Vector[String] = Vector.empty
-        if (accept("OVER")) {
-          if (peek == "(") {
-            val start = p
-            next(); val w = parseWinDef(); expect(")")
-            over = Some(Right(w))
-            overToks = Vector("OVER") ++ toks.slice(start, p)
-          } else {
-            val n0 = next(); over = Some(Left(n0))
-            overToks = Vector("OVER", n0)
-          }
-        }
+        var overOut: Option[Either[String, WinDef]] = None
         // a window call may continue into a larger expression
-        // (`sum(id) OVER w1 BETWEEN 2 AND 6`, `... OVER w1 IN (...)`:
-        // test_predicate.yaml between_predicate_4 /
-        // in_predicate_with_window) — splice the OVER inline and let
-        // extractWinCalls rewrite it
-        val cont = over.isDefined && peek.nonEmpty && peek != "," &&
-          peekUp != "AS" && !clauseStoppers(peekUp) && peek != ")"
-        val (tokens, overOut) =
-          if (cont) (e ++ overToks ++ readExprTokens(), None)
-          else (e, over)
+        // (`sum(id) OVER w1 BETWEEN 2 AND 6`, `CASE WHEN lag(c1) OVER
+        // w1 == .. THEN sum(c4) OVER w1 END` — test_predicate.yaml
+        // between_predicate_4, test_window_row.yaml ids 19/20): splice
+        // each OVER inline and let extractWinCalls rewrite; repeat
+        // until the expression genuinely ends.
+        var reading = true
+        while (reading) {
+          if (accept("OVER")) {
+            var overToks: Vector[String] = Vector.empty
+            var over: Option[Either[String, WinDef]] = None
+            if (peek == "(") {
+              val start = p
+              next(); val w = parseWinDef(); expect(")")
+              over = Some(Right(w))
+              overToks = Vector("OVER") ++ toks.slice(start, p)
+            } else {
+              val n0 = next(); over = Some(Left(n0))
+              overToks = Vector("OVER", n0)
+            }
+            val cont = peek.nonEmpty && peek != "," &&
+              peekUp != "AS" && !clauseStoppers(peekUp) && peek != ")"
+            if (cont) {
+              tokens = tokens ++ overToks ++ readExprTokens()
+              overOut = None
+            } else {
+              // expression ends here: OVER applies to the whole of it
+              // only when it is a plain call; otherwise keep inline
+              if (overOut.isEmpty && !tokens.exists(_.equalsIgnoreCase("OVER")))
+                overOut = over
+              else { tokens = tokens ++ overToks; overOut = None }
+              reading = false
+            }
+          } else reading = false
+        }
         val alias =
           if (accept("AS")) Some(next())
           else None
@@ -237,9 +280,11 @@ object GraftSql {
           if (alias.isDefined) (tokens, alias)
           else splitImplicitAlias(tokens)
         projs += Proj(tokens2, overOut, alias2)
-        // tolerate a trailing comma before FROM/WINDOW (the reference's
-        // zetasql dialect accepts it — cases/query/last_join_window_query.yaml id 5)
-        more = accept(",") && peekUp != "FROM" && peekUp != "WINDOW"
+        // tolerate a trailing comma before FROM/WINDOW or at the end of
+        // a no-FROM select (last_join_window_query.yaml id 5,
+        // feature_signature_query.yaml ids 6/10)
+        more = accept(",") && peek.nonEmpty &&
+          peekUp != "FROM" && peekUp != "WINDOW"
       }
       // no-FROM constant select (dql/NO_TABLE_SELECT_CLAUSE.md)
       if (peekUp != "FROM")
@@ -262,10 +307,14 @@ object GraftSql {
             else if (peek.nonEmpty && peek.head.isLetter &&
               peekUp != "ORDER" && peekUp != "ON") Some(next())
             else None
-          val ord = if (accept("ORDER")) { expect("BY"); Some(readExpr(Set("ON"))) } else None
+          val ord = if (accept("ORDER")) {
+            expect("BY"); Some(readExpr(Set("ON", "ASC", "DESC")))
+          } else None
+          val desc = accept("DESC") || { accept("ASC"); false }
           expect("ON")
-          joins += JoinClause("last", t, a, ord, readExpr())
+          joins += JoinClause("last", t, a, ord, readExpr(), desc)
         } else if (accept("LEFT")) {
+          accept("OUTER") // LEFT [OUTER] JOIN (left_join.yml id 4)
           expect("JOIN")
           val t = parseTableRef()
           val a = if (accept("AS")) Some(next())
@@ -409,6 +458,9 @@ object GraftSql {
       if (accept("UNBOUNDED")) { expect("PRECEDING"); Unbounded }
       else if (accept("CURRENT")) { expect("ROW"); CurrentRow }
       else {
+        // a negative PRECEDING bound is legal ("-1 PRECEDING",
+        // test_window_row.yaml id 40) — it clamps to the current row
+        val neg = accept("-")
         val (n, mult) = next() match {
           case intervalTok(num, unit) =>
             (num.toLong, unitMs(unit).getOrElse(1L))
@@ -420,7 +472,7 @@ object GraftSql {
         if (isRows && mult != 1L) fail("interval bound on a ROWS frame")
         val open = accept("OPEN")
         expect("PRECEDING")
-        Prec(n * mult, open)
+        if (neg) CurrentRow else Prec(n * mult, open)
       }
     }
   }
@@ -436,26 +488,55 @@ object GraftSql {
   private val RequestRowsTable = "__graft_request_rows"
 
   /** Render a parameter value as a SQL literal token. */
-  private def literal(v: Any): String = v match {
-    case null       => "NULL"
-    case s: String  => "'" + s.replace("'", "''") + "'"
-    case b: Boolean => b.toString
-    case n          => String.valueOf(n)
+  /** Render a bound parameter value as dialect tokens, preserving its
+    * runtime TYPE (a float parameter must compare as float, not as the
+    * default double lexing — parameterized_query.yaml id 2). */
+  private def literal(v: Any): Vector[String] = v match {
+    case null               => Vector("NULL")
+    case s: String          => Vector("'" + s.replace("'", "''") + "'")
+    case b: Boolean         => Vector(b.toString)
+    case l: Long            => Vector(l.toString + "L")
+    case f: Float           =>
+      Vector("CAST", "(", f.toString, "AS", "FLOAT", ")")
+    case d: Double          => Vector(d.toString + "D")
+    case s: Short           =>
+      Vector("CAST", "(", s.toString, "AS", "SMALLINT", ")")
+    case d: java.sql.Date   => Vector("DATE", s"'$d'")
+    case n                  => Vector(String.valueOf(n))
   }
+
+  /** Per-table ORDER hints for unordered LAST JOIN: the reference's
+    * storage iterates each table by its index TS column descending, so
+    * "last" without an ORDER BY picks the max-ts matching row
+    * (union_query.yml id 0). Keyed by table name → ts column; set for
+    * the duration of one sql() call. */
+  private val tsHintsTL =
+    new ThreadLocal[Map[String, String]] {
+      override def initialValue(): Map[String, String] = Map.empty
+    }
 
   /** Run a dialect query. `tables` overrides/augments the session's
     * temp-view catalog for table-name resolution; `params` bind `?`
     * placeholders in order (the reference's parameterized query mode —
-    * cases/query/parameterized_query.yaml). */
+    * cases/query/parameterized_query.yaml); `tsHints` name each table's
+    * index TS column (storage iteration order for unordered LAST JOIN). */
   def sql(spark: SparkSession, text: String,
       tables: Map[String, DataFrame] = Map.empty,
-      params: Seq[Any] = Nil): DataFrame = {
+      params: Seq[Any] = Nil,
+      tsHints: Map[String, String] = Map.empty): DataFrame = {
     ensureFunctions(spark)
+    tsHintsTL.set(tsHints)
+    try sqlImpl(spark, text, tables, params)
+    finally tsHintsTL.remove()
+  }
+
+  private def sqlImpl(spark: SparkSession, text: String,
+      tables: Map[String, DataFrame], params: Seq[Any]): DataFrame = {
     var remaining = params
-    val toks = tokenize(text).map {
+    val toks = tokenize(text).flatMap {
       case "?" if remaining.nonEmpty =>
         val v = remaining.head; remaining = remaining.tail; literal(v)
-      case t => t
+      case t => Vector(t)
     }
     val parser = new Parser(toks)
     val q = parser.parseQuery()
@@ -795,8 +876,10 @@ object GraftSql {
 
   private def planQuery(spark: SparkSession, q: Query,
       scope0: Map[String, DataFrame]): DataFrame = {
+    // a CTE's name qualifies its columns downstream (`t2.c5` where t2
+    // is a WITH name — with.yaml id 2), so alias the planned frame
     val scope = q.ctes.foldLeft(scope0) { case (sc, (name, sub)) =>
-      sc + (name -> planQuery(spark, sub, sc))
+      sc + (name -> planQuery(spark, sub, sc).alias(name))
     }
     val planned = q.selects.map(planSelect(spark, _, scope))
     q.setOps.zip(planned.tail).foldLeft(planned.head) {
@@ -822,8 +905,12 @@ object GraftSql {
       if (t.matches("[A-Za-z_][A-Za-z0-9_]*( \\. [A-Za-z_][A-Za-z0-9_]*)?"))
         t.split("\\.").last.trim
       // the reference names unaliased computed projections by their
-      // expression text ("c2 + 1"; test_sub_select.yaml id 0)
-      else t
+      // expression text ("c2 + 1", test_sub_select.yaml id 0;
+      // "sum(c4)over w1", test_window_row.yaml id 18)
+      else t + (pr.over match {
+        case Some(Left(name)) => s" over $name"
+        case _                => ""
+      })
     }
 
   /** Parse a complete query text (shared by sql() and StreamDeploy). */
@@ -870,25 +957,54 @@ object GraftSql {
             }
           }
           val rightQual = jc.alias.orElse(jc.table.left.toOption).getOrElse("")
+          // "last" picks by the join's ORDER BY; WITHOUT one it follows
+          // the reference's STORAGE iteration — each table's index TS
+          // column descending, insertion order breaking ties
+          // (union_query.yml id 0) — falling back to pure ingestion
+          // order when no ts hint is known. A NULL order key loses to
+          // any real key but still matches when it is the only
+          // candidate (test_lastjoin_complex.yaml id 13-1).
+          val JOrd = "__graft_jord"
+          val rightO = right.withColumn(JOrd, monotonically_increasing_id())
+            .alias(rightQual)
+          def hintFor(t: TRef): Option[String] = t match {
+            case Left(name) => tsHintsTL.get.get(name)
+            case Right(sub) =>
+              val hs = sub.selects.map(_.fromTable).flatMap(hintFor).distinct
+              if (hs.length == 1) Some(hs.head) else None
+          }
+          val ordAsc: Column = jc.order match {
+            case Some(o) =>
+              coalesce(expr(o).cast("long"), lit(Long.MinValue))
+            case None => hintFor(jc.table)
+                .filter(h => right.columns.count(_.equalsIgnoreCase(h)) == 1)
+                .map(h => coalesce(rightO(h).cast("long"), lit(Long.MinValue)))
+                .getOrElse(lit(0L))
+          }
+          val pickOrd = struct(
+            if (jc.orderDesc) ordAsc * -1 else ordAsc, rightO(JOrd))
           equiKeys(cond, rightQual, right.columns.toSet) match {
-            case Some(keys) if jc.order.isDefined =>
+            case Some(keys)
+                if right.columns.distinct.length == right.columns.length =>
               // scalable path: pre-reduce the right side to one row per
               // key with map-side max_by, then a plain equi-join the
               // optimizer can broadcast (LastJoin.apply's strategy,
-              // inlined so the right alias survives for projections)
-              val ord = expr(jc.order.get)
+              // inlined so the right alias survives for projections).
+              // Keys compare NULL-SAFE: the reference's storage joins a
+              // null key to the null-key partition
+              // (test_lastjoin_complex.yaml id 10).
               val payload = right.columns.toSeq
-              val reduced = right
+              val reduced = rightO
                 .groupBy(keys.map(_._2).map(col): _*)
-                .agg(max_by(struct(payload.map(col): _*), ord).as("__last"))
+                .agg(max_by(struct(payload.map(col): _*), pickOrd).as("__last"))
                 .select(payload.map(c => col(s"__last.$c").as(c)): _*)
                 .alias(rightQual)
-              val cond = keys.map { case (l, r) =>
-                expr(l) === reduced(r) }.reduce(_ && _)
-              df.join(reduced, cond, "left")
+              val cond2 = keys.map { case (l, r) =>
+                expr(l) <=> reduced(r) }.reduce(_ && _)
+              df.join(reduced, cond2, "left")
             case _ =>
-              val ord = jc.order.map(expr).getOrElse(lit(1))
-              LastJoin.general(df, right, expr(cond), ord)
+              LastJoin.general(df, rightO, expr(cond), pickOrd)
+                .drop(JOrd)
           }
       }
     }
@@ -967,6 +1083,11 @@ object GraftSql {
     "int16" -> "smallint", "int32" -> "int", "int64" -> "bigint",
     "bool" -> "boolean")
 
+  /** dialect type spellings → Spark type keywords (CAST targets) */
+  private val castTypeRenames = Map(
+    "int16" -> "SMALLINT", "int32" -> "INT", "int64" -> "BIGINT",
+    "bool" -> "BOOLEAN")
+
   private def isQuoted(t: String): Boolean =
     t.length >= 2 && (t.head == '\'' || t.head == '"')
   private def isNumericLit(t: String): Boolean =
@@ -1026,6 +1147,162 @@ object GraftSql {
     }.headOption
   }
 
+  /** FarmHash UDF variant for an operand type — the reference hashes
+    * each type's little-endian value bytes (literal_traits.h
+    * to_bytes_ref); unresolvable operands fall back to string bytes. */
+  private def farmFnFor(
+      t: Option[org.apache.spark.sql.types.DataType]): String = {
+    import org.apache.spark.sql.types._
+    t match {
+      case Some(ShortType)   => "__graft_farm64_i16"
+      case Some(IntegerType) => "__graft_farm64_i32"
+      case Some(LongType)    => "__graft_farm64_i64"
+      case Some(FloatType)   => "__graft_farm64_f32"
+      case Some(DoubleType)  => "__graft_farm64_f64"
+      case Some(BooleanType) => "__graft_farm64_bool"
+      case Some(DateType)    => "__graft_farm64_date"
+      case Some(_: org.apache.spark.sql.types.DecimalType) =>
+        "__graft_farm64_f64" // fractional literal pre-D-suffix
+      case _                 => "__graft_farm64_str"
+    }
+  }
+
+  /** Expand a `csv(...)` / `gcformat(...)` / `libsvm(...)` feature
+    * instance format into a single SQL string expression
+    * (feature_signature_def.cc CSV :292, GCFormat :213, LIBSVM :344).
+    * Slot numbers (and GCFormat's per-slot FarmFingerprint of the slot
+    * id) are static at plan time; value formatting follows the
+    * reference's std::to_string semantics per operand type. */
+  private def featureFormatText(kind: String, inner: Vector[String],
+      resolveTy: String => Option[org.apache.spark.sql.types.DataType])
+      : String = {
+    import org.apache.spark.sql.types._
+    val sigKinds = Set("continuous", "discrete", "binary_label",
+      "multiclass_label", "regression_label", "gcformat_index")
+    case class SigArg(sk: String, vText: String, vType: Option[DataType],
+        bucket: Option[Option[Long]]) // None=unbucketed; Some(None)=null
+    val args = splitTokenArgs(inner).map { at =>
+      val head = at.headOption.getOrElse("").toLowerCase
+      if (!(at.length > 2 && at(1) == "(" && sigKinds(head)))
+        throw new IllegalArgumentException(
+          s"$kind() arguments must be feature signatures " +
+            "(continuous/discrete/labels), got '" + at.mkString(" ") + "'")
+      val callArgs = splitTokenArgs(at.slice(2, at.length - 1))
+      val vText = "( " + callArgs.head.mkString(" ") + " )"
+      val bucket: Option[Option[Long]] =
+        if (head == "discrete" && callArgs.length > 1) {
+          callArgs(1) match {
+            case Vector(n) if isNumericLit(n) => Some(Some(n.toLong))
+            case Vector("-", n) if isNumericLit(n) => Some(Some(-n.toLong))
+            case _ => Some(None) // non-literal (e.g. int("null")) → null
+          }
+        } else None
+      SigArg(head, vText, resolveTy(callArgs.head.mkString(" ")), bucket)
+    }
+    def contFmt(a: SigArg): String = a.vType match {
+      case Some(FloatType) | Some(DoubleType) | Some(_: DecimalType) =>
+        // C-printf %.6f incl. inf/nan spellings and exact-binary
+        // expansion for large magnitudes
+        s"__graft_fmt6(CAST(${a.vText} AS DOUBLE))"
+      case Some(BooleanType) =>
+        s"CAST(CAST(${a.vText} AS INT) AS STRING)"
+      case _ => s"CAST(${a.vText} AS STRING)"
+    }
+    def labelFmt(a: SigArg): String = a.sk match {
+      case "binary_label" =>
+        s"CAST(CAST(CAST(${a.vText} AS BOOLEAN) AS INT) AS STRING)"
+      case "multiclass_label" =>
+        s"CAST(CAST(${a.vText} AS BIGINT) AS STRING)"
+      case _ => contFmt(a) // regression_label
+    }
+    // discrete hash text: NULL when the value is null or the bucket is
+    // invalid (Discrete with bucket<=0/null yields a null slot)
+    def dHashText(a: SigArg): Option[String] = {
+      val h = s"${farmFnFor(a.vType)}(${a.vText})"
+      a.bucket match {
+        case None                       => Some(h)
+        case Some(Some(b)) if b > 0     => Some(s"__graft_umod($h, ${b}L)")
+        case _                          => None
+      }
+    }
+    val isLabel = Set("binary_label", "multiclass_label", "regression_label")
+    def labelText: String = args.filter(a => isLabel(a.sk)).lastOption
+      .map(a => s"CASE WHEN ${a.vText} IS NULL THEN '' ELSE ${labelFmt(a)} END")
+      .getOrElse("''")
+
+    kind match {
+      case "csv" =>
+        val slots = args.collect {
+          case a if a.sk == "continuous" =>
+            s"coalesce(CASE WHEN ${a.vText} IS NOT NULL THEN ${contFmt(a)} END, '')"
+          case a if a.sk == "discrete" =>
+            dHashText(a).map(h => s"coalesce(CAST($h AS STRING), '')")
+              .getOrElse("''")
+          case a if isLabel(a.sk) =>
+            s"coalesce(CASE WHEN ${a.vText} IS NOT NULL THEN ${labelFmt(a)} END, '')"
+        }
+        if (slots.isEmpty) "('')"
+        else "(concat_ws(',', " + slots.mkString(", ") + "))"
+      case "gcformat" =>
+        var slot = 1L
+        val feats = Seq.newBuilder[String]
+        args.foreach { a =>
+          a.sk match {
+            case "continuous" =>
+              feats += s"CASE WHEN ${a.vText} IS NOT NULL THEN " +
+                s"concat('$slot:${graft.functions.FarmHash.ofLong(slot)}:', ${contFmt(a)}) END"
+              slot += 1
+            case "discrete" =>
+              dHashText(a) match {
+                case Some(h) =>
+                  feats += s"CASE WHEN $h IS NOT NULL THEN " +
+                    s"concat('$slot:', CAST($h AS STRING)) END"
+                case None => () // null slot: skipped but counted
+              }
+              slot += 1
+            case _ => ()
+          }
+        }
+        val idxStr = args.find(_.sk == "gcformat_index")
+          .map(a => s"CASE WHEN ${a.vText} IS NULL OR CAST(${a.vText} AS BIGINT) < 0 " +
+            s"THEN ' ' ELSE concat(' ', CAST(CAST(${a.vText} AS BIGINT) AS STRING)) END")
+          .getOrElse("' '")
+        val featStr =
+          if (feats.result().isEmpty) "''"
+          else "concat_ws(' ', " + feats.result().mkString(", ") + ")"
+        s"(concat($labelText, $idxStr, '| ', $featStr))"
+      case "libsvm" =>
+        var slot = 1L
+        val feats = Seq.newBuilder[String]
+        args.foreach { a =>
+          a.sk match {
+            case "continuous" =>
+              feats += s"CASE WHEN ${a.vText} IS NOT NULL THEN " +
+                s"concat('$slot:', ${contFmt(a)}) END"
+              slot += 1
+            case "discrete" =>
+              (a.bucket, dHashText(a)) match {
+                case (None, Some(h)) => // unbucketed: hash:1, no slot
+                  feats += s"CASE WHEN $h IS NOT NULL THEN " +
+                    s"concat(CAST($h AS STRING), ':1') END"
+                case (Some(Some(b)), Some(h)) if b > 0 =>
+                  feats += s"CASE WHEN $h IS NOT NULL THEN " +
+                    s"concat(CAST(${slot}L + $h AS STRING), ':1') END"
+                  slot += b
+                case _ => () // invalid bucket: nothing, no advance
+              }
+            case _ => ()
+          }
+        }
+        val featStr =
+          if (feats.result().isEmpty) "''"
+          else "concat_ws(' ', " + feats.result().mkString(", ") + ")"
+        s"(CASE WHEN length($labelText) > 0 THEN " +
+          s"CASE WHEN length($featStr) > 0 THEN concat($labelText, ' ', $featStr) " +
+          s"ELSE $labelText END ELSE $featStr END)"
+    }
+  }
+
   /** Interval literals ("1s", "30d") are legal ONLY as ROWS_RANGE frame
     * bounds; as expressions the reference rejects them (fail_query.yaml
     * "un-support const node"). Spark would silently read 1s/1d as
@@ -1058,6 +1335,16 @@ object GraftSql {
     def asBigint(v: Vector[String]): Vector[String] =
       Vector("CAST", "(") ++ v ++ Vector("AS", "BIGINT", ")")
 
+    // the reference's timestamp domain starts at the epoch: a negative
+    // ms value yields NULL, not a pre-1970 instant (const_query.yaml
+    // ids 10/11 expect NULL for timestamp(-1))
+    def nonNegBigint(v: Vector[String]): Vector[String] = {
+      val b = asBigint(v)
+      Vector("(", "CASE", "WHEN", "(") ++ b ++
+        Vector(")", "<", "0L", "THEN", "CAST", "(", "NULL", "AS",
+          "BIGINT", ")", "ELSE") ++ b ++ Vector("END", ")")
+    }
+
     def tsCall(inner: Vector[String]): Vector[String] =
       if (inner.length == 1 && isNumericLit(inner.head)) asBigint(inner)
       else if (inner.length == 1 && inner.head.equalsIgnoreCase("null"))
@@ -1072,23 +1359,40 @@ object GraftSql {
           Vector("unix_millis", "(", "to_utc_timestamp", "(",
             "to_timestamp", "(") ++ inner ++
             Vector(")", ",", "'GMT+8'", ")", ")")
-        case _ => asBigint(inner)
+        case _ => nonNegBigint(inner)
       }
 
     def dateCall(inner: Vector[String]): Vector[String] = {
+      // date(n) is legal only for the int64-ms timestamp model; the
+      // reference rejects date() over int/smallint columns
+      // (test_type.yaml ids 26/28 expect-error)
+      resolveTy(inner.mkString(" ")) match {
+        case Some(ShortType) | Some(IntegerType) =>
+          throw new IllegalArgumentException(
+            "date() expects a timestamp/string/date operand, not an integer")
+        case _ => ()
+      }
       val integral =
         (inner.length == 1 && isNumericLit(inner.head) &&
           !inner.head.contains(".")) ||
-        (resolveTy(inner.mkString(" ")) match {
-          case Some(ShortType) | Some(IntegerType) | Some(LongType) => true
-          case _ => false
-        })
+        resolveTy(inner.mkString(" ")).contains(LongType)
       if (integral)
         Vector("CAST", "(", "from_utc_timestamp", "(", "timestamp_millis",
           "(", "CAST", "(") ++ inner ++ Vector("AS", "BIGINT", ")", ")",
           ",", "'GMT+8'", ")", "AS", "DATE", ")")
       else Vector("date", "(") ++ inner ++ Vector(")")
     }
+
+    // cast-to-string: float/double use the C++ shortest rendering
+    // ("30", not Java's "30.0" — test_type.yaml ids 0/19)
+    def strCastText(pre: Vector[String]): Vector[String] =
+      resolveTy(pre.mkString(" ")) match {
+        case Some(FloatType) =>
+          Vector("__graft_num2str_f32", "(") ++ pre ++ Vector(")")
+        case Some(DoubleType) =>
+          Vector("__graft_num2str_f64", "(") ++ pre ++ Vector(")")
+        case _ => Vector("CAST", "(") ++ pre ++ Vector("AS", "STRING", ")")
+      }
 
     // recursive descent over call trees (innermost args rewritten first)
     def go(ts: Vector[String]): Vector[String] = {
@@ -1103,10 +1407,133 @@ object GraftSql {
           val inner = go(ts.slice(i + 2, close))
           if (castFnRenames.contains(low)) {
             out += castFnRenames(low); out += "("; out ++= inner; out += ")"
+          } else if (low == "identity") {
+            // identity(x) is the reference's pass-through marker
+            // (udf/default_udf_library.cc identity; fz_sql.yaml id 0)
+            out += "("; out ++= inner; out += ")"
+          } else if (low == "is_null") {
+            out += "isnull"; out += "("; out ++= inner; out += ")"
           } else if (low == "cast" && inner.length >= 2 &&
               inner(inner.length - 1).equalsIgnoreCase("timestamp") &&
               inner(inner.length - 2).equalsIgnoreCase("as")) {
             out ++= tsCall(inner.dropRight(2))
+          } else if (low == "cast" && inner.length >= 2 &&
+              (inner(inner.length - 1).equalsIgnoreCase("varchar") ||
+                inner(inner.length - 1).equalsIgnoreCase("string")) &&
+              inner(inner.length - 2).equalsIgnoreCase("as")) {
+            // VARCHAR is the dialect's alias for STRING
+            // (test_type.yaml ids 33-35)
+            out ++= strCastText(inner.dropRight(2))
+          } else if (low == "cast" && inner.length >= 5 &&
+              inner(inner.length - 1) == ")" &&
+              (inner(inner.length - 4).equalsIgnoreCase("varchar") ||
+                inner(inner.length - 4).equalsIgnoreCase("string")) &&
+              inner(inner.length - 5).equalsIgnoreCase("as")) {
+            // VARCHAR(n): the length is storage metadata, drop it
+            out ++= strCastText(inner.dropRight(5))
+          } else if (low == "string") {
+            out ++= strCastText(inner)
+          } else if (low == "cast" && {
+            var d = 0; var asAt = -1; var k = 0
+            while (k < inner.length) {
+              if (inner(k) == "(") d += 1
+              if (inner(k) == ")") d -= 1
+              if (d == 0 && inner(k).equalsIgnoreCase("as")) asAt = k
+              k += 1
+            }
+            asAt >= 0 && inner.drop(asAt + 1).exists(t =>
+              castTypeRenames.contains(t.toLowerCase))
+          }) {
+            // dialect type names inside the CAST target (BOOL, INT64,
+            // MAP<STRING, INT64>, ... — test_type.yaml id 0,
+            // udf_query.yaml id 19) → Spark spellings
+            var d = 0; var asAt = -1; var k = 0
+            while (k < inner.length) {
+              if (inner(k) == "(") d += 1
+              if (inner(k) == ")") d -= 1
+              if (d == 0 && inner(k).equalsIgnoreCase("as")) asAt = k
+              k += 1
+            }
+            val (pre, ty) = inner.splitAt(asAt + 1)
+            out += "CAST"; out += "("
+            out ++= pre
+            out ++= ty.map(t =>
+              castTypeRenames.getOrElse(t.toLowerCase, t))
+            out += ")"
+          } else if (low == "varchar") {
+            out += "string"; out += "("; out ++= inner; out += ")"
+          } else if (low == "hash64" || low == "farm_fingerprint") {
+            // FarmHash Fingerprint64 over the operand's typed byte
+            // encoding (udf.cc:1444; literal_traits.h to_bytes_ref)
+            out += farmFnFor(resolveTy(inner.mkString(" ")))
+            out += "("; out ++= inner; out += ")"
+          } else if (low == "csv" || low == "gcformat" || low == "libsvm") {
+            // feature-signature instance formats expand to one pure
+            // string expression (feature_signature_def.cc CSV/GCFormat/
+            // LIBSVM; slot numbering is static at plan time)
+            out ++= tokenize(featureFormatText(low, inner, resolveTy))
+          } else if (low == "week") {
+            // reference week() = ISO week number (udf_query.yaml id 4)
+            out += "weekofyear"; out += "("; out ++= inner; out += ")"
+          } else if (low == "isin" || low == "array_contains") {
+            // null-safe membership: the reference's contains treats a
+            // NULL probe/element as an ordinary value and returns
+            // true/false, never NULL (udf_query.yaml array_contains)
+            val as = splitTokenArgs(inner)
+            val (arr, v) =
+              if (low == "isin") (as(1), as(0)) else (as(0), as(1))
+            out ++= tokenize(s"exists(${arr.mkString(" ")}, " +
+              s"__x -> __x <=> (${v.mkString(" ")}))")
+          } else if (low == "split_array") {
+            // literal-delimiter split → the registered fz_split UDF
+            out += "fz_split"; out += "("; out ++= inner; out += ")"
+          } else if (low == "array_join" &&
+              splitTokenArgs(inner).length == 2) {
+            // a NULL delimiter joins without a separator
+            // (udf_query.yaml array_join)
+            val as = splitTokenArgs(inner)
+            out += "array_join"; out += "("
+            out ++= as(0); out += ","
+            out ++= tokenize(
+              s"coalesce(CAST((${as(1).mkString(" ")}) AS STRING), '')")
+            out += ")"
+          } else if (low == "map" && splitTokenArgs(inner).length > 2 &&
+              splitTokenArgs(inner).length % 2 == 0) {
+            // duplicate map keys keep the FIRST value in the reference
+            // (udf_query.yaml id 13 e9); Spark's LAST_WIN dedup policy
+            // keeps the last, so reverse the pair order
+            val pairs = splitTokenArgs(inner).grouped(2).toSeq.reverse
+            out += "map"; out += "("
+            pairs.zipWithIndex.foreach { case (kv, pi) =>
+              if (pi > 0) out += ","
+              out ++= kv(0); out += ","; out ++= kv(1)
+            }
+            out += ")"
+          } else if (low == "array_combine") {
+            // array_combine(delim, a1..an): delimiter-joined CARTESIAN
+            // combinations in argument order, null elements dropped,
+            // every element rendered as string; null delimiter joins
+            // without a separator (udf_query.yaml array_combine*)
+            val as = splitTokenArgs(inner)
+            val d = s"coalesce(CAST((${as.head.mkString(" ")}) AS STRING), '')"
+            val arrs = as.tail.map(_.mkString(" "))
+            def clean(a: String) =
+              s"filter(transform($a, __c -> CAST(__c AS STRING)), __c -> __c IS NOT NULL)"
+            val vars = arrs.indices.map(k => s"__e$k")
+            def nest(k: Int): String =
+              if (k == arrs.length - 1)
+                s"transform(${clean(arrs(k))}, ${vars(k)} -> " +
+                  s"concat_ws($d, ${vars.mkString(", ")}))"
+              else
+                s"flatten(transform(${clean(arrs(k))}, ${vars(k)} -> ${nest(k + 1)}))"
+            out ++= tokenize(nest(0))
+          } else if ((low == "like_match" || low == "ilike_match") &&
+              splitTokenArgs(inner).length == 3) {
+            // the 2-arg UDF registration cannot overload; the 3-arg
+            // form routes to the _esc variant (udf_query.yaml like_udf)
+            out += (if (low == "like_match") "like_match_esc"
+                    else "ilike_match_esc")
+            out += "("; out ++= inner; out += ")"
           } else if (low == "timestamp") out ++= tsCall(inner)
           else if (low == "date") out ++= dateCall(inner)
           else { out += ts(i); out += "("; out ++= inner; out += ")" }
@@ -1117,6 +1544,50 @@ object GraftSql {
     }
 
     var ts = go(toks0)
+
+    // array literals: `[1, 2]` → array(1, 2); `ARRAY<T>[...]` →
+    // CAST(array(...) AS ARRAY<T>) (udf_query.yaml isin/array_*).
+    // A bracket FOLLOWING a primary is Spark's native subscript
+    // (`m[k]`) and stays.
+    locally {
+      def matchCloseB(v: Vector[String], open: Int): Int = {
+        var depth = 0; var j = open
+        while (j < v.length) {
+          if (v(j) == "[") depth += 1
+          if (v(j) == "]") { depth -= 1; if (depth == 0) return j }
+          j += 1
+        }
+        throw new IllegalArgumentException("unbalanced brackets")
+      }
+      val typeRename = Map("int64" -> "BIGINT", "int32" -> "INT",
+        "int16" -> "SMALLINT", "bool" -> "BOOLEAN", "varchar" -> "STRING")
+      var i2 = 0
+      while (i2 < ts.length) {
+        if (ts(i2) == "[") {
+          val prev = if (i2 == 0) "" else ts(i2 - 1)
+          val isTyped = i2 >= 4 && prev == ">" && ts(i2 - 3) == "<" &&
+            ts(i2 - 4).equalsIgnoreCase("array")
+          val isSub = !isTyped && (prev == ")" || prev == "]" ||
+            prev.headOption.exists(c => c.isLetter || c == '_' ||
+              c == '\'' || c == '"'))
+          if (isTyped) {
+            val close = matchCloseB(ts, i2)
+            val t0 = ts(i2 - 2)
+            val tN = typeRename.getOrElse(t0.toLowerCase, t0.toUpperCase)
+            val repl = Vector("CAST", "(", "array", "(") ++
+              ts.slice(i2 + 1, close) ++
+              Vector(")", "AS", "ARRAY", "<", tN, ">", ")")
+            ts = ts.patch(i2 - 4, repl, close - (i2 - 4) + 1)
+            i2 = i2 // rescan from the opening CAST (nested literals)
+          } else if (!isSub) {
+            val close = matchCloseB(ts, i2)
+            ts = ts.patch(close, Vector(")"), 1)
+              .patch(i2, Vector("array", "("), 1)
+            i2 += 2
+          } else i2 += 1
+        } else i2 += 1
+      }
+    }
 
     // [operand] [NOT] LIKE/ILIKE 'pat' ESCAPE 'e' — literal pattern +
     // escape translate at plan time into a pattern for Spark's NATIVE
@@ -1133,6 +1604,11 @@ object GraftSql {
           isQuoted(ts(i + 3))) {
         val pat = unescapeSqlLiteral(stripQuotes(ts(i + 1)))
         val esc = unescapeSqlLiteral(stripQuotes(ts(i + 3)))
+        // escape of 2+ characters is a data exception in the reference
+        // (udf.cc:519-523; test_like.yaml id 28 expects failure)
+        if (esc.length >= 2)
+          throw new IllegalArgumentException(
+            s"invalid escape character '$esc' (escape must be a single character)")
         graft.functions.GraftScalars.toSparkLikePattern(pat, esc) match {
           case Some(np) =>
             ts = ts.patch(i, Vector(ts(i), quoteSqlLiteral(np)), 4)
@@ -1280,7 +1756,11 @@ object GraftSql {
             case _ => false
           }
         out += toks(i); out += "("
-        if (integral) out ++= Vector("timestamp_millis", "(") ++ inner ++ Vector(")")
+        if (integral)
+          // ms-epoch operand: date parts read the GMT+8 wall clock
+          // (date_and_time_types.md; udf_query.yaml id 5 hour=10)
+          out ++= Vector("from_utc_timestamp", "(", "timestamp_millis",
+            "(") ++ inner ++ Vector(")", ",", "'GMT+8'", ")")
         else out ++= inner
         out += ")"
         i = close + 1
@@ -1449,6 +1929,21 @@ object GraftSql {
         rightLogicSpan(i + 1).foreach { s =>
           resolveType(text(s)).foreach { t =>
             if (truthyTypes(t)) addEdit(s, Vector(truthyText(text(s), t))) } }
+      } else if ((low == "like" || low == "ilike") &&
+          !(i + 1 < toks.length && toks(i + 1) == "(")) {
+        // LIKE/ILIKE as an operator: the pattern must be a non-null
+        // string and the matched operand must be STRING-typed — the
+        // reference's planner rejects both (test_like.yaml ids 17/19-26)
+        if (i + 1 < toks.length && toks(i + 1).equalsIgnoreCase("null"))
+          throw new IllegalArgumentException(
+            s"$low pattern must not be NULL")
+        val lhsEnd =
+          if (i > 0 && toks(i - 1).equalsIgnoreCase("not")) i - 2 else i - 1
+        leftPrimary(lhsEnd).foreach { s =>
+          resolveType(text(s)).foreach { t =>
+            if (t != StringType && t != NullType)
+              throw new IllegalArgumentException(
+                s"illegal operand type $t for '$low' (string required)") } }
       } else if (toks(i) == "&" || toks(i) == "|" || toks(i) == "^" ||
           toks(i) == "~") {
         // bitwise operators demand integral operands
@@ -1593,6 +2088,9 @@ object GraftSql {
       // casts are NULL, integral overflow wraps (test_arithmetic.yaml
       // ids 0-4/17, docs/en/openmldb_sql/functions_and_operators)
       spark.conf.set("spark.sql.ansi.enabled", "false")
+      // duplicate map keys are legal (reference keeps the first match;
+      // pair order is reversed at rewrite so LAST_WIN yields it)
+      spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       graft.functions.GraftScalars.registerAll(spark)
       graft.functions.GraftAggregates.registerAll(spark)
     }
@@ -1609,8 +2107,8 @@ object GraftSql {
     val out = Seq.newBuilder[Vector[String]]
     var depth = 0; var cur = Vector.newBuilder[String]
     toks.foreach { t =>
-      if (t == "(") depth += 1
-      if (t == ")") depth -= 1
+      if (t == "(" || t == "[") depth += 1
+      if (t == ")" || t == "]") depth -= 1
       if (t == "," && depth == 0) { out += cur.result(); cur = Vector.newBuilder }
       else cur += t
     }
@@ -1751,7 +2249,8 @@ object GraftSql {
   }
 
   private[sql] val extAggs = Set("sum", "count", "avg", "min", "max",
-    "distinct_count", "lag", "at", "first_value", "last_value")
+    "distinct_count", "lag", "at", "first_value", "last_value",
+    "nth_value_where")
 
   /** split an argument list at top-level commas */
   private[sql] def splitArgs(t: String): Seq[String] = {
@@ -1760,6 +2259,8 @@ object GraftSql {
     t.foreach {
       case '(' => depth += 1; b.append('(')
       case ')' => depth -= 1; b.append(')')
+      case '[' => depth += 1; b.append('[')
+      case ']' => depth -= 1; b.append(']')
       case ',' if depth == 0 => out += b.toString.trim; b.clear()
       case c => b.append(c)
     }
@@ -1867,6 +2368,34 @@ object GraftSql {
           Vector(")")) ++ toks.slice(close + 1, toks.length)
       } else toks
 
+    /** A projection whose OVER applies to a COMPOSITE expression (e.g.
+      * `(case when lag(d1,1) != null then distinct_count(d1) end) over
+      * w` — the fz generator's identity(...) shape, fz_sql.yaml id 0):
+      * every naked window-fn call inside binds to `w`, the rest of the
+      * expression evaluates per current row. */
+    def bindAllNaked(toks: Vector[String], w: WinDef): Vector[String] = {
+      val heads = navFns ++ aggHeads ++ Set("distinct_count", "nth_value_where")
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < toks.length) {
+        if (heads(toks(i).toLowerCase) && i + 1 < toks.length &&
+            toks(i + 1) == "(") {
+          val close = matchingClose(toks, i + 1)
+          val after = close + 1
+          if (after < toks.length && toks(after).equalsIgnoreCase("OVER")) {
+            out ++= toks.slice(i, after); i = after
+          } else {
+            val call = bindImplicit(toks.slice(i, close + 1), w)
+            val id = fresh()
+            winExprs += ((id, call.mkString(" "), w))
+            out += id
+            i = close + 1
+          }
+        } else { out += toks(i); i += 1 }
+      }
+      out.result()
+    }
+
     val outerTokens: Seq[Vector[String]] = s.projs.map { pr =>
       val pt = rewriteAggFns(coerceDateFns(pr.tokens, base), base)
       pr.over match {
@@ -1875,11 +2404,17 @@ object GraftSql {
           // (udaf_query.yaml ids 4-6) — rewrite it first so the inner
           // expression registers before the outer one
           val w = resolveWin(ref)
-          val ptR = bindImplicit(
-            if (pr.hasNestedOver) rewrite(pt) else pt, w)
-          val id = fresh()
-          winExprs += ((id, ptR.mkString(" "), w))
-          Vector(id)
+          val headIsCall = pt.length > 2 && pt(1) == "(" &&
+            pt.head.headOption.exists(c => c.isLetter || c == '_') &&
+            matchingClose(pt, 1) == pt.length - 1
+          if (headIsCall) {
+            val ptR = bindImplicit(
+              if (pr.hasNestedOver) rewrite(pt) else pt, w)
+            val id = fresh()
+            winExprs += ((id, ptR.mkString(" "), w))
+            Vector(id)
+          } else
+            bindAllNaked(if (pr.hasNestedOver) rewrite(pt) else pt, w)
         case None if pr.hasNestedOver => rewrite(pt)
         case None => pt
       }
@@ -1893,6 +2428,36 @@ object GraftSql {
   private def planWindows(spark: SparkSession, s: Select, base: DataFrame,
       scope: Map[String, DataFrame], requestMode: Boolean = false): DataFrame = {
     val (outerTokens, exprs) = extractWinCalls(s, base)
+
+    // key-type legality (the reference's planner): ORDER BY must be an
+    // integral/timestamp key (error_window.yaml ids 4-7,
+    // test_window_row.yaml id 35 — string/float/double/date/bool order
+    // keys are rejected) and PARTITION BY must not be float/double
+    // (error_window.yaml ids 2/3).
+    locally {
+      import org.apache.spark.sql.types._
+      exprs.map(_._3).distinct.foreach { w =>
+        w.order.foreach { o =>
+          resolveTypeCached(base, o).foreach {
+            case StringType | FloatType | DoubleType | DateType |
+                 BooleanType =>
+              throw new IllegalArgumentException(
+                s"illegal window ORDER BY key type for '$o' " +
+                  "(integral/timestamp required)")
+            case _ => ()
+          }
+        }
+        w.partition.foreach { p =>
+          resolveTypeCached(base, p).foreach {
+            case FloatType | DoubleType =>
+              throw new IllegalArgumentException(
+                s"illegal window PARTITION BY key type for '$p' " +
+                  "(float/double keys unsupported)")
+            case _ => ()
+          }
+        }
+      }
+    }
 
     // reference sum() preserves integral input types with wraparound
     // overflow (test_window.yaml id 21: sum(int32) wraps at 2^31);
@@ -2005,7 +2570,20 @@ object GraftSql {
       val decomposable = !windowBound && Set("sum", "count", "avg")(fn)
       val isOffsetFn = fn == "lag" || fn == "lead" || fn == "at"
       val c: Column =
-        if (isOffsetFn && !hasUnion && !requestMode && !w.inw) {
+        if (w.order.isEmpty && !windowBound && extAggs(fn) &&
+            !isOffsetFn) {
+          // no ORDER BY: the frame has no row order to bound, so it
+          // spans the whole partition (window_query.yaml id 28 pins
+          // ROWS_RANGE UNBOUNDED..CURRENT with no ORDER BY as legal)
+          if (w.lo != Unbounded || w.hi != CurrentRow || w.isExtended)
+            throw new IllegalArgumentException(
+              "a window without ORDER BY requires an unbounded plain frame")
+          expr(fnText).over(Window.partitionBy(w.partition.map(expr): _*))
+        } else if (isOffsetFn && !hasUnion && !requestMode && !w.inw &&
+            !w.exclCT) {
+          // (EXCLUDE CURRENT_TIME windows take the frame-array path:
+          // lag skips same-time predecessors there —
+          // window_attributes.yaml id 9 row 6)
           // offset functions are FRAMELESS positional lookups over the
           // partition's ingestion order — the corpus shows lag reaching
           // rows outside the RANGE span and ignoring EXCLUDE attributes
@@ -2020,7 +2598,7 @@ object GraftSql {
             .orderBy(ord, if (w.orderDesc) col(UidCol).desc else col(UidCol).asc)
           expr(text).over(spec)
         } else if (plain && w.isRows && !windowBound &&
-            fn != "distinct_count") {
+            fn != "distinct_count" && fn != "nth_value_where") {
           // plain ROWS: native frame over (order, uid) — deterministic
           // at-or-before positions at native speed. distinct_count is
           // excluded: Spark has no DISTINCT window aggregate, so it
@@ -2053,7 +2631,13 @@ object GraftSql {
           if (!extAggs(fn))
             throw new IllegalArgumentException(
               s"unsupported aggregate '$fn' over an extended window")
-          val v = if (argText == "*") lit(1L) else expr(args.head)
+          // nth_value_where(v, n, cond) frames carry (value, cond)
+          // pairs (window_functions_def.cc NthValueWhere)
+          val v =
+            if (fn == "nth_value_where")
+              struct(expr(args(0)).as("value"), expr(args(2)).as("cond"))
+            else if (argText == "*") lit(1L)
+            else expr(args.head)
           val ts = expr(w.order.getOrElse(
             throw new IllegalArgumentException("extended window needs ORDER BY")))
           // ROWS frames over an extended window: a row-count frame is an
@@ -2087,11 +2671,14 @@ object GraftSql {
               }
               // Reference ROWS_RANGE frames hold at-or-before rows in
               // ingestion order (mem_catalog.h:344) — strict tie
-              // handling, NOT ANSI RANGE peers. Union/request frames
-              // keep peer-inclusive ties: side rows share the primary
-              // row's ts but carry later uids, and strict filtering
-              // would wrongly drop them (the r3 uid-collision class).
-              (p, w.maxSize, !hasUnion && !requestMode,
+              // handling, NOT ANSI RANGE peers. WINDOW UNION frames are
+              // strict too: uids are assigned AFTER the union, so
+              // primary rows order before same-ts side rows, exactly
+              // the reference's "original rows first then union rows"
+              // (test_window_union.yaml ids 18-x/19-x). Request frames
+              // stay peer-inclusive: every same-ts HISTORY row is
+              // at-or-before the request row.
+              (p, w.maxSize, !requestMode,
                 hiOffset, 0, w.exclCR)
             }
           val effUnbounded = preceding >= WindowOps.UnboundedMs &&
@@ -2169,7 +2756,8 @@ object GraftSql {
             }
           } else {
           val (arrName, fld) = sharedFrameFor(w.toString,
-            if (argText == "*") "*" else args.head, v,
+            if (fn == "nth_value_where") s"nvw:$argText"
+            else if (argText == "*") "*" else args.head, v,
             sv => WindowOps.frameArray(sv, ts, col(UidCol),
               w.partition.map(expr), preceding,
               maxSize = rowCap,
@@ -2217,8 +2805,15 @@ object GraftSql {
                 if (idx < 1) lit(null)
                 else when(size(arr) >= idx, element_at(arr, idx)("v"))
               }
-            case "first_value"    => WindowOps.aggFirstValue(arr)
-            case "last_value"     => WindowOps.aggLastValue(arr)
+            case "first_value" | "last_value" =>
+              // optional ignoreNull flag (test_window.yaml id 38)
+              val ign = args.length > 1 &&
+                args(1).trim.equalsIgnoreCase("true")
+              val a2 = if (ign) filter(arr, x => x("v").isNotNull) else arr
+              if (fn == "first_value") WindowOps.aggFirstValue(a2)
+              else WindowOps.aggLastValue(a2)
+            case "nth_value_where" =>
+              WindowOps.aggNthValueWhere(arr, args(1).trim.toInt)
           }
           }
         }
@@ -2237,6 +2832,33 @@ object GraftSql {
       (prepCols.result(), winCols)
     }
 
+    // the reference rejects an expression that combines results of TWO
+    // different windows (error_window.yaml id 12); separate projections
+    // over different windows stay legal
+    locally {
+      val idToW = exprs.map(e => (e._1, e._3)).toMap
+      outerTokens.foreach { toks =>
+        val ws = toks.flatMap(idToW.get).distinct
+        if (ws.length > 1)
+          throw new IllegalArgumentException(
+            "an expression cannot combine results from two different windows")
+      }
+    }
+
+    // WINDOW UNION sides must match the primary table's schema —
+    // column count, types and names (test_window_union.yaml ids 1-3
+    // expect failure on each mismatch kind)
+    def checkUnionSchema(side: DataFrame): DataFrame = {
+      val b = base.schema.fields.filterNot(_.name.startsWith("__graft"))
+      val sf = side.schema.fields.filterNot(_.name.startsWith("__graft"))
+      val ok = sf.length == b.length && b.zip(sf).forall { case (x, y) =>
+        x.name.equalsIgnoreCase(y.name) && x.dataType == y.dataType }
+      if (!ok) throw new IllegalArgumentException(
+        s"WINDOW UNION side schema ${sf.map(f => f.name + ":" + f.dataType.simpleString).mkString(",")} " +
+          s"does not match the primary table ${b.map(f => f.name + ":" + f.dataType.simpleString).mkString(",")}")
+      side
+    }
+
     // Windows are grouped by their UNION signature; each group computes
     // over its own (primary ∪ sides) frame source.
     val groups: Seq[(Seq[TRef], Seq[(String, String, WinDef)])] =
@@ -2250,19 +2872,27 @@ object GraftSql {
       // single signature: one union build, one window stage (fast path)
       val unionTables = groups.headOption.map(_._1).getOrElse(Seq.empty)
       var df = base
+      // uid encodes the reference's same-ts buffer order
+      // (test_window_union.yaml ids 18-x/19-x): at equal ts the
+      // ORIGINAL rows come first (strict at-or-before among
+      // themselves), then each union table's rows in SQL order, each
+      // table LIFO. Primary uids are non-negative; side table k gets
+      // uids offset by -(k+1)·2^45 — below every primary uid, so the
+      // strict (ts, uid) filter keeps every in-range side row while
+      // still ordering the buffer correctly, and blocks stay disjoint
+      // (monotonic ids stay under 2^45 for ≤4096 partitions).
+      if (exprs.nonEmpty) df = df.withColumn(UidCol, monotonically_increasing_id())
       if (unionTables.nonEmpty) {
-        val sides = unionTables.map(t => resolveRef(spark, t, scope))
+        val sides = unionTables.map(t => checkUnionSchema(resolveRef(spark, t, scope)))
         df = df.withColumn(FlagCol, lit(true))
-        sides.foreach { side =>
-          df = df.unionByName(side.withColumn(FlagCol, lit(false)),
+        sides.zipWithIndex.foreach { case (side, k) =>
+          df = df.unionByName(
+            side.withColumn(FlagCol, lit(false))
+              .withColumn(UidCol,
+                monotonically_increasing_id() - lit((k + 1) * (1L << 45))),
             allowMissingColumns = true)
         }
       }
-      // uid is assigned ONCE, after any WINDOW UNION: per-side generators
-      // would restart at (partition<<33)+0 and collide across sides, and
-      // frameArray relies on uid uniqueness for EXCLUDE CURRENT_ROW,
-      // strict-row-order ties, and the (ts, uid) MAXSIZE tie-break
-      if (exprs.nonEmpty) df = df.withColumn(UidCol, monotonically_increasing_id())
       val (prep, winCols) = groupCols(exprs, unionTables.nonEmpty)
       df = applyCols(df, prep, exprs)
       df = applyCols(df, winCols, exprs)
@@ -2288,13 +2918,20 @@ object GraftSql {
         var dfg =
           if (unions.isEmpty) df0
           else {
-            val sides = unions.map(t => resolveRef(spark, t, scope))
+            val sides = unions.map(t => checkUnionSchema(resolveRef(spark, t, scope)))
             // sides union FIRST, then one uid generator — per-side
             // generators would collide (the r3 uid-collision class)
-            val sideAll = sides
-              .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
-              .withColumn(FlagCol, lit(false))
-              .withColumn(UidCol, monotonically_increasing_id() * 2 + 1)
+            // side uids sit BELOW every primary uid in per-table blocks
+            // (same scheme as the single-group path): strict (ts, uid)
+            // membership keeps every in-range side row, and the buffer
+            // orders primaries first then each table LIFO
+            // (test_window_union.yaml id 19-1). The odd/even split
+            // keeps uids disjoint from primary ones.
+            val sideAll = sides.zipWithIndex.map { case (side, k) =>
+              side.withColumn(FlagCol, lit(false))
+                .withColumn(UidCol, monotonically_increasing_id() * 2 + 1 -
+                  lit((k + 1) * (1L << 45)))
+            }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
             df0.withColumn(FlagCol, lit(true))
               .unionByName(sideAll, allowMissingColumns = true)
           }
@@ -2310,9 +2947,15 @@ object GraftSql {
       }
       windowed = df0.join(acc, Seq(UidCol))
     }
-    windowed.select(s.projs.zip(outerTokens).zipWithIndex.map {
+    val finalCols = s.projs.zip(outerTokens).zipWithIndex.flatMap {
       case ((pr, toks), i) =>
-        if (isStarProj(toks)) starCol(toks)
-        else expr(toks.mkString(" ")).as(projName(pr, i)) }: _*)
+        if (isStarProj(toks) && toks.length == 1)
+          // bare *: expand WITHOUT the internal uid/flag/window columns
+          // (simple_query.yaml id 100)
+          windowed.columns.filterNot(_.startsWith("__graft")).toSeq.map(col)
+        else if (isStarProj(toks)) Seq(starCol(toks))
+        else Seq(expr(toks.mkString(" ")).as(projName(pr, i)))
+    }
+    windowed.select(finalCols: _*)
   }
 }

