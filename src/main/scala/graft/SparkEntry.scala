@@ -846,6 +846,17 @@ object SparkEntry {
         Map("orders" -> T(s, d, "orders")))
     },
 
+    // parameterized query: `?` placeholders bound in order, typed by
+    // the runtime value (cases/query/parameterized_query.yaml;
+    // hybridse/include/node/sql_node.h ParameterExpr)
+    "q_sql_param" -> q { (s, d) =>
+      graft.sql.GraftSql.sql(s,
+        """SELECT o_orderkey, o_totalprice FROM orders
+          |WHERE o_totalprice > ? AND o_orderstatus = ?""".stripMargin,
+        Map("orders" -> T(s, d, "orders")),
+        params = Seq(150000.0, "F"))
+    },
+
     "q_sql_window" -> q { (s, d) =>
       graft.sql.GraftSql.sql(s,
         """SELECT event_id, round(sum(value) OVER w, 3) AS r_sum,
@@ -1522,6 +1533,10 @@ object SparkEntry {
     "q_sql_agg" ->
       """SELECT o_orderstatus, round(sum(o_totalprice), 2) AS s_price, count(*) AS cnt
         |FROM orders GROUP BY o_orderstatus HAVING count(*) > 10""".stripMargin,
+
+    "q_sql_param" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 150000.0 AND o_orderstatus = 'F'""".stripMargin,
 
     "q_sql_window" ->
       """SELECT event_id,

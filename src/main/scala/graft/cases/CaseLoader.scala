@@ -9,7 +9,8 @@ import scala.jdk.CollectionConverters._
   * null cells; `repeat` duplicates the row block. */
 case class CaseInput(name: Option[String], columns: Seq[String],
     rows: Seq[Seq[Any]], repeat: Int,
-    indexs: Seq[String] = Seq.empty)
+    indexs: Seq[String] = Seq.empty,
+    db: Option[String] = None)
 
 /** Expected result: `success = false` marks a must-fail case. */
 case class CaseExpect(success: Boolean, order: Option[String],
@@ -23,7 +24,8 @@ case class CaseExpect(success: Boolean, order: Option[String],
 case class SqlCase(file: String, id: String, desc: String,
     inputs: Seq[CaseInput], sql: String, expect: CaseExpect,
     mode: Set[String], tags: Seq[String], variant: String,
-    parameters: Option[CaseInput] = None) {
+    parameters: Option[CaseInput] = None,
+    db: Option[String] = None) {
   def key: String = s"$file:$id$variant"
 }
 
@@ -101,7 +103,8 @@ object CaseLoader {
       rows = rowData,
       repeat = opt(n.get("repeat")).map(_.asInt()).getOrElse(1),
       indexs = strs(n.get("indexs")) ++
-        opt(n.get("index")).filter(_.isTextual).map(_.asText()).toSeq)
+        opt(n.get("index")).filter(_.isTextual).map(_.asText()).toSeq,
+      db = opt(n.get("db")).map(_.asText()))
   }
 
   private def parseExpect(n: JsonNode): CaseExpect =
@@ -160,7 +163,7 @@ object CaseLoader {
 
         def mk(sql: String, expect: CaseExpect, variant: String) =
           SqlCase(fileTag, id, desc, inputs, sql, expect, mode, tags,
-            variant, parameters)
+            variant, parameters, opt(c.get("db")).map(_.asText()))
 
         if (providers.isEmpty) Seq(mk(baseSql, baseExpect, ""))
         else {

@@ -515,6 +515,31 @@ object GraftSql {
       override def initialValue(): Map[String, String] = Map.empty
     }
 
+  // ------------------------------------------------------------------
+  // Database namespaces (docs/en/openmldb_sql/ddl/
+  // USE_DATABASE_STATEMENT.md, CREATE_DATABASE_STATEMENT.md): a
+  // database is a table-name prefix. CREATE DATABASE registers the
+  // namespace, USE sets the session's default; unqualified names
+  // resolve against the default database first. `defaultDb` on sql()
+  // overrides per call (the test harness's case-level db).
+  // ------------------------------------------------------------------
+  private val sessionDbs = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Set[String]]())
+  private val sessionCurDb = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+  private def dbsOf(spark: SparkSession): scala.collection.mutable.Set[String] = {
+    var s = sessionDbs.get(spark)
+    if (s == null) { s = scala.collection.mutable.Set.empty[String]
+      sessionDbs.put(spark, s) }
+    s
+  }
+  private val defaultDbTL = new ThreadLocal[Option[String]] {
+    override def initialValue(): Option[String] = None
+  }
+  private def curDb(spark: SparkSession): Option[String] =
+    defaultDbTL.get.orElse(Option(sessionCurDb.get(spark)))
+
   /** Run a dialect query. `tables` overrides/augments the session's
     * temp-view catalog for table-name resolution; `params` bind `?`
     * placeholders in order (the reference's parameterized query mode —
@@ -523,11 +548,13 @@ object GraftSql {
   def sql(spark: SparkSession, text: String,
       tables: Map[String, DataFrame] = Map.empty,
       params: Seq[Any] = Nil,
-      tsHints: Map[String, String] = Map.empty): DataFrame = {
+      tsHints: Map[String, String] = Map.empty,
+      defaultDb: Option[String] = None): DataFrame = {
     ensureFunctions(spark)
     tsHintsTL.set(tsHints)
+    defaultDbTL.set(defaultDb.orElse(Option(sessionCurDb.get(spark))))
     try sqlImpl(spark, text, tables, params)
-    finally tsHintsTL.remove()
+    finally { tsHintsTL.remove(); defaultDbTL.remove() }
   }
 
   private def sqlImpl(spark: SparkSession, text: String,
@@ -744,10 +771,57 @@ object GraftSql {
     ensureFunctions(spark)
     val p = new Parser(tokenize(text.trim.stripSuffix(";")))
     p.peekUp match {
+      case "USE" =>
+        // USE db (ddl/USE_DATABASE_STATEMENT.md): unknown databases
+        // are an error, like the reference
+        p.expect("USE")
+        val db = p.next()
+        if (!dbsOf(spark).contains(db))
+          throw new IllegalArgumentException(s"database '$db' does not exist")
+        sessionCurDb.put(spark, db)
+        None
+
+      case "SHOW" =>
+        // SHOW DATABASES / TABLES / DEPLOYMENTS (node_enum.h CmdType)
+        p.expect("SHOW")
+        import spark.implicits._
+        p.next().toUpperCase match {
+          case "DATABASES" =>
+            Some(dbsOf(spark).toSeq.sorted.toDF("Databases"))
+          case "TABLES" =>
+            val db = curDb(spark)
+            val pfx = db.map(d => dbViewName(s"$d.")).getOrElse("")
+            val names = spark.catalog.listTables().collect().toSeq
+              .map(_.name)
+              .filter(n => if (pfx.nonEmpty) n.startsWith(pfx)
+                else !n.startsWith("__graftdb__"))
+              .map(n => if (pfx.nonEmpty) n.stripPrefix(pfx) else n)
+              .filterNot(_.startsWith("__graft"))
+            Some(names.sorted.toDF("Tables"))
+          case "DEPLOYMENTS" =>
+            Some(deployed(spark).keys.toSeq.sorted.toDF("Deployment"))
+          case other => throw new IllegalArgumentException(
+            s"unsupported SHOW $other")
+        }
+
+      case "CREATE" if p.toks.lift(1).exists(_.equalsIgnoreCase("DATABASE")) =>
+        p.expect("CREATE"); p.expect("DATABASE")
+        if (p.accept("IF")) { p.expect("NOT"); p.expect("EXISTS") }
+        dbsOf(spark) += p.next()
+        None
+
+      case "DROP" if p.toks.lift(1).exists(_.equalsIgnoreCase("DATABASE")) =>
+        p.expect("DROP"); p.expect("DATABASE")
+        if (p.accept("IF")) { p.expect("EXISTS") }
+        val db = p.next()
+        dbsOf(spark) -= db
+        if (curDb(spark).contains(db)) sessionCurDb.remove(spark)
+        None
+
       case "CREATE" =>
         p.expect("CREATE"); p.expect("TABLE")
         if (p.accept("IF")) { p.expect("NOT"); p.expect("EXISTS") }
-        val name = p.next()
+        val name = qualifyTable(spark, readTableName(p))
         p.expect("(")
         val fields = Seq.newBuilder[org.apache.spark.sql.types.StructField]
         var more = true
@@ -778,7 +852,7 @@ object GraftSql {
 
       case "INSERT" =>
         p.expect("INSERT"); p.expect("INTO")
-        val name = p.next()
+        val name = qualifyTable(spark, readTableName(p))
         val schema = spark.table(name).schema
         val cols: Seq[String] =
           if (p.peek == "(") {
@@ -888,9 +962,90 @@ object GraftSql {
     }
   }
 
+  /** Internal view name for a db-qualified table (temp view names
+    * cannot contain dots). */
+  private def dbViewName(qualified: String): String =
+    "__graftdb__" + qualified.replace(".", "__")
+
+  /** read an optionally db-qualified table name ("db.t") */
+  private def readTableName(p: Parser): String = {
+    var name = p.next()
+    while (p.peek == ".") { p.next(); name = name + "." + p.next() }
+    name
+  }
+
+  /** DDL/DML target name under the session's database: dotted names
+    * and names under a USE'd database map to the internal view
+    * encoding; plain names with no current database stay plain. */
+  private def qualifyTable(spark: SparkSession, raw: String): String =
+    if (raw.contains('.')) dbViewName(raw)
+    else curDb(spark) match {
+      case Some(db) => dbViewName(s"$db.$raw")
+      case None     => raw
+    }
+
+  /** database names visible to a query (scope keys + session state) */
+  private def knownDbs(spark: SparkSession,
+      scope: Map[String, DataFrame]): Set[String] =
+    scope.keys.filter(_.contains('.')).map(_.split("\\.").head).toSet ++
+      curDb(spark).toSet ++ dbsOf(spark)
+
+  /** `db.t.c` three-part column references → `<qualifier>.c`, where
+    * the qualifier is the frame alias chosen by [[dbQualifier]]
+    * (multiple_databases corpus). Needs `scope` to know which bare
+    * names are ambiguous. */
+  private def stripDbPrefixes(toks: Vector[String], dbs: Set[String],
+      scope: Map[String, DataFrame] = Map.empty): Vector[String] = {
+    if (dbs.isEmpty) return toks
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < toks.length) {
+      if (dbs(toks(i)) && i + 4 < toks.length &&
+          toks(i + 1) == "." && toks(i + 3) == "." &&
+          (i == 0 || toks(i - 1) != ".") &&
+          toks(i + 2).headOption.exists(c => c.isLetter || c == '_') &&
+          toks(i + 4).headOption.exists(c => c.isLetter || c == '_')) {
+        out += dbQualifier(scope, s"${toks(i)}.${toks(i + 2)}")
+        out += "."; out += toks(i + 4)
+        i += 5
+      } else { out += toks(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Frame qualifier for a db-scoped table: tables of the CURRENT
+    * database keep their bare name (unqualified references resolve
+    * against the default db, like the reference); any other database's
+    * table is qualified "db__table", so an unqualified reference to it
+    * fails to resolve exactly as the reference's planner does
+    * (multiple_databases ids 3/8/12). */
+  private def dbQualifier(scope: Map[String, DataFrame],
+      qualified: String): String = {
+    val db = qualified.substring(0, qualified.lastIndexOf('.'))
+    val bare = qualified.substring(qualified.lastIndexOf('.') + 1)
+    if (defaultDbTL.get.contains(db)) bare
+    else qualified.replace(".", "__")
+  }
+
   private def resolve(spark: SparkSession, name: String,
-      scope: Map[String, DataFrame]): DataFrame =
-    scope.getOrElse(name, spark.table(name))
+      scope: Map[String, DataFrame]): DataFrame = {
+    def aliased(df: DataFrame, n: String): DataFrame =
+      if (n.contains('.')) df.alias(dbQualifier(scope, n))
+      else df
+    scope.get(name).map(aliased(_, name))
+      .orElse(if (!name.contains('.'))
+        curDb(spark).flatMap(db => scope.get(s"$db.$name"))
+          .map(_.alias(name))
+      else None)
+      .getOrElse {
+        if (name.contains('.')) aliased(spark.table(dbViewName(name)), name)
+        else curDb(spark) match {
+          case Some(db) if spark.catalog.tableExists(dbViewName(s"$db.$name")) =>
+            spark.table(dbViewName(s"$db.$name")).alias(name)
+          case _ => spark.table(name)
+        }
+      }
+  }
 
   private[sql] def resolveRef(spark: SparkSession, ref: TRef,
       scope: Map[String, DataFrame]): DataFrame = ref match {
@@ -931,7 +1086,8 @@ object GraftSql {
     joins.foreach { jc =>
       var right = resolveRef(spark, jc.table, scope)
       jc.alias.foreach(a => right = right.alias(a))
-      val condToks = tokenize(jc.cond)
+      val condToks = stripDbPrefixes(tokenize(jc.cond),
+        knownDbs(spark, scope), scope)
       rejectIntervalLits(condToks)
       val cond = rewriteDialect(condToks, _ => None).mkString(" ")
       df = jc.kind match {
@@ -940,7 +1096,10 @@ object GraftSql {
           // the reference restricts LAST JOIN ORDER BY keys to
           // int16/int32/int64/timestamp (test_lastjoin_simple.yaml ids
           // 7-10/29 expect failure on float/double/date/string/bool)
-          jc.order.foreach { o =>
+          val jOrder = jc.order.map(o =>
+            stripDbPrefixes(tokenize(o), knownDbs(spark, scope), scope)
+              .mkString(" "))
+          jOrder.foreach { o =>
             try {
               import org.apache.spark.sql.types._
               right.select(expr(o)).schema.head.dataType match {
@@ -956,7 +1115,10 @@ object GraftSql {
               case _: Throwable => () // unresolvable here: leave to planning
             }
           }
-          val rightQual = jc.alias.orElse(jc.table.left.toOption).getOrElse("")
+          val rightQual = jc.alias
+            .orElse(jc.table.left.toOption.map(n =>
+              if (n.contains('.')) dbQualifier(scope, n) else n))
+            .getOrElse("")
           // "last" picks by the join's ORDER BY; WITHOUT one it follows
           // the reference's STORAGE iteration — each table's index TS
           // column descending, insertion order breaking ties
@@ -973,7 +1135,7 @@ object GraftSql {
               val hs = sub.selects.map(_.fromTable).flatMap(hintFor).distinct
               if (hs.length == 1) Some(hs.head) else None
           }
-          val ordAsc: Column = jc.order match {
+          val ordAsc: Column = jOrder match {
             case Some(o) =>
               coalesce(expr(o).cast("long"), lit(Long.MinValue))
             case None => hintFor(jc.table)
@@ -1021,8 +1183,10 @@ object GraftSql {
     // resolver sees the post-join schema)
     val rt: String => Option[org.apache.spark.sql.types.DataType] =
       t => resolveTypeCached(df, t)
+    val dbs = knownDbs(spark, scope)
     val s1 = s.copy(
-      projs = s.projs.zipWithIndex.map { case (p, pi) =>
+      projs = s.projs.zipWithIndex.map { case (p0, pi) =>
+        val p = p0.copy(tokens = stripDbPrefixes(p0.tokens, dbs, scope))
         rejectIntervalLits(p.tokens)
         // pin the output name from the PRE-rewrite source text — the
         // reference names unaliased computed projections by what the
@@ -1033,25 +1197,42 @@ object GraftSql {
         named.copy(tokens = rewriteDialect(named.tokens, rt))
       },
       where = s.where.map { w =>
-        val t = tokenize(w); rejectIntervalLits(t)
+        val t = stripDbPrefixes(tokenize(w), dbs, scope); rejectIntervalLits(t)
         rewriteDialect(t, rt).mkString(" ")
       },
       having = s.having.map { h =>
-        val t = tokenize(h); rejectIntervalLits(t)
+        val t = stripDbPrefixes(tokenize(h), dbs, scope); rejectIntervalLits(t)
         rewriteDialect(t, rt).mkString(" ")
       },
       groupBy = s.groupBy.map { g =>
-        val t = tokenize(g); rejectIntervalLits(t)
+        val t = stripDbPrefixes(tokenize(g), dbs, scope); rejectIntervalLits(t)
         rewriteDialect(t, rt).mkString(" ")
       })
 
     s1.where.foreach(w =>
       df = df.filter(expr(coerceOperands(tokenize(w), df).mkString(" "))))
 
+    // window keys may be db-qualified too (multiple_databases ids 13/14)
+    def stripW(w: WinDef): WinDef =
+      if (dbs.isEmpty) w
+      else w.copy(
+        partition = w.partition.map(t =>
+          stripDbPrefixes(tokenize(t), dbs, scope).mkString(" ")),
+        order = w.order.map(t =>
+          stripDbPrefixes(tokenize(t), dbs, scope).mkString(" ")))
+    val s2 =
+      if (dbs.isEmpty) s1
+      else s1.copy(
+        windows = s1.windows.map { case (k, w) => k -> stripW(w) },
+        projs = s1.projs.map(p => p.copy(over = p.over.map {
+          case Right(w) => Right(stripW(w))
+          case l        => l
+        })))
+
     var out: DataFrame =
-      if (s1.groupBy.nonEmpty) planAggregate(s1, df)
-      else if (s1.projs.exists(p => p.over.isDefined || p.hasNestedOver))
-        planWindows(spark, s1, df, scope, requestMode)
+      if (s2.groupBy.nonEmpty) planAggregate(s2, df)
+      else if (s2.projs.exists(p => p.over.isDefined || p.hasNestedOver))
+        planWindows(spark, s2, df, scope, requestMode)
       else if (s1.projs.length == 1 && s1.projs.head.exprText == "*") df
       else df.select(s1.projs.zipWithIndex.map { case (pr, i) =>
         if (isStarProj(pr.tokens)) starCol(pr.tokens)

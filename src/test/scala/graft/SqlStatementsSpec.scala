@@ -103,4 +103,40 @@ class SqlStatementsSpec extends SparkSpec {
       "SELECT a.k FROM st_ev2 a LEFT JOIN st_ev2 b ON a.k = b.k")
       .contains("LEFT JOIN"))
   }
+
+  // ---- database namespaces (ddl/USE_DATABASE_STATEMENT.md,
+  //      CREATE_DATABASE_STATEMENT.md; CmdType SHOW surface) ----
+
+  test("CREATE DATABASE / USE / SHOW / db-scoped DDL round-trip") {
+    GraftSql.statement(spark, "CREATE DATABASE graft_db_a")
+    GraftSql.statement(spark, "CREATE DATABASE IF NOT EXISTS graft_db_b")
+    val dbs = GraftSql.statement(spark, "SHOW DATABASES").get
+      .collect().map(_.getString(0)).toSet
+    assert(dbs.contains("graft_db_a") && dbs.contains("graft_db_b"))
+    // USE of an unknown database is an error, like the reference
+    intercept[IllegalArgumentException] {
+      GraftSql.statement(spark, "USE graft_db_missing")
+    }
+    GraftSql.statement(spark, "USE graft_db_a")
+    try {
+      GraftSql.statement(spark, "CREATE TABLE dbt (id bigint, v double)")
+      GraftSql.statement(spark,
+        "INSERT INTO dbt VALUES (1, 1.5), (2, 2.5)")
+      // unqualified resolution against the current database
+      assert(GraftSql.sql(spark, "SELECT id, v FROM dbt").count() == 2L)
+      // explicit db.table resolution from any database context
+      assert(GraftSql.sql(spark,
+        "SELECT id FROM graft_db_a.dbt").count() == 2L)
+      val tables = GraftSql.statement(spark, "SHOW TABLES").get
+        .collect().map(_.getString(0)).toSet
+      assert(tables.contains("dbt"))
+      val deps = GraftSql.statement(spark, "SHOW DEPLOYMENTS").get
+      assert(deps.columns.sameElements(Array("Deployment")))
+    } finally {
+      GraftSql.statement(spark, "DROP DATABASE graft_db_a")
+      GraftSql.statement(spark, "DROP DATABASE IF EXISTS graft_db_b")
+    }
+    // dropping the current database clears the session default
+    assert(GraftSql.statement(spark, "SHOW DATABASES").get.count() == 0L)
+  }
 }

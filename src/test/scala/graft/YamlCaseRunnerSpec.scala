@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.Row
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.types._
 import graft.cases.{CaseLoader, SqlCase}
 import graft.sql.GraftSql
@@ -70,7 +70,9 @@ class YamlCaseRunnerSpec extends SparkSpec {
     ("query/parameterized_query.yaml", "parameterized_query"),
     ("function/join/test_lastjoin_complex.yaml", "lastjoin_complex"),
     ("function/select/test_select_sample.yaml", "test_select_sample"),
-    ("query/feature_signature_query.yaml", "feature_sig_query"))
+    ("query/feature_signature_query.yaml", "feature_sig_query"),
+    ("function/multiple_databases/test_multiple_databases.yaml",
+      "multi_db"))
 
   /** Cases GraftSql cannot run yet, with the reason. Keyed by
     * SqlCase.key = "<fileTag>:<id><variant>". */
@@ -214,8 +216,12 @@ class YamlCaseRunnerSpec extends SparkSpec {
     sb.toString
   }
 
-  private def register(c: SqlCase): String = {
+  /** Registers the case's tables; db-scoped inputs go into the
+    * returned tables map under "db.name" keys (multiple_databases
+    * corpus) instead of session temp views. */
+  private def register(c: SqlCase): (String, Map[String, DataFrame]) = {
     var sql = c.sql
+    val scoped = Map.newBuilder[String, DataFrame]
     c.inputs.zipWithIndex.foreach { case (in, k) =>
       val name = in.name.getOrElse(s"t$k")
       val schema = StructType(in.columns.map { cdef =>
@@ -229,12 +235,16 @@ class YamlCaseRunnerSpec extends SparkSpec {
             case x         => x
           }
         }: _*))
-      spark.createDataFrame(
+      val df = spark.createDataFrame(
         spark.sparkContext.parallelize(data, math.max(1, math.min(4, data.size))),
-        schema).createOrReplaceTempView(name)
+        schema)
+      in.db match {
+        case Some(db) => scoped += (s"$db.$name" -> df)
+        case None     => df.createOrReplaceTempView(name)
+      }
       sql = sql.replace(s"{$k}", name)
     }
-    sql
+    (sql, scoped.result())
   }
 
   // normalize numerics to fixed-scale BigDecimal (float at 4, others at
@@ -251,7 +261,7 @@ class YamlCaseRunnerSpec extends SparkSpec {
   }
 
   private def run(c: SqlCase): Unit = {
-    val sql = register(c)
+    val (sql, scoped) = register(c)
     // bind `?` placeholders from the parameters block, typed by its
     // column decls (parameterized_query.yaml)
     val params: Seq[Any] = c.parameters.map { p =>
@@ -271,11 +281,13 @@ class YamlCaseRunnerSpec extends SparkSpec {
     }.toMap
     if (!c.expect.success) {
       intercept[Throwable] {
-        GraftSql.sql(spark, sql, params = params, tsHints = hints).collect()
+        GraftSql.sql(spark, sql, tables = scoped, params = params,
+          tsHints = hints, defaultDb = c.db).collect()
       }
       return
     }
-    val out = GraftSql.sql(spark, sql, params = params, tsHints = hints)
+    val out = GraftSql.sql(spark, sql, tables = scoped, params = params,
+      tsHints = hints, defaultDb = c.db)
     val got0 = out.collect().toSeq.map(_.toSeq.map(norm))
     c.expect.count.foreach(n => assert(got0.size.toLong == n,
       s"count: got ${got0.size}, want $n"))
