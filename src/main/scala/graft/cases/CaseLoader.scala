@@ -62,7 +62,8 @@ object CaseLoader {
 
   private def schemaCols(s: String): Seq[String] =
     s.split(",").toSeq.map(_.trim).filter(_.nonEmpty) // ",," appears
-      .map(_.split(":")).map(p => s"${p(0).trim} ${p(1).trim}")
+      .map(_.split("[:\\s]+")) // "c1:int" and the stray "c1 int" form
+      .map(p => s"${p(0).trim} ${p(1).trim}")
 
   private def csvRows(d: String): Seq[Seq[Any]] =
     d.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)

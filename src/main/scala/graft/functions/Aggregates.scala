@@ -141,6 +141,7 @@ object GraftAggregates {
   case class CateIn(k: String, v: java.lang.Double)
   case class CateAcc(cnt: Long, sum: Double, mn: Double, mx: Double)
   case class CateBuf(m: Map[String, CateAcc])
+  case class CateBufN(buf: CateBuf, n: Int)
 
   /** sum/count/avg/min/max_cate(value, key): per-category aggregate
     * rendered as "k1:v1,k2:v2" sorted by key ascending
@@ -257,6 +258,23 @@ object GraftAggregates {
     def outputEncoder: Encoder[String] = Encoders.STRING
   }
 
+  /** top_n_key_* via SQL: the top-n count rides along as a constant
+    * third input column (SQL UDAFs cannot take constructor params). */
+  case class CateVKN(k: String, v: java.lang.Double, n: Int)
+  class TopNKeyCateAgg(mode: String, integral: Boolean)
+      extends Aggregator[CateVKN, CateBufN, String] {
+    private def inner(n: Int) = new Cate(mode, integral, "key_desc", n)
+    def zero: CateBufN = CateBufN(CateBuf(Map.empty), -1)
+    def reduce(b: CateBufN, a: CateVKN): CateBufN =
+      if (a == null) b
+      else CateBufN(inner(a.n).reduce(b.buf, CateIn(a.k, a.v)), a.n)
+    def merge(x: CateBufN, y: CateBufN): CateBufN =
+      CateBufN(inner(1).merge(x.buf, y.buf), math.max(x.n, y.n))
+    def finish(b: CateBufN): String = inner(math.max(b.n, 0)).finish(b.buf)
+    def bufferEncoder: Encoder[CateBufN] = Encoders.product[CateBufN]
+    def outputEncoder: Encoder[String] = Encoders.STRING
+  }
+
   /** Expose the UDAFs to SQL texts. The *_cate family registers twice:
     * the plain name formats values as doubles, the __graft-prefixed
     * variant as integers — GraftSql picks by probing the value
@@ -269,6 +287,9 @@ object GraftAggregates {
     Seq("sum", "count", "avg", "min", "max").foreach { m =>
       spark.udf.register(s"${m}_cate", udaf(new CateVKAgg(m, false)))
       spark.udf.register(s"__graft_${m}_cate_int", udaf(new CateVKAgg(m, true)))
+      spark.udf.register(s"__graft_topnk_$m", udaf(new TopNKeyCateAgg(m, false)))
+      spark.udf.register(s"__graft_topnk_${m}_int",
+        udaf(new TopNKeyCateAgg(m, true)))
     }
   }
 

@@ -318,9 +318,49 @@ object WindowOps {
   def aggMax(arr: Column): Column =
     array_max(transform(arr, x => x("v")))
 
+  /** distinct_count counts NULL as a distinct value
+    * (test_udaf_function.yaml id 5 row 4). */
   def aggDistinctCount(arr: Column): Column =
-    size(array_distinct(transform(filter(arr, x => x("v").isNotNull),
-      x => x("v")))).cast("long")
+    size(array_distinct(transform(arr, x => x("v")))).cast("long")
+
+  /** exact median over a frame (even count → mean of the two middle
+    * values; reference udaf median). */
+  def aggMedian(arr: Column): Column = {
+    val vals = array_sort(transform(filter(arr, x => x("v").isNotNull),
+      x => x("v").cast("double")))
+    val n = size(vals)
+    when(n > 0,
+      when(n % 2 === 1, element_at(vals, ((n + 1) / 2).cast("int")))
+        .otherwise((element_at(vals, (n / 2).cast("int")) +
+          element_at(vals, (n / 2).cast("int") + 1)) / 2.0))
+  }
+
+  /** top1_ratio over a frame: most-common-value count / total, 0.0 when
+    * empty (feature_zero_def.cc:426-471). Quadratic in the frame span —
+    * frames are MAXSIZE/TTL-bounded, and the grouped path keeps its
+    * map-accumulator UDAF. */
+  def aggTop1Ratio(arr: Column): Column = {
+    val vals = transform(filter(arr, x => x("v").isNotNull),
+      x => x("v").cast("string"))
+    val mx = array_max(transform(array_distinct(vals),
+      d => size(filter(vals, y => y === d))))
+    when(size(vals) > 0, mx.cast("double") / size(vals)).otherwise(lit(0.0))
+  }
+
+  /** topn_frequency over a frame: the n most frequent values (count
+    * desc, value asc), comma-joined and padded with "NULL" to n entries
+    * (feature_zero_def.cc:473-588). */
+  def aggTopNFrequency(arr: Column, n: Int): Column = {
+    if (n <= 0) return lit("")
+    val vals = transform(filter(arr, x => x("v").isNotNull),
+      x => x("v").cast("string"))
+    val entries = transform(array_distinct(vals), d =>
+      struct((size(filter(vals, y => y === d)) * -1).as("negc"),
+        d.as("k")))
+    val keys = slice(transform(array_sort(entries), e => e("k")), 1, n)
+    array_join(concat(keys,
+      array_repeat(lit("NULL"), greatest(lit(n) - size(keys), lit(0)))), ",")
+  }
 
   /** lag/at over the frame buffer: offset n from the newest row
     * (lag(v, 0) = newest = current row when not excluded) —

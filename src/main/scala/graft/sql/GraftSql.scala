@@ -1269,6 +1269,23 @@ object GraftSql {
     "int16" -> "SMALLINT", "int32" -> "INT", "int64" -> "BIGINT",
     "bool" -> "BOOLEAN")
 
+  /** window aggregates with no native Spark window function — they
+    * always take the frame-array path */
+  private val frameOnlyAggs = Set("distinct_count", "nth_value_where",
+    "top1_ratio", "topn_frequency", "median")
+
+  /** math functions whose operands must be numeric: bool coerces,
+    * string/date reject (test_calculate.yaml) */
+  private val mathFns1 = Set("abs", "ceil", "ceiling", "floor", "round",
+    "truncate", "sqrt", "sin", "cos", "tan", "asin", "acos", "atan",
+    "atan2", "cot", "exp", "ln", "log", "log2", "log10", "degrees",
+    "radians", "pow", "power", "mod", "pmod")
+
+  /** the trig/sqrt family additionally rejects BOOL operands
+    * (test_calculate.yaml id 8) */
+  private val mathNoBool = Set("cos", "cot", "sin", "tan", "acos",
+    "asin", "atan", "atan2", "sqrt")
+
   private def isQuoted(t: String): Boolean =
     t.length >= 2 && (t.head == '\'' || t.head == '"')
   private def isNumericLit(t: String): Boolean =
@@ -1565,9 +1582,30 @@ object GraftSql {
     }
 
     // cast-to-string: float/double use the C++ shortest rendering
-    // ("30", not Java's "30.0" — test_type.yaml ids 0/19)
+    // ("30", not Java's "30.0" — test_type.yaml ids 0/19). For typing
+    // purposes an inline `... OVER w` is stripped — the window changes
+    // WHICH rows aggregate, never the value type
+    // (test_udaf_function.yaml id 44 string(sum(c4) OVER w1)).
+    def stripOverForTyping(v: Vector[String]): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var k = 0
+      while (k < v.length) {
+        if (v(k).equalsIgnoreCase("OVER") && k + 1 < v.length) {
+          if (v(k + 1) == "(") {
+            var d = 0; var j = k + 1; var stop = -1
+            while (j < v.length && stop < 0) {
+              if (v(j) == "(") d += 1
+              if (v(j) == ")") { d -= 1; if (d == 0) stop = j }
+              j += 1
+            }
+            k = if (stop < 0) v.length else stop + 1
+          } else k += 2
+        } else { out += v(k); k += 1 }
+      }
+      out.result()
+    }
     def strCastText(pre: Vector[String]): Vector[String] =
-      resolveTy(pre.mkString(" ")) match {
+      resolveTy(stripOverForTyping(pre).mkString(" ")) match {
         case Some(FloatType) =>
           Vector("__graft_num2str_f32", "(") ++ pre ++ Vector(")")
         case Some(DoubleType) =>
@@ -1656,6 +1694,110 @@ object GraftSql {
           } else if (low == "week") {
             // reference week() = ISO week number (udf_query.yaml id 4)
             out += "weekofyear"; out += "("; out ++= inner; out += ")"
+          } else if (low == "date_format" &&
+              splitTokenArgs(inner).length == 2 &&
+              isQuoted(splitTokenArgs(inner)(1).headOption.getOrElse(""))) {
+            // C-style format codes over the GMT+8 wall clock
+            // (test_date.yaml id 0; udf date_format %Y-%m-%d %H:%M:%S)
+            val as = splitTokenArgs(inner)
+            val fmt = unescapeSqlLiteral(stripQuotes(as(1).head))
+              .replace("%Y", "yyyy").replace("%m", "MM").replace("%d", "dd")
+              .replace("%H", "HH").replace("%M", "mm").replace("%S", "ss")
+            val a0 = as(0)
+            val wrapped: Vector[String] =
+              resolveTy(a0.mkString(" ")) match {
+                case Some(LongType) =>
+                  Vector("from_utc_timestamp", "(", "timestamp_millis",
+                    "(") ++ a0 ++ Vector(")", ",", "'GMT+8'", ")")
+                case Some(DateType) | None | Some(NullType) => a0
+                case Some(t) =>
+                  // only timestamp/date operands format
+                  // (test_date.yaml id 1 expects failure otherwise)
+                  throw new IllegalArgumentException(
+                    s"illegal operand type $t for date_format")
+              }
+            out += "date_format"; out += "("
+            out ++= wrapped; out += ","; out += quoteSqlLiteral(fmt)
+            out += ")"
+          } else if ((low == "like_match" || low == "ilike_match") &&
+              splitTokenArgs(inner).exists(a =>
+                a.length == 1 && a.head.equalsIgnoreCase("null"))) {
+            // untyped NULL literal arguments fail the reference's
+            // overload resolution (test_like_match.yaml id 17)
+            throw new IllegalArgumentException(
+              s"$low: NULL literal argument is not allowed")
+          } else if ((low == "like_match" || low == "ilike_match") && {
+            val t = resolveTy(splitTokenArgs(inner).head.mkString(" "))
+            t.isDefined && !t.contains(StringType) && !t.contains(NullType)
+          }) {
+            // the matched operand must be a STRING
+            // (test_like_match.yaml ids 19-26)
+            throw new IllegalArgumentException(
+              s"illegal operand type for '$low' (string required)")
+          } else if (low == "count" && inner.length == 1 &&
+              isNumericLit(inner.head)) {
+            // the reference rejects count over a constant
+            // (v040/test_udaf.yaml id 1 "un-support const node")
+            throw new IllegalArgumentException(
+              "count over a constant is unsupported (un-support const node)")
+          } else if (mathFns1(low)) {
+            // math functions: bool operands coerce to double (except
+            // the trig/sqrt family, which the reference rejects —
+            // test_calculate.yaml id 8); string and date operands are
+            // rejected everywhere (ids 0/5/7/9, both arguments)
+            val as = splitTokenArgs(inner)
+            as.foreach { a =>
+              val t = resolveTy(a.mkString(" "))
+              t match {
+                case Some(StringType) | Some(DateType) =>
+                  throw new IllegalArgumentException(
+                    s"illegal operand type ${t.get} for '$low'")
+                case Some(BooleanType) if mathNoBool(low) =>
+                  throw new IllegalArgumentException(
+                    s"illegal operand type boolean for '$low'")
+                case _ => ()
+              }
+            }
+            val t0 = resolveTy(as.head.mkString(" "))
+            if (t0.contains(BooleanType) &&
+                Set("log", "ln", "log2", "log10")(low) && as.length == 1) {
+              // log(bool): log(1)=0, log(0)=-Inf — Spark's non-ANSI
+              // log(0) would be NULL (test_calculate.yaml id 4)
+              out ++= tokenize(s"(CASE WHEN (${as.head.mkString(" ")}) " +
+                "THEN 0.0D ELSE CAST('-Infinity' AS DOUBLE) END)")
+            } else if (t0.contains(BooleanType)) {
+              out += ts(i); out += "("
+              out ++= Vector("CAST", "(") ++ as.head ++
+                Vector("AS", "DOUBLE", ")")
+              as.tail.foreach { a => out += ","; out ++= a }
+              out += ")"
+            } else { out += ts(i); out += "("; out ++= inner; out += ")" }
+          } else if (low == "strcmp") {
+            // strcmp demands two STRING operands (test_string.yaml 5/6)
+            splitTokenArgs(inner).foreach { a =>
+              val t = resolveTy(a.mkString(" "))
+              if (t.isDefined && !t.contains(StringType) &&
+                  !t.contains(NullType))
+                throw new IllegalArgumentException(
+                  s"illegal operand type ${t.get} for strcmp")
+            }
+            out += ts(i); out += "("; out ++= inner; out += ")"
+          } else if (low == "substr" || low == "substring") {
+            // substr demands a STRING source (test_string.yaml id 8)
+            val t = resolveTy(splitTokenArgs(inner).head.mkString(" "))
+            if (t.isDefined && !t.contains(StringType) &&
+                !t.contains(NullType))
+              throw new IllegalArgumentException(
+                s"illegal operand type ${t.get} for '$low'")
+            out += ts(i); out += "("; out ++= inner; out += ")"
+          } else if (low == "at" && splitTokenArgs(inner).length == 2 &&
+              resolveTy(splitTokenArgs(inner).head.mkString(" "))
+                .exists(_.isInstanceOf[org.apache.spark.sql.types.ArrayType])) {
+            // scalar at(array, i): 0-based element access
+            // (test_udf_function.yaml id 7)
+            val as = splitTokenArgs(inner)
+            out ++= tokenize(s"element_at(${as(0).mkString(" ")}, " +
+              s"(${as(1).mkString(" ")}) + 1)")
           } else if (low == "isin" || low == "array_contains") {
             // null-safe membership: the reference's contains treats a
             // NULL probe/element as an ordinary value and returns
@@ -1927,13 +2069,29 @@ object GraftSql {
     while (i < toks.length) {
       if (dateFns(toks(i).toLowerCase) && i + 1 < toks.length &&
           toks(i + 1) == "(") {
+        val fnLow = toks(i).toLowerCase
         val close = matchClose(toks, i + 1)
         val inner = coerceDateFns(toks.slice(i + 2, close), df)
+        // the reference's date parts accept TIMESTAMP (int64 ms here)
+        // and — except hour/minute/second — DATE; anything else is a
+        // type error (test_date.yaml ids 3/5)
+        locally {
+          import org.apache.spark.sql.types._
+          resolveTypeCached(df, inner.mkString(" ")) match {
+            case Some(DateType)
+                if Set("hour", "minute", "second")(fnLow) =>
+              throw new IllegalArgumentException(
+                s"illegal operand type date for '$fnLow'")
+            case Some(t @ (StringType | ShortType | IntegerType |
+                FloatType | DoubleType | BooleanType)) =>
+              throw new IllegalArgumentException(
+                s"illegal operand type $t for '$fnLow'")
+            case _ => ()
+          }
+        }
         val integral =
           resolveTypeCached(df, inner.mkString(" ")) match {
-            case Some(org.apache.spark.sql.types.LongType |
-                      org.apache.spark.sql.types.IntegerType |
-                      org.apache.spark.sql.types.ShortType) => true
+            case Some(org.apache.spark.sql.types.LongType) => true
             case _ => false
           }
         out += toks(i); out += "("
@@ -2315,18 +2473,104 @@ object GraftSql {
         val close = matchClose(toks, i + 1)
         val args = splitTokenArgs(rewriteAggFns(toks.slice(i + 2, close), df))
         require(args.length == 2, s"$t expects (value, condition)")
+        // sum/avg/max/min_where take NUMERIC values only
+        // (test_udaf_function.yaml id 18)
+        if (t != "count_where") {
+          import org.apache.spark.sql.types._
+          resolveTypeCached(df, args(0).mkString(" ")) match {
+            case Some(v @ (StringType | DateType | BooleanType)) =>
+              throw new IllegalArgumentException(
+                s"illegal value type $v for '$t'")
+            case _ => ()
+          }
+        }
+        // count_where(*, cond) counts rows: a star is not legal inside
+        // CASE (test_udaf_function.yaml id 17)
+        val v0 = if (args(0) == Vector("*")) Vector("1") else args(0)
         out += t.stripSuffix("_where")
         out ++= Vector("(", "CASE", "WHEN") ++ args(1) ++
-          Vector("THEN") ++ args(0) ++ Vector("END", ")")
+          Vector("THEN") ++ v0 ++ Vector("END", ")")
+        i = close + 1
+      } else if (isCall && t.startsWith("top_n_key_") &&
+          t.endsWith("_cate_where")) {
+        // top_n_key_{m}_cate_where(v, cond, k, n) → the n-aware SQL
+        // UDAF over a condition-masked key (sum_by_category_def.cc
+        // :275-305 — top n keys in DESCENDING key order)
+        val m = t.stripPrefix("top_n_key_").stripSuffix("_cate_where")
+        val close = matchClose(toks, i + 1)
+        val args = splitTokenArgs(rewriteAggFns(toks.slice(i + 2, close), df))
+        require(args.length == 4, s"$t expects (value, cond, key, n)")
+        // type rules (test_udaf_function.yaml ids 39/40): numeric
+        // values only; float/double/bool keys rejected
+        locally {
+          import org.apache.spark.sql.types._
+          resolveTypeCached(df, args(0).mkString(" ")) match {
+            case Some(v @ (StringType | DateType | BooleanType)) =>
+              throw new IllegalArgumentException(
+                s"illegal value type $v for '$t'")
+            case _ => ()
+          }
+          resolveTypeCached(df, args(2).mkString(" ")) match {
+            case Some(v @ (FloatType | DoubleType | BooleanType)) =>
+              throw new IllegalArgumentException(
+                s"illegal key type $v for '$t'")
+            case _ => ()
+          }
+        }
+        val integral = resolveTypeCached(df, args(0).mkString(" "))
+          .exists(intTypes)
+        out += (if (integral) s"__graft_topnk_${m}_int"
+                else s"__graft_topnk_$m")
+        out ++= Vector("(", "CAST", "(", "CASE", "WHEN") ++ args(1) ++
+          Vector("THEN") ++ args(2) ++
+          Vector("END", "AS", "STRING", ")", ",", "CAST", "(") ++
+          args(0) ++ Vector("AS", "DOUBLE", ")", ",", "CAST", "(") ++
+          args(3) ++ Vector("AS", "INT", ")", ")")
+        i = close + 1
+      } else if (isCall && t.endsWith("_cate_where") &&
+          Set("sum", "count", "avg", "min", "max")(
+            t.stripSuffix("_cate_where"))) {
+        // {m}_cate_where(v, cond, k): the condition masks the KEY —
+        // non-matching rows contribute no category
+        // (sum_by_category_def.cc CateWhere; q_cate_where's shape)
+        val close = matchClose(toks, i + 1)
+        val args = splitTokenArgs(rewriteAggFns(toks.slice(i + 2, close), df))
+        require(args.length == 3, s"$t expects (value, cond, key)")
+        out ++= rewriteAggFns(
+          Vector(t.stripSuffix("_where"), "(") ++ args(0) ++
+            Vector(",", "CASE", "WHEN") ++ args(1) ++
+            Vector("THEN") ++ args(2) ++ Vector("END", ")"), df)
         i = close + 1
       } else if (isCall && t.endsWith("_cate") &&
-          Set("sum", "min", "max")(t.stripSuffix("_cate"))) {
+          Set("sum", "count", "avg", "min", "max")(t.stripSuffix("_cate"))) {
         val close = matchClose(toks, i + 1)
         val args = splitTokenArgs(toks.slice(i + 2, close))
+        // type rules (test_udaf_function.yaml ids 25/26): numeric
+        // values; no float/double/bool keys
+        locally {
+          import org.apache.spark.sql.types._
+          args.headOption.foreach { a =>
+            resolveTypeCached(df, a.mkString(" ")) match {
+              case Some(v @ (StringType | DateType | BooleanType)) =>
+                throw new IllegalArgumentException(
+                  s"illegal value type $v for '$t'")
+              case _ => ()
+            }
+          }
+          args.lift(1).foreach { a =>
+            resolveTypeCached(df, a.mkString(" ")) match {
+              case Some(v @ (FloatType | DoubleType | BooleanType)) =>
+                throw new IllegalArgumentException(
+                  s"illegal key type $v for '$t'")
+              case _ => ()
+            }
+          }
+        }
         val integral = args.headOption.exists { a =>
           resolveTypeCached(df, a.mkString(" ")).exists(intTypes)
         }
-        out += (if (integral) s"__graft_$t" + "_int" else t)
+        val renamed = Set("sum", "min", "max")(t.stripSuffix("_cate"))
+        out += (if (integral && renamed) s"__graft_$t" + "_int" else t)
         out ++= toks.slice(i + 1, close + 1)
         i = close + 1
       } else { out += toks(i); i += 1 }
@@ -2431,7 +2675,7 @@ object GraftSql {
 
   private[sql] val extAggs = Set("sum", "count", "avg", "min", "max",
     "distinct_count", "lag", "at", "first_value", "last_value",
-    "nth_value_where")
+    "nth_value_where", "top1_ratio", "topn_frequency", "median")
 
   /** split an argument list at top-level commas */
   private[sql] def splitArgs(t: String): Seq[String] = {
@@ -2474,6 +2718,28 @@ object GraftSql {
       }
       throw new IllegalArgumentException("unbalanced parens in projection")
     }
+    val navFns = Set("first_value", "last_value", "lag", "at")
+    val aggHeads = Set("sum", "count", "avg", "min", "max", "distinct_count",
+      "sum_where", "count_where", "avg_where", "min_where", "max_where")
+
+    // every head that makes `fn(args) OVER w` a DIRECT window call; a
+    // scalar wrapper head (`isnull(lag(c,1)) over w`,
+    // spark/test_ads.yaml) instead distributes the window over the
+    // naked window-fn calls inside its arguments
+    val winHeads: Set[String] = aggHeads ++ navFns ++ extAggs ++
+      Set("nth_value_where", "entropy", "drawdown", "ew_avg",
+        "avg_cate", "sum_cate", "max_cate", "min_cate",
+        "count_cate", "avg_cate_where", "sum_cate_where",
+        "max_cate_where", "min_cate_where", "count_cate_where",
+        "top_n_key_sum_cate_where", "top_n_key_avg_cate_where",
+        "top_n_key_max_cate_where", "top_n_key_min_cate_where",
+        "top_n_key_count_cate_where", "top_n_value_sum_cate_where",
+        "top", "topn_frequency", "top1_ratio", "median",
+        "window_split", "window_split_by_key",
+        "window_split_by_value", "fz_window_split",
+        "fz_window_split_by_key", "fz_window_split_by_value") ++
+      aggHeads.map(_ + "_cate")
+
     def rewrite(toks: Vector[String]): Vector[String] = {
       val out = Vector.newBuilder[String]
       var i = 0
@@ -2502,9 +2768,20 @@ object GraftSql {
                 after = wclose + 1
                 Right(w)
               } else { val n = toks(after); after += 1; Left(n) }
-            val id = fresh()
-            winExprs += ((id, fnText, resolveWin(ref)))
-            out += id
+            if (winHeads(toks(i).toLowerCase)) {
+              val id = fresh()
+              val bound = bindImplicit(
+                Vector(toks(i), "(") ++ argToks ++ Vector(")"),
+                resolveWin(ref))
+              winExprs += ((id, bound.mkString(" "), resolveWin(ref)))
+              out += id
+            } else {
+              // scalar wrapper: each naked window-fn call in the
+              // arguments binds to this OVER's window
+              out += toks(i); out += "("
+              out ++= bindAllNaked(argToks, resolveWin(ref))
+              out += ")"
+            }
             i = after
           } else { out += toks(i); i += 1 }
         } else { out += toks(i); i += 1 }
@@ -2512,19 +2789,18 @@ object GraftSql {
       out.result()
     }
 
-    val navFns = Set("first_value", "last_value", "lag", "at")
-    val aggHeads = Set("sum", "count", "avg", "min", "max", "distinct_count",
-      "sum_where", "count_where", "avg_where", "min_where", "max_where")
 
     /** Inside an aggregate's argument, a window-only function WITHOUT its
       * own OVER binds to the enclosing window (udaf_query.yaml id 6:
       * count_where(id, val1 = first_value(val1)) over w1) — register it
       * as a separate window column of `w` and substitute its id. */
     def rewriteImplicitNav(toks: Vector[String], w: WinDef): Vector[String] = {
+      val innerHeads = navFns ++ Set("sum", "count", "avg", "min", "max",
+        "distinct_count")
       val out = Vector.newBuilder[String]
       var i = 0
       while (i < toks.length) {
-        if (navFns(toks(i).toLowerCase) && i + 1 < toks.length &&
+        if (innerHeads(toks(i).toLowerCase) && i + 1 < toks.length &&
             toks(i + 1) == "(" ) {
           val close = matchingClose(toks, i + 1)
           val after = close + 1
@@ -2532,7 +2808,11 @@ object GraftSql {
             out ++= toks.slice(i, after); i = after
           } else {
             val id = fresh()
-            winExprs += ((id, toks.slice(i, close + 1).mkString(" "), w))
+            // the extracted call may itself nest further naked
+            // aggregates (sum(c1 + sum(c2 * count(c3))),
+            // test_udaf_function.yaml id 43) — bind recursively
+            winExprs += ((id,
+              bindImplicit(toks.slice(i, close + 1), w).mkString(" "), w))
             out += id
             i = close + 1
           }
@@ -2543,7 +2823,9 @@ object GraftSql {
 
     def bindImplicit(toks: Vector[String], w: WinDef): Vector[String] =
       if (toks.length > 2 && toks(1) == "(" && aggHeads(toks(0).toLowerCase) &&
-          toks.exists(t => navFns(t.toLowerCase))) {
+          toks.drop(2).exists(t => navFns(t.toLowerCase) ||
+            Set("sum", "count", "avg", "min", "max",
+              "distinct_count")(t.toLowerCase))) {
         val close = matchingClose(toks, 1)
         (Vector(toks(0), "(") ++ rewriteImplicitNav(toks.slice(2, close), w) ++
           Vector(")")) ++ toks.slice(close + 1, toks.length)
@@ -2587,6 +2869,10 @@ object GraftSql {
           val w = resolveWin(ref)
           val headIsCall = pt.length > 2 && pt(1) == "(" &&
             pt.head.headOption.exists(c => c.isLetter || c == '_') &&
+            winHeads(pt.head.toLowerCase) &&
+            matchingClose(pt, 1) == pt.length - 1
+          val callShaped = pt.length > 2 && pt(1) == "(" &&
+            pt.head.headOption.exists(c => c.isLetter || c == '_') &&
             matchingClose(pt, 1) == pt.length - 1
           if (headIsCall) {
             val ptR = bindImplicit(
@@ -2594,8 +2880,19 @@ object GraftSql {
             val id = fresh()
             winExprs += ((id, ptR.mkString(" "), w))
             Vector(id)
-          } else
-            bindAllNaked(if (pr.hasNestedOver) rewrite(pt) else pt, w)
+          } else {
+            val before = counter
+            val bound = bindAllNaked(if (pr.hasNestedOver) rewrite(pt) else pt, w)
+            if (counter > before) bound
+            else if (callShaped) {
+              // unknown head but nothing naked inside either: keep the
+              // pre-existing behavior and treat it as the window call
+              val ptR = bindImplicit(pt, w)
+              val id = fresh()
+              winExprs += ((id, ptR.mkString(" "), w))
+              Vector(id)
+            } else bound
+          }
         case None if pr.hasNestedOver => rewrite(pt)
         case None => pt
       }
@@ -2705,6 +3002,44 @@ object GraftSql {
 
     val winCols: Seq[(String, Column)] = gexprs.map { case (id, fnText0, w) =>
       val (fnRaw, argRaw) = splitCall(fnText0)
+      // reference type checks over aggregate arguments
+      // (test_udaf_function.yaml ids 8/9/18/25/26/33): *_where and
+      // plain sum/avg values must be numeric (bool allowed only for
+      // count/distinct_count); *_cate values numeric, keys must not be
+      // float/double/bool
+      locally {
+        import org.apache.spark.sql.types._
+        val fl = fnRaw.toLowerCase
+        def ty(t: String) = resolveTypeCached(base, t)
+        def rejectValue(t: String): Unit = ty(t) match {
+          case Some(v @ (StringType | DateType | BooleanType)) =>
+            throw new IllegalArgumentException(
+              s"illegal value type $v for '$fl'")
+          case _ => ()
+        }
+        def rejectKey(t: String): Unit = ty(t) match {
+          case Some(v @ (FloatType | DoubleType | BooleanType)) =>
+            throw new IllegalArgumentException(
+              s"illegal key type $v for '$fl'")
+          case _ => ()
+        }
+        val as0 = splitArgs(argRaw)
+        if (Set("sum_where", "avg_where", "max_where", "min_where")(fl) &&
+            as0.nonEmpty) rejectValue(as0(0))
+        else if (Set("sum", "avg")(fl) && as0.nonEmpty && as0.head != "*")
+          (ty(as0.head) match {
+            case Some(v @ (StringType | DateType)) =>
+              throw new IllegalArgumentException(
+                s"illegal value type $v for '$fl'")
+            case _ => ()
+          })
+        else if (fl.endsWith("_cate") && as0.length == 2) {
+          rejectValue(as0(0)); rejectKey(as0(1))
+        } else if (fl.endsWith("_cate_where") && as0.length == 3 &&
+            !fl.startsWith("top_n_")) {
+          rejectValue(as0(0)); rejectKey(as0(2))
+        }
+      }
       // the *_where family over windows = the base aggregate over a
       // CASE WHEN guard (udf_registry: *_where UDAFs; udaf_query.yaml id 4)
       val (fn, argText) =
@@ -2779,7 +3114,7 @@ object GraftSql {
             .orderBy(ord, if (w.orderDesc) col(UidCol).desc else col(UidCol).asc)
           expr(text).over(spec)
         } else if (plain && w.isRows && !windowBound &&
-            fn != "distinct_count" && fn != "nth_value_where") {
+            !frameOnlyAggs(fn)) {
           // plain ROWS: native frame over (order, uid) — deterministic
           // at-or-before positions at native speed. distinct_count is
           // excluded: Spark has no DISTINCT window aggregate, so it
@@ -2818,6 +3153,12 @@ object GraftSql {
             if (fn == "nth_value_where")
               struct(expr(args(0)).as("value"), expr(args(2)).as("cond"))
             else if (argText == "*") lit(1L)
+            else if (fn == "distinct_count" &&
+                resolveTypeCached(base, args.head)
+                  .contains(org.apache.spark.sql.types.BooleanType))
+              // a NULL bool reads as false in the reference's distinct
+              // set (test_udaf_function.yaml id 6 row 4)
+              coalesce(expr(args.head), lit(false))
             else expr(args.head)
           val ts = expr(w.order.getOrElse(
             throw new IllegalArgumentException("extended window needs ORDER BY")))
@@ -2938,6 +3279,10 @@ object GraftSql {
           } else {
           val (arrName, fld) = sharedFrameFor(w.toString,
             if (fn == "nth_value_where") s"nvw:$argText"
+            else if (fn == "distinct_count" &&
+                resolveTypeCached(base, args.headOption.getOrElse(""))
+                  .contains(org.apache.spark.sql.types.BooleanType))
+              s"dcb:${args.head}"
             else if (argText == "*") "*" else args.head, v,
             sv => WindowOps.frameArray(sv, ts, col(UidCol),
               w.partition.map(expr), preceding,
@@ -2994,7 +3339,12 @@ object GraftSql {
               if (fn == "first_value") WindowOps.aggFirstValue(a2)
               else WindowOps.aggLastValue(a2)
             case "nth_value_where" =>
-              WindowOps.aggNthValueWhere(arr, args(1).trim.toInt)
+              WindowOps.aggNthValueWhere(arr,
+                args(1).replace(" ", "").toInt)
+            case "median" => WindowOps.aggMedian(arr)
+            case "top1_ratio" => WindowOps.aggTop1Ratio(arr)
+            case "topn_frequency" =>
+              WindowOps.aggTopNFrequency(arr, args(1).trim.toInt)
           }
           }
         }

@@ -229,7 +229,11 @@ object StreamDeploy {
           (fnRaw.stripSuffix("_where"),
             s"CASE WHEN ${as(1)} THEN ${as(0)} END")
         } else (fnRaw, argRaw)
-      if (!extAggs(fn)) notStreamable(s"aggregate '$fn' online")
+      // the ONLINE evaluator supports the incremental aggregates only —
+      // narrower than the batch extAggs (no median/top1_ratio/...)
+      val streamableAggs = Set("sum", "count", "avg", "min", "max",
+        "distinct_count", "lag", "at", "first_value", "last_value")
+      if (!streamableAggs(fn)) notStreamable(s"aggregate '$fn' online")
       val isOffset = fn == "lag" || fn == "at"
       val args = splitArgs(argText0)
       val lagK =
@@ -419,7 +423,9 @@ object StreamDeploy {
         else nn.foldLeft(0.0)((acc, v) => acc + toD(v)) / nn.length
       case "min" => if (nn.isEmpty) null else nn.reduce((a, b) => if (lt(b, a)) b else a)
       case "max" => if (nn.isEmpty) null else nn.reduce((a, b) => if (lt(a, b)) b else a)
-      case "distinct_count" => nn.distinct.length.toLong
+      // NULL counts as a distinct value (test_udaf_function.yaml id 5;
+      // matches WindowOps.aggDistinctCount)
+      case "distinct_count" => vs.distinct.length.toLong
       case "first_value" => frame.lastOption.map(_.args(sp.argIdx)).orNull
       case "last_value"  => frame.headOption.map(_.args(sp.argIdx)).orNull
       case other => throw new IllegalArgumentException(

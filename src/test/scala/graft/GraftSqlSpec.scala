@@ -267,7 +267,7 @@ class GraftSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("undefined window"))
     // unsupported aggregate over an extended window
     val e2 = intercept[IllegalArgumentException] {
-      GraftSql.sql(spark, "SELECT median(v) OVER w FROM t1 WINDOW w AS " +
+      GraftSql.sql(spark, "SELECT entropy(v) OVER w FROM t1 WINDOW w AS " +
         "(PARTITION BY pk ORDER BY ts ROWS_RANGE BETWEEN 10 PRECEDING AND CURRENT ROW MAXSIZE 2)")
     }
     assert(e2.getMessage.contains("unsupported aggregate"))

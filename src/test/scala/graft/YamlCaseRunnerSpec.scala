@@ -72,7 +72,22 @@ class YamlCaseRunnerSpec extends SparkSpec {
     ("function/select/test_select_sample.yaml", "test_select_sample"),
     ("query/feature_signature_query.yaml", "feature_sig_query"),
     ("function/multiple_databases/test_multiple_databases.yaml",
-      "multi_db"))
+      "multi_db"),
+    ("query/extream_query.yaml", "extream_query"),
+    ("function/function/test_calculate.yaml", "test_calculate"),
+    ("function/function/test_date.yaml", "test_date"),
+    ("function/function/test_like_match.yaml", "test_like_match"),
+    ("function/function/test_string.yaml", "test_string"),
+    ("function/function/test_udaf_function.yaml", "test_udaf_function"),
+    ("function/function/test_udf_function.yaml", "test_udf_function"),
+    ("function/v040/test_udaf.yaml", "test_udaf_v040"),
+    ("function/test_performance_insensitive/test_performance_insensitive.yaml",
+      "perf_insensitive"),
+    ("function/spark/test_ads.yaml", "spark_ads"),
+    ("function/spark/test_credit.yaml", "spark_credit"),
+    ("function/spark/test_jd.yaml", "spark_jd"),
+    ("function/spark/test_news.yaml", "spark_news"),
+    ("function/spark/test_fqz_studio.yaml", "spark_fqz"))
 
   /** Cases GraftSql cannot run yet, with the reason. Keyed by
     * SqlCase.key = "<fileTag>:<id><variant>". */
@@ -101,7 +116,24 @@ class YamlCaseRunnerSpec extends SparkSpec {
     "lastjoin_complex:6-1[1]" -> ("expect-error only in the reference " +
       "NATIVE engine (window features in both LAST JOIN subqueries, " +
       "mode offline-unsupport); this engine plans the shape fine — " +
-      "the rejection is a native-runner limitation, not SQL semantics"))
+      "the rejection is a native-runner limitation, not SQL semantics"),
+    "test_udaf_function:62" -> ("top_n_value_* cate variants (order by " +
+      "aggregate VALUE) are not implemented yet — only the top_n_key_* " +
+      "family is"),
+    "test_udaf_function:66" -> ("top_n_value_ratio_cate / " +
+      "top_n_key_ratio_cate are not implemented yet"),
+    "test_udaf_function:64" -> ("nth_value_where whose condition " +
+      "references another window aggregate of the same window " +
+      "(current-row-bound HOF argument) is not implemented for " +
+      "nth_value_where yet — only for sum/count/avg/min/max"),
+    "test_udaf_function:65" -> ("the *_cate family over an EXTENDED " +
+      "frame (here a 1s-PRECEDING upper bound) is not implemented — " +
+      "the frame-array path has no category fold yet; plain frames " +
+      "work (ids 20-31 green)"),
+    "perf_insensitive:12" -> ("mode offline-unsupport (the reference's " +
+      "own Spark engine cannot run it) and the unordered LAST JOIN of " +
+      "two windowed subqueries picks rows by native storage iteration " +
+      "order, which this engine does not model"))
 
   /** Known model deviation: this engine stores TIMESTAMP as int64 ms
     * (SURVEY §1.2), so an expect-error case whose illegality hinges on
@@ -132,8 +164,36 @@ class YamlCaseRunnerSpec extends SparkSpec {
       (is("test_arithmetic", "bitwise_operators_fail") &&
         at(1) == 5) ||                                      // ts & int
       (is("test_arithmetic", "bitwise_not_fail") && at(1) == 5) || // ~ts
-      c.key == "test_type:27"                               // date(bigint)
+      c.key == "test_type:27" ||                            // date(bigint)
+      (is("test_calculate", "7") && at(1) == 1) ||          // mathfn(ts)
+      (is("test_calculate", "9") && at(1) == 1) ||          // 2-arg (ts)
+      c.key == "test_udaf_function:8" ||                    // avg(ts)
+      (is("test_udaf_function", "18") && at(1) == 0) ||     // *_where(ts)
+      (is("test_udaf_function", "26") && at(1) == 0) ||     // *_cate(ts,_)
+      (is("test_udaf_function", "33") && at(1) == 0) ||     // *_cate_where(ts)
+      (is("test_udaf_function", "40") && at(1) == 0) ||     // top_n(ts value)
+      (is("test_date", "1") && at(0) == 3)                  // date_format(bigint)
     if (hit) Some(tsAmbiguous) else None
+  }
+
+  /** Cases whose expected output RENDERS a timestamp as its GMT+8 wall
+    * clock inside a string context (concat etc.) — int64-ms timestamps
+    * render as digits here (same model deviation as test_type:19). */
+  private def renderSkip(c: SqlCase): Option[String] = {
+    def is(tag: String, id: String) =
+      c.key == s"$tag:$id" || c.key.startsWith(s"$tag:$id[")
+    val d = variantDims(c)
+    def at(k: Int): Int = d.lift(k).getOrElse(-1)
+    if (is("test_string", "0") || is("test_string", "3") ||
+        // *_cate_where / top_n_* with a TIMESTAMP category key render
+        // the key as its wall clock ("2020-05-29 15:56:30":v)
+        (Seq("20", "21", "22", "23", "24", "27", "28", "29", "30", "31",
+          "34", "35", "36", "37", "38")
+          .exists(id => is("test_udaf_function", id)) && at(0) == 3))
+      Some("expected output renders timestamp columns as GMT+8 wall " +
+        "clock in a string context; timestamp is int64 ms in this " +
+        "engine (SURVEY §1.2) and renders as digits")
+    else None
   }
 
   private def typOpt(t: String): Option[DataType] = t.toLowerCase match {
@@ -251,6 +311,8 @@ class YamlCaseRunnerSpec extends SparkSpec {
   // 6) so Int/Long/Double representations and fp noise compare equal
   private def norm(x: Any): Any = x match {
     case null                => null
+    case d: Double if d.isNaN || d.isInfinite => d.toString
+    case f: Float if f.isNaN || f.isInfinite  => f.toDouble.toString
     case f: Float            => BigDecimal(f.toDouble).setScale(4, BigDecimal.RoundingMode.HALF_UP)
     case d: Double           => BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP)
     case b: java.math.BigDecimal =>
@@ -351,7 +413,8 @@ class YamlCaseRunnerSpec extends SparkSpec {
     if (upstreamDisabled(c)) {
       // upstream marks these disabled; don't count them as coverage
     } else test(name) {
-      skip.get(c.key).orElse(modelSkip(c)).orElse(unsupportedType(c)) match {
+      skip.get(c.key).orElse(modelSkip(c)).orElse(renderSkip(c))
+        .orElse(unsupportedType(c)) match {
         case Some(reason) => cancel(reason)
         case None         => run(c)
       }
