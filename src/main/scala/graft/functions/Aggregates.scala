@@ -181,7 +181,7 @@ object GraftAggregates {
       if (integral) v.toLong.toString else fmtDouble(v)
     private def aggValue(a: CateAcc): Double = mode match {
       case "sum"   => a.sum
-      case "count" => a.cnt.toDouble
+      case "count" | "ratio" => a.cnt.toDouble
       case "avg"   => a.sum / a.cnt
       case "min"   => a.mn
       case "max"   => a.mx
@@ -197,10 +197,14 @@ object GraftAggregates {
             Ordering.Tuple2(Ordering[Double].reverse, Ordering[String].reverse))
           if (topN >= 0) s.take(topN) else s
       }
+      val total = b.m.values.map(_.cnt).sum.toDouble
       entries.map { case (k, a) =>
         val v = mode match {
           case "count" => a.cnt.toString
           case "avg"   => fmtDouble(a.sum / a.cnt)
+          // ratio: this key's row share of the whole window
+          // (top_n_*_ratio_cate — udaf corpus id 66)
+          case "ratio" => fmtDouble(a.cnt / total)
           case _       => fmt(aggValue(a))
         }
         s"$k:$v"
@@ -261,16 +265,21 @@ object GraftAggregates {
   /** top_n_key_* via SQL: the top-n count rides along as a constant
     * third input column (SQL UDAFs cannot take constructor params). */
   case class CateVKN(k: String, v: java.lang.Double, n: Int)
-  class TopNKeyCateAgg(mode: String, integral: Boolean)
+  class TopNKeyCateAgg(mode: String, integral: Boolean,
+      order: String = "key_desc")
       extends Aggregator[CateVKN, CateBufN, String] {
-    private def inner(n: Int) = new Cate(mode, integral, "key_desc", n)
-    def zero: CateBufN = CateBufN(CateBuf(Map.empty), -1)
+    private def inner(n: Int) = new Cate(mode, integral, order, n)
+    // n sentinel Int.MinValue = "no rows seen"; a NEGATIVE requested n
+    // means "all entries" (Cate.topN semantics — corpus id 66 n=-1)
+    def zero: CateBufN = CateBufN(CateBuf(Map.empty), Int.MinValue)
     def reduce(b: CateBufN, a: CateVKN): CateBufN =
       if (a == null) b
       else CateBufN(inner(a.n).reduce(b.buf, CateIn(a.k, a.v)), a.n)
     def merge(x: CateBufN, y: CateBufN): CateBufN =
       CateBufN(inner(1).merge(x.buf, y.buf), math.max(x.n, y.n))
-    def finish(b: CateBufN): String = inner(math.max(b.n, 0)).finish(b.buf)
+    def finish(b: CateBufN): String =
+      if (b.n == Int.MinValue) ""
+      else inner(if (b.n < 0) -1 else b.n).finish(b.buf)
     def bufferEncoder: Encoder[CateBufN] = Encoders.product[CateBufN]
     def outputEncoder: Encoder[String] = Encoders.STRING
   }
@@ -290,7 +299,15 @@ object GraftAggregates {
       spark.udf.register(s"__graft_topnk_$m", udaf(new TopNKeyCateAgg(m, false)))
       spark.udf.register(s"__graft_topnk_${m}_int",
         udaf(new TopNKeyCateAgg(m, true)))
+      spark.udf.register(s"__graft_topnv_$m",
+        udaf(new TopNKeyCateAgg(m, false, "value_desc")))
+      spark.udf.register(s"__graft_topnv_${m}_int",
+        udaf(new TopNKeyCateAgg(m, true, "value_desc")))
     }
+    spark.udf.register("__graft_topnk_ratio",
+      udaf(new TopNKeyCateAgg("ratio", false)))
+    spark.udf.register("__graft_topnv_ratio",
+      udaf(new TopNKeyCateAgg("ratio", false, "value_desc")))
   }
 
   /** top(value, k): the k largest values desc (dups kept), comma-joined

@@ -1791,7 +1791,8 @@ object GraftSql {
                 s"illegal operand type ${t.get} for '$low'")
             out += ts(i); out += "("; out ++= inner; out += ")"
           } else if (low == "at" && splitTokenArgs(inner).length == 2 &&
-              resolveTy(splitTokenArgs(inner).head.mkString(" "))
+              resolveTy(stripOverForTyping(
+                splitTokenArgs(inner).head).mkString(" "))
                 .exists(_.isInstanceOf[org.apache.spark.sql.types.ArrayType])) {
             // scalar at(array, i): 0-based element access
             // (test_udf_function.yaml id 7)
@@ -1807,6 +1808,11 @@ object GraftSql {
               if (low == "isin") (as(1), as(0)) else (as(0), as(1))
             out ++= tokenize(s"exists(${arr.mkString(" ")}, " +
               s"__x -> __x <=> (${v.mkString(" ")}))")
+          } else if (low == "join" || low == "split_by_key" ||
+              low == "split_by_value") {
+            // fz-family SQL spellings (`join`(list, sep) etc. —
+            // test_udaf_function.yaml id 65)
+            out += s"fz_$low"; out += "("; out ++= inner; out += ")"
           } else if (low == "split_array") {
             // literal-delimiter split → the registered fz_split UDF
             out += "fz_split"; out += "("; out ++= inner; out += ")"
@@ -2491,12 +2497,18 @@ object GraftSql {
         out ++= Vector("(", "CASE", "WHEN") ++ args(1) ++
           Vector("THEN") ++ v0 ++ Vector("END", ")")
         i = close + 1
-      } else if (isCall && t.startsWith("top_n_key_") &&
-          t.endsWith("_cate_where")) {
-        // top_n_key_{m}_cate_where(v, cond, k, n) → the n-aware SQL
-        // UDAF over a condition-masked key (sum_by_category_def.cc
-        // :275-305 — top n keys in DESCENDING key order)
-        val m = t.stripPrefix("top_n_key_").stripSuffix("_cate_where")
+      } else if (isCall &&
+          (t.startsWith("top_n_key_") || t.startsWith("top_n_value_")) &&
+          (t.endsWith("_cate_where") || t.endsWith("_ratio_cate"))) {
+        // top_n_{key|value}_{m}_cate_where(v, cond, k, n) and the
+        // ratio variants → the n-aware SQL UDAFs over a
+        // condition-masked key (sum_by_category_def.cc:275-305;
+        // key variants order by key DESC, value variants by aggregate
+        // value DESC; ratio = per-key row share)
+        val byValue = t.startsWith("top_n_value_")
+        val m = t.stripPrefix("top_n_key_").stripPrefix("top_n_value_")
+          .stripSuffix("_cate_where").stripSuffix("_cate")
+        val fam = if (byValue) "topnv" else "topnk"
         val close = matchClose(toks, i + 1)
         val args = splitTokenArgs(rewriteAggFns(toks.slice(i + 2, close), df))
         require(args.length == 4, s"$t expects (value, cond, key, n)")
@@ -2504,12 +2516,14 @@ object GraftSql {
         // values only; float/double/bool keys rejected
         locally {
           import org.apache.spark.sql.types._
-          resolveTypeCached(df, args(0).mkString(" ")) match {
-            case Some(v @ (StringType | DateType | BooleanType)) =>
-              throw new IllegalArgumentException(
-                s"illegal value type $v for '$t'")
-            case _ => ()
-          }
+          // count/ratio ignore the value's magnitude — any type counts
+          if (m != "count" && m != "ratio")
+            resolveTypeCached(df, args(0).mkString(" ")) match {
+              case Some(v @ (StringType | DateType | BooleanType)) =>
+                throw new IllegalArgumentException(
+                  s"illegal value type $v for '$t'")
+              case _ => ()
+            }
           resolveTypeCached(df, args(2).mkString(" ")) match {
             case Some(v @ (FloatType | DoubleType | BooleanType)) =>
               throw new IllegalArgumentException(
@@ -2517,15 +2531,37 @@ object GraftSql {
             case _ => ()
           }
         }
-        val integral = resolveTypeCached(df, args(0).mkString(" "))
-          .exists(intTypes)
-        out += (if (integral) s"__graft_topnk_${m}_int"
-                else s"__graft_topnk_$m")
-        out ++= Vector("(", "CAST", "(", "CASE", "WHEN") ++ args(1) ++
-          Vector("THEN") ++ args(2) ++
-          Vector("END", "AS", "STRING", ")", ",", "CAST", "(") ++
-          args(0) ++ Vector("AS", "DOUBLE", ")", ",", "CAST", "(") ++
-          args(3) ++ Vector("AS", "INT", ")", ")")
+        if (m == "ratio") {
+          // ratio = per-key fraction of rows matching the condition
+          // (matched/total) — exactly an AVG over the 0/1 indicator
+          // with the key UNmasked (test_udaf_function.yaml id 66)
+          out += s"__graft_${fam}_avg"
+          out ++= Vector("(", "CAST", "(") ++ args(2) ++
+            Vector("AS", "STRING", ")", ",",
+              "CAST", "(", "CASE", "WHEN") ++ args(1) ++
+            Vector("THEN", "1.0D", "ELSE", "0.0D", "END",
+              "AS", "DOUBLE", ")", ",", "CAST", "(") ++
+            args(3) ++ Vector("AS", "INT", ")", ")")
+        } else {
+          val integral =
+            resolveTypeCached(df, args(0).mkString(" ")).exists(intTypes)
+          out += (if (integral) s"__graft_${fam}_${m}_int"
+                  else s"__graft_${fam}_$m")
+          // count mode: only the value's NULL-ness matters (the value
+          // may be any type — id 62 counts a string column)
+          val vToks: Vector[String] =
+            if (m == "count")
+              Vector("CAST", "(", "CASE", "WHEN", "(") ++ args(0) ++
+                Vector(")", "IS", "NOT", "NULL", "THEN", "1.0D", "END",
+                  "AS", "DOUBLE", ")")
+            else Vector("CAST", "(") ++ args(0) ++
+              Vector("AS", "DOUBLE", ")")
+          out ++= Vector("(", "CAST", "(", "CASE", "WHEN") ++ args(1) ++
+            Vector("THEN") ++ args(2) ++
+            Vector("END", "AS", "STRING", ")", ",") ++ vToks ++
+            Vector(",", "CAST", "(") ++
+            args(3) ++ Vector("AS", "INT", ")", ")")
+        }
         i = close + 1
       } else if (isCall && t.endsWith("_cate_where") &&
           Set("sum", "count", "avg", "min", "max")(
@@ -3120,6 +3156,15 @@ object GraftSql {
           // excluded: Spark has no DISTINCT window aggregate, so it
           // takes the frame-array path below.
           expr(fnText).over(plainSpec(w, Some(col(UidCol))))
+        } else if (plain && !w.isRows && !windowBound && !extAggs(fn) &&
+            fn != "identity") {
+          // registered UDAF families (cate / top_n / entropy / top /
+          // ew_avg ...) over a plain RANGE frame: native rangeBetween.
+          // A bounded-above frame (hi PRECEDING > 0) is tie-EXACT; a
+          // CURRENT ROW upper bound sees ANSI peers — same-ts rows that
+          // sort after the current one — the documented rowsRange tie
+          // deviation (WindowOps.rowsRange scaladoc).
+          expr(fnText).over(plainSpec(w))
         } else if (plain && !w.isRows && !w.orderDesc && decomposable) {
           // plain ROWS_RANGE sum/count/avg: strict-tie prefix-sum
           // decomposition (reference holds at-or-before rows in ingestion

@@ -117,19 +117,10 @@ class YamlCaseRunnerSpec extends SparkSpec {
       "NATIVE engine (window features in both LAST JOIN subqueries, " +
       "mode offline-unsupport); this engine plans the shape fine — " +
       "the rejection is a native-runner limitation, not SQL semantics"),
-    "test_udaf_function:62" -> ("top_n_value_* cate variants (order by " +
-      "aggregate VALUE) are not implemented yet — only the top_n_key_* " +
-      "family is"),
-    "test_udaf_function:66" -> ("top_n_value_ratio_cate / " +
-      "top_n_key_ratio_cate are not implemented yet"),
     "test_udaf_function:64" -> ("nth_value_where whose condition " +
       "references another window aggregate of the same window " +
       "(current-row-bound HOF argument) is not implemented for " +
       "nth_value_where yet — only for sum/count/avg/min/max"),
-    "test_udaf_function:65" -> ("the *_cate family over an EXTENDED " +
-      "frame (here a 1s-PRECEDING upper bound) is not implemented — " +
-      "the frame-array path has no category fold yet; plain frames " +
-      "work (ids 20-31 green)"),
     "perf_insensitive:12" -> ("mode offline-unsupport (the reference's " +
       "own Spark engine cannot run it) and the unordered LAST JOIN of " +
       "two windowed subqueries picks rows by native storage iteration " +
