@@ -2858,7 +2858,9 @@ object GraftSql {
     }
 
     def bindImplicit(toks: Vector[String], w: WinDef): Vector[String] =
-      if (toks.length > 2 && toks(1) == "(" && aggHeads(toks(0).toLowerCase) &&
+      if (toks.length > 2 && toks(1) == "(" &&
+          (aggHeads(toks(0).toLowerCase) ||
+            toks(0).equalsIgnoreCase("nth_value_where")) &&
           toks.drop(2).exists(t => navFns(t.toLowerCase) ||
             Set("sum", "count", "avg", "min", "max",
               "distinct_count")(t.toLowerCase))) {
@@ -3295,17 +3297,35 @@ object GraftSql {
               skipNewest = skipRows)
             prepCols += (arrName -> arr)
             val baseCols = base.columns.toSet
-            val sub = tokenize(argText).zipWithIndex.map { case (t, i0) =>
-              val toksA = tokenize(argText)
-              val isIdent = t.headOption.exists(c2 => c2.isLetter || c2 == '_')
-              val isCall = i0 + 1 < toksA.length && toksA(i0 + 1) == "("
-              val prevDot = i0 > 0 && toksA(i0 - 1) == "."
-              if (isIdent && !isCall && !prevDot && baseCols.contains(t))
-                s"__x.v.$t"
-              else t
-            }.mkString(" ")
+            def subst(text: String): String = {
+              val toksA = tokenize(text)
+              toksA.zipWithIndex.map { case (t, i0) =>
+                val isIdent = t.headOption.exists(c2 => c2.isLetter || c2 == '_')
+                val isCall = i0 + 1 < toksA.length && toksA(i0 + 1) == "("
+                val prevDot = i0 > 0 && toksA(i0 - 1) == "."
+                if (isIdent && !isCall && !prevDot && baseCols.contains(t))
+                  s"__x.v.$t"
+                else t
+              }.mkString(" ")
+            }
+            val sub = subst(argText)
             val nn = s"filter($arrName, __x -> ($sub) IS NOT NULL)"
             fn match {
+              case "nth_value_where" =>
+                // nth_value_where(v, n, cond) whose cond/value bind the
+                // current row's window results (udaf corpus id 64):
+                // filter by the substituted condition, index the value
+                // array — n>0 from the frame start (oldest), n<0 from
+                // the end (newest), 0 → NULL (aggNthValueWhere rules)
+                val as3 = splitArgs(argText)
+                val nIdx = as3(1).replace(" ", "").toInt
+                if (nIdx == 0) lit(null)
+                else {
+                  val vS = subst(as3(0)); val cS = subst(as3(2))
+                  val m = s"filter($arrName, __x -> ($cS))"
+                  expr(s"CASE WHEN size($m) >= ${math.abs(nIdx)} THEN " +
+                    s"element_at(transform($m, __x -> (${vS})), ${-nIdx}) END")
+                }
               case "count" => expr(s"CAST(size($nn) AS BIGINT)")
               case "sum" => expr(
                 s"CASE WHEN size($nn) > 0 THEN aggregate($nn, " +

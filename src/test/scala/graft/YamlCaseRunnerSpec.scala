@@ -117,10 +117,6 @@ class YamlCaseRunnerSpec extends SparkSpec {
       "NATIVE engine (window features in both LAST JOIN subqueries, " +
       "mode offline-unsupport); this engine plans the shape fine — " +
       "the rejection is a native-runner limitation, not SQL semantics"),
-    "test_udaf_function:64" -> ("nth_value_where whose condition " +
-      "references another window aggregate of the same window " +
-      "(current-row-bound HOF argument) is not implemented for " +
-      "nth_value_where yet — only for sum/count/avg/min/max"),
     "perf_insensitive:12" -> ("mode offline-unsupport (the reference's " +
       "own Spark engine cannot run it) and the unordered LAST JOIN of " +
       "two windowed subqueries picks rows by native storage iteration " +
