@@ -1135,12 +1135,23 @@ object GraftSql {
               val hs = sub.selects.map(_.fromTable).flatMap(hintFor).distinct
               if (hs.length == 1) Some(hs.head) else None
           }
+          def msCol(c: Column, ty: Option[org.apache.spark.sql.types.DataType]): Column =
+            ty match {
+              case Some(org.apache.spark.sql.types.TimestampType) =>
+                unix_millis(c)
+              case _ => c.cast("long")
+            }
           val ordAsc: Column = jOrder match {
             case Some(o) =>
-              coalesce(expr(o).cast("long"), lit(Long.MinValue))
+              coalesce(msCol(expr(o), resolveTypeCached(right, o)),
+                lit(Long.MinValue))
             case None => hintFor(jc.table)
                 .filter(h => right.columns.count(_.equalsIgnoreCase(h)) == 1)
-                .map(h => coalesce(rightO(h).cast("long"), lit(Long.MinValue)))
+                .map { h =>
+                  val ty = right.schema.fields
+                    .find(_.name.equalsIgnoreCase(h)).map(_.dataType)
+                  coalesce(msCol(rightO(h), ty), lit(Long.MinValue))
+                }
                 .getOrElse(lit(0L))
           }
           val pickOrd = struct(
@@ -1268,6 +1279,17 @@ object GraftSql {
   private val castTypeRenames = Map(
     "int16" -> "SMALLINT", "int32" -> "INT", "int64" -> "BIGINT",
     "bool" -> "BOOLEAN")
+
+  /** A window ORDER BY key as epoch MILLISECONDS: int64-ms columns
+    * pass through; a native TimestampType key converts via unix_millis
+    * (groundwork for TimestampType-typed tables — `.cast("long")` on a
+    * timestamp would yield SECONDS). */
+  private def orderMs(base: DataFrame, text: String): Column =
+    resolveTypeCached(base, text) match {
+      case Some(org.apache.spark.sql.types.TimestampType) =>
+        unix_millis(expr(text))
+      case _ => expr(text)
+    }
 
   /** window aggregates with no native Spark window function — they
     * always take the frame-array path */
@@ -2678,9 +2700,14 @@ object GraftSql {
     else (t.substring(0, i).trim.toLowerCase, t.substring(i + 1, t.length - 1).trim)
   }
 
-  private def plainSpec(w: WinDef, uidTiebreak: Option[Column] = None): WindowSpec = {
+  private def plainSpec(w: WinDef, uidTiebreak: Option[Column] = None,
+      msBase: DataFrame = null): WindowSpec = {
     val part = w.partition.map(expr)
-    val ord0 = w.order.map(o => if (w.orderDesc) expr(o).desc else expr(o))
+    // RANGE frames need a NUMERIC (ms) order key; with a typing base
+    // a native TimestampType key converts via unix_millis
+    def keyOf(o: String): Column =
+      if (msBase != null && !w.isRows) orderMs(msBase, o) else expr(o)
+    val ord0 = w.order.map(o => if (w.orderDesc) keyOf(o).desc else keyOf(o))
       .getOrElse(lit(1).asc)
     // ROWS frames tie-break on uid (ingestion order) so positions are
     // deterministic and at-or-before, matching the reference buffer
@@ -3166,14 +3193,14 @@ object GraftSql {
           // CURRENT ROW upper bound sees ANSI peers — same-ts rows that
           // sort after the current one — the documented rowsRange tie
           // deviation (WindowOps.rowsRange scaladoc).
-          expr(fnText).over(plainSpec(w))
+          expr(fnText).over(plainSpec(w, msBase = base))
         } else if (plain && !w.isRows && !w.orderDesc && decomposable) {
           // plain ROWS_RANGE sum/count/avg: strict-tie prefix-sum
           // decomposition (reference holds at-or-before rows in ingestion
           // order, mem_catalog.h:344 — ANSI RANGE peers would overcount
           // same-ts rows that sort after the current row)
           val v = if (argText == "*") lit(1L) else expr(args.head)
-          val ts = expr(w.order.getOrElse(
+          val ts = orderMs(base, w.order.getOrElse(
             throw new IllegalArgumentException("RANGE window needs ORDER BY")))
           val preceding = w.lo match {
             case Prec(n, open) => n - (if (open) 1 else 0)
@@ -3207,7 +3234,7 @@ object GraftSql {
               // set (test_udaf_function.yaml id 6 row 4)
               coalesce(expr(args.head), lit(false))
             else expr(args.head)
-          val ts = expr(w.order.getOrElse(
+          val ts = orderMs(base, w.order.getOrElse(
             throw new IllegalArgumentException("extended window needs ORDER BY")))
           // ROWS frames over an extended window: a row-count frame is an
           // unbounded range capped to the newest (n+1) at-or-before rows

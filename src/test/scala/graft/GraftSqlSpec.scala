@@ -273,6 +273,40 @@ class GraftSqlSpec extends SparkSpec {
     assert(e2.getMessage.contains("unsupported aggregate"))
   }
 
+  test("native TimestampType order keys: range windows and last join") {
+    // groundwork for the TimestampType model migration: a table whose
+    // ts column is a real Spark timestamp must window and join
+    // identically to its int64-ms twin
+    val ms = Seq(
+      ("a", 1000L, 1.0), ("a", 1500L, 2.0), ("a", 3000L, 3.0),
+      ("b", 1000L, 4.0))
+    import org.apache.spark.sql.functions.timestamp_millis
+    val msDf = ms.toDF("k", "ts", "v")
+    val tsDf = msDf.withColumn("ts", timestamp_millis(col("ts")))
+    def winSql(t: String) =
+      s"""SELECT k, round(sum(v) OVER w, 3) AS s,
+         |  count(v) OVER w AS c, max(v) OVER w AS m
+         |FROM $t WINDOW w AS (PARTITION BY k ORDER BY ts
+         |  ROWS_RANGE BETWEEN 1s PRECEDING AND CURRENT ROW MAXSIZE 2)""".stripMargin
+    val a = GraftSql.sql(spark, winSql("tt"), Map("tt" -> msDf))
+      .collect().map(_.toSeq).toSet
+    val b = GraftSql.sql(spark, winSql("tt"), Map("tt" -> tsDf))
+      .collect().map(_.toSeq).toSet
+    assert(a == b, s"ms vs timestamp windows differ:\n$a\n$b")
+
+    val right = Seq(("a", 1000L, 10.0), ("a", 2000L, 20.0))
+      .toDF("rk", "rts", "rv")
+    val rightTs = right.withColumn("rts", timestamp_millis(col("rts")))
+    def joinSql(l: String, r: String) =
+      s"""SELECT $l.k AS k, $r.rv AS rv FROM $l AS $l
+         |LAST JOIN $r AS $r ORDER BY $r.rts ON $l.k = $r.rk""".stripMargin
+    val j1 = GraftSql.sql(spark, joinSql("lt", "rt"),
+      Map("lt" -> msDf, "rt" -> right)).collect().map(_.toSeq).toSet
+    val j2 = GraftSql.sql(spark, joinSql("lt", "rt"),
+      Map("lt" -> msDf, "rt" -> rightTs)).collect().map(_.toSeq).toSet
+    assert(j1 == j2, s"ms vs timestamp LAST JOIN differ:\n$j1\n$j2")
+  }
+
   test("OPEN PRECEDING makes the lower bound exclusive") {
     val out = GraftSql.sql(spark,
       """SELECT pk, ts, sum(v) OVER w AS s
