@@ -13,13 +13,28 @@ object Verify {
     val spark = GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that throws must surface as a RED row, never an absent
+    // one: write a one-row parquet whose schema (__graft_error) can
+    // never match any oracle, so the driver's compare reports a
+    // mismatch instead of silently shrinking the gate (the r8
+    // q_sql_last_join hole).
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+        System.err.println(s"[verify] $name FAILED: $msg")
+        failures(name) = msg
+        try {
+          import spark.implicits._
+          Seq(msg).toDF("__graft_error").coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name marker write failed: $e2")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -37,6 +52,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    val ran =
+      SparkEntry.queries.count { case (n, _) => only.forall(_.contains(n)) }
+    println(s"[verify] ${ran} queries, ${ran - failures.size} ok, " +
+      s"${failures.size} failed" +
+      (if (failures.nonEmpty) s": ${failures.keys.mkString(", ")}" else ""))
     spark.stop()
   }
 }

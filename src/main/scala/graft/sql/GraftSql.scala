@@ -1135,25 +1135,44 @@ object GraftSql {
               val hs = sub.selects.map(_.fromTable).flatMap(hintFor).distinct
               if (hs.length == 1) Some(hs.head) else None
           }
-          def msCol(c: Column, ty: Option[org.apache.spark.sql.types.DataType]): Column =
-            ty match {
-              case Some(org.apache.spark.sql.types.TimestampType) =>
-                unix_millis(c)
-              case _ => c.cast("long")
-            }
-          val ordAsc: Column = jOrder match {
+          // ORDER BY key for max_by: timestamps go through unix_millis
+          // (cast("long") would yield SECONDS), numerics through a long
+          // cast with a MinValue NULL floor; any non-castable type
+          // (struct, string, ...) is passed through raw — max_by orders
+          // structs lexicographically, which is exactly the multi-key
+          // semantics a struct(...) ORDER BY asks for.
+          import org.apache.spark.sql.types.{DataType, NumericType,
+            TimestampType => TsT, DateType, BooleanType}
+          def longable(ty: Option[DataType]): Boolean = ty match {
+            case Some(_: NumericType) | Some(DateType) | Some(BooleanType) =>
+              true
+            case None => true // unresolvable probe: previous behavior
+            case _ => false
+          }
+          def ordKey(c: Column, ty: Option[DataType]): Column = ty match {
+            case Some(TsT) =>
+              coalesce(unix_millis(c), lit(Long.MinValue))
+            case t if longable(t) =>
+              coalesce(c.cast("long"), lit(Long.MinValue))
+            case _ => c
+          }
+          val (ordAsc: Column, ordNegatable: Boolean) = jOrder match {
             case Some(o) =>
-              coalesce(msCol(expr(o), resolveTypeCached(right, o)),
-                lit(Long.MinValue))
+              val ty = resolveTypeCached(right, o)
+              (ordKey(expr(o), ty), ty.contains(TsT) || longable(ty))
             case None => hintFor(jc.table)
                 .filter(h => right.columns.count(_.equalsIgnoreCase(h)) == 1)
                 .map { h =>
                   val ty = right.schema.fields
                     .find(_.name.equalsIgnoreCase(h)).map(_.dataType)
-                  coalesce(msCol(rightO(h), ty), lit(Long.MinValue))
+                  (ordKey(rightO(h), ty), ty.contains(TsT) || longable(ty))
                 }
-                .getOrElse(lit(0L))
+                .getOrElse((lit(0L), true))
           }
+          if (jc.orderDesc && !ordNegatable)
+            throw new IllegalArgumentException(
+              "LAST JOIN ORDER BY ... DESC requires a timestamp or " +
+                "numeric order key")
           val pickOrd = struct(
             if (jc.orderDesc) ordAsc * -1 else ordAsc, rightO(JOrd))
           equiKeys(cond, rightQual, right.columns.toSet) match {
@@ -1324,7 +1343,7 @@ object GraftSql {
       val c = raw.charAt(i)
       if (c == '\\' && i + 1 < raw.length) {
         raw.charAt(i + 1) match {
-          case '0' => sb.append(' ')
+          case '0' => sb.append('\u0000')
           case 'b' => sb.append('\b')
           case 'n' => sb.append('\n')
           case 'r' => sb.append('\r')

@@ -151,6 +151,23 @@ class GraftSqlSpec extends SparkSpec {
     assert(out(("u2", 40L)) == "bronze")
   }
 
+  test("LAST JOIN with a struct(...) ORDER BY key (multi-column order)") {
+    // regression: r8's msCol cast every non-timestamp order key to long,
+    // which is an AnalysisException on a struct — the q_sql_last_join
+    // plan-time crash. Struct keys must pass through to max_by raw.
+    val dimx = Seq(
+      ("u1", 1, 5.0, "a"), ("u1", 2, 1.0, "b"), ("u1", 2, 9.0, "c"),
+      ("u2", 7, 0.0, "d")).toDF("pk", "maj", "min", "tag")
+    dimx.createOrReplaceTempView("dimx")
+    val out = GraftSql.sql(spark,
+      """SELECT t1.pk AS pk, t1.ts AS ts, dimx.tag AS tag
+        |FROM t1 LAST JOIN dimx ORDER BY struct(dimx.maj, dimx.min)
+        |  ON t1.pk = dimx.pk""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(out(("u1", 10L)) == "c") // (2, 9.0) is the lexicographic max
+    assert(out(("u2", 40L)) == "d")
+  }
+
   test("equi-condition LAST JOIN takes the max_by pre-reduction path") {
     val df = GraftSql.sql(spark,
       """SELECT t1.pk AS pk, dim.tier AS tier
