@@ -502,6 +502,10 @@ object GraftSql {
     case s: Short           =>
       Vector("CAST", "(", s.toString, "AS", "SMALLINT", ")")
     case d: java.sql.Date   => Vector("DATE", s"'$d'")
+    case t: java.sql.Timestamp =>
+      Vector("timestamp_millis", "(", t.getTime.toString + "L", ")")
+    case t: java.time.Instant =>
+      Vector("timestamp_millis", "(", t.toEpochMilli.toString + "L", ")")
     case n                  => Vector(String.valueOf(n))
   }
 
@@ -579,8 +583,24 @@ object GraftSql {
       val hist = resolveRef(spark, selC.fromTable, tables)
       val reqCols = selC.configValues.zip(hist.schema.fields.toSeq).map {
         case (vt, f) =>
-          expr(rewriteDialect(vt, _ => None).mkString(" "))
-            .cast(f.dataType).as(f.name)
+          import org.apache.spark.sql.types._
+          val e = expr(rewriteDialect(vt, _ => None).mkString(" "))
+          val eTy = try Some(spark.range(1).select(e).schema.head.dataType)
+            catch { case _: Throwable => None }
+          // ms semantics across the ts/numeric boundary: a TIMESTAMP
+          // value lands in a numeric column as its int64 ms (Spark's
+          // cast would yield SECONDS), and vice versa
+          // (simple_query.yaml id 108 timestamp(4000) → bigint 4000)
+          val c = (eTy, f.dataType) match {
+            case (Some(TimestampType), t @ (ShortType | IntegerType |
+                LongType | FloatType | DoubleType)) =>
+              unix_millis(e).cast(t)
+            case (Some(t), TimestampType)
+                if t.isInstanceOf[NumericType] =>
+              timestamp_millis(e.cast("long"))
+            case _ => e.cast(f.dataType)
+          }
+          c.as(f.name)
       }
       val requests = spark.range(1).select(reqCols: _*)
       return requestModeQuery(spark,
@@ -707,7 +727,7 @@ object GraftSql {
       case "float"                      => FloatType
       case "double"                     => DoubleType
       case "string" | "varchar"         => StringType
-      case "timestamp"                  => LongType // int64 ms (SURVEY §1.2)
+      case "timestamp"                  => TimestampType
       case "date"                       => DateType
       case "bool" | "boolean"           => BooleanType
       case other => throw new IllegalArgumentException(s"unknown type '$other'")
@@ -751,6 +771,13 @@ object GraftSql {
         case DoubleType  => raw.toDouble
         case BooleanType => raw.toBoolean
         case DateType    => java.sql.Date.valueOf(raw)
+        case TimestampType =>
+          // integral = epoch ms; otherwise a GMT+8 wall-clock literal
+          if (raw.nonEmpty && raw.forall(_.isDigit))
+            new java.sql.Timestamp(raw.toLong)
+          else new java.sql.Timestamp(parseWallClockMs(raw).getOrElse(
+            throw new IllegalArgumentException(
+              s"cannot parse timestamp literal '$raw'")))
         case _           => raw
       }
       (neg, v) match {
@@ -1089,7 +1116,14 @@ object GraftSql {
       val condToks = stripDbPrefixes(tokenize(jc.cond),
         knownDbs(spark, scope), scope)
       rejectIntervalLits(condToks)
-      val cond = rewriteDialect(condToks, _ => None).mkString(" ")
+      // plan-time probe frame with both sides' columns so ts-typed
+      // operands in the condition coerce (spark jd scenario:
+      // `t.dt < all.date - 0` needs the ms-shift rewrite; ambiguous
+      // names just resolve to None and stay unrewritten)
+      val probe = try df.crossJoin(right) catch { case _: Throwable => df }
+      val cond = coerceOperands(
+        rewriteDialect(condToks, t => resolveTypeCached(probe, t)),
+        probe).mkString(" ")
       df = jc.kind match {
         case "left" => df.join(right, expr(cond), "left")
         case "last" =>
@@ -1267,7 +1301,7 @@ object GraftSql {
       else df.select(s1.projs.zipWithIndex.map { case (pr, i) =>
         if (isStarProj(pr.tokens)) starCol(pr.tokens)
         else expr(rewriteAggFns(
-          coerceOperands(coerceDateFns(pr.tokens, df), df), df).mkString(" "))
+          coerceDateFns(coerceOperands(pr.tokens, df), df), df).mkString(" "))
           .as(projName(pr, i)) }: _*)
 
     s1.limit.foreach(n => out = out.limit(n))
@@ -1584,41 +1618,50 @@ object GraftSql {
           "BIGINT", ")", "ELSE") ++ b ++ Vector("END", ")")
     }
 
+    // timestamp() returns a native TimestampType holding the correct
+    // instant; wall-clock strings parse at the reference's pinned GMT+8
+    // (date_and_time_types.md:10-14), integral operands are epoch MS
+    def tsWrap(v: Vector[String]): Vector[String] =
+      Vector("timestamp_millis", "(") ++ v ++ Vector(")")
     def tsCall(inner: Vector[String]): Vector[String] =
-      if (inner.length == 1 && isNumericLit(inner.head)) asBigint(inner)
+      if (inner.length == 1 && isNumericLit(inner.head))
+        tsWrap(asBigint(inner))
       else if (inner.length == 1 && inner.head.equalsIgnoreCase("null"))
-        asBigint(Vector("NULL"))
+        Vector("CAST", "(", "NULL", "AS", "TIMESTAMP", ")")
       else if (inner.length == 1 && isQuoted(inner.head))
         parseWallClockMs(stripQuotes(inner.head)) match {
-          case Some(ms) => asBigint(Vector(ms.toString))
-          case None     => asBigint(Vector("NULL"))
+          case Some(ms) => tsWrap(Vector(ms.toString))
+          case None     => Vector("CAST", "(", "NULL", "AS", "TIMESTAMP", ")")
         }
       else resolveTy(inner.mkString(" ")) match {
+        case Some(TimestampType) => Vector("(") ++ inner ++ Vector(")")
         case Some(StringType) | Some(DateType) =>
-          Vector("unix_millis", "(", "to_utc_timestamp", "(",
+          Vector("to_utc_timestamp", "(",
             "to_timestamp", "(") ++ inner ++
-            Vector(")", ",", "'GMT+8'", ")", ")")
-        case _ => nonNegBigint(inner)
+            Vector(")", ",", "'GMT+8'", ")")
+        case _ => tsWrap(nonNegBigint(inner))
       }
 
     def dateCall(inner: Vector[String]): Vector[String] = {
-      // date(n) is legal only for the int64-ms timestamp model; the
-      // reference rejects date() over int/smallint columns
-      // (test_type.yaml ids 26/28 expect-error)
-      resolveTy(inner.mkString(" ")) match {
-        case Some(ShortType) | Some(IntegerType) =>
+      // date() accepts timestamp/string/date; the reference rejects it
+      // over every numeric type now that TIMESTAMP is a distinct type
+      // (test_type.yaml ids 26/27/28 expect-error for smallint/bigint/int)
+      val ty = resolveTy(inner.mkString(" "))
+      ty match {
+        case Some(ShortType) | Some(IntegerType) | Some(LongType) |
+            Some(FloatType) | Some(DoubleType) | Some(BooleanType) =>
           throw new IllegalArgumentException(
-            "date() expects a timestamp/string/date operand, not an integer")
+            "date() expects a timestamp/string/date operand, not " +
+              ty.get.toString)
+        case _ if inner.length == 1 && isNumericLit(inner.head) =>
+          throw new IllegalArgumentException(
+            "date() expects a timestamp/string/date operand, not a number")
         case _ => ()
       }
-      val integral =
-        (inner.length == 1 && isNumericLit(inner.head) &&
-          !inner.head.contains(".")) ||
-        resolveTy(inner.mkString(" ")).contains(LongType)
-      if (integral)
-        Vector("CAST", "(", "from_utc_timestamp", "(", "timestamp_millis",
-          "(", "CAST", "(") ++ inner ++ Vector("AS", "BIGINT", ")", ")",
-          ",", "'GMT+8'", ")", "AS", "DATE", ")")
+      if (ty.contains(TimestampType))
+        // calendar date of the instant at the reference's GMT+8
+        Vector("CAST", "(", "from_utc_timestamp", "(") ++ inner ++
+          Vector(",", "'GMT+8'", ")", "AS", "DATE", ")")
       else Vector("date", "(") ++ inner ++ Vector(")")
     }
 
@@ -1645,12 +1688,19 @@ object GraftSql {
       }
       out.result()
     }
+    // ts → the GMT+8 wall clock, seconds precision
+    // (udf.cc:376 timestamp_to_string "%Y-%m-%d %H:%M:%S")
+    def tsWallText(pre: Vector[String]): Vector[String] =
+      Vector("date_format", "(", "from_utc_timestamp", "(") ++ pre ++
+        Vector(",", "'GMT+8'", ")", ",", "'yyyy-MM-dd HH:mm:ss'", ")")
+
     def strCastText(pre: Vector[String]): Vector[String] =
       resolveTy(stripOverForTyping(pre).mkString(" ")) match {
         case Some(FloatType) =>
           Vector("__graft_num2str_f32", "(") ++ pre ++ Vector(")")
         case Some(DoubleType) =>
           Vector("__graft_num2str_f64", "(") ++ pre ++ Vector(")")
+        case Some(TimestampType) => tsWallText(pre)
         case _ => Vector("CAST", "(") ++ pre ++ Vector("AS", "STRING", ")")
       }
 
@@ -1665,8 +1715,35 @@ object GraftSql {
         if (isCall) {
           val close = matchClose(ts, i + 1)
           val inner = go(ts.slice(i + 2, close))
+          // CAST(ts AS <numeric>) reads the int64 MS value — int(ts)
+          // wraps 1590115420000 to 977520480, never epoch seconds
+          // (test_type.yaml ids 14-18/25)
+          val numCastNames = Map(
+            "smallint" -> "SMALLINT", "int" -> "INT", "integer" -> "INT",
+            "bigint" -> "BIGINT", "float" -> "FLOAT", "double" -> "DOUBLE",
+            "int16" -> "SMALLINT", "int32" -> "INT", "int64" -> "BIGINT")
+          def innerIsTs: Boolean =
+            resolveTy(stripOverForTyping(inner).mkString(" "))
+              .contains(TimestampType)
+          def msCastText(pre: Vector[String], target: String): Vector[String] =
+            Vector("CAST", "(", "unix_millis", "(") ++ pre ++
+              Vector(")", "AS", target, ")")
           if (castFnRenames.contains(low)) {
-            out += castFnRenames(low); out += "("; out ++= inner; out += ")"
+            val renamed = castFnRenames(low)
+            if (numCastNames.contains(renamed) && innerIsTs)
+              out ++= msCastText(inner, numCastNames(renamed))
+            else {
+              out += renamed; out += "("; out ++= inner; out += ")"
+            }
+          } else if (numCastNames.contains(low) && innerIsTs) {
+            out ++= msCastText(inner, numCastNames(low))
+          } else if (low == "cast" && inner.length >= 2 &&
+              numCastNames.contains(inner.last.toLowerCase) &&
+              inner(inner.length - 2).equalsIgnoreCase("as") &&
+              resolveTy(stripOverForTyping(inner.dropRight(2))
+                .mkString(" ")).contains(TimestampType)) {
+            out ++= msCastText(inner.dropRight(2),
+              numCastNames(inner.last.toLowerCase))
           } else if (low == "identity") {
             // identity(x) is the reference's pass-through marker
             // (udf/default_udf_library.cc identity; fz_sql.yaml id 0)
@@ -1724,14 +1801,55 @@ object GraftSql {
             out += "string"; out += "("; out ++= inner; out += ")"
           } else if (low == "hash64" || low == "farm_fingerprint") {
             // FarmHash Fingerprint64 over the operand's typed byte
-            // encoding (udf.cc:1444; literal_traits.h to_bytes_ref)
-            out += farmFnFor(resolveTy(inner.mkString(" ")))
-            out += "("; out ++= inner; out += ")"
+            // encoding (udf.cc:1444; literal_traits.h to_bytes_ref);
+            // a Timestamp hashes its int64 ms value
+            resolveTy(inner.mkString(" ")) match {
+              case Some(TimestampType) =>
+                out += "__graft_farm64_i64"
+                out += "("; out ++= Vector("unix_millis", "(") ++ inner ++
+                  Vector(")"); out += ")"
+              case t =>
+                out += farmFnFor(t)
+                out += "("; out ++= inner; out += ")"
+            }
           } else if (low == "csv" || low == "gcformat" || low == "libsvm") {
             // feature-signature instance formats expand to one pure
             // string expression (feature_signature_def.cc CSV/GCFormat/
             // LIBSVM; slot numbering is static at plan time)
             out ++= tokenize(featureFormatText(low, inner, resolveTy))
+          } else if (low == "concat" || low == "concat_ws") {
+            // args stringify with the reference's renderings: ts → the
+            // GMT+8 wall clock, float/double → C++ shortest form
+            // ("30", not "30.0"); and concat_ws propagates NULL (Spark
+            // would silently skip null parts) — test_string.yaml ids 0/3
+            val as = splitTokenArgs(inner)
+            val rendered = as.map { a =>
+              resolveTy(a.mkString(" ")) match {
+                case Some(TimestampType | FloatType | DoubleType) =>
+                  strCastText(a)
+                case _ => a
+              }
+            }
+            def call: Vector[String] = {
+              val b = Vector.newBuilder[String]
+              b += ts(i); b += "("
+              rendered.zipWithIndex.foreach { case (a, ai) =>
+                if (ai > 0) b += ","
+                b ++= a
+              }
+              b += ")"
+              b.result()
+            }
+            if (low == "concat_ws" && as.length > 1) {
+              out ++= Vector("(", "CASE", "WHEN")
+              as.zipWithIndex.foreach { case (a, ai) =>
+                if (ai > 0) out += "OR"
+                out ++= Vector("(", "(") ++ a ++
+                  Vector(")", "IS", "NULL", ")")
+              }
+              out ++= Vector("THEN", "CAST", "(", "NULL", "AS", "STRING",
+                ")", "ELSE") ++ call ++ Vector("END", ")")
+            } else out ++= call
           } else if (low == "week") {
             // reference week() = ISO week number (udf_query.yaml id 4)
             out += "weekofyear"; out += "("; out ++= inner; out += ")"
@@ -1747,12 +1865,13 @@ object GraftSql {
             val a0 = as(0)
             val wrapped: Vector[String] =
               resolveTy(a0.mkString(" ")) match {
-                case Some(LongType) =>
-                  Vector("from_utc_timestamp", "(", "timestamp_millis",
-                    "(") ++ a0 ++ Vector(")", ",", "'GMT+8'", ")")
+                case Some(TimestampType) =>
+                  Vector("from_utc_timestamp", "(") ++ a0 ++
+                    Vector(",", "'GMT+8'", ")")
                 case Some(DateType) | None | Some(NullType) => a0
                 case Some(t) =>
-                  // only timestamp/date operands format
+                  // only timestamp/date operands format — including
+                  // bigint now that TIMESTAMP is a distinct type
                   // (test_date.yaml id 1 expects failure otherwise)
                   throw new IllegalArgumentException(
                     s"illegal operand type $t for date_format")
@@ -1790,7 +1909,8 @@ object GraftSql {
             as.foreach { a =>
               val t = resolveTy(a.mkString(" "))
               t match {
-                case Some(StringType) | Some(DateType) =>
+                case Some(StringType) | Some(DateType) |
+                    Some(TimestampType) =>
                   throw new IllegalArgumentException(
                     s"illegal operand type ${t.get} for '$low'")
                 case Some(BooleanType) if mathNoBool(low) =>
@@ -1887,8 +2007,23 @@ object GraftSql {
             val as = splitTokenArgs(inner)
             val d = s"coalesce(CAST((${as.head.mkString(" ")}) AS STRING), '')"
             val arrs = as.tail.map(_.mkString(" "))
-            def clean(a: String) =
-              s"filter(transform($a, __c -> CAST(__c AS STRING)), __c -> __c IS NOT NULL)"
+            // element rendering is type-aware: timestamp elements print
+            // their GMT+8 wall clock (udf_query.yaml array_combine_2 c2)
+            def clean(a: String) = {
+              val probe = {
+                val t = a.trim
+                if (t.startsWith("[") && t.endsWith("]"))
+                  "array ( " + t.drop(1).dropRight(1) + " )"
+                else t
+              }
+              val render = resolveTy(probe) match {
+                case Some(ArrayType(TimestampType, _)) =>
+                  "date_format(from_utc_timestamp(__c, 'GMT+8'), " +
+                    "'yyyy-MM-dd HH:mm:ss')"
+                case _ => "CAST(__c AS STRING)"
+              }
+              s"filter(transform($a, __c -> $render), __c -> __c IS NOT NULL)"
+            }
             val vars = arrs.indices.map(k => s"__e$k")
             def nest(k: Int): String =
               if (k == arrs.length - 1)
@@ -2136,18 +2271,20 @@ object GraftSql {
             case _ => ()
           }
         }
-        val integral =
-          resolveTypeCached(df, inner.mkString(" ")) match {
-            case Some(org.apache.spark.sql.types.LongType) => true
-            case _ => false
-          }
         out += toks(i); out += "("
-        if (integral)
-          // ms-epoch operand: date parts read the GMT+8 wall clock
-          // (date_and_time_types.md; udf_query.yaml id 5 hour=10)
-          out ++= Vector("from_utc_timestamp", "(", "timestamp_millis",
-            "(") ++ inner ++ Vector(")", ",", "'GMT+8'", ")")
-        else out ++= inner
+        resolveTypeCached(df, inner.mkString(" ")) match {
+          case Some(org.apache.spark.sql.types.LongType) =>
+            // ms-epoch operand: date parts read the GMT+8 wall clock
+            // (date_and_time_types.md; udf_query.yaml id 5 hour=10)
+            out ++= Vector("from_utc_timestamp", "(", "timestamp_millis",
+              "(") ++ inner ++ Vector(")", ",", "'GMT+8'", ")")
+          case Some(org.apache.spark.sql.types.TimestampType) =>
+            // native ts: shift the instant so UTC field extraction
+            // reads the GMT+8 wall clock
+            out ++= Vector("from_utc_timestamp", "(") ++ inner ++
+              Vector(",", "'GMT+8'", ")")
+          case _ => out ++= inner
+        }
         out += ")"
         i = close + 1
       } else { out += toks(i); i += 1 }
@@ -2236,11 +2373,17 @@ object GraftSql {
     val stopBwd = Set("and", "or", "xor", "not", "!", "select", ",",
       "when", "then", "else", "case", "where", "on", "by", "is")
     def rightLogicSpan(j: Int): Option[(Int, Int)] = {
-      var depth = 0; var k = j; var end = -1
+      // a BETWEEN inside the span extends it through its bound-AND:
+      // `x AND id BETWEEN 1 AND 4` must span `id BETWEEN 1 AND 4`
+      // (boolean — no truthification), not truthify the bare `id`
+      var depth = 0; var k = j; var end = -1; var pendingBetween = 0
       while (k < toks.length && end < 0) {
         val low = toks(k).toLowerCase
         if (toks(k) == "(") depth += 1
         else if (toks(k) == ")") { if (depth == 0) end = k - 1 else depth -= 1 }
+        else if (depth == 0 && low == "between") pendingBetween += 1
+        else if (depth == 0 && low == "and" && pendingBetween > 0)
+          pendingBetween -= 1
         else if (depth == 0 && stopFwd(low)) end = k - 1
         if (end < 0) k += 1
       }
@@ -2253,6 +2396,9 @@ object GraftSql {
         val low = toks(k).toLowerCase
         if (toks(k) == ")") depth += 1
         else if (toks(k) == "(") { if (depth == 0) start = k + 1 else depth -= 1 }
+        // an AND that belongs to a BETWEEN is a bound separator, not a
+        // boundary — keep scanning left past the whole between-expr
+        else if (depth == 0 && low == "and" && isBetweenAnd(k)) ()
         else if (depth == 0 && stopBwd(low)) start = k + 1
         if (start < 0) k -= 1
       }
@@ -2277,10 +2423,11 @@ object GraftSql {
       case StringType  => s"( length( $t ) > 0 )"
       case DateType    =>
         s"( CASE WHEN ( $t ) IS NULL THEN CAST(NULL AS BOOLEAN) ELSE TRUE END )"
+      case TimestampType => s"( unix_millis( $t ) <> 0 )"
       case _           => s"( ( $t ) <> 0 )"
     }
     val truthyTypes: Set[DataType] = Set(ShortType, IntegerType, LongType,
-      FloatType, DoubleType, StringType, DateType)
+      FloatType, DoubleType, StringType, DateType, TimestampType)
 
     case class Edit(from: Int, to: Int, repl: Vector[String])
     val edits = scala.collection.mutable.LinkedHashMap[Int, Edit]()
@@ -2335,7 +2482,8 @@ object GraftSql {
         // bitwise operators demand integral operands
         // (test_arithmetic.yaml bitwise_*_fail)
         val badBit: Set[DataType] =
-          Set(FloatType, DoubleType, StringType, DateType, BooleanType)
+          Set(FloatType, DoubleType, StringType, DateType, BooleanType,
+            TimestampType)
         val sides = Seq(leftPrimary(i - 1), rightPrimary(i + 1)).flatten
         sides.foreach { s =>
           resolveType(text(s)).foreach { t =>
@@ -2354,9 +2502,11 @@ object GraftSql {
             val t = resolveType(text(r))
             if (t.contains(BooleanType))
               addEdit((i, i), Vector.empty) // -bool = bool
-            // the reference rejects unary minus on strings/dates
-            // (test_arithmetic.yaml id 16); Spark would cast to double
-            if (t.contains(StringType) || t.contains(DateType))
+            // the reference rejects unary minus on strings/dates/
+            // timestamps (test_arithmetic.yaml id 16); Spark would
+            // cast a string to double
+            if (t.contains(StringType) || t.contains(DateType) ||
+                t.contains(TimestampType))
               throw new IllegalArgumentException(
                 s"illegal operand type ${t.get} for unary '-'")
           }
@@ -2377,6 +2527,77 @@ object GraftSql {
           // 10/14 — Spark's non-ANSI date + int would be date_add)
           if (isArith && (tL.contains(DateType) || tR.contains(DateType)))
             illegal(if (tL.contains(DateType)) tL else tR)
+          // TIMESTAMP rules (type_node.cc; test_arithmetic ids 9/11/12,
+          // test_predicate ids 2/4): `ts + integral`, `integral + ts`
+          // and `ts - integral` shift the instant by ms (udaf_query.yaml
+          // id 2 month(std_ts + col2)); every other ts arithmetic is a
+          // type error — including ts - ts, which Spark would happily
+          // turn into an interval. Comparisons: ts-vs-ts is native,
+          // ts-vs-string parses the string at GMT+8, ts-vs-anything
+          // else (incl. date, which Spark would implicitly cast) errors.
+          locally {
+            // numeric literals are not dotted primaries, but `ts + 1`
+            // must still shift (udaf_query.yaml id 2 month(std_ts+1))
+            val lp2 = lp.orElse(
+              if (binary && i > 0 && isNumericLit(toks(i - 1)))
+                Some((i - 1, i - 1))
+              else None)
+            val rp2 = rp.orElse(
+              if (i + 1 < toks.length && isNumericLit(toks(i + 1)))
+                Some((i + 1, i + 1))
+              else None)
+            val tL2 = lp2.flatMap(s => resolveType(text(s)))
+            val tR2 = rp2.flatMap(s => resolveType(text(s)))
+            val tsL = tL2.contains(TimestampType)
+            val tsR = tR2.contains(TimestampType)
+            val integral: Set[DataType] =
+              Set(ShortType, IntegerType, LongType)
+            if ((tsL || tsR) && isArith) {
+              // legal forms (test_arithmetic ids 5/7/8): ts + integral/
+              // bool/ts (either side), ts - integral/bool. The result
+              // is a TIMESTAMP of the ms arithmetic (b7 = ts + ts =
+              // 3181477978001). ts - ts and everything else errors
+              // (ids 9/11/12/18/19).
+              val addable: Option[DataType] => Boolean =
+                t => t.exists(x => integral(x) || x == BooleanType)
+              val shift =
+                (low == "+" && ((tsL && tsR) ||
+                  addable(if (tsL) tR2 else tL2))) ||
+                (low == "-" && tsL && !tsR && addable(tR2))
+              val otherDefined = (tsL && tsR) ||
+                (if (tsL) tR2 else tL2).isDefined
+              if (!shift && otherDefined) illegal(if (tsL) tL2 else tR2)
+              if (shift) {
+                def ms(span: (Int, Int), isTs: Boolean): Vector[String] =
+                  if (isTs)
+                    Vector("unix_millis", "(") ++
+                      toks.slice(span._1, span._2 + 1) ++ Vector(")")
+                  else
+                    Vector("CAST", "(") ++
+                      toks.slice(span._1, span._2 + 1) ++
+                      Vector("AS", "BIGINT", ")")
+                addEdit((lp2.get._1, rp2.get._2),
+                  Vector("timestamp_millis", "(") ++
+                    ms(lp2.get, tsL) ++ Vector(low) ++
+                    ms(rp2.get, tsR) ++ Vector(")"))
+              }
+              // !shift && !otherDefined: unresolvable side, leave as-is
+            } else if ((tsL || tsR) && isCmp && !(tsL && tsR)) {
+              val otherT = if (tsL) tR2 else tL2
+              val tsSpan = if (tsL) lp2 else rp2
+              if (otherT.contains(StringType))
+                // ts-vs-string compares LEXICOGRAPHICALLY on the GMT+8
+                // wall-clock rendering (test_predicate.yaml ids 0/3:
+                // '10' < string(ts) because '1' < '2')
+                tsSpan.foreach(s => addEdit(s,
+                  Vector("date_format", "(", "from_utc_timestamp", "(") ++
+                    toks.slice(s._1, s._2 + 1) ++
+                    Vector(",", "'GMT+8'", ")", ",",
+                      "'yyyy-MM-dd HH:mm:ss'", ")")))
+              else if (otherT.exists(t => t != NullType))
+                illegal(if (tsL) tR2 else tL2)
+            }
+          }
           if (low == "mod") addEdit((i, i), Vector("%"))
           (tL, tR) match {
             // bool ⊕ literal NULL keeps BOOLEAN (test_arithmetic.yaml
@@ -2452,10 +2673,14 @@ object GraftSql {
   // (hybridse/src/vm/engine.cc EngineLRUCache) at the analysis level.
   // ------------------------------------------------------------------
   private val typeProbeCache = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String), Option[org.apache.spark.sql.types.DataType]]()
-  private[sql] def probeKey(df: DataFrame): Int =
+    (String, String), Option[org.apache.spark.sql.types.DataType]]()
+  // full rendered attribute list, not its hashCode — a 32-bit collision
+  // between two schemas probing the same text would silently return the
+  // wrong type and mis-rewrite the query
+  private[sql] def probeKey(df: DataFrame): String =
     df.queryExecution.analyzed.output
-      .map(a => (a.qualifier, a.name, a.dataType)).hashCode
+      .map(a => s"${a.qualifier.mkString(".")}:${a.name}:${a.dataType.sql}")
+      .mkString(";")
   private[sql] def resolveTypeCached(df: DataFrame, text: String)
       : Option[org.apache.spark.sql.types.DataType] = {
     if (typeProbeCache.size > 65536) typeProbeCache.clear()
@@ -2510,6 +2735,15 @@ object GraftSql {
     *    integer-formatting registration (group_query.yaml id 8 expects
     *    "aa:160" for a bigint value column). */
   private def rewriteAggFns(toks: Vector[String], df: DataFrame): Vector[String] = {
+    // a TIMESTAMP category key renders as its GMT+8 wall clock
+    // ("2020-05-29 15:56:30":v — test_udaf_function ids 20-24/27-31)
+    def tsKeyRender(a: Vector[String]): Vector[String] =
+      resolveTypeCached(df, a.mkString(" ")) match {
+        case Some(org.apache.spark.sql.types.TimestampType) =>
+          Vector("date_format", "(", "from_utc_timestamp", "(") ++ a ++
+            Vector(",", "'GMT+8'", ")", ",", "'yyyy-MM-dd HH:mm:ss'", ")")
+        case _ => a
+      }
     val out = Vector.newBuilder[String]
     var i = 0
     while (i < toks.length) {
@@ -2525,7 +2759,8 @@ object GraftSql {
         if (t != "count_where") {
           import org.apache.spark.sql.types._
           resolveTypeCached(df, args(0).mkString(" ")) match {
-            case Some(v @ (StringType | DateType | BooleanType)) =>
+            case Some(v @ (StringType | DateType | BooleanType |
+                TimestampType)) =>
               throw new IllegalArgumentException(
                 s"illegal value type $v for '$t'")
             case _ => ()
@@ -2560,7 +2795,8 @@ object GraftSql {
           // count/ratio ignore the value's magnitude — any type counts
           if (m != "count" && m != "ratio")
             resolveTypeCached(df, args(0).mkString(" ")) match {
-              case Some(v @ (StringType | DateType | BooleanType)) =>
+              case Some(v @ (StringType | DateType | BooleanType |
+                  TimestampType)) =>
                 throw new IllegalArgumentException(
                   s"illegal value type $v for '$t'")
               case _ => ()
@@ -2577,7 +2813,7 @@ object GraftSql {
           // (matched/total) — exactly an AVG over the 0/1 indicator
           // with the key UNmasked (test_udaf_function.yaml id 66)
           out += s"__graft_${fam}_avg"
-          out ++= Vector("(", "CAST", "(") ++ args(2) ++
+          out ++= Vector("(", "CAST", "(") ++ tsKeyRender(args(2)) ++
             Vector("AS", "STRING", ")", ",",
               "CAST", "(", "CASE", "WHEN") ++ args(1) ++
             Vector("THEN", "1.0D", "ELSE", "0.0D", "END",
@@ -2598,7 +2834,7 @@ object GraftSql {
             else Vector("CAST", "(") ++ args(0) ++
               Vector("AS", "DOUBLE", ")")
           out ++= Vector("(", "CAST", "(", "CASE", "WHEN") ++ args(1) ++
-            Vector("THEN") ++ args(2) ++
+            Vector("THEN") ++ tsKeyRender(args(2)) ++
             Vector("END", "AS", "STRING", ")", ",") ++ vToks ++
             Vector(",", "CAST", "(") ++
             args(3) ++ Vector("AS", "INT", ")", ")")
@@ -2616,8 +2852,29 @@ object GraftSql {
         out ++= rewriteAggFns(
           Vector(t.stripSuffix("_where"), "(") ++ args(0) ++
             Vector(",", "CASE", "WHEN") ++ args(1) ++
-            Vector("THEN") ++ args(2) ++ Vector("END", ")"), df)
+            Vector("THEN") ++ tsKeyRender(args(2)) ++
+            Vector("END", ")"), df)
         i = close + 1
+      } else if (isCall && t == "sum" && {
+        val close = matchClose(toks, i + 1)
+        resolveTypeCached(df, toks.slice(i + 2, close).mkString(" "))
+          .contains(org.apache.spark.sql.types.TimestampType)
+      }) {
+        // sum over TIMESTAMP returns a TIMESTAMP of the summed ms
+        // (test_udaf_function.yaml id 7 sum-timestamp); an immediately
+        // following OVER clause stays inside the timestamp_millis wrap
+        val close = matchClose(toks, i + 1)
+        val arg = rewriteAggFns(toks.slice(i + 2, close), df)
+        var end = close
+        if (close + 1 < toks.length &&
+            toks(close + 1).equalsIgnoreCase("OVER"))
+          end = if (close + 2 < toks.length && toks(close + 2) == "(")
+            matchClose(toks, close + 2)
+          else close + 2
+        out ++= Vector("timestamp_millis", "(", "sum", "(",
+          "unix_millis", "(") ++ arg ++ Vector(")", ")") ++
+          toks.slice(close + 1, end + 1) ++ Vector(")")
+        i = end + 1
       } else if (isCall && t.endsWith("_cate") &&
           Set("sum", "count", "avg", "min", "max")(t.stripSuffix("_cate"))) {
         val close = matchClose(toks, i + 1)
@@ -2628,7 +2885,8 @@ object GraftSql {
           import org.apache.spark.sql.types._
           args.headOption.foreach { a =>
             resolveTypeCached(df, a.mkString(" ")) match {
-              case Some(v @ (StringType | DateType | BooleanType)) =>
+              case Some(v @ (StringType | DateType | BooleanType |
+                  TimestampType)) =>
                 throw new IllegalArgumentException(
                   s"illegal value type $v for '$t'")
               case _ => ()
@@ -2648,7 +2906,12 @@ object GraftSql {
         }
         val renamed = Set("sum", "min", "max")(t.stripSuffix("_cate"))
         out += (if (integral && renamed) s"__graft_$t" + "_int" else t)
-        out ++= toks.slice(i + 1, close + 1)
+        out += "("
+        args.zipWithIndex.foreach { case (a, ai) =>
+          if (ai > 0) out += ","
+          out ++= (if (ai == 1) tsKeyRender(a) else a)
+        }
+        out += ")"
         i = close + 1
       } else { out += toks(i); i += 1 }
     }
@@ -2697,7 +2960,8 @@ object GraftSql {
     // collide with projections that re-select the group key by name
     val hidden = s.projs.indices.map(i => s"__graft_p$i")
     val aggCols = s.projs.zipWithIndex.map { case (pr, i) =>
-      expr(rewriteAggFns(coerceDateFns(pr.tokens, df), df).mkString(" "))
+      expr(rewriteAggFns(
+        coerceDateFns(coerceOperands(pr.tokens, df), df), df).mkString(" "))
         .as(hidden(i)) }
     val hid = "__graft_having"
     val withHaving = s.having match {
@@ -2944,7 +3208,8 @@ object GraftSql {
     }
 
     val outerTokens: Seq[Vector[String]] = s.projs.map { pr =>
-      val pt = rewriteAggFns(coerceDateFns(pr.tokens, base), base)
+      val pt = rewriteAggFns(
+        coerceDateFns(coerceOperands(pr.tokens, base), base), base)
       pr.over match {
         case Some(ref) =>
           // the aggregate's argument may itself nest a window call
@@ -3096,7 +3361,8 @@ object GraftSql {
         val fl = fnRaw.toLowerCase
         def ty(t: String) = resolveTypeCached(base, t)
         def rejectValue(t: String): Unit = ty(t) match {
-          case Some(v @ (StringType | DateType | BooleanType)) =>
+          case Some(v @ (StringType | DateType | BooleanType |
+              TimestampType)) =>
             throw new IllegalArgumentException(
               s"illegal value type $v for '$fl'")
           case _ => ()
@@ -3115,6 +3381,12 @@ object GraftSql {
             case Some(v @ (StringType | DateType)) =>
               throw new IllegalArgumentException(
                 s"illegal value type $v for '$fl'")
+            // avg over TIMESTAMP is a type error in the reference
+            // (test_udaf_function.yaml id 8); sum(ts) never reaches
+            // here raw — rewriteAggFns wraps it in unix_millis
+            case Some(TimestampType) if fl == "avg" =>
+              throw new IllegalArgumentException(
+                s"illegal value type timestamp for '$fl'")
             case _ => ()
           })
         else if (fl.endsWith("_cate") && as0.length == 2) {

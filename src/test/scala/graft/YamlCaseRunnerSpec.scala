@@ -102,13 +102,6 @@ class YamlCaseRunnerSpec extends SparkSpec {
     "lastjoin_simple:4-2" -> perfSensitive,
     "lastjoin_simple:4-3" -> perfSensitive,
     "lastjoin_simple:4-4" -> perfSensitive,
-    "test_type:19" -> ("string(timestamp) formats the GMT+8 wall clock " +
-      "but timestamp is int64 ms in this engine (SURVEY §1.2) — " +
-      "string(bigint) prints digits; indistinguishable"),
-    "udf_query:array_combine_2" -> ("combines array<timestamp> elements " +
-      "by their wall-clock rendering; timestamp is int64 ms in this " +
-      "engine (SURVEY §1.2) so the element renders as digits — " +
-      "same string(timestamp) ambiguity as test_type:19"),
     "lastjoin_complex:6-1[0]" -> ("expect-error only in the reference " +
       "NATIVE engine (window features in both LAST JOIN subqueries, " +
       "mode offline-unsupport); this engine plans the shape fine — " +
@@ -122,67 +115,6 @@ class YamlCaseRunnerSpec extends SparkSpec {
       "two windowed subqueries picks rows by native storage iteration " +
       "order, which this engine does not model"))
 
-  /** Known model deviation: this engine stores TIMESTAMP as int64 ms
-    * (SURVEY §1.2), so an expect-error case whose illegality hinges on
-    * distinguishing TIMESTAMP from BIGINT analyzes as legal bigint
-    * arithmetic/comparison here and returns rows instead of failing. */
-  private val tsAmbiguous = "timestamp is int64 ms in this engine: " +
-    "illegal-timestamp-operand case analyzes as legal bigint op"
-
-  private def variantDims(c: SqlCase): Seq[Int] =
-    "\\[([0-9, ]+)\\]$".r.findFirstMatchIn(c.key)
-      .map(_.group(1).split(",").map(_.trim.toInt).toSeq).getOrElse(Nil)
-
-  private def modelSkip(c: SqlCase): Option[String] = {
-    val d = variantDims(c)
-    def at(k: Int): Int = d.lift(k).getOrElse(-1)
-    def is(tag: String, id: String) = c.key.startsWith(s"$tag:$id[")
-    val hit =
-      (is("test_predicate", "2") && at(2) == 0) ||          // cmp vs c7
-      (is("test_predicate", "4") && at(2) != 6) ||          // c7 vs non-date
-      (is("test_arithmetic", "9") && at(2) == 0) ||         // arith vs c7
-      (is("test_arithmetic", "11") && at(1) == 0 &&
-        at(2) != 0 && at(2) != 7) ||                        // c7 op non-str/date
-      (is("test_arithmetic", "16") && at(0) == 0) ||        // unary - c7
-      (is("test_arithmetic", "18") && at(2) == 3) ||        // DIV c7
-      (is("test_arithmetic", "19") && at(1) == 3 &&
-        Set(1, 2, 3, 6, 8)(at(2))) ||                       // c7 DIV numeric
-      (is("test_arithmetic", "12") && at(2) == 1) ||        // ts - ts
-      (is("test_arithmetic", "bitwise_operators_fail") &&
-        at(1) == 5) ||                                      // ts & int
-      (is("test_arithmetic", "bitwise_not_fail") && at(1) == 5) || // ~ts
-      c.key == "test_type:27" ||                            // date(bigint)
-      (is("test_calculate", "7") && at(1) == 1) ||          // mathfn(ts)
-      (is("test_calculate", "9") && at(1) == 1) ||          // 2-arg (ts)
-      c.key == "test_udaf_function:8" ||                    // avg(ts)
-      (is("test_udaf_function", "18") && at(1) == 0) ||     // *_where(ts)
-      (is("test_udaf_function", "26") && at(1) == 0) ||     // *_cate(ts,_)
-      (is("test_udaf_function", "33") && at(1) == 0) ||     // *_cate_where(ts)
-      (is("test_udaf_function", "40") && at(1) == 0) ||     // top_n(ts value)
-      (is("test_date", "1") && at(0) == 3)                  // date_format(bigint)
-    if (hit) Some(tsAmbiguous) else None
-  }
-
-  /** Cases whose expected output RENDERS a timestamp as its GMT+8 wall
-    * clock inside a string context (concat etc.) — int64-ms timestamps
-    * render as digits here (same model deviation as test_type:19). */
-  private def renderSkip(c: SqlCase): Option[String] = {
-    def is(tag: String, id: String) =
-      c.key == s"$tag:$id" || c.key.startsWith(s"$tag:$id[")
-    val d = variantDims(c)
-    def at(k: Int): Int = d.lift(k).getOrElse(-1)
-    if (is("test_string", "0") || is("test_string", "3") ||
-        // *_cate_where / top_n_* with a TIMESTAMP category key render
-        // the key as its wall clock ("2020-05-29 15:56:30":v)
-        (Seq("20", "21", "22", "23", "24", "27", "28", "29", "30", "31",
-          "34", "35", "36", "37", "38")
-          .exists(id => is("test_udaf_function", id)) && at(0) == 3))
-      Some("expected output renders timestamp columns as GMT+8 wall " +
-        "clock in a string context; timestamp is int64 ms in this " +
-        "engine (SURVEY §1.2) and renders as digits")
-    else None
-  }
-
   private def typOpt(t: String): Option[DataType] = t.toLowerCase match {
     case "int" | "int32"             => Some(IntegerType)
     case "smallint" | "int16"        => Some(ShortType)
@@ -190,7 +122,7 @@ class YamlCaseRunnerSpec extends SparkSpec {
     case "float"                     => Some(FloatType)
     case "double"                    => Some(DoubleType)
     case "string" | "varchar"        => Some(StringType)
-    case "timestamp"                 => Some(LongType) // int64 ms (SURVEY §1.2)
+    case "timestamp"                 => Some(TimestampType)
     case "date"                      => Some(DateType)
     case "bool" | "boolean"          => Some(BooleanType)
     case _                           => None
@@ -213,6 +145,12 @@ class YamlCaseRunnerSpec extends SparkSpec {
   private def tsToMs(s: String): Long =
     java.time.LocalDateTime.parse(s.replace(' ', 'T'))
       .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+
+  /** TIMESTAMP wall-clock literals are pinned to the reference's GMT+8
+    * (date_and_time_types.md:10-14). */
+  private def tsToMs8(s: String): Long =
+    java.time.LocalDateTime.parse(s.trim.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.ofHours(8)).toEpochMilli
 
   private def num(v: Any): Number = v match {
     case n: Number => n
@@ -239,6 +177,12 @@ class YamlCaseRunnerSpec extends SparkSpec {
       case BooleanType => v match {
         case b: Boolean => b
         case s: String  => s.toBoolean
+      }
+      case TimestampType => v match {
+        case n: Number => new java.sql.Timestamp(n.longValue)
+        case s: String if s.trim.forall(c => c.isDigit || c == '-') =>
+          new java.sql.Timestamp(s.trim.toLong)
+        case s: String => new java.sql.Timestamp(tsToMs8(s))
       }
     }
 
@@ -305,6 +249,8 @@ class YamlCaseRunnerSpec extends SparkSpec {
     case b: java.math.BigDecimal =>
       BigDecimal(b).setScale(4, BigDecimal.RoundingMode.HALF_UP)
     case n: Number           => BigDecimal(n.longValue).setScale(4)
+    case t: java.sql.Timestamp => BigDecimal(t.getTime).setScale(4)
+    case t: java.time.Instant  => BigDecimal(t.toEpochMilli).setScale(4)
     case d: java.sql.Date    => d.toString
     case other               => other
   }
@@ -368,6 +314,15 @@ class YamlCaseRunnerSpec extends SparkSpec {
       assert(out.columns.map(normName).toSeq ==
         wantCols.map(p => normName(p._1)).toSeq,
         s"columns: got ${out.columns.toSeq}, want ${wantCols.map(_._1).toSeq}")
+      // TIMESTAMP is a distinct native type, not an int64 view: a
+      // column declared timestamp must come back as TimestampType and
+      // a non-timestamp column must not
+      wantCols.map(_._2.toLowerCase).zip(out.schema.fields).foreach {
+        case (decl, f) =>
+          assert((decl == "timestamp") == (f.dataType == TimestampType),
+            s"type model: column ${f.name} declared $decl, " +
+              s"engine returned ${f.dataType}")
+      }
       val want = wantRows.map(_.zip(wantTypes).map { case (v, t) =>
         norm(coerce(v, t))
       })
@@ -400,8 +355,7 @@ class YamlCaseRunnerSpec extends SparkSpec {
     if (upstreamDisabled(c)) {
       // upstream marks these disabled; don't count them as coverage
     } else test(name) {
-      skip.get(c.key).orElse(modelSkip(c)).orElse(renderSkip(c))
-        .orElse(unsupportedType(c)) match {
+      skip.get(c.key).orElse(unsupportedType(c)) match {
         case Some(reason) => cancel(reason)
         case None         => run(c)
       }
