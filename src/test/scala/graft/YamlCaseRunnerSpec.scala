@@ -116,9 +116,9 @@ class YamlCaseRunnerSpec extends SparkSpec {
       "order, which this engine does not model"))
 
   private def typOpt(t: String): Option[DataType] = t.toLowerCase match {
-    case "int" | "int32"             => Some(IntegerType)
-    case "smallint" | "int16"        => Some(ShortType)
-    case "bigint" | "int64" | "long" => Some(LongType)
+    case "int" | "int32" | "i32"     => Some(IntegerType)
+    case "smallint" | "int16" | "i16" => Some(ShortType)
+    case "bigint" | "int64" | "i64" | "long" => Some(LongType)
     case "float"                     => Some(FloatType)
     case "double"                    => Some(DoubleType)
     case "string" | "varchar"        => Some(StringType)
