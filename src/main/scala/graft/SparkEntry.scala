@@ -969,13 +969,13 @@ object SparkEntry {
       GraftSql.statement(s,
         s"""SELECT r_regionkey, r_name FROM region INTO OUTFILE '$out'
            |OPTIONS (format='csv', mode='overwrite', delimiter=';',
-           |  header='true', null_value='NULL')""".stripMargin)
+           |  header=true, null_value='NULL')""".stripMargin)
       GraftSql.statement(s, "DROP TABLE IF EXISTS t_graft_loaded")
       GraftSql.statement(s,
         "CREATE TABLE t_graft_loaded (r_regionkey bigint, r_name string)")
       GraftSql.statement(s,
         s"""LOAD DATA INFILE '$out' INTO TABLE t_graft_loaded
-           |OPTIONS (format='csv', delimiter=';', header='true',
+           |OPTIONS (format='csv', delimiter=';', header=true,
            |  null_value='NULL')""".stripMargin)
       GraftSql.sql(s,
         """SELECT r_name, max(r_regionkey) AS max_key

@@ -10,7 +10,9 @@ import scala.jdk.CollectionConverters._
 case class CaseInput(name: Option[String], columns: Seq[String],
     rows: Seq[Seq[Any]], repeat: Int,
     indexs: Seq[String] = Seq.empty,
-    db: Option[String] = None)
+    db: Option[String] = None,
+    create: Option[String] = None,
+    insert: Option[String] = None)
 
 /** Expected result: `success = false` marks a must-fail case. */
 case class CaseExpect(success: Boolean, order: Option[String],
@@ -25,7 +27,10 @@ case class SqlCase(file: String, id: String, desc: String,
     inputs: Seq[CaseInput], sql: String, expect: CaseExpect,
     mode: Set[String], tags: Seq[String], variant: String,
     parameters: Option[CaseInput] = None,
-    db: Option[String] = None) {
+    db: Option[String] = None,
+    sqls: Seq[String] = Seq.empty,
+    batchRequest: Option[CaseInput] = None,
+    longWindow: Option[String] = None) {
   def key: String = s"$file:$id$variant"
 }
 
@@ -104,8 +109,11 @@ object CaseLoader {
       rows = rowData,
       repeat = opt(n.get("repeat")).map(_.asInt()).getOrElse(1),
       indexs = strs(n.get("indexs")) ++
-        opt(n.get("index")).filter(_.isTextual).map(_.asText()).toSeq,
-      db = opt(n.get("db")).map(_.asText()))
+        opt(n.get("index")).filter(_.isTextual).map(_.asText()).toSeq ++
+        strs(n.get("index")),
+      db = opt(n.get("db")).map(_.asText()),
+      create = opt(n.get("create")).map(_.asText()),
+      insert = opt(n.get("insert")).map(_.asText()))
   }
 
   private def parseExpect(n: JsonNode): CaseExpect =
@@ -141,10 +149,12 @@ object CaseLoader {
       val id = opt(c.get("id")).map(_.asText()).getOrElse("?")
       val desc = opt(c.get("desc")).map(_.asText()).getOrElse("")
       val sqlNode = c.get("sql")
+      val sqlsList = opt(c.get("sqls")).map(strs).getOrElse(Seq.empty)
       val unsupported =
-        sqlNode == null || sqlNode.isNull ||
-          // tables populated via INSERT statements (udf_query.yaml id
-          // 18, map-typed) are out of the loader's scope
+        ((sqlNode == null || sqlNode.isNull) && sqlsList.isEmpty) ||
+          // tables populated via INSERT statement LISTS (udf_query.yaml
+          // id 18, map-typed) are out of the loader's scope; singular
+          // create/insert inputs are supported
           opt(c.get("inputs")).exists(_.elements.asScala.exists(i =>
             opt(i.get("inserts")).isDefined))
       if (unsupported) Seq.empty
@@ -153,7 +163,10 @@ object CaseLoader {
           .map(_.elements.asScala.toSeq.map(parseInput(_, baseDir)))
           .getOrElse(Seq.empty)
         val parameters = opt(c.get("parameters")).map(parseInput(_, baseDir))
-        val baseSql = sqlNode.asText().trim.stripSuffix(";")
+        val batchRequest = opt(c.get("batch_request"))
+          .map(parseInput(_, baseDir))
+        val baseSql = opt(sqlNode).map(_.asText().trim.stripSuffix(";"))
+          .getOrElse("")
         val baseExpect = parseExpect(c.get("expect"))
         val mode = opt(c.get("mode")).map(_.asText())
           .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty)
@@ -162,25 +175,30 @@ object CaseLoader {
           .map(_.elements.asScala.toSeq.map(strs)).getOrElse(Seq.empty)
         val expectProvider = opt(c.get("expectProvider"))
 
-        def mk(sql: String, expect: CaseExpect, variant: String) =
+        def mk(sql: String, sqls: Seq[String], expect: CaseExpect,
+            variant: String) =
           SqlCase(fileTag, id, desc, inputs, sql, expect, mode, tags,
-            variant, parameters, opt(c.get("db")).map(_.asText()))
+            variant, parameters, opt(c.get("db")).map(_.asText()),
+            sqls, batchRequest,
+            opt(c.get("longWindow")).map(_.asText()))
 
-        if (providers.isEmpty) Seq(mk(baseSql, baseExpect, ""))
+        if (providers.isEmpty) Seq(mk(baseSql, sqlsList, baseExpect, ""))
         else {
           // cross-product of provider dimensions
           val combos = providers.foldLeft(Seq(Seq.empty[Int])) { (acc, dim) =>
             acc.flatMap(prefix => dim.indices.map(prefix :+ _))
           }
           combos.map { combo =>
-            val sql = combo.zipWithIndex.foldLeft(baseSql) {
-              case (s, (choice, dim)) =>
-                s.replace(s"d[$dim]", providers(dim)(choice))
-            }
+            def substD(s0: String): String =
+              combo.zipWithIndex.foldLeft(s0) {
+                case (s, (choice, dim)) =>
+                  s.replace(s"d[$dim]", providers(dim)(choice))
+              }
             val expect = expectProvider.flatMap(ep =>
               opt(ep.get(combo.head.toString))).map(mergeExpect(baseExpect, _))
               .getOrElse(baseExpect)
-            mk(sql, expect, combo.mkString("[", ",", "]"))
+            mk(substD(baseSql), sqlsList.map(substD), expect,
+              combo.mkString("[", ",", "]"))
           }
         }
       }

@@ -82,13 +82,15 @@ object GraftScalars {
   /** split(str, delim) → array<string>; null input → empty handled by
     * caller (the reference returns an empty list). */
   def fz_split(s: Column, delim: String): Column =
-    when(s.isNull, array().cast("array<string>"))
+    if (delim == null || delim.isEmpty) array().cast("array<string>")
+    else when(s.isNull, array().cast("array<string>"))
       .otherwise(split(s, delimRegex(delim), -1))
 
   /** split_by_key("k1:v1,k2:v2", ",", ":") → keys of parts containing
     * the kv delimiter (feature_zero_def.cc:229-272). */
   def fz_split_by_key(s: Column, delim: String, kvDelim: String): Column =
-    when(s.isNull, array().cast("array<string>"))
+    if (delim == null || delim.isEmpty) array().cast("array<string>")
+    else when(s.isNull, array().cast("array<string>"))
       .otherwise(transform(
         filter(split(s, delimRegex(delim), -1),
           p => size(split(p, delimRegex(kvDelim), -1)) >= 2),
@@ -97,7 +99,8 @@ object GraftScalars {
   /** split_by_value: the segment between the first and second kv
     * delimiter of each part (feature_zero_def.cc:282-340). */
   def fz_split_by_value(s: Column, delim: String, kvDelim: String): Column =
-    when(s.isNull, array().cast("array<string>"))
+    if (delim == null || delim.isEmpty) array().cast("array<string>")
+    else when(s.isNull, array().cast("array<string>"))
       .otherwise(transform(
         filter(split(s, delimRegex(delim), -1),
           p => size(split(p, delimRegex(kvDelim), -1)) >= 2),
@@ -221,15 +224,20 @@ object GraftScalars {
     // feature-zero string family as SQL names (Scala impls mirror the
     // Column-level codegen'd versions; SQL registration is convenience)
     def splitList(s: String, d: String): Array[String] =
-      if (s == null) Array.empty
+      // NULL input and an EMPTY separator both yield an empty list
+      // (feature_zero_def.cc split; test_feature_zero_function.yaml
+      // ids 5/6)
+      if (s == null || d == null || d.isEmpty) Array.empty
       else s.split(java.util.regex.Pattern.quote(d), -1)
     spark.udf.register("fz_split", (s: String, d: String) => splitList(s, d))
-    spark.udf.register("fz_split_by_key", (s: String, d: String, kv: String) =>
-      splitList(s, d).filter(_.split(java.util.regex.Pattern.quote(kv), -1).length >= 2)
-        .map(_.split(java.util.regex.Pattern.quote(kv), -1)(0)))
-    spark.udf.register("fz_split_by_value", (s: String, d: String, kv: String) =>
-      splitList(s, d).filter(_.split(java.util.regex.Pattern.quote(kv), -1).length >= 2)
-        .map(_.split(java.util.regex.Pattern.quote(kv), -1)(1)))
+    def kvParts(s: String, d: String, kv: String): Array[Array[String]] =
+      if (kv == null || kv.isEmpty) Array.empty
+      else splitList(s, d).map(_.split(java.util.regex.Pattern.quote(kv), -1))
+        .filter(_.length >= 2)
+    spark.udf.register("fz_split_by_key",
+      (s: String, d: String, kv: String) => kvParts(s, d, kv).map(_(0)))
+    spark.udf.register("fz_split_by_value",
+      (s: String, d: String, kv: String) => kvParts(s, d, kv).map(_(1)))
     spark.udf.register("fz_join", (a: Seq[String], d: String) =>
       if (a == null) "" else a.mkString(d))
     spark.udf.register("list_except_by_key", (a: Seq[String], ex: String) => {

@@ -175,10 +175,13 @@ object WindowOps {
       f(v).over(Window.partitionBy(partition: _*).orderBy(tsMs.asc)
         .rangeBetween(lo, hi))
     if (precedingMs < hiMs) {
-      // degenerate span (e.g. OPEN 0 PRECEDING): empty frame always
+      // degenerate span (e.g. OPEN 0 PRECEDING): empty frame always.
+      // The never-true aggregate must still sit inside a window spec —
+      // Spark rejects a bare aggregate in a projection.
       val empty = fn match {
         case "count" => lit(0L)
-        case _       => when(lit(false), sum(v))
+        case _       => when(lit(false),
+          sum(v).over(Window.partitionBy(partition: _*)))
       }
       return (Seq.empty, empty)
     }
@@ -197,9 +200,13 @@ object WindowOps {
       .orderBy(uid.asc).rowsBetween(Window.unboundedPreceding, 0)
     val sumName = s"__graft_rts_$id"
     val cntName = s"__graft_rtc_$id"
-    val prep = Seq(
-      sumName -> sum(v).over(wTie),
-      cntName -> count(v).over(wTie))
+    // count never sums the raw value — it may be a date/bool
+    // (test_count_where.yaml id 0 count_where over c8)
+    val prep =
+      if (fn == "count") Seq(cntName -> count(v).over(wTie))
+      else Seq(
+        sumName -> sum(v).over(wTie),
+        cntName -> count(v).over(wTie))
     // frames [lo, −1]: with lo = CURRENT ROW (preceding = 0) the
     // before-frame is empty by construction — skip it entirely
     val hasBefore = precedingMs > 0 || precedingMs >= UnboundedMs
@@ -358,8 +365,13 @@ object WindowOps {
       struct((size(filter(vals, y => y === d)) * -1).as("negc"),
         d.as("k")))
     val keys = slice(transform(array_sort(entries), e => e("k")), 1, n)
-    array_join(concat(keys,
-      array_repeat(lit("NULL"), greatest(lit(n) - size(keys), lit(0)))), ",")
+    // an EMPTY element stream (e.g. topn over a window_split with no
+    // tokens) renders "", not NULL padding — only present-but-null
+    // elements pad (test_feature_zero_function.yaml id 4 row 4)
+    when(size(arr) === 0, lit("")).otherwise(
+      array_join(concat(keys,
+        array_repeat(lit("NULL"), greatest(lit(n) - size(keys), lit(0)))),
+        ","))
   }
 
   /** lag/at over the frame buffer: offset n from the newest row

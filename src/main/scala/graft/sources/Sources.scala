@@ -16,17 +16,50 @@ import org.apache.spark.sql.types.StructType
   */
 object Sources {
 
-  /** delimiter/header/quote/null_value → Spark reader/writer options. */
-  private def mapOptions(options: Map[String, String]): Map[String, String] =
-    options.flatMap {
-      case ("delimiter", v)  => Seq("sep" -> v)
-      case ("header", v)     => Seq("header" -> v)
-      case ("quote", v)      => Seq("quote" -> v)
-      case ("null_value", v) => Seq("nullValue" -> v)
+  /** The reference validates option keys and boolean/mode values and
+    * errors on anything unknown (test_out_in.yaml ids 12/13/38).
+    * Values arrive with their SQL quoting intact: boolean options given
+    * a quoted string are type errors (header='true', id 13). */
+  private val knownKeys = Set("delimiter", "header", "quote", "null_value",
+    "format", "mode", "deep_copy", "load_mode", "thread", "coalesce",
+    "writer_type")
+  private def quoted(v: String): Boolean =
+    v.length >= 2 && (v.head == '\'' || v.head == '"')
+  private def strip(v: String): String = if (quoted(v)) v.tail.init else v
+  private def validate(options: Map[String, String]): Unit = {
+    options.keys.find(!knownKeys(_)).foreach(k =>
+      throw new IllegalArgumentException(s"unknown option '$k'"))
+    Seq("header", "deep_copy").foreach(k => options.get(k).foreach { v =>
+      if (quoted(v) || !Set("true", "false")(v.toLowerCase))
+        throw new IllegalArgumentException(s"invalid $k value $v (bool)")
+    })
+    options.get("mode").map(strip).foreach { v =>
+      if (!Set("error_if_exists", "errorifexists", "overwrite", "append")(
+          v.toLowerCase))
+        throw new IllegalArgumentException(s"invalid mode value '$v'")
+    }
+  }
+
+  /** delimiter/header/quote/null_value → Spark reader/writer options.
+    * The reference's CSV is UNQUOTED by default (SELECT_INTO quote
+    * defaults to none) — so a delimiter occurring in the data breaks
+    * the roundtrip, exactly like the reference (test_out_in.yaml id
+    * 34); pass quote explicitly to enable quoting. */
+  private def mapOptions(options: Map[String, String]): Map[String, String] = {
+    val mapped = options.flatMap {
+      case ("delimiter", v)  => Seq("sep" -> strip(v))
+      case ("header", v)     => Seq("header" -> strip(v))
+      case ("quote", v)      => Seq("quote" -> strip(v))
+      case ("null_value", v) => Seq("nullValue" -> strip(v))
       case ("format", _)     => Nil // handled by caller
       case ("mode", _)       => Nil
-      case (k, v)            => Seq(k -> v)
+      case ("deep_copy", _) | ("load_mode", _) | ("thread", _) |
+           ("coalesce", _) | ("writer_type", _) => Nil
+      case (k, v)            => Seq(k -> strip(v))
     }
+    if (mapped.contains("quote")) mapped
+    else mapped + ("quote" -> "\u0000")
+  }
 
   /** LOAD DATA INFILE: read csv/parquet with dialect options; an
     * explicit schema skips inference (the reference validates against
@@ -34,26 +67,79 @@ object Sources {
   def loadData(spark: SparkSession, path: String,
       options: Map[String, String] = Map.empty,
       schema: Option[StructType] = None): DataFrame = {
-    val fmt = options.getOrElse("format", "csv")
-    var r = spark.read.format(fmt).options(mapOptions(options))
-    if (fmt == "csv" && !options.contains("header")) r = r.option("header", "true")
-    schema.foreach(s => r = r.schema(s))
-    if (schema.isEmpty && fmt == "csv") r = r.option("inferSchema", "true")
-    r.load(path)
+    validate(options)
+    val fmt = strip(options.getOrElse("format", "csv"))
+    schema match {
+      case Some(s) if fmt == "csv" =>
+        // strict load against the declared table schema. An appended
+        // directory may mix header-ful and headerless part files
+        // (test_out_in.yaml ids 9/10), so read as text, require the
+        // header row somewhere when header=true (id 24), drop every
+        // header occurrence, and FAILFAST-parse the rest (ids 22/25).
+        val delim = strip(options.getOrElse("delimiter", ","))
+        val header =
+          options.get("header").forall(_.equalsIgnoreCase("true"))
+        val lines = spark.read.textFile(path)
+        val headerLine = s.fieldNames.mkString(delim)
+        if (header && lines.filter(_ == headerLine).isEmpty)
+          throw new IllegalArgumentException(
+            "header=true but no header row matches the table columns")
+        val data = if (header) lines.filter(_ != headerLine) else lines
+        val df = spark.read
+          .options(mapOptions(options) - "header")
+          .schema(s).option("mode", "FAILFAST")
+          .csv(data)
+        // FAILFAST surfaces on the first action — force it here so
+        // LOAD DATA itself reports the error, not a later query
+        df.foreach(_ => ())
+        df
+      case _ =>
+        var r = spark.read.format(fmt).options(mapOptions(options))
+        if (fmt == "csv" && !options.contains("header"))
+          r = r.option("header", "true")
+        schema.foreach(s => r = r.schema(s))
+        if (schema.isEmpty && fmt == "csv") r = r.option("inferSchema", "true")
+        r.load(path)
+    }
   }
 
   /** SELECT INTO OUTFILE: write csv/parquet; mode ∈
-    * error_if_exists|overwrite|append (SELECT_INTO_STATEMENT.md). */
+    * error_if_exists|overwrite|append (SELECT_INTO_STATEMENT.md).
+    * The reference's CSV default is UNQUOTED (quote = none), so the
+    * csv path renders lines manually — a delimiter inside the data
+    * corrupts the file exactly like the reference (test_out_in.yaml
+    * id 34). An explicit quote option restores Spark's quoted writer. */
   def selectInto(df: DataFrame, path: String,
       options: Map[String, String] = Map.empty): Unit = {
-    val fmt = options.getOrElse("format", "csv")
-    val mode = options.getOrElse("mode", "error_if_exists") match {
+    import org.apache.spark.sql.functions._
+    validate(options)
+    val fmt = strip(options.getOrElse("format", "csv"))
+    val mode = strip(options.getOrElse("mode", "error_if_exists")) match {
       case "overwrite"       => "overwrite"
       case "append"          => "append"
       case _                 => "errorifexists"
     }
-    var w = df.write.format(fmt).mode(mode).options(mapOptions(options))
-    if (fmt == "csv" && !options.contains("header")) w = w.option("header", "true")
-    w.save(path)
+    val explicitQuote = options.get("quote").map(strip).exists(_.nonEmpty)
+    if (fmt == "csv" && !explicitQuote) {
+      val delim = strip(options.getOrElse("delimiter", ","))
+      val nullV = strip(options.getOrElse("null_value", ""))
+      val header = options.get("header").map(strip).forall(_.toBoolean)
+      val spark = df.sparkSession
+      import spark.implicits._
+      val rendered = df.schema.fields.map(f =>
+        coalesce(col(f.name).cast("string"), lit(nullV)))
+      val lines = df.select(concat_ws(delim, rendered: _*).as("value"))
+      val withHeader =
+        if (header)
+          Seq(df.schema.fieldNames.mkString(delim)).toDF("value")
+            .union(lines)
+        else lines
+      withHeader.write.mode(mode).text(path)
+    } else {
+      var w = df.write.format(fmt).mode(mode).options(mapOptions(options))
+      if (fmt == "csv" && !options.contains("header"))
+        w = w.option("header", "true")
+      w.save(path)
+    }
   }
 }

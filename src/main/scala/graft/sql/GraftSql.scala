@@ -647,10 +647,19 @@ object GraftSql {
         tables + (RequestRowsTable -> req))
     }
     val history = resolveRef(spark, sel.fromTable, tables)
-    // union with provenance flag; the request row is the only primary
-    val flagged = requests.withColumn(RequestFlagCol, lit(true))
-      .unionByName(history.withColumn(RequestFlagCol, lit(false)),
+    // union with provenance flag; the request row is the only primary.
+    // History goes FIRST so its uids are lower: a request row whose ts
+    // ties stored rows must still see them at-or-before itself
+    // (test_batch_request.yaml id 8 "current time == history time")
+    val flagged0 = history.withColumn(RequestFlagCol, lit(false))
+      .unionByName(requests.withColumn(RequestFlagCol, lit(true)),
         allowMissingColumns = true)
+    // keep the FROM table's name resolvable as a qualifier — the query
+    // text may reference `t0.c7` (test_batch_request.yaml)
+    val fromName0 = sel.fromTable.left.toOption.getOrElse("")
+    val flagged =
+      if (fromName0.nonEmpty && sel.fromAlias.isEmpty) flagged0.alias(fromName0)
+      else flagged0
     val sel2 = sel.copy(fromTable = Left(RequestUnionTable))
     planSelect(spark, sel2, tables + (RequestUnionTable -> flagged),
       requestMode = true)
@@ -737,7 +746,10 @@ object GraftSql {
   private def stripQuotes(t: String): String =
     if (t.length >= 2 && (t.head == '\'' || t.head == '"')) t.tail.init else t
 
-  /** OPTIONS ( k = v, ... ) → string map (lowercased keys). */
+  /** OPTIONS ( k = v, ... ) → string map (lowercased keys). Values
+    * keep their quoting so consumers can type-check (the reference
+    * rejects header='true' — a bool option given a string,
+    * test_out_in.yaml id 13); use [[stripQuotes]] on consumption. */
   private def parseOptions(p: Parser): Map[String, String] =
     if (!p.accept("OPTIONS")) Map.empty
     else {
@@ -747,7 +759,7 @@ object GraftSql {
       while (more) {
         val k = p.next().toLowerCase
         p.expect("=")
-        out += (k -> stripQuotes(p.next()))
+        out += (k -> p.next())
         more = p.accept(",")
       }
       p.expect(")")
@@ -762,13 +774,22 @@ object GraftSql {
     val t = p.next()
     if (t.equalsIgnoreCase("NULL")) null
     else {
-      val raw = stripQuotes(t)
+      val raw0 = stripQuotes(t)
+      // INSERT literals may carry the reference's bigint suffix
+      // (`1590738989000L`, test_insert.yaml id 1)
+      val raw =
+        if (raw0.length > 1 && (raw0.last == 'L' || raw0.last == 'l') &&
+            raw0.init.forall(c => c.isDigit || c == '-')) raw0.init
+        else raw0
+      // parse with the sign attached: -2147483648 is a legal INT but
+      // +2147483648 is not (test_create.yaml id 48)
+      val signed = (if (neg) "-" else "") + raw
       val v: Any = dt match {
-        case IntegerType => raw.toInt
-        case ShortType   => raw.toShort
-        case LongType    => raw.toLong
-        case FloatType   => raw.toFloat
-        case DoubleType  => raw.toDouble
+        case IntegerType => signed.toInt
+        case ShortType   => signed.toShort
+        case LongType    => signed.toLong
+        case FloatType   => signed.toFloat
+        case DoubleType  => signed.toDouble
         case BooleanType => raw.toBoolean
         case DateType    => java.sql.Date.valueOf(raw)
         case TimestampType =>
@@ -780,15 +801,7 @@ object GraftSql {
               s"cannot parse timestamp literal '$raw'")))
         case _           => raw
       }
-      (neg, v) match {
-        case (false, x)         => x
-        case (true, x: Int)     => -x
-        case (true, x: Short)   => (-x).toShort
-        case (true, x: Long)    => -x
-        case (true, x: Float)   => -x
-        case (true, x: Double)  => -x
-        case (true, x)          => x
-      }
+      v // numeric literals already carry their sign
     }
   }
 
@@ -827,6 +840,14 @@ object GraftSql {
             Some(names.sorted.toDF("Tables"))
           case "DEPLOYMENTS" =>
             Some(deployed(spark).keys.toSeq.sorted.toDF("Deployment"))
+          case "DEPLOYMENT" =>
+            // SHOW DEPLOYMENT <name>: the deployment's SQL text
+            // (deployment_manage/SHOW_DEPLOYMENT.md)
+            val dn = p.next()
+            val sqlText = deployed(spark).getOrElse(dn,
+              throw new IllegalArgumentException(
+                s"deployment '$dn' does not exist"))
+            Some(Seq((dn, sqlText)).toDF("Deployment", "SQL"))
           case other => throw new IllegalArgumentException(
             s"unsupported SHOW $other")
         }
@@ -847,19 +868,61 @@ object GraftSql {
 
       case "CREATE" =>
         p.expect("CREATE"); p.expect("TABLE")
-        if (p.accept("IF")) { p.expect("NOT"); p.expect("EXISTS") }
-        val name = qualifyTable(spark, readTableName(p))
+        val ifNotExists =
+          if (p.accept("IF")) { p.expect("NOT"); p.expect("EXISTS"); true }
+          else false
+        val rawName = readTableName(p)
+        // reserved keywords cannot name a table (test_create.yaml 6-1;
+        // the reference's zetasql reserves ORDER but not TABLE)
+        if (Set("order", "select", "from", "where", "group", "having",
+            "window", "join", "union", "limit", "between", "case",
+            "create", "insert", "delete", "index")(rawName.toLowerCase))
+          throw new IllegalArgumentException(
+            s"reserved keyword '$rawName' cannot name a table")
+        val name = qualifyTable(spark, rawName)
+        // creating an existing table is an error (test_create.yaml 26)
+        if (spark.catalog.tableExists(name)) {
+          if (ifNotExists) return None
+          throw new IllegalArgumentException(
+            s"table '$rawName' already exists")
+        }
         p.expect("(")
         val fields = Seq.newBuilder[org.apache.spark.sql.types.StructField]
+        // INDEX(KEY=..., TS=..., TTL=..., TTL_TYPE=...) — storage
+        // hints; scan/partition planning is Spark's job here, but the
+        // SPEC still validates (test_create.yaml ids 11/12/15-18)
+        val indexSpecs =
+          Seq.newBuilder[(Seq[String], Option[String])]
         var more = true
         while (more && p.peek != ")") {
           if (p.peekUp == "INDEX") {
-            // INDEX(KEY=..., TS=..., TTL=..., TTL_TYPE=...) — storage
-            // hints; scan/partition planning is Spark's job here
             p.next(); val close = matchClose(p.toks, p.p)
+            val body = p.toks.slice(p.p + 1, close)
             p.p = close + 1
+            var keys = Seq.empty[String]; var tsCol: Option[String] = None
+            var k = 0
+            while (k < body.length) {
+              val low = body(k).toLowerCase
+              if (low == "key" && k + 1 < body.length && body(k + 1) == "=") {
+                if (body.lift(k + 2).contains("(")) {
+                  val kc = matchClose(body, k + 2)
+                  keys = body.slice(k + 3, kc).filter(_ != ",").toSeq
+                  k = kc + 1
+                } else { keys = Seq(body(k + 2)); k += 3 }
+              } else if (low == "ts" && k + 1 < body.length &&
+                  body(k + 1) == "=") {
+                tsCol = Some(body(k + 2)); k += 3
+              } else k += 1
+            }
+            indexSpecs += ((keys, tsCol))
           } else {
-            val cn = p.next(); val ct = p.next()
+            val cn = p.next()
+            if (Set("order", "select", "from", "where", "group", "having",
+                "window", "join", "union", "limit", "between", "case",
+                "create", "insert", "delete", "index")(cn.toLowerCase))
+              throw new IllegalArgumentException(
+                s"reserved keyword '$cn' cannot name a column")
+            val ct = p.next()
             fields += org.apache.spark.sql.types.StructField(cn, parseColType(ct))
             // skip NOT NULL / DEFAULT v to the next ',' or ')'
             while (p.peek != "," && p.peek != ")" && p.p < p.toks.length) p.next()
@@ -867,8 +930,40 @@ object GraftSql {
           more = p.accept(",")
         }
         p.expect(")")
-        graft.GraftCatalog.createTable(spark, name,
-          org.apache.spark.sql.types.StructType(fields.result()))
+        val schema = org.apache.spark.sql.types.StructType(fields.result())
+        indexSpecs.result().foreach { case (keys, tsCol) =>
+          keys.foreach { kc =>
+            val f = schema.fields.find(_.name.equalsIgnoreCase(kc))
+              .getOrElse(throw new IllegalArgumentException(
+                s"index key column '$kc' does not exist"))
+            // float/double keys are illegal (test_create.yaml 31/32)
+            f.dataType match {
+              case org.apache.spark.sql.types.FloatType |
+                   org.apache.spark.sql.types.DoubleType =>
+                throw new IllegalArgumentException(
+                  s"index key column '$kc' must not be float/double")
+              case _ => ()
+            }
+          }
+          tsCol.foreach { tc =>
+            val f = schema.fields.find(_.name.equalsIgnoreCase(tc))
+              .getOrElse(throw new IllegalArgumentException(
+                s"index ts column '$tc' does not exist"))
+            // ts must be a timestamp or bigint (CREATE_TABLE docs)
+            f.dataType match {
+              case org.apache.spark.sql.types.TimestampType |
+                   org.apache.spark.sql.types.LongType => ()
+              case other => throw new IllegalArgumentException(
+                s"index ts column '$tc' must be timestamp/bigint, " +
+                  s"got $other")
+            }
+          }
+        }
+        graft.GraftCatalog.createTable(spark, name, schema)
+        createdOf(spark) += name
+        registerTableIndexes(spark, None, name,
+          indexSpecs.result().map { case (ks, ts) =>
+            s"idx:${ks.mkString("|")}:${ts.getOrElse("")}" })
         None
 
       case "DROP" =>
@@ -904,15 +999,65 @@ object GraftSql {
             schema.fieldNames.map(f => byName.getOrElse(f, null)).toIndexedSeq: _*)
           more = p.accept(",")
         }
+        if (p.p != p.toks.length) p.fail("trailing tokens after INSERT")
         graft.GraftCatalog.insertValues(spark, name, rows.result())
         None
 
       case "DELETE" =>
         p.expect("DELETE"); p.expect("FROM")
-        val name = p.next()
+        val name = qualifyTable(spark, readTableName(p))
         p.expect("WHERE")
-        graft.GraftCatalog.delete(spark, name,
-          expr(p.toks.slice(p.p, p.toks.length).mkString(" ")))
+        val condToks = p.toks.slice(p.p, p.toks.length).toVector
+        indexesOf(spark).get(name.toLowerCase) match {
+          case Some(indexes) =>
+            // reference DELETE: an equality conjunction covering the
+            // key set of exactly one index; OR / inequalities /
+            // non-index columns are errors (test_delete.yaml ids
+            // 2/3/5/26/27). A NULL literal matches the null-key
+            // partition (id 7/30); a ts-typed key compares by its
+            // int64 ms value (id 14).
+            if (condToks.exists(_.equalsIgnoreCase("OR")))
+              throw new IllegalArgumentException(
+                "DELETE condition must be an AND of key equalities")
+            val parts = {
+              val out = Seq.newBuilder[Vector[String]]
+              var cur = Vector.newBuilder[String]
+              condToks.foreach { t =>
+                if (t.equalsIgnoreCase("AND")) {
+                  out += cur.result(); cur = Vector.newBuilder
+                } else cur += t
+              }
+              out += cur.result()
+              out.result()
+            }
+            val eqs: Seq[(String, String)] = parts.map {
+              case Vector(c, "=", v) => (c, v)
+              case Vector(c, "=", "-", v) => (c, s"-$v")
+              case other => throw new IllegalArgumentException(
+                "DELETE supports key-equality conjunctions only, got: " +
+                  other.mkString(" "))
+            }
+            val colSet = eqs.map(_._1.toLowerCase).toSet
+            if (!indexes.exists(_._1.map(_.toLowerCase).toSet == colSet))
+              throw new IllegalArgumentException(
+                s"DELETE condition columns ${colSet.mkString(",")} do " +
+                  "not match the key set of any index")
+            val schema = spark.table(name).schema
+            val cond = eqs.map { case (c, v) =>
+              val isTs = schema.fields
+                .find(_.name.equalsIgnoreCase(c))
+                .exists(_.dataType ==
+                  org.apache.spark.sql.types.TimestampType)
+              if (v.equalsIgnoreCase("null")) col(c).isNull
+              else if (isTs && v.forall(ch => ch.isDigit || ch == '-'))
+                unix_millis(col(c)) === v.toLong
+              else expr(s"$c = $v")
+            }.reduce(_ && _)
+            graft.GraftCatalog.delete(spark, name, cond)
+          case None =>
+            graft.GraftCatalog.delete(spark, name,
+              expr(condToks.mkString(" ")))
+        }
         None
 
       case "TRUNCATE" =>
@@ -924,16 +1069,20 @@ object GraftSql {
         p.expect("LOAD"); p.expect("DATA"); p.expect("INFILE")
         val path = stripQuotes(p.next())
         p.expect("INTO"); p.expect("TABLE")
-        val name = p.next()
+        val rawName = readTableName(p)
+        // loading into `db.t` registers the database too
+        // (test_out_in.yaml id 30)
+        if (rawName.contains('.')) dbsOf(spark) += rawName.split("\\.").head
+        val name = qualifyTable(spark, rawName)
         val opts = parseOptions(p)
-        val existing = spark.catalog.tableExists(name)
-        if (existing) {
-          val schema = spark.table(name).schema
-          graft.GraftCatalog.insertInto(spark, name,
-            graft.sources.Sources.loadData(spark, path, opts, Some(schema)))
-        } else
-          graft.sources.Sources.loadData(spark, path, opts)
-            .createOrReplaceTempView(name)
+        // the reference requires the target table to exist
+        // (test_out_in.yaml id 26; LOAD_DATA_STATEMENT.md)
+        if (!spark.catalog.tableExists(name))
+          throw new IllegalArgumentException(
+            s"LOAD DATA target table '$rawName' does not exist")
+        val schema = spark.table(name).schema
+        graft.GraftCatalog.insertInto(spark, name,
+          graft.sources.Sources.loadData(spark, path, opts, Some(schema)))
         None
 
       case "DEPLOY" =>
@@ -948,7 +1097,10 @@ object GraftSql {
         // the reference errors on duplicate deployment names
         // (deployment_manage/DEPLOY_STATEMENT.md); OPTIONS(overwrite=true)
         // opts into replacement
-        val overwrite = opts.get("overwrite").exists(_.equalsIgnoreCase("true"))
+        if (opts.contains("long_windows"))
+          validateLongWindowConditions(rest.mkString(" "))
+        val overwrite = opts.get("overwrite")
+          .map(stripQuotes).exists(_.equalsIgnoreCase("true"))
         val reg = deployed(spark)
         if (!overwrite && reg.contains(name))
           throw new IllegalArgumentException(
@@ -1009,6 +1161,122 @@ object GraftSql {
     else curDb(spark) match {
       case Some(db) => dbViewName(s"$db.$raw")
       case None     => raw
+    }
+
+  /** Register a db-scoped table so statement() can resolve `db.t`
+    * (test harness surface for the out_in corpus). */
+  def registerDbTable(spark: SparkSession, db: String, name: String,
+      df: DataFrame): Unit = {
+    dbsOf(spark) += db
+    df.createOrReplaceTempView(dbViewName(s"$db.$name"))
+  }
+
+  // table → index specs (key columns, ts column); DELETE validates its
+  // condition against these when present (DELETE_STATEMENT.md: the
+  // condition must be key equality over one index)
+  private val indexRegistryBySession =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, Seq[(Seq[String], Option[String])]]]()
+  private def indexesOf(spark: SparkSession)
+      : scala.collection.concurrent.TrieMap[String, Seq[(Seq[String], Option[String])]] =
+    indexRegistryBySession.synchronized {
+      var m = indexRegistryBySession.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap[String, Seq[(Seq[String], Option[String])]]()
+        indexRegistryBySession.put(spark, m)
+      }
+      m
+    }
+
+  /** Register index specs ("name:keys:ts[:bound:kind]" strings, keys
+    * `|`-separated) for DELETE-condition validation. */
+  def registerTableIndexes(spark: SparkSession, db: Option[String],
+      name: String, indexs: Seq[String]): Unit = {
+    val vn = db.map(d => dbViewName(s"$d.$name")).getOrElse(name)
+    val specs = indexs.map(_.split(":")).filter(_.length >= 2)
+      .map(p => (p(1).split("\\|").toSeq.map(_.trim), p.lift(2).map(_.trim)))
+    if (specs.nonEmpty) indexesOf(spark).put(vn.toLowerCase, specs)
+  }
+
+  /** Long-window pre-aggregation restricts *_where conditions to
+    * `<column> <op> <constant>` (either side order) — a bare bool
+    * column, AND-composed conditions, or column-vs-column compares
+    * cannot be pre-aggregated and the deploy compiler rejects them
+    * (docs/en/openmldb_sql/deployment_manage/DEPLOY_STATEMENT.md
+    * long_window options; test_count_where.yaml ids 10/17/18). */
+  def validateLongWindowConditions(text: String): Unit = {
+    val toks = tokenize(text)
+    def isIdentTok(t: String): Boolean =
+      t.headOption.exists(c => c.isLetter || c == '_')
+    def isLit(t: String): Boolean =
+      isNumericLit(t) || isQuoted(t) || t.equalsIgnoreCase("null")
+    var i = 0
+    while (i < toks.length) {
+      val low = toks(i).toLowerCase
+      if (low.endsWith("_where") && i + 1 < toks.length &&
+          toks(i + 1) == "(") {
+        val close = matchClose(toks, i + 1)
+        val args = splitTokenArgs(toks.slice(i + 2, close))
+        if (args.length == 2) {
+          val cond = args(1)
+          // allow a dotted column on the identifier side
+          def colAt(a: Vector[String]): Option[Int] =
+            if (a.length >= 1 && isIdentTok(a.head)) Some(
+              if (a.length >= 3 && a(1) == ".") 3 else 1)
+            else None
+          val ok = (for {
+            n <- colAt(cond)
+            if cond.length == n + 2 && cmpOpSet(cond(n)) && isLit(cond(n + 1))
+          } yield true).getOrElse {
+            // literal op column
+            cond.length >= 3 && isLit(cond.head) && cmpOpSet(cond(1)) &&
+              colAt(cond.drop(2)).contains(cond.length - 2)
+          }
+          if (!ok) throw new IllegalArgumentException(
+            s"long_window ${low}: condition must be " +
+              s"<column> <op> <constant>, got: ${cond.mkString(" ")}")
+        }
+        i = close + 1
+      } else i += 1
+    }
+  }
+
+  /** Drop all deployments of a session (test harness isolation —
+    * repeated `DEPLOY t0 ...` cases would otherwise collide on the
+    * duplicate-name check). */
+  def resetDeployments(spark: SparkSession): Unit =
+    deployed(spark).clear()
+
+  /** Full per-case catalog isolation for the test harness: clears
+    * deployments, databases, USE state, index specs, and db-scoped
+    * views — session state would otherwise leak between corpus cases
+    * (test_out_in.yaml id 6 expects `db1.t0` to be unknown). */
+  def resetCatalogState(spark: SparkSession): Unit = {
+    deployed(spark).clear()
+    dbsOf(spark).clear()
+    sessionCurDb.remove(spark)
+    indexesOf(spark).clear()
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("__graftdb__"))
+      .foreach(spark.catalog.dropTempView)
+    // tables created through CREATE TABLE this session — dropping only
+    // these leaves other suites' temp views alone
+    createdOf(spark).foreach(spark.catalog.dropTempView)
+    createdOf(spark).clear()
+  }
+
+  private val createdBySession =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Set[String]]()
+  private def createdOf(spark: SparkSession)
+      : scala.collection.mutable.Set[String] =
+    createdBySession.synchronized {
+      var s = createdBySession.get(spark)
+      if (s == null) {
+        s = scala.collection.mutable.Set[String]()
+        createdBySession.put(spark, s)
+      }
+      s
     }
 
   /** database names visible to a query (scope keys + session state) */
@@ -1347,7 +1615,9 @@ object GraftSql {
   /** window aggregates with no native Spark window function — they
     * always take the frame-array path */
   private val frameOnlyAggs = Set("distinct_count", "nth_value_where",
-    "top1_ratio", "topn_frequency", "median")
+    "top1_ratio", "topn_frequency", "median", "window_split",
+    "window_split_by_key", "window_split_by_value", "fz_window_split",
+    "fz_window_split_by_key", "fz_window_split_by_value")
 
   /** math functions whose operands must be numeric: bool coerces,
     * string/date reject (test_calculate.yaml) */
@@ -1974,8 +2244,12 @@ object GraftSql {
             // fz-family SQL spellings (`join`(list, sep) etc. —
             // test_udaf_function.yaml id 65)
             out += s"fz_$low"; out += "("; out ++= inner; out += ")"
-          } else if (low == "split_array") {
+          } else if (low == "split_array" ||
+              (low == "split" && splitTokenArgs(inner).length == 2)) {
             // literal-delimiter split → the registered fz_split UDF
+            // (the reference's split is a literal split returning an
+            // empty list for NULL input, not Spark's regex split —
+            // test_feature_zero_function.yaml id 6 size(split(null)))
             out += "fz_split"; out += "("; out ++= inner; out += ")"
           } else if (low == "array_join" &&
               splitTokenArgs(inner).length == 2) {
@@ -2855,6 +3129,29 @@ object GraftSql {
             Vector("THEN") ++ tsKeyRender(args(2)) ++
             Vector("END", ")"), df)
         i = close + 1
+      } else if (isCall && t == "topn_frequency" && {
+        val close = matchClose(toks, i + 1)
+        splitTokenArgs(toks.slice(i + 2, close)).headOption.exists(a =>
+          resolveTypeCached(df, a.mkString(" ")) match {
+            case Some(org.apache.spark.sql.types.FloatType |
+                org.apache.spark.sql.types.DoubleType) => true
+            case _ => false
+          })
+      }) {
+        // float/double keys render with C printf %f ("1.100000")
+        // in the reference's topn_frequency output
+        // (test_feature_zero_function.yaml id 4 r4/r5)
+        val close = matchClose(toks, i + 1)
+        val as = splitTokenArgs(rewriteAggFns(toks.slice(i + 2, close), df))
+        out += "topn_frequency"; out += "("
+        // NULL stays NULL — format_string would print "null"
+        out ++= Vector("CASE", "WHEN", "(") ++ as.head ++
+          Vector(")", "IS", "NULL", "THEN", "CAST", "(", "NULL", "AS",
+            "STRING", ")", "ELSE", "format_string", "(", "'%f'", ",") ++
+          as.head ++ Vector(")", "END")
+        as.tail.foreach { a => out += ","; out ++= a }
+        out += ")"
+        i = close + 1
       } else if (isCall && t == "sum" && {
         val close = matchClose(toks, i + 1)
         resolveTypeCached(df, toks.slice(i + 2, close).mkString(" "))
@@ -3019,9 +3316,21 @@ object GraftSql {
     if (w.isRows) base.rowsBetween(lo, hi) else base.rangeBetween(lo, hi)
   }
 
+  /** window_split family → the per-row scalar split UDF whose results
+    * concatenate across the frame (feature_zero_def.cc window_split;
+    * test_feature_zero_function.yaml). */
+  private[sql] val windowSplitFns: Map[String, String] = Map(
+    "window_split" -> "fz_split",
+    "window_split_by_key" -> "fz_split_by_key",
+    "window_split_by_value" -> "fz_split_by_value",
+    "fz_window_split" -> "fz_split",
+    "fz_window_split_by_key" -> "fz_split_by_key",
+    "fz_window_split_by_value" -> "fz_split_by_value")
+
   private[sql] val extAggs = Set("sum", "count", "avg", "min", "max",
     "distinct_count", "lag", "at", "first_value", "last_value",
-    "nth_value_where", "top1_ratio", "topn_frequency", "median")
+    "nth_value_where", "top1_ratio", "topn_frequency", "median") ++
+    windowSplitFns.keySet
 
   /** split an argument list at top-level commas */
   private[sql] def splitArgs(t: String): Seq[String] = {
@@ -3406,6 +3715,23 @@ object GraftSql {
         } else (fnRaw, argRaw)
       val fnText = s"$fn ( $argText )"
       val args = splitArgs(argText)
+      // window_split family: per-row split arrays concatenate across
+      // the frame; an aggregate may also consume the flattened tokens
+      // directly — distinct_count(window_split(c1, ",")),
+      // top1_ratio(window_split_by_value(...)) etc.
+      // (test_feature_zero_function.yaml)
+      val splitCallRe =
+        "^([A-Za-z_][A-Za-z0-9_]*)\\s*\\((.*)\\)\\s*$".r
+      def splitCallOf(t: String): Option[String] = t.trim match {
+        case splitCallRe(h, a) if windowSplitFns.contains(h.toLowerCase) =>
+          Some(s"${windowSplitFns(h.toLowerCase)} ( $a )")
+        case _ => None
+      }
+      val isSplitFn = windowSplitFns.contains(fn)
+      val splitV: Option[String] =
+        if (isSplitFn) splitCallOf(fnText)
+        else splitCallOf(argText)
+          .orElse(splitCallOf(args.headOption.getOrElse("")))
       // ANSI mode would throw on the overflow the reference wraps —
       // reduce into range with mod arithmetic before the final cast
       def wrapTo(c: Column, halfRange: Long, t: org.apache.spark.sql.types.DataType): Column = {
@@ -3469,8 +3795,13 @@ object GraftSql {
           val spec = Window.partitionBy(w.partition.map(expr): _*)
             .orderBy(ord, if (w.orderDesc) col(UidCol).desc else col(UidCol).asc)
           expr(text).over(spec)
+        } else if (fn == "fz_join" && splitV.isEmpty) {
+          // `join`(split(c1, d), sep) OVER w — the list is per-row, so
+          // the window is irrelevant: plain scalar evaluation
+          // (test_feature_zero_function.yaml id 5 r1-r3)
+          expr(fnText)
         } else if (plain && w.isRows && !windowBound &&
-            !frameOnlyAggs(fn)) {
+            !frameOnlyAggs(fn) && splitV.isEmpty) {
           // plain ROWS: native frame over (order, uid) — deterministic
           // at-or-before positions at native speed. distinct_count is
           // excluded: Spark has no DISTINCT window aggregate, so it
@@ -3485,7 +3816,8 @@ object GraftSql {
           // sort after the current one — the documented rowsRange tie
           // deviation (WindowOps.rowsRange scaladoc).
           expr(fnText).over(plainSpec(w, msBase = base))
-        } else if (plain && !w.isRows && !w.orderDesc && decomposable) {
+        } else if (plain && !w.isRows && !w.orderDesc && decomposable &&
+            splitV.isEmpty) {
           // plain ROWS_RANGE sum/count/avg: strict-tie prefix-sum
           // decomposition (reference holds at-or-before rows in ingestion
           // order, mem_catalog.h:344 — ANSI RANGE peers would overcount
@@ -3509,13 +3841,14 @@ object GraftSql {
           prepCols ++= prep
           agg
         } else {
-          if (!extAggs(fn))
+          if (!extAggs(fn) && fn != "fz_join")
             throw new IllegalArgumentException(
               s"unsupported aggregate '$fn' over an extended window")
           // nth_value_where(v, n, cond) frames carry (value, cond)
           // pairs (window_functions_def.cc NthValueWhere)
           val v =
-            if (fn == "nth_value_where")
+            if (splitV.isDefined) expr(splitV.get)
+            else if (fn == "nth_value_where")
               struct(expr(args(0)).as("value"), expr(args(2)).as("cond"))
             else if (argText == "*") lit(1L)
             else if (fn == "distinct_count" &&
@@ -3679,10 +4012,26 @@ object GraftSql {
               strictRowOrder = strict,
               hiPrecedingMs = hiMs,
               skipNewest = skipRows))
-          val arr = transform(col(arrName), x =>
+          val arr0 = transform(col(arrName), x =>
             struct(x("ts").as("ts"), x("uid").as("uid"),
               x("flag").as("flag"), x("v")(fld).as("v")))
+          // split-valued frames: flatten each row's token array into
+          // per-token pseudo-rows so the ordinary aggregate dispatch
+          // operates over the concatenated token stream
+          val arr = if (splitV.isDefined)
+            flatten(transform(arr0, x => transform(x("v"), e =>
+              struct(x("ts").as("ts"), x("uid").as("uid"),
+                x("flag").as("flag"), e.as("v")))))
+          else arr0
           fn match {
+            case f if windowSplitFns.contains(f) =>
+              // the window_split list itself
+              transform(arr, x => x("v"))
+            case "fz_join" =>
+              // join(window_split(...), sep): the frame's concatenated
+              // tokens joined (test_feature_zero_function.yaml ids 3/5)
+              array_join(transform(arr, x => x("v")),
+                unescapeSqlLiteral(stripQuotes(args(1).trim)))
             case "sum" if skipRows > 0 && !w.exclCR =>
               // reference quirk pinned by test_window.yaml id 31 vs
               // test_current_row.yaml ids 4/12: a ROWS frame with a

@@ -28,16 +28,33 @@ class RequestModeSourcesSpec extends SparkSpec {
   }
 
   test("selectInto/loadData csv round-trip preserves values and nulls") {
+    // explicit quote: a delimiter inside the data survives the trip
     val dir = java.nio.file.Files.createTempDirectory("graft_io_spec").toString + "/t"
     val src = Seq((1L, "alpha"), (2L, null.asInstanceOf[String]), (3L, "c;d"))
       .toDF("id", "s")
     Sources.selectInto(src, dir, Map("format" -> "csv", "mode" -> "overwrite",
-      "delimiter" -> ";", "null_value" -> "NULL"))
+      "delimiter" -> ";", "null_value" -> "NULL", "quote" -> "\""))
     val back = Sources.loadData(spark, dir,
-      Map("format" -> "csv", "delimiter" -> ";", "null_value" -> "NULL"),
+      Map("format" -> "csv", "delimiter" -> ";", "null_value" -> "NULL",
+        "quote" -> "\""),
       Some(src.schema))
     val out = back.orderBy("id").as[(Long, Option[String])].collect().toSeq
     assert(out == Seq((1L, Some("alpha")), (2L, None), (3L, Some("c;d"))))
+  }
+
+  test("default csv is UNQUOTED like the reference: delimiter in data fails") {
+    // reference SELECT INTO writes without quoting (quote default none)
+    // so a delimiter inside the data corrupts the roundtrip
+    // (test_out_in.yaml id 34)
+    val dir = java.nio.file.Files.createTempDirectory("graft_io_spec2").toString + "/t"
+    val src = Seq((1L, "a"), (2L, "c;d")).toDF("id", "s")
+    Sources.selectInto(src, dir, Map("format" -> "csv", "mode" -> "overwrite",
+      "delimiter" -> ";"))
+    intercept[Exception] {
+      Sources.loadData(spark, dir,
+        Map("format" -> "csv", "delimiter" -> ";"), Some(src.schema))
+        .collect()
+    }
   }
 
   test("multimodal decode stub produces fixed-size features per row") {

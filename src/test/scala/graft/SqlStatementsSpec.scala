@@ -48,11 +48,11 @@ class SqlStatementsSpec extends SparkSpec {
     Seq((1L, "x"), (2L, "y")).toDF("k", "s").createOrReplaceTempView("st_src")
     GraftSql.statement(spark,
       s"""SELECT k, s FROM st_src INTO OUTFILE '$dir/out'
-         |OPTIONS (format='csv', mode='overwrite', header='true')""".stripMargin)
+         |OPTIONS (format='csv', mode='overwrite', header=true)""".stripMargin)
     GraftSql.statement(spark, "DROP TABLE IF EXISTS st_loaded")
     GraftSql.statement(spark, "CREATE TABLE st_loaded (k bigint, s string)")
     GraftSql.statement(spark,
-      s"LOAD DATA INFILE '$dir/out' INTO TABLE st_loaded OPTIONS (format='csv', header='true')")
+      s"LOAD DATA INFILE '$dir/out' INTO TABLE st_loaded OPTIONS (format='csv', header=true)")
     val got = GraftSql.sql(spark, "SELECT k, s FROM st_loaded")
       .as[(Long, String)].collect().sorted.toSeq
     assert(got == Seq((1L, "x"), (2L, "y")))

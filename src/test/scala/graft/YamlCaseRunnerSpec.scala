@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.types._
-import graft.cases.{CaseLoader, SqlCase}
+import graft.cases.{CaseInput, CaseLoader, SqlCase}
 import graft.sql.GraftSql
 
 /** Runs the reference's YAML SQL-case corpus verbatim through GraftSql
@@ -25,6 +25,7 @@ class YamlCaseRunnerSpec extends SparkSpec {
     // the reference test harness registers `inc` as an external UDF
     // (udaf_query.yaml id 4 "a expr registered udf as parameter")
     spark.udf.register("inc", (x: Int) => x + 1)
+    new java.io.File("/tmp/graft_cases").mkdirs()
   }
 
   private val files = Seq(
@@ -87,7 +88,17 @@ class YamlCaseRunnerSpec extends SparkSpec {
     ("function/spark/test_credit.yaml", "spark_credit"),
     ("function/spark/test_jd.yaml", "spark_jd"),
     ("function/spark/test_news.yaml", "spark_news"),
-    ("function/spark/test_fqz_studio.yaml", "spark_fqz"))
+    ("function/spark/test_fqz_studio.yaml", "spark_fqz"),
+    ("function/dml/test_insert.yaml", "test_insert"),
+    ("function/dml/test_delete.yaml", "test_delete"),
+    ("function/dml/multi_insert.yaml", "multi_insert"),
+    ("function/out_in/test_out_in.yaml", "test_out_in"),
+    ("function/long_window/long_window.yaml", "long_window"),
+    ("function/long_window/test_count_where.yaml", "test_count_where"),
+    ("function/test_batch_request.yaml", "batch_request"),
+    ("function/test_feature_zero_function.yaml", "fz_function"),
+    ("function/test_fz_sql.yaml", "fz_sql_fn"),
+    ("function/ddl/test_create.yaml", "test_create"))
 
   /** Cases GraftSql cannot run yet, with the reason. Keyed by
     * SqlCase.key = "<fileTag>:<id><variant>". */
@@ -102,6 +113,17 @@ class YamlCaseRunnerSpec extends SparkSpec {
     "lastjoin_simple:4-2" -> perfSensitive,
     "lastjoin_simple:4-3" -> perfSensitive,
     "lastjoin_simple:4-4" -> perfSensitive,
+    "test_create:39" -> ("distribution/replicanum topology validation " +
+      "(replica endpoints vs cluster nodes) — online cluster " +
+      "deployment config with no Spark equivalent"),
+    "test_create:40" -> ("distribution/replicanum topology validation " +
+      "(replica endpoints vs cluster nodes) — online cluster " +
+      "deployment config with no Spark equivalent"),
+    "test_delete:17" -> ("per-index delete visibility: the reference " +
+      "removes entries from the MATCHING index only, so a row deleted " +
+      "via index1(c1) stays reachable through index2(c2) and the same " +
+      "query sees different rows per window access path — multi-index " +
+      "online storage semantics a snapshot-table engine does not model"),
     "lastjoin_complex:6-1[0]" -> ("expect-error only in the reference " +
       "NATIVE engine (window features in both LAST JOIN subqueries, " +
       "mode offline-unsupport); this engine plans the shape fine — " +
@@ -176,6 +198,7 @@ class YamlCaseRunnerSpec extends SparkSpec {
           java.time.format.DateTimeFormatter.ofPattern("y-M-d")))
       case BooleanType => v match {
         case b: Boolean => b
+        case n: Number  => n.longValue != 0 // bool written as 0/1
         case s: String  => s.toBoolean
       }
       case TimestampType => v match {
@@ -210,32 +233,99 @@ class YamlCaseRunnerSpec extends SparkSpec {
   /** Registers the case's tables; db-scoped inputs go into the
     * returned tables map under "db.name" keys (multiple_databases
     * corpus) instead of session temp views. */
-  private def register(c: SqlCase): (String, Map[String, DataFrame]) = {
-    var sql = c.sql
+  /** Build a DataFrame from a columns/rows input block. */
+  private def buildDf(in: CaseInput): DataFrame = {
+    val schema = StructType(in.columns.map { cdef =>
+      val parts = cdef.trim.split("[:\\s]+") // "c1 int" or "c1:int"
+      StructField(parts(0), typ(parts.last))
+    })
+    val data = Seq.fill(in.repeat)(in.rows).flatten.map(r =>
+      Row(r.zip(schema.fields).map { case (v, f) =>
+        coerce(v, f.dataType) match {
+          case s: String => unescapeIn(s)
+          case x         => x
+        }
+      }: _*))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data, math.max(1, math.min(4, data.size))),
+      schema)
+  }
+
+  /** Storage TTL: an index spec "name:keys:ts:<n>:latest" retains only
+    * the latest n rows per key (by ts desc, insertion desc). A row
+    * survives if ANY index retains it; an index without a latest bound
+    * retains everything. */
+  private def applyTtl(df: DataFrame, indexs: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val parsed = indexs.map(_.split(":").map(_.trim))
+    if (parsed.isEmpty) return df
+    // any index without a positive latest bound keeps all rows
+    if (parsed.exists(p => p.length < 5 || !p(4).equalsIgnoreCase("latest")
+        || p(3).toIntOption.forall(_ <= 0))) return df
+    val uid = "__ttl_uid"
+    val tagged = df.withColumn(uid, monotonically_increasing_id())
+    val kept = parsed.map { p =>
+      val keys = p(1).split("\\|").toSeq.map(_.trim)
+      val ts = p(2)
+      val n = p(3).toInt
+      val w = Window.partitionBy(keys.map(col): _*)
+        .orderBy(col(ts).desc, col(uid).desc)
+      tagged.withColumn("__ttl_rn", row_number().over(w))
+        .filter(col("__ttl_rn") <= n).select(col(uid))
+    }.reduce(_ union _).distinct()
+    tagged.join(kept, Seq(uid), "left_semi").drop(uid)
+  }
+
+  private def register(c: SqlCase): (String, Seq[String], Map[String, DataFrame]) = {
+    val names = c.inputs.zipWithIndex.map { case (in, k) =>
+      in.name.getOrElse(s"t$k") }
+    def subst(s0: String): String =
+      names.zipWithIndex.foldLeft(
+        // {auto}: a fresh table name (ddl/test_create.yaml)
+        s0.replace("{auto}",
+          "auto_" + c.key.replaceAll("[^A-Za-z0-9_]", "_"))) {
+        case (s, (n, j)) => s.replace(s"{$j}", n) }
     val scoped = Map.newBuilder[String, DataFrame]
     c.inputs.zipWithIndex.foreach { case (in, k) =>
-      val name = in.name.getOrElse(s"t$k")
-      val schema = StructType(in.columns.map { cdef =>
-        val parts = cdef.trim.split("[:\\s]+") // "c1 int" or "c1:int"
-        StructField(parts(0), typ(parts.last))
-      })
-      val data = Seq.fill(in.repeat)(in.rows).flatten.map(r =>
-        Row(r.zip(schema.fields).map { case (v, f) =>
-          coerce(v, f.dataType) match {
-            case s: String => unescapeIn(s)
-            case x         => x
-          }
-        }: _*))
-      val df = spark.createDataFrame(
-        spark.sparkContext.parallelize(data, math.max(1, math.min(4, data.size))),
-        schema)
-      in.db match {
-        case Some(db) => scoped += (s"$db.$name" -> df)
-        case None     => df.createOrReplaceTempView(name)
+      val name = names(k)
+      if (in.create.isDefined) {
+        // catalog-backed input: CREATE TABLE (+ optional INSERT)
+        // executed through the engine's own statement surface
+        // (dml corpus — test_insert.yaml id 1+)
+        GraftSql.statement(spark, subst(in.create.get))
+        in.insert.foreach(ins => GraftSql.statement(spark, subst(ins)))
+      } else if (in.columns.isEmpty) {
+        // name-only input: just binds {k} for the sql text
+        // (test_create.yaml id 6-2)
+      } else {
+        // multi-statement (online-mode) cases honor storage TTL: an
+        // index bounded `<n>:latest` keeps only the latest n rows per
+        // key (test_delete.yaml ids 24/25); batch-mode query cases
+        // read full snapshots like the reference's offline engine
+        val df0 = buildDf(in)
+        val df = if (c.sqls.nonEmpty) applyTtl(df0, in.indexs) else df0
+        in.db match {
+          case Some(db) =>
+            scoped += (s"$db.$name" -> df)
+            GraftSql.registerDbTable(spark, db, name, df)
+          case None =>
+            df.createOrReplaceTempView(name)
+            harnessViews += name
+        }
+        GraftSql.registerTableIndexes(spark, in.db, name, in.indexs)
       }
-      sql = sql.replace(s"{$k}", name)
     }
-    (sql, scoped.result())
+    // out_in sqls write/read '<t>.csv' — redirect to a per-case scratch
+    // dir so relative paths never land inside the repo and reruns never
+    // hit PATH_ALREADY_EXISTS
+    val scratch = "/tmp/graft_cases/" +
+      c.key.replaceAll("[^A-Za-z0-9_]", "_")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch))
+    new java.io.File(scratch).mkdirs()
+    val sqls = c.sqls.map(subst).map(
+      _.replaceAll("'([^'/]+\\.(?:csv|txt|parquet))'", s"'$scratch/$$1'"))
+    (subst(c.sql), sqls, scoped.result())
   }
 
   // normalize numerics to fixed-scale BigDecimal (float at 4, others at
@@ -255,8 +345,61 @@ class YamlCaseRunnerSpec extends SparkSpec {
     case other               => other
   }
 
+  // views this suite registered for the PREVIOUS case — dropped at the
+  // next case start so a CREATE TABLE t0 never collides with a stale
+  // input view (test_create.yaml id 1)
+  private val harnessViews = scala.collection.mutable.Set[String]()
+
   private def run(c: SqlCase): Unit = {
-    val (sql, scoped) = register(c)
+    GraftSql.resetCatalogState(spark)
+    harnessViews.foreach(spark.catalog.dropTempView)
+    harnessViews.clear()
+    val (sql, sqls, scoped) = register(c)
+    // multi-statement cases (dml / out_in corpus): execute in order
+    // through the engine's statement surface; the last DQL result is
+    // the compared output
+    if (sqls.nonEmpty) {
+      if (!c.expect.success) {
+        intercept[Throwable] {
+          sqls.foreach(s => GraftSql.statement(spark, s).foreach(_.collect()))
+          if (sql.trim.nonEmpty)
+            GraftSql.sql(spark, sql).collect()
+        }
+        return
+      }
+      var last: Option[DataFrame] = None
+      sqls.foreach { s =>
+        last = GraftSql.statement(spark, s).orElse(last)
+      }
+      // a case may pair setup `sqls` with a final `sql` query
+      // (test_delete.yaml id 4: deletes then a window SELECT)
+      if (sql.trim.nonEmpty) compareExpect(c, sql, GraftSql.sql(spark, sql))
+      else last match {
+        case Some(out) => compareExpect(c, sqls.mkString("; "), out)
+        case None => assert(c.expect.rows.isEmpty && c.expect.count.isEmpty,
+          "case expects rows but no statement returned a result")
+      }
+      return
+    }
+    // statement cases (DEPLOY / CREATE / DROP ... — long_window and
+    // ddl corpus): execute through the statement surface
+    val head = sql.trim.split("[\\s(]+").headOption.getOrElse("").toLowerCase
+    if (Set("deploy", "create", "drop", "use", "show", "load",
+        "truncate")(head)) {
+      if (!c.expect.success) {
+        intercept[Throwable] {
+          GraftSql.statement(spark, sql).foreach(_.collect())
+        }
+        return
+      }
+      GraftSql.statement(spark, sql) match {
+        case Some(out) if c.expect.rows.isDefined =>
+          compareExpect(c, sql, out)
+        case _ =>
+          assert(c.expect.rows.isEmpty, "statement case with expected rows")
+      }
+      return
+    }
     // bind `?` placeholders from the parameters block, typed by its
     // column decls (parameterized_query.yaml)
     val params: Seq[Any] = c.parameters.map { p =>
@@ -274,15 +417,29 @@ class YamlCaseRunnerSpec extends SparkSpec {
           case _               => None
         }).headOption
     }.toMap
+    // batch_request block: the query runs point-in-time per request row
+    // (the reference's train/serve consistency surface,
+    // engine_test_base.h:75-100)
+    // a `longWindow` case runs through the reference's long-window
+    // deploy compiler, which restricts *_where condition shapes
+    def plan(): DataFrame = c.batchRequest match {
+      case Some(br) => GraftSql.requestMode(spark, sql, buildDf(br), scoped)
+      case None => GraftSql.sql(spark, sql, tables = scoped, params = params,
+        tsHints = hints, defaultDb = c.db)
+    }
     if (!c.expect.success) {
       intercept[Throwable] {
-        GraftSql.sql(spark, sql, tables = scoped, params = params,
-          tsHints = hints, defaultDb = c.db).collect()
+        c.longWindow.foreach(_ =>
+          GraftSql.validateLongWindowConditions(sql))
+        plan().collect()
       }
       return
     }
-    val out = GraftSql.sql(spark, sql, tables = scoped, params = params,
-      tsHints = hints, defaultDb = c.db)
+    c.longWindow.foreach(_ => GraftSql.validateLongWindowConditions(sql))
+    compareExpect(c, sql, plan())
+  }
+
+  private def compareExpect(c: SqlCase, sql: String, out: DataFrame): Unit = {
     val got0 = out.collect().toSeq.map(_.toSeq.map(norm))
     c.expect.count.foreach(n => assert(got0.size.toLong == n,
       s"count: got ${got0.size}, want $n"))
