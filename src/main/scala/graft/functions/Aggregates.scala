@@ -37,7 +37,9 @@ object GraftAggregates {
   class EwAvg(alpha: Double) extends Aggregator[TsVal, TsValBuf, java.lang.Double] {
     def zero: TsValBuf = TsValBuf(Nil)
     def reduce(b: TsValBuf, a: TsVal): TsValBuf =
-      if (a == null || a.v == null) b else TsValBuf(b.items :+ a)
+      // PREPEND: default Seq is List, so :+ is O(n) and a hot
+      // key would cost O(n^2) buffer work; finish() sorts anyway
+      if (a == null || a.v == null) b else TsValBuf(a +: b.items)
     def merge(x: TsValBuf, y: TsValBuf): TsValBuf = TsValBuf(x.items ++ y.items)
     def finish(b: TsValBuf): java.lang.Double = {
       val sorted = b.items.sortBy(t => (-t.ts, t.v.doubleValue))
@@ -59,7 +61,9 @@ object GraftAggregates {
   class Drawdown extends Aggregator[TsVal, TsValBuf, java.lang.Double] {
     def zero: TsValBuf = TsValBuf(Nil)
     def reduce(b: TsValBuf, a: TsVal): TsValBuf =
-      if (a == null || a.v == null) b else TsValBuf(b.items :+ a)
+      // PREPEND: default Seq is List, so :+ is O(n) and a hot
+      // key would cost O(n^2) buffer work; finish() sorts anyway
+      if (a == null || a.v == null) b else TsValBuf(a +: b.items)
     def merge(x: TsValBuf, y: TsValBuf): TsValBuf = TsValBuf(x.items ++ y.items)
     def finish(b: TsValBuf): java.lang.Double = {
       val sorted = b.items.sortBy(t => (-t.ts, t.v.doubleValue))

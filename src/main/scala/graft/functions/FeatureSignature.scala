@@ -15,9 +15,12 @@ import org.apache.spark.sql.functions._
   * fold done at plan-build time — slot numbers are static, so the whole
   * output is one codegen'd `concat`.
   *
-  * Documented deviation: `discrete` fingerprints with xxhash64 (Spark's
-  * codegen'd 64-bit hash) instead of FarmHash — consistent engine-wide
-  * (see GraftScalars.hash64).
+  * `discrete` fingerprints with bit-exact FarmHash Fingerprint64 over
+  * the reference's typed byte encodings (literal_traits.h
+  * to_bytes_ref) — the runtime-dispatching `__graft_farm64_any` UDF
+  * picks the encoding by value class, so a double column hashes its
+  * 8 little-endian value bytes, not the string "30.0", matching both
+  * the reference and this repo's SQL front-end (GraftSql.farmFnFor).
   */
 object FeatureSignature {
 
@@ -43,12 +46,12 @@ object FeatureSignature {
   private def fmtBinary(v: Column): Column =
     v.cast("boolean").cast("int").cast("string")
   private def fmtMulticlass(v: Column): Column = v.cast("long").cast("string")
-  /** Discrete fingerprint: FarmHash over the STRING rendering (the SQL
-    * front-end uses the exact typed byte encodings; this Column-level
-    * DSL hashes strings — bit-exact for string columns). Bucketed →
-    * unsigned remainder (feature_signature_def.cc Discrete). */
+  /** Discrete fingerprint: FarmHash over the reference's typed byte
+    * encoding, dispatched at runtime by value class (the column's type
+    * isn't resolvable at plan time here). Bucketed → unsigned
+    * remainder (feature_signature_def.cc Discrete). */
   private def dHash(v: Column, bucket: Long): Column = {
-    val h = call_udf("__graft_farm64_str", v.cast("string"))
+    val h = call_udf("__graft_farm64_any", struct(v))
     if (bucket > 0) call_udf("__graft_umod", h, lit(bucket)) else h
   }
 

@@ -301,6 +301,25 @@ object GraftScalars {
       (v: java.lang.Boolean) => nn(v)(x => FarmHash.ofBool(x.booleanValue)))
     spark.udf.register("__graft_farm64_date",
       (v: java.sql.Date) => nn(v)(FarmHash.ofDate))
+    // runtime-dispatching variant for Column-DSL call sites that can't
+    // resolve the operand type at plan time (FeatureSignature.dHash):
+    // takes struct(v) and picks the typed byte encoding by the runtime
+    // class — bit-compatible with the SQL front-end's farmFnFor dispatch
+    spark.udf.register("__graft_farm64_any",
+      (r: org.apache.spark.sql.Row) =>
+        if (r == null || r.isNullAt(0)) null.asInstanceOf[java.lang.Long]
+        else java.lang.Long.valueOf(r.get(0) match {
+          case v: java.lang.Short      => FarmHash.ofShort(v.shortValue)
+          case v: java.lang.Integer    => FarmHash.ofInt(v.intValue)
+          case v: java.lang.Long       => FarmHash.ofLong(v.longValue)
+          case v: java.lang.Float      => FarmHash.ofFloat(v.floatValue)
+          case v: java.lang.Double     => FarmHash.ofDouble(v.doubleValue)
+          case v: java.lang.Boolean    => FarmHash.ofBool(v.booleanValue)
+          case v: java.sql.Date        => FarmHash.ofDate(v)
+          case v: java.time.LocalDate  => FarmHash.ofDate(java.sql.Date.valueOf(v))
+          case v: java.math.BigDecimal => FarmHash.ofDouble(v.doubleValue)
+          case v                       => FarmHash.ofString(v.toString)
+        }))
     spark.udf.register("__graft_umod",
       (h: java.lang.Long, b: java.lang.Long) =>
         if (h == null || b == null) null.asInstanceOf[java.lang.Long]

@@ -3767,15 +3767,22 @@ object GraftSql {
       val windowBound = argText.contains("__graft_w")
       val decomposable = !windowBound && Set("sum", "count", "avg")(fn)
       val isOffsetFn = fn == "lag" || fn == "lead" || fn == "at"
+      // a window without ORDER BY is legal only as an unbounded plain
+      // frame (window_query.yaml id 28 pins ROWS_RANGE
+      // UNBOUNDED..CURRENT with no ORDER BY as legal) — checked here
+      // for every aggregate family, including the frame-array ones
+      if (w.order.isEmpty && !windowBound && extAggs(fn) && !isOffsetFn &&
+          (w.lo != Unbounded || w.hi != CurrentRow || w.isExtended))
+        throw new IllegalArgumentException(
+          "a window without ORDER BY requires an unbounded plain frame")
       val c: Column =
         if (w.order.isEmpty && !windowBound && extAggs(fn) &&
-            !isOffsetFn) {
+            !isOffsetFn && !frameOnlyAggs(fn) && splitV.isEmpty) {
           // no ORDER BY: the frame has no row order to bound, so it
-          // spans the whole partition (window_query.yaml id 28 pins
-          // ROWS_RANGE UNBOUNDED..CURRENT with no ORDER BY as legal)
-          if (w.lo != Unbounded || w.hi != CurrentRow || w.isExtended)
-            throw new IllegalArgumentException(
-              "a window without ORDER BY requires an unbounded plain frame")
+          // spans the whole partition. frameOnlyAggs (distinct_count,
+          // median, top1_ratio, ...) have no registered SQL function —
+          // expr(fnText) would fail 'undefined function' — so they take
+          // the frame-array path below with a constant order key.
           expr(fnText).over(Window.partitionBy(w.partition.map(expr): _*))
         } else if (isOffsetFn && !hasUnion && !requestMode && !w.inw &&
             !w.exclCT) {
@@ -3858,8 +3865,11 @@ object GraftSql {
               // set (test_udaf_function.yaml id 6 row 4)
               coalesce(expr(args.head), lit(false))
             else expr(args.head)
-          val ts = orderMs(base, w.order.getOrElse(
-            throw new IllegalArgumentException("extended window needs ORDER BY")))
+          // no ORDER BY (legal only for an unbounded plain frame,
+          // checked above): constant key — each row's frame is its
+          // uid-ordered (ingestion-order) prefix of the partition,
+          // matching the reference's arrival-order buffer
+          val ts = w.order.map(o => orderMs(base, o)).getOrElse(lit(0L))
           // ROWS frames over an extended window: a row-count frame is an
           // unbounded range capped to the newest (n+1) at-or-before rows
           // (strict row order makes same-ts peers behave like ROWS);
@@ -4140,10 +4150,12 @@ object GraftSql {
       // ORIGINAL rows come first (strict at-or-before among
       // themselves), then each union table's rows in SQL order, each
       // table LIFO. Primary uids are non-negative; side table k gets
-      // uids offset by -(k+1)·2^45 — below every primary uid, so the
+      // uids offset by -(k+1)·2^50 — below every primary uid, so the
       // strict (ts, uid) filter keeps every in-range side row while
       // still ordering the buffer correctly, and blocks stay disjoint
-      // (monotonic ids stay under 2^45 for ≤4096 partitions).
+      // (monotonic ids are partitionId·2^33 + rowIdx, so they stay
+      // under 2^50 up to 131072 Spark partitions — even after the
+      // multi-group path doubles them; 2^45 blocks overflowed at 2048).
       if (exprs.nonEmpty) df = df.withColumn(UidCol, monotonically_increasing_id())
       if (unionTables.nonEmpty) {
         val sides = unionTables.map(t => checkUnionSchema(resolveRef(spark, t, scope)))
@@ -4152,7 +4164,7 @@ object GraftSql {
           df = df.unionByName(
             side.withColumn(FlagCol, lit(false))
               .withColumn(UidCol,
-                monotonically_increasing_id() - lit((k + 1) * (1L << 45))),
+                monotonically_increasing_id() - lit((k + 1) * (1L << 50))),
             allowMissingColumns = true)
         }
       }
@@ -4193,7 +4205,7 @@ object GraftSql {
             val sideAll = sides.zipWithIndex.map { case (side, k) =>
               side.withColumn(FlagCol, lit(false))
                 .withColumn(UidCol, monotonically_increasing_id() * 2 + 1 -
-                  lit((k + 1) * (1L << 45)))
+                  lit((k + 1) * (1L << 50)))
             }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
             df0.withColumn(FlagCol, lit(true))
               .unionByName(sideAll, allowMissingColumns = true)

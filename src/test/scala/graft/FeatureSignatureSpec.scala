@@ -56,6 +56,23 @@ class FeatureSignatureSpec extends SparkSpec {
     assert(out(1) == s"0 8| 1:$h1:2.500000")
   }
 
+  test("discrete hashes typed byte encodings, matching the SQL front-end") {
+    import graft.functions.FarmHash
+    // long column: 8 LE value bytes, not the string "7"
+    val hl = df.select(FS.libsvmFormat(FS.discrete(col("cat"))))
+      .collect()(0).getString(0)
+    assert(hl == s"${FarmHash.ofLong(7L)}:1")
+    // double column: NOT FarmHash.ofString("1.5")
+    val hd = df.select(FS.libsvmFormat(FS.discrete(col("price"))))
+      .collect()(0).getString(0)
+    assert(hd == s"${FarmHash.ofDouble(1.5)}:1")
+    // string columns keep the string-byte encoding
+    val hs = Seq(Tuple1("abc")).toDF("s")
+      .select(FS.libsvmFormat(FS.discrete(col("s"))))
+      .collect()(0).getString(0)
+    assert(hs == s"${FarmHash.ofString("abc")}:1")
+  }
+
   test("gcformat without index uses a single-space separator") {
     val h1 = FS.hashLongConst(1L)
     val out = df.select(FS.gcformat(FS.continuous(col("price"))))

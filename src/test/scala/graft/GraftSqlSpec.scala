@@ -55,6 +55,38 @@ class GraftSqlSpec extends SparkSpec {
     assert(out(("u2", 40L)) == 30.0)
   }
 
+  test("window without ORDER BY routes frame-only aggregates via the frame array") {
+    // distinct_count / median have no registered SQL function — the
+    // no-ORDER-BY fast path used to emit expr("distinct_count(v)") and
+    // fail with 'undefined function' (advice r8). They now take the
+    // frame-array path with a constant order key: each row's frame is
+    // its ingestion-order prefix of the partition.
+    val out = GraftSql.sql(spark,
+      """SELECT pk, ts, distinct_count(v) OVER w AS dc, median(v) OVER w AS md
+        |FROM t1 WINDOW w AS (PARTITION BY pk
+        |  ROWS_RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(("u1", 10L)) == ((1L, 1.0)))
+    assert(out(("u1", 20L)) == ((2L, 1.5)))
+    assert(out(("u1", 30L)) == ((3L, 2.0)))
+    assert(out(("u2", 40L)) == ((2L, 15.0)))
+    // native aggregates keep the whole-partition fast path
+    val fast = GraftSql.sql(spark,
+      """SELECT pk, ts, count(v) OVER w AS c
+        |FROM t1 WINDOW w AS (PARTITION BY pk
+        |  ROWS_RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(fast(("u1", 10L)) == 3L)
+    // a bounded frame without ORDER BY stays illegal for both paths
+    intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        """SELECT pk, distinct_count(v) OVER w AS dc
+          |FROM t1 WINDOW w AS (PARTITION BY pk
+          |  ROWS_RANGE BETWEEN 10 PRECEDING AND CURRENT ROW)""".stripMargin)
+    }
+  }
+
   test("OPEN PRECEDING as the frame END excludes the boundary row") {
     // 2 OPEN PRECEDING as an end bound means "strictly before row -2",
     // i.e. the last included row is -3 — the plain-ROWS fast path used
