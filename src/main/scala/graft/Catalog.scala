@@ -17,35 +17,42 @@ import org.apache.spark.sql.types.StructType
   */
 object GraftCatalog {
 
+  /** Quote a view name for parser-bound catalog APIs when it contains
+    * characters an unquoted identifier cannot (back-quoted source
+    * identifiers like aa-bb). */
+  private def q(n: String): String =
+    if (n.matches("[A-Za-z_][\\w]*")) n
+    else "`" + n.replace("`", "``") + "`"
+
   /** CREATE TABLE name (schema): registers an empty table. */
   def createTable(spark: SparkSession, name: String, schema: StructType): Unit =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      .createOrReplaceTempView(name)
+      .createOrReplaceTempView(q(name))
 
   /** INSERT INTO name SELECT ...: schema-checked append. */
   def insertInto(spark: SparkSession, name: String, rows: DataFrame): Unit = {
-    val cur = spark.table(name)
+    val cur = spark.table(q(name))
     require(rows.schema.fields.map(f => (f.name, f.dataType)).sameElements(
       cur.schema.fields.map(f => (f.name, f.dataType))),
       s"INSERT schema mismatch for $name: ${rows.schema.simpleString} " +
         s"vs ${cur.schema.simpleString}")
-    cur.unionByName(rows).createOrReplaceTempView(name)
+    cur.unionByName(rows).createOrReplaceTempView(q(name))
   }
 
   /** INSERT INTO name VALUES (...): literal rows against the declared
     * schema. */
   def insertValues(spark: SparkSession, name: String, rows: Seq[Row]): Unit = {
-    val schema = spark.table(name).schema
+    val schema = spark.table(q(name)).schema
     insertInto(spark, name,
       spark.createDataFrame(spark.sparkContext.parallelize(rows), schema))
   }
 
   /** DELETE FROM name WHERE cond: anti-filter rewrite. */
   def delete(spark: SparkSession, name: String, cond: Column): Unit =
-    spark.table(name).filter(!cond || cond.isNull)
-      .createOrReplaceTempView(name)
+    spark.table(q(name)).filter(!cond || cond.isNull)
+      .createOrReplaceTempView(q(name))
 
   /** TRUNCATE TABLE name. */
   def truncate(spark: SparkSession, name: String): Unit =
-    createTable(spark, name, spark.table(name).schema)
+    createTable(spark, name, spark.table(q(name)).schema)
 }

@@ -77,19 +77,36 @@ object GraftSql {
               s.charAt(i + 1) == '_'))) {
           b.append(s.charAt(i)); i += 1
         }
+        // whitespace check after a numeric/interval literal: `100ss`
+        // is neither a number nor an interval, and Spark's own parser
+        // would silently read it as `100 AS ss`
+        // (cases/plan/error_query.yaml id 6)
+        if (i < n && (s.charAt(i).isLetter || s.charAt(i) == '_'))
+          throw new IllegalArgumentException(
+            s"malformed numeric literal '${b.toString}${s.charAt(i)}': " +
+              "whitespace required after a numeric or interval literal")
         out += b.toString
       } else if (c.isLetter || c == '_' || c == '`') {
         val b = new StringBuilder
-        if (c == '`') { // backquoted identifier
+        if (c == '`') {
+          // backquoted identifier: quoting is dropped when the content
+          // is a plain identifier (`all`.`date` → all.date — keeps
+          // every downstream identifier predicate simple) and KEPT when
+          // the name needs it (`aa-bb` — statement paths unq() it,
+          // Spark's expression parser reads it natively;
+          // cases/plan/back_quote_identifier.yaml)
           i += 1
           while (i < n && s.charAt(i) != '`') { b.append(s.charAt(i)); i += 1 }
           if (i < n) i += 1
+          if (!b.toString.matches("[A-Za-z_][\\w]*"))
+            out += "`" + b.toString + "`"
+          else out += b.toString
         } else {
           while (i < n && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) {
             b.append(s.charAt(i)); i += 1
           }
+          out += b.toString
         }
-        out += b.toString
       } else if (i + 2 < n && s.substring(i, i + 3) == "<=>") { out += "<=>"; i += 3 }
       else if (i + 1 < n && twoCharOps(s.substring(i, i + 2))) {
         out += s.substring(i, i + 2); i += 2
@@ -138,7 +155,12 @@ object GraftSql {
       // reference's per-query execution override
       // (cases/query/simple_query.yaml id 108)
       config: Map[String, String] = Map.empty,
-      configValues: Seq[Vector[String]] = Nil)
+      configValues: Seq[Vector[String]] = Nil,
+      // SELECT DISTINCT (cases/plan/distinct_query.yaml)
+      distinct: Boolean = false,
+      // top-level ORDER BY keys: (expr text, desc)
+      // (cases/plan/order_query.yaml)
+      orderBy: Seq[(String, Boolean)] = Nil)
 
   private[sql] final case class Query(
       ctes: Seq[(String, Query)], selects: Seq[Select], setOps: Seq[String])
@@ -211,24 +233,45 @@ object GraftSql {
       def parseOperand(): Select =
         if (peek == "(") {
           next(); val sub = parseQuery(); expect(")")
+          // CONFIG binds to the whole statement, never to an operand
+          // (union_query.yaml id 6)
+          if (sub.selects.exists(_.config.nonEmpty))
+            fail("CONFIG is only allowed at the end of the top-level query")
           Select(Seq(Proj(Vector("*"), None, None)), Right(sub), None,
             Nil, None, Nil, None, Map.empty, None)
         } else parseSelect()
       val selects = Seq.newBuilder[Select]
       val ops = Seq.newBuilder[String]
-      selects += parseOperand()
+      var lastSel = parseOperand()
+      selects += lastSel
       while (peekUp == "UNION") {
+        // an operand carrying ORDER BY / LIMIT / CONFIG must be
+        // parenthesized (zetasql; cases/plan/union_query.yaml ids 4/6)
+        if (lastSel.limit.isDefined || lastSel.orderBy.nonEmpty ||
+            lastSel.config.nonEmpty)
+          fail("a UNION operand with ORDER BY/LIMIT/CONFIG must be " +
+            "parenthesized")
         next()
+        // the reference requires an explicit set-quantifier
+        // (union_query.yaml id 2)
         val op = if (accept("ALL")) "all"
-          else { accept("DISTINCT"); "distinct" }
+          else if (accept("DISTINCT")) "distinct"
+          else fail("UNION must be followed by ALL or DISTINCT")
         ops += op
-        selects += parseOperand()
+        lastSel = parseOperand()
+        selects += lastSel
       }
-      Query(ctes.result(), selects.result(), ops.result())
+      val opsOut = ops.result()
+      // a chain may not mix ALL and DISTINCT without parentheses
+      // (zetasql; union_query.yaml id 3)
+      if (opsOut.distinct.length > 1)
+        fail("set operations of different types must be parenthesized")
+      Query(ctes.result(), selects.result(), opsOut)
     }
 
     def parseSelect(): Select = {
       expect("SELECT")
+      val distinct = accept("DISTINCT")
       val projs = Seq.newBuilder[Proj]
       var more = true
       while (more) {
@@ -271,7 +314,7 @@ object GraftSql {
           } else reading = false
         }
         val alias =
-          if (accept("AS")) Some(next())
+          if (accept("AS")) Some(unq(next()))
           else None
         // implicit alias: `SELECT true c1` / `SELECT int16(3) c2`
         // (const_query.yaml id 9) — a trailing bare identifier that
@@ -289,13 +332,14 @@ object GraftSql {
       // no-FROM constant select (dql/NO_TABLE_SELECT_CLAUSE.md)
       if (peekUp != "FROM")
         return Select(projs.result(), Left(""), None, Nil, None, Nil, None,
-          Map.empty, None)
+          Map.empty, None, distinct = distinct)
       expect("FROM")
       val fromTable = parseTableRef()
       val fromAlias =
-        if (accept("AS")) Some(next())
-        else if (peek.nonEmpty && peek.head.isLetter &&
-          !clauseStoppers(peekUp) && peekUp != "UNION") Some(next())
+        if (accept("AS")) Some(unq(next()))
+        else if (peek.nonEmpty && (peek.head.isLetter || peek.head == '`') &&
+          !clauseStoppers(peekUp) && peekUp != "UNION" &&
+          peekUp != "FULL" && peekUp != "RIGHT") Some(unq(next()))
         else None
       val joins = Seq.newBuilder[JoinClause]
       var j = true
@@ -303,9 +347,10 @@ object GraftSql {
         if (accept("LAST")) {
           expect("JOIN")
           val t = parseTableRef()
-          val a = if (accept("AS")) Some(next())
-            else if (peek.nonEmpty && peek.head.isLetter &&
-              peekUp != "ORDER" && peekUp != "ON") Some(next())
+          val a = if (accept("AS")) Some(unq(next()))
+            else if (peek.nonEmpty &&
+              (peek.head.isLetter || peek.head == '`') &&
+              peekUp != "ORDER" && peekUp != "ON") Some(unq(next()))
             else None
           val ord = if (accept("ORDER")) {
             expect("BY"); Some(readExpr(Set("ON", "ASC", "DESC")))
@@ -313,23 +358,44 @@ object GraftSql {
           val desc = accept("DESC") || { accept("ASC"); false }
           expect("ON")
           joins += JoinClause("last", t, a, ord, readExpr(), desc)
-        } else if (accept("LEFT")) {
-          accept("OUTER") // LEFT [OUTER] JOIN (left_join.yml id 4)
+        } else if (peekUp == "LEFT" || peekUp == "FULL" ||
+            peekUp == "RIGHT") {
+          // LEFT/FULL/RIGHT [OUTER] JOIN (left_join.yml id 4;
+          // cases/plan/join_query.yaml ids 1/4)
+          val kind = next().toLowerCase
+          accept("OUTER")
           expect("JOIN")
           val t = parseTableRef()
-          val a = if (accept("AS")) Some(next())
-            else if (peek.nonEmpty && peek.head.isLetter && peekUp != "ON") Some(next())
+          val a = if (accept("AS")) Some(unq(next()))
+            else if (peek.nonEmpty &&
+              (peek.head.isLetter || peek.head == '`') &&
+              peekUp != "ON") Some(unq(next()))
             else None
           expect("ON")
-          joins += JoinClause("left", t, a, None, readExpr())
+          joins += JoinClause(kind, t, a, None, readExpr())
         } else j = false
       }
       val where = if (accept("WHERE")) Some(readExpr()) else None
       val groupBy = Seq.newBuilder[String]
       if (accept("GROUP")) {
         expect("BY")
-        groupBy += readExpr()
-        while (accept(",")) groupBy += readExpr()
+        // the reference restricts group keys to plain (optionally
+        // qualified) column references
+        // (cases/plan/error_unsupport_sql.yaml group_complex_expression)
+        def readKey(): String = {
+          val toks = readExprTokens()
+          val isRef = toks.zipWithIndex.forall { case (t, k) =>
+            if (k % 2 == 0)
+              t.matches("[A-Za-z_][\\w]*") || t.startsWith("`")
+            else t == "."
+          } && toks.length % 2 == 1
+          if (!isRef)
+            fail(s"GROUP BY supports plain column references only, " +
+              s"not '${toks.mkString(" ")}'")
+          toks.mkString(" ")
+        }
+        groupBy += readKey()
+        while (accept(",")) groupBy += readKey()
       }
       val having = if (accept("HAVING")) Some(readExpr()) else None
       val windows = Map.newBuilder[String, WinDef]
@@ -341,6 +407,19 @@ object GraftSql {
           windows += (name -> parseWinDef())
           expect(")")
           w = accept(",")
+        }
+      }
+      // top-level ORDER BY (cases/plan/order_query.yaml): keys resolve
+      // against the SELECT's output, so aggregate aliases sort too
+      val orderBy = Seq.newBuilder[(String, Boolean)]
+      if (peekUp == "ORDER") {
+        next(); expect("BY")
+        var o = true
+        while (o) {
+          val e = readExpr(Set("ASC", "DESC"))
+          val desc = accept("DESC") || { accept("ASC"); false }
+          orderBy += (e -> desc)
+          o = accept(",")
         }
       }
       val limit = if (accept("LIMIT")) Some(next().toInt) else None
@@ -380,14 +459,14 @@ object GraftSql {
       }
       Select(projs.result(), fromTable, fromAlias, joins.result(), where,
         groupBy.result(), having, windows.result(), limit, config,
-        configValues)
+        configValues, distinct = distinct, orderBy = orderBy.result())
     }
 
     def parseTableRef(): TRef =
       if (peek == "(") { next(); val q = parseQuery(); expect(")"); Right(q) }
       else {
-        var name = next()
-        while (peek == ".") { next(); name = name + "." + next() } // db.table
+        var name = unq(next())
+        while (peek == ".") { next(); name = name + "." + unq(next()) } // db.table
         Left(name)
       }
 
@@ -702,6 +781,24 @@ object GraftSql {
   def deployment(spark: SparkSession, name: String): Option[String] =
     deployed(spark).get(name)
 
+  /** Stored procedures by name (CREATE PROCEDURE ... BEGIN sql END) —
+    * the reference's SP surface over its request engine
+    * (docs/en/openmldb_sql/deployment_manage; procedures are
+    * deploy-shaped). Session-scoped like deployments. */
+  private val proceduresBySession =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, String]]()
+  private def procedures(spark: SparkSession)
+      : scala.collection.concurrent.TrieMap[String, String] =
+    proceduresBySession.synchronized {
+      var m = proceduresBySession.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap[String, String]()
+        proceduresBySession.put(spark, m)
+      }
+      m
+    }
+
   /** Serve a batch of request rows against a deployed query (the
     * batch-request path; RequestStream serves the streaming path). */
   def serveDeployment(spark: SparkSession, name: String, requests: DataFrame,
@@ -746,6 +843,18 @@ object GraftSql {
   private def stripQuotes(t: String): String =
     if (t.length >= 2 && (t.head == '\'' || t.head == '"')) t.tail.init else t
 
+  /** strip identifier backticks: `aa-bb` → aa-bb */
+  private def unq(t: String): String =
+    if (t.length >= 2 && t.head == '`' && t.last == '`') t.tail.init else t
+
+  /** Quote a view name for parser-bound catalog APIs (spark.table,
+    * tableExists, createOrReplaceTempView) when it contains characters
+    * an unquoted identifier cannot (back-quoted source identifiers
+    * like aa-bb, or the __graftdb__ encodings of them). */
+  private[sql] def quoteId(n: String): String =
+    if (n.matches("[A-Za-z_][\\w]*")) n
+    else "`" + n.replace("`", "``") + "`"
+
   /** OPTIONS ( k = v, ... ) → string map (lowercased keys). Values
     * keep their quoting so consumers can type-check (the reference
     * rejects header='true' — a bool option given a string,
@@ -757,9 +866,9 @@ object GraftSql {
       val out = Map.newBuilder[String, String]
       var more = true
       while (more) {
-        val k = p.next().toLowerCase
+        val k = unq(p.next()).toLowerCase
         p.expect("=")
-        out += (k -> p.next())
+        out += (k -> unq(p.next()))
         more = p.accept(",")
       }
       p.expect(")")
@@ -815,11 +924,24 @@ object GraftSql {
         // USE db (ddl/USE_DATABASE_STATEMENT.md): unknown databases
         // are an error, like the reference
         p.expect("USE")
-        val db = p.next()
+        val db = unq(p.next())
         if (!dbsOf(spark).contains(db))
           throw new IllegalArgumentException(s"database '$db' does not exist")
         sessionCurDb.put(spark, db)
         None
+
+      case "DESC" =>
+        // DESC [db.]table: the table's column descriptions
+        // (cases/plan/cmd.yaml ids 4-1/4-2,
+        // back_quote_identifier.yaml id 4)
+        p.expect("DESC")
+        import spark.implicits._
+        val name = qualifyTable(spark, readTableName(p))
+        val fields = spark.table(quoteId(name)).schema.fields.toSeq
+        Some(fields.map(f =>
+            (f.name, f.dataType.simpleString,
+              if (f.nullable) "YES" else "NO"))
+          .toDF("Field", "Type", "Null"))
 
       case "SHOW" =>
         // SHOW DATABASES / TABLES / DEPLOYMENTS (node_enum.h CmdType)
@@ -840,6 +962,17 @@ object GraftSql {
             Some(names.sorted.toDF("Tables"))
           case "DEPLOYMENTS" =>
             Some(deployed(spark).keys.toSeq.sorted.toDF("Deployment"))
+          case "PROCEDURES" =>
+            Some(procedures(spark).keys.toSeq.sorted.toDF("Procedure"))
+          case "CREATE" =>
+            // SHOW CREATE PROCEDURE name: the stored SQL; an unknown
+            // name yields an empty result (this engine has no server
+            // to error from — cases/plan/back_quote_identifier.yaml
+            // id 11 only parses upstream)
+            p.expect("PROCEDURE")
+            val pn = readTableName(p)
+            Some(procedures(spark).get(pn).toSeq.map((pn, _))
+              .toDF("Procedure", "SQL"))
           case "DEPLOYMENT" =>
             // SHOW DEPLOYMENT <name>: the deployment's SQL text
             // (deployment_manage/SHOW_DEPLOYMENT.md)
@@ -855,7 +988,75 @@ object GraftSql {
       case "CREATE" if p.toks.lift(1).exists(_.equalsIgnoreCase("DATABASE")) =>
         p.expect("CREATE"); p.expect("DATABASE")
         if (p.accept("IF")) { p.expect("NOT"); p.expect("EXISTS") }
-        dbsOf(spark) += p.next()
+        dbsOf(spark) += unq(p.next())
+        None
+
+      case "CREATE" if p.toks.lift(1).exists(_.equalsIgnoreCase("PROCEDURE")) =>
+        // CREATE PROCEDURE name(params) BEGIN <sql>; END — stored
+        // under the name; the body is parse-validated but not planned
+        // (parameters resolve only at call time, like the reference's
+        // SP compile against a request row)
+        p.expect("CREATE"); p.expect("PROCEDURE")
+        val pn = readTableName(p)
+        if (p.peek == "(") p.p = matchClose(p.toks, p.p) + 1
+        p.expect("BEGIN")
+        val endIdx = p.toks.lastIndexWhere(_.equalsIgnoreCase("END"))
+        if (endIdx < p.p) p.fail("CREATE PROCEDURE body must end with END")
+        val body = p.toks.slice(p.p, endIdx)
+          .mkString(" ").stripSuffix(";")
+        p.p = p.toks.length
+        parseQueryText(body) // structural validation only
+        procedures(spark).put(pn, body)
+        None
+
+      case "CREATE" if p.toks.lift(1).exists(_.equalsIgnoreCase("INDEX")) =>
+        // CREATE INDEX name ON table (keys) OPTIONS(ts=..., ttl=...,
+        // ttl_type=...) — recorded in the session index registry the
+        // same way CREATE TABLE's INDEX(...) blocks are
+        // (ddl/CREATE_INDEX_STATEMENT.md)
+        p.expect("CREATE"); p.expect("INDEX")
+        val iname = readTableName(p)
+        p.expect("ON")
+        val tname = qualifyTable(spark, readTableName(p))
+        p.expect("(")
+        val keys = Seq.newBuilder[String]
+        keys += unq(p.next())
+        while (p.accept(",")) keys += unq(p.next())
+        p.expect(")")
+        val opts = parseOptions(p)
+        val schema = spark.table(quoteId(tname)).schema
+        (keys.result() ++ opts.get("ts").map(stripQuotes).toSeq)
+          .foreach { c =>
+            if (!schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+              throw new IllegalArgumentException(
+                s"index column '$c' does not exist in '$tname'")
+          }
+        val spec = s"$iname:${keys.result().mkString("|")}:" +
+          opts.get("ts").map(stripQuotes).getOrElse("")
+        val prev = indexesOf(spark).get(tname.toLowerCase)
+          .map(_.map { case (ks, ts) =>
+            s"prev:${ks.mkString("|")}:${ts.getOrElse("")}" })
+          .getOrElse(Seq.empty)
+        registerTableIndexes(spark, None, tname, prev :+ spec)
+        None
+
+      case "DROP" if p.toks.lift(1).exists(_.equalsIgnoreCase("PROCEDURE")) =>
+        p.expect("DROP"); p.expect("PROCEDURE")
+        if (p.accept("IF")) p.expect("EXISTS")
+        procedures(spark) -= readTableName(p)
+        None
+
+      case "DROP" if p.toks.lift(1).exists(_.equalsIgnoreCase("INDEX")) =>
+        // DROP INDEX [db.]table.index — the registry is advisory
+        // (LAST JOIN ts hints, DELETE key validation) and stores specs
+        // without per-index names, so dropping clears the table's
+        // entry; unknown names are a no-op. The reference's online
+        // per-index storage management has no batch equivalent.
+        p.expect("DROP"); p.expect("INDEX")
+        val parts = readTableName(p).split("\\.")
+        val tbl = parts.init.mkString(".")
+        val vn = (if (tbl.contains('.')) dbViewName(tbl) else tbl).toLowerCase
+        indexesOf(spark).remove(vn)
         None
 
       case "DROP" if p.toks.lift(1).exists(_.equalsIgnoreCase("DATABASE")) =>
@@ -871,7 +1072,21 @@ object GraftSql {
         val ifNotExists =
           if (p.accept("IF")) { p.expect("NOT"); p.expect("EXISTS"); true }
           else false
-        val rawName = readTableName(p)
+        // table-name parts must be legal identifiers unless back-quoted
+        // (test_create.yaml id 22 rejects `auto$#k...`)
+        val rawName = {
+          def part(): String = {
+            val t = p.next()
+            if (t.startsWith("`")) unq(t)
+            else if (!t.matches("[A-Za-z_][\\w]*"))
+              throw new IllegalArgumentException(
+                s"illegal table name '$t'")
+            else t
+          }
+          var n = part()
+          while (p.peek == ".") { p.next(); n = n + "." + part() }
+          n
+        }
         // reserved keywords cannot name a table (test_create.yaml 6-1;
         // the reference's zetasql reserves ORDER but not TABLE)
         if (Set("order", "select", "from", "where", "group", "having",
@@ -881,10 +1096,20 @@ object GraftSql {
             s"reserved keyword '$rawName' cannot name a table")
         val name = qualifyTable(spark, rawName)
         // creating an existing table is an error (test_create.yaml 26)
-        if (spark.catalog.tableExists(name)) {
+        if (spark.catalog.tableExists(quoteId(name))) {
           if (ifNotExists) return None
           throw new IllegalArgumentException(
             s"table '$rawName' already exists")
+        }
+        if (p.peek != "(") {
+          // columnless CREATE TABLE (cases/plan/cmd.yaml id 2
+          // "CREATE TABLE schema.sql"): registers an empty-schema
+          // table — but only when the statement genuinely ends here
+          if (p.p != p.toks.length) p.fail("expected a column list")
+          graft.GraftCatalog.createTable(spark, name,
+            org.apache.spark.sql.types.StructType(Seq.empty))
+          createdOf(spark) += name
+          return None
         }
         p.expect("(")
         val fields = Seq.newBuilder[org.apache.spark.sql.types.StructField]
@@ -897,7 +1122,7 @@ object GraftSql {
         while (more && p.peek != ")") {
           if (p.peekUp == "INDEX") {
             p.next(); val close = matchClose(p.toks, p.p)
-            val body = p.toks.slice(p.p + 1, close)
+            val body = p.toks.slice(p.p + 1, close).map(unq)
             p.p = close + 1
             var keys = Seq.empty[String]; var tsCol: Option[String] = None
             var k = 0
@@ -916,13 +1141,15 @@ object GraftSql {
             }
             indexSpecs += ((keys, tsCol))
           } else {
-            val cn = p.next()
-            if (Set("order", "select", "from", "where", "group", "having",
-                "window", "join", "union", "limit", "between", "case",
-                "create", "insert", "delete", "index")(cn.toLowerCase))
+            val cn = unq(p.next())
+            // a back-quoted keyword IS a legal name (back_quote corpus)
+            if (!p.toks(p.p - 1).startsWith("`") &&
+                Set("order", "select", "from", "where", "group", "having",
+                  "window", "join", "union", "limit", "between", "case",
+                  "create", "insert", "delete", "index")(cn.toLowerCase))
               throw new IllegalArgumentException(
                 s"reserved keyword '$cn' cannot name a column")
-            val ct = p.next()
+            val ct = unq(p.next())
             fields += org.apache.spark.sql.types.StructField(cn, parseColType(ct))
             // skip NOT NULL / DEFAULT v to the next ',' or ')'
             while (p.peek != "," && p.peek != ")" && p.p < p.toks.length) p.next()
@@ -969,17 +1196,17 @@ object GraftSql {
       case "DROP" =>
         p.expect("DROP"); p.expect("TABLE")
         if (p.accept("IF")) p.expect("EXISTS")
-        spark.catalog.dropTempView(p.next())
+        spark.catalog.dropTempView(quoteId(readTableName(p)))
         None
 
       case "INSERT" =>
         p.expect("INSERT"); p.expect("INTO")
         val name = qualifyTable(spark, readTableName(p))
-        val schema = spark.table(name).schema
+        val schema = spark.table(quoteId(name)).schema
         val cols: Seq[String] =
           if (p.peek == "(") {
             val close = matchClose(p.toks, p.p)
-            val cs = p.toks.slice(p.p + 1, close).filter(_ != ",")
+            val cs = p.toks.slice(p.p + 1, close).filter(_ != ",").map(unq)
             p.p = close + 1
             cs
           } else schema.fieldNames.toSeq
@@ -1146,10 +1373,11 @@ object GraftSql {
   private def dbViewName(qualified: String): String =
     "__graftdb__" + qualified.replace(".", "__")
 
-  /** read an optionally db-qualified table name ("db.t") */
+  /** read an optionally db-qualified table name ("db.t"), unquoting
+    * back-quoted parts */
   private def readTableName(p: Parser): String = {
-    var name = p.next()
-    while (p.peek == ".") { p.next(); name = name + "." + p.next() }
+    var name = unq(p.next())
+    while (p.peek == ".") { p.next(); name = name + "." + unq(p.next()) }
     name
   }
 
@@ -1168,7 +1396,7 @@ object GraftSql {
   def registerDbTable(spark: SparkSession, db: String, name: String,
       df: DataFrame): Unit = {
     dbsOf(spark) += db
-    df.createOrReplaceTempView(dbViewName(s"$db.$name"))
+    df.createOrReplaceTempView(quoteId(dbViewName(s"$db.$name")))
   }
 
   // table → index specs (key columns, ts column); DELETE validates its
@@ -1253,15 +1481,16 @@ object GraftSql {
     * (test_out_in.yaml id 6 expects `db1.t0` to be unknown). */
   def resetCatalogState(spark: SparkSession): Unit = {
     deployed(spark).clear()
+    procedures(spark).clear()
     dbsOf(spark).clear()
     sessionCurDb.remove(spark)
     indexesOf(spark).clear()
     spark.catalog.listTables().collect().map(_.name)
       .filter(_.startsWith("__graftdb__"))
-      .foreach(spark.catalog.dropTempView)
+      .foreach(n => spark.catalog.dropTempView(quoteId(n)))
     // tables created through CREATE TABLE this session — dropping only
     // these leaves other suites' temp views alone
-    createdOf(spark).foreach(spark.catalog.dropTempView)
+    createdOf(spark).foreach(n => spark.catalog.dropTempView(quoteId(n)))
     createdOf(spark).clear()
   }
 
@@ -1333,11 +1562,13 @@ object GraftSql {
           .map(_.alias(name))
       else None)
       .getOrElse {
-        if (name.contains('.')) aliased(spark.table(dbViewName(name)), name)
+        if (name.contains('.'))
+          aliased(spark.table(quoteId(dbViewName(name))), name)
         else curDb(spark) match {
-          case Some(db) if spark.catalog.tableExists(dbViewName(s"$db.$name")) =>
-            spark.table(dbViewName(s"$db.$name")).alias(name)
-          case _ => spark.table(name)
+          case Some(db) if spark.catalog.tableExists(
+              quoteId(dbViewName(s"$db.$name"))) =>
+            spark.table(quoteId(dbViewName(s"$db.$name"))).alias(name)
+          case _ => spark.table(quoteId(name))
         }
       }
   }
@@ -1350,10 +1581,11 @@ object GraftSql {
   }
 
   private[sql] def projName(pr: Proj, i: Int): String =
-    pr.alias.getOrElse {
+    pr.alias.map(unq).getOrElse {
       val t = pr.exprText
-      if (t.matches("[A-Za-z_][A-Za-z0-9_]*( \\. [A-Za-z_][A-Za-z0-9_]*)?"))
-        t.split("\\.").last.trim
+      val idPat = "(?:[A-Za-z_][A-Za-z0-9_]*|`[^`]+`)"
+      if (t.matches(s"$idPat( \\. $idPat)?"))
+        unq(t.split("\\.").last.trim)
       // the reference names unaliased computed projections by their
       // expression text ("c2 + 1", test_sub_select.yaml id 0;
       // "sum(c4)over w1", test_window_row.yaml id 18)
@@ -1381,9 +1613,23 @@ object GraftSql {
     joins.foreach { jc =>
       var right = resolveRef(spark, jc.table, scope)
       jc.alias.foreach(a => right = right.alias(a))
-      val condToks = stripDbPrefixes(tokenize(jc.cond),
+      val condToks0 = stripDbPrefixes(tokenize(jc.cond),
         knownDbs(spark, scope), scope)
-      rejectIntervalLits(condToks)
+      // interval literals ARE legal in join range conditions
+      // (`t2.std_ts between t1.std_ts - 30d and t1.std_ts - 1d`,
+      // cases/plan/join_query.yaml ids 7-1/7-2) — rewrite to Spark
+      // INTERVAL syntax so timestamp arithmetic stays TIMESTAMP-typed;
+      // projections/filters keep rejecting them (fail_query.yaml
+      // "un-support const node")
+      val condToks = condToks0.flatMap { t =>
+        if (t.matches("[0-9]+[smhdSMHD]")) {
+          val unit = t.last.toLower match {
+            case 's' => "SECOND"; case 'm' => "MINUTE"
+            case 'h' => "HOUR";   case _   => "DAY"
+          }
+          Vector("INTERVAL", t.dropRight(1), unit)
+        } else Vector(t)
+      }
       // plan-time probe frame with both sides' columns so ts-typed
       // operands in the condition coerce (spark jd scenario:
       // `t.dt < all.date - 0` needs the ms-shift rewrite; ambiguous
@@ -1394,6 +1640,13 @@ object GraftSql {
         probe).mkString(" ")
       df = jc.kind match {
         case "left" => df.join(right, expr(cond), "left")
+        case "full" | "right" =>
+          // the reference's zetasql grammar parses these, but its
+          // planner rejects them (fail_query.yaml id 3 pins
+          // "unsupport join type RightJoin") — reject at the same
+          // stage rather than extend the dialect silently
+          throw new IllegalArgumentException(
+            s"unsupport join type ${jc.kind.capitalize}Join")
         case "last" =>
           // the reference restricts LAST JOIN ORDER BY keys to
           // int16/int32/int64/timestamp (test_lastjoin_simple.yaml ids
@@ -1516,8 +1769,33 @@ object GraftSql {
     val rt: String => Option[org.apache.spark.sql.types.DataType] =
       t => resolveTypeCached(df, t)
     val dbs = knownDbs(spark, scope)
+    // duplicate projections with the same alias that resolve to the
+    // SAME source attribute collapse to one — the reference keys
+    // projections by column id, so `col1 as id, col1 as id,
+    // t1.col1 as id` is one output (cases/plan/join_query.yaml id
+    // 10-2). Distinct sources under one alias stay, surfacing the
+    // ambiguity downstream like the reference would.
+    def colIdOf(toks: Vector[String]): Option[Any] = {
+      val name = toks.mkString("")
+      if (name.matches("[A-Za-z_][\\w]*(\\.[A-Za-z_][\\w]*)*"))
+        // a projection of a bare attribute keeps its exprId — the
+        // Catalyst equivalent of the reference's column id
+        try Some(df.select(df.col(name))
+          .queryExecution.analyzed.output.head.exprId)
+        catch { case _: Throwable => None }
+      else None
+    }
+    val dedupedProjs = {
+      val seen = scala.collection.mutable.Set[(String, Any)]()
+      s.projs.filter { p =>
+        (p.alias, if (p.over.isEmpty) colIdOf(p.tokens) else None) match {
+          case (Some(a), Some(id)) => seen.add((a.toLowerCase, id))
+          case _                   => true
+        }
+      }
+    }
     val s1 = s.copy(
-      projs = s.projs.zipWithIndex.map { case (p0, pi) =>
+      projs = dedupedProjs.zipWithIndex.map { case (p0, pi) =>
         val p = p0.copy(tokens = stripDbPrefixes(p0.tokens, dbs, scope))
         rejectIntervalLits(p.tokens)
         // pin the output name from the PRE-rewrite source text — the
@@ -1572,6 +1850,18 @@ object GraftSql {
           coerceDateFns(coerceOperands(pr.tokens, df), df), df).mkString(" "))
           .as(projName(pr, i)) }: _*)
 
+    // SELECT DISTINCT dedups the projected rows (parse-pinned by
+    // cases/plan/distinct_query.yaml; the reference grammar accepts it
+    // and no engine case forbids it)
+    if (s1.distinct) out = out.distinct()
+    // top-level ORDER BY parses (the reference grammar includes it,
+    // SELECT_STATEMENT.md:18) but the engine rejects it
+    // (SELECT_STATEMENT.md:111 "OpenMLDB does not support this
+    // keyword") — reject at the same stage
+    if (s1.orderBy.nonEmpty)
+      throw new IllegalArgumentException(
+        "un-support ORDER BY in SELECT (the reference engine rejects " +
+          "it; order within windows or LAST JOIN instead)")
     s1.limit.foreach(n => out = out.limit(n))
     out
   }
@@ -1847,15 +2137,25 @@ object GraftSql {
   }
 
   /** Interval literals ("1s", "30d") are legal ONLY as ROWS_RANGE frame
-    * bounds; as expressions the reference rejects them (fail_query.yaml
-    * "un-support const node"). Spark would silently read 1s/1d as
-    * typed-literal suffixes, so reject before expr(). */
-  private def rejectIntervalLits(toks: Vector[String]): Unit =
+    * bounds and join range conditions; as expressions the reference
+    * rejects them (fail_query.yaml "un-support const node"). Spark
+    * would silently read 1s/1d as typed-literal suffixes, so reject
+    * before expr(). Also rejects IN (SELECT ...) — Spark supports the
+    * subquery but the reference does not
+    * (cases/plan/error_unsupport_sql.yaml in_predicate_subquery). */
+  private def rejectIntervalLits(toks: Vector[String]): Unit = {
     toks.foreach { t =>
       if (t.matches("[0-9]+[smhdSMHD]"))
         throw new IllegalArgumentException(
           s"interval literal '$t' is not allowed outside a window frame bound")
     }
+    toks.indices.foreach { i =>
+      if (toks(i).equalsIgnoreCase("in") && i + 2 < toks.length &&
+          toks(i + 1) == "(" && toks(i + 2).equalsIgnoreCase("select"))
+        throw new IllegalArgumentException(
+          "IN (subquery) is not supported")
+    }
+  }
 
   /** Token-level rewrites for dialect surface Spark lacks:
     *  - type-cast function names int16/int32/int64/bool
@@ -2346,10 +2646,18 @@ object GraftSql {
           val prev = if (i2 == 0) "" else ts(i2 - 1)
           val isTyped = i2 >= 4 && prev == ">" && ts(i2 - 3) == "<" &&
             ts(i2 - 4).equalsIgnoreCase("array")
-          val isSub = !isTyped && (prev == ")" || prev == "]" ||
+          // bare ARRAY keyword: `ARRAY [1,2]` / `ARRAY []`
+          // (cases/plan/simple_query.yaml id array)
+          val isBare = !isTyped && prev.equalsIgnoreCase("array")
+          val isSub = !isTyped && !isBare && (prev == ")" || prev == "]" ||
             prev.headOption.exists(c => c.isLetter || c == '_' ||
               c == '\'' || c == '"'))
-          if (isTyped) {
+          if (isBare) {
+            val close = matchCloseB(ts, i2)
+            ts = ts.patch(close, Vector(")"), 1)
+              .patch(i2 - 1, Vector("array", "("), 2)
+            i2 += 1
+          } else if (isTyped) {
             val close = matchCloseB(ts, i2)
             val t0 = ts(i2 - 2)
             val tN = typeRename.getOrElse(t0.toLowerCase, t0.toUpperCase)
@@ -2499,10 +2807,12 @@ object GraftSql {
     val prev = toks(toks.length - 2)
     def identLike(t: String): Boolean =
       t.headOption.exists(c => c.isLetter || c == '_')
-    val lastOk = identLike(last) && !nonAliasWords(last.toLowerCase)
+    // a back-quoted token is always a legal alias, even a keyword
+    val lastOk = (last.length > 2 && last.head == '`') ||
+      (identLike(last) && !nonAliasWords(last.toLowerCase))
     val prevOk = prev == ")" || isQuoted(prev) || isNumericLit(prev) ||
       (identLike(prev) && !exprConnectors(prev.toLowerCase))
-    if (lastOk && prevOk) (toks.dropRight(1), Some(last))
+    if (lastOk && prevOk) (toks.dropRight(1), Some(unq(last)))
     else (toks, None)
   }
 
