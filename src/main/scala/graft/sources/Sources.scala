@@ -61,6 +61,19 @@ object Sources {
     else mapped + ("quote" -> "\u0000")
   }
 
+  /** A `hive://` / `iceberg://` URI names a CATALOG TABLE, not a file
+    * path — the format option is ignored and the read/write goes
+    * through the session catalog (reference
+    * utils/HybridseUtil.scala:218-239 parseOptions;
+    * dml/LOAD_DATA_STATEMENT.md:53-61). Spark speaks both natively, so
+    * the "source" is just `spark.read.table` / `saveAsTable`. */
+  private def tableUri(path: String): Option[String] = {
+    val low = path.toLowerCase
+    Seq("hive://", "iceberg://").collectFirst {
+      case p if low.startsWith(p) => path.substring(p.length)
+    }
+  }
+
   /** LOAD DATA INFILE: read csv/parquet with dialect options; an
     * explicit schema skips inference (the reference validates against
     * the declared table schema — DataSourceUtil.autoLoad). */
@@ -68,6 +81,11 @@ object Sources {
       options: Map[String, String] = Map.empty,
       schema: Option[StructType] = None): DataFrame = {
     validate(options)
+    tableUri(path).foreach { t =>
+      // catalog reads scale like any table scan — partition pruning
+      // and pushdown come from the catalog, not this layer
+      return spark.read.table(t)
+    }
     val fmt = strip(options.getOrElse("format", "csv"))
     schema match {
       case Some(s) if fmt == "csv" =>
@@ -118,6 +136,10 @@ object Sources {
       case "overwrite"       => "overwrite"
       case "append"          => "append"
       case _                 => "errorifexists"
+    }
+    tableUri(path).foreach { t =>
+      df.write.mode(mode).saveAsTable(t)
+      return
     }
     val explicitQuote = options.get("quote").map(strip).exists(_.nonEmpty)
     if (fmt == "csv" && !explicitQuote) {

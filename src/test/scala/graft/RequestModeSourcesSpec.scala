@@ -27,6 +27,24 @@ class RequestModeSourcesSpec extends SparkSpec {
     assert(out(11L) == 1.0 + 2.0 + 0.7)
   }
 
+  test("hive:// URIs route LOAD DATA / SELECT INTO through the catalog") {
+    // the reference maps hive://name to catalog-table reads/writes
+    // (HybridseUtil.parseOptions); Spark's session catalog is the
+    // native equivalent — saveAsTable then read.table
+    val src = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    try {
+      Sources.selectInto(src, "hive://graft_hive_spec",
+        Map("mode" -> "overwrite"))
+      val back = Sources.loadData(spark, "hive://graft_hive_spec")
+      assert(back.orderBy("id").as[(Long, String)].collect().toSeq ==
+        Seq((1L, "a"), (2L, "b")))
+      // format option is irrelevant for table URIs, like the reference
+      val back2 = Sources.loadData(spark, "HIVE://graft_hive_spec",
+        Map("format" -> "'csv'"))
+      assert(back2.count() == 2)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_hive_spec")
+  }
+
   test("selectInto/loadData csv round-trip preserves values and nulls") {
     // explicit quote: a delimiter inside the data survives the trip
     val dir = java.nio.file.Files.createTempDirectory("graft_io_spec").toString + "/t"
