@@ -909,6 +909,27 @@ object SparkEntry {
         Map("orders" -> T(s, d, "orders"), "lineitem" -> T(s, d, "lineitem")))
     },
 
+    // SELECT DISTINCT through the SQL front-end (distinct_query corpus)
+    "q_sql_distinct" -> q { (s, d) =>
+      graft.sql.GraftSql.sql(s,
+        "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+        Map("orders" -> T(s, d, "orders")))
+    },
+
+    // LAST JOIN with an interval-literal range condition — the as-of
+    // range-join shape (cases/plan/join_query.yaml ids 7-1/7-2):
+    // each event joins its latest strictly-earlier same-user event
+    // within one day
+    "q_sql_interval_join" -> q { (s, d) =>
+      graft.sql.GraftSql.sql(s,
+        """SELECT e.event_id AS event_id, r.event_id AS prev_event
+          |FROM events e LAST JOIN events r
+          |  ORDER BY struct(r.ts, r.event_id)
+          |  ON e.user_id = r.user_id
+          |    AND r.ts BETWEEN e.ts - 1d AND e.ts - 1s""".stripMargin,
+        Map("events" -> T(s, d, "events")))
+    },
+
     "q_sql_window_union" -> q { (s, d) =>
       val ev = T(s, d, "events")
       graft.sql.GraftSql.sql(s,
@@ -1568,6 +1589,18 @@ object SparkEntry {
         |  CAST(sum(cnt) OVER (PARTITION BY user_id % 100 ORDER BY user_id
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cnt
         |FROM (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id)""".stripMargin,
+
+    "q_sql_distinct" ->
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+
+    "q_sql_interval_join" ->
+      """SELECT e.event_id AS event_id,
+        |  (SELECT r.event_id FROM events r
+        |   WHERE r.user_id = e.user_id
+        |     AND r.ts BETWEEN e.ts - INTERVAL 1 DAY
+        |                  AND e.ts - INTERVAL 1 SECOND
+        |   ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) AS prev_event
+        |FROM events e""".stripMargin,
 
     "q_sql_last_join" ->
       """SELECT o_orderkey, o_totalprice, r.last_line, r.last_qty
