@@ -20,16 +20,28 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // One DataFrame handle per (session, path): `spark.read.parquet`
+  // re-lists files and re-reads footers on every call, and every
+  // consumer re-analyzes the fresh plan — a real cost when queries are
+  // re-planned per serving batch. The test parquet dirs are immutable,
+  // and a production catalog would hand out stable table handles the
+  // same way.
+  private val loaded = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]()
+
   /** Read one table; normalizes `events.ts` (ns long → ms long + timestamp). */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") {
-      // floorDiv matches DuckDB epoch_ms() truncation for the oracle.
-      val tsMs = floor(col("ts") / lit(1000000L)).cast("long")
-      df.withColumn("ts_ms", tsMs)
-        .withColumn("ts_ns", col("ts"))
-        .withColumn("ts", timestamp_millis(tsMs))
-    } else df
+    if (loaded.size > 128) loaded.clear() // stopped-session handles
+    loaded.computeIfAbsent((spark, dir, name), _ => {
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      if (name == "events") {
+        // floorDiv matches DuckDB epoch_ms() truncation for the oracle.
+        val tsMs = floor(col("ts") / lit(1000000L)).cast("long")
+        df.withColumn("ts_ms", tsMs)
+          .withColumn("ts_ns", col("ts"))
+          .withColumn("ts", timestamp_millis(tsMs))
+      } else df
+    })
   }
 
   /** Register every table as a temp view (idempotent). */

@@ -14,10 +14,24 @@ case class CaseInput(name: Option[String], columns: Seq[String],
     create: Option[String] = None,
     insert: Option[String] = None)
 
+/** Expected deployment metadata (deploy corpus): the reference's SHOW
+  * DEPLOYMENT surface — name plus the request (in) and output (out)
+  * schemas as "idx,name,kType,NULL?" strings. */
+case class DeployExpect(name: Option[String],
+    inColumns: Seq[String], outColumns: Seq[String])
+
+/** Expected index metadata (ddl corpus `expect.idxs`): keys, ts column
+  * ("-" when none), rendered ttl ("0min", "100", "10min&&10") and
+  * ttlType (kAbsoluteTime | kLatestTime | kAbsAndLat | kAbsOrLat). */
+case class IdxExpect(keys: Seq[String], ts: Option[String],
+    ttl: Option[String], ttlType: Option[String])
+
 /** Expected result: `success = false` marks a must-fail case. */
 case class CaseExpect(success: Boolean, order: Option[String],
     columns: Option[Seq[String]], rows: Option[Seq[Seq[Any]]],
-    count: Option[Long])
+    count: Option[Long],
+    deployment: Option[DeployExpect] = None,
+    idxs: Option[Seq[IdxExpect]] = None)
 
 /** A fully-expanded SQL case (dataProvider variants resolved).
   * `key` is "file:id[variant]" — stable across runs, used for skip
@@ -30,7 +44,8 @@ case class SqlCase(file: String, id: String, desc: String,
     db: Option[String] = None,
     sqls: Seq[String] = Seq.empty,
     batchRequest: Option[CaseInput] = None,
-    longWindow: Option[String] = None) {
+    longWindow: Option[String] = None,
+    tearDown: Seq[String] = Seq.empty) {
   def key: String = s"$file:$id$variant"
 }
 
@@ -116,6 +131,21 @@ object CaseLoader {
       insert = opt(n.get("insert")).map(_.asText()))
   }
 
+  private def parseDeploy(n: JsonNode): DeployExpect =
+    DeployExpect(
+      name = opt(n.get("name")).map(_.asText()),
+      inColumns = strs(n.get("inColumns")),
+      outColumns = strs(n.get("outColumns")))
+
+  private def parseIdxs(n: JsonNode): Seq[IdxExpect] =
+    n.elements().asScala.toSeq.map { e =>
+      IdxExpect(
+        keys = strs(e.get("keys")),
+        ts = opt(e.get("ts")).map(_.asText()),
+        ttl = opt(e.get("ttl")).map(_.asText()),
+        ttlType = opt(e.get("ttlType")).map(_.asText()))
+    }
+
   private def parseExpect(n: JsonNode): CaseExpect =
     if (n == null || n.isNull) CaseExpect(success = true, None, None, None, None)
     else CaseExpect(
@@ -125,7 +155,9 @@ object CaseLoader {
         .orElse(opt(n.get("schema")).map(s => schemaCols(s.asText()))),
       rows = opt(n.get("rows")).map(rows)
         .orElse(opt(n.get("data")).map(d => csvRows(d.asText()))),
-      count = opt(n.get("count")).map(_.asLong()))
+      count = opt(n.get("count")).map(_.asLong()),
+      deployment = opt(n.get("deployment")).map(parseDeploy),
+      idxs = opt(n.get("idxs")).map(parseIdxs))
 
   /** expectProvider override: merge non-null fields over the base. */
   private def mergeExpect(base: CaseExpect, n: JsonNode): CaseExpect =
@@ -134,7 +166,10 @@ object CaseLoader {
       order = opt(n.get("order")).map(_.asText()).orElse(base.order),
       columns = opt(n.get("columns")).map(strs).orElse(base.columns),
       rows = opt(n.get("rows")).map(rows).orElse(base.rows),
-      count = opt(n.get("count")).map(_.asLong()).orElse(base.count))
+      count = opt(n.get("count")).map(_.asLong()).orElse(base.count),
+      deployment = opt(n.get("deployment")).map(parseDeploy)
+        .orElse(base.deployment),
+      idxs = opt(n.get("idxs")).map(parseIdxs).orElse(base.idxs))
 
   /** Load one YAML case file; `fileTag` labels case keys (use the
     * basename without extension). Cases using unsupported schema
@@ -180,7 +215,8 @@ object CaseLoader {
           SqlCase(fileTag, id, desc, inputs, sql, expect, mode, tags,
             variant, parameters, opt(c.get("db")).map(_.asText()),
             sqls, batchRequest,
-            opt(c.get("longWindow")).map(_.asText()))
+            opt(c.get("longWindow")).map(_.asText()),
+            tearDown = opt(c.get("tearDown")).map(strs).getOrElse(Seq.empty))
 
         if (providers.isEmpty) Seq(mk(baseSql, sqlsList, baseExpect, ""))
         else {

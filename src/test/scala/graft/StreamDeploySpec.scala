@@ -215,12 +215,18 @@ class StreamDeploySpec extends SparkSpec {
   }
 
   test("DEPLOY statement + serveDeployment round trip") {
+    // DEPLOY compiles its SQL at deploy time (the reference fails a
+    // DEPLOY over a missing table), so the source must be registered;
+    // serveDeployment then binds the request DataFrame in its place
+    evs.toDF().createOrReplaceTempView("events")
     GraftSql.statement(spark,
       """DEPLOY sd_spec_dep OPTIONS(overwrite='true') SELECT user, ts,
         sum(amt) OVER w AS s FROM events
         WINDOW w AS (PARTITION BY user ORDER BY ts
           ROWS_RANGE BETWEEN 25 PRECEDING AND CURRENT ROW)""")
-    val out = StreamDeploy.serveDeployment(spark, "sd_spec_dep", evs.toDF())
-    assert(out.count() == evs.length)
+    try {
+      val out = StreamDeploy.serveDeployment(spark, "sd_spec_dep", evs.toDF())
+      assert(out.count() == evs.length)
+    } finally spark.catalog.dropTempView("events")
   }
 }

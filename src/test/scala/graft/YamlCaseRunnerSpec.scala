@@ -98,7 +98,24 @@ class YamlCaseRunnerSpec extends SparkSpec {
     ("function/test_batch_request.yaml", "batch_request"),
     ("function/test_feature_zero_function.yaml", "fz_function"),
     ("function/test_fz_sql.yaml", "fz_sql_fn"),
-    ("function/ddl/test_create.yaml", "test_create"))
+    ("function/ddl/test_create.yaml", "test_create"),
+    // "cluster" in the reference names WHICH deployment ran them —
+    // the cases themselves are ordinary SQL over inputs
+    ("function/cluster/test_cluster_batch.yaml", "cluster_batch"),
+    ("function/cluster/test_window_row.yaml", "cluster_window_row"),
+    ("function/cluster/test_window_row_range.yaml", "cluster_window_rr"),
+    ("function/cluster/window_and_lastjoin.yaml", "cluster_win_lastjoin"),
+    ("function/test_index_optimized.yaml", "index_optimized"),
+    ("function/deploy/test_create_deploy.yaml", "create_deploy"),
+    ("function/deploy/test_drop_deploy.yaml", "drop_deploy"),
+    ("function/deploy/test_show_deploy.yaml", "show_deploy"),
+    ("function/dml/test_insert_prepared.yaml", "insert_prepared"),
+    ("function/tmp/test_current_time.yaml", "current_time"),
+    ("function/ut_case/test_unique_expect.yaml", "unique_expect"),
+    ("function/ddl/test_ttl.yaml", "ddl_ttl"),
+    ("function/ddl/test_create_index.yaml", "create_index"),
+    ("function/ddl/test_create_no_index.yaml", "create_no_index"),
+    ("function/data_expiration/test_data_expiration.yaml", "data_expiration"))
 
   /** Cases GraftSql cannot run yet, with the reason. Keyed by
     * SqlCase.key = "<fileTag>:<id><variant>". */
@@ -155,11 +172,16 @@ class YamlCaseRunnerSpec extends SparkSpec {
   /** Column types (inputs + expect + parameters) this harness cannot
     * express, e.g. map<int,string> — the case is canceled with the
     * offending type named. */
+  /** "name type[ NOT NULL]" → tokens with the nullability suffix
+    * stripped (ddl corpus decls like "id int not null"). */
+  private def declParts(cdef: String): Array[String] =
+    cdef.trim.replaceAll("(?i)\\s+not\\s+null\\s*$", "").split("[:\\s]+")
+
   private def unsupportedType(c: SqlCase): Option[String] = {
     val decls = c.inputs.flatMap(_.columns) ++
       c.parameters.toSeq.flatMap(_.columns) ++
       c.expect.columns.getOrElse(Seq.empty)
-    decls.map(_.trim.split("[:\\s]+").last)
+    decls.map(declParts(_).last)
       .find(t => typOpt(t).isEmpty)
       .map(t => s"unsupported column type '$t' in this harness")
   }
@@ -179,6 +201,18 @@ class YamlCaseRunnerSpec extends SparkSpec {
     case s: String => java.lang.Double.valueOf(s.trim) // data-block cell
   }
 
+  /** "{currentTime}" / "{currentTime}-600001" rows (data_expiration,
+    * test_create_index): wall-clock-relative epoch ms, resolved at
+    * build time like the reference harness does. */
+  private def currentTimeMs(s: String): Option[Long] = {
+    val t = s.trim
+    if (!t.startsWith("{currentTime}")) None
+    else {
+      val off = t.stripPrefix("{currentTime}").replace(" ", "")
+      Some(System.currentTimeMillis() + (if (off.isEmpty) 0L else off.toLong))
+    }
+  }
+
   private def coerce(v: Any, t: DataType): Any =
     if (v == null) null
     else t match {
@@ -186,6 +220,7 @@ class YamlCaseRunnerSpec extends SparkSpec {
       case ShortType   => num(v).shortValue
       case LongType    => v match {
         case n: Number                         => n.longValue
+        case s: String if currentTimeMs(s).isDefined => currentTimeMs(s).get
         case s: String if s.trim.forall(c => c.isDigit || c == '-') =>
           s.trim.toLong
         case s: String                         => tsToMs(s)
@@ -203,6 +238,8 @@ class YamlCaseRunnerSpec extends SparkSpec {
       }
       case TimestampType => v match {
         case n: Number => new java.sql.Timestamp(n.longValue)
+        case s: String if currentTimeMs(s).isDefined =>
+          new java.sql.Timestamp(currentTimeMs(s).get)
         case s: String if s.trim.forall(c => c.isDigit || c == '-') =>
           new java.sql.Timestamp(s.trim.toLong)
         case s: String => new java.sql.Timestamp(tsToMs8(s))
@@ -236,7 +273,7 @@ class YamlCaseRunnerSpec extends SparkSpec {
   /** Build a DataFrame from a columns/rows input block. */
   private def buildDf(in: CaseInput): DataFrame = {
     val schema = StructType(in.columns.map { cdef =>
-      val parts = cdef.trim.split("[:\\s]+") // "c1 int" or "c1:int"
+      val parts = declParts(cdef) // "c1 int" or "c1:int"
       StructField(parts(0), typ(parts.last))
     })
     val data = Seq.fill(in.repeat)(in.rows).flatten.map(r =>
@@ -251,33 +288,49 @@ class YamlCaseRunnerSpec extends SparkSpec {
       schema)
   }
 
-  /** Storage TTL: an index spec "name:keys:ts:<n>:latest" retains only
-    * the latest n rows per key (by ts desc, insertion desc). A row
-    * survives if ANY index retains it; an index without a latest bound
-    * retains everything. */
-  private def applyTtl(df: DataFrame, indexs: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions._
-    val parsed = indexs.map(_.split(":").map(_.trim))
-    if (parsed.isEmpty) return df
-    // any index without a positive latest bound keeps all rows
-    if (parsed.exists(p => p.length < 5 || !p(4).equalsIgnoreCase("latest")
-        || p(3).toIntOption.forall(_ <= 0))) return df
-    val uid = "__ttl_uid"
-    val tagged = df.withColumn(uid, monotonically_increasing_id())
-    val kept = parsed.map { p =>
-      val keys = p(1).split("\\|").toSeq.map(_.trim)
-      val ts = p(2)
-      val n = p(3).toInt
-      val w = Window.partitionBy(keys.map(col): _*)
-        .orderBy(col(ts).desc, col(uid).desc)
-      tagged.withColumn("__ttl_rn", row_number().over(w))
-        .filter(col("__ttl_rn") <= n).select(col(uid))
-    }.reduce(_ union _).distinct()
-    tagged.join(kept, Seq(uid), "left_semi").drop(uid)
+  /** Storage TTL: an index spec "name:keys:ts:<bound>:<kind>" expires
+    * rows per the reference's four TTL kinds (operators/Ttl.scala). A
+    * row survives if ANY index retains it; an index without an
+    * effective bound retains everything. */
+  /** One `index:` string may carry several comma-separated specs
+    * (query corpus "index2:col2:col5,index0:col0:col5"); commas inside
+    * parens belong to a ttl 2-tuple. */
+  private def splitIndexSpecs(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case ch => cur += ch
+    }
+    out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
   }
 
-  private def register(c: SqlCase): (String, Seq[String], Map[String, DataFrame]) = {
+  private def applyTtl(df: DataFrame, indexs: Seq[String]): DataFrame = {
+    import graft.operators.Ttl
+    val specs = indexs.flatMap(splitIndexSpecs).map(_.split(":", -1).map(_.trim))
+      .filter(p => p.length >= 3 && p(2).nonEmpty)
+      .map { p =>
+        val bound = p.lift(3).getOrElse("")
+        val kind = p.lift(4).filter(_.nonEmpty)
+        // kindless bounds infer from shape: bare count = latest,
+        // time-with-unit = absolute
+        val inferred = kind.getOrElse(
+          if (bound.forall(_.isDigit)) "latest" else "absolute")
+        val spec =
+          if (bound.isEmpty) Ttl.TtlSpec(inferred, 0, 0)
+          else Ttl.parse(bound, Some(inferred))
+        (p(1).split("\\|").toSeq.map(_.trim), p(2), spec)
+      }
+    if (specs.isEmpty) df
+    else Ttl.expire(df, specs, System.currentTimeMillis())
+  }
+
+  private def register(c: SqlCase)
+      : (String, Seq[String], Map[String, DataFrame], String => String) = {
     val names = c.inputs.zipWithIndex.map { case (in, k) =>
       in.name.getOrElse(s"t$k") }
     def subst(s0: String): String =
@@ -294,17 +347,23 @@ class YamlCaseRunnerSpec extends SparkSpec {
         // executed through the engine's own statement surface
         // (dml corpus — test_insert.yaml id 1+)
         GraftSql.statement(spark, subst(in.create.get))
-        in.insert.foreach(ins => GraftSql.statement(spark, subst(ins)))
+        in.insert.foreach { ins =>
+          val text = subst(ins)
+          // prepared INSERT: `?` placeholders bound once per data row
+          // (dml corpus test_insert_prepared.yaml)
+          if (text.contains("?") && in.rows.nonEmpty)
+            in.rows.foreach(r => GraftSql.statement(spark, text, r))
+          else GraftSql.statement(spark, text)
+        }
       } else if (in.columns.isEmpty) {
         // name-only input: just binds {k} for the sql text
         // (test_create.yaml id 6-2)
       } else {
-        // multi-statement (online-mode) cases honor storage TTL: an
-        // index bounded `<n>:latest` keeps only the latest n rows per
-        // key (test_delete.yaml ids 24/25); batch-mode query cases
-        // read full snapshots like the reference's offline engine
-        val df0 = buildDf(in)
-        val df = if (c.sqls.nonEmpty) applyTtl(df0, in.indexs) else df0
+        // storage TTL applies to every online read (test_delete ids
+        // 24/25; test_ttl ids 21-23) — an index without an effective
+        // bound keeps the full snapshot, so batch corpus files with
+        // plain `0:latest` specs are unaffected
+        val df = applyTtl(buildDf(in), in.indexs)
         in.db match {
           case Some(db) =>
             scoped += (s"$db.$name" -> df)
@@ -325,8 +384,106 @@ class YamlCaseRunnerSpec extends SparkSpec {
     new java.io.File(scratch).mkdirs()
     val sqls = c.sqls.map(subst).map(
       _.replaceAll("'([^'/]+\\.(?:csv|txt|parquet))'", s"'$scratch/$$1'"))
-    (subst(c.sql), sqls, scoped.result())
+    (subst(c.sql), sqls, scoped.result(), subst)
   }
+
+  /** Deploy-corpus expectation: the deployment exists and its request
+    * (in) and output (out) schemas match, compared as (idx,name,kType)
+    * — the reference's CLI also prints a NULLability flag (a storage
+    * default, always NO) and the AST printer's pretty SQL, both
+    * presentation artifacts of the native server, not query
+    * semantics. */
+  private val kTypes: Map[DataType, String] = Map(
+    StringType -> "kVarchar", ShortType -> "kInt16",
+    IntegerType -> "kInt32", LongType -> "kInt64",
+    FloatType -> "kFloat", DoubleType -> "kDouble",
+    TimestampType -> "kTimestamp", DateType -> "kDate",
+    BooleanType -> "kBool")
+
+  private def checkDeployment(c: SqlCase, subst: String => String): Unit =
+    c.expect.deployment.foreach { dep =>
+      val name = dep.name.map(subst).getOrElse(
+        fail("expect.deployment without a name"))
+      val sqlText = GraftSql.deployment(spark, name).getOrElse(
+        fail(s"deployment '$name' is not registered"))
+      def render(fields: Seq[StructField]): Seq[String] =
+        fields.zipWithIndex.map { case (f, i) =>
+          s"${i + 1},${f.name},${kTypes(f.dataType)}" }
+      def want(ss: Seq[String]): Seq[String] =
+        ss.map(_.split(",").take(3).mkString(","))
+      if (dep.outColumns.nonEmpty) {
+        val out = GraftSql.sql(spark, sqlText).schema.fields.toSeq
+        assert(render(out) == want(dep.outColumns),
+          s"deployment outColumns: got ${render(out)}")
+      }
+      if (dep.inColumns.nonEmpty) {
+        val in = spark.table(subst("{0}")).schema.fields.toSeq
+          .filterNot(_.name.startsWith("__"))
+        assert(render(in) == want(dep.inColumns),
+          s"deployment inColumns: got ${render(in)}")
+      }
+    }
+
+  /** ddl-corpus expectation: the table's index metadata (keys, ts,
+    * ttl, ttlType) in declaration order — input-declared indexes (or
+    * the server's auto-created default index, index_util.cc:101)
+    * followed by engine-side CREATE INDEX additions. */
+  private def checkIdxs(c: SqlCase, subst: String => String): Unit =
+    c.expect.idxs.foreach { want =>
+      import graft.operators.Ttl
+      val in = c.inputs.headOption
+      val name = subst("{0}")
+      val inputMetas: Seq[(Seq[String], Option[String], Ttl.TtlSpec)] =
+        in match {
+          case Some(i) if i.indexs.nonEmpty =>
+            i.indexs.flatMap(splitIndexSpecs)
+              .map(_.split(":", -1).map(_.trim)).collect {
+                case p if p.length >= 2 =>
+                  val bound = p.lift(3).getOrElse("")
+                  val kind = p.lift(4).filter(_.nonEmpty)
+                  val inferred = kind.getOrElse(
+                    if (bound.forall(_.isDigit)) "latest" else "absolute")
+                  val spec =
+                    if (bound.isEmpty)
+                      Ttl.TtlSpec(kind.getOrElse("absolute"), 0, 0)
+                    else Ttl.parse(bound, Some(inferred))
+                  (p(1).split("\\|").toSeq.map(_.trim),
+                    p.lift(2).filter(_.nonEmpty), spec)
+              }
+          case Some(i) if i.create.isEmpty && i.columns.nonEmpty =>
+            // table declared without an index: the server auto-creates
+            // one on the first non-float/double column
+            val parts = i.columns.map(declParts)
+            parts.find(pp => !Set("float", "double")(pp.last.toLowerCase))
+              .map(pp => (Seq(pp(0)), None: Option[String],
+                Ttl.TtlSpec("absolute", 0, 0))).toSeq
+          case _ => Seq.empty
+        }
+      val engineMetas = GraftSql.tableIndexMeta(spark, name)
+        .map(m => (m.keys, m.ts, m.ttl))
+      val got = inputMetas ++ engineMetas
+      // the reference stores absolute TTLs in whole minutes, rounded
+      // up (1s renders as 1min — test_create_index.yaml id 9)
+      def mins(ms: Long): Long = (ms + 59999L) / 60000L
+      def renderTtl(s: Ttl.TtlSpec): (String, String) = s.kind match {
+        case "latest"    => (s.lat.toString, "kLatestTime")
+        case "absandlat" => (s"${mins(s.absMs)}min&&${s.lat}", "kAbsAndLat")
+        case "absorlat"  => (s"${mins(s.absMs)}min||${s.lat}", "kAbsOrLat")
+        case _           => (s"${mins(s.absMs)}min", "kAbsoluteTime")
+      }
+      assert(got.length == want.length,
+        s"idxs count: got ${got.length}, want ${want.length}")
+      got.zip(want).zipWithIndex.foreach { case (((ks, ts, spec), w), i) =>
+        assert(ks.map(_.toLowerCase) == w.keys.map(_.toLowerCase),
+          s"idx $i keys: $ks vs ${w.keys}")
+        w.ts.foreach(t => assert(ts.getOrElse("-").equalsIgnoreCase(t),
+          s"idx $i ts: ${ts.getOrElse("-")} vs $t"))
+        val (ttlS, typeS) = renderTtl(spec)
+        w.ttl.foreach(t => assert(ttlS == t, s"idx $i ttl: $ttlS vs $t"))
+        w.ttlType.foreach(t => assert(typeS == t,
+          s"idx $i ttlType: $typeS vs $t"))
+      }
+    }
 
   // normalize numerics to fixed-scale BigDecimal (float at 4, others at
   // 6) so Int/Long/Double representations and fp noise compare equal
@@ -354,30 +511,38 @@ class YamlCaseRunnerSpec extends SparkSpec {
     GraftSql.resetCatalogState(spark)
     harnessViews.foreach(spark.catalog.dropTempView)
     harnessViews.clear()
-    val (sql, sqls, scoped) = register(c)
-    // multi-statement cases (dml / out_in corpus): execute in order
-    // through the engine's statement surface; the last DQL result is
-    // the compared output
+    val (sql, sqls, scoped, subst) = register(c)
+    // multi-statement cases (dml / out_in / deploy corpus): execute in
+    // order through the engine's statement surface; the last DQL
+    // result is the compared output. tearDown statements always run
+    // (deploy corpus drops its deployments).
     if (sqls.nonEmpty) {
-      if (!c.expect.success) {
-        intercept[Throwable] {
-          sqls.foreach(s => GraftSql.statement(spark, s).foreach(_.collect()))
-          if (sql.trim.nonEmpty)
-            GraftSql.sql(spark, sql).collect()
+      try {
+        if (!c.expect.success) {
+          intercept[Throwable] {
+            sqls.foreach(s => GraftSql.statement(spark, s).foreach(_.collect()))
+            if (sql.trim.nonEmpty)
+              GraftSql.sql(spark, sql).collect()
+          }
+          return
         }
-        return
-      }
-      var last: Option[DataFrame] = None
-      sqls.foreach { s =>
-        last = GraftSql.statement(spark, s).orElse(last)
-      }
-      // a case may pair setup `sqls` with a final `sql` query
-      // (test_delete.yaml id 4: deletes then a window SELECT)
-      if (sql.trim.nonEmpty) compareExpect(c, sql, GraftSql.sql(spark, sql))
-      else last match {
-        case Some(out) => compareExpect(c, sqls.mkString("; "), out)
-        case None => assert(c.expect.rows.isEmpty && c.expect.count.isEmpty,
-          "case expects rows but no statement returned a result")
+        var last: Option[DataFrame] = None
+        sqls.foreach { s =>
+          last = GraftSql.statement(spark, s).orElse(last)
+        }
+        checkDeployment(c, subst)
+        checkIdxs(c, subst)
+        // a case may pair setup `sqls` with a final `sql` query
+        // (test_delete.yaml id 4: deletes then a window SELECT)
+        if (sql.trim.nonEmpty) compareExpect(c, sql, GraftSql.sql(spark, sql))
+        else last match {
+          case Some(out) => compareExpect(c, sqls.mkString("; "), out)
+          case None => assert(c.expect.rows.isEmpty && c.expect.count.isEmpty,
+            "case expects rows but no statement returned a result")
+        }
+      } finally c.tearDown.foreach { t =>
+        try GraftSql.statement(spark, subst(t)).foreach(_.collect())
+        catch { case _: Throwable => () }
       }
       return
     }
@@ -385,7 +550,7 @@ class YamlCaseRunnerSpec extends SparkSpec {
     // ddl corpus): execute through the statement surface
     val head = sql.trim.split("[\\s(]+").headOption.getOrElse("").toLowerCase
     if (Set("deploy", "create", "drop", "use", "show", "load",
-        "truncate")(head)) {
+        "truncate", "desc")(head)) {
       if (!c.expect.success) {
         intercept[Throwable] {
           GraftSql.statement(spark, sql).foreach(_.collect())
@@ -398,6 +563,7 @@ class YamlCaseRunnerSpec extends SparkSpec {
         case _ =>
           assert(c.expect.rows.isEmpty, "statement case with expected rows")
       }
+      checkIdxs(c, subst)
       return
     }
     // bind `?` placeholders from the parameters block, typed by its
