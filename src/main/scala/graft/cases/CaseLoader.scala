@@ -26,12 +26,17 @@ case class DeployExpect(name: Option[String],
 case class IdxExpect(keys: Seq[String], ts: Option[String],
     ttl: Option[String], ttlType: Option[String])
 
+/** Raw exported-file content expectation (out_in corpus `expect.cat`):
+  * every line the csv holds, header rows included. */
+case class CatExpect(path: String, lines: Seq[String])
+
 /** Expected result: `success = false` marks a must-fail case. */
 case class CaseExpect(success: Boolean, order: Option[String],
     columns: Option[Seq[String]], rows: Option[Seq[Seq[Any]]],
     count: Option[Long],
     deployment: Option[DeployExpect] = None,
-    idxs: Option[Seq[IdxExpect]] = None)
+    idxs: Option[Seq[IdxExpect]] = None,
+    cat: Option[CatExpect] = None)
 
 /** A fully-expanded SQL case (dataProvider variants resolved).
   * `key` is "file:id[variant]" — stable across runs, used for skip
@@ -157,7 +162,9 @@ object CaseLoader {
         .orElse(opt(n.get("data")).map(d => csvRows(d.asText()))),
       count = opt(n.get("count")).map(_.asLong()),
       deployment = opt(n.get("deployment")).map(parseDeploy),
-      idxs = opt(n.get("idxs")).map(parseIdxs))
+      idxs = opt(n.get("idxs")).map(parseIdxs),
+      cat = opt(n.get("cat")).map(cn => CatExpect(
+        cn.get("path").asText(), strs(cn.get("lines")))))
 
   /** expectProvider override: merge non-null fields over the base. */
   private def mergeExpect(base: CaseExpect, n: JsonNode): CaseExpect =
@@ -169,7 +176,9 @@ object CaseLoader {
       count = opt(n.get("count")).map(_.asLong()).orElse(base.count),
       deployment = opt(n.get("deployment")).map(parseDeploy)
         .orElse(base.deployment),
-      idxs = opt(n.get("idxs")).map(parseIdxs).orElse(base.idxs))
+      idxs = opt(n.get("idxs")).map(parseIdxs).orElse(base.idxs),
+      cat = opt(n.get("cat")).map(cn => CatExpect(
+        cn.get("path").asText(), strs(cn.get("lines")))).orElse(base.cat))
 
   /** Load one YAML case file; `fileTag` labels case keys (use the
     * basename without extension). Cases using unsupported schema

@@ -114,14 +114,19 @@ object Ttl {
         unix_millis(col(c))
       else col(c).cast("long")
     val kept = indexes.map { case (keys, ts, spec) =>
-      val w = Window.partitionBy(keys.map(col): _*)
-        .orderBy(col(ts).desc, col(uid).desc)
+      // an index may have no ts column ("null" — fz_ddl corpus
+      // index1:reqId:null:1:latest): latest ranks by insertion order
+      // alone and time-based expiry cannot fire
+      val hasTs = ts.nonEmpty && !ts.equalsIgnoreCase("null")
+      val ord = (if (hasTs) Seq(col(ts).desc) else Seq.empty) :+
+        col(uid).desc
+      val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
       val withRn = if (spec.lat > 0)
         tagged.withColumn(rn, row_number().over(w)) else tagged
       val condLat: Column =
         if (spec.lat > 0) col(rn) > lit(spec.lat) else lit(false)
       val condAbs: Column =
-        if (spec.absMs > 0) msCol(ts) < lit(nowMs - spec.absMs)
+        if (hasTs && spec.absMs > 0) msCol(ts) < lit(nowMs - spec.absMs)
         else lit(false)
       val expired = spec.kind match {
         case "absolute"  => condAbs

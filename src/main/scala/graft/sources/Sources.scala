@@ -103,14 +103,37 @@ object Sources {
           throw new IllegalArgumentException(
             "header=true but no header row matches the table columns")
         val data = if (header) lines.filter(_ != headerLine) else lines
-        val df = spark.read
+        // timestamp columns arrive as int64 epoch ms (the reference's
+        // csv export format) or as wall-clock strings — parse as
+        // string, convert, and treat an unparseable non-null value as
+        // a load error (FAILFAST semantics, test_out_in.yaml id 22)
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.types.{StringType, TimestampType}
+        val tsCols = s.fields.filter(_.dataType == TimestampType)
+          .map(_.name).toSeq
+        val parseSchema = StructType(s.fields.map(f =>
+          if (tsCols.contains(f.name)) f.copy(dataType = StringType) else f))
+        val df0 = spark.read
           .options(mapOptions(options) - "header")
-          .schema(s).option("mode", "FAILFAST")
+          .schema(parseSchema).option("mode", "FAILFAST")
           .csv(data)
+        val df1 = tsCols.foldLeft(df0) { (d, n) =>
+          d.withColumn(s"__raw_$n", col(n))
+            .withColumn(n,
+              when(col(n).rlike("^-?[0-9]+$"),
+                timestamp_millis(col(n).cast("long")))
+                .otherwise(try_to_timestamp(col(n))))
+        }
         // FAILFAST surfaces on the first action — force it here so
         // LOAD DATA itself reports the error, not a later query
-        df.foreach(_ => ())
-        df
+        df1.foreach(_ => ())
+        tsCols.foreach { n =>
+          if (df1.filter(col(s"__raw_$n").isNotNull && col(n).isNull)
+              .limit(1).count() > 0)
+            throw new IllegalArgumentException(
+              s"cannot parse timestamp column '$n' from csv")
+        }
+        df1.select(s.fieldNames.map(col).toIndexedSeq: _*)
       case _ =>
         var r = spark.read.format(fmt).options(mapOptions(options))
         if (fmt == "csv" && !options.contains("header"))
@@ -148,8 +171,20 @@ object Sources {
       val header = options.get("header").map(strip).forall(_.toBoolean)
       val spark = df.sparkSession
       import spark.implicits._
-      val rendered = df.schema.fields.map(f =>
-        coalesce(col(f.name).cast("string"), lit(nullV)))
+      // reference csv rendering (test_out_in.yaml id 11/17/18 `cat`
+      // expectations): float/double print %f with 6 decimals,
+      // timestamps print their int64 epoch-ms value
+      val rendered = df.schema.fields.map { f =>
+        val c = f.dataType match {
+          case org.apache.spark.sql.types.FloatType |
+               org.apache.spark.sql.types.DoubleType =>
+            format_string("%.6f", col(f.name))
+          case org.apache.spark.sql.types.TimestampType =>
+            unix_millis(col(f.name)).cast("string")
+          case _ => col(f.name).cast("string")
+        }
+        coalesce(c, lit(nullV))
+      }
       val lines = df.select(concat_ws(delim, rendered: _*).as("value"))
       val withHeader =
         if (header)

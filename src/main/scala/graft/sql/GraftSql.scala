@@ -576,6 +576,9 @@ object GraftSql {
   private val UidCol = "__graft_uid"
   private val FlagCol = "__graft_primary"
   private val RequestFlagCol = "__graft_is_request"
+  // per-request-row identity (requestMode): survives projections and
+  // re-aligns request-derived LAST JOIN sides with their request row
+  private val ReqUidCol = "__graft_req_uid"
   private val RequestUnionTable = "__graft_request_union"
   private val RequestRowsTable = "__graft_request_rows"
 
@@ -764,7 +767,18 @@ object GraftSql {
     val parser = new Parser(tokenize(text))
     val q = parser.parseQuery()
     if (parser.p != parser.toks.length) parser.fail("trailing tokens")
-    requestModeQuery(spark, q, requests, tables)
+    // Tag each request row with an identity: the reference executes each
+    // request independently, so two requests with IDENTICAL join keys
+    // must still re-align with their own derived-side rows
+    // (fz_ddl/test_myhug.yaml carries two reqId2 requests). Checkpoint
+    // pins the nondeterministic ids — every derived sub-plan re-reads
+    // them. Projections pass the column through (planSelect) and
+    // request-derived LAST JOIN sides join on it.
+    val tagged = requests
+      .withColumn(ReqUidCol, monotonically_increasing_id())
+      .localCheckpoint(true)
+    val out = requestModeQuery(spark, q, tagged, tables)
+    out.drop(out.columns.filter(_.startsWith(ReqUidCol)).toIndexedSeq: _*)
   }
 
   private def requestModeQuery(spark: SparkSession, q: Query,
@@ -775,16 +789,76 @@ object GraftSql {
     require(sel.groupBy.isEmpty && sel.joins.forall(_.kind == "last"),
       "request mode supports window projections and LAST JOINs only")
     val hasWin = sel.projs.exists(p => p.over.isDefined || p.hasNestedOver)
+    // a FROM subquery transforms the request row too: route the request
+    // rows through it recursively (point-in-time for any windows it
+    // holds) so its projection/renames stay visible to the outer SELECT
+    // (fz_ddl corpus: `select * from (select reqId as reqId_1 ...) as
+    // out0 last join ... on out0.reqId_1 = ...`)
+    val reqRows = sel.fromTable match {
+      case Right(sub) => requestModeQuery(spark, sub, requests, tables)
+      case _          => requests
+    }
+    // a LAST JOIN right side that derives from the SAME request table
+    // computes point-in-time per request row too — the FZ pattern
+    // `out0 last join (windowed select over flattenRequest) as out2 on
+    // out0.reqId = out2.reqId`: out2's window frames anchor at the
+    // REQUEST row's ts, not the stored rows' (fz_ddl/test_myhug.yaml).
+    // Right sides over other tables stay static (dimension joins).
+    def rootName(r: TRef): Option[String] = r match {
+      case Left(n)    => Some(n)
+      case Right(sub) => sub.selects.headOption.flatMap(s =>
+        rootName(s.fromTable))
+    }
+    def requestPlannable(qq: Query): Boolean =
+      qq.ctes.isEmpty && qq.selects.length == 1 && {
+        val s = qq.selects.head
+        s.groupBy.isEmpty && s.joins.forall(_.kind == "last")
+      }
+    val mainRoot = rootName(sel.fromTable).map(_.toLowerCase)
+    val extra = Map.newBuilder[String, DataFrame]
+    val joins2 = sel.joins.zipWithIndex.map { case (jc, k) =>
+      jc.table match {
+        case Right(sub)
+            if mainRoot.isDefined && requestPlannable(sub) &&
+              rootName(jc.table).map(_.toLowerCase) == mainRoot =>
+          val nm = s"__graft_req_join_$k"
+          val planned = requestModeQuery(spark, sub, requests, tables)
+          // both sides carry the request-row identity: join on it too,
+          // so duplicate user-level join keys across concurrent
+          // requests still pair each request with ITS derived row
+          if (requests.columns.contains(ReqUidCol) &&
+              planned.columns.contains(ReqUidCol)) {
+            val rid = s"${ReqUidCol}_$k"
+            extra += (nm -> planned.withColumnRenamed(ReqUidCol, rid))
+            // no parens around the original cond: the LAST JOIN equi
+            // path detects a top-level AND of equalities (null-safe
+            // key matching); a parenthesized conjunct would demote it
+            // to the general non-equi path and null keys would stop
+            // matching (fz_ddl/test_luoji.yaml null request row)
+            // the right key must be alias-qualified for the equi-key
+            // detector (equiKeys matches `rightQual . col`)
+            val rq = jc.alias.getOrElse(nm)
+            jc.copy(table = Left(nm),
+              cond = s"${jc.cond} AND $rq.$rid = $ReqUidCol")
+          } else {
+            extra += (nm -> planned)
+            jc.copy(table = Left(nm))
+          }
+        case _ => jc
+      }
+    }
+    val selJ = sel.copy(joins = joins2)
+    val tablesJ = tables ++ extra.result()
     if (!hasWin) {
       // no windows: features depend only on the request row itself —
       // plan the SELECT (joins to static tables included) directly over
       // the request rows, qualified by the FROM table's name
       val fromName = sel.fromTable.left.toOption.getOrElse("")
       val req =
-        if (fromName.nonEmpty && sel.fromAlias.isEmpty) requests.alias(fromName)
-        else requests
-      return planSelect(spark, sel.copy(fromTable = Left(RequestRowsTable)),
-        tables + (RequestRowsTable -> req))
+        if (fromName.nonEmpty && sel.fromAlias.isEmpty) reqRows.alias(fromName)
+        else reqRows
+      return planSelect(spark, selJ.copy(fromTable = Left(RequestRowsTable)),
+        tablesJ + (RequestRowsTable -> req))
     }
     val history = resolveRef(spark, sel.fromTable, tables)
     // union with provenance flag; the request row is the only primary.
@@ -792,7 +866,7 @@ object GraftSql {
     // ties stored rows must still see them at-or-before itself
     // (test_batch_request.yaml id 8 "current time == history time")
     val flagged0 = history.withColumn(RequestFlagCol, lit(false))
-      .unionByName(requests.withColumn(RequestFlagCol, lit(true)),
+      .unionByName(reqRows.withColumn(RequestFlagCol, lit(true)),
         allowMissingColumns = true)
     // keep the FROM table's name resolvable as a qualifier — the query
     // text may reference `t0.c7` (test_batch_request.yaml)
@@ -800,8 +874,8 @@ object GraftSql {
     val flagged =
       if (fromName0.nonEmpty && sel.fromAlias.isEmpty) flagged0.alias(fromName0)
       else flagged0
-    val sel2 = sel.copy(fromTable = Left(RequestUnionTable))
-    planSelect(spark, sel2, tables + (RequestUnionTable -> flagged),
+    val sel2 = selJ.copy(fromTable = Left(RequestUnionTable))
+    planSelect(spark, sel2, tablesJ + (RequestUnionTable -> flagged),
       requestMode = true)
   }
 
@@ -930,13 +1004,26 @@ object GraftSql {
         val k = unq(p.next()).toLowerCase
         p.expect("=")
         // a value may be a parenthesized tuple: ttl=(10m,10)
-        // (ddl/test_create_index.yaml ids 15/16)
+        // (ddl/test_create_index.yaml ids 15/16) or a bracket list:
+        // distribution=[('ep',[...])] (ddl/test_options.yaml)
         val v =
           if (p.peek == "(") {
             val close = matchClose(p.toks, p.p)
             val s = p.toks.slice(p.p, close + 1).mkString
             p.p = close + 1
             s
+          } else if (p.peek == "[") {
+            val b = Vector.newBuilder[String]
+            var depth = 0
+            var done = false
+            while (!done && p.p < p.toks.length) {
+              val t = p.next()
+              if (t == "[") depth += 1
+              if (t == "]") depth -= 1
+              b += t
+              done = depth == 0
+            }
+            b.result().mkString(" ")
           } else unq(p.next())
         out += (k -> v)
         more = p.accept(",")
@@ -1336,6 +1423,9 @@ object GraftSql {
           more = p.accept(",")
         }
         p.expect(")")
+        // trailing OPTIONS: topology spec validated against the
+        // modeled cluster (ddl/test_options.yaml, test_create 38-40)
+        validateTableOptions(spark, parseOptions(p))
         val schema = org.apache.spark.sql.types.StructType(fields.result())
         indexSpecs.result().foreach { case (keys, tsCol, _) =>
           keys.foreach { kc =>
@@ -1568,9 +1658,11 @@ object GraftSql {
           val path = stripQuotes(p.next())
           val opts = parseOptions(p)
           if (p.p != p.toks.length) p.fail("trailing tokens")
-          graft.sources.Sources.selectInto(
-            planQuery(spark, q, Map.empty), path, opts)
-          None
+          val exported = planQuery(spark, q, Map.empty)
+          graft.sources.Sources.selectInto(exported, path, opts)
+          // surface the exported frame so callers can count/inspect it
+          // (v040/test_out_in_offline.yaml id 0 expects count=6)
+          Some(exported)
         } else {
           if (p.p != p.toks.length) p.fail("trailing tokens")
           Some(planQuery(spark, q, Map.empty))
@@ -1666,6 +1758,96 @@ object GraftSql {
     * clauses, the auto-created default index, CREATE INDEX additions). */
   def tableIndexMeta(spark: SparkSession, name: String): Seq[IndexMeta] =
     idxMetaOf(spark).getOrElse(name.toLowerCase, Seq.empty)
+
+  // ------------------------------------------------------------------
+  // Cluster topology model (CREATE TABLE OPTIONS partitionnum /
+  // replicanum / distribution — CREATE_TABLE_STATEMENT.md "TableOptions";
+  // ddl/test_options.yaml). On Spark the physical placement is the
+  // cluster manager's job, so the model validates the spec exactly as
+  // the reference's nameserver does and records nothing.
+  // ------------------------------------------------------------------
+  private val tabletsBySession =
+    new java.util.WeakHashMap[SparkSession, Seq[String]]()
+  /** The virtual tablet endpoints validated against (default 3). */
+  def setClusterTablets(spark: SparkSession, eps: Seq[String]): Unit =
+    tabletsBySession.synchronized { tabletsBySession.put(spark, eps) }
+  private def tabletsOf(spark: SparkSession): Seq[String] =
+    tabletsBySession.synchronized {
+      Option(tabletsBySession.get(spark))
+        .getOrElse(Seq("tablet0", "tablet1", "tablet2"))
+    }
+
+  private def validateTableOptions(spark: SparkSession,
+      opts: Map[String, String]): Unit = {
+    val tablets = tabletsOf(spark)
+    def intOpt(k: String): Option[Int] = opts.get(k).map { v0 =>
+      val s = stripQuotes(v0).trim
+      if (!s.matches("\\d+")) throw new IllegalArgumentException(
+        s"table option $k must be an integer, got '$s'")
+      s.toInt
+    }
+    val partNum = intOpt("partitionnum")
+    val repNum = intOpt("replicanum")
+    repNum.foreach { r =>
+      if (r < 1 || r > tablets.length) throw new IllegalArgumentException(
+        s"replicanum $r out of range 1..${tablets.length}")
+    }
+    // distribution = [ ('leader', ['follower', ...]) ]
+    val dist = opts.get("distribution").map { v =>
+      val toks = tokenize(v)
+      var i = 0
+      def expect(t: String): Unit = {
+        if (i >= toks.length || toks(i) != t)
+          throw new IllegalArgumentException(
+            s"malformed distribution '$v' (expected '$t')")
+        i += 1
+      }
+      val entries = Seq.newBuilder[(String, Seq[String])]
+      expect("[")
+      var more = toks.lift(i).contains("(")
+      while (more) {
+        expect("(")
+        val leader = stripQuotes(toks(i)); i += 1
+        // the follower list is REQUIRED — ('ep') alone is malformed
+        // (test_options.yaml id 11)
+        expect(","); expect("[")
+        val followers = Seq.newBuilder[String]
+        while (toks.lift(i).exists(_ != "]")) {
+          if (toks(i) == ",") i += 1
+          else { followers += stripQuotes(toks(i)); i += 1 }
+        }
+        expect("]"); expect(")")
+        entries += ((leader, followers.result()))
+        more = toks.lift(i).contains(",") && { i += 1; true }
+      }
+      expect("]")
+      entries.result()
+    }
+    dist.foreach { entries =>
+      if (entries.isEmpty) throw new IllegalArgumentException(
+        "distribution must name at least one partition")
+      // the reference accepts a single distribution entry
+      // (test_options.yaml ids 5/13)
+      if (entries.length > 1) throw new IllegalArgumentException(
+        "only one distribution entry is supported")
+      entries.foreach { case (leader, followers) =>
+        val eps = leader +: followers
+        eps.foreach { e =>
+          if (!tablets.contains(e)) throw new IllegalArgumentException(
+            s"distribution endpoint '$e' is not a cluster tablet")
+        }
+        if (eps.distinct.length != eps.length)
+          throw new IllegalArgumentException(
+            "distribution endpoints must be distinct")
+        val want = repNum.getOrElse(tablets.length)
+        if (eps.length != want) throw new IllegalArgumentException(
+          s"distribution lists ${eps.length} endpoints but replicanum is $want")
+      }
+    }
+    if (partNum.contains(0) && dist.isEmpty)
+      throw new IllegalArgumentException(
+        "partitionnum=0 requires an explicit distribution")
+  }
 
   /** Register index specs ("name:keys:ts[:bound:kind]" strings, keys
     * `|`-separated) for DELETE-condition validation. */
@@ -2153,7 +2335,11 @@ object GraftSql {
         if (isStarProj(pr.tokens)) starCol(pr.tokens)
         else expr(rewriteAggFns(
           coerceDateFns(coerceOperands(pr.tokens, df), df), df).mkString(" "))
-          .as(projName(pr, i)) }: _*)
+          .as(projName(pr, i)) } ++
+        // request-row identity passes through projections (requestMode
+        // derived-side re-alignment)
+        (if (df.columns.contains(ReqUidCol)) Seq(col(ReqUidCol))
+         else Seq.empty): _*)
 
     // SELECT DISTINCT dedups the projected rows (parse-pinned by
     // cases/plan/distinct_query.yaml; the reference grammar accepts it
@@ -4568,8 +4754,13 @@ object GraftSql {
               excludeCurrentTime = w.exclCT,
               excludeCurrentRow = w.exclCR,
               memberFlag =
+                // INW + UNION excludes every primary-table row (stored
+                // AND request) from frames — only union sides remain
+                // (fz_ddl/test_myhug.yaml); plain request mode keeps
+                // stored history in frames and excludes other requests
                 if (w.inw || requestMode)
-                  Some(!col(if (requestMode) RequestFlagCol else FlagCol))
+                  Some(!col(if (requestMode && !(w.inw && hasUnion))
+                    RequestFlagCol else FlagCol))
                 else None)
           } else if (argText.contains("__graft_w")) {
             // The argument references a window result (explicit nested
@@ -4586,7 +4777,8 @@ object GraftSql {
               excludeCurrentTime = w.exclCT,
               excludeCurrentRow = exclCRFilter,
               isPrimary =
-                if (requestMode) col(RequestFlagCol)
+                if (requestMode && !(w.inw && hasUnion))
+                  col(RequestFlagCol)
                 else if (hasUnion) col(FlagCol) else null,
               instanceNotInWindow = w.inw || requestMode,
               strictRowOrder = strict,
@@ -4652,7 +4844,8 @@ object GraftSql {
               excludeCurrentTime = w.exclCT,
               excludeCurrentRow = exclCRFilter,
               isPrimary =
-                if (requestMode) col(RequestFlagCol)
+                if (requestMode && !(w.inw && hasUnion))
+                  col(RequestFlagCol)
                 else if (hasUnion) col(FlagCol) else null,
               instanceNotInWindow = w.inw || requestMode,
               strictRowOrder = strict,
@@ -4867,6 +5060,11 @@ object GraftSql {
         else if (isStarProj(toks)) Seq(starCol(toks))
         else Seq(expr(toks.mkString(" ")).as(projName(pr, i)))
     }
-    windowed.select(finalCols: _*)
+    // request-row identity passes through (requestMode derived-side
+    // re-alignment)
+    val passReqUid =
+      if (windowed.columns.contains(ReqUidCol)) Seq(col(ReqUidCol))
+      else Seq.empty
+    windowed.select(finalCols ++ passReqUid: _*)
   }
 }

@@ -115,7 +115,14 @@ class YamlCaseRunnerSpec extends SparkSpec {
     ("function/ddl/test_ttl.yaml", "ddl_ttl"),
     ("function/ddl/test_create_index.yaml", "create_index"),
     ("function/ddl/test_create_no_index.yaml", "create_no_index"),
-    ("function/data_expiration/test_data_expiration.yaml", "data_expiration"))
+    ("function/data_expiration/test_data_expiration.yaml", "data_expiration"),
+    ("function/window/test_window_union_cluster_thousand.yaml",
+      "window_union_thousand"),
+    ("function/v040/test_out_in_offline.yaml", "out_in_offline"),
+    ("function/fz_ddl/test_bank.yaml", "fz_bank"),
+    ("function/fz_ddl/test_luoji.yaml", "fz_luoji"),
+    ("function/fz_ddl/test_myhug.yaml", "fz_myhug"),
+    ("function/ddl/test_options.yaml", "ddl_options"))
 
   /** Cases GraftSql cannot run yet, with the reason. Keyed by
     * SqlCase.key = "<fileTag>:<id><variant>". */
@@ -130,12 +137,6 @@ class YamlCaseRunnerSpec extends SparkSpec {
     "lastjoin_simple:4-2" -> perfSensitive,
     "lastjoin_simple:4-3" -> perfSensitive,
     "lastjoin_simple:4-4" -> perfSensitive,
-    "test_create:39" -> ("distribution/replicanum topology validation " +
-      "(replica endpoints vs cluster nodes) — online cluster " +
-      "deployment config with no Spark equivalent"),
-    "test_create:40" -> ("distribution/replicanum topology validation " +
-      "(replica endpoints vs cluster nodes) — online cluster " +
-      "deployment config with no Spark equivalent"),
     "test_delete:17" -> ("per-index delete visibility: the reference " +
       "removes entries from the MATCHING index only, so a row deleted " +
       "via index1(c1) stays reachable through index2(c2) and the same " +
@@ -337,7 +338,12 @@ class YamlCaseRunnerSpec extends SparkSpec {
       names.zipWithIndex.foldLeft(
         // {auto}: a fresh table name (ddl/test_create.yaml)
         s0.replace("{auto}",
-          "auto_" + c.key.replaceAll("[^A-Za-z0-9_]", "_"))) {
+          "auto_" + c.key.replaceAll("[^A-Za-z0-9_]", "_"))
+          // virtual cluster endpoints (ddl/test_options.yaml;
+          // GraftSql.tabletsOf defaults)
+          .replace("{tb_endpoint_0}", "tablet0")
+          .replace("{tb_endpoint_1}", "tablet1")
+          .replace("{tb_endpoint_2}", "tablet2")) {
         case (s, (n, j)) => s.replace(s"{$j}", n) }
     val scoped = Map.newBuilder[String, DataFrame]
     c.inputs.zipWithIndex.foreach { case (in, k) =>
@@ -422,6 +428,28 @@ class YamlCaseRunnerSpec extends SparkSpec {
         assert(render(in) == want(dep.inColumns),
           s"deployment inColumns: got ${render(in)}")
       }
+    }
+
+  /** out_in-corpus expectation: the exported csv's raw lines (header
+    * rows included — append cases carry two). The export is a
+    * directory of part files whose ordering Spark does not pin, so
+    * lines compare as sorted multisets. */
+  private def checkCat(c: SqlCase, subst: String => String): Unit =
+    c.expect.cat.foreach { cat =>
+      val scratch = "/tmp/graft_cases/" +
+        c.key.replaceAll("[^A-Za-z0-9_]", "_")
+      val dir = new java.io.File(scratch, subst(cat.path))
+      assert(dir.exists, s"exported path ${dir} does not exist")
+      val files: Seq[java.io.File] =
+        if (dir.isDirectory)
+          dir.listFiles.toSeq.filter(f => f.isFile && !f.getName.startsWith("_")
+            && !f.getName.endsWith(".crc"))
+        else Seq(dir)
+      val got = files.flatMap(f =>
+        scala.io.Source.fromFile(f).getLines().toSeq)
+      assert(got.sorted == cat.lines.sorted,
+        s"cat ${cat.path}: got ${got.sorted.mkString("|")} want " +
+          cat.lines.sorted.mkString("|"))
     }
 
   /** ddl-corpus expectation: the table's index metadata (keys, ts,
@@ -532,6 +560,7 @@ class YamlCaseRunnerSpec extends SparkSpec {
         }
         checkDeployment(c, subst)
         checkIdxs(c, subst)
+        checkCat(c, subst)
         // a case may pair setup `sqls` with a final `sql` query
         // (test_delete.yaml id 4: deletes then a window SELECT)
         if (sql.trim.nonEmpty) compareExpect(c, sql, GraftSql.sql(spark, sql))
