@@ -574,6 +574,26 @@ object GraftSql {
   // ------------------------------------------------------------------
 
   private val UidCol = "__graft_uid"
+  // session system variables (ddl/SET_STATEMENT.md) and their defaults
+  private val sessionVarDefaults = scala.collection.immutable.ListMap(
+    "enable_trace" -> "false", "execute_mode" -> "online",
+    "job_timeout" -> "20000", "sync_job" -> "false",
+    "sync_timeout" -> "20000", "spark_config" -> "",
+    "insert_memory_usage_limit" -> "0")
+  private val sessionVarsBySession =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, String]]()
+  private def sessionVarsOf(spark: SparkSession)
+      : scala.collection.concurrent.TrieMap[String, String] =
+    sessionVarsBySession.synchronized {
+      var m = sessionVarsBySession.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap[String, String]()
+        sessionVarsBySession.put(spark, m)
+      }
+      m
+    }
+
   private val FlagCol = "__graft_primary"
   private val RequestFlagCol = "__graft_is_request"
   // per-request-row identity (requestMode): survives projections and
@@ -1120,6 +1140,41 @@ object GraftSql {
     ensureFunctions(spark)
     val p = new Parser(tokenize(text.trim.stripSuffix(";")))
     p.peekUp match {
+      case "SET" =>
+        // SET [@@[session.|global.]]name = value — session system
+        // variables (ddl/SET_STATEMENT.md). Only built-in variables may
+        // be set; names are case-insensitive.
+        p.expect("SET")
+        if (p.accept("@")) { p.expect("@") }
+        else { if (!p.accept("GLOBAL")) p.accept("SESSION") }
+        var vn = unq(p.next()).toLowerCase
+        if ((vn == "session" || vn == "global") && p.accept("."))
+          vn = unq(p.next()).toLowerCase
+        p.expect("=")
+        val vv = stripQuotes(p.next()).toLowerCase
+        if (p.p != p.toks.length) p.fail("trailing tokens after SET")
+        sessionVarDefaults.get(vn) match {
+          case None => throw new IllegalArgumentException(
+            s"unknown system variable '$vn'")
+          case Some(_) =>
+            vn match {
+              case "execute_mode" if !Set("online", "offline")(vv) =>
+                throw new IllegalArgumentException(
+                  s"execute_mode must be online|offline, got '$vv'")
+              case "enable_trace" | "sync_job"
+                  if !Set("true", "false")(vv) =>
+                throw new IllegalArgumentException(
+                  s"$vn must be true|false, got '$vv'")
+              case "job_timeout" | "sync_timeout" |
+                   "insert_memory_usage_limit" if !vv.matches("\\d+") =>
+                throw new IllegalArgumentException(
+                  s"$vn must be an integer, got '$vv'")
+              case _ => ()
+            }
+            sessionVarsOf(spark).put(vn, vv)
+        }
+        None
+
       case "USE" =>
         // USE db (ddl/USE_DATABASE_STATEMENT.md): unknown databases
         // are an error, like the reference
@@ -1150,6 +1205,61 @@ object GraftSql {
         p.next().toUpperCase match {
           case "DATABASES" =>
             Some(dbsOf(spark).toSeq.sorted.toDF("Databases"))
+          case "VARIABLES" =>
+            // SHOW VARIABLES: session system variables with defaults
+            // (ddl/SET_STATEMENT.md)
+            val vars = sessionVarDefaults ++ sessionVarsOf(spark)
+            Some(vars.toSeq.sortBy(_._1).toDF("Variable_name", "Value"))
+          case "COMPONENTS" =>
+            // SHOW COMPONENTS (ddl/SHOW_COMPONENTS.md): the modeled
+            // topology — on Spark the real components are the cluster
+            // manager's executors, so this surfaces the virtual
+            // tablets validated by CREATE TABLE distribution
+            val rows = tabletsOf(spark).map(e =>
+              (e, "tablet", "online")) :+ (("nameserver", "nameserver",
+              "online"))
+            Some(rows.toDF("Endpoint", "Role", "Status"))
+          case "CREATE" =>
+            // SHOW CREATE TABLE t (ddl/SHOW_CREATE_TABLE_STATEMENT.md):
+            // reconstructed DDL from the schema + index metadata
+            p.expect("TABLE")
+            val tn = qualifyTable(spark, readTableName(p))
+            val schema = spark.table(quoteId(tn)).schema
+            def sqlType(dt: org.apache.spark.sql.types.DataType): String = {
+              import org.apache.spark.sql.types._
+              dt match {
+                case StringType => "varchar"
+                case ShortType => "smallInt"
+                case IntegerType => "int"
+                case LongType => "bigInt"
+                case FloatType => "float"
+                case DoubleType => "double"
+                case TimestampType => "timestamp"
+                case DateType => "date"
+                case BooleanType => "bool"
+                case other => other.simpleString
+              }
+            }
+            def ttlText(t: graft.operators.Ttl.TtlSpec): String = {
+              def m = s"${(t.absMs + 59999) / 60000}m"
+              t.kind match {
+                case "latest" => s"TTL_TYPE=LATEST, TTL=${t.lat}"
+                case "absandlat" => s"TTL_TYPE=ABSANDLAT, TTL=($m,${t.lat})"
+                case "absorlat" => s"TTL_TYPE=ABSORLAT, TTL=($m,${t.lat})"
+                case _ => s"TTL_TYPE=ABSOLUTE, TTL=$m"
+              }
+            }
+            val cols = schema.fields
+              .filterNot(_.name.startsWith("__graft"))
+              .map(f => s"`${f.name}` ${sqlType(f.dataType)}")
+            val idxs = tableIndexMeta(spark, tn).map { m =>
+              val ts = m.ts.map(t => s", TS=`$t`").getOrElse("")
+              s"INDEX (KEY=${m.keys.map(k => s"`$k`").mkString("(", ",", ")")}" +
+                s"$ts, ${ttlText(m.ttl)})"
+            }
+            val ddl = s"CREATE TABLE `$tn` (\n" +
+              (cols ++ idxs).map("  " + _).mkString(",\n") + "\n)"
+            Some(Seq((tn, ddl)).toDF("Table", "Create Table"))
           case "TABLES" =>
             val db = curDb(spark)
             val pfx = db.map(d => dbViewName(s"$d.")).getOrElse("")
@@ -1919,6 +2029,7 @@ object GraftSql {
     sessionCurDb.remove(spark)
     indexesOf(spark).clear()
     idxMetaOf(spark).clear()
+    sessionVarsOf(spark).clear()
     spark.catalog.listTables().collect().map(_.name)
       .filter(_.startsWith("__graftdb__"))
       .foreach(n => spark.catalog.dropTempView(quoteId(n)))

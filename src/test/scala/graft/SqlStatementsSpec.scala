@@ -139,4 +139,55 @@ class SqlStatementsSpec extends SparkSpec {
     // dropping the current database clears the session default
     assert(GraftSql.statement(spark, "SHOW DATABASES").get.count() == 0L)
   }
+
+  test("SET and SHOW VARIABLES (session system variables)") {
+    GraftSql.resetCatalogState(spark)
+    def vars(): Map[String, String] =
+      GraftSql.statement(spark, "SHOW VARIABLES").get.collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    // defaults (SET_STATEMENT.md)
+    assert(vars()("execute_mode") == "online")
+    assert(vars()("enable_trace") == "false")
+    // all equivalent spellings; names case-insensitive
+    GraftSql.statement(spark, """SET @@session.execute_mode = "offline"""")
+    assert(vars()("execute_mode") == "offline")
+    GraftSql.statement(spark, """SET @@EXECUTE_MODE = "online"""")
+    assert(vars()("execute_mode") == "online")
+    GraftSql.statement(spark, "SET SESSION enable_trace = 'true'")
+    assert(vars()("enable_trace") == "true")
+    GraftSql.statement(spark, "SET @@global.sync_job = 'true'")
+    assert(vars()("sync_job") == "true")
+    // only built-in variables may be set; values are validated
+    intercept[IllegalArgumentException] {
+      GraftSql.statement(spark, """SET @@execute_olol = "offline"""")
+    }
+    intercept[IllegalArgumentException] {
+      GraftSql.statement(spark, """SET @@execute_mode = "sideways"""")
+    }
+    intercept[IllegalArgumentException] {
+      GraftSql.statement(spark, "SET @@job_timeout = 'soon'")
+    }
+    GraftSql.resetCatalogState(spark)
+    assert(vars()("execute_mode") == "online")
+  }
+
+  test("SHOW COMPONENTS and SHOW CREATE TABLE") {
+    GraftSql.resetCatalogState(spark)
+    val comps = GraftSql.statement(spark, "SHOW COMPONENTS").get.collect()
+    assert(comps.count(_.getString(1) == "tablet") == 3)
+    assert(comps.exists(_.getString(1) == "nameserver"))
+    GraftSql.statement(spark,
+      """CREATE TABLE sct1 (c1 string, c2 int, c4 timestamp,
+        |index(key=(c1), ts=c4, ttl=10m, ttl_type=absolute))""".stripMargin)
+    try {
+      val row = GraftSql.statement(spark, "SHOW CREATE TABLE sct1")
+        .get.collect().head
+      assert(row.getString(0) == "sct1")
+      val ddl = row.getString(1)
+      assert(ddl.contains("`c1` varchar"))
+      assert(ddl.contains("`c4` timestamp"))
+      assert(ddl.contains("INDEX (KEY=(`c1`), TS=`c4`, " +
+        "TTL_TYPE=ABSOLUTE, TTL=10m"))
+    } finally GraftSql.statement(spark, "DROP TABLE sct1")
+  }
 }
