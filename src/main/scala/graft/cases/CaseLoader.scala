@@ -12,7 +12,8 @@ case class CaseInput(name: Option[String], columns: Seq[String],
     indexs: Seq[String] = Seq.empty,
     db: Option[String] = None,
     create: Option[String] = None,
-    insert: Option[String] = None)
+    insert: Option[String] = None,
+    storage: Option[String] = None)
 
 /** Expected deployment metadata (deploy corpus): the reference's SHOW
   * DEPLOYMENT surface — name plus the request (in) and output (out)
@@ -133,7 +134,8 @@ object CaseLoader {
         strs(n.get("index")),
       db = opt(n.get("db")).map(_.asText()),
       create = opt(n.get("create")).map(_.asText()),
-      insert = opt(n.get("insert")).map(_.asText()))
+      insert = opt(n.get("insert")).map(_.asText()),
+      storage = opt(n.get("storage")).map(_.asText()))
   }
 
   private def parseDeploy(n: JsonNode): DeployExpect =

@@ -1219,6 +1219,15 @@ object GraftSql {
               (e, "tablet", "online")) :+ (("nameserver", "nameserver",
               "online"))
             Some(rows.toDF("Endpoint", "Role", "Status"))
+          case "CREATE" if p.peekUp == "PROCEDURE" =>
+            // SHOW CREATE PROCEDURE name: the stored SQL; an unknown
+            // name yields an empty result (this engine has no server
+            // to error from — cases/plan/back_quote_identifier.yaml
+            // id 11 only parses upstream)
+            p.expect("PROCEDURE")
+            val pn = readTableName(p)
+            Some(procedures(spark).get(pn).toSeq.map((pn, _))
+              .toDF("Procedure", "SQL"))
           case "CREATE" =>
             // SHOW CREATE TABLE t (ddl/SHOW_CREATE_TABLE_STATEMENT.md):
             // reconstructed DDL from the schema + index metadata
@@ -1279,15 +1288,6 @@ object GraftSql {
             Some(deployed(spark).keys.toSeq.sorted.toDF("Deployment"))
           case "PROCEDURES" =>
             Some(procedures(spark).keys.toSeq.sorted.toDF("Procedure"))
-          case "CREATE" =>
-            // SHOW CREATE PROCEDURE name: the stored SQL; an unknown
-            // name yields an empty result (this engine has no server
-            // to error from — cases/plan/back_quote_identifier.yaml
-            // id 11 only parses upstream)
-            p.expect("PROCEDURE")
-            val pn = readTableName(p)
-            Some(procedures(spark).get(pn).toSeq.map((pn, _))
-              .toDF("Procedure", "SQL"))
           case "DEPLOYMENT" =>
             // SHOW DEPLOYMENT [db.]<name>: the deployment's SQL text
             // (deployment_manage/SHOW_DEPLOYMENT.md). The reference
@@ -1375,7 +1375,11 @@ object GraftSql {
           .map(_.map { case (ks, ts) =>
             s"prev:${ks.mkString("|")}:${ts.getOrElse("")}" })
           .getOrElse(Seq.empty)
-        registerTableIndexes(spark, None, tname, prev :+ spec)
+        // this path maintains idxMeta itself (the parsed TTL options) —
+        // registerTableIndexes must not clobber the existing richer
+        // metadata with bound-less specs
+        registerTableIndexes(spark, None, tname, prev :+ spec,
+          updateTtlMeta = false)
         idxMetaOf(spark).put(tname.toLowerCase,
           idxMetaOf(spark).getOrElse(tname.toLowerCase, Seq.empty) :+
             IndexMeta(keys.result(), tsOpt, ttlSpec))
@@ -1569,7 +1573,8 @@ object GraftSql {
         createdOf(spark) += name
         registerTableIndexes(spark, None, name,
           indexSpecs.result().map { case (ks, ts, _) =>
-            s"idx:${ks.mkString("|")}:${ts.getOrElse("")}" })
+            s"idx:${ks.mkString("|")}:${ts.getOrElse("")}" },
+          updateTtlMeta = false) // the block below sets the parsed TTLs
         // index metadata: declared indexes, or the auto-created default
         // index on the first non-float/double column
         // (schema/index_util.cc:101 AddDefaultIndex)
@@ -1957,16 +1962,76 @@ object GraftSql {
     if (partNum.contains(0) && dist.isEmpty)
       throw new IllegalArgumentException(
         "partitionnum=0 requires an explicit distribution")
+    // storage_mode: memory | ssd | hdd (CREATE_TABLE_STATEMENT.md
+    // "StorageMode"; disk_table corpus id 14 rejects other values)
+    opts.get("storage_mode").foreach { v =>
+      val s = stripQuotes(v).trim.toLowerCase
+      if (!Set("memory", "ssd", "hdd")(s))
+        throw new IllegalArgumentException(
+          s"storage_mode must be memory|ssd|hdd, got '$s'")
+    }
   }
 
   /** Register index specs ("name:keys:ts[:bound:kind]" strings, keys
     * `|`-separated) for DELETE-condition validation. */
-  def registerTableIndexes(spark: SparkSession, db: Option[String],
-      name: String, indexs: Seq[String]): Unit = {
+  /** One `index:` string may carry several comma-separated specs
+    * (query corpus "index2:col2:col5,index0:col0:col5"); commas inside
+    * parens belong to a ttl 2-tuple like "(10m,4)". */
+  private[graft] def splitIndexSpecs(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case ch => cur += ch
+    }
+    out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Register harness-style "name:keys:ts[:bound[:kind]]" index specs:
+    * key/ts pairs for join-order metadata AND full TTL metadata so
+    * read-time expiry ([[applyIndexTtl]]) sees these tables exactly
+    * like DDL-created ones (disk_table ids 17/18 route scans per
+    * index). Kindless bounds infer latest for bare counts, absolute
+    * for time-with-unit. */
+  /** Drop all index/TTL metadata for `name` — a harness replacing a
+    * temp view must clear the old table's registration or stale TTLs
+    * would expire the new snapshot's rows. */
+  def clearTableIndexes(spark: SparkSession, db: Option[String],
+      name: String): Unit = {
     val vn = db.map(d => dbViewName(s"$d.$name")).getOrElse(name)
-    val specs = indexs.map(_.split(":")).filter(_.length >= 2)
-      .map(p => (p(1).split("\\|").toSeq.map(_.trim), p.lift(2).map(_.trim)))
+    indexesOf(spark).remove(vn.toLowerCase)
+    idxMetaOf(spark).remove(vn.toLowerCase)
+  }
+
+  def registerTableIndexes(spark: SparkSession, db: Option[String],
+      name: String, indexs: Seq[String],
+      updateTtlMeta: Boolean = true): Unit = {
+    val vn = db.map(d => dbViewName(s"$d.$name")).getOrElse(name)
+    val parts = indexs.flatMap(splitIndexSpecs)
+      .map(_.split(":", -1).map(_.trim))
+    val specs = parts.filter(_.length >= 2)
+      .map(p => (p(1).split("\\|").toSeq.map(_.trim),
+        p.lift(2).map(_.trim).filter(_.nonEmpty)))
     if (specs.nonEmpty) indexesOf(spark).put(vn.toLowerCase, specs)
+    if (!updateTtlMeta) return
+    val metas = parts.filter(p => p.length >= 3 && p(2).nonEmpty).map { p =>
+      val bound = p.lift(3).getOrElse("")
+      val kind = p.lift(4).filter(_.nonEmpty)
+      // kindless non-empty bounds infer from shape: bare count =
+      // latest, time-with-unit = absolute; NO bound = unbounded
+      // absolute (the reference's default TTL)
+      val spec =
+        if (bound.isEmpty)
+          graft.operators.Ttl.TtlSpec(kind.getOrElse("absolute"), 0, 0)
+        else graft.operators.Ttl.parse(bound, Some(kind.getOrElse(
+          if (bound.forall(_.isDigit)) "latest" else "absolute")))
+      IndexMeta(p(1).split("\\|").toSeq.map(_.trim), Some(p(2)), spec)
+    }
+    if (metas.nonEmpty) idxMetaOf(spark).put(vn.toLowerCase, metas)
   }
 
   /** Long-window pre-aggregation restricts *_where conditions to
@@ -2311,7 +2376,8 @@ object GraftSql {
     * index. Tables registered outside the engine (temp views, scope
     * frames) fall through untouched — their snapshot is authoritative. */
   private def applyIndexTtl(spark: SparkSession, name: String,
-      df: DataFrame, where: Option[String]): DataFrame = {
+      df: DataFrame, where: Option[String],
+      accessKeySets: Seq[Set[String]] = Seq.empty): DataFrame = {
     if (idxMetaOf(spark).isEmpty) return df // fast path: no DDL tables
     val metas = idxMetaOf(spark).getOrElse(name.toLowerCase, {
       val q = try qualifyTable(spark, name) catch { case _: Throwable => name }
@@ -2334,19 +2400,24 @@ object GraftSql {
           if (lit(r)) ident(l) else if (lit(l)) ident(r) else None
       }.flatten.map(_.toLowerCase).toSet
     }.getOrElse(Set.empty)
+    // WHERE equalities and window PARTITION BY key sets both route to
+    // the index they cover (test_delete id 24: a window partitioned on
+    // index2's key reads through index2 and its TTL, not index1's)
+    val keySets = (if (eq.nonEmpty) Seq(eq) else Seq.empty) ++ accessKeySets
     val routed = metas.find(m => m.keys.nonEmpty &&
-      m.keys.forall(k => eq(k.toLowerCase)))
-    val chosen = routed.orElse {
-      // full scan: engine-created tables iterate their first index;
-      // for harness/temp-view tables the first index is unknown here
-      if (createdOf(spark).exists(_.equalsIgnoreCase(name)))
-        metas.headOption
-      else None
-    }
+      keySets.exists(ks => m.keys.forall(k => ks(k.toLowerCase))))
+    // full scan: tables with registered index metadata (engine-created
+    // or harness-registered) iterate their FIRST index and see only its
+    // expiry (disk_table id 17: latest-4 first index → 4 rows, id 18:
+    // WHERE c1= routes to the absolute index → 5 rows)
+    val chosen = routed.orElse(metas.headOption)
     chosen match {
-      case Some(m) if m.ttl.hasBound && m.ts.isDefined =>
+      // a latest index without a ts column ("null" — fz_ddl corpus)
+      // still expires by count; Ttl.expire ranks by insertion order
+      case Some(m) if m.ttl.hasBound =>
         graft.operators.Ttl.expire(df,
-          Seq((m.keys, m.ts.get, m.ttl)), System.currentTimeMillis())
+          Seq((m.keys, m.ts.getOrElse("null"), m.ttl)),
+          System.currentTimeMillis())
       case _ => df
     }
   }
@@ -2356,7 +2427,14 @@ object GraftSql {
     var df = resolveRef(spark, s.fromTable, scope)
     s.fromTable match {
       case Left(name) if name.nonEmpty && !scope.contains(name) =>
-        df = applyIndexTtl(spark, name, df, s.where)
+        // window PARTITION BY columns (named + inline windows) are
+        // index-access paths for TTL routing, like WHERE equalities
+        val winKeySets: Seq[Set[String]] =
+          (s.windows.values.toSeq ++
+            s.projs.flatMap(_.over.flatMap(_.toOption))).map(w =>
+            w.partition.map(p => unq(
+              tokenize(p).last).toLowerCase).toSet)
+        df = applyIndexTtl(spark, name, df, s.where, winKeySets)
       case _ => ()
     }
     s.fromAlias.foreach(a => df = df.alias(a))
@@ -2843,10 +2921,38 @@ object GraftSql {
     // WHICH rows aggregate, never the value type
     // (test_udaf_function.yaml id 44 string(sum(c4) OVER w1)).
     def stripOverForTyping(v: Vector[String]): Vector[String] = {
-      val out = Vector.newBuilder[String]
+      // nav window functions type as their first argument; the bare
+      // call (minus OVER) does not analyze standalone, so for typing
+      // substitute `lag(ts, 1) OVER w` → `( ts )` (autox usecase:
+      // bigint(lag(std_ts,1) over w1) must read epoch MS, not seconds)
+      val navFns = Set("lag", "lead", "at", "first_value", "last_value",
+        "nth_value", "nth_value_where")
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      def replaceNavCall(): Unit = {
+        if (out.isEmpty || out.last != ")") return
+        var d = 0; var j = out.length - 1; var open = -1
+        while (j >= 0 && open < 0) {
+          if (out(j) == ")") d += 1
+          if (out(j) == "(") { d -= 1; if (d == 0) open = j }
+          j -= 1
+        }
+        if (open <= 0 || !navFns(out(open - 1).toLowerCase)) return
+        val args = out.slice(open + 1, out.length - 1)
+        var depth = 0; var cut = args.length; var m = 0
+        while (m < args.length && cut == args.length) {
+          if (args(m) == "(") depth += 1
+          if (args(m) == ")") depth -= 1
+          if (args(m) == "," && depth == 0) cut = m
+          m += 1
+        }
+        val first = args.take(cut)
+        out.remove(open - 1, out.length - (open - 1))
+        out += "("; out ++= first; out += ")"
+      }
       var k = 0
       while (k < v.length) {
         if (v(k).equalsIgnoreCase("OVER") && k + 1 < v.length) {
+          replaceNavCall()
           if (v(k + 1) == "(") {
             var d = 0; var j = k + 1; var stop = -1
             while (j < v.length && stop < 0) {
@@ -2858,7 +2964,7 @@ object GraftSql {
           } else k += 2
         } else { out += v(k); k += 1 }
       }
-      out.result()
+      out.toVector
     }
     // ts → the GMT+8 wall clock, seconds precision
     // (udf.cc:376 timestamp_to_string "%Y-%m-%d %H:%M:%S")
@@ -3503,7 +3609,28 @@ object GraftSql {
       t.headOption.exists(c => c.isLetter || c == '_')
     // span [from, to] of a dotted-identifier primary ending at j
     def leftPrimary(j: Int): Option[(Int, Int)] = {
-      if (j < 0 || !isIdentTok(toks(j))) return None
+      if (j < 0) return None
+      if (toks(j) == ")") {
+        // call or parenthesized group: walk back to the matching open
+        // paren, then take in a function name (with dotted prefix) if
+        // one sits directly before it — `isnull(c_7_double) + bool`
+        // must type the whole call (hybridsql_gen auto_gen_case_0)
+        var d = 0; var k = j; var open = -1
+        while (k >= 0 && open < 0) {
+          if (toks(k) == ")") d += 1
+          if (toks(k) == "(") { d -= 1; if (d == 0) open = k }
+          k -= 1
+        }
+        if (open < 0) return None
+        var start = open
+        if (open - 1 >= 0 && isIdentTok(toks(open - 1))) {
+          start = open - 1
+          while (start - 2 >= 0 && toks(start - 1) == "." &&
+            isIdentTok(toks(start - 2))) start -= 2
+        }
+        return Some((start, j))
+      }
+      if (!isIdentTok(toks(j))) return None
       var start = j
       while (start - 2 >= 0 && toks(start - 1) == "." &&
         isIdentTok(toks(start - 2))) start -= 2
@@ -4319,6 +4446,16 @@ object GraftSql {
         "fz_window_split_by_key", "fz_window_split_by_value") ++
       aggHeads.map(_ + "_cate")
 
+    // the dialect rewrite may already have renamed a cate/top-n family
+    // call to its registered __graft_* UDAF before extraction
+    // (auto_gen_case_0) — those are window heads too
+    def isWinHead(t: String): Boolean = winHeads(t) ||
+      t.startsWith("__graft_topnk_") ||
+      t.startsWith("__graft_topnv_") ||
+      (t.startsWith("__graft_") && t.endsWith("_cate_int")) ||
+      (t.startsWith("top_n_") &&
+        (t.endsWith("_cate") || t.endsWith("_cate_where")))
+
     def rewrite(toks: Vector[String]): Vector[String] = {
       val out = Vector.newBuilder[String]
       var i = 0
@@ -4347,7 +4484,7 @@ object GraftSql {
                 after = wclose + 1
                 Right(w)
               } else { val n = toks(after); after += 1; Left(n) }
-            if (winHeads(toks(i).toLowerCase)) {
+            if (isWinHead(toks(i).toLowerCase)) {
               val id = fresh()
               val bound = bindImplicit(
                 Vector(toks(i), "(") ++ argToks ++ Vector(")"),
@@ -4403,7 +4540,8 @@ object GraftSql {
     def bindImplicit(toks: Vector[String], w: WinDef): Vector[String] =
       if (toks.length > 2 && toks(1) == "(" &&
           (aggHeads(toks(0).toLowerCase) ||
-            toks(0).equalsIgnoreCase("nth_value_where")) &&
+            toks(0).equalsIgnoreCase("nth_value_where") ||
+            isWinHead(toks(0).toLowerCase)) &&
           toks.drop(2).exists(t => navFns(t.toLowerCase) ||
             Set("sum", "count", "avg", "min", "max",
               "distinct_count")(t.toLowerCase))) {
@@ -4451,7 +4589,7 @@ object GraftSql {
           val w = resolveWin(ref)
           val headIsCall = pt.length > 2 && pt(1) == "(" &&
             pt.head.headOption.exists(c => c.isLetter || c == '_') &&
-            winHeads(pt.head.toLowerCase) &&
+            isWinHead(pt.head.toLowerCase) &&
             matchingClose(pt, 1) == pt.length - 1
           val callShaped = pt.length > 2 && pt(1) == "(" &&
             pt.head.headOption.exists(c => c.isLetter || c == '_') &&
@@ -4487,7 +4625,29 @@ object GraftSql {
     * evaluate the outer expressions. */
   private def planWindows(spark: SparkSession, s: Select, base: DataFrame,
       scope: Map[String, DataFrame], requestMode: Boolean = false): DataFrame = {
-    val (outerTokens, exprs) = extractWinCalls(s, base)
+    val (outerTokens, exprs0) = extractWinCalls(s, base)
+
+    // Unqualified window keys that turn ambiguous after a join resolve
+    // to the LEFT-most source, like the reference's planner
+    // (hybridsql_gen auto_gen_case_0: PARTITION BY pk_0_int64 after a
+    // LAST JOIN where both sides carry pk_0_int64). A bare key that
+    // fails to resolve on the joined frame but resolves with the left
+    // qualifier gets the qualifier; rewriting through one shared map
+    // keeps WinDef value-equality (and thus window-stage sharing).
+    val exprs = {
+      val leftQual = s.fromAlias.orElse(s.fromTable.left.toOption)
+      def leftFirst(t: String): String =
+        if (s.joins.isEmpty || leftQual.isEmpty ||
+            !t.matches("[A-Za-z_][A-Za-z0-9_]*")) t
+        else if (resolveTypeCached(base, t).isEmpty &&
+            resolveTypeCached(base, s"${leftQual.get}.$t").isDefined)
+          s"${leftQual.get}.$t"
+        else t
+      exprs0.map { case (id, fn, w) =>
+        (id, fn, w.copy(partition = w.partition.map(leftFirst),
+          order = w.order.map(leftFirst)))
+      }
+    }
 
     // key-type legality (the reference's planner): ORDER BY must be an
     // integral/timestamp key (error_window.yaml ids 4-7,
@@ -4781,7 +4941,12 @@ object GraftSql {
           prepCols ++= prep
           agg
         } else {
-          if (!extAggs(fn) && fn != "fz_join")
+          // registered __graft UDAF heads with window-result-bound
+          // arguments fall through to the native-frame fallback below
+          val graftUdafHead = fn.startsWith("__graft_topnk_") ||
+            fn.startsWith("__graft_topnv_") ||
+            (fn.startsWith("__graft_") && fn.endsWith("_cate_int"))
+          if (!extAggs(fn) && fn != "fz_join" && !graftUdafHead)
             throw new IllegalArgumentException(
               s"unsupported aggregate '$fn' over an extended window")
           // nth_value_where(v, n, cond) frames carry (value, cond)
@@ -4938,8 +5103,14 @@ object GraftSql {
               case "max" => expr(s"array_max(transform($nn, __x -> ($sub)))")
               case "distinct_count" => expr(
                 s"CAST(size(array_distinct(transform($nn, __x -> ($sub)))) AS BIGINT)")
-              case other => throw new IllegalArgumentException(
-                s"window-result-bound argument unsupported for '$other'")
+              case other =>
+                if (plain && !w.isRows)
+                  // registered UDAFs take the native RANGE frame; every
+                  // argument — including nested window-result ids —
+                  // evaluates per frame row (auto_gen_case_0 shape)
+                  expr(fnText).over(plainSpec(w, msBase = base))
+                else throw new IllegalArgumentException(
+                  s"window-result-bound argument unsupported for '$other'")
             }
           } else {
           val (arrName, fld) = sharedFrameFor(w.toString,

@@ -122,7 +122,22 @@ class YamlCaseRunnerSpec extends SparkSpec {
     ("function/fz_ddl/test_bank.yaml", "fz_bank"),
     ("function/fz_ddl/test_luoji.yaml", "fz_luoji"),
     ("function/fz_ddl/test_myhug.yaml", "fz_myhug"),
-    ("function/ddl/test_options.yaml", "ddl_options"))
+    ("function/ddl/test_options.yaml", "ddl_options"),
+    // real-scenario regression corpus: the reference's own diff-debug
+    // feature pipelines (multi-level LAST JOIN + window unions over
+    // CREATE/INSERT inputs) and the AutoX usecase with exact rows
+    ("usecase/autox.yaml", "autox"),
+    ("debug/bug.yaml", "debug_bug"),
+    ("debug/diff-debug.yaml", "debug_diff"),
+    ("debug/diff-debug-bank.yaml", "debug_bank"),
+    ("debug/diff-debug-myhug.yaml", "debug_myhug"),
+    ("debug/diff-debug-ttgwm.yaml", "debug_ttgwm"),
+    ("debug/diff-debug-ttgwm2.yaml", "debug_ttgwm2"),
+    ("debug/diff-debug-ttgwm3.yaml", "debug_ttgwm3"),
+    ("hybridsql_gen_cases/auto_gen_case_0.yaml", "auto_gen_0"),
+    // storage: SSD/HDD input attr — storage medium only, identical
+    // query semantics (the engine's storage is columnar parquet)
+    ("function/disk_table/disk_table.yaml", "disk_table"))
 
   /** Cases GraftSql cannot run yet, with the reason. Keyed by
     * SqlCase.key = "<fileTag>:<id><variant>". */
@@ -291,8 +306,10 @@ class YamlCaseRunnerSpec extends SparkSpec {
 
   /** Storage TTL: an index spec "name:keys:ts:<bound>:<kind>" expires
     * rows per the reference's four TTL kinds (operators/Ttl.scala). A
-    * row survives if ANY index retains it; an index without an
-    * effective bound retains everything. */
+    * full scan iterates the FIRST declared index and sees only its
+    * expiry (disk_table id 17: latest-4 index first → 4 rows despite a
+    * second absolute index retaining 5); an index without an effective
+    * bound retains everything. */
   /** One `index:` string may carry several comma-separated specs
     * (query corpus "index2:col2:col5,index0:col0:col5"); commas inside
     * parens belong to a ttl 2-tuple. */
@@ -310,7 +327,8 @@ class YamlCaseRunnerSpec extends SparkSpec {
     out.result().map(_.trim).filter(_.nonEmpty)
   }
 
-  private def applyTtl(df: DataFrame, indexs: Seq[String]): DataFrame = {
+  private def applyTtl(df: DataFrame, indexs: Seq[String],
+      storage: Option[String] = None): DataFrame = {
     import graft.operators.Ttl
     val specs = indexs.flatMap(splitIndexSpecs).map(_.split(":", -1).map(_.trim))
       .filter(p => p.length >= 3 && p(2).nonEmpty)
@@ -326,8 +344,26 @@ class YamlCaseRunnerSpec extends SparkSpec {
           else Ttl.parse(bound, Some(inferred))
         (p(1).split("\\|").toSeq.map(_.trim), p(2), spec)
       }
-    if (specs.isEmpty) df
-    else Ttl.expire(df, specs, System.currentTimeMillis())
+    // disk (SSD/HDD) tables key rows by (first index key, ts): a second
+    // insert with the same key+ts overwrites in place (RocksDB put —
+    // disk_table ids 12/13), unlike memory tables which keep every row
+    val disk = storage.exists(s => Set("ssd", "hdd")(s.trim.toLowerCase))
+    val base = specs.headOption match {
+      case Some((keys, ts, _)) if disk =>
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        val uid = "__dt_uid"; val rn = "__dt_rn"
+        df.withColumn(uid, monotonically_increasing_id())
+          .withColumn(rn, row_number().over(
+            Window.partitionBy((keys :+ ts).map(col): _*)
+              .orderBy(col(uid).desc)))
+          .filter(col(rn) === 1).drop(uid, rn)
+      case _ => df
+    }
+    // expiry itself applies at READ time (GraftSql.applyIndexTtl routes
+    // WHERE-equality scans to the matching index, full scans to the
+    // first index) via the registerTableIndexes metadata — not here
+    base
   }
 
   private def register(c: SqlCase)
@@ -369,7 +405,7 @@ class YamlCaseRunnerSpec extends SparkSpec {
         // 24/25; test_ttl ids 21-23) — an index without an effective
         // bound keeps the full snapshot, so batch corpus files with
         // plain `0:latest` specs are unaffected
-        val df = applyTtl(buildDf(in), in.indexs)
+        val df = applyTtl(buildDf(in), in.indexs, in.storage)
         in.db match {
           case Some(db) =>
             scoped += (s"$db.$name" -> df)
@@ -378,6 +414,9 @@ class YamlCaseRunnerSpec extends SparkSpec {
             df.createOrReplaceTempView(name)
             harnessViews += name
         }
+        // replacing the view replaces the table: stale index/TTL
+        // metadata from an earlier case must not expire the new rows
+        GraftSql.clearTableIndexes(spark, in.db, name)
         GraftSql.registerTableIndexes(spark, in.db, name, in.indexs)
       }
     }
@@ -461,26 +500,15 @@ class YamlCaseRunnerSpec extends SparkSpec {
       import graft.operators.Ttl
       val in = c.inputs.headOption
       val name = subst("{0}")
-      val inputMetas: Seq[(Seq[String], Option[String], Ttl.TtlSpec)] =
+      // input-declared indexes register through
+      // GraftSql.registerTableIndexes, so tableIndexMeta already lists
+      // them (declaration order) followed by CREATE INDEX additions.
+      // Only the server's auto-created default index on an index-less
+      // input (index_util.cc:101) needs synthesizing here.
+      val autoMetas: Seq[(Seq[String], Option[String], Ttl.TtlSpec)] =
         in match {
-          case Some(i) if i.indexs.nonEmpty =>
-            i.indexs.flatMap(splitIndexSpecs)
-              .map(_.split(":", -1).map(_.trim)).collect {
-                case p if p.length >= 2 =>
-                  val bound = p.lift(3).getOrElse("")
-                  val kind = p.lift(4).filter(_.nonEmpty)
-                  val inferred = kind.getOrElse(
-                    if (bound.forall(_.isDigit)) "latest" else "absolute")
-                  val spec =
-                    if (bound.isEmpty)
-                      Ttl.TtlSpec(kind.getOrElse("absolute"), 0, 0)
-                    else Ttl.parse(bound, Some(inferred))
-                  (p(1).split("\\|").toSeq.map(_.trim),
-                    p.lift(2).filter(_.nonEmpty), spec)
-              }
-          case Some(i) if i.create.isEmpty && i.columns.nonEmpty =>
-            // table declared without an index: the server auto-creates
-            // one on the first non-float/double column
+          case Some(i) if i.indexs.isEmpty && i.create.isEmpty &&
+              i.columns.nonEmpty =>
             val parts = i.columns.map(declParts)
             parts.find(pp => !Set("float", "double")(pp.last.toLowerCase))
               .map(pp => (Seq(pp(0)), None: Option[String],
@@ -488,8 +516,9 @@ class YamlCaseRunnerSpec extends SparkSpec {
           case _ => Seq.empty
         }
       val engineMetas = GraftSql.tableIndexMeta(spark, name)
-        .map(m => (m.keys, m.ts, m.ttl))
-      val got = inputMetas ++ engineMetas
+        .map(m => (m.keys, m.ts.filterNot(_.equalsIgnoreCase("null")),
+          m.ttl))
+      val got = autoMetas ++ engineMetas
       // the reference stores absolute TTLs in whole minutes, rounded
       // up (1s renders as 1min — test_create_index.yaml id 9)
       def mins(ms: Long): Long = (ms + 59999L) / 60000L
@@ -534,6 +563,16 @@ class YamlCaseRunnerSpec extends SparkSpec {
   // next case start so a CREATE TABLE t0 never collides with a stale
   // input view (test_create.yaml id 1)
   private val harnessViews = scala.collection.mutable.Set[String]()
+
+  override def afterAll(): Unit = {
+    // the session is shared across suites: the last case's registered
+    // index/TTL metadata must not expire another spec's same-named
+    // temp views (t0/t1 are common names)
+    GraftSql.resetCatalogState(spark)
+    harnessViews.foreach(spark.catalog.dropTempView)
+    harnessViews.clear()
+    super.afterAll()
+  }
 
   private def run(c: SqlCase): Unit = {
     GraftSql.resetCatalogState(spark)
