@@ -460,6 +460,20 @@ object SparkEntry {
         .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
     },
 
+    // near-dup clusters: the pairwise Jaccard output composed into
+    // per-document component assignments (alternating star contraction;
+    // representative = smallest doc_id reachable). Singleton docs keep
+    // their own id.
+    "q_dedup_components" -> q { (s, d) =>
+      val docs = T(s, d, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.6)
+      val comps = Dedup.connectedComponents(pairs, "id1", "id2")
+      docs.select(col("doc_id"))
+        .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+    },
+
     // MinHash+LSH candidate pairs (rows-only: hash family not SQL-portable)
     "q_dedup_minhash" -> q { (s, d) =>
       Dedup.minhashLshPairs(T(s, d, "documents"), "doc_id", "text",
@@ -1359,6 +1373,31 @@ object SparkEntry {
         |JOIN sz s1 ON id1 = s1.doc_id
         |JOIN sz s2 ON id2 = s2.doc_id
         |WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.6""".stripMargin,
+
+    "q_dedup_components" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS w
+        |  FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+        |  FROM w a JOIN w b ON a.w = b.w AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (
+        |  SELECT id1, id2 FROM inter
+        |  JOIN sz s1 ON id1 = s1.doc_id
+        |  JOIN sz s2 ON id2 = s2.doc_id
+        |  WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.6),
+        |edges AS (
+        |  SELECT id1 AS a, id2 AS b FROM pairs
+        |  UNION SELECT id2, id1 FROM pairs),
+        |walk(id, lbl) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.a, walk.lbl FROM edges e
+        |  JOIN walk ON walk.id = e.b WHERE walk.lbl < e.a)
+        |SELECT id AS doc_id, min(lbl) AS component
+        |FROM walk GROUP BY id""".stripMargin,
 
     "q_ann_topk" ->
       """WITH q AS (SELECT vec_id AS qid,

@@ -114,6 +114,84 @@ object Dedup {
     materializeAndFree(pairs, sets)
   }
 
+  /** Connected components over an undirected near-dup pair list —
+    * the step that turns pairwise dedup output into per-document
+    * cluster assignments (keep one representative per component).
+    *
+    * Alternating large-star / small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14):
+    * converges in O(log n) rounds even on pathological chain graphs,
+    * where plain min-label propagation needs O(diameter). Each round
+    * is two hash-shuffles (groupBy min + equi-join) — no arrays, no
+    * per-node neighbor lists, no driver-side graph state — so a hot
+    * node with millions of neighbors costs a skewed-but-bounded
+    * aggregation rather than one giant collect_set row.
+    *
+    * Returns (id, component) for every node in `pairs`, where
+    * `component` is the smallest node id reachable from `id`.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String,
+      bCol: String, maxRounds: Int = 50): DataFrame = {
+    var edges = pairs
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+
+    // large-star: every neighbor v > u links to m(u) = min(N(u) ∪ u);
+    // small-star: every neighbor v < u (and u itself) links to m(u).
+    def largeStar(e: DataFrame): DataFrame = {
+      val und = e.unionByName(
+        e.select(col("b").as("a"), col("a").as("b")))
+      val m = und.groupBy("a").agg(min(col("b")).as("mb"))
+        .select(col("a"), least(col("a"), col("mb")).as("m"))
+      und.filter(col("b") > col("a"))
+        .join(m, "a")
+        .select(col("b").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // edges kept oriented a > b, so min(b) < a always
+      val m = e.groupBy("a").agg(min(col("b")).as("m"))
+      e.join(m, "a")
+        .select(col("b").as("v"), col("m"))
+        .unionByName(m.select(col("a").as("v"), col("m")))
+        .filter(col("v") =!= col("m"))
+        .select(greatest(col("v"), col("m")).as("a"),
+          least(col("v"), col("m")).as("b"))
+        .distinct()
+    }
+
+    var stable = false
+    var round = 0
+    var sig = edgeSig(edges)
+    while (!stable && round < maxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nextSig = edgeSig(next)
+      stable = nextSig == sig
+      sig = nextSig
+      edges = next
+      round += 1
+    }
+    // stars: every remaining edge points a node at its component root
+    edges.select(col("a").as("id"), col("b").as("component"))
+      .unionByName(
+        edges.select(col("b").as("id"), col("b").as("component")))
+      .groupBy("id").agg(min(col("component")).as("component"))
+  }
+
+  /** Order-insensitive fingerprint of an edge set (convergence test —
+    * one count+sum action per contraction round). */
+  private def edgeSig(e: DataFrame): (Long, Long) = {
+    val r = e.agg(
+      coalesce(sum(hash(col("a"), col("b")).cast("long")), lit(0L)),
+      count(lit(1))).head
+    (r.getLong(0), r.getLong(1))
+  }
+
   /** MinHash signature over 64-bit shingle hashes: each shingle string
     * is hashed ONCE; the k "permutations" re-mix that long with
     * xxhash64(seed_i, h) — a two-long hash per shingle per permutation

@@ -179,4 +179,47 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(errs.max <= 0.2, f"max abs error ${errs.max}%.3f above bound")
     sh.unpersist()
   }
+
+  test("connected components: hand graph") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (3L, 1L))
+      .toDF("id1", "id2")
+    val got = Dedup.connectedComponents(pairs, "id1", "id2")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("connected components: chain graph converges in O(log n) rounds") {
+    import spark.implicits._
+    // a 300-node chain has diameter 300 — plain min-label propagation
+    // would need 300 rounds; star contraction must finish inside the
+    // 50-round cap or this throws/misassigns
+    val pairs = (0L until 299L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val got = Dedup.connectedComponents(pairs, "id1", "id2")
+      .as[(Long, Long)].collect()
+    assert(got.length == 300)
+    assert(got.forall(_._2 == 0L))
+  }
+
+  test("connected components match brute-force transitive closure") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val n = 200
+    val edges = Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    val got = Dedup.connectedComponents(
+      edges.toDF("id1", "id2"), "id1", "id2")
+      .as[(Long, Long)].collect().toMap
+    // driver-side union-find as the oracle
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val inGraph = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val want = inGraph.map(x => x ->
+      inGraph.filter(y => find(y.toInt) == find(x.toInt)).min).toMap
+    assert(got == want)
+  }
 }
