@@ -972,6 +972,18 @@ object SparkEntry {
     // insert + request, answered from per-key TTL state — the same
     // compiled pipeline a readStream feed would run (StreamDeploy;
     // reference runner.cc:1984-2123). Nav fn + range aggs in one deploy.
+    // streaming exact dedup (first-seen-wins flatMapGroupsWithState):
+    // a single sorted partition pins arrival order to doc_id order, so
+    // "first seen" == the batch groupBy's min(doc_id) and the decision
+    // is oracle-checkable
+    "q_stream_dedup" -> q { (s, d) =>
+      import s.implicits._
+      val docs = T(s, d, "documents").select(col("doc_id"), col("text"))
+        .as[graft.streaming.StreamingDedup.Doc]
+        .coalesce(1).sortWithinPartitions("doc_id")
+      graft.streaming.StreamingDedup.firstSeen(docs).toDF()
+    },
+
     "q_stream_deploy" -> q { (s, d) =>
       // dedupe per (user, ms) on BOTH sides: graft orders same-ms ties
       // by ingestion uid while the DuckDB oracle's ANSI RANGE frame is
@@ -1732,6 +1744,10 @@ object SparkEntry {
         |   WHERE b.user_id = e.user_id AND b.event_id % 97 <> 0
         |     AND epoch_ms(b.ts) BETWEEN epoch_ms(e.ts) - 600000 AND epoch_ms(e.ts)) + 1 AS pit_cnt
         |FROM events e WHERE e.event_id % 97 = 0""".stripMargin,
+
+    "q_stream_dedup" ->
+      """SELECT doc_id, text FROM documents
+        |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)""".stripMargin,
 
     "q_stream_deploy" ->
       """WITH ev AS (

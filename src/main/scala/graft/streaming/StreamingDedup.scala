@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming exact deduplication — the online half of
+  * [[graft.operators.Dedup.exact]] for a continuously-ingested corpus
+  * (the reference's online tables receive the same INSERT stream its
+  * batch snapshots are built from; a training-data pipeline needs the
+  * streaming dedup decision to agree with the batch one).
+  *
+  * Two formulations, both keyed by the 64-bit content hash so state
+  * shards across executors on the same shuffle Spark already plans:
+  *
+  *  - [[withinWatermark]]: Spark-native `dropDuplicatesWithinWatermark`
+  *    — bounded state (hashes older than the watermark are dropped),
+  *    the right default at 100 TB/day ingest where a duplicate beyond
+  *    the lateness bound is acceptable.
+  *  - [[firstSeen]]: `flatMapGroupsWithState` keeping one boolean per
+  *    distinct hash with an optional processing-time TTL — exact
+  *    first-seen-wins for as long as the state is retained; state =
+  *    O(distinct hashes alive), the same bound the batch groupBy pays
+  *    per shuffle partition.
+  *
+  * Train/serve parity (asserted in StreamingDedupSpec): feeding the
+  * batch corpus through either operator keeps exactly the rows whose
+  * doc_id == the batch `Dedup.exact` keep_id, provided ingestion
+  * order is doc_id order (ties in a batch groupBy keep min id;
+  * streaming keeps the first arrival).
+  */
+object StreamingDedup {
+
+  /** Content hash used by both operators — xxhash64 over the exact
+    * text, matching the batch operator's grouping granularity. */
+  def contentHash(textCol: String): org.apache.spark.sql.Column =
+    xxhash64(col(textCol))
+
+  /** Native bounded-state dedup: keeps the first row per content hash
+    * among rows within the watermark lateness of each other.
+    * `eventTimeCol` must be a TimestampType column. */
+  def withinWatermark(docs: DataFrame, textCol: String,
+      eventTimeCol: String, lateness: String): DataFrame =
+    docs.withColumn("__content_hash", contentHash(textCol))
+      .withWatermark(eventTimeCol, lateness)
+      .dropDuplicatesWithinWatermark("__content_hash")
+      .drop("__content_hash")
+
+  case class Doc(doc_id: Long, text: String)
+
+  /** Exact first-seen-wins dedup: emits a document only when its
+    * content hash has not been seen before. `stateTtl` (e.g. "2 hours")
+    * bounds state by processing-time expiry; None retains state for
+    * the query lifetime (exact, unbounded). */
+  def firstSeen(docs: Dataset[Doc],
+      stateTtl: Option[String] = None): Dataset[Doc] = {
+    implicit val docEnc = Encoders.product[Doc]
+    implicit val longEnc = Encoders.scalaLong
+    implicit val boolEnc = Encoders.scalaBoolean
+    val timeout =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    docs
+      .groupByKey(d => graft.functions.FarmHash.hash64(
+        d.text.getBytes("UTF-8")))
+      .flatMapGroupsWithState[Boolean, Doc](
+        OutputMode.Append(), timeout) { (_, rows, state) =>
+        if (state.hasTimedOut) { state.remove(); Iterator.empty }
+        else if (state.exists) Iterator.empty
+        else {
+          state.update(true)
+          stateTtl.foreach(state.setTimeoutDuration)
+          // several same-hash rows may land in one micro-batch: keep
+          // only the first (batch Datasets deliver all rows at once)
+          rows.take(1)
+        }
+      }
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.streaming.StreamingDedup
+import graft.streaming.StreamingDedup.Doc
+
+/** Streaming exact dedup agrees with the batch operator
+  * (train/serve consistency for the dedup decision). */
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(): Seq[Doc] = {
+    val texts = Seq("alpha beta", "gamma", "alpha beta", "delta epsilon",
+      "gamma", "zeta", "alpha beta", "eta theta", "zeta", "iota")
+    texts.zipWithIndex.map { case (t, i) => Doc(i.toLong, t) }
+  }
+
+  test("firstSeen (batch Dataset) keeps exactly the batch keep_ids") {
+    val docs = corpus()
+    // single sorted partition pins arrival order to doc_id order —
+    // "first seen" is then exactly the batch groupBy's min(doc_id)
+    val kept = StreamingDedup.firstSeen(
+        docs.toDS().coalesce(1).sortWithinPartitions("doc_id"))
+      .collect().map(_.doc_id).sorted
+    val batchKeep = Dedup.exact(docs.toDF(), "doc_id", "text")
+      .select("keep_id").as[Long].collect().sorted
+    assert(kept.sameElements(batchKeep))
+  }
+
+  test("firstSeen over MemoryStream dedups across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = corpus()
+    // duplicates arrive only in LATER micro-batches than their first
+    // occurrence, so first-seen is deterministic regardless of the
+    // within-batch group iterator order
+    val batch1 = docs.filter(d => Seq(0L, 1L, 3L, 5L).contains(d.doc_id))
+    val batch2 = docs.filter(d => Seq(2L, 4L, 7L, 8L).contains(d.doc_id))
+    val batch3 = docs.filter(d => Seq(6L, 9L).contains(d.doc_id))
+    val mem = MemoryStream[Doc]
+    val q = StreamingDedup.firstSeen(mem.toDS())
+      .writeStream.format("memory").queryName("sd_out")
+      .outputMode("append").start()
+    Seq(batch1, batch2, batch3).foreach { b =>
+      mem.addData(b: _*); q.processAllAvailable()
+    }
+    val kept = spark.table("sd_out").as[Doc].collect().map(_.doc_id).sorted
+    q.stop()
+    val batchKeep = Dedup.exact(docs.toDF(), "doc_id", "text")
+      .select("keep_id").as[Long].collect().sorted
+    assert(kept.sameElements(batchKeep))
+  }
+
+  test("withinWatermark drops duplicates inside the lateness bound") {
+    implicit val sqlCtx = spark.sqlContext
+    case class Ev(doc_id: Long, text: String, ts: java.sql.Timestamp)
+    val mem = MemoryStream[(Long, String, Long)]
+    val stream = mem.toDS()
+      .select(col("_1").as("doc_id"), col("_2").as("text"),
+        timestamp_millis(col("_3")).as("ts"))
+    val q = StreamingDedup.withinWatermark(stream, "text", "ts", "10 seconds")
+      .writeStream.format("memory").queryName("sd_wm")
+      .outputMode("append").start()
+    // duplicates arrive in later micro-batches (within one batch the
+    // surviving row of a dup group is iterator-order-dependent)
+    mem.addData((0L, "aa", 1000L), (1L, "bb", 2000L))
+    q.processAllAvailable()
+    mem.addData((2L, "aa", 3000L), (3L, "aa", 4000L), (4L, "cc", 5000L))
+    q.processAllAvailable()
+    val kept = spark.table("sd_wm").select("doc_id").as[Long]
+      .collect().sorted
+    q.stop()
+    // aa keeps only its first arrival within the watermark; bb/cc unique
+    assert(kept.sameElements(Array(0L, 1L, 4L)))
+  }
+}
