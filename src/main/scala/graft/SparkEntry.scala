@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, LastJoin, Multimodal, RequestMode, Similarity, TextOps, WindowOps}
+import graft.operators.{Dedup, LastJoin, Multimodal, RequestMode, Sampling, Similarity, TextOps, WindowOps}
 import graft.functions.{FeatureSignature => FS, GraftAggregates => A, GraftScalars => F}
 import graft.sql.GraftSql
 
@@ -972,6 +972,21 @@ object SparkEntry {
     // insert + request, answered from per-key TTL state — the same
     // compiled pipeline a readStream feed would run (StreamDeploy;
     // reference runner.cc:1984-2123). Nav fn + range aggs in one deploy.
+    // reproducible content-addressed Bernoulli sample (md5 order —
+    // stable under retries/repartitioning, portable to the oracle)
+    "q_sample_hash" -> q { (s, d) =>
+      Sampling.hashSample(T(s, d, "documents"), col("doc_id"), 0.2, "s9")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    },
+
+    // stratified fixed-quota sample: 30 docs per language, chosen by
+    // the same deterministic coordinate
+    "q_sample_stratified" -> q { (s, d) =>
+      Sampling.stratified(T(s, d, "documents"), col("lang"),
+        col("doc_id"), quota = 30, salt = "s9")
+        .select(col("lang"), col("doc_id"))
+    },
+
     // streaming exact dedup (first-seen-wins flatMapGroupsWithState):
     // a single sorted partition pins arrival order to doc_id order, so
     // "first seen" == the batch groupBy's min(doc_id) and the decision
@@ -1744,6 +1759,15 @@ object SparkEntry {
         |   WHERE b.user_id = e.user_id AND b.event_id % 97 <> 0
         |     AND epoch_ms(b.ts) BETWEEN epoch_ms(e.ts) - 600000 AND epoch_ms(e.ts)) + 1 AS pit_cnt
         |FROM events e WHERE e.event_id % 97 = 0""".stripMargin,
+
+    "q_sample_hash" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE substr(md5(doc_id || ':s9'), 1, 8) < '33333333'""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT lang, doc_id FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY lang
+        |  ORDER BY md5(doc_id || ':s9'), doc_id) <= 30""".stripMargin,
 
     "q_stream_dedup" ->
       """SELECT doc_id, text FROM documents

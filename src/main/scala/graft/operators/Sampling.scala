@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reproducible sampling for training-data pipelines.
+  *
+  * `rand()`-based sampling is not stable under retries, speculative
+  * tasks, or repartitioning — at 100 TB a resubmitted stage would
+  * sample DIFFERENT rows, breaking train/eval splits and incremental
+  * reruns. Both operators here are content-addressed: the keep/drop
+  * decision is a pure function of the row key and a salt, so any
+  * cluster, partitioning, or re-run selects the identical subset, and
+  * changing the salt draws an independent sample.
+  *
+  * The decision hash is md5 (hex-string order) rather than a native
+  * 64-bit hash solely so the SAME selection is expressible in any
+  * engine (the DuckDB oracle gate recomputes it verbatim); one md5 per
+  * row is scan-linear and vectorizes in codegen.
+  */
+object Sampling {
+
+  /** Hex threshold for `rate` over the first 8 md5 nibbles. */
+  private def hexThreshold(rate: Double): String = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate $rate outside [0,1]")
+    f"${math.min((rate * 4294967296.0).toLong, 4294967295L)}%08x"
+  }
+
+  /** The row's decision coordinate: md5("<key>:<salt>") as lowercase
+    * hex — uniform over [0, 16^32) in lexicographic order. */
+  def sampleKey(key: Column, salt: String): Column =
+    md5(concat(key.cast("string"), lit(":" + salt)))
+
+  /** Keep each row iff its decision coordinate < rate — a stable
+    * Bernoulli(rate) sample keyed by `key`. Pure filter: predicate
+    * pushdown and partition pruning still apply upstream. */
+  def hashSample(df: DataFrame, key: Column, rate: Double,
+      salt: String = "graft"): DataFrame =
+    df.filter(substring(sampleKey(key, salt), 1, 8)
+      .lt(lit(hexThreshold(rate))))
+
+  /** Stratified fixed-quota sample: the `quota` rows of each stratum
+    * whose decision coordinate orders first (key tiebreak). One
+    * hash-shuffle on the stratum column + one in-partition sort —
+    * skewed strata cost their own partition only, and the per-stratum
+    * quota bounds the output regardless of stratum size. */
+  def stratified(df: DataFrame, stratum: Column, key: Column,
+      quota: Int, salt: String = "graft"): DataFrame = {
+    val w = Window.partitionBy(stratum)
+      .orderBy(sampleKey(key, salt).asc, key.asc)
+    df.withColumn("__s_rn", row_number().over(w))
+      .filter(col("__s_rn") <= quota)
+      .drop("__s_rn")
+  }
+}
