@@ -53,14 +53,23 @@ object StreamDeploy {
   /** One compiled window-aggregate output column. */
   private case class WinSpec(id: String, fn: String, argIdx: Int,
       lagK: Int, frameless: Boolean, p: FrameParams, outType: DataType,
-      wrapSum: Option[DataType])
+      wrapSum: Option[DataType], ignoreNulls: Boolean = false)
 
   /** Frame parameters ported from the batch planner's groupCols
     * derivation (GraftSql.planWindows): same bound arithmetic, same
     * filter order. */
   private case class FrameParams(precedingMs: Long, rowCap: Int,
-      hiMs: Long, skipNewest: Int, exclSelf: Boolean, exclCT: Boolean,
-      zeroFillSum: Boolean)
+      hiMs: Long, skipNewest: Int, exclSelf: Boolean, exclCT: Boolean)
+
+  /** ms view of the ORDER BY key: a native TimestampType key reads as
+    * epoch MILLISECONDS — `.cast(LongType)` would truncate to seconds
+    * and silently widen every range frame 1000× (caught by
+    * TrainServeConsistencySpec vs the batch planner's orderMs). */
+  private def orderMsCol(base: DataFrame, text: String): Column =
+    GraftSql.resolveTypeCached(base, text) match {
+      case Some(TimestampType) => unix_millis(expr(text))
+      case _                   => expr(text)
+    }
 
   private def frameParams(w: WinDef): FrameParams = {
     val hiOffset: Long = w.hi match {
@@ -84,8 +93,7 @@ object StreamDeploy {
         if (w.maxSize > 0 && frameCap > 0) math.min(w.maxSize, frameCap)
         else math.max(w.maxSize, math.max(frameCap, 0))
       FrameParams(Long.MaxValue / 4, cap, 0L, h,
-        exclSelf = w.exclCR && h == 0, exclCT = w.exclCT,
-        zeroFillSum = h > 0 && !w.exclCR)
+        exclSelf = w.exclCR && h == 0, exclCT = w.exclCT)
     } else {
       val p = w.lo match {
         case Prec(n, open) => n - (if (open) 1 else 0)
@@ -93,7 +101,7 @@ object StreamDeploy {
         case CurrentRow    => 0L
       }
       FrameParams(p, w.maxSize, hiOffset, 0,
-        exclSelf = w.exclCR, exclCT = w.exclCT, zeroFillSum = false)
+        exclSelf = w.exclCR, exclCT = w.exclCT)
     }
   }
 
@@ -154,6 +162,7 @@ object StreamDeploy {
   private def lt(a: Any, b: Any): Boolean = (a, b) match {
     case (x: String, y: String)   => x < y
     case (x: java.sql.Date, y: java.sql.Date) => x.before(y)
+    case (x: java.sql.Timestamp, y: java.sql.Timestamp) => x.before(y)
     case (x: java.lang.Boolean, y: java.lang.Boolean) => !x && y
     case (x, y)                   => toD(x) < toD(y)
   }
@@ -218,7 +227,7 @@ object StreamDeploy {
       argSlots.getOrElseUpdate(argText, argSlots.size)
 
     case class Pre(id: String, fn: String, argText: String, lagK: Int,
-        frameless: Boolean, w: WinDef)
+        frameless: Boolean, w: WinDef, ignoreNulls: Boolean = false)
     val pres = winExprs.map { case (id, fnText0, w) =>
       val (fnRaw, argRaw) = splitCall(fnText0)
       if (argRaw.contains("__graft_w"))
@@ -240,7 +249,12 @@ object StreamDeploy {
         if (!isOffset) 0
         else if (args.length > 1) args(1).trim.toInt else 1
       val argText = if (argText0 == "*") "1L" else args.head
-      Pre(id, if (fn == "at") "lag" else fn, argText, lagK, isOffset, w)
+      // first_value(c, true)/last_value(c, true): ignore-null variant
+      // (test_window.yaml id 38) — the flag is a literal second arg
+      val ign = (fn == "first_value" || fn == "last_value") &&
+        args.length > 1 && args(1).trim.equalsIgnoreCase("true")
+      Pre(id, if (fn == "at") "lag" else fn, argText, lagK, isOffset, w,
+        ignoreNulls = ign)
     }
     pres.foreach(p => slot(p.argText))
 
@@ -248,7 +262,7 @@ object StreamDeploy {
     val keyCol = to_json(struct(partExprs.map(p => expr(p)): _*))
     var prep0 = base
       .withColumn(KeyCol, keyCol)
-      .withColumn(TsCol, expr(orderExpr).cast(LongType))
+      .withColumn(TsCol, orderMsCol(base, orderExpr).cast(LongType))
     argSlots.foreach { case (argText, i) =>
       prep0 = prep0.withColumn(s"__graft_sa_$i", expr(argText))
     }
@@ -289,12 +303,14 @@ object StreamDeploy {
       })
       val outType = p.fn match {
         case "sum" if integralSum         => LongType // exact Long accumulation
+        case "sum" if at == FloatType     => FloatType // batch sum(float) stays float
         case "sum" | "avg"                => DoubleType
         case "count" | "distinct_count"   => LongType
         case _                            => at
       }
       WinSpec(p.id, p.fn, si, p.lagK, p.frameless, frameParams(p.w),
-        outType, if (integralSum) Some(at) else None)
+        outType, if (integralSum) Some(at) else None,
+        ignoreNulls = p.ignoreNulls)
     }
 
     val outSchema = StructType(base.schema.fields ++
@@ -411,13 +427,19 @@ object StreamDeploy {
         // integral inputs accumulate in Long (wrap arithmetic), exactly
         // like Spark's native long sum on the batch path — a Double
         // accumulator loses exactness past 2^53
-        if (nn.isEmpty) { if (p.zeroFillSum) 0L else null }
+        // empty frame => NULL, like the batch engine and the corpus
+        // (test_window.yaml id 3: ROWS 5 PRECEDING AND 3 PRECEDING)
+        if (nn.isEmpty) null
         else nn.foldLeft(0L)((acc, v) =>
           acc + v.asInstanceOf[java.lang.Number].longValue)
       case "sum" =>
-        if (nn.isEmpty) { if (p.zeroFillSum) 0.0 else null }
-        // newest-first fold, same accumulation order as aggSum
-        else nn.foldLeft(0.0)((acc, v) => acc + toD(v))
+        if (nn.isEmpty) null
+        // newest-first fold, same accumulation order as aggSum; float
+        // inputs return float like the batch planner's sum typing
+        else {
+          val d = nn.foldLeft(0.0)((acc, v) => acc + toD(v))
+          if (sp.outType == FloatType) d.toFloat else d
+        }
       case "avg" =>
         if (nn.isEmpty) null
         else nn.foldLeft(0.0)((acc, v) => acc + toD(v)) / nn.length
@@ -426,8 +448,14 @@ object StreamDeploy {
       // NULL counts as a distinct value (test_udaf_function.yaml id 5;
       // matches WindowOps.aggDistinctCount)
       case "distinct_count" => vs.distinct.length.toLong
-      case "first_value" => frame.lastOption.map(_.args(sp.argIdx)).orNull
-      case "last_value"  => frame.headOption.map(_.args(sp.argIdx)).orNull
+      case "first_value" =>
+        val f = if (sp.ignoreNulls)
+          frame.filter(_.args(sp.argIdx) != null) else frame
+        f.lastOption.map(_.args(sp.argIdx)).orNull
+      case "last_value"  =>
+        val f = if (sp.ignoreNulls)
+          frame.filter(_.args(sp.argIdx) != null) else frame
+        f.headOption.map(_.args(sp.argIdx)).orNull
       case other => throw new IllegalArgumentException(
         s"unsupported online aggregate '$other'")
     }

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.types.TimestampType
+import graft.cases.{CaseLoader, SqlCase}
+import graft.sql.{GraftSql, StreamDeploy}
+
+/** The reference runs every SqlCase through batch AND request modes
+  * and requires identical results — its train/serve consistency
+  * authority (`hybridse/src/testing/engine_test_base.h:75-100`,
+  * `EngineTest : TestWithParam<SqlCase>` instantiated per mode). This
+  * spec re-expresses that over this engine's two run modes: batch =
+  * [[GraftSql.sql]]; serving = [[StreamDeploy.serve]], which replays
+  * the table insert-by-insert and answers each row point-in-time from
+  * per-key state — exactly the reference's request engine discipline.
+  *
+  * Cases whose shape the deploy compiler legitimately rejects (WINDOW
+  * UNION, INSTANCE_NOT_IN_WINDOW, DESC order, multiple window
+  * signatures, non-streamable aggregates) cancel with the compiler's
+  * own message, so the skip set is visible; the suite additionally
+  * asserts a healthy floor of genuinely-compared cases per file.
+  */
+class TrainServeConsistencySpec extends SparkSpec {
+
+  private val base = "/root/reference/cases"
+
+  private val files = Seq(
+    ("function/window/test_window_row.yaml", "ts_window_row", 10),
+    ("function/window/test_window_row_range.yaml", "ts_window_rr", 10),
+    ("function/window/test_window.yaml", "ts_window", 5),
+    // the cluster files are mostly multi-table — few single-input cases
+    ("function/cluster/test_window_row.yaml", "ts_cl_row", 1),
+    ("function/cluster/test_window_row_range.yaml", "ts_cl_rr", 1),
+    ("query/window_query.yaml", "ts_window_q", 3))
+
+  private def eligible(c: SqlCase): Boolean =
+    c.sql.trim.nonEmpty && c.sqls.isEmpty && c.parameters.isEmpty &&
+      c.batchRequest.isEmpty && c.longWindow.isEmpty &&
+      c.expect.success && c.expect.rows.isDefined &&
+      c.inputs.length == 1 && c.inputs.head.columns.nonEmpty &&
+      c.inputs.head.create.isEmpty &&
+      !c.tags.exists(t => t.contains("TODO") || t.contains("bug")) &&
+      !c.mode.contains("batch-unsupport") &&
+      !c.mode.contains("request-unsupport") &&
+      c.inputs.head.columns.forall(cd =>
+        CaseData.typOpt(CaseData.declParts(cd).last).isDefined)
+
+  private val compared = scala.collection.mutable.Map[String, Int]()
+
+  files.foreach { case (path, tag, floor) =>
+    val cases = CaseLoader.load(s"$base/$path", tag).filter(eligible)
+    cases.foreach { c =>
+      test(s"serve≡batch ${c.key} ${c.desc.trim}") {
+        val tn = c.inputs.head.name.getOrElse("t0")
+        val sql = c.sql.trim.stripSuffix(";").replace("{0}", tn)
+        val df = CaseData.buildDf(spark, c.inputs.head)
+        df.createOrReplaceTempView(tn)
+        try {
+          val batch = GraftSql.sql(spark, sql)
+          val served =
+            try StreamDeploy.serve(spark, sql, df.alias(tn))
+            catch {
+              case e: IllegalArgumentException =>
+                cancel(s"deploy compiler rejects the shape: ${e.getMessage}")
+            }
+          def canon(d: org.apache.spark.sql.DataFrame): Seq[Seq[String]] =
+            d.collect().toSeq.map(_.toSeq.map {
+              case null => "null"
+              case t: java.sql.Timestamp => t.getTime.toString
+              case d0: Double => f"$d0%.6f"
+              case f: Float => f"$f%.4f"
+              case x => String.valueOf(x)
+            }).sortBy(_.mkString("|"))
+          assert(batch.columns.toSeq == served.columns.toSeq,
+            s"columns: batch ${batch.columns.toSeq} vs serve ${served.columns.toSeq}")
+          val b = canon(batch); val s2 = canon(served)
+          assert(b == s2,
+            s"\nsql: $sql\nbatch: ${b.take(8).mkString("\n       ")}\n" +
+              s"serve: ${s2.take(8).mkString("\n       ")}")
+          compared(tag) = compared.getOrElse(tag, 0) + 1
+        } finally spark.catalog.dropTempView(tn)
+      }
+    }
+    test(s"serve≡batch $tag compared at least $floor cases") {
+      assert(compared.getOrElse(tag, 0) >= floor,
+        s"only ${compared.getOrElse(tag, 0)} of ${cases.length} eligible " +
+          "cases actually compared — the consistency net has gone vacuous")
+    }
+  }
+}
