@@ -206,19 +206,57 @@ object StreamDeploy {
       if (w.order.isEmpty) notStreamable("window without ORDER BY")
     }
     val partitions = windows.map(_.partition).distinct
-    if (partitions.length > 1)
-      notStreamable(s"multiple PARTITION BY signatures: $partitions")
-    val orders = windows.map(_.order.get).distinct
-    if (orders.length > 1)
-      notStreamable(s"multiple ORDER BY keys: $orders")
 
     if (winExprs.isEmpty) // no windows: a pure per-event projection
       return base.select(outerTokens.zip(sel.projs).zipWithIndex.map {
         case ((toks, pr), i) => expr(toks.mkString(" ")).as(projName(pr, i))
       }: _*)
 
-    val partExprs = partitions.head
-    val orderExpr = orders.head
+    // window signatures: (PARTITION BY, ORDER BY) pairs. One stateful
+    // stage serves one signature; a deployment spanning several (the
+    // reference's request engine seeks several indexes per request)
+    // runs one stage per signature in BATCH request mode and joins on
+    // a per-event uid. A true stream keeps the one-signature limit:
+    // stream-stream self-joins would need watermarks the deploy
+    // surface does not define.
+    val sigGroups = winExprs
+      .groupBy(e => (e._3.partition, e._3.order)).values.toSeq
+      .sortBy(_.head._1)
+    val withIds: DataFrame =
+      if (sigGroups.length == 1) runSignature(spark, base, winExprs, ttl)
+      else {
+        if (events.isStreaming)
+          notStreamable("multiple window signatures over a stream " +
+            s"(batch request mode supports them): $partitions")
+        val uid = "__graft_msig"
+        val tagged = base.withColumn(uid, monotonically_increasing_id())
+          .localCheckpoint(true)
+        sigGroups.zipWithIndex.map { case (g, gi) =>
+          val out = runSignature(spark, tagged, g, ttl)
+          if (gi == 0) out
+          else out.select(col(uid) +: g.map(e => col(e._1)): _*)
+        }.reduce((a, b) => a.join(b, uid)).drop(uid)
+      }
+
+    withIds.select(outerTokens.zip(sel.projs).zipWithIndex.map {
+      case ((toks, pr), i) => expr(toks.mkString(" ")).as(projName(pr, i))
+    }: _*)
+  }
+
+
+  /** Compile and run the stateful stage for ONE window signature
+    * (shared PARTITION BY + ORDER BY): pre-shuffle arg projection,
+    * groupByKey + flatMapGroupsWithState buffer replay, integral-sum
+    * wraparound. Returns the base columns plus one column per window
+    * id in `winExprs`. */
+  private def runSignature(spark: SparkSession, base: DataFrame,
+      winExprs: Seq[(String, String, WinDef)],
+      ttl: Option[Ttl]): DataFrame = {
+    def notStreamable(msg: String) = throw new IllegalArgumentException(
+      s"not streamable: $msg")
+    val windows = winExprs.map(_._3)
+    val partExprs = winExprs.head._3.partition
+    val orderExpr = winExprs.head._3.order.get
 
     // ---- compile each window call ----
     // distinct argument expressions share one buffered slot
@@ -393,9 +431,7 @@ object StreamDeploy {
       }
     }
 
-    withIds.select(outerTokens.zip(sel.projs).zipWithIndex.map {
-      case ((toks, pr), i) => expr(toks.mkString(" ")).as(projName(pr, i))
-    }: _*)
+    withIds
   }
 
   /** Evaluate one window aggregate for the request at (ts, seq) over

@@ -205,13 +205,27 @@ class StreamDeploySpec extends SparkSpec {
     rejects("""SELECT user, sum(amt) OVER w AS s FROM events
       WINDOW w AS (PARTITION BY user ORDER BY ts DESC
         ROWS_RANGE BETWEEN 10 PRECEDING AND CURRENT ROW)""", "DESC")
-    rejects("""SELECT user, sum(amt) OVER w1 AS a, sum(amt) OVER w2 AS b
+    // a deployment spanning several window signatures runs one
+    // stateful stage per signature joined on a row uid — legal in
+    // batch request mode; over a TRUE stream it still rejects (the
+    // stream-stream self-join would need watermarks the deploy
+    // surface does not define)
+    val multi = """SELECT user, sum(amt) OVER w1 AS a, count(amt) OVER w2 AS b
       FROM events
       WINDOW w1 AS (PARTITION BY user ORDER BY ts
         ROWS_RANGE BETWEEN 10 PRECEDING AND CURRENT ROW),
       w2 AS (PARTITION BY tag ORDER BY ts
-        ROWS_RANGE BETWEEN 10 PRECEDING AND CURRENT ROW)""",
-      "PARTITION BY")
+        ROWS_RANGE BETWEEN 10 PRECEDING AND CURRENT ROW)"""
+    assert(StreamDeploy.serve(spark, multi, ev).count() == ev.count())
+    locally {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Ev]
+      val e = intercept[IllegalArgumentException] {
+        StreamDeploy.serve(spark, multi, mem.toDF()) }
+      assert(e.getMessage.contains("signatures over a stream"),
+        e.getMessage)
+    }
   }
 
   test("DEPLOY statement + serveDeployment round trip") {
