@@ -53,7 +53,8 @@ object StreamDeploy {
   /** One compiled window-aggregate output column. */
   private case class WinSpec(id: String, fn: String, argIdx: Int,
       lagK: Int, frameless: Boolean, p: FrameParams, outType: DataType,
-      wrapSum: Option[DataType], ignoreNulls: Boolean = false)
+      wrapSum: Option[DataType], ignoreNulls: Boolean = false,
+      boolNullFalse: Boolean = false)
 
   /** Frame parameters ported from the batch planner's groupCols
     * derivation (GraftSql.planWindows): same bound arithmetic, same
@@ -193,7 +194,17 @@ object StreamDeploy {
     sel.fromAlias.foreach(a => base = base.alias(a))
     base = applyJoins(spark, base, sel.joins, tables)
 
-    val (outerTokens, winExprs) = extractWinCalls(sel, base)
+    // the same dialect token rewrites the batch planner applies
+    // (CAST(float AS STRING) → %g rendering, ts-cast ms semantics,
+    // operand coercions) — without them serving would render values
+    // differently than training (udaf corpus id 44)
+    val sel2 = {
+      val rt: String => Option[DataType] =
+        t => resolveTypeCached(base, t)
+      sel.copy(projs = sel.projs.map(p =>
+        p.copy(tokens = rewriteDialect(p.tokens, rt))))
+    }
+    val (outerTokens, winExprs) = extractWinCalls(sel2, base)
 
     // ---- streamability checks beyond request-mode legality ----
     def notStreamable(msg: String) = throw new IllegalArgumentException(
@@ -208,7 +219,7 @@ object StreamDeploy {
     val partitions = windows.map(_.partition).distinct
 
     if (winExprs.isEmpty) // no windows: a pure per-event projection
-      return base.select(outerTokens.zip(sel.projs).zipWithIndex.map {
+      return base.select(outerTokens.zip(sel2.projs).zipWithIndex.map {
         case ((toks, pr), i) => expr(toks.mkString(" ")).as(projName(pr, i))
       }: _*)
 
@@ -238,7 +249,12 @@ object StreamDeploy {
         }.reduce((a, b) => a.join(b, uid)).drop(uid)
       }
 
-    withIds.select(outerTokens.zip(sel.projs).zipWithIndex.map {
+    // the stateful stage drops column qualifiers (SerializeFromObject
+    // rebuilds plain attributes): re-alias so qualified outer
+    // projections like `t0.id` still resolve (udaf corpus)
+    val projSrc = sel.fromAlias.orElse(sel.fromTable.left.toOption)
+      .map(a => withIds.alias(a)).getOrElse(withIds)
+    projSrc.select(outerTokens.zip(sel2.projs).zipWithIndex.map {
       case ((toks, pr), i) => expr(toks.mkString(" ")).as(projName(pr, i))
     }: _*)
   }
@@ -279,7 +295,8 @@ object StreamDeploy {
       // the ONLINE evaluator supports the incremental aggregates only —
       // narrower than the batch extAggs (no median/top1_ratio/...)
       val streamableAggs = Set("sum", "count", "avg", "min", "max",
-        "distinct_count", "lag", "at", "first_value", "last_value")
+        "distinct_count", "median", "lag", "at", "first_value",
+        "last_value")
       if (!streamableAggs(fn)) notStreamable(s"aggregate '$fn' online")
       val isOffset = fn == "lag" || fn == "at"
       val args = splitArgs(argText0)
@@ -342,13 +359,16 @@ object StreamDeploy {
       val outType = p.fn match {
         case "sum" if integralSum         => LongType // exact Long accumulation
         case "sum" if at == FloatType     => FloatType // batch sum(float) stays float
-        case "sum" | "avg"                => DoubleType
+        case "sum" | "avg" | "median"     => DoubleType
         case "count" | "distinct_count"   => LongType
         case _                            => at
       }
       WinSpec(p.id, p.fn, si, p.lagK, p.frameless, frameParams(p.w),
         outType, if (integralSum) Some(at) else None,
-        ignoreNulls = p.ignoreNulls)
+        ignoreNulls = p.ignoreNulls,
+        // a NULL bool reads as false in the reference's distinct set
+        // (test_udaf_function.yaml id 6 row 4), like the batch path
+        boolNullFalse = p.fn == "distinct_count" && at == BooleanType)
     }
 
     val outSchema = StructType(base.schema.fields ++
@@ -441,8 +461,13 @@ object StreamDeploy {
       seq: Long): Any = {
     if (sp.frameless) {
       // lag/at are frameless positional lookups over ingestion order
-      // (window_attributes.yaml id 0) — index from the request row
-      val tgt = basis.drop(sp.lagK)
+      // (window_attributes.yaml id 0) — index from the request row.
+      // Under EXCLUDE CURRENT_TIME lag skips same-time predecessors,
+      // like the batch frame-array path (window_attributes id 9 row 6)
+      val b0 =
+        if (sp.p.exclCT) basis.filter(b => b.ts != ts || b.seq == seq)
+        else basis
+      val tgt = b0.drop(sp.lagK)
       return tgt.headOption.map(_.args(sp.argIdx)).orNull
     }
     val p = sp.p
@@ -479,11 +504,24 @@ object StreamDeploy {
       case "avg" =>
         if (nn.isEmpty) null
         else nn.foldLeft(0.0)((acc, v) => acc + toD(v)) / nn.length
+      case "median" =>
+        // sorted-doubles middle / mean-of-middles (WindowOps.aggMedian)
+        if (nn.isEmpty) null
+        else {
+          val sorted = nn.map(toD).sorted
+          val n = sorted.length
+          if (n % 2 == 1) sorted(n / 2)
+          else (sorted(n / 2 - 1) + sorted(n / 2)) / 2.0
+        }
       case "min" => if (nn.isEmpty) null else nn.reduce((a, b) => if (lt(b, a)) b else a)
       case "max" => if (nn.isEmpty) null else nn.reduce((a, b) => if (lt(a, b)) b else a)
       // NULL counts as a distinct value (test_udaf_function.yaml id 5;
       // matches WindowOps.aggDistinctCount)
-      case "distinct_count" => vs.distinct.length.toLong
+      case "distinct_count" =>
+        val v2 = if (sp.boolNullFalse)
+          vs.map(v => if (v == null) java.lang.Boolean.FALSE else v)
+        else vs
+        v2.distinct.length.toLong
       case "first_value" =>
         val f = if (sp.ignoreNulls)
           frame.filter(_.args(sp.argIdx) != null) else frame

@@ -199,9 +199,9 @@ class StreamDeploySpec extends SparkSpec {
         StreamDeploy.serve(spark, sql, ev) }
       assert(e.getMessage.contains(frag), e.getMessage)
     }
-    rejects("""SELECT user, ts, median(amt) OVER w AS m FROM events
+    rejects("""SELECT user, ts, top1_ratio(amt) OVER w AS m FROM events
       WINDOW w AS (PARTITION BY user ORDER BY ts
-        ROWS_RANGE BETWEEN 10 PRECEDING AND CURRENT ROW)""", "median")
+        ROWS_RANGE BETWEEN 10 PRECEDING AND CURRENT ROW)""", "top1_ratio")
     rejects("""SELECT user, sum(amt) OVER w AS s FROM events
       WINDOW w AS (PARTITION BY user ORDER BY ts DESC
         ROWS_RANGE BETWEEN 10 PRECEDING AND CURRENT ROW)""", "DESC")

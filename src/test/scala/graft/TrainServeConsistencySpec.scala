@@ -23,6 +23,13 @@ class TrainServeConsistencySpec extends SparkSpec {
 
   private val base = "/root/reference/cases"
 
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    // the reference harness registers `inc` as an external UDF
+    // (udaf_query.yaml id 4)
+    spark.udf.register("inc", (x: Int) => x + 1)
+  }
+
   private val files = Seq(
     ("function/window/test_window_row.yaml", "ts_window_row", 10),
     ("function/window/test_window_row_range.yaml", "ts_window_rr", 10),
@@ -30,7 +37,14 @@ class TrainServeConsistencySpec extends SparkSpec {
     // the cluster files are mostly multi-table — few single-input cases
     ("function/cluster/test_window_row.yaml", "ts_cl_row", 1),
     ("function/cluster/test_window_row_range.yaml", "ts_cl_rr", 1),
-    ("query/window_query.yaml", "ts_window_q", 3))
+    ("query/window_query.yaml", "ts_window_q", 3),
+    ("function/window/test_maxsize.yaml", "ts_maxsize", 5),
+    ("function/window/test_current_row.yaml", "ts_excl_cr", 3),
+    ("function/window/test_window_exclude_current_time.yaml",
+      "ts_excl_ct", 3),
+    ("function/window/window_attributes.yaml", "ts_win_attr", 3),
+    ("function/function/test_udaf_function.yaml", "ts_udaf", 20),
+    ("query/udaf_query.yaml", "ts_udaf_q", 3))
 
   private def eligible(c: SqlCase): Boolean =
     c.sql.trim.nonEmpty && c.sqls.isEmpty && c.parameters.isEmpty &&
