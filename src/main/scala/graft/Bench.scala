@@ -29,26 +29,18 @@ object Bench {
     val benchNames =
       if (args.nonEmpty) SparkEntry.benchQueries.filter(args.toSet)
       else SparkEntry.benchQueries
-    val plainNames = benchNames.filter(PlainBaseline.sqlText.contains)
-    // Register baseline views once, outside any timed region.
-    PlainBaseline.registerViews(spark, sfDir)
+    val (json, failed) = run(spark, sfDir, warmDir, benchNames)
+    println(json)
+    spark.stop()
+    if (failed > 0) sys.exit(1)
+  }
 
-    // JVM/codegen warmup on the smallest SF so we measure steady-state.
-    // Warmup failures are remembered and reported; the timed run below
-    // will surface the same error.
-    benchNames.foreach { name =>
-      try materialize(SparkEntry.queries(name)(spark, warmDir))
-      catch { case _: Throwable => () }
-    }
-    locally {
-      PlainBaseline.registerViews(spark, warmDir)
-      plainNames.foreach { name =>
-        try materialize(PlainBaseline.query(spark, name))
-        catch { case _: Throwable => () }
-      }
-      PlainBaseline.registerViews(spark, sfDir)
-    }
-
+  /** Run the bench and return (one-line JSON, failed-query count). The
+    * JSON line is ALWAYS produced, whatever fails — a bad table degrades
+    * to entries in the "errors" map, never an abort (the BENCH_r10/r11
+    * failure mode was one unreadable view killing every timing). */
+  def run(spark: SparkSession, sfDir: String, warmDir: String,
+          benchNames: Seq[String]): (String, Int) = {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     def timed(name: String)(body: => Unit): Option[Double] = {
       val t0 = System.nanoTime()
@@ -59,6 +51,35 @@ object Bench {
             .replaceAll("[\"\\n\\r]", " ").take(200)
           None
       }
+    }
+    // View registration (and warmup) must never abort the bench: one bad
+    // table would otherwise zero out every timing and print no JSON at
+    // all (the BENCH_r10/r11 failure mode). A failed registration drops
+    // only the plain-baseline side; graft queries read via Tables.load
+    // and fail (or not) per-query inside `timed`.
+    def guarded(label: String)(body: => Unit): Boolean =
+      timed(label)(body).isDefined
+
+    val plainNames0 = benchNames.filter(PlainBaseline.sqlText.contains)
+    val plainNames =
+      if (guarded("register_views")(PlainBaseline.registerViews(spark, sfDir)))
+        plainNames0
+      else Seq.empty[String]
+
+    // JVM/codegen warmup on the smallest SF so we measure steady-state.
+    // Warmup failures are remembered and reported; the timed run below
+    // will surface the same error.
+    benchNames.foreach { name =>
+      try materialize(SparkEntry.queries(name)(spark, warmDir))
+      catch { case _: Throwable => () }
+    }
+    if (plainNames.nonEmpty &&
+        guarded("register_views_warm")(PlainBaseline.registerViews(spark, warmDir))) {
+      plainNames.foreach { name =>
+        try materialize(PlainBaseline.query(spark, name))
+        catch { case _: Throwable => () }
+      }
+      guarded("register_views")(PlainBaseline.registerViews(spark, sfDir))
     }
 
     val results = benchNames.flatMap { name =>
@@ -92,8 +113,7 @@ object Bench {
       kv.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
 
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"plain":${jmap(plainOut)},"ratio":${jmap(ratios)},"errors":${smap(errors.toSeq)},"failed":${errors.size},"sf":"$sfDir"}""")
-    spark.stop()
-    if (errors.nonEmpty) sys.exit(1)
+    (s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"plain":${jmap(plainOut)},"ratio":${jmap(ratios)},"errors":${smap(errors.toSeq)},"failed":${errors.size},"sf":"$sfDir"}""",
+      errors.size)
   }
 }

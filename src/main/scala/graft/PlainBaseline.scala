@@ -25,12 +25,19 @@ object PlainBaseline {
     Seq("lineitem", "orders", "customer").foreach { n =>
       spark.read.parquet(s"$dir/$n.parquet").createOrReplaceTempView(s"pb_$n")
     }
-    // events.ts is parquet INT64 TIMESTAMP(NANOS) read as long
-    // (spark.sql.legacy.parquet.nanosAsLong) — derive the ms order key
-    // exactly as a plain user would.
-    spark.read.parquet(s"$dir/events.parquet")
-      .selectExpr("event_id", "user_id", "event_type", "value",
-        "CAST(floor(ts / 1000000) AS LONG) AS ts_ms", "ts AS ts_ns")
+    // events.ts encoding varies by generator run (ns-as-long vs
+    // timestamp[us]) — derive the ms order key exactly as a plain user
+    // would for whichever type the read gives back.
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val tsCols = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => Seq(
+        "CAST((ts - pmod(ts, 1000000)) / 1000000 AS LONG) AS ts_ms",
+        "ts AS ts_ns")
+      case _ => Seq(
+        "CAST((unix_micros(CAST(ts AS TIMESTAMP)) - pmod(unix_micros(CAST(ts AS TIMESTAMP)), 1000)) / 1000 AS LONG) AS ts_ms",
+        "unix_micros(CAST(ts AS TIMESTAMP)) * 1000 AS ts_ns")
+    }
+    ev.selectExpr(Seq("event_id", "user_id", "event_type", "value") ++ tsCols: _*)
       .createOrReplaceTempView("pb_events")
   }
 

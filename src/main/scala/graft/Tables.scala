@@ -1,19 +1,25 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Test-table catalog over the driver-generated parquet dirs
   * (`/root/testdata/sf*`, see TESTDATA.md).
   *
-  * The `events` table stores its `ts` column as parquet INT64
-  * TIMESTAMP(NANOS) which Spark cannot read natively; we require
-  * `spark.sql.legacy.parquet.nanosAsLong=true` (set by [[GraftSession]])
-  * and expose both a millisecond long (`ts_ms`) and a proper
-  * TimestampType (`ts`) view. Millisecond-epoch longs are the engine's
-  * canonical window order key, mirroring the reference's int64-ms
-  * timestamp model (reference: hybridse/src/proto/fe_type.proto and
-  * docs/en/openmldb_sql/data_types/date_and_time_types.md:10-14).
+  * The `events` table's `ts` column arrives in whatever parquet encoding
+  * the data generator chose — INT64 TIMESTAMP(NANOS) (read back as a
+  * nanos long under `spark.sql.legacy.parquet.nanosAsLong=true`),
+  * timestamp[us]/[ms] (read back as TimestampType or TimestampNTZType) —
+  * so [[load]] sniffs the read-back dtype and normalizes, mirroring the
+  * reference loader's source-type normalization (reference:
+  * java/openmldb-batch/.../utils/DataSourceUtil.scala autoLoad;
+  * docs/en/openmldb_sql/dml/LOAD_DATA_STATEMENT.md:53-61). Every
+  * encoding is exposed the same way: a millisecond-epoch long (`ts_ms`,
+  * the engine's canonical window order key, matching the reference's
+  * int64-ms timestamp model — hybridse/src/proto/fe_type.proto and
+  * docs/en/openmldb_sql/data_types/date_and_time_types.md:10-14), a
+  * nanosecond long (`ts_ns`, tie-precision order key), and a proper
+  * TimestampType `ts` rebuilt from `ts_ms`.
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -29,18 +35,44 @@ object Tables {
   private val loaded = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, String), DataFrame]()
 
-  /** Read one table; normalizes `events.ts` (ns long → ms long + timestamp). */
+  /** Exact floor-division of a long column by a positive constant:
+    * `pmod` makes the numerator an exact multiple, so the double-typed
+    * Divide is lossless (a bare `floor(x / d)` can be off by one near
+    * unit boundaries once x exceeds 2^53) and pre-epoch (negative)
+    * values floor instead of truncating — matching DuckDB `epoch_ms()`,
+    * the oracle's semantics. */
+  private def floorDiv(x: Column, d: Long): Column =
+    ((x - pmod(x, lit(d))) / lit(d)).cast("long")
+
+  /** Normalize `events.ts` to (ts_ms long, ts_ns long, ts timestamp)
+    * regardless of the parquet encoding it was read back as. */
+  private[graft] def normalizeEvents(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val tsMs = df.schema("ts").dataType match {
+      case LongType => // INT64 TIMESTAMP(NANOS) via legacy.parquet.nanosAsLong
+        floorDiv(col("ts"), 1000000L)
+      case TimestampType | TimestampNTZType =>
+        // NTZ casts to TimestampType under the UTC session timezone
+        floorDiv(unix_micros(col("ts").cast(TimestampType)), 1000L)
+      case other =>
+        throw new IllegalArgumentException(
+          s"events.ts: unsupported source type $other")
+    }
+    val tsNs = df.schema("ts").dataType match {
+      case LongType => col("ts")
+      case _        => unix_micros(col("ts").cast(TimestampType)) * lit(1000L)
+    }
+    df.withColumn("ts_ms", tsMs)
+      .withColumn("ts_ns", tsNs)
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+  }
+
+  /** Read one table; normalizes `events.ts` (any encoding → ms long + timestamp). */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (loaded.size > 128) loaded.clear() // stopped-session handles
     loaded.computeIfAbsent((spark, dir, name), _ => {
       val df = spark.read.parquet(s"$dir/$name.parquet")
-      if (name == "events") {
-        // floorDiv matches DuckDB epoch_ms() truncation for the oracle.
-        val tsMs = floor(col("ts") / lit(1000000L)).cast("long")
-        df.withColumn("ts_ms", tsMs)
-          .withColumn("ts_ns", col("ts"))
-          .withColumn("ts", timestamp_millis(tsMs))
-      } else df
+      if (name == "events") normalizeEvents(df) else df
     })
   }
 
