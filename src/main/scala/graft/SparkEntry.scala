@@ -474,25 +474,81 @@ object SparkEntry {
           coalesce(col("component"), col("doc_id")).as("component"))
     },
 
-    // MinHash+LSH candidate pairs (rows-only: hash family not SQL-portable)
+    // MinHash+LSH measured against the exact Jaccard twin (the hash
+    // family is not SQL-portable, so the GATED quantity is quality:
+    // recall of true J>=0.6 pairs and MAE of the minhash estimate —
+    // thresholded flags the oracle can assert; raw pairs are covered by
+    // DedupSimilaritySpec). Reference analog: multi-mode consistency
+    // checks, hybridse/src/testing/engine_test_base.h:75-100.
+    // floors set from measurement (tools/QualityProbe at sf0.01):
+    // bands=8 rows=3 → recall 0.945, MAE 0.079. The exact-Jaccard truth
+    // side runs on a deterministic 1/5 document subset (doc_id % 5 = 0):
+    // recall measured on the subset is the same statistic, and the
+    // O(pairs) exact join would otherwise dominate the timed full-corpus
+    // MinHash work at bench SF (127 s of 141 s at sf0.1).
     "q_dedup_minhash" -> q { (s, d) =>
-      Dedup.minhashLshPairs(T(s, d, "documents"), "doc_id", "text",
-        shingleN = 1, bands = 4, rowsPerBand = 4, threshold = 0.25)
+      val docs = T(s, d, "documents")
+      val truth = Dedup.jaccardPairs(
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text", 0.6)
+      val cand = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleN = 1, bands = 8, rowsPerBand = 3, threshold = 0.25)
+      truth.join(cand, Seq("id1", "id2"), "left").agg(
+        count(lit(1)).as("n_true"),
+        when(avg(when(col("est_jaccard").isNotNull, 1.0).otherwise(0.0))
+          >= 0.90, 1).otherwise(0).as("recall_ok"),
+        when(avg(when(col("est_jaccard").isNotNull,
+            abs(col("est_jaccard") - col("jaccard"))))
+          <= 0.10, 1).otherwise(0).as("mae_ok"))
     },
 
-    // SimHash 64-bit fingerprints (rows-only)
+    // SimHash quality: hamming similarity of the 64-bit fingerprints
+    // must CORRELATE with true word-set Jaccard over a deterministic
+    // sample of all pair kinds (every 97th (id1,id2) pair — J spans
+    // 0.1..1.0 on this corpus). Measured corr 0.53 at sf0.01
+    // (tools/QualityProbe; bucket means rise monotonically 0.57→0.75);
+    // floor 0.40. Fingerprint rows themselves are spec-covered.
     "q_dedup_simhash" -> q { (s, d) =>
-      T(s, d, "documents").select(col("doc_id"),
-        Dedup.simhash(col("text")).as("sh"))
+      val docs = T(s, d, "documents")
+      val sh = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      val toks = docs.select(col("doc_id"),
+        array_sort(Dedup.tokens(col("text"))).as("t"))
+      val pairSample = toks.as("a").join(toks.as("b"),
+          col("a.doc_id") < col("b.doc_id") &&
+          pmod(col("a.doc_id") * 1000 + col("b.doc_id"), lit(97)) === 0)
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+          (size(array_intersect(col("a.t"), col("b.t"))).cast("double") /
+           size(array_union(col("a.t"), col("b.t")))).as("j"))
+      pairSample
+        .join(sh.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
+        .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
+        .select(col("j"), ((lit(64) - bit_count(col("sh1").bitwiseXOR(col("sh2"))))
+          .cast("double") / 64.0).as("hs"))
+        .agg(count(lit(1)).as("n_pairs"),
+          when(corr(col("hs"), col("j")) >= 0.40, 1).otherwise(0).as("corr_ok"))
     },
 
-    // embedding cosine near-dup via sign-LSH buckets (rows-only)
-    // threshold 0.3 ≈ the synthetic corpus's near-dup band (990 true
-    // pairs at sf0.01; 0.5 had exactly one — a vacuous rows>0 check);
-    // 8 tables × 2 planes → ~0.97 expected recall at cos 0.3
+    // embedding near-dup via banded sign-LSH, gated on measured recall
+    // vs the exact all-pairs cosine truth at the same threshold
+    // (precision is 1.0 by construction — every emitted pair carries its
+    // exact cosine). threshold 0.3 ≈ the synthetic corpus's near-dup
+    // band; 8 tables × 2 planes → ~0.97 expected recall
     "q_dedup_embed" -> q { (s, d) =>
-      Dedup.embeddingNearDup(T(s, d, "embeddings"), "vec_id", "embedding",
-        threshold = 0.3, planes = 2, tables = 8)
+      val e = T(s, d, "embeddings")
+      val found = Dedup.embeddingNearDup(e, "vec_id", "embedding",
+        threshold = 0.3, planes = 2, tables = 8).select("id1", "id2")
+      val vecs = e.select(col("vec_id"),
+        Similarity.toDoubleVec(col("embedding")).as("v"))
+      val truth = vecs.as("a")
+        .join(vecs.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+          Similarity.cosine(col("a.v"), col("b.v")).as("cos"))
+        .filter(col("cos") >= 0.3)
+      truth.join(found, Seq("id1", "id2"), "left_semi")
+        .agg(count(lit(1)).as("n_found"))
+        .crossJoin(truth.agg(count(lit(1)).as("n_true")))
+        .select(col("n_true"),
+          when(col("n_found").cast("double") / col("n_true") >= 0.95, 1)
+            .otherwise(0).as("recall_ok"))
     },
 
     // brute-force cosine top-k (exact ANN baseline)
@@ -504,19 +560,45 @@ object SparkEntry {
           col("rnk"))
     },
 
-    // LSH-bucketed approximate top-k (rows-only; scale path)
+    // LSH-bucketed approximate top-k, gated on per-query recall@k vs
+    // the exact brute-force twin (scale path; raw top-k rows are
+    // spec-covered in DedupSimilaritySpec)
     "q_ann_lsh" -> q { (s, d) =>
       val e = T(s, d, "embeddings")
-      Similarity.lshTopK(e.filter(col("vec_id") < 10), e,
-        "vec_id", "embedding", k = 3, planes = 3, tables = 8)
+      val qs = e.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(qs, e, "vec_id", "embedding", 3)
+        .select(col("qid"), col("vec_id"))
+      val approx = Similarity.lshTopK(qs, e, "vec_id", "embedding",
+        k = 3, planes = 3, tables = 12).select(col("qid"), col("vec_id"))
+      val hits = exact.join(approx, Seq("qid", "vec_id"), "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+      // floor from measurement: planes=3 tables=12 → min per-query hits
+      // 2 of 3, aggregate recall 0.967 (tools/QualityProbe at sf0.01)
+      qs.select(col("vec_id").as("qid")).join(hits, Seq("qid"), "left")
+        .select(col("qid"),
+          when(coalesce(col("n_hit"), lit(0L)) >= 2, 1).otherwise(0)
+            .as("recall_ok"))
     },
 
-    // IVF approximate top-k: k-means centroid lists, nprobe probing
-    // (rows-only; the second scale path for ANN)
+    // IVF approximate top-k (k-means centroid lists, nprobe probing),
+    // gated on AGGREGATE recall@3 over 50 queries vs the exact twin —
+    // per-query recall on uniform synthetic embeddings is high-variance
+    // (true neighbors scatter across lists), so the stable measured
+    // quantity is the mean: nlist=8 nprobe=4 iters=5 → 0.78 at sf0.01
+    // scanning ~half the corpus (tools/QualityProbe); floor 0.70
     "q_ann_ivf" -> q { (s, d) =>
       val e = T(s, d, "embeddings")
-      Similarity.ivfTopK(e.filter(col("vec_id") < 10), e,
-        "vec_id", "embedding", k = 3, nlist = 8, nprobe = 2, iters = 2)
+      val qs = e.filter(col("vec_id") < 50)
+      val exact = Similarity.bruteForceTopK(qs, e, "vec_id", "embedding", 3)
+        .select(col("qid"), col("vec_id"))
+      val approx = Similarity.ivfTopK(qs, e, "vec_id", "embedding",
+        k = 3, nlist = 8, nprobe = 4, iters = 5).select(col("qid"), col("vec_id"))
+      exact.join(approx, Seq("qid", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+        .select(col("n_exact"),
+          when(col("n_hit").cast("double") / col("n_exact") >= 0.70, 1)
+            .otherwise(0).as("recall_ok"))
     },
 
     // token/char counts, stopword ratio, quality score
@@ -553,15 +635,24 @@ object SparkEntry {
         TextOps.fingerprint(col("text")).as("fp"))
     },
 
-    // multimodal binary-column plumbing with stubbed decode (rows-only)
+    // multimodal binary columns with REAL image decode: synthesize a
+    // genuine PNG per document (ImageIO encode in-executor), decode it
+    // back with javax.imageio, emit exact integer pixel stats — the
+    // pixel formula is closed-form so DuckDB recomputes the expected
+    // statistics from doc_id alone (full oracle, not rows-only)
     "q_multimodal" -> q { (s, d) =>
-      val media = Multimodal.withPayload(T(s, d, "documents"), "doc_id", "text")
-      Multimodal.extractFeatures(media, new Multimodal.FakeDecoder(8))(s)
+      val media = Multimodal.withPngPayload(T(s, d, "documents"), "doc_id")(s)
+      Multimodal.extractFeatures(media, new Multimodal.ImageDecoder)(s)
         .toDF()
-        // serialize the feature vector: the driver's pandas-side
-        // canonicalizer cannot sort/hash ndarray cells
-        .withColumn("features", array_join(
-          transform(col("features"), x => format_string("%.4f", x)), ","))
+        .select(col("id").as("doc_id"),
+          element_at(col("features"), 1).cast("int").as("img_w"),
+          element_at(col("features"), 2).cast("int").as("img_h"),
+          element_at(col("features"), 3).cast("long").as("sum_r"),
+          element_at(col("features"), 4).cast("long").as("sum_g"),
+          element_at(col("features"), 5).cast("long").as("sum_b"),
+          element_at(col("features"), 6).cast("int").as("min_c"),
+          element_at(col("features"), 7).cast("int").as("max_c"),
+          element_at(col("features"), 8).cast("long").as("n_px"))
     },
 
     // ---- round 2: wider SURVEY §2 coverage ----
@@ -845,6 +936,24 @@ object SparkEntry {
           precedingMs = 600000L, bucketMs = 600000L)
         .select(col("event_id"), round(col("sw_sum"), 3).as("sw_sum"),
           col("sw_cnt"))
+    },
+
+    // skew salting composed with the frame-array SLOW path (EXCLUDE
+    // CURRENT_TIME forces the collect-then-filter pipeline): user_id%10
+    // makes 10 hot keys, each cut into time buckets so no task buffers a
+    // key's whole span. Oracle is the direct per-row frame — the salted
+    // rewrite must be lossless.
+    "q_skew_window_arr" -> q { (s, d) =>
+      val base = T(s, d, "events").withColumn("hk", col("user_id") % 10)
+      val out = graft.operators.SkewWindow.withFrameArray(base, "__arr",
+        col("value"), col("ts_ms"), col("event_id"), Seq(col("hk")),
+        precedingMs = 600000L, bucketMs = 600000L,
+        maxSize = 5, excludeCurrentTime = true)
+      val a = col("__arr")
+      out.select(col("event_id"),
+        round(WindowOps.aggSum(a), 3).as("k_sum"),
+        WindowOps.aggCount(a).as("k_cnt"),
+        WindowOps.aggMax(a).as("k_max"))
     },
 
     // ---- SQL dialect front-end (graft.sql.GraftSql) ----
@@ -1401,6 +1510,50 @@ object SparkEntry {
         |JOIN sz s2 ON id2 = s2.doc_id
         |WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.6""".stripMargin,
 
+    // quality oracles for the approximate operators: the exact-twin
+    // count is recomputed in SQL; the quality flags assert the measured
+    // floor held (the Spark side computes recall/MAE/separation against
+    // its own exact twin in-query)
+    "q_dedup_minhash" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS w
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+        |  FROM w a JOIN w b ON a.w = b.w AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_true, 1 AS recall_ok, 1 AS mae_ok
+        |FROM inter
+        |JOIN sz s1 ON id1 = s1.doc_id
+        |JOIN sz s2 ON id2 = s2.doc_id
+        |WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.6""".stripMargin,
+
+    "q_dedup_simhash" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_pairs, 1 AS corr_ok
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id < b.doc_id
+        | AND (a.doc_id * 1000 + b.doc_id) % 97 = 0""".stripMargin,
+
+    "q_dedup_embed" ->
+      """WITH e AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |        list_dot_product(a.v, b.v)
+        |          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+        |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_true, 1 AS recall_ok
+        |FROM p WHERE cos >= 0.3""".stripMargin,
+
+    "q_ann_lsh" ->
+      """SELECT vec_id AS qid, 1 AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    "q_ann_ivf" ->
+      """SELECT CAST(3 * count(*) AS BIGINT) AS n_exact, 1 AS recall_ok
+        |FROM embeddings WHERE vec_id < 50""".stripMargin,
+
     "q_dedup_components" ->
       """WITH RECURSIVE w AS (
         |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS w
@@ -1489,6 +1642,31 @@ object SparkEntry {
       """SELECT doc_id,
         | md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
+
+    // closed-form twin of the ImageIO decode: recompute the per-pixel
+    // channel formula on a generate_series grid (Multimodal.pngChannel)
+    "q_multimodal" ->
+      """WITH g AS (
+        |  SELECT d.doc_id, 4 + d.doc_id % 5 AS w, 4 + d.doc_id % 3 AS h,
+        |         gx.x AS x, gy.y AS y
+        |  FROM documents d
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS x) gx
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS y) gy
+        |  WHERE gx.x < 4 + d.doc_id % 5 AND gy.y < 4 + d.doc_id % 3),
+        |px AS (
+        |  SELECT doc_id, w, h,
+        |    (doc_id*31 + x*7 + y*13) % 256 AS r,
+        |    (doc_id*17 + x*3 + y*5) % 256 AS g,
+        |    (doc_id*7 + x*11 + y*3) % 256 AS b
+        |  FROM g)
+        |SELECT doc_id,
+        |  CAST(max(w) AS INTEGER) AS img_w, CAST(max(h) AS INTEGER) AS img_h,
+        |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b,
+        |  CAST(min(least(r, g, b)) AS INTEGER) AS min_c,
+        |  CAST(max(greatest(r, g, b)) AS INTEGER) AS max_c,
+        |  CAST(max(w) * max(h) AS BIGINT) AS n_px
+        |FROM px GROUP BY doc_id""".stripMargin,
 
     "q_stddev" ->
       """SELECT o_orderstatus,
@@ -1749,6 +1927,17 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
         |             RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW)""".stripMargin,
 
+    "q_skew_window_arr" ->
+      """SELECT e.event_id, round(t.s, 3) AS k_sum, t.c AS k_cnt, t.mx AS k_max
+        |FROM events e, LATERAL (
+        |  SELECT sum(v) AS s, count(v) AS c, max(v) AS mx
+        |  FROM (SELECT b.value AS v FROM events b
+        |        WHERE b.user_id % 10 = e.user_id % 10
+        |          AND epoch_ms(b.ts) BETWEEN epoch_ms(e.ts) - 600000 AND epoch_ms(e.ts)
+        |          AND (epoch_ms(b.ts) <> epoch_ms(e.ts) OR b.event_id = e.event_id)
+        |        ORDER BY epoch_ms(b.ts) DESC, b.event_id DESC LIMIT 5)
+        |) t""".stripMargin,
+
     "q_sql_request" ->
       """SELECT e.event_id,
         | round(coalesce((SELECT sum(b.value) FROM events b
@@ -1817,5 +2006,5 @@ object SparkEntry {
     "q_groupby_having", "q_distinct_count", "q_window_maxsize",
     "q_dedup_exact", "q_dedup_minhash", "q_ann_topk", "q_text_stats",
     "q_join_window", "q_request_mode", "q_long_window", "q_sql_window",
-    "q_bench_shape", "q_skew_window")
+    "q_bench_shape", "q_skew_window", "q_skew_window_arr")
 }

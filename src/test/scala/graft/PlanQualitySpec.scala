@@ -80,6 +80,51 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("__bucket"), "bucket column missing from partitioning")
   }
 
+  test("salted frame array equals the unsalted frame array on a hot key") {
+    import graft.operators.WindowOps
+    val rng = new scala.util.Random(7)
+    // one giant key, duplicate timestamps, nulls — every attribute bites
+    val df = (1 to 400).map(i =>
+      ("hot", rng.nextInt(3000).toLong, i.toLong,
+        if (i % 13 == 0) null.asInstanceOf[java.lang.Double]
+        else java.lang.Double.valueOf(rng.nextInt(100).toDouble)))
+      .toDF("k", "ts", "uid", "v")
+    for ((mx, xct, xcr, strict) <- Seq(
+        (5, false, false, true),   // MAXSIZE fast path
+        (5, true, false, false),   // MAXSIZE + EXCLUDE CURRENT_TIME (slow)
+        (0, false, true, false),   // EXCLUDE CURRENT_ROW (slow)
+        (3, true, true, true))) {  // everything at once
+      val salted = SkewWindow.withFrameArray(df, "__arr",
+          col("v"), col("ts"), col("uid"), Seq(col("k")),
+          precedingMs = 500L, bucketMs = 500L, maxSize = mx,
+          excludeCurrentTime = xct, excludeCurrentRow = xcr,
+          strictRowOrder = strict)
+        .select(col("uid"), WindowOps.aggSum(col("__arr")).as("s"),
+          WindowOps.aggCount(col("__arr")).as("c"))
+        .as[(Long, Option[Double], Long)].collect().sorted.toSeq
+      val direct = df
+        .withColumn("__arr", WindowOps.frameArray(
+          col("v"), col("ts"), col("uid"), Seq(col("k")),
+          precedingMs = 500L, maxSize = mx,
+          excludeCurrentTime = xct, excludeCurrentRow = xcr,
+          strictRowOrder = strict))
+        .select(col("uid"), WindowOps.aggSum(col("__arr")).as("s"),
+          WindowOps.aggCount(col("__arr")).as("c"))
+        .as[(Long, Option[Double], Long)].collect().sorted.toSeq
+      assert(salted == direct,
+        s"salted != direct for maxSize=$mx xct=$xct xcr=$xcr strict=$strict")
+    }
+  }
+
+  test("salted frame array partitions by (key, bucket)") {
+    val df = Seq(("hot", 1L, 1L, 1.0)).toDF("k", "ts", "uid", "v")
+    val p = SkewWindow.withFrameArray(df, "__arr", col("v"), col("ts"),
+        col("uid"), Seq(col("k")), 500L, 500L, maxSize = 2,
+        excludeCurrentTime = true)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("__sw_bucket"), "bucket column missing from partitioning")
+  }
+
   // Long.MaxValue/4 — the "effectively unbounded" range literal the old
   // extended-frame lowering planted into a RangeFrame collect_list.
   private val unboundedLit = (Long.MaxValue / 4).toString
