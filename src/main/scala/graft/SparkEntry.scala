@@ -1136,6 +1136,9 @@ object SparkEntry {
     // CREATE TABLE (declares the load schema), LOAD DATA INFILE, query
     "q_out_in" -> q { (s, d) =>
       val out = s"/tmp/graft_io/out_in_${new java.io.File(d).getName}"
+      // SELECT INTO requires the output FOLDER to exist, like the
+      // reference (test_out_in.yaml id 21) — create it as a user would
+      new java.io.File(out).getParentFile.mkdirs()
       Tables.registerAll(s, d)
       GraftSql.statement(s,
         s"""SELECT r_regionkey, r_name FROM region INTO OUTFILE '$out'

@@ -164,6 +164,19 @@ object Sources {
       df.write.mode(mode).saveAsTable(t)
       return
     }
+    // the reference requires the output FOLDER to exist (test_out_in
+    // .yaml id 21 路径文件夹不存在 expects failure); Spark would silently
+    // mkdir -p. Checked through the Hadoop FS of the target URI, so
+    // hdfs:///s3:// paths resolve against the right filesystem.
+    locally {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(
+        df.sparkSession.sparkContext.hadoopConfiguration)
+      val parent = p.getParent
+      if (parent != null && !fs.exists(parent))
+        throw new IllegalArgumentException(
+          s"output path folder does not exist: $parent")
+    }
     val explicitQuote = options.get("quote").map(strip).exists(_.nonEmpty)
     if (fmt == "csv" && !explicitQuote) {
       val delim = strip(options.getOrElse("delimiter", ","))

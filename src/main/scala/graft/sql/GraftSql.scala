@@ -954,6 +954,162 @@ object GraftSql {
       m
     }
 
+  /** CREATE FUNCTION registry (ddl/CREATE_FUNCTION.md;
+    * udf_develop_guide.md:1-40). The reference registers C++ UDFs from
+    * `.so` files via dlopen (hybridse/src/udf/dynamic_lib_manager.cc:37);
+    * a JVM engine cannot load native libraries into codegen, so `.so`
+    * registration fails with the reference's dlopen error text, and the
+    * JVM-native equivalents take its place:
+    *
+    *  - scalar `OPTIONS (RETURN = '<sql expr over the params>')` →
+    *    a Spark-native SQL UDF (`CREATE TEMPORARY FUNCTION ... RETURN`,
+    *    resolved by Catalyst's ResolveSQLFunctions — inlined into the
+    *    calling plan, whole-stage codegen'd, usable from any expression
+    *    position including window arguments);
+    *  - scalar `OPTIONS (CLASS = 'fq.ClassName')` → a JVM class with a
+    *    `call(...)` method arity-matching the declared parameters,
+    *    registered through the Java UDF API;
+    *  - aggregate `OPTIONS (INIT='…', STEP='…' [, OUTPUT='…'])` → a
+    *    fold registered in this session registry; call sites expand to
+    *    the codegen'd higher-order `aggregate(collect_list(v), INIT,
+    *    (acc, <param>) -> STEP[, acc -> OUTPUT])` in grouped contexts
+    *    and fold the frame value array in window contexts. The
+    *    accumulator is named `acc`; the element binds to the declared
+    *    parameter name; rows with a NULL argument are skipped (the
+    *    reference's non-ARG_NULLABLE behavior).
+    */
+  private[sql] case class UserFn(
+      name: String, isAggregate: Boolean,
+      params: Seq[(String, String)], returns: String,
+      options: Map[String, String])
+  private val userFnsBySession =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, UserFn]]()
+  private[sql] def userFns(spark: SparkSession)
+      : scala.collection.concurrent.TrieMap[String, UserFn] =
+    userFnsBySession.synchronized {
+      var m = userFnsBySession.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap[String, UserFn]()
+        userFnsBySession.put(spark, m)
+      }
+      m
+    }
+
+  /** SQL type name (CREATE FUNCTION surface) → Spark SQL DDL type. */
+  private def fnSqlType(t: String): String =
+    parseColType(t).sql
+
+  /** Validate and register one CREATE FUNCTION (see [[UserFn]]). */
+  private def registerUserFn(spark: SparkSession, fn: UserFn): Unit = {
+    val file = fn.options.get("file")
+    file.foreach { f =>
+      // the reference dlopens the .so (dynamic_lib_manager.cc:51-62);
+      // a JVM/codegen engine cannot — fail with its error text
+      throw new IllegalArgumentException(
+        s"can not open the dynamic library: $f, error: native (.so/.dll) " +
+          "UDFs are not loadable in a JVM engine, try to use abs path — " +
+          "register a SQL-expression body with OPTIONS (RETURN='...') or " +
+          "a JVM class with OPTIONS (CLASS='...') instead")
+    }
+    val retExpr = fn.options.get("return").orElse(fn.options.get("expr"))
+    val klass = fn.options.get("class")
+    if (fn.isAggregate) {
+      if (!fn.options.contains("init") || !fn.options.contains("step"))
+        throw new IllegalArgumentException(
+          "CREATE AGGREGATE FUNCTION requires OPTIONS (INIT='...', " +
+            "STEP='...' [, OUTPUT='...'])")
+      if (fn.params.length != 1)
+        throw new IllegalArgumentException(
+          "aggregate user functions take exactly one parameter")
+      // validate the fold compiles against the declared signature: a
+      // one-row probe catches syntax/type errors at CREATE time, the
+      // way the reference validates the .so symbol at registration
+      val probe = udafFoldSql(fn,
+        s"array(CAST(NULL AS ${fnSqlType(fn.params.head._2)}))")
+      try spark.sql(s"SELECT $probe").queryExecution.analyzed
+      catch { case e: Throwable =>
+        throw new IllegalArgumentException(
+          s"invalid aggregate function body: ${e.getMessage}")
+      }
+    } else if (retExpr.isDefined) {
+      val sig = fn.params.map { case (n, t) =>
+        s"${quoteId(n)} ${fnSqlType(t)}" }.mkString(", ")
+      // Spark-native SQL UDF: Catalyst inlines the body at every call
+      // site (ResolveSQLFunctions), keeping it inside codegen
+      spark.sql(s"CREATE OR REPLACE TEMPORARY FUNCTION ${quoteId(fn.name)}" +
+        s"($sig) RETURNS ${fnSqlType(fn.returns)} RETURN ${retExpr.get}")
+    } else if (klass.isDefined) {
+      registerJvmFn(spark, fn, klass.get)
+    } else {
+      throw new IllegalArgumentException(
+        "CREATE FUNCTION requires OPTIONS with one of FILE (native, " +
+          "rejected on this engine), RETURN (SQL expression body), or " +
+          "CLASS (JVM class with a call(...) method)")
+    }
+  }
+
+  /** Register a JVM scalar function: `className` must expose a public
+    * `call` method whose arity matches the declared parameters. The
+    * Java UDF API keeps the call boundary on the executor (the class
+    * ships with the application jar, like any closure). */
+  private def registerJvmFn(spark: SparkSession, fn: UserFn,
+      className: String): Unit = {
+    val cls =
+      try Class.forName(className)
+      catch { case _: ClassNotFoundException =>
+        throw new IllegalArgumentException(
+          s"can not load class: $className (it must be on the " +
+            "application classpath)")
+      }
+    val n = fn.params.length
+    val m = cls.getMethods.find(mm =>
+      mm.getName == "call" && mm.getParameterCount == n).getOrElse(
+      throw new IllegalArgumentException(
+        s"class $className has no call(...) method of arity $n"))
+    val inst =
+      if (java.lang.reflect.Modifier.isStatic(m.getModifiers)) null
+      else cls.getDeclaredConstructor().newInstance().asInstanceOf[AnyRef]
+    val ret = parseColType(fn.returns)
+    import org.apache.spark.sql.api.java._
+    n match {
+      case 1 => spark.udf.register(fn.name, new UDF1[AnyRef, Any] {
+        override def call(a: AnyRef): Any = m.invoke(inst, a) }, ret)
+      case 2 => spark.udf.register(fn.name, new UDF2[AnyRef, AnyRef, Any] {
+        override def call(a: AnyRef, b: AnyRef): Any =
+          m.invoke(inst, a, b) }, ret)
+      case 3 => spark.udf.register(fn.name,
+        new UDF3[AnyRef, AnyRef, AnyRef, Any] {
+          override def call(a: AnyRef, b: AnyRef, c: AnyRef): Any =
+            m.invoke(inst, a, b, c) }, ret)
+      case 4 => spark.udf.register(fn.name,
+        new UDF4[AnyRef, AnyRef, AnyRef, AnyRef, Any] {
+          override def call(a: AnyRef, b: AnyRef, c: AnyRef,
+              d: AnyRef): Any = m.invoke(inst, a, b, c, d) }, ret)
+      case other => throw new IllegalArgumentException(
+        s"JVM user functions support 1..4 parameters, got $other")
+    }
+  }
+
+  /** The higher-order fold a registered aggregate expands to, over an
+    * array-valued SQL fragment. Parameter names bind as the lambda
+    * element variable; `acc` is the accumulator. */
+  private[sql] def udafFoldSql(fn: UserFn, arrSql: String): String = {
+    val el = fn.params.head._1
+    val init = fn.options("init")
+    val step = fn.options("step")
+    val out = fn.options.get("output").map(o => s", acc -> $o").getOrElse("")
+    s"aggregate($arrSql, $init, (acc, $el) -> ($step)$out)"
+  }
+
+  /** Grouped/full-table call-site expansion for a registered aggregate:
+    * `fn(v)` → fold over `collect_list(CAST(v AS T))` (NULL arguments
+    * are skipped by collect_list, matching the reference's default
+    * null handling). */
+  private def udafGroupedSql(fn: UserFn, argSql: String): String =
+    udafFoldSql(fn,
+      s"collect_list(CAST(($argSql) AS ${fnSqlType(fn.params.head._2)}))")
+
   /** Serve a batch of request rows against a deployed query (the
     * batch-request path; RequestStream serves the streaming path). */
   def serveDeployment(spark: SparkSession, name: String, requests: DataFrame,
@@ -1288,6 +1444,18 @@ object GraftSql {
             Some(deployed(spark).keys.toSeq.sorted.toDF("Deployment"))
           case "PROCEDURES" =>
             Some(procedures(spark).keys.toSeq.sorted.toDF("Procedure"))
+          case "FUNCTIONS" =>
+            // SHOW FUNCTIONS (ddl/SHOW_FUNCTIONS.md): the registered
+            // user-defined functions
+            val rows = userFns(spark).values.toSeq.sortBy(_.name).map(f =>
+              (f.name, f.returns.toLowerCase,
+                f.params.map(_._2.toLowerCase).mkString(","),
+                f.isAggregate,
+                f.options.getOrElse("return",
+                  f.options.getOrElse("class",
+                    f.options.getOrElse("init", "")))))
+            Some(rows.toDF("Name", "Return_type", "Arg_type",
+              "Is_aggregate", "Body"))
           case "DEPLOYMENT" =>
             // SHOW DEPLOYMENT [db.]<name>: the deployment's SQL text
             // (deployment_manage/SHOW_DEPLOYMENT.md). The reference
@@ -1425,6 +1593,61 @@ object GraftSql {
         val db = p.next()
         dbsOf(spark) -= db
         if (curDb(spark).contains(db)) sessionCurDb.remove(spark)
+        None
+
+      case "DROP" if p.toks.lift(1).exists(_.equalsIgnoreCase("FUNCTION")) =>
+        // DROP FUNCTION [IF EXISTS] name (ddl/DROP_FUNCTION.md)
+        p.expect("DROP"); p.expect("FUNCTION")
+        val ifExists = if (p.accept("IF")) { p.expect("EXISTS"); true } else false
+        val fn = unq(p.next()).toLowerCase
+        if (p.p != p.toks.length) p.fail("trailing tokens after DROP FUNCTION")
+        userFns(spark).remove(fn) match {
+          case None if !ifExists =>
+            throw new IllegalArgumentException(s"function '$fn' does not exist")
+          case Some(f) if !f.isAggregate =>
+            // scalar registrations live in the session function registry
+            spark.sql(s"DROP TEMPORARY FUNCTION IF EXISTS ${quoteId(fn)}")
+          case _ => ()
+        }
+        None
+
+      case "CREATE" if p.toks.lift(1).exists(_.equalsIgnoreCase("FUNCTION")) ||
+          (p.toks.lift(1).exists(_.equalsIgnoreCase("AGGREGATE")) &&
+            p.toks.lift(2).exists(_.equalsIgnoreCase("FUNCTION"))) =>
+        // CREATE [AGGREGATE] FUNCTION name(x type, ...) RETURNS type
+        // OPTIONS (...) — ddl/CREATE_FUNCTION.md
+        p.expect("CREATE")
+        val isAgg = p.accept("AGGREGATE")
+        p.expect("FUNCTION")
+        val fname = unq(p.next()).toLowerCase
+        if (!fname.matches("[a-z_][\\w]*"))
+          throw new IllegalArgumentException(s"illegal function name '$fname'")
+        p.expect("(")
+        val params = Seq.newBuilder[(String, String)]
+        if (p.peek != ")") {
+          var more = true
+          while (more) {
+            val pn = unq(p.next())
+            val pt = p.next()
+            parseColType(pt) // validates the declared SQL type
+            params += ((pn, pt))
+            more = p.accept(",")
+          }
+        }
+        p.expect(")")
+        p.expect("RETURNS")
+        val rt = p.next()
+        parseColType(rt)
+        val opts = parseOptions(p)
+        if (p.p != p.toks.length) p.fail("trailing tokens after CREATE FUNCTION")
+        if (userFns(spark).contains(fname) ||
+            spark.catalog.functionExists(fname))
+          throw new IllegalArgumentException(
+            s"function '$fname' already exists")
+        val fn = UserFn(fname, isAgg, params.result(), rt,
+          opts.map { case (k, v) => k -> stripQuotes(v) })
+        registerUserFn(spark, fn)
+        userFns(spark).put(fname, fn)
         None
 
       case "CREATE" =>
@@ -4059,7 +4282,8 @@ object GraftSql {
     *  - {sum,min,max}_cate(v, k) over an integral v renames to the
     *    integer-formatting registration (group_query.yaml id 8 expects
     *    "aa:160" for a bigint value column). */
-  private def rewriteAggFns(toks: Vector[String], df: DataFrame): Vector[String] = {
+  private def rewriteAggFns(toks: Vector[String], df: DataFrame,
+      winBound: Boolean = false): Vector[String] = {
     // a TIMESTAMP category key renders as its GMT+8 wall clock
     // ("2020-05-29 15:56:30":v — test_udaf_function ids 20-24/27-31)
     def tsKeyRender(a: Vector[String]): Vector[String] =
@@ -4074,7 +4298,33 @@ object GraftSql {
     while (i < toks.length) {
       val t = toks(i).toLowerCase
       val isCall = i + 1 < toks.length && toks(i + 1) == "("
-      if (isCall && t.endsWith("_where") &&
+      val userAgg =
+        if (isCall) userFns(df.sparkSession).get(t).filter(_.isAggregate)
+          // `fn(v) OVER w` belongs to the window planner (the window
+          // dispatch folds the frame array) — only bare calls expand
+          // to the grouped collect_list fold here. The projection's
+          // OVER is parsed out of the token stream (pr.over), so a
+          // window-bound projection whose HEAD call is this function
+          // signals via winBound; an inline `... over` token covers
+          // nested forms.
+          .filterNot(_ =>
+            (winBound && i == 0 && toks(1) == "(" &&
+              matchClose(toks, 1) == toks.length - 1) ||
+            toks.lift(matchClose(toks, i + 1) + 1)
+              .exists(_.equalsIgnoreCase("over")))
+        else None
+      if (userAgg.isDefined) {
+        // registered CREATE AGGREGATE FUNCTION: expand the call site to
+        // its codegen'd higher-order fold (see registerUserFn scaladoc)
+        val close = matchClose(toks, i + 1)
+        val args = splitTokenArgs(rewriteAggFns(toks.slice(i + 2, close), df))
+        require(args.length == userAgg.get.params.length,
+          s"$t expects ${userAgg.get.params.length} argument(s)")
+        // emitted as ONE opaque token: the fold body holds lambda
+        // arrows and literals the dialect tokenizer must not re-split
+        out += udafGroupedSql(userAgg.get, args.head.mkString(" "))
+        i = close + 1
+      } else if (isCall && t.endsWith("_where") &&
           whereBases(t.stripSuffix("_where"))) {
         val close = matchClose(toks, i + 1)
         val args = splitTokenArgs(rewriteAggFns(toks.slice(i + 2, close), df))
@@ -4448,8 +4698,10 @@ object GraftSql {
 
     // the dialect rewrite may already have renamed a cate/top-n family
     // call to its registered __graft_* UDAF before extraction
-    // (auto_gen_case_0) — those are window heads too
+    // (auto_gen_case_0) — those are window heads too; so are the
+    // session's CREATE AGGREGATE FUNCTION registrations
     def isWinHead(t: String): Boolean = winHeads(t) ||
+      userFns(base.sparkSession).get(t).exists(_.isAggregate) ||
       t.startsWith("__graft_topnk_") ||
       t.startsWith("__graft_topnv_") ||
       (t.startsWith("__graft_") && t.endsWith("_cate_int")) ||
@@ -4580,7 +4832,8 @@ object GraftSql {
 
     val outerTokens: Seq[Vector[String]] = s.projs.map { pr =>
       val pt = rewriteAggFns(
-        coerceDateFns(coerceOperands(pr.tokens, base), base), base)
+        coerceDateFns(coerceOperands(pr.tokens, base), base), base,
+        winBound = pr.over.isDefined)
       pr.over match {
         case Some(ref) =>
           // the aggregate's argument may itself nest a window call
@@ -4855,6 +5108,10 @@ object GraftSql {
           throw new IllegalArgumentException("UNBOUNDED upper frame bound")
       }
       val plain = !w.isExtended && !requestMode
+      // CREATE AGGREGATE FUNCTION registrations have no Spark function
+      // to expr() — they always take the frame-array fold path
+      val isUserAgg = userFns(base.sparkSession).get(fn)
+        .exists(_.isAggregate)
       // an argument referencing a window result (__graft_wN) needs the
       // current-row-binding HOF path — never the native window branches
       val windowBound = argText.contains("__graft_w")
@@ -4870,7 +5127,8 @@ object GraftSql {
           "a window without ORDER BY requires an unbounded plain frame")
       val c: Column =
         if (w.order.isEmpty && !windowBound && extAggs(fn) &&
-            !isOffsetFn && !frameOnlyAggs(fn) && splitV.isEmpty) {
+            !isOffsetFn && !frameOnlyAggs(fn) && splitV.isEmpty &&
+            !isUserAgg) {
           // no ORDER BY: the frame has no row order to bound, so it
           // spans the whole partition. frameOnlyAggs (distinct_count,
           // median, top1_ratio, ...) have no registered SQL function —
@@ -4901,14 +5159,14 @@ object GraftSql {
           // (test_feature_zero_function.yaml id 5 r1-r3)
           expr(fnText)
         } else if (plain && w.isRows && !windowBound &&
-            !frameOnlyAggs(fn) && splitV.isEmpty) {
+            !frameOnlyAggs(fn) && splitV.isEmpty && !isUserAgg) {
           // plain ROWS: native frame over (order, uid) — deterministic
           // at-or-before positions at native speed. distinct_count is
           // excluded: Spark has no DISTINCT window aggregate, so it
           // takes the frame-array path below.
           expr(fnText).over(plainSpec(w, Some(col(UidCol))))
         } else if (plain && !w.isRows && !windowBound && !extAggs(fn) &&
-            fn != "identity") {
+            fn != "identity" && !isUserAgg) {
           // registered UDAF families (cate / top_n / entropy / top /
           // ew_avg ...) over a plain RANGE frame: native rangeBetween.
           // A bounded-above frame (hi PRECEDING > 0) is tie-EXACT; a
@@ -4946,7 +5204,8 @@ object GraftSql {
           val graftUdafHead = fn.startsWith("__graft_topnk_") ||
             fn.startsWith("__graft_topnv_") ||
             (fn.startsWith("__graft_") && fn.endsWith("_cate_int"))
-          if (!extAggs(fn) && fn != "fz_join" && !graftUdafHead)
+          if (!extAggs(fn) && fn != "fz_join" && !graftUdafHead &&
+              !isUserAgg)
             throw new IllegalArgumentException(
               s"unsupported aggregate '$fn' over an extended window")
           // nth_value_where(v, n, cond) frames carry (value, cond)
@@ -5198,6 +5457,18 @@ object GraftSql {
             case "top1_ratio" => WindowOps.aggTop1Ratio(arr)
             case "topn_frequency" =>
               WindowOps.aggTopNFrequency(arr, args(1).trim.toInt)
+            case f if userFns(base.sparkSession).get(f)
+                .exists(_.isAggregate) =>
+              // CREATE AGGREGATE FUNCTION over a window frame: fold the
+              // shared frame's value field (newest-first order, NULLs
+              // skipped) with the registered INIT/STEP/OUTPUT — the same
+              // codegen'd higher-order aggregate the grouped expansion
+              // uses, over the already-membership-filtered frame buffer
+              val uf = userFns(base.sparkSession)(f)
+              val vSql = s"transform(filter($arrName, " +
+                s"__x -> __x.v.$fld IS NOT NULL), " +
+                s"__x -> CAST(__x.v.$fld AS ${fnSqlType(uf.params.head._2)}))"
+              expr(udafFoldSql(uf, vSql))
           }
           }
         }
