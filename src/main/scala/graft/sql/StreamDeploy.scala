@@ -54,7 +54,7 @@ object StreamDeploy {
   private case class WinSpec(id: String, fn: String, argIdx: Int,
       lagK: Int, frameless: Boolean, p: FrameParams, outType: DataType,
       wrapSum: Option[DataType], ignoreNulls: Boolean = false,
-      boolNullFalse: Boolean = false)
+      boolNullFalse: Boolean = false, inw: Boolean = false)
 
   /** Frame parameters ported from the batch planner's groupCols
     * derivation (GraftSql.planWindows): same bound arithmetic, same
@@ -107,9 +107,12 @@ object StreamDeploy {
   }
 
   /** Buffered history row: event-time, per-key arrival sequence (the
-    * ingestion-order uid of the batch path), pre-computed arg values.
+    * ingestion-order uid of the batch path), pre-computed arg values,
+    * and whether the row came from the PRIMARY table (WINDOW UNION
+    * side-table rows buffer as history but never answer requests).
     * Public only because the Kryo state encoder requires it. */
-  case class BufRow(ts: Long, seq: Long, args: Array[Any])
+  case class BufRow(ts: Long, seq: Long, args: Array[Any],
+      primary: Boolean = true)
   case class Buf(seq: Long, rows: List[BufRow])
 
   private def evict(rows: List[BufRow], ttl: Ttl, nowMs: Long): List[BufRow] =
@@ -211,8 +214,12 @@ object StreamDeploy {
       s"not streamable: $msg")
     val windows = winExprs.map(_._3)
     windows.foreach { w =>
-      if (w.unions.nonEmpty) notStreamable("WINDOW ... UNION")
-      if (w.inw) notStreamable("INSTANCE_NOT_IN_WINDOW")
+      // WINDOW ... UNION serves: side-table rows replay into per-key
+      // history alongside the stream (buffered, never answered) —
+      // the reference's online union-window DEPLOY (runner.cc
+      // RequestUnionRunner over union indexes). INSTANCE_NOT_IN_WINDOW
+      // is meaningful only against union sides.
+      if (w.inw && w.unions.isEmpty) notStreamable("INSTANCE_NOT_IN_WINDOW")
       if (w.orderDesc) notStreamable("ORDER BY ... DESC")
       if (w.order.isEmpty) notStreamable("window without ORDER BY")
     }
@@ -231,10 +238,11 @@ object StreamDeploy {
     // stream-stream self-joins would need watermarks the deploy
     // surface does not define.
     val sigGroups = winExprs
-      .groupBy(e => (e._3.partition, e._3.order)).values.toSeq
+      .groupBy(e => (e._3.partition, e._3.order, e._3.unions)).values.toSeq
       .sortBy(_.head._1)
     val withIds: DataFrame =
-      if (sigGroups.length == 1) runSignature(spark, base, winExprs, ttl)
+      if (sigGroups.length == 1)
+        runSignature(spark, base, winExprs, ttl, tables)
       else {
         if (events.isStreaming)
           notStreamable("multiple window signatures over a stream " +
@@ -243,7 +251,7 @@ object StreamDeploy {
         val tagged = base.withColumn(uid, monotonically_increasing_id())
           .localCheckpoint(true)
         sigGroups.zipWithIndex.map { case (g, gi) =>
-          val out = runSignature(spark, tagged, g, ttl)
+          val out = runSignature(spark, tagged, g, ttl, tables)
           if (gi == 0) out
           else out.select(col(uid) +: g.map(e => col(e._1)): _*)
         }.reduce((a, b) => a.join(b, uid)).drop(uid)
@@ -267,12 +275,15 @@ object StreamDeploy {
     * id in `winExprs`. */
   private def runSignature(spark: SparkSession, base: DataFrame,
       winExprs: Seq[(String, String, WinDef)],
-      ttl: Option[Ttl]): DataFrame = {
+      ttl: Option[Ttl],
+      tables: Map[String, DataFrame] = Map.empty): DataFrame = {
     def notStreamable(msg: String) = throw new IllegalArgumentException(
       s"not streamable: $msg")
     val windows = winExprs.map(_._3)
     val partExprs = winExprs.head._3.partition
     val orderExpr = winExprs.head._3.order.get
+    val unions = winExprs.head._3.unions
+    val hasUnion = unions.nonEmpty
 
     // ---- compile each window call ----
     // distinct argument expressions share one buffered slot
@@ -308,16 +319,42 @@ object StreamDeploy {
       // (test_window.yaml id 38) — the flag is a literal second arg
       val ign = (fn == "first_value" || fn == "last_value") &&
         args.length > 1 && args(1).trim.equalsIgnoreCase("true")
-      Pre(id, if (fn == "at") "lag" else fn, argText, lagK, isOffset, w,
-        ignoreNulls = ign)
+      // under WINDOW UNION the batch planner serves lag through the
+      // frame array (the native frameless branch requires !hasUnion) —
+      // frame-bounded positions, mirrored here
+      Pre(id, if (fn == "at") "lag" else fn, argText, lagK,
+        isOffset && !hasUnion, w, ignoreNulls = ign)
     }
     pres.foreach(p => slot(p.argText))
 
+    // ---- WINDOW UNION side tables: schema-aligned history rows,
+    // flagged by source (0 = primary, k+1 = side k). They buffer into
+    // per-key state like any arriving row but never answer requests —
+    // the reference's union-index request discipline
+    // (WindowAggPlanUtil.windowUnionTables; runner.cc union windows).
+    val FlagCol2 = "__graft_sflag"
+    val alignCols = base.columns.filterNot(_.startsWith("__graft")).toSeq
+    val src =
+      if (!hasUnion) base.withColumn(FlagCol2, lit(0))
+      else unions.zipWithIndex.foldLeft(
+          base.withColumn(FlagCol2, lit(0))) { case (acc, (u, k)) =>
+        val side0 = resolveRef(spark, u, tables)
+        val missing = alignCols.filterNot(side0.columns.contains)
+        if (missing.nonEmpty)
+          throw new IllegalArgumentException(
+            s"WINDOW UNION side is missing columns $missing of the " +
+              "primary table")
+        acc.unionByName(
+          side0.select(alignCols.map(col): _*)
+            .withColumn(FlagCol2, lit(k + 1)),
+          allowMissingColumns = true)
+      }
+
     // ---- pre-shuffle projection: key, ts, argument values ----
     val keyCol = to_json(struct(partExprs.map(p => expr(p)): _*))
-    var prep0 = base
+    var prep0 = src
       .withColumn(KeyCol, keyCol)
-      .withColumn(TsCol, orderMsCol(base, orderExpr).cast(LongType))
+      .withColumn(TsCol, orderMsCol(src, orderExpr).cast(LongType))
     argSlots.foreach { case (argText, i) =>
       prep0 = prep0.withColumn(s"__graft_sa_$i", expr(argText))
     }
@@ -331,11 +368,18 @@ object StreamDeploy {
     val prepSchema = StructType(prep0.schema.fields :+
       StructField(UidCol, LongType, nullable = false))
     val prepEnc: Encoder[Row] = Encoders.row(prepSchema)
+    val flagIdx0 = prep0.schema.fieldIndex(FlagCol2)
     val prep = prep0.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId().toLong
       var off = 0L
       it.map { r =>
-        val uid = (pid << 33) | off; off += 1
+        // WINDOW UNION tie order replicates the batch planner's uid
+        // blocks (side k offset by -(k+1)·2^50, below every primary
+        // uid): at equal ts, side rows buffer BEFORE primary rows,
+        // later side tables first — the reference's same-ts buffer
+        // order (test_window_union.yaml ids 18-x/19-x)
+        val block = -r.getInt(flagIdx0).toLong << 50
+        val uid = block + ((pid << 33) | off); off += 1
         new GenericRowWithSchema((r.toSeq :+ uid).toArray, prepSchema): Row
       }
     }(prepEnc)
@@ -344,6 +388,7 @@ object StreamDeploy {
     val keyIdx = prepSchema.fieldIndex(KeyCol)
     val tsIdx = prepSchema.fieldIndex(TsCol)
     val uidIdx = prepSchema.fieldIndex(UidCol)
+    val flagIdx = prepSchema.fieldIndex(FlagCol2)
     val slotIdx: Map[Int, Int] = argSlots.values.map(i =>
       i -> prepSchema.fieldIndex(s"__graft_sa_$i")).toMap
     val argTypes: Map[Int, DataType] = argSlots.values.map(i =>
@@ -368,7 +413,8 @@ object StreamDeploy {
         ignoreNulls = p.ignoreNulls,
         // a NULL bool reads as false in the reference's distinct set
         // (test_udaf_function.yaml id 6 row 4), like the batch path
-        boolNullFalse = p.fn == "distinct_count" && at == BooleanType)
+        boolNullFalse = p.fn == "distinct_count" && at == BooleanType,
+        inw = p.w.inw)
     }
 
     val outSchema = StructType(base.schema.fields ++
@@ -397,6 +443,7 @@ object StreamDeploy {
           it.toVector.sortBy(r => (r.getLong(tsIdx), r.getLong(uidIdx)))
             .foreach { r =>
             val ts = r.getLong(tsIdx)
+            val isPrimary = r.getInt(flagIdx) == 0
             seq += 1
             val args = new Array[Any](nSlots)
             var i = 0
@@ -406,7 +453,7 @@ object StreamDeploy {
               i += 1
             }
             val (newer, older) = rows.span(b => b.ts > ts)
-            val cur = BufRow(ts, seq, args)
+            val cur = BufRow(ts, seq, args, isPrimary)
             rows = newer ::: (cur :: older)
             rows = evict(rows, effTtl, rows.head.ts)
             // an out-of-order event older than the TTL span can be
@@ -414,16 +461,21 @@ object StreamDeploy {
             // request, so re-admit it (as the oldest row — it only
             // drops when beyond every retention bound)
             if (!rows.exists(_.seq == seq)) rows = rows :+ cur
-            // history at-or-before the request (strict (ts, seq) order)
-            val basis = rows.dropWhile(b =>
-              b.ts > ts || (b.ts == ts && b.seq > seq))
-            val vals = specs.map(sp => evalSpec(sp, basis, ts, seq))
-            val outVals = new Array[Any](baseWidth + specs.length)
-            var j = 0
-            while (j < baseWidth) { outVals(j) = r.get(j); j += 1 }
-            vals.zipWithIndex.foreach { case (v, k) =>
-              outVals(baseWidth + k) = v }
-            out += new GenericRowWithSchema(outVals, outSchema)
+            // WINDOW UNION side rows are history only: buffered above,
+            // never answered (the reference's union indexes feed
+            // frames; requests come from the primary stream alone)
+            if (isPrimary) {
+              // history at-or-before the request (strict (ts, seq) order)
+              val basis = rows.dropWhile(b =>
+                b.ts > ts || (b.ts == ts && b.seq > seq))
+              val vals = specs.map(sp => evalSpec(sp, basis, ts, seq))
+              val outVals = new Array[Any](baseWidth + specs.length)
+              var j = 0
+              while (j < baseWidth) { outVals(j) = r.get(j); j += 1 }
+              vals.zipWithIndex.foreach { case (v, k) =>
+                outVals(baseWidth + k) = v }
+              out += new GenericRowWithSchema(outVals, outSchema)
+            }
           }
           state.update(Buf(seq, rows))
           out.result().iterator
@@ -474,6 +526,9 @@ object StreamDeploy {
     var frame = basis
     if (p.precedingMs < graft.operators.WindowOps.UnboundedMs)
       frame = frame.takeWhile(_.ts >= ts - p.precedingMs)
+    // INSTANCE_NOT_IN_WINDOW: frames hold union-side rows plus the
+    // request row itself (WindowOps.frameArray filter order)
+    if (sp.inw) frame = frame.filter(b => !b.primary || b.seq == seq)
     if (p.exclCT) frame = frame.filter(b => b.ts != ts || b.seq == seq)
     if (p.exclSelf) frame = frame.filter(_.seq != seq)
     if (p.hiMs > 0) frame = frame.dropWhile(_.ts > ts - p.hiMs)
@@ -522,6 +577,14 @@ object StreamDeploy {
           vs.map(v => if (v == null) java.lang.Boolean.FALSE else v)
         else vs
         v2.distinct.length.toLong
+      case "lag" =>
+        // frame-bounded lag (the WINDOW UNION path — batch serves it
+        // through aggLag over the frame array, index shifted when the
+        // newest positions are cut; GraftSql window dispatch)
+        val effSkip = math.max(p.skipNewest, if (p.exclSelf) 1 else 0)
+        val n = if (effSkip == 0) sp.lagK else sp.lagK - effSkip + 1 - 1
+        if (effSkip > 0 && sp.lagK - effSkip + 1 < 1) null
+        else frame.drop(n).headOption.map(_.args(sp.argIdx)).orNull
       case "first_value" =>
         val f = if (sp.ignoreNulls)
           frame.filter(_.args(sp.argIdx) != null) else frame

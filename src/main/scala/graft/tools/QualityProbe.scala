@@ -16,12 +16,28 @@ object QualityProbe {
     spark.sparkContext.setLogLevel("WARN")
     def T(n: String) = Tables.load(spark, dir, n)
 
+    if (args.lift(1).contains("minhash-cost")) {
+      // wall-time + candidate-volume per parameterization (the banded
+      // join's output size is THE cost driver at scale)
+      val docs0 = T("documents")
+      println(s"[probe] n_docs=${docs0.count()}")
+      for ((b, r) <- Seq((4, 4), (5, 4), (8, 4), (8, 3), (8, 4))) {
+        val t0 = System.nanoTime()
+        val out = Dedup.minhashLshPairs(docs0, "doc_id", "text",
+          shingleN = 1, bands = b, rowsPerBand = r, threshold = 0.25)
+        val n = out.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[probe] minhash-cost bands=$b rows=$r pairs=$n sec=$sec%.1f")
+      }
+      spark.stop(); return
+    }
+
     val docs = T("documents")
     val truth = Dedup.jaccardPairs(docs, "doc_id", "text", 0.6)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     println(s"[probe] n_true_pairs=${truth.count()}")
 
-    for ((b, r) <- Seq((4, 4), (8, 2), (6, 3), (8, 3))) {
+    for ((b, r) <- Seq((4, 4), (5, 4), (6, 4), (8, 4), (8, 3))) {
       val cand = Dedup.minhashLshPairs(docs, "doc_id", "text",
         shingleN = 1, bands = b, rowsPerBand = r, threshold = 0.25)
       val row = truth.join(cand, Seq("id1", "id2"), "left").agg(

@@ -100,4 +100,74 @@ class TrainServeConsistencySpec extends SparkSpec {
           "cases actually compared — the consistency net has gone vacuous")
     }
   }
+
+  // ---- JOIN / WINDOW UNION shapes: multi-input cases where input {0}
+  // is the served stream and inputs {1..} are static side tables (LAST
+  // JOIN dims, WINDOW UNION history). The reference runs these same
+  // cases through its request engine (engine_test_base.h request_mode;
+  // cases/query/last_join_window_query.yaml,
+  // function/window/test_window_union.yaml). ----
+
+  private val filesMulti = Seq(
+    ("query/last_join_window_query.yaml", "tsm_lj_window", 4),
+    ("query/last_join_query.yaml", "tsm_lj", 5),
+    ("function/join/test_lastjoin_simple.yaml", "tsm_lj_simple", 10),
+    ("function/window/test_window_union.yaml", "tsm_win_union", 10))
+
+  private def eligibleMulti(c: SqlCase): Boolean =
+    c.sql.trim.nonEmpty && c.sqls.isEmpty && c.parameters.isEmpty &&
+      c.batchRequest.isEmpty && c.longWindow.isEmpty &&
+      c.expect.success && c.expect.rows.isDefined &&
+      c.inputs.nonEmpty && c.inputs.forall(_.columns.nonEmpty) &&
+      c.inputs.forall(_.create.isEmpty) &&
+      !c.tags.exists(t => t.contains("TODO") || t.contains("bug")) &&
+      !c.mode.contains("batch-unsupport") &&
+      !c.mode.contains("request-unsupport") &&
+      c.inputs.forall(_.columns.forall(cd =>
+        CaseData.typOpt(CaseData.declParts(cd).last).isDefined))
+
+  filesMulti.foreach { case (path, tag, floor) =>
+    val cases = CaseLoader.load(s"$base/$path", tag).filter(eligibleMulti)
+    cases.foreach { c =>
+      test(s"serve≡batch ${c.key} ${c.desc.trim}") {
+        val names = c.inputs.zipWithIndex.map { case (in, i) =>
+          in.name.getOrElse(s"t$i") }
+        val sql = names.zipWithIndex.foldLeft(
+          c.sql.trim.stripSuffix(";")) { case (s, (n, i)) =>
+          s.replace(s"{$i}", n) }
+        val dfs = c.inputs.map(in => CaseData.buildDf(spark, in))
+        names.zip(dfs).foreach { case (n, df) =>
+          df.createOrReplaceTempView(n) }
+        try {
+          val batch = GraftSql.sql(spark, sql)
+          val served =
+            try StreamDeploy.serve(spark, sql, dfs.head.alias(names.head))
+            catch {
+              case e: IllegalArgumentException =>
+                cancel(s"deploy compiler rejects the shape: ${e.getMessage}")
+            }
+          def canon(d: org.apache.spark.sql.DataFrame): Seq[Seq[String]] =
+            d.collect().toSeq.map(_.toSeq.map {
+              case null => "null"
+              case t: java.sql.Timestamp => t.getTime.toString
+              case d0: Double => f"$d0%.6f"
+              case f: Float => f"$f%.4f"
+              case x => String.valueOf(x)
+            }).sortBy(_.mkString("|"))
+          assert(batch.columns.toSeq == served.columns.toSeq,
+            s"columns: batch ${batch.columns.toSeq} vs serve ${served.columns.toSeq}")
+          val b = canon(batch); val s2 = canon(served)
+          assert(b == s2,
+            s"\nsql: $sql\nbatch: ${b.take(8).mkString("\n       ")}\n" +
+              s"serve: ${s2.take(8).mkString("\n       ")}")
+          compared(tag) = compared.getOrElse(tag, 0) + 1
+        } finally names.foreach(spark.catalog.dropTempView)
+      }
+    }
+    test(s"serve≡batch $tag compared at least $floor cases") {
+      assert(compared.getOrElse(tag, 0) >= floor,
+        s"only ${compared.getOrElse(tag, 0)} of ${cases.length} eligible " +
+          "cases actually compared — the consistency net has gone vacuous")
+    }
+  }
 }
