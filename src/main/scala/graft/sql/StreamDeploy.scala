@@ -115,16 +115,34 @@ object StreamDeploy {
       primary: Boolean = true)
   case class Buf(seq: Long, rows: List[BufRow])
 
-  private def evict(rows: List[BufRow], ttl: Ttl, nowMs: Long): List[BufRow] =
+  /** Count-retention membership. With `exclCTSlack` (some served
+    * window EXCLUDEs CURRENT_TIME), rows at the buffer's newest ts
+    * must not crowd out the strictly-older rows a same-ts request
+    * still needs: a request at the head ts excludes the whole head-ts
+    * group from its frame, so retention keeps the newest n of the
+    * head-ts group PLUS the newest n below it (≤ 2n total). */
+  private def countKeep(rows: List[BufRow], n: Int,
+      exclCTSlack: Boolean): Set[Long] =
+    if (!exclCTSlack) rows.take(n).map(_.seq).toSet
+    else {
+      val headTs = rows.headOption.map(_.ts).getOrElse(0L)
+      val (head, rest) = rows.span(_.ts == headTs)
+      (head.take(n) ::: rest.take(n)).map(_.seq).toSet
+    }
+
+  private def evict(rows: List[BufRow], ttl: Ttl, nowMs: Long,
+      exclCTSlack: Boolean = false): List[BufRow] =
     ttl match {
       case AbsoluteTime(ms) => rows.filter(_.ts >= nowMs - ms)
-      case LatestCount(n)   => rows.take(n)
+      case LatestCount(n)   =>
+        val keep = countKeep(rows, n, exclCTSlack)
+        rows.filter(r => keep(r.seq))
       case AbsAndLat(ms, n) => // keep while within EITHER limit
-        rows.zipWithIndex.filter { case (r, i) =>
-          r.ts >= nowMs - ms || i < n }.map(_._1)
+        val keep = countKeep(rows, n, exclCTSlack)
+        rows.filter(r => r.ts >= nowMs - ms || keep(r.seq))
       case AbsOrLat(ms, n)  => // keep only while within BOTH
-        rows.zipWithIndex.filter { case (r, i) =>
-          r.ts >= nowMs - ms && i < n }.map(_._1)
+        val keep = countKeep(rows, n, exclCTSlack)
+        rows.filter(r => r.ts >= nowMs - ms && keep(r.seq))
     }
 
   /** TTL derived from the deployed windows (reference: DEPLOY builds
@@ -197,6 +215,54 @@ object StreamDeploy {
     sel.fromAlias.foreach(a => base = base.alias(a))
     base = applyJoins(spark, base, sel.joins, tables)
 
+    // LAST JOIN flattening: the stateful stage serializes rows, which
+    // drops column QUALIFIERS — after a join, `t1.col1` would either
+    // fail to resolve or turn ambiguous when both sides share a name.
+    // Flatten the joined schema to unique plain names up front and
+    // rewrite every qualified reference (projections, window
+    // partition/order keys) to its flat name; the whole pipeline then
+    // speaks unqualified names that survive serialization.
+    var sel1 = sel
+    if (sel.joins.nonEmpty) {
+      def strip(t: String): String =
+        if (t.length >= 2 && t.head == '`' && t.last == '`') t.tail.init
+        else t
+      val attrs = base.queryExecution.analyzed.output
+      val dup = attrs.groupBy(_.name.toLowerCase)
+        .filter(_._2.length > 1).keySet
+      val flat = attrs.zipWithIndex.map { case (a, i) =>
+        if (dup(a.name.toLowerCase)) s"${a.name}__q$i" else a.name }
+      val qmap: Map[(String, String), String] =
+        attrs.zip(flat).flatMap { case (a, f) =>
+          a.qualifier.lastOption.map(q =>
+            (q.toLowerCase, a.name.toLowerCase) -> f) }.toMap
+      def rewriteToks(toks: Vector[String]): Vector[String] = {
+        val out = Vector.newBuilder[String]; var i = 0
+        while (i < toks.length) {
+          val key =
+            if (i + 2 < toks.length && toks(i + 1) == ".")
+              qmap.get((strip(toks(i)).toLowerCase,
+                strip(toks(i + 2)).toLowerCase))
+            else None
+          key match {
+            case Some(f) => out += f; i += 3
+            case None    => out += toks(i); i += 1
+          }
+        }
+        out.result()
+      }
+      def rewriteText(s: String): String =
+        rewriteToks(tokenize(s)).mkString(" ")
+      def rewriteW(w: WinDef): WinDef = w.copy(
+        partition = w.partition.map(rewriteText),
+        order = w.order.map(rewriteText))
+      sel1 = sel.copy(
+        projs = sel.projs.map(p => p.copy(tokens = rewriteToks(p.tokens),
+          over = p.over.map(_.map(rewriteW)))),
+        windows = sel.windows.map { case (k, w) => k -> rewriteW(w) })
+      base = base.toDF(flat.toSeq: _*)
+    }
+
     // the same dialect token rewrites the batch planner applies
     // (CAST(float AS STRING) → %g rendering, ts-cast ms semantics,
     // operand coercions) — without them serving would render values
@@ -204,7 +270,7 @@ object StreamDeploy {
     val sel2 = {
       val rt: String => Option[DataType] =
         t => resolveTypeCached(base, t)
-      sel.copy(projs = sel.projs.map(p =>
+      sel1.copy(projs = sel1.projs.map(p =>
         p.copy(tokens = rewriteDialect(p.tokens, rt))))
     }
     val (outerTokens, winExprs) = extractWinCalls(sel2, base)
@@ -226,7 +292,10 @@ object StreamDeploy {
     val partitions = windows.map(_.partition).distinct
 
     if (winExprs.isEmpty) // no windows: a pure per-event projection
-      return base.select(outerTokens.zip(sel2.projs).zipWithIndex.map {
+      // output names come from the ORIGINAL projections — the flatten
+      // rewrite may have renamed duplicate join columns (col1__qN), but
+      // the served schema must match the batch planner's names
+      return base.select(outerTokens.zip(sel.projs).zipWithIndex.map {
         case ((toks, pr), i) => expr(toks.mkString(" ")).as(projName(pr, i))
       }: _*)
 
@@ -262,7 +331,7 @@ object StreamDeploy {
     // projections like `t0.id` still resolve (udaf corpus)
     val projSrc = sel.fromAlias.orElse(sel.fromTable.left.toOption)
       .map(a => withIds.alias(a)).getOrElse(withIds)
-    projSrc.select(outerTokens.zip(sel2.projs).zipWithIndex.map {
+    projSrc.select(outerTokens.zip(sel.projs).zipWithIndex.map {
       case ((toks, pr), i) => expr(toks.mkString(" ")).as(projName(pr, i))
     }: _*)
   }
@@ -422,6 +491,7 @@ object StreamDeploy {
     val effTtl = ttl.getOrElse(
       deriveTtl(windows, specs.filter(_.frameless).map(_.lagK)
         .foldLeft(0)(math.max)))
+    val anyExclCT = windows.exists(_.exclCT)
     val nSlots = argSlots.size
 
     // ---- stateful stage ----
@@ -455,7 +525,7 @@ object StreamDeploy {
             val (newer, older) = rows.span(b => b.ts > ts)
             val cur = BufRow(ts, seq, args, isPrimary)
             rows = newer ::: (cur :: older)
-            rows = evict(rows, effTtl, rows.head.ts)
+            rows = evict(rows, effTtl, rows.head.ts, anyExclCT)
             // an out-of-order event older than the TTL span can be
             // evicted by its own insert; it must still serve its own
             // request, so re-admit it (as the oldest row — it only

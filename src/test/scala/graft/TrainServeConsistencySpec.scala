@@ -110,9 +110,9 @@ class TrainServeConsistencySpec extends SparkSpec {
 
   private val filesMulti = Seq(
     ("query/last_join_window_query.yaml", "tsm_lj_window", 4),
-    ("query/last_join_query.yaml", "tsm_lj", 5),
-    ("function/join/test_lastjoin_simple.yaml", "tsm_lj_simple", 10),
-    ("function/window/test_window_union.yaml", "tsm_win_union", 10))
+    ("query/last_join_query.yaml", "tsm_lj", 14),
+    ("function/join/test_lastjoin_simple.yaml", "tsm_lj_simple", 25),
+    ("function/window/test_window_union.yaml", "tsm_win_union", 28))
 
   private def eligibleMulti(c: SqlCase): Boolean =
     c.sql.trim.nonEmpty && c.sqls.isEmpty && c.parameters.isEmpty &&
@@ -123,6 +123,11 @@ class TrainServeConsistencySpec extends SparkSpec {
       !c.tags.exists(t => t.contains("TODO") || t.contains("bug")) &&
       !c.mode.contains("batch-unsupport") &&
       !c.mode.contains("request-unsupport") &&
+      // a JOIN inside a FROM-subquery would need the subquery itself to
+      // be the served stream — outside the serve() contract, whose
+      // `events` IS the FROM table (deployments join at the top level)
+      !c.sql.toLowerCase.replaceAll("\\s+", " ")
+        .matches("(?s).*from\\s*\\(.*join.*") &&
       c.inputs.forall(_.columns.forall(cd =>
         CaseData.typOpt(CaseData.declParts(cd).last).isDefined))
 
