@@ -263,26 +263,42 @@ object Dedup {
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("__nb"))
       .select(col("id1"), col("id2"))
-    // k static element compares stay inside whole-stage codegen — a
-    // zip_with/filter pipeline here is interpreted per pair and was the
-    // remaining hotspot on the O(n²)-pair candidate set
-    val matches = (1 to k).map(i =>
-      when(element_at(col("sig1"), i) === element_at(col("sig2"), i), 1)
-        .otherwise(0)).reduce(_ + _)
-    val scored = cand
-      .join(sig.select(col("doc_id").as("id1"), col("sig").as("sig1")), "id1")
-      .join(sig.select(col("doc_id").as("id2"), col("sig").as("sig2")), "id2")
+    // Scoring expression shape matters more than codegen membership
+    // here: Catalyst splits filter conjuncts and pushes the
+    // deterministic threshold predicate INTO the sig-attach join as a
+    // residual condition (no guard can stop the split — only the
+    // nondeterministic conjunct stays out). With a k-term
+    // element_at-compare chain that residual evaluates interpreted per
+    // PROBED pair and dominates (28-31 s end-to-end at sf0.1, k=24);
+    // as a compact zip_with count the same interpreted eval is cheap
+    // AND the push is a win — pairs below threshold are dropped inside
+    // the join before the output projection ever materializes them
+    // (measured 12.7 s vs 21 s for the previous
+    // chain-compare + eager-localCheckpoint-barrier formulation).
+    val matches = size(filter(
+      zip_with(col("sig1"), col("sig2"), (x, y) => x === y), b => b))
+    // Materialize the sig cache and hint broadcast when it fits: the
+    // static planner sees no size for a cached derived table and picks
+    // sort-merge, which shuffles+sorts the (candidate-pair × 2) rows —
+    // measured 33.7 s vs 14.6 s end-to-end at sf0.1. The count is one
+    // cheap job (and pre-warms the cache for both attach sides); past
+    // the 64 MB build-side budget the hint drops away and the joins
+    // degrade to shuffle joins, which is the correct shape at that size.
+    // The sig cache stays registered (no unpersist: the consumer runs
+    // after this function returns, and an async unpersist here would
+    // drop the blocks first, re-inlining the k-minhash expression into
+    // both join sides); it is ~(8+8k)·n_docs bytes, LRU-evicted.
+    val sigBytes = sig.count() * (8 + 8 * k)
+    def attach(as1: String, as2: String) = {
+      val s = sig.select(col("doc_id").as(as1), col("sig").as(as2))
+      if (sigBytes < (64L << 20)) broadcast(s) else s
+    }
+    cand
+      .join(attach("id1", "sig1"), "id1")
+      .join(attach("id2", "sig2"), "id2")
       .select(col("id1"), col("id2"),
         (matches.cast("double") / k).as("est_jaccard"))
-      // BARRIER before the threshold filter, not after: pushed past the
-      // project, the filter lands in the sig-attach JOIN CONDITION and
-      // that stage falls out of whole-stage codegen — measured 24 s
-      // interpreted vs ~1 s codegen'd for the same 6.3M pairs at sf0.1.
-      // The checkpointed rows are narrow (two ids + a double) and double
-      // as the materialization that lets the sig cache be freed.
-      .localCheckpoint(true)
-    sig.unpersist(false)
-    scored.filter(col("est_jaccard") >= threshold)
+      .filter(col("est_jaccard") >= threshold)
   }
 
   /** 64-bit SimHash over word tokens: per-bit weighted vote of token

@@ -16,6 +16,200 @@ object QualityProbe {
     spark.sparkContext.setLogLevel("WARN")
     def T(n: String) = Tables.load(spark, dir, n)
 
+    if (args.lift(1).contains("minhash-stages")) {
+      // stage-by-stage wall time of the bench parameterization — which
+      // link of sig → band → candidate-distinct → sig-attach+score is
+      // THE cost at this SF
+      val docs0 = T("documents")
+      val n = docs0.count()
+      def timed[A](label: String)(body: => A): A = {
+        val t0 = System.nanoTime()
+        val r = body
+        println(f"[probe] $label sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+        r
+      }
+      val (bands, rowsPerBand) = (8, 3)
+      val k = bands * rowsPerBand
+      println(s"[probe] n_docs=$n bands=$bands rows=$rowsPerBand")
+      val sig = docs0.select(col("doc_id"),
+        Dedup.minhashSignature(
+          Dedup.shingleHashes(col("text"), 1), k).as("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      timed("sig")(sig.count())
+      val banded = sig.select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(slice(col("sig"), b * rowsPerBand + 1,
+              lit(rowsPerBand))))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+      timed("banded")(banded.count())
+      val rawJoin = banded.as("a").join(banded.as("b"),
+          col("a.bh") === col("b.bh") && col("a.band") === col("b.band") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      val nRaw = timed("raw_band_matches")(rawJoin.count())
+      println(s"[probe] raw_band_matches=$nRaw")
+      val cand = rawJoin
+        .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("__nb"))
+        .select(col("id1"), col("id2"))
+      val nCand = timed("cand_distinct")(cand.count())
+      println(s"[probe] cand_distinct=$nCand")
+      val matches = (1 to k).map(i =>
+        when(element_at(col("sig1"), i) === element_at(col("sig2"), i), 1)
+          .otherwise(0)).reduce(_ + _)
+      val scored = cand
+        .join(sig.select(col("doc_id").as("id1"), col("sig").as("sig1")), "id1")
+        .join(sig.select(col("doc_id").as("id2"), col("sig").as("sig2")), "id2")
+        .select(col("id1"), col("id2"),
+          (matches.cast("double") / k).as("est_jaccard"))
+      timed("scored_count")(scored.count())
+      timed("scored_checkpoint")(scored.localCheckpoint(true))
+      timed("full_pipeline")(Dedup.minhashLshPairs(docs0, "doc_id", "text",
+        shingleN = 1, bands = bands, rowsPerBand = rowsPerBand,
+        threshold = 0.25).count())
+      spark.stop(); return
+    }
+
+    if (args.lift(1).contains("minhash-noop")) {
+      // exactly what the bench harness times: fresh plan, noop sink
+      for (i <- 1 to 2) {
+        val t0 = System.nanoTime()
+        Dedup.minhashLshPairs(T("documents"), "doc_id", "text",
+          shingleN = 1, bands = 8, rowsPerBand = 3, threshold = 0.25)
+          .write.format("noop").mode("overwrite").save()
+        println(f"[probe] minhash-noop run$i sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+      }
+      spark.stop(); return
+    }
+
+    if (args.lift(1).contains("minhash-bisect")) {
+      val docs0 = T("documents")
+      def noop(label: String)(df: DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        println(f"[probe] $label sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+      }
+      val (bands, rowsPerBand) = (8, 3)
+      val k = bands * rowsPerBand
+      val sig = docs0.select(col("doc_id"),
+        Dedup.minhashSignature(
+          Dedup.shingleHashes(col("text"), 1), k).as("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sig.count()
+      val banded = sig.select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(slice(col("sig"), b * rowsPerBand + 1,
+              lit(rowsPerBand))))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+      val rawJoin = banded.as("a").join(banded.as("b"),
+          col("a.bh") === col("b.bh") && col("a.band") === col("b.band") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      noop("noop_rawjoin")(rawJoin)
+      val cand = rawJoin
+        .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("__nb"))
+        .select(col("id1"), col("id2"))
+      noop("noop_cand")(cand)
+      val matches = (1 to k).map(i =>
+        when(element_at(col("sig1"), i) === element_at(col("sig2"), i), 1)
+          .otherwise(0)).reduce(_ + _)
+      def scored = cand
+        .join(broadcast(sig.select(col("doc_id").as("id1"), col("sig").as("sig1"))), "id1")
+        .join(broadcast(sig.select(col("doc_id").as("id2"), col("sig").as("sig2"))), "id2")
+        .select(col("id1"), col("id2"),
+          (matches.cast("double") / k).as("est_jaccard"))
+      noop("noop_scored_noguard_nofilter")(scored)
+      val intThresh = math.ceil(0.25 * k).toInt
+      def scoredInt = cand
+        .join(broadcast(sig.select(col("doc_id").as("id1"), col("sig").as("sig1"))), "id1")
+        .join(broadcast(sig.select(col("doc_id").as("id2"), col("sig").as("sig2"))), "id2")
+        .select(col("id1"), col("id2"), matches.as("__m"))
+        .filter(col("__m") >= intThresh && monotonically_increasing_id() >= 0)
+        .select(col("id1"), col("id2"),
+          (col("__m").cast("double") / k).as("est_jaccard"))
+      noop("noop_int_guard")(scoredInt)
+      val zmatches = size(filter(zip_with(col("sig1"), col("sig2"),
+        (x, y) => x === y), b => b))
+      noop("noop_zipwith_guard")(cand
+        .join(broadcast(sig.select(col("doc_id").as("id1"), col("sig").as("sig1"))), "id1")
+        .join(broadcast(sig.select(col("doc_id").as("id2"), col("sig").as("sig2"))), "id2")
+        .select(col("id1"), col("id2"),
+          (zmatches.cast("double") / k).as("est_jaccard"))
+        .filter(col("est_jaccard") >= 0.25 && monotonically_increasing_id() >= 0))
+      println(scored.filter(col("est_jaccard") >= 0.25 &&
+          monotonically_increasing_id() >= 0)
+        .queryExecution.executedPlan.toString.take(4000))
+      spark.stop(); return
+    }
+
+    if (args.lift(1).contains("minhash-variants")) {
+      // candidate-distinct + score-emit formulation shootout at the
+      // bench parameterization
+      val docs0 = T("documents")
+      def timed[A](label: String)(body: => A): A = {
+        val t0 = System.nanoTime()
+        val r = body
+        println(f"[probe] $label sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+        r
+      }
+      val (bands, rowsPerBand) = (8, 3)
+      val k = bands * rowsPerBand
+      val sig = docs0.select(col("doc_id"),
+        Dedup.minhashSignature(
+          Dedup.shingleHashes(col("text"), 1), k).as("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sig.count()
+      val banded = sig.select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(slice(col("sig"), b * rowsPerBand + 1,
+              lit(rowsPerBand))))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+      val rawJoin = banded.as("a").join(banded.as("b"),
+          col("a.bh") === col("b.bh") && col("a.band") === col("b.band") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      timed("v1_groupBy_count")(rawJoin
+        .groupBy(col("id1"), col("id2")).agg(count(lit(1))).count())
+      spark.conf.set("spark.sql.shuffle.partitions", "128")
+      timed("v1_sp128")(rawJoin
+        .groupBy(col("id1"), col("id2")).agg(count(lit(1))).count())
+      spark.conf.set("spark.sql.shuffle.partitions", "256")
+      timed("v1_sp256")(rawJoin
+        .groupBy(col("id1"), col("id2")).agg(count(lit(1))).count())
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      timed("v1_repart")(rawJoin.repartition(128, col("id1"), col("id2"))
+        .groupBy(col("id1"), col("id2")).agg(count(lit(1))).count())
+      timed("v2_distinct")(rawJoin.distinct().count())
+      timed("v3_packed_distinct")(rawJoin
+        .select((shiftleft(col("id1"), 32) + col("id2")).as("pk"))
+        .distinct().count())
+      // v4: no mid-pipeline distinct — score every raw match, filter,
+      // distinct only survivors
+      val matches = (1 to k).map(i =>
+        when(element_at(col("sig1"), i) === element_at(col("sig2"), i), 1)
+          .otherwise(0)).reduce(_ + _)
+      timed("v4_score_raw_then_distinct")(rawJoin
+        .join(broadcast(sig.select(col("doc_id").as("id1"), col("sig").as("sig1"))), "id1")
+        .join(broadcast(sig.select(col("doc_id").as("id2"), col("sig").as("sig2"))), "id2")
+        .select(col("id1"), col("id2"),
+          (matches.cast("double") / k).as("est_jaccard"))
+        .filter(col("est_jaccard") >= 0.25)
+        .groupBy(col("id1"), col("id2")).agg(first(col("est_jaccard")))
+        .count())
+      // v5: distinct then broadcast-attach + nondeterministic-guard
+      // filter (no checkpoint)
+      timed("v5_no_checkpoint")(rawJoin
+        .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("__nb"))
+        .select(col("id1"), col("id2"))
+        .join(broadcast(sig.select(col("doc_id").as("id1"), col("sig").as("sig1"))), "id1")
+        .join(broadcast(sig.select(col("doc_id").as("id2"), col("sig").as("sig2"))), "id2")
+        .select(col("id1"), col("id2"),
+          (matches.cast("double") / k).as("est_jaccard"))
+        .filter(col("est_jaccard") >= 0.25 &&
+          monotonically_increasing_id() >= 0)
+        .count())
+      spark.stop(); return
+    }
+
     if (args.lift(1).contains("minhash-cost")) {
       // wall-time + candidate-volume per parameterization (the banded
       // join's output size is THE cost driver at scale)
