@@ -86,27 +86,32 @@ object Bench {
       guarded("register_views")(PlainBaseline.registerViews(spark, sfDir))
     }
 
-    // Ratio-paired queries run FIRST (ours, plain, then a second
-    // interleaved best-of-2 pass per side) and only then the rest:
-    // taking any ratio measurement after the multi-second approximate
-    // operators put the sub-second pairs in their GC/page-cache shadow
-    // and swung measured ratios by up to 2x run-to-run.
+    // Ratio-paired queries run FIRST and each (ours, plain) pair is
+    // measured back-to-back, repeated up to best-of-3: ambient load on
+    // a shared box inflates timings in bursts, and taking the two sides
+    // ADJACENTLY under up-to-three bursts is what keeps the reported
+    // ratio a property of the plans rather than of the moment (the
+    // multi-second approximate operators then run last, outside every
+    // ratio measurement's GC/page-cache shadow).
     val (ratioNames, soloNames) = benchNames.partition(plainNames.contains)
+    val oursBest = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val plainBest = scala.collection.mutable.LinkedHashMap[String, Double]()
     val ratioResults = ratioNames.flatMap { name =>
-      timed(name)(materialize(benchQuery(name)(spark, sfDir)))
-        .map(name -> _)
-    }
-    val plainResults = plainNames.flatMap { name =>
+      val first = timed(name)(materialize(benchQuery(name)(spark, sfDir)))
+      first.foreach(t => oursBest(name) = t)
       timed(s"plain:$name")(materialize(PlainBaseline.query(spark, name)))
-        .map(name -> _)
-    }
-    val oursBest = scala.collection.mutable.Map(ratioResults: _*)
-    val plainBest = scala.collection.mutable.Map(plainResults: _*)
-    plainNames.foreach { name =>
-      timed(name)(materialize(benchQuery(name)(spark, sfDir)))
-        .foreach(t => oursBest(name) = math.min(oursBest.getOrElse(name, t), t))
-      timed(s"plain:$name")(materialize(PlainBaseline.query(spark, name)))
-        .foreach(t => plainBest(name) = math.min(plainBest.getOrElse(name, t), t))
+        .foreach(t => plainBest(name) = t)
+      // expensive pairs amortize their noise; re-pass only sub-second ones
+      val passes = if (first.exists(_ > 1.5)) 1 else 2
+      (1 to passes).foreach { _ =>
+        timed(name)(materialize(benchQuery(name)(spark, sfDir)))
+          .foreach(t => oursBest(name) =
+            math.min(oursBest.getOrElse(name, t), t))
+        timed(s"plain:$name")(materialize(PlainBaseline.query(spark, name)))
+          .foreach(t => plainBest(name) =
+            math.min(plainBest.getOrElse(name, t), t))
+      }
+      first.map(name -> _)
     }
     val results = ratioResults ++ soloNames.flatMap { name =>
       timed(name)(materialize(benchQuery(name)(spark, sfDir)))
