@@ -997,6 +997,21 @@ object SparkEntry {
         Map("events" -> T(s, d, "events")))
     },
 
+    // the same window computed under the planner's skew optimization
+    // (SET @@window_skew_opt: time-bucket replication, SkewWindowSqlSpec;
+    // reference openmldb-batch spark.openmldb.window.skew.opt) — the
+    // bucketed plan must stay hash-identical to the unsalted oracle
+    "q_sql_skew_window" -> q { (s, d) =>
+      graft.sql.GraftSql.statement(s, "SET @@window_skew_opt = 'true'")
+      try graft.sql.GraftSql.sql(s,
+        """SELECT event_id, round(sum(value) OVER w, 3) AS k_sum,
+          |  count(value) OVER w AS k_cnt
+          |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+          |  ROWS_RANGE BETWEEN 10m PRECEDING AND CURRENT ROW)""".stripMargin,
+        Map("events" -> T(s, d, "events")))
+      finally graft.sql.GraftSql.statement(s, "SET @@window_skew_opt = 'false'")
+    },
+
     // window-then-aggregate composition: GROUP BY over a windowed
     // subquery (the reference composes via subqueries and REJECTS
     // window+GROUP BY in one SELECT — function/v040/test_groupby.yaml
@@ -1810,6 +1825,14 @@ object SparkEntry {
       """SELECT event_id,
         | round(sum(value) OVER w, 3) AS r_sum,
         | count(value) OVER w AS r_cnt
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+        |             RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_sql_skew_window" ->
+      """SELECT event_id,
+        | round(sum(value) OVER w, 3) AS k_sum,
+        | count(value) OVER w AS k_cnt
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
         |             RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW)""".stripMargin,

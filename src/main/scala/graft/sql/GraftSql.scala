@@ -579,7 +579,13 @@ object GraftSql {
     "enable_trace" -> "false", "execute_mode" -> "online",
     "job_timeout" -> "20000", "sync_job" -> "false",
     "sync_timeout" -> "20000", "spark_config" -> "",
-    "insert_memory_usage_limit" -> "0")
+    "insert_memory_usage_limit" -> "0",
+    // window skew optimization (reference: openmldb-batch
+    // OpenmldbBatchConfig.scala:52-73 `spark.openmldb.window.skew.opt`,
+    // applied by WindowAggPlan/SkewDataFrameUtils in offline batch):
+    // time-bucket replication of bounded ROWS_RANGE windows so a hot
+    // partition key splits across tasks — see planWindows/SkewWindow
+    "window_skew_opt" -> "false")
   private val sessionVarsBySession =
     new java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[String, String]]()
@@ -752,7 +758,10 @@ object GraftSql {
       n -> tables(n).queryExecution.analyzed.canonicalized)
     val key = (spark, text, params.map(String.valueOf).mkString(""),
       tsHintsTL.get.toSeq.sorted.mkString(","),
-      defaultDbTL.get.getOrElse(""))
+      // plan-shaping session variables are part of the identity: a SET
+      // between calls must not resurrect a plan built under the old value
+      defaultDbTL.get.getOrElse("") + "|skew=" +
+        sessionVarsOf(spark).getOrElse("window_skew_opt", "false"))
     planCache.getOrElse(key, Nil) match {
       case (cachedSrcs, df) :: _
           if cachedSrcs.length == srcs.length &&
@@ -1317,7 +1326,7 @@ object GraftSql {
               case "execute_mode" if !Set("online", "offline")(vv) =>
                 throw new IllegalArgumentException(
                   s"execute_mode must be online|offline, got '$vv'")
-              case "enable_trace" | "sync_job"
+              case "enable_trace" | "sync_job" | "window_skew_opt"
                   if !Set("true", "false")(vv) =>
                 throw new IllegalArgumentException(
                   s"$vn must be true|false, got '$vv'")
@@ -4582,8 +4591,9 @@ object GraftSql {
   }
 
   private def plainSpec(w: WinDef, uidTiebreak: Option[Column] = None,
-      msBase: DataFrame = null): WindowSpec = {
-    val part = w.partition.map(expr)
+      msBase: DataFrame = null,
+      extraPart: Seq[Column] = Nil): WindowSpec = {
+    val part = w.partition.map(expr) ++ extraPart
     // RANGE frames need a NUMERIC (ms) order key; with a typing base
     // a native TimestampType key converts via unix_millis
     def keyOf(o: String): Column =
@@ -4963,6 +4973,67 @@ object GraftSql {
       df
     }
 
+    // ---- window skew optimization (SET @@window_skew_opt = 'true') ----
+    // The reference's offline-batch skew mode (openmldb-batch
+    // OpenmldbBatchConfig.scala:52-73 `spark.openmldb.window.skew.opt`,
+    // WindowAggPlan.scala:87-100 + SkewDataFrameUtils.scala) re-planned
+    // Spark-first: every row replicates into its own time bucket
+    // (role 0, kept) and the next (role 1, frame history only), windows
+    // partition by (keys, bucket), and owner rows are kept afterwards —
+    // a hot key becomes span/bucketMs independent tasks for one 2× row
+    // duplication (same scheme as operators.SkewWindow). Applies to
+    // groups where EVERY window is a bounded ROWS_RANGE over an
+    // ascending order key (frame ⊆ [t-p, t] ⊆ {bucket-1, bucket} when
+    // bucketMs >= p, so membership — MAXSIZE / EXCLUDE / UNION flags /
+    // strict ties, all (ts, uid)-based — is bucket-invariant). ROWS
+    // frames, unbounded frames, descending keys and frameless offset
+    // functions (lag/at reach arbitrarily far back) stay unbucketed;
+    // request mode is excluded like the reference (offline-only opt).
+    val skewOpt = !requestMode && sessionVarsOf(spark)
+      .getOrElse("window_skew_opt", "false") == "true"
+    val SwRoleCol = "__graft_swrole"
+    // order-expr text -> bucket column, live between explode/collapse
+    var skewBuckets: Map[String, String] = Map.empty
+    def skewPlanOf(gexprs: Seq[(String, String, WinDef)])
+        : Option[Seq[(String, Long, String)]] = {
+      skewBuckets = Map.empty
+      if (!skewOpt || gexprs.isEmpty) return None
+      val offsetFns = Set("lag", "lead", "at")
+      def spanOf(w: WinDef): Option[Long] = w.lo match {
+        case Prec(n, open) => Some(math.max(n - (if (open) 1 else 0), 0L))
+        case CurrentRow    => Some(0L)
+        case Unbounded     => None
+      }
+      val ok = gexprs.forall { case (_, fnText, w) =>
+        val head = fnText.trim.takeWhile(_ != '(').trim.toLowerCase
+        !offsetFns(head) && !w.isRows && !w.orderDesc &&
+          w.order.isDefined && spanOf(w).isDefined
+      }
+      if (!ok) return None
+      val byOrder = gexprs.map(_._3).distinct.groupBy(_.order.get)
+      Some(byOrder.toSeq.sortBy(_._1).zipWithIndex.map { case ((o, ws), i) =>
+        (o, math.max(ws.flatMap(spanOf).max, 1L), s"__graft_swb_$i")
+      })
+    }
+    def skewExplode(df0: DataFrame,
+        plan: Seq[(String, Long, String)]): DataFrame = {
+      var df = df0.withColumn(SwRoleCol, explode(array(lit(0), lit(1))))
+      plan.foreach { case (o, bMs, cn) =>
+        val ts = orderMs(base, o)
+        // exact floor-division (pre-epoch keys floor, not truncate)
+        val own = ((ts - pmod(ts, lit(bMs))) / lit(bMs)).cast("long")
+        df = df.withColumn(cn, own + col(SwRoleCol))
+      }
+      skewBuckets = plan.map { case (o, _, cn) => o -> cn }.toMap
+      df
+    }
+    def skewCollapse(df0: DataFrame,
+        plan: Seq[(String, Long, String)]): DataFrame = {
+      skewBuckets = Map.empty
+      df0.filter(col(SwRoleCol) === 0)
+        .drop(SwRoleCol +: plan.map(_._3): _*)
+    }
+
     /** Pre-partition by the (shared) window partition keys when the
       * window work spans TWO stages (prep + agg): the strict-range tie
       * stage clusters on (keys, ts) and the range stage on (keys), and
@@ -4981,8 +5052,16 @@ object GraftSql {
     def prePartition(df0: DataFrame, prep: Seq[(String, Column)],
         gexprs: Seq[(String, String, WinDef)]): DataFrame = {
       val parts = gexprs.map(_._3.partition).distinct
-      if (prep.nonEmpty && parts.size == 1 && parts.head.nonEmpty)
-        df0.repartition(parts.head.map(expr): _*)
+      // skew mode: the bucket column joins the hash keys — hash(keys)
+      // alone would satisfy the windows' (keys, bucket) clustering and
+      // silently undo the bucket split. Multiple bucket columns (mixed
+      // order keys in one group) cannot share one exchange; leave those
+      // to the planner.
+      if (skewBuckets.size > 1) return df0
+      val extra = skewBuckets.values.toSeq.map(col)
+      if ((prep.nonEmpty || extra.nonEmpty) && parts.size == 1 &&
+          (parts.head.nonEmpty || extra.nonEmpty))
+        df0.repartition(parts.head.map(expr) ++ extra: _*)
       else df0
     }
 
@@ -4994,6 +5073,13 @@ object GraftSql {
     // pre-projection columns (prefix sums for strict-range decomposition:
     // window-over-window needs two stages)
     val prepCols = Seq.newBuilder[(String, Column)]
+
+    // window partition keys + the group's skew bucket (when active):
+    // every windowed computation in a skewed group MUST carry the
+    // bucket or it would window over replicated rows
+    def partCols(w: WinDef): Seq[Column] =
+      w.partition.map(expr) ++
+        w.order.flatMap(skewBuckets.get).map(col).toSeq
 
     // Aggregates over the SAME extended window spec share ONE
     // struct-valued frame array — the frame buffer, sort and
@@ -5196,7 +5282,8 @@ object GraftSql {
           // CURRENT ROW upper bound sees ANSI peers — same-ts rows that
           // sort after the current one — the documented rowsRange tie
           // deviation (WindowOps.rowsRange scaladoc).
-          expr(fnText).over(plainSpec(w, msBase = base))
+          expr(fnText).over(plainSpec(w, msBase = base,
+                extraPart = w.order.flatMap(skewBuckets.get).map(col).toSeq))
         } else if (plain && !w.isRows && !w.orderDesc && decomposable &&
             splitV.isEmpty) {
           // plain ROWS_RANGE sum/count/avg: strict-tie prefix-sum
@@ -5217,7 +5304,7 @@ object GraftSql {
             scala.util.hashing.MurmurHash3.stringHash(
               w.toString + "|" + argText).toLong & 0xffffffffL)
           val (prep, agg) = WindowOps.strictRangeAgg(fn, prepKey, v, ts,
-            col(UidCol), w.partition.map(expr), preceding, hiOffset,
+            col(UidCol), partCols(w), preceding, hiOffset,
             integral = fn == "sum" && sumIntegralType.isDefined)
           prepCols ++= prep
           agg
@@ -5330,7 +5417,7 @@ object GraftSql {
             // stay free and resolve to the current row's columns.
             val arrName = s"__graft_arr_$id"
             val arr = WindowOps.frameArray(struct(col("*")), ts, col(UidCol),
-              w.partition.map(expr), preceding,
+              partCols(w), preceding,
               maxSize = rowCap,
               excludeCurrentTime = w.exclCT,
               excludeCurrentRow = exclCRFilter,
@@ -5390,7 +5477,8 @@ object GraftSql {
                   // registered UDAFs take the native RANGE frame; every
                   // argument — including nested window-result ids —
                   // evaluates per frame row (auto_gen_case_0 shape)
-                  expr(fnText).over(plainSpec(w, msBase = base))
+                  expr(fnText).over(plainSpec(w, msBase = base,
+                extraPart = w.order.flatMap(skewBuckets.get).map(col).toSeq))
                 else throw new IllegalArgumentException(
                   s"window-result-bound argument unsupported for '$other'")
             }
@@ -5403,7 +5491,7 @@ object GraftSql {
               s"dcb:${args.head}"
             else if (argText == "*") "*" else args.head, v,
             sv => WindowOps.frameArray(sv, ts, col(UidCol),
-              w.partition.map(expr), preceding,
+              partCols(w), preceding,
               maxSize = rowCap,
               excludeCurrentTime = w.exclCT,
               excludeCurrentRow = exclCRFilter,
@@ -5573,10 +5661,13 @@ object GraftSql {
             allowMissingColumns = true)
         }
       }
+      val skew = skewPlanOf(exprs)
+      skew.foreach(p => df = skewExplode(df, p))
       val (prep, winCols) = groupCols(exprs, unionTables.nonEmpty)
       df = prePartition(df, prep, exprs)
       df = applyCols(df, prep, exprs)
       df = applyCols(df, winCols, exprs)
+      skew.foreach(p => df = skewCollapse(df, p))
       windowed = df
       if (unionTables.nonEmpty) windowed = windowed.filter(col(FlagCol))
       if (requestMode) windowed = windowed.filter(col(RequestFlagCol))
@@ -5616,10 +5707,13 @@ object GraftSql {
             df0.withColumn(FlagCol, lit(true))
               .unionByName(sideAll, allowMissingColumns = true)
           }
+        val skew = skewPlanOf(gexprs)
+        skew.foreach(p => dfg = skewExplode(dfg, p))
         val (prep, winCols) = groupCols(gexprs, unions.nonEmpty)
         dfg = prePartition(dfg, prep, gexprs)
         dfg = applyCols(dfg, prep, gexprs)
         dfg = applyCols(dfg, winCols, gexprs)
+        skew.foreach(p => dfg = skewCollapse(dfg, p))
         val outCols = Seq(col(UidCol)) ++
           (if (unions.isEmpty) Seq.empty else Seq(col(FlagCol))) ++
           winCols.map(nc => col(nc._1))

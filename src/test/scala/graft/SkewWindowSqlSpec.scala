@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sql.GraftSql
+
+/** `SET @@window_skew_opt = 'true'` — the SQL planner's time-bucket
+  * window skew optimization (reference: openmldb-batch
+  * OpenmldbBatchConfig.scala:52-73 `spark.openmldb.window.skew.opt`,
+  * SkewDataFrameUtils.scala). The salted rewrite must be LOSSLESS:
+  * every window shape that buckets yields byte-identical results to
+  * the unsalted plan, and ineligible shapes (ROWS frames, unbounded
+  * frames, lag) silently keep their unbucketed plan.
+  */
+class SkewWindowSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  // one hot key (u0: 60 rows incl. duplicate timestamps) + normal keys
+  private lazy val ev: DataFrame = {
+    val hot = (0 until 60).map(i => ("u0", (i / 2) * 1000L, i.toDouble))
+    val cold = for (u <- 1 to 5; i <- 0 until 8)
+      yield (s"u$u", i * 700L, (u * 100 + i).toDouble)
+    (hot ++ cold).toDF("pk", "ts", "v")
+  }
+
+  private def withSkew[A](body: => A): A = {
+    GraftSql.statement(spark, "SET @@window_skew_opt = 'true'")
+    try body
+    finally GraftSql.statement(spark, "SET @@window_skew_opt = 'false'")
+  }
+
+  private def run(sql: String, tables: Map[String, DataFrame]): Seq[String] =
+    GraftSql.sql(spark, sql, tables).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+
+  private def assertLossless(sql: String,
+      tables: Map[String, DataFrame] = Map("ev" -> ev)): Unit = {
+    val plainRows = run(sql, tables)
+    val skewRows = withSkew(run(sql, tables))
+    assert(skewRows == plainRows, s"skewed result diverged for:\n$sql")
+  }
+
+  test("plain ROWS_RANGE sum/count/avg buckets losslessly (strict ties)") {
+    assertLossless(
+      """SELECT pk, ts, sum(v) OVER w AS s, count(v) OVER w AS c,
+        |  avg(v) OVER w AS a
+        |FROM ev WINDOW w AS (PARTITION BY pk ORDER BY ts
+        |  ROWS_RANGE BETWEEN 5s PRECEDING AND CURRENT ROW)""".stripMargin)
+  }
+
+  test("MAXSIZE + EXCLUDE CURRENT_TIME / CURRENT_ROW bucket losslessly") {
+    assertLossless(
+      """SELECT pk, ts, count(v) OVER w AS c, max(v) OVER w AS mx
+        |FROM ev WINDOW w AS (PARTITION BY pk ORDER BY ts
+        |  ROWS_RANGE BETWEEN 5s PRECEDING AND CURRENT ROW MAXSIZE 4)""".stripMargin)
+    assertLossless(
+      """SELECT pk, ts, count(v) OVER w AS c
+        |FROM ev WINDOW w AS (PARTITION BY pk ORDER BY ts
+        |  ROWS_RANGE BETWEEN 5s PRECEDING AND CURRENT ROW
+        |  EXCLUDE CURRENT_TIME)""".stripMargin)
+    assertLossless(
+      """SELECT pk, ts, sum(v) OVER w AS s
+        |FROM ev WINDOW w AS (PARTITION BY pk ORDER BY ts
+        |  ROWS_RANGE BETWEEN 5s PRECEDING AND CURRENT ROW
+        |  EXCLUDE CURRENT_ROW)""".stripMargin)
+  }
+
+  test("WINDOW UNION and frame-only aggregates bucket losslessly") {
+    val side = Seq(("u0", 1500L, 1000.0), ("u1", 900L, 2000.0))
+      .toDF("pk", "ts", "v")
+    assertLossless(
+      """SELECT pk, ts, sum(v) OVER w AS s, distinct_count(v) OVER w AS dc
+        |FROM ev WINDOW w AS (UNION side PARTITION BY pk ORDER BY ts
+        |  ROWS_RANGE BETWEEN 5s PRECEDING AND CURRENT ROW)""".stripMargin,
+      Map("ev" -> ev, "side" -> side))
+  }
+
+  test("upper Prec bound and OPEN frames bucket losslessly") {
+    assertLossless(
+      """SELECT pk, ts, count(v) OVER w AS c
+        |FROM ev WINDOW w AS (PARTITION BY pk ORDER BY ts
+        |  ROWS_RANGE BETWEEN 5s PRECEDING AND 1s PRECEDING)""".stripMargin)
+    assertLossless(
+      """SELECT pk, ts, sum(v) OVER w AS s
+        |FROM ev WINDOW w AS (PARTITION BY pk ORDER BY ts
+        |  ROWS_RANGE BETWEEN 5s OPEN PRECEDING AND CURRENT ROW)""".stripMargin)
+  }
+
+  test("ineligible shapes (ROWS / unbounded / lag) stay correct under the flag") {
+    assertLossless(
+      """SELECT pk, ts, sum(v) OVER w AS s
+        |FROM ev WINDOW w AS (PARTITION BY pk ORDER BY ts
+        |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin)
+    assertLossless(
+      """SELECT pk, ts, count(v) OVER w AS c
+        |FROM ev WINDOW w AS (PARTITION BY pk ORDER BY ts
+        |  ROWS_RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin)
+    assertLossless(
+      """SELECT pk, ts, lag(v, 1) OVER w AS pv
+        |FROM ev WINDOW w AS (PARTITION BY pk ORDER BY ts
+        |  ROWS_RANGE BETWEEN 5s PRECEDING AND CURRENT ROW)""".stripMargin)
+  }
+
+  test("the skewed plan exchanges on (keys, bucket) — the split is real") {
+    val df = withSkew(GraftSql.sql(spark,
+      """SELECT pk, ts, count(v) OVER w AS c
+        |FROM ev WINDOW w AS (PARTITION BY pk ORDER BY ts
+        |  ROWS_RANGE BETWEEN 5s PRECEDING AND CURRENT ROW MAXSIZE 4)""".stripMargin,
+      Map("ev" -> ev)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("__graft_swb_0"),
+      s"expected skew bucket column in plan:\n${plan.take(2000)}")
+    assert(plan.contains("hashpartitioning(pk"), "expected keyed exchange")
+    // and the flag off → no bucket column
+    val off = GraftSql.sql(spark,
+      """SELECT pk, ts, count(v) OVER w AS c
+        |FROM ev WINDOW w AS (PARTITION BY pk ORDER BY ts
+        |  ROWS_RANGE BETWEEN 5s PRECEDING AND CURRENT ROW MAXSIZE 4)""".stripMargin,
+      Map("ev" -> ev))
+    assert(!off.queryExecution.executedPlan.toString.contains("__graft_swb"))
+  }
+
+  test("SET validates the flag and the plan cache keys on it") {
+    intercept[IllegalArgumentException] {
+      GraftSql.statement(spark, "SET @@window_skew_opt = 'sideways'")
+    }
+    // same text + same sources, different flag → different plans
+    val sql0 =
+      """SELECT pk, ts, count(v) OVER w AS c
+        |FROM ev WINDOW w AS (PARTITION BY pk ORDER BY ts
+        |  ROWS_RANGE BETWEEN 5s PRECEDING AND CURRENT ROW)""".stripMargin
+    val p1 = GraftSql.sql(spark, sql0, Map("ev" -> ev))
+      .queryExecution.executedPlan.toString
+    val p2 = withSkew(GraftSql.sql(spark, sql0, Map("ev" -> ev))
+      .queryExecution.executedPlan.toString)
+    assert(!p1.contains("__graft_swb"))
+    assert(p2.contains("__graft_swb"))
+  }
+}
