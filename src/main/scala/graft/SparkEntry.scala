@@ -474,6 +474,22 @@ object SparkEntry {
           coalesce(col("component"), col("doc_id")).as("component"))
     },
 
+    // retention step after clustering: keep ONE canonical doc per
+    // near-dup component — highest quality score, lowest id on ties
+    // (the training-pipeline "dedup keep-best" policy)
+    "q_dedup_keep" -> q { (s, d) =>
+      val docs = T(s, d, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.6)
+      val comps = docs.select(col("doc_id"))
+        .join(Dedup.connectedComponents(pairs, "id1", "id2")
+          .withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+      val scores = docs.select(col("doc_id"),
+        floor(TextOps.qualityScore(col("text")) * 1e6).cast("long").as("score"))
+      Dedup.keepBest(comps, scores)
+    },
+
     // MinHash+LSH measured against the exact Jaccard twin (the hash
     // family is not SQL-portable, so the GATED quantity is quality:
     // recall of true J>=0.6 pairs and MAE of the minhash estimate —
@@ -1596,6 +1612,50 @@ object SparkEntry {
         |  JOIN walk ON walk.id = e.b WHERE walk.lbl < e.a)
         |SELECT id AS doc_id, min(lbl) AS component
         |FROM walk GROUP BY id""".stripMargin,
+
+    "q_dedup_keep" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS w
+        |  FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+        |  FROM w a JOIN w b ON a.w = b.w AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (
+        |  SELECT id1, id2 FROM inter
+        |  JOIN sz s1 ON id1 = s1.doc_id
+        |  JOIN sz s2 ON id2 = s2.doc_id
+        |  WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.6),
+        |edges AS (
+        |  SELECT id1 AS a, id2 AS b FROM pairs
+        |  UNION SELECT id2, id1 FROM pairs),
+        |walk(id, lbl) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.a, walk.lbl FROM edges e
+        |  JOIN walk ON walk.id = e.b WHERE walk.lbl < e.a),
+        |comp AS (SELECT id AS doc_id, min(lbl) AS component
+        |         FROM walk GROUP BY id),
+        |t AS (SELECT doc_id,
+        |        regexp_split_to_array(trim(text), '\s+') AS ws,
+        |        length(regexp_replace(text, '\s+', '', 'g')) AS nc
+        |      FROM documents),
+        |s0 AS (SELECT doc_id, ws, nc,
+        |        len(list_filter(ws, x -> lower(x) IN
+        |          ('the','a','and','of','to','in','is'))) AS nstop
+        |      FROM t),
+        |sc AS (SELECT doc_id,
+        |  CAST(floor((CAST(0.5 AS DOUBLE) * least(CAST(len(ws) AS DOUBLE) / 100, 1.0)
+        |    + CAST(0.3 AS DOUBLE) * (1 - CAST(nstop AS DOUBLE) / len(ws))
+        |    + CAST(0.2 AS DOUBLE) * least((CAST(nc AS DOUBLE) / len(ws)) / 8, 1.0)) * 1000000)
+        |    AS BIGINT) AS score
+        |  FROM s0)
+        |SELECT c.component,
+        |  arg_max(c.doc_id, s.score * 4294967296 - c.doc_id) AS keep_id,
+        |  count(*) AS n_docs
+        |FROM comp c JOIN sc s USING (doc_id)
+        |GROUP BY c.component""".stripMargin,
 
     "q_ann_topk" ->
       """WITH q AS (SELECT vec_id AS qid,

@@ -33,6 +33,23 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Keep policy over near-dup clusters: one canonical document per
+    * component — the highest-scoring member, lowest id on ties (the
+    * standard "keep best quality" retention step after
+    * [[connectedComponents]]; a training-data pipeline drops every
+    * other member). One hash-partitioned groupBy over (id, component,
+    * score) rows — no per-cluster buffering, scale-safe under a giant
+    * cluster. Returns (component, keep_id, n_docs).
+    */
+  def keepBest(components: DataFrame, scores: DataFrame,
+      idCol: String = "doc_id", componentCol: String = "component",
+      scoreCol: String = "score"): DataFrame =
+    components.join(scores, idCol)
+      .groupBy(col(componentCol))
+      .agg(
+        max_by(col(idCol), struct(col(scoreCol), -col(idCol))).as("keep_id"),
+        count(lit(1)).as("n_docs"))
+
   /** Distinct word tokens of a text column. */
   def tokens(textCol: Column): Column =
     array_distinct(split(trim(textCol), "\\s+"))

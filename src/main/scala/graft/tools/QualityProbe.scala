@@ -81,6 +81,60 @@ object QualityProbe {
       spark.stop(); return
     }
 
+    if (args.lift(1).contains("minhash-bucketenum")) {
+      // v6: bucket-aggregate FIRST (40k-row shuffle), enumerate pairs
+      // in-projection with a local min-band first-match check — no
+      // 31M-row pair shuffle at all
+      val docs0 = T("documents")
+      def timed[A](label: String)(body: => A): A = {
+        val t0 = System.nanoTime()
+        val r = body
+        println(f"[probe] $label sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+        r
+      }
+      val (bands, rowsPerBand) = (8, 3)
+      val k = bands * rowsPerBand
+      val sig = docs0.select(col("doc_id"),
+        Dedup.minhashSignature(
+          Dedup.shingleHashes(col("text"), 1), k).as("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sig.count()
+      val sigB = sig.select(col("doc_id"),
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1,
+            lit(rowsPerBand)))).as("bhs"))
+      val buckets = sigB
+        .select(col("doc_id"), col("bhs"),
+          posexplode(col("bhs")).as(Seq("band", "bh")))
+        .groupBy(col("band"), col("bh"))
+        .agg(collect_list(struct(col("doc_id"), col("bhs"))).as("ms"))
+        .filter(size(col("ms")) > 1)
+      timed("buckets")(buckets.count())
+      val pairs = buckets.select(col("band"), explode(
+        flatten(transform(col("ms"), x =>
+          transform(
+            filter(col("ms"), y =>
+              x("doc_id") < y("doc_id") &&
+              !exists(zip_with(slice(x("bhs"), lit(1), col("band")),
+                slice(y("bhs"), lit(1), col("band")), (a, b) => a === b),
+                p => p)),
+            y => struct(x("doc_id").as("id1"), y("doc_id").as("id2")))))
+        ).as("p"))
+        .select(col("p")("id1").as("id1"), col("p")("id2").as("id2"))
+      val n = timed("pairs_enumerated")(pairs.count())
+      println(s"[probe] pairs=$n")
+      val matches = size(filter(
+        zip_with(col("sig1"), col("sig2"), (x, y) => x === y), b => b))
+      timed("scored_filtered")(pairs
+        .join(broadcast(sig.select(col("doc_id").as("id1"), col("sig").as("sig1"))), "id1")
+        .join(broadcast(sig.select(col("doc_id").as("id2"), col("sig").as("sig2"))), "id2")
+        .select(col("id1"), col("id2"),
+          (matches.cast("double") / k).as("est_jaccard"))
+        .filter(col("est_jaccard") >= 0.25)
+        .count())
+      spark.stop(); return
+    }
+
     if (args.lift(1).contains("minhash-bisect")) {
       val docs0 = T("documents")
       def noop(label: String)(df: DataFrame): Unit = {

@@ -222,4 +222,17 @@ class DedupSimilaritySpec extends SparkSpec {
       inGraph.filter(y => find(y.toInt) == find(x.toInt)).min).toMap
     assert(got == want)
   }
+
+  test("keepBest keeps highest score per component, lowest id on ties") {
+    import spark.implicits._
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 6L))
+      .toDF("doc_id", "component")
+    val scores = Seq((1L, 10L), (2L, 30L), (3L, 30L), (4L, 7L), (5L, 7L),
+      (6L, 0L)).toDF("doc_id", "score")
+    val got = Dedup.keepBest(comps, scores)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // comp 1: 2 and 3 tie at 30 → lowest id 2; comp 4: tie at 7 → 4;
+    // singleton keeps itself
+    assert(got == Seq((1L, 2L, 3L), (4L, 4L, 2L), (6L, 6L, 1L)))
+  }
 }

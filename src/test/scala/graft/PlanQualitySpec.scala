@@ -161,4 +161,19 @@ class PlanQualitySpec extends SparkSpec {
       "maxsize frame not lowered to a ROWS frame")
     assert(!p.contains("array_sort"), "fast path should not sort the frame")
   }
+
+  test("strict-tie SQL window plans ONE exchange and ONE sort") {
+    // the tie-prefix + range decomposition must share a single
+    // hash(partition) exchange and a single (partition, ts, uid) sort —
+    // TransposeWindow excluded + prePartition (GraftSql.planWindows);
+    // regressing to a sort or exchange per stage doubles the dominant
+    // cost of every plain ROWS_RANGE window at scale
+    val p = plan("q_sql_window")
+    val exchanges = "Exchange (hash|range)partitioning".r
+      .findAllIn(p).length
+    val sorts = "\\+- Sort \\[".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n${p.take(1500)}")
+    assert(sorts == 1, s"expected 1 sort, got $sorts:\n${p.take(1500)}")
+    assert("windowspecdefinition".r.findAllIn(p).nonEmpty)
+  }
 }
