@@ -47,12 +47,14 @@ object Tables {
   /** Normalize `events.ts` to (ts_ms long, ts_ns long, ts timestamp)
     * regardless of the parquet encoding it was read back as. */
   private[graft] def normalizeEvents(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    import org.apache.spark.sql.types.{LongType, StringType, TimestampNTZType, TimestampType}
     val tsMs = df.schema("ts").dataType match {
       case LongType => // INT64 TIMESTAMP(NANOS) via legacy.parquet.nanosAsLong
         floorDiv(col("ts"), 1000000L)
-      case TimestampType | TimestampNTZType =>
-        // NTZ casts to TimestampType under the UTC session timezone
+      case TimestampType | TimestampNTZType | StringType =>
+        // NTZ and ISO strings cast to TimestampType under the UTC
+        // session timezone (the reference's loader parses string
+        // timestamps the same way — DataSourceUtil autoLoad)
         floorDiv(unix_micros(col("ts").cast(TimestampType)), 1000L)
       case other =>
         throw new IllegalArgumentException(

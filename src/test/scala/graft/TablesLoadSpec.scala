@@ -90,6 +90,24 @@ class TablesLoadSpec extends SparkSpec {
     dir
   }
 
+  /** Write events.parquet with ts as ISO-8601 strings (a CSV-ish
+    * re-encode; whole-ms values only — string parsing keeps micros but
+    * the fixture's micro tails are exercised by the finer encodings). */
+  private def writeStrings(): String = {
+    val dir = writeDir()
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType),
+      StructField("ts", StringType)))
+    val data = msAndMicroTail.zipWithIndex.map { case ((ms, _), i) =>
+      baseRows(i, java.time.Instant.ofEpochMilli(ms)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDateTime.toString)
+    }
+    spark.createDataFrame(data.asJava, schema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
   private def loadNorm(dir: String): Map[Long, (Long, Long)] =
     Tables.load(spark, dir, "events")
       .select(col("event_id"), col("ts_ms"), col("ts_ns"))
@@ -99,6 +117,7 @@ class TablesLoadSpec extends SparkSpec {
     val fromNanos  = loadNorm(writeNanosLong())
     val fromMicros = loadNorm(writeMicrosNtz())
     val fromMillis = loadNorm(writeMillisTz())
+    val fromString = loadNorm(writeStrings())
 
     val expectedMs = msAndMicroTail.zipWithIndex.map { case ((ms, _), i) =>
       i.toLong -> ms
@@ -107,6 +126,7 @@ class TablesLoadSpec extends SparkSpec {
       assert(fromNanos(id)._1 == ms, s"nanos path ts_ms for event $id")
       assert(fromMicros(id)._1 == ms, s"micros-NTZ path ts_ms for event $id")
       assert(fromMillis(id)._1 == ms, s"millis path ts_ms for event $id")
+      assert(fromString(id)._1 == ms, s"string path ts_ms for event $id")
     }
     // ts_ns carries the full sub-ms precision on the fine encodings
     for (((ms, us), i) <- msAndMicroTail.zipWithIndex) {
