@@ -51,15 +51,21 @@ object LongWindow {
     val lb = floor((tsMs - precedingMs) / bucketMs).cast("long") // frame-start bucket
 
     // tail: rows in the row's own bucket with ts' <= ts — cumulative
-    // window inside (key, bucket); same-ts peers included (RANGE)
-    val wTail = Window.partitionBy(key, hb).orderBy(tsMs)
+    // window inside (key, bucket); same-ts peers included (RANGE).
+    // The spec partitions on the MATERIALIZED __hb column and all four
+    // aggregates land in one projection: window specs built from a
+    // fresh `hb` expression instance per aggregate analyze to distinct
+    // bucket attributes, which defeats Spark's window fusion and plans
+    // an exchange+sort PER AGGREGATE (observed: two full
+    // hash(key, bucket) exchanges for sum+count at sf0.1).
+    val withBuckets = df.withColumn("__hb", hb).withColumn("__lb", lb)
+    val wTail = Window.partitionBy(key, col("__hb")).orderBy(tsMs)
       .rangeBetween(Window.unboundedPreceding, 0)
-    val base = df
-      .withColumn("__hb", hb).withColumn("__lb", lb)
-      .withColumn("__tail_sum", sum(v).over(wTail))
-      .withColumn("__tail_cnt", count(v).over(wTail))
-      .withColumn("__tail_min", min(v).over(wTail))
-      .withColumn("__tail_max", max(v).over(wTail))
+    val base = withBuckets.withColumns(Map(
+      "__tail_sum" -> sum(v).over(wTail),
+      "__tail_cnt" -> count(v).over(wTail),
+      "__tail_min" -> min(v).over(wTail),
+      "__tail_max" -> max(v).over(wTail)))
 
     // full buckets strictly between lb and hb
     val fullJoin = base.select(uid.as("__uid"), key.as("__k"),
