@@ -1316,7 +1316,8 @@ object GraftSql {
         if ((vn == "session" || vn == "global") && p.accept("."))
           vn = unq(p.next()).toLowerCase
         p.expect("=")
-        val vv = stripQuotes(p.next()).toLowerCase
+        val vvRaw = stripQuotes(p.next())
+        val vv = vvRaw.toLowerCase
         if (p.p != p.toks.length) p.fail("trailing tokens after SET")
         sessionVarDefaults.get(vn) match {
           case None => throw new IllegalArgumentException(
@@ -1334,9 +1335,28 @@ object GraftSql {
                    "insert_memory_usage_limit" if !vv.matches("\\d+") =>
                 throw new IllegalArgumentException(
                   s"$vn must be an integer, got '$vv'")
+              case "spark_config" =>
+                // 'spark.k=v;spark.k2=v2' applied to the offline job
+                // (SET_STATEMENT.md:37). This engine's session IS the
+                // offline job: runtime SQL confs apply immediately;
+                // static/launch-time confs (executor memory etc.) are
+                // accepted — the reference forwards those at
+                // job-submit, which has no analog here.
+                vvRaw.split(";").map(_.trim).filter(_.nonEmpty)
+                  .foreach { kv =>
+                    val i = kv.indexOf('=')
+                    if (i <= 0 || !kv.take(i).trim.startsWith("spark."))
+                      throw new IllegalArgumentException(
+                        "spark_config entries must be " +
+                          s"'spark.<key>=<value>', got '$kv'")
+                    val (k, v) = (kv.take(i).trim, kv.drop(i + 1).trim)
+                    try spark.conf.set(k, v)
+                    catch { case _: org.apache.spark.sql.AnalysisException => () }
+                  }
               case _ => ()
             }
-            sessionVarsOf(spark).put(vn, vv)
+            sessionVarsOf(spark).put(vn,
+              if (vn == "spark_config") vvRaw else vv)
         }
         None
 

@@ -171,6 +171,31 @@ class SqlStatementsSpec extends SparkSpec {
     assert(vars()("execute_mode") == "online")
   }
 
+  test("SET @@spark_config applies runtime confs to the offline job") {
+    GraftSql.resetCatalogState(spark)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      // runtime SQL conf applies immediately (the session IS the
+      // offline job); static launch confs are accepted and deferred
+      GraftSql.statement(spark,
+        "SET @@spark_config = 'spark.sql.shuffle.partitions=7;spark.executor.memory=2g'")
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "7")
+      // value case preserved (SHOW VARIABLES shows the raw string)
+      val v = GraftSql.statement(spark, "SHOW VARIABLES").get.collect()
+        .find(_.getString(0) == "spark_config").get.getString(1)
+      assert(v.contains("spark.executor.memory=2g"))
+      intercept[IllegalArgumentException] {
+        GraftSql.statement(spark, "SET @@spark_config = 'nonsense'")
+      }
+      intercept[IllegalArgumentException] {
+        GraftSql.statement(spark, "SET @@spark_config = 'foo.bar=1'")
+      }
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      GraftSql.resetCatalogState(spark)
+    }
+  }
+
   test("SHOW COMPONENTS and SHOW CREATE TABLE") {
     GraftSql.resetCatalogState(spark)
     val comps = GraftSql.statement(spark, "SHOW COMPONENTS").get.collect()
