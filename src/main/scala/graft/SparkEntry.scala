@@ -651,6 +651,29 @@ object SparkEntry {
         TextOps.fingerprint(col("text")).as("fp"))
     },
 
+    // overlapping token-window chunking (context-window prep): one row
+    // per chunk, md5 of the chunk text keeps the gate output narrow
+    "q_text_chunks" -> q { (s, d) =>
+      T(s, d, "documents")
+        .select(col("doc_id"),
+          explode(TextOps.chunks(col("text"), 64, 48)).as("c"))
+        .select(col("doc_id"), col("c")("chunk_idx").as("chunk_idx"),
+          col("c")("n_tokens").as("n_tokens"),
+          md5(col("c")("chunk")).as("chunk_md5"))
+    },
+
+    // PII redaction over synthesized identifiers (the corpus itself is
+    // clean words, so both sides append a deterministic email + ipv4
+    // per row and the redaction must normalize them away)
+    "q_text_redact" -> q { (s, d) =>
+      val withPii = concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com from 10.0.0."),
+        pmod(col("doc_id"), lit(256)))
+      T(s, d, "documents").select(col("doc_id"),
+        md5(TextOps.redact(withPii)).as("red_md5"),
+        (length(withPii) - length(TextOps.redact(withPii))).as("delta"))
+    },
+
     // multimodal binary columns with REAL image decode: synthesize a
     // genuine PNG per document (ImageIO encode in-executor), decode it
     // back with javax.imageio, emit exact integer pixel stats — the
@@ -1720,6 +1743,34 @@ object SparkEntry {
       """SELECT doc_id,
         | md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
+
+    "q_text_chunks" ->
+      """WITH t AS (SELECT doc_id,
+        |             regexp_split_to_array(trim(text), '\s+') AS ws,
+        |             trim(text) AS tt
+        |           FROM documents),
+        |s AS (SELECT doc_id, ws, len(ws) AS n,
+        |        unnest(generate_series(0, len(ws) - 1, 48)) AS st
+        |      FROM t WHERE length(tt) > 0)
+        |SELECT doc_id,
+        |  CAST(st // 48 AS INTEGER) AS chunk_idx,
+        |  CAST(least(n - st, 64) AS INTEGER) AS n_tokens,
+        |  md5(array_to_string(ws[st + 1 : st + 64], ' ')) AS chunk_md5
+        |FROM s WHERE st < n""".stripMargin,
+
+    "q_text_redact" ->
+      """WITH w AS (SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com from 10.0.0.'
+        |      || (doc_id % 256) AS p
+        |  FROM documents),
+        |r AS (SELECT doc_id, p,
+        |    regexp_replace(
+        |      regexp_replace(p, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS red
+        |  FROM w)
+        |SELECT doc_id, md5(red) AS red_md5,
+        |  CAST(length(p) - length(red) AS INTEGER) AS delta
+        |FROM r""".stripMargin,
 
     // closed-form twin of the ImageIO decode: recompute the per-pixel
     // channel formula on a generate_series grid (Multimodal.pngChannel)

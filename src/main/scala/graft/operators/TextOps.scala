@@ -67,4 +67,43 @@ object TextOps {
   /** 64-bit fingerprint (xxhash64 of the normalized text). */
   def fingerprint64(text: Column): Column =
     xxhash64(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** Overlapping token-window chunks — the context-window preparation
+    * step of an LLM training pipeline. Chunk i covers tokens
+    * [i·stride, i·stride + chunkTokens); start positions run
+    * 0, stride, 2·stride, … while they fall inside the document, so
+    * consecutive chunks overlap by (chunkTokens − stride) tokens.
+    * Returns array<struct<chunk_idx int, chunk string, n_tokens int>>
+    * — `explode` it into one row per chunk. Pure expression pipeline:
+    * chunking scan-scales and never leaves whole-stage codegen;
+    * per-row output is O(n_tokens · chunkTokens / stride).
+    */
+  def chunks(text: Column, chunkTokens: Int, stride: Int): Column = {
+    require(chunkTokens > 0 && stride > 0,
+      s"chunkTokens ($chunkTokens) and stride ($stride) must be positive")
+    val ws = words(text)
+    val n = size(ws)
+    // `split("")` yields [""] — a blank document must chunk to NOTHING,
+    // not to one empty chunk
+    val starts = when(length(trim(text)) > 0,
+      filter(sequence(lit(0), greatest(n - 1, lit(0)), lit(stride)),
+        s => s < n)).otherwise(array().cast("array<int>"))
+    transform(starts, (s, i) => struct(
+      i.cast("int").as("chunk_idx"),
+      array_join(slice(ws, s + 1, lit(chunkTokens)), " ").as("chunk"),
+      least(n - s, lit(chunkTokens)).cast("int").as("n_tokens")))
+  }
+
+  /** PII redaction: emails → <EMAIL>, IPv4 literals → <IP>. Patterns
+    * are RE2/Java-portable (no lookaround), so the same regex text
+    * verifies in DuckDB. Extend with pipeline-specific patterns as
+    * needed — each additional class is one more regexp_replace in the
+    * same codegen'd projection. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      Ipv4Pattern, "<IP>")
 }
