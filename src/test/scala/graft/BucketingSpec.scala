@@ -35,6 +35,28 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("date-partitioned layout prunes partitions at the scan") {
+    // the other half of the reference's (key, ts) index story at scale:
+    // a time-range predicate over a date-partitioned table must touch
+    // only the matching partition directories (PartitionFilters), so a
+    // 100 TB table scans days, not history
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toFile
+    dir.deleteOnExit()
+    val path = s"${dir.getAbsolutePath}/events_by_day"
+    (0 until 1000).map(i => (i.toLong, s"2026-01-${1 + i % 20}", i * 1.0))
+      .toDF("event_id", "day", "v")
+      .write.partitionBy("day").mode("overwrite").parquet(path)
+    val q = spark.read.parquet(path)
+      .filter(col("day") === "2026-01-7" && col("v") > 100)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("day"),
+      s"day predicate not applied as a partition filter:\n${plan.take(1200)}")
+    assert(q.count() == (0 until 1000).count(i =>
+      i % 20 == 6 && i > 100))
+  }
+
   test("bucketed equi-join avoids shuffling both sides") {
     val a = (1 to 500).map(i => (i.toLong % 50, i.toLong)).toDF("k", "x")
     val b = (1 to 500).map(i => (i.toLong % 50, i * 2.0)).toDF("k", "y")
