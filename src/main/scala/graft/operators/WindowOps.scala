@@ -374,6 +374,39 @@ object WindowOps {
         ","))
   }
 
+  /** ew_avg over a frame: exponentially-weighted average with weight
+    * (1-alpha)^i for the i-th NEWEST non-null value (the frame array is
+    * newest-first already — EwAvgUdafDef,
+    * default_udf_library.cc:280-325). alpha = 0 degrades to plain avg
+    * per the reference doc. */
+  def aggEwAvg(arr: Column, alpha: Double): Column = {
+    if (alpha == 0.0) return aggAvg(arr)
+    val vals = transform(filter(arr, x => x("v").isNotNull),
+      x => x("v").cast("double"))
+    val terms = transform(vals, (x, i) =>
+      struct((x * pow(lit(1.0 - alpha), i)).as("wx"),
+        pow(lit(1.0 - alpha), i).as("w")))
+    when(size(vals) > 0,
+      aggregate(terms,
+        struct(lit(0.0).as("s"), lit(0.0).as("c")),
+        (acc, e) => struct((acc("s") + e("wx")).as("s"),
+          (acc("c") + e("w")).as("c")),
+        acc => acc("s") / acc("c")))
+  }
+
+  /** top(v, k) over a frame: the k largest non-null values descending,
+    * comma-joined with the reference's rendering (integrals plain,
+    * floats %.6f — TopKDef, containers.h:72-160; same formatting as
+    * the grouped GraftAggregates.topStr). */
+  def aggTopK(arr: Column, k: Int, integral: Boolean): Column = {
+    val vals = slice(reverse(array_sort(
+      transform(filter(arr, x => x("v").isNotNull), x => x("v")))), 1, k)
+    val fmted =
+      if (integral) transform(vals, x => x.cast("long").cast("string"))
+      else transform(vals, x => format_string("%.6f", x.cast("double")))
+    array_join(fmted, ",")
+  }
+
   /** lag/at over the frame buffer: offset n from the newest row
     * (lag(v, 0) = newest = current row when not excluded) —
     * window_functions_def.cc:252 AtList semantics. */

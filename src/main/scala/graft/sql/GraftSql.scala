@@ -2837,7 +2837,8 @@ object GraftSql {
   /** window aggregates with no native Spark window function — they
     * always take the frame-array path */
   private val frameOnlyAggs = Set("distinct_count", "nth_value_where",
-    "top1_ratio", "topn_frequency", "median", "window_split",
+    "top1_ratio", "topn_frequency", "median", "ew_avg", "top",
+    "window_split",
     "window_split_by_key", "window_split_by_value", "fz_window_split",
     "fz_window_split_by_key", "fz_window_split_by_value")
 
@@ -3280,6 +3281,28 @@ object GraftSql {
             out += "("; out ++= inner; out += ")"
           } else if (low == "is_null") {
             out += "isnull"; out += "("; out ++= inner; out += ")"
+          } else if (low == "if_null") {
+            // alias of ifnull (udfs doc if_null)
+            out += "ifnull"; out += "("; out ++= inner; out += ")"
+          } else if (low == "add" || low == "inc") {
+            // arithmetic-as-function scalars (udfs doc add/inc)
+            val as2 = splitTokenArgs(inner)
+            if (low == "add" && as2.length == 2) {
+              out += "("; out += "("; out ++= as2(0); out += ")"
+              out += "+"; out += "("; out ++= as2(1); out += ")"; out += ")"
+            } else if (low == "inc" && as2.length == 1) {
+              out += "("; out += "("; out ++= as2(0); out += ")"
+              out += "+"; out += "1"; out += ")"
+            } else throw new IllegalArgumentException(
+              s"$low() arity ${as2.length} unsupported")
+          } else if (low == "maximum" || low == "minimum") {
+            // two-operand scalar max/min (udfs doc maximum/minimum)
+            out += (if (low == "maximum") "greatest" else "least")
+            out += "("; out ++= inner; out += ")"
+          } else if (low == "make_tuple") {
+            // make_tuple builds the reference's tuple value (used as a
+            // compound argument carrier) — Spark's struct is the analog
+            out += "struct"; out += "("; out ++= inner; out += ")"
           } else if (low == "cast" && inner.length >= 2 &&
               inner(inner.length - 1).equalsIgnoreCase("timestamp") &&
               inner(inner.length - 2).equalsIgnoreCase("as")) {
@@ -4660,7 +4683,8 @@ object GraftSql {
 
   private[sql] val extAggs = Set("sum", "count", "avg", "min", "max",
     "distinct_count", "lag", "at", "first_value", "last_value",
-    "nth_value_where", "top1_ratio", "topn_frequency", "median") ++
+    "nth_value_where", "top1_ratio", "topn_frequency", "median",
+    "ew_avg", "top") ++
     windowSplitFns.keySet
 
   /** split an argument list at top-level commas */
@@ -5588,6 +5612,16 @@ object GraftSql {
             case "top1_ratio" => WindowOps.aggTop1Ratio(arr)
             case "topn_frequency" =>
               WindowOps.aggTopNFrequency(arr, args(1).trim.toInt)
+            case "ew_avg" =>
+              // alpha must be literal (the reference's signature);
+              // NULL/0 falls back to plain avg (udfs doc ew_avg)
+              val aTxt = args.lift(1).map(_.trim.toLowerCase)
+                .filterNot(_ == "null").getOrElse("0")
+              WindowOps.aggEwAvg(arr, aTxt.toDouble)
+            case "top" =>
+              WindowOps.aggTopK(arr, args(1).trim.toInt,
+                integral = resolveTypeCached(base, args.head)
+                  .exists(intTypes))
             case f if userFns(base.sparkSession).get(f)
                 .exists(_.isAggregate) =>
               // CREATE AGGREGATE FUNCTION over a window frame: fold the
