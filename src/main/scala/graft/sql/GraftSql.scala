@@ -2775,7 +2775,8 @@ object GraftSql {
       else df.select(s1.projs.zipWithIndex.map { case (pr, i) =>
         if (isStarProj(pr.tokens)) starCol(pr.tokens)
         else expr(rewriteAggFns(
-          coerceDateFns(coerceOperands(pr.tokens, df), df), df).mkString(" "))
+          coerceDateFns(coerceOperands(pr.tokens, df), df), df,
+          grouped = true).mkString(" "))
           .as(projName(pr, i)) } ++
         // request-row identity passes through projections (requestMode
         // derived-side re-alignment)
@@ -4335,7 +4336,7 @@ object GraftSql {
     *    integer-formatting registration (group_query.yaml id 8 expects
     *    "aa:160" for a bigint value column). */
   private def rewriteAggFns(toks: Vector[String], df: DataFrame,
-      winBound: Boolean = false): Vector[String] = {
+      winBound: Boolean = false, grouped: Boolean = false): Vector[String] = {
     // a TIMESTAMP category key renders as its GMT+8 wall clock
     // ("2020-05-29 15:56:30":v — test_udaf_function ids 20-24/27-31)
     def tsKeyRender(a: Vector[String]): Vector[String] =
@@ -4375,6 +4376,57 @@ object GraftSql {
         // emitted as ONE opaque token: the fold body holds lambda
         // arrows and literals the dialect tokenizer must not re-split
         out += udafGroupedSql(userAgg.get, args.head.mkString(" "))
+        i = close + 1
+      } else if (isCall && grouped &&
+          Set("distinct_count", "topn_frequency", "top", "ew_avg")(t) &&
+          // belt-and-braces: never touch a window-bound call (grouped
+          // selects cannot carry OVER in this dialect, but guard anyway)
+          !toks.lift(matchClose(toks, i + 1) + 1)
+            .exists(_.equalsIgnoreCase("over"))) {
+        import org.apache.spark.sql.types._
+        val close = matchClose(toks, i + 1)
+        val args = splitTokenArgs(rewriteAggFns(toks.slice(i + 2, close), df))
+        val argSql = args.map(_.mkString(" "))
+        t match {
+          case "distinct_count" =>
+            require(args.length == 1, "distinct_count expects (value)")
+            val x0 = argSql.head
+            // NULL counts as a distinct value (test_udaf_function id 5);
+            // a bool NULL reads as false first (id 6)
+            val x = if (resolveTypeCached(df, x0).contains(BooleanType))
+              s"coalesce($x0, false)" else x0
+            out += s"( count ( DISTINCT $x ) + " +
+              s"CAST(max(CASE WHEN ($x) IS NULL THEN 1 ELSE 0 END) AS BIGINT) )"
+          case "topn_frequency" =>
+            require(args.length == 2, "topn_frequency expects (value, n)")
+            val n = argSql(1).trim.toInt
+            // same formula as the frame dispatch (WindowOps
+            // .aggTopNFrequency) over the group's collected values;
+            // grouped groups always have rows, so short key lists pad
+            // with "NULL" to n entries
+            val vv = s"collect_list(CAST(${argSql.head} AS STRING))"
+            out += "array_join(concat(" +
+              s"slice(transform(array_sort(transform(array_distinct($vv), " +
+              s"__d -> struct(-size(filter($vv, __y -> __y = __d)) AS negc, " +
+              s"__d AS k))), __e -> __e.k), 1, $n), " +
+              s"array_repeat('NULL', greatest($n - size(array_distinct($vv)), 0))" +
+              "), ',')"
+          case "top" =>
+            require(args.length == 2, "top expects (value, k)")
+            val k = argSql(1).trim.toInt
+            val integral = resolveTypeCached(df, argSql.head).exists(intTypes)
+            val fmt =
+              if (integral) "CAST(CAST(__x AS BIGINT) AS STRING)"
+              else "format_string('%.6f', CAST(__x AS DOUBLE))"
+            out += "array_join(transform(slice(reverse(array_sort(" +
+              s"collect_list(${argSql.head}))), 1, $k), __x -> $fmt), ',')"
+          case "ew_avg" =>
+            // exponential weights need a row order; grouped aggregation
+            // has none (the reference iterates its ts index) — direct
+            // users to the windowed form
+            throw new IllegalArgumentException(
+              "ew_avg requires an ordered frame: use ew_avg(value, alpha) OVER w")
+        }
         i = close + 1
       } else if (isCall && t.endsWith("_where") &&
           whereBases(t.stripSuffix("_where"))) {
@@ -4611,7 +4663,8 @@ object GraftSql {
     val hidden = s.projs.indices.map(i => s"__graft_p$i")
     val aggCols = s.projs.zipWithIndex.map { case (pr, i) =>
       expr(rewriteAggFns(
-        coerceDateFns(coerceOperands(pr.tokens, df), df), df).mkString(" "))
+        coerceDateFns(coerceOperands(pr.tokens, df), df), df,
+        grouped = true).mkString(" "))
         .as(hidden(i)) }
     val hid = "__graft_having"
     val withHaving = s.having match {

@@ -143,6 +143,56 @@ class FunctionSurfaceSpec extends SparkSpec {
         failures.mkString("\n"))
   }
 
+  test("documented UDAFs plan in GROUP BY context too") {
+    val g = Seq((1, 1.5, "a", true, "x,y"), (1, 2.5, "b", false, "y,z"),
+      (2, 9.0, "a", true, "z"))
+      .toDF("k", "dbl", "s", "b", "csv")
+    val aggCalls = Seq(
+      "sum(dbl)", "count(dbl)", "avg(dbl)", "min(dbl)", "max(dbl)",
+      "distinct_count(dbl)", "median(dbl)", "std(dbl)", "stddev(dbl)",
+      "stddev_pop(dbl)", "stddev_samp(dbl)", "var_pop(dbl)",
+      "var_samp(dbl)", "variance(dbl)",
+      "sum_where(dbl, b)", "count_where(dbl, b)", "avg_where(dbl, b)",
+      "min_where(dbl, b)", "max_where(dbl, b)",
+      "sum_cate(dbl, s)", "count_cate(dbl, s)", "avg_cate(dbl, s)",
+      "min_cate(dbl, s)", "max_cate(dbl, s)",
+      "sum_cate_where(dbl, b, s)", "count_cate_where(dbl, b, s)",
+      "avg_cate_where(dbl, b, s)", "min_cate_where(dbl, b, s)",
+      "max_cate_where(dbl, b, s)",
+      "top_n_key_sum_cate_where(dbl, b, s, 2)",
+      "top_n_key_ratio_cate(dbl, b, s, 2)",
+      "top_n_value_sum_cate_where(dbl, b, s, 2)",
+      "top_n_value_ratio_cate(dbl, b, s, 2)",
+      "entropy(s)", "drawdown(dbl)", "top1_ratio(s)",
+      "topn_frequency(s, 2)", "top(dbl, 2)")
+    val failures = aggCalls.flatMap { call =>
+      try { GraftSql.sql(spark,
+        s"SELECT k, $call AS r FROM g GROUP BY k", Map("g" -> g)).collect()
+        None }
+      catch { case e: Throwable =>
+        Some(s"$call: ${e.getMessage.linesIterator.next().take(100)}") }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} UDAFs do not plan grouped:\n${failures.mkString("\n")}")
+    // grouped values: distinct_count counts NULL as a value; top sorts
+    // desc with the reference rendering; topn_frequency pads to n
+    val gn = Seq((1, Some(1.5), "a"), (1, None, "a"), (1, Some(1.5), "b"))
+      .toDF("k", "dbl", "s")
+    val r = GraftSql.sql(spark,
+      "SELECT k, distinct_count(dbl) AS dc, top(dbl, 2) AS tp, " +
+        "topn_frequency(s, 3) AS tf FROM gn GROUP BY k",
+      Map("gn" -> gn)).collect()(0)
+    assert(r.getLong(1) == 2L, s"distinct_count: $r")
+    assert(r.getString(2) == "1.500000,1.500000", s"top: $r")
+    assert(r.getString(3) == "a,b,NULL", s"topn_frequency: $r")
+    // ew_avg grouped: documented rejection (weights need an order)
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, "SELECT k, ew_avg(dbl, 0.5) AS e FROM g GROUP BY k",
+        Map("g" -> g)).collect()
+    }
+    assert(e.getMessage.contains("ordered frame"))
+  }
+
   test("surface-gap closures compute the documented values") {
     // scalars closed by the sweep: add/inc/maximum/minimum/if_null
     val r = GraftSql.sql(spark,
