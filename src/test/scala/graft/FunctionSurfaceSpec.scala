@@ -143,6 +143,28 @@ class FunctionSurfaceSpec extends SparkSpec {
         failures.mkString("\n"))
   }
 
+  test("every documented operator evaluates") {
+    // functions_and_operators/operators.md: comparison, logical,
+    // arithmetic (incl. DIV/MOD keywords), bitwise
+    val ops = Seq(
+      "i32 > 0", "i32 >= 1", "i32 < 2", "i32 <= 1", "i32 != 2",
+      "i32 <> 2", "i32 = 1", "i32 == 1",
+      "i32 BETWEEN 0 AND 2", "i32 IN (1, 2)",
+      "s LIKE 'a%'", "s ILIKE 'A%'", "s RLIKE 'a.*'",
+      "b AND b", "b OR b", "b XOR b", "NOT b", "!b",
+      "i32 % 2", "i32 MOD 2", "i32 * 2", "i32 + 2", "i32 - 2",
+      "i32 / 2", "i32 DIV 2", "+i32", "-i32",
+      "i64 & 3", "i64 | 3", "i64 ^ 3", "~i64")
+    val failures = ops.flatMap { op =>
+      try { GraftSql.sql(spark, s"SELECT ($op) AS r FROM t",
+        Map("t" -> t)).collect(); None }
+      catch { case e: Throwable =>
+        Some(s"$op: ${e.getMessage.linesIterator.next().take(100)}") }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} operators do not evaluate:\n${failures.mkString("\n")}")
+  }
+
   test("documented UDAFs plan in GROUP BY context too") {
     val g = Seq((1, 1.5, "a", true, "x,y"), (1, 2.5, "b", false, "y,z"),
       (2, 9.0, "a", true, "z"))
