@@ -945,6 +945,55 @@ object GraftSql {
   def deployment(spark: SparkSession, name: String): Option[String] =
     deployed(spark).get(name)
 
+  /** DEPLOY OPTIONS by deployment name (long_windows, overwrite, …) —
+    * serving consults them (StreamDeploy routes eligible windows
+    * through the pre-agg partials when long_windows names them). */
+  private val deployOptsBySession =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, Map[String, String]]]()
+  private def deployOpts(spark: SparkSession)
+      : scala.collection.concurrent.TrieMap[String, Map[String, String]] =
+    deployOptsBySession.synchronized {
+      var m = deployOptsBySession.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap[String, Map[String, String]]()
+        deployOptsBySession.put(spark, m)
+      }
+      m
+    }
+
+  def deploymentOptions(spark: SparkSession, name: String): Map[String, String] =
+    deployOpts(spark).getOrElse(name, Map.empty)
+
+  /** Parse a `long_windows="w1:1d,w2:30m"` option value into window
+    * name → bucket milliseconds (DEPLOY_STATEMENT.md:108-125: bucket
+    * is an interval literal s/m/h/d, default 1d). A bare-int bucket is
+    * the reference's row-count pre-agg — valid to declare, but served
+    * unoptimized here (time-bucketed partials are the MV shape), so it
+    * is omitted from the returned map. */
+  def parseLongWindows(value: String): Map[String, Long] = {
+    val IntervalRe = "(?i)^(\\d+)(s|m|h|d)$".r
+    value.split(",").iterator.map(_.trim).filter(_.nonEmpty).flatMap { part =>
+      val (name, bucket) = part.split(":", 2) match {
+        case Array(n)    => (n.trim, "1d")
+        case Array(n, b) => (n.trim, if (b.trim.isEmpty) "1d" else b.trim)
+      }
+      bucket match {
+        case IntervalRe(n, u) =>
+          val unitMs = u.toLowerCase match {
+            case "s" => 1000L
+            case "m" => 60000L
+            case "h" => 3600000L
+            case _   => 86400000L
+          }
+          Some(name -> n.toLong * unitMs)
+        case b if b.forall(_.isDigit) => None // row-count bucket
+        case other => throw new IllegalArgumentException(
+          s"long_windows: bad bucket size '$other' in '$part'")
+      }
+    }.toMap
+  }
+
   /** Stored procedures by name (CREATE PROCEDURE ... BEGIN sql END) —
     * the reference's SP surface over its request engine
     * (docs/en/openmldb_sql/deployment_manage; procedures are
@@ -2007,8 +2056,18 @@ object GraftSql {
         // the reference errors on duplicate deployment names
         // (deployment_manage/DEPLOY_STATEMENT.md); OPTIONS(overwrite=true)
         // opts into replacement
-        if (opts.contains("long_windows"))
+        if (opts.contains("long_windows")) {
           validateLongWindowConditions(rest.mkString(" "))
+          // fail a malformed bucket size at DEPLOY, not first request
+          parseLongWindows(stripQuotes(opts("long_windows")))
+          // the reference's limitation: no JOIN / WINDOW UNION under
+          // long-window pre-agg (DEPLOY_STATEMENT.md:131)
+          val s0 = q.selects.head
+          if (s0.joins.nonEmpty ||
+              s0.windows.values.exists(_.unions.nonEmpty))
+            throw new IllegalArgumentException(
+              "long_windows: SELECT with JOIN or WINDOW UNION is unsupported")
+        }
         val overwrite = opts.get("overwrite")
           .map(stripQuotes).exists(_.equalsIgnoreCase("true"))
         val reg = deployed(spark)
@@ -2016,6 +2075,8 @@ object GraftSql {
           throw new IllegalArgumentException(
             s"deployment '$name' already exists (use OPTIONS(overwrite=true))")
         reg.put(name, rest.mkString(" "))
+        deployOpts(spark).put(name,
+          opts.map { case (k, v) => k -> stripQuotes(v) })
         None
 
       case "SELECT" | "WITH" =>
@@ -2332,8 +2393,10 @@ object GraftSql {
   /** Drop all deployments of a session (test harness isolation —
     * repeated `DEPLOY t0 ...` cases would otherwise collide on the
     * duplicate-name check). */
-  def resetDeployments(spark: SparkSession): Unit =
+  def resetDeployments(spark: SparkSession): Unit = {
     deployed(spark).clear()
+    deployOpts(spark).clear()
+  }
 
   /** Full per-case catalog isolation for the test harness: clears
     * deployments, databases, USE state, index specs, and db-scoped
@@ -2341,6 +2404,7 @@ object GraftSql {
     * (test_out_in.yaml id 6 expects `db1.t0` to be unknown). */
   def resetCatalogState(spark: SparkSession): Unit = {
     deployed(spark).clear()
+    deployOpts(spark).clear()
     procedures(spark).clear()
     dbsOf(spark).clear()
     sessionCurDb.remove(spark)

@@ -50,11 +50,36 @@ object StreamDeploy {
   private val TsCol = "__graft_sts"
   private val UidCol = "__graft_suid"
 
-  /** One compiled window-aggregate output column. */
+  /** One compiled window-aggregate output column. `lwBucket` > 0 marks
+    * a long-window spec: answered from per-bucket partials (the
+    * streaming MV — [[graft.operators.LongWindow.buildPreAgg]]'s
+    * (key, bucket) rows, maintained incrementally in state exactly
+    * like the reference's in-memory aggregator buckets,
+    * src/storage/aggregator.cc) plus raw head/tail edge scans. */
   private case class WinSpec(id: String, fn: String, argIdx: Int,
       lagK: Int, frameless: Boolean, p: FrameParams, outType: DataType,
       wrapSum: Option[DataType], ignoreNulls: Boolean = false,
-      boolNullFalse: Boolean = false, inw: Boolean = false)
+      boolNullFalse: Boolean = false, inw: Boolean = false,
+      lwBucket: Long = 0L)
+
+  /** Per-(bucketMs, bucket, argSlot) partial: non-null count, Long and
+    * Double accumulations (the spec's output typing picks one), and
+    * running min/max. Public only for the Kryo state encoder. */
+  case class Part(cnt: Long, lsum: Long, dsum: Double, mn: Any, mx: Any)
+
+  /** Observability for the long-window serving path (read by
+    * LongWindowServeSpec to prove requests are answered from the MV
+    * partials, not full-frame scans). Shared-JVM counters — exact
+    * under local[*], indicative on a real cluster. */
+  object LwMetrics {
+    import java.util.concurrent.atomic.AtomicLong
+    val preAggRequests = new AtomicLong
+    val preAggRowsScanned = new AtomicLong
+    val rawRowsScanned = new AtomicLong
+    def reset(): Unit = {
+      preAggRequests.set(0); preAggRowsScanned.set(0); rawRowsScanned.set(0)
+    }
+  }
 
   /** Frame parameters ported from the batch planner's groupCols
     * derivation (GraftSql.planWindows): same bound arithmetic, same
@@ -113,7 +138,8 @@ object StreamDeploy {
     * Public only because the Kryo state encoder requires it. */
   case class BufRow(ts: Long, seq: Long, args: Array[Any],
       primary: Boolean = true)
-  case class Buf(seq: Long, rows: List[BufRow])
+  case class Buf(seq: Long, rows: List[BufRow],
+      partials: Map[(Long, Long, Int), Part] = Map.empty)
 
   /** Count-retention membership. With `exclCTSlack` (some served
     * window EXCLUDEs CURRENT_TIME), rows at the buffer's newest ts
@@ -170,6 +196,14 @@ object StreamDeploy {
     AbsAndLat(spans.foldLeft(1L)(math.max), rowCounts.foldLeft(1)(math.max))
   }
 
+  /** Long view of an aggregate input (integral-sum accumulation). */
+  private def toL(v: Any): Long = v match {
+    case n: java.lang.Number  => n.longValue
+    case b: java.lang.Boolean => if (b) 1L else 0L
+    case other => throw new IllegalArgumentException(
+      s"non-numeric aggregate input: $other (${other.getClass})")
+  }
+
   private def toD(v: Any): Double = v match {
     case d: Double              => d
     case f: Float               => f.toDouble
@@ -193,10 +227,16 @@ object StreamDeploy {
     * `DEPLOY name SELECT ...`. */
   def serveDeployment(spark: SparkSession, name: String, events: DataFrame,
       ttl: Option[Ttl] = None,
-      tables: Map[String, DataFrame] = Map.empty): DataFrame =
+      tables: Map[String, DataFrame] = Map.empty): DataFrame = {
+    // DEPLOY ... OPTIONS(long_windows="w:1d") routes the named windows
+    // through the pre-agg partials (the reference's
+    // LongWindowOptimized rewrite, long_window_optimized.h:29-50)
+    val lw = GraftSql.deploymentOptions(spark, name).get("long_windows")
+      .map(GraftSql.parseLongWindows).getOrElse(Map.empty)
     serve(spark, GraftSql.deployment(spark, name).getOrElse(
       throw new IllegalArgumentException(s"no deployment named '$name'")),
-      events, ttl, tables)
+      events, ttl, tables, lw)
+  }
 
   /** Compile `sqlText` (a deployable SELECT) into a streaming (or
     * batch — flatMapGroupsWithState runs in both modes) DataFrame over
@@ -205,11 +245,18 @@ object StreamDeploy {
     * stage. */
   def serve(spark: SparkSession, sqlText: String, events: DataFrame,
       ttl: Option[Ttl] = None,
-      tables: Map[String, DataFrame] = Map.empty): DataFrame = {
+      tables: Map[String, DataFrame] = Map.empty,
+      longWindows: Map[String, Long] = Map.empty): DataFrame = {
     ensureFunctions(spark)
     val q = parseQueryText(sqlText)
     validateRequestQuery(q)
     val sel = q.selects.head
+    // the reference's long-window limitation: a SELECT with JOIN or
+    // WINDOW UNION cannot be pre-aggregated (DEPLOY_STATEMENT.md:131)
+    if (longWindows.nonEmpty && (sel.joins.nonEmpty ||
+        sel.windows.values.exists(_.unions.nonEmpty)))
+      throw new IllegalArgumentException(
+        "long_windows: SELECT with JOIN or WINDOW UNION is unsupported")
 
     var base = events
     sel.fromAlias.foreach(a => base = base.alias(a))
@@ -274,6 +321,11 @@ object StreamDeploy {
         p.copy(tokens = rewriteDialect(p.tokens, rt))))
     }
     val (outerTokens, winExprs) = extractWinCalls(sel2, base)
+    // long-window buckets by resolved window definition (named windows
+    // only — an inline OVER(...) cannot be named in the option)
+    val lwByDef: Map[WinDef, Long] = sel2.windows.collect {
+      case (n, w) if longWindows.contains(n) => w -> longWindows(n)
+    }
 
     // ---- streamability checks beyond request-mode legality ----
     def notStreamable(msg: String) = throw new IllegalArgumentException(
@@ -311,7 +363,7 @@ object StreamDeploy {
       .sortBy(_.head._1)
     val withIds: DataFrame =
       if (sigGroups.length == 1)
-        runSignature(spark, base, winExprs, ttl, tables)
+        runSignature(spark, base, winExprs, ttl, tables, lwByDef)
       else {
         if (events.isStreaming)
           notStreamable("multiple window signatures over a stream " +
@@ -320,7 +372,7 @@ object StreamDeploy {
         val tagged = base.withColumn(uid, monotonically_increasing_id())
           .localCheckpoint(true)
         sigGroups.zipWithIndex.map { case (g, gi) =>
-          val out = runSignature(spark, tagged, g, ttl, tables)
+          val out = runSignature(spark, tagged, g, ttl, tables, lwByDef)
           if (gi == 0) out
           else out.select(col(uid) +: g.map(e => col(e._1)): _*)
         }.reduce((a, b) => a.join(b, uid)).drop(uid)
@@ -345,7 +397,8 @@ object StreamDeploy {
   private def runSignature(spark: SparkSession, base: DataFrame,
       winExprs: Seq[(String, String, WinDef)],
       ttl: Option[Ttl],
-      tables: Map[String, DataFrame] = Map.empty): DataFrame = {
+      tables: Map[String, DataFrame] = Map.empty,
+      lwByDef: Map[WinDef, Long] = Map.empty): DataFrame = {
     def notStreamable(msg: String) = throw new IllegalArgumentException(
       s"not streamable: $msg")
     val windows = winExprs.map(_._3)
@@ -463,6 +516,25 @@ object StreamDeploy {
     val argTypes: Map[Int, DataType] = argSlots.values.map(i =>
       i -> prepSchema(slotIdx(i)).dataType).toMap
 
+    // long-window eligibility mirrors the reference's rewrite
+    // conditions (long_window_optimized.h CheckSupported + the
+    // DEPLOY_STATEMENT.md limitation list): a pre-aggregable fn
+    // (sum/count/avg/min/max — the *_where forms already rewrote to a
+    // CASE-guarded arg above), a plain RANGE frame ending at CURRENT
+    // ROW, no MAXSIZE/EXCLUDE/UNION, and a bucket no wider than the
+    // frame. Anything else falls back to the raw full-frame path.
+    def lwBucketFor(p: Pre): Long = lwByDef.get(p.w) match {
+      case Some(bms) if !p.frameless && !p.w.isRows &&
+          p.w.unions.isEmpty && !p.w.inw && !p.w.exclCT && !p.w.exclCR &&
+          p.w.maxSize == 0 && p.w.hi == CurrentRow &&
+          Set("sum", "count", "avg", "min", "max")(p.fn) =>
+        val fp = frameParams(p.w)
+        if (fp.precedingMs >= bms &&
+            fp.precedingMs < graft.operators.WindowOps.UnboundedMs) bms
+        else 0L
+      case _ => 0L
+    }
+
     val specs: Seq[WinSpec] = pres.map { p =>
       val si = argSlots(p.argText)
       val at = argTypes(si)
@@ -483,7 +555,8 @@ object StreamDeploy {
         // a NULL bool reads as false in the reference's distinct set
         // (test_udaf_function.yaml id 6 row 4), like the batch path
         boolNullFalse = p.fn == "distinct_count" && at == BooleanType,
-        inw = p.w.inw)
+        inw = p.w.inw,
+        lwBucket = lwBucketFor(p))
     }
 
     val outSchema = StructType(base.schema.fields ++
@@ -493,6 +566,19 @@ object StreamDeploy {
         .foldLeft(0)(math.max)))
     val anyExclCT = windows.exists(_.exclCT)
     val nSlots = argSlots.size
+
+    // ---- long-window MV maintenance plan: which (bucketMs, argSlot)
+    // partials to keep in state, and which accumulator fields each
+    // needs (sum/avg read the numeric sums; min/max read the compares)
+    case class LwMaint(bms: Long, si: Int, needNum: Boolean, needCmp: Boolean)
+    val lwMaints: Seq[LwMaint] = specs.filter(_.lwBucket > 0)
+      .map(s => (s.lwBucket, s.argIdx)).distinct.map { case (bms, si) =>
+        LwMaint(bms, si,
+          needNum = specs.exists(s => s.lwBucket == bms && s.argIdx == si &&
+            (s.fn == "sum" || s.fn == "avg")),
+          needCmp = specs.exists(s => s.lwBucket == bms && s.argIdx == si &&
+            (s.fn == "min" || s.fn == "max")))
+      }
 
     // ---- stateful stage ----
     implicit val bufEnc: Encoder[Buf] = Encoders.kryo[Buf]
@@ -506,6 +592,7 @@ object StreamDeploy {
           var st = state.getOption.getOrElse(Buf(0L, Nil))
           var rows = st.rows
           var seq = st.seq
+          var partials = st.partials
           val out = Vector.newBuilder[Row]
           // (event-time, ingestion-uid) order within the micro-batch:
           // the pre-shuffle uid makes tie order deterministic instead
@@ -531,6 +618,30 @@ object StreamDeploy {
             // request, so re-admit it (as the oldest row — it only
             // drops when beyond every retention bound)
             if (!rows.exists(_.seq == seq)) rows = rows :+ cur
+            // MV maintenance: fold the arriving row into its bucket's
+            // partials (one updated entry per (bucketMs, slot) — the
+            // reference's aggregator does the same per-row bucket
+            // update, src/storage/aggregator.cc), then prune buckets
+            // wholly older than the oldest surviving raw row — no
+            // future frame can reach them (raw retention >= frame span)
+            if (lwMaints.nonEmpty) {
+              lwMaints.foreach { m =>
+                val v = args(m.si)
+                if (v != null) {
+                  val key = (m.bms, Math.floorDiv(ts, m.bms), m.si)
+                  val p0 = partials.getOrElse(key, Part(0L, 0L, 0.0, null, null))
+                  partials = partials.updated(key, Part(
+                    p0.cnt + 1,
+                    if (m.needNum) p0.lsum + toL(v) else 0L,
+                    if (m.needNum) p0.dsum + toD(v) else 0.0,
+                    if (m.needCmp && (p0.mn == null || lt(v, p0.mn))) v else p0.mn,
+                    if (m.needCmp && (p0.mx == null || lt(p0.mx, v))) v else p0.mx))
+                }
+              }
+              val minTs = rows.last.ts
+              partials = partials.filter { case ((bms, b, _), _) =>
+                (b + 1) * bms > minTs }
+            }
             // WINDOW UNION side rows are history only: buffered above,
             // never answered (the reference's union indexes feed
             // frames; requests come from the primary stream alone)
@@ -538,7 +649,7 @@ object StreamDeploy {
               // history at-or-before the request (strict (ts, seq) order)
               val basis = rows.dropWhile(b =>
                 b.ts > ts || (b.ts == ts && b.seq > seq))
-              val vals = specs.map(sp => evalSpec(sp, basis, ts, seq))
+              val vals = specs.map(sp => evalSpec(sp, basis, ts, seq, partials))
               val outVals = new Array[Any](baseWidth + specs.length)
               var j = 0
               while (j < baseWidth) { outVals(j) = r.get(j); j += 1 }
@@ -547,7 +658,7 @@ object StreamDeploy {
               out += new GenericRowWithSchema(outVals, outSchema)
             }
           }
-          state.update(Buf(seq, rows))
+          state.update(Buf(seq, rows, partials))
           out.result().iterator
       }
 
@@ -580,7 +691,8 @@ object StreamDeploy {
     * `basis` = buffered rows at-or-before the request, newest-first.
     * Filter order matches WindowOps.frameArray. */
   private def evalSpec(sp: WinSpec, basis: List[BufRow], ts: Long,
-      seq: Long): Any = {
+      seq: Long, partials: Map[(Long, Long, Int), Part] = Map.empty): Any = {
+    if (sp.lwBucket > 0) return evalLongWindow(sp, basis, ts, partials)
     if (sp.frameless) {
       // lag/at are frameless positional lookups over ingestion order
       // (window_attributes.yaml id 0) — index from the request row.
@@ -606,6 +718,7 @@ object StreamDeploy {
     if (p.rowCap > 0) frame = frame.take(p.rowCap)
 
     val vs = frame.map(_.args(sp.argIdx))
+    LwMetrics.rawRowsScanned.addAndGet(vs.length)
     lazy val nn = vs.filter(_ != null)
     sp.fn match {
       case "count" => nn.length.toLong
@@ -665,6 +778,69 @@ object StreamDeploy {
         f.headOption.map(_.args(sp.argIdx)).orNull
       case other => throw new IllegalArgumentException(
         s"unsupported online aggregate '$other'")
+    }
+  }
+
+  /** Long-window evaluation: raw tail (request bucket, a prefix of the
+    * at-or-before basis) + Σ full-bucket partials + raw head
+    * (frame-start bucket) — the reference's RequestAggUnionRunner
+    * merge of pre-agg buckets with raw index edges (runner.cc:1504+,
+    * src/storage/aggregator.cc) over the state-held MV. Per-request
+    * aggregate work is O(rows-in-edge-buckets + buckets-in-frame)
+    * instead of O(rows-in-frame).
+    *
+    * Double-typed sums accumulate bucket-wise here but row-wise on the
+    * raw path — a last-ulp association difference inherent to
+    * pre-aggregation (the reference's pre-agg has the same property);
+    * integral sums/counts/min/max are exact. */
+  private def evalLongWindow(sp: WinSpec, basis: List[BufRow], ts: Long,
+      partials: Map[(Long, Long, Int), Part]): Any = {
+    val bms = sp.lwBucket
+    val hb = Math.floorDiv(ts, bms)
+    val lb = Math.floorDiv(ts - sp.p.precedingMs, bms)
+    // eligibility guarantees precedingMs >= bucket, so lb < hb and the
+    // whole tail prefix lies inside the frame's range bound
+    val tail = basis.takeWhile(b => Math.floorDiv(b.ts, bms) == hb)
+    val head = basis.dropWhile(b => Math.floorDiv(b.ts, bms) > lb)
+      .takeWhile(b => Math.floorDiv(b.ts, bms) == lb)
+      .filter(_.ts >= ts - sp.p.precedingMs)
+    LwMetrics.preAggRequests.incrementAndGet()
+    LwMetrics.preAggRowsScanned.addAndGet(tail.length + head.length)
+
+    val edge = (tail.iterator ++ head.iterator)
+      .map(_.args(sp.argIdx)).filter(_ != null).toList
+    var cnt = edge.length.toLong
+    var fullL = 0L; var fullD = 0.0
+    var mn: Any = null; var mx: Any = null
+    var b = lb + 1
+    while (b < hb) {
+      partials.get((bms, b, sp.argIdx)).foreach { p =>
+        cnt += p.cnt; fullL += p.lsum; fullD += p.dsum
+        if (p.mn != null && (mn == null || lt(p.mn, mn))) mn = p.mn
+        if (p.mx != null && (mx == null || lt(mx, p.mx))) mx = p.mx
+      }
+      b += 1
+    }
+    sp.fn match {
+      case "count" => cnt
+      case "sum" if sp.wrapSum.isDefined =>
+        if (cnt == 0) null
+        else edge.foldLeft(fullL)((acc, v) => acc + toL(v))
+      case "sum" =>
+        if (cnt == 0) null
+        else {
+          val d = edge.foldLeft(fullD)((acc, v) => acc + toD(v))
+          if (sp.outType == FloatType) d.toFloat else d
+        }
+      case "avg" =>
+        if (cnt == 0) null
+        else edge.foldLeft(fullD)((acc, v) => acc + toD(v)) / cnt
+      case "min" =>
+        edge.foldLeft(mn)((acc, v) => if (acc == null || lt(v, acc)) v else acc)
+      case "max" =>
+        edge.foldLeft(mx)((acc, v) => if (acc == null || lt(acc, v)) v else acc)
+      case other => throw new IllegalArgumentException(
+        s"long_windows: non-pre-aggregable aggregate '$other'")
     }
   }
 }

@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.sql.{GraftSql, StreamDeploy}
+
+/** The long-window serving path (DEPLOY OPTIONS(long_windows="w:1s")):
+  * eligible window aggregates answer from state-held per-bucket
+  * partials — the streaming form of the reference's pre-agg MV
+  * (hybridse/src/passes/physical/long_window_optimized.h:29-50,
+  * src/storage/aggregator.cc) — while everything else falls back to
+  * the raw full-frame path. Every case here asserts equality against
+  * the batch planner AND, where relevant, that the MV path actually
+  * ran (LwMetrics). */
+class LongWindowServeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkEvents(n: Int = 800): DataFrame =
+    (for (k <- Seq("k1", "k2"); i <- 0 until n) yield (
+      k, i.toLong * 10 + (if (k == "k2") 3 else 0),
+      (i % 23).toLong,
+      if (i % 11 == 0) null else java.lang.Double.valueOf((i % 7) * 0.5),
+      if (i % 3 == 0) "hot" else "cold"
+    )).toDF("key", "ts", "qty", "amt", "tag")
+
+  private def canon(d: DataFrame): Seq[Seq[String]] =
+    d.collect().toSeq.map(_.toSeq.map {
+      case null => "null"
+      case d0: Double => f"$d0%.6f"
+      case f: Float => f"$f%.4f"
+      case x => String.valueOf(x)
+    }).sortBy(_.mkString("|"))
+
+  /** serve with the option ≡ serve without ≡ batch; assert MV usage. */
+  private def check(sql: String, lw: Map[String, Long],
+      events: DataFrame, expectMv: Boolean = true): Unit = {
+    StreamDeploy.LwMetrics.reset()
+    val batch = GraftSql.sql(spark, sql, Map("events" -> events))
+    val servedLw = StreamDeploy.serve(spark, sql, events, longWindows = lw)
+    val b = canon(batch); val s = canon(servedLw)
+    assert(b == s, s"\nsql: $sql\nbatch: ${b.take(6).mkString("\n  ")}\n" +
+      s"lw:    ${s.take(6).mkString("\n  ")}")
+    if (expectMv)
+      assert(StreamDeploy.LwMetrics.preAggRequests.get > 0,
+        "expected the pre-agg MV path to answer requests")
+    else
+      assert(StreamDeploy.LwMetrics.preAggRequests.get == 0,
+        "expected fallback to the raw path")
+  }
+
+  test("sum/count/avg/min/max over the MV, nulls skipped like batch") {
+    check("""SELECT key, ts, sum(amt) OVER w AS s, count(amt) OVER w AS c,
+      avg(amt) OVER w AS a, min(amt) OVER w AS mn, max(amt) OVER w AS mx
+      FROM events WINDOW w AS (PARTITION BY key ORDER BY ts
+        ROWS_RANGE BETWEEN 3000 PRECEDING AND CURRENT ROW)""",
+      Map("w" -> 1000L), mkEvents())
+  }
+
+  test("integral sum accumulates in Long through the partials") {
+    check("""SELECT key, ts, sum(qty) OVER w AS s, count(*) OVER w AS c
+      FROM events WINDOW w AS (PARTITION BY key ORDER BY ts
+        ROWS_RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW)""",
+      Map("w" -> 1000L), mkEvents())
+  }
+
+  test("*_where aggregates pre-aggregate via their CASE-guarded slot") {
+    check("""SELECT key, ts, sum_where(qty, tag = 'hot') OVER w AS sw,
+      count_where(amt, qty > 10) OVER w AS cw,
+      max_where(qty, tag = 'cold') OVER w AS mw
+      FROM events WINDOW w AS (PARTITION BY key ORDER BY ts
+        ROWS_RANGE BETWEEN 3000 PRECEDING AND CURRENT ROW)""",
+      Map("w" -> 1000L), mkEvents())
+  }
+
+  test("mixed SELECT: eligible fns use the MV, others fall back, same row") {
+    StreamDeploy.LwMetrics.reset()
+    val events = mkEvents()
+    val sql = """SELECT key, ts, sum(qty) OVER w AS s,
+      distinct_count(tag) OVER w AS dc, lag(qty, 2) OVER w AS lg
+      FROM events WINDOW w AS (PARTITION BY key ORDER BY ts
+        ROWS_RANGE BETWEEN 3000 PRECEDING AND CURRENT ROW)"""
+    val batch = GraftSql.sql(spark, sql, Map("events" -> events))
+    val served = StreamDeploy.serve(spark, sql, events,
+      longWindows = Map("w" -> 1000L))
+    assert(canon(batch) == canon(served))
+    // sum went through the MV; distinct_count scanned raw frames
+    assert(StreamDeploy.LwMetrics.preAggRequests.get > 0)
+    assert(StreamDeploy.LwMetrics.rawRowsScanned.get > 0)
+  }
+
+  test("ineligible shapes fall back to raw serving (still correct)") {
+    val events = mkEvents(200)
+    // MAXSIZE
+    check("""SELECT key, ts, sum(qty) OVER w AS s FROM events
+      WINDOW w AS (PARTITION BY key ORDER BY ts
+        ROWS_RANGE BETWEEN 3000 PRECEDING AND CURRENT ROW MAXSIZE 5)""",
+      Map("w" -> 1000L), events, expectMv = false)
+    // ROWS frame
+    check("""SELECT key, ts, sum(qty) OVER w AS s FROM events
+      WINDOW w AS (PARTITION BY key ORDER BY ts
+        ROWS BETWEEN 50 PRECEDING AND CURRENT ROW)""",
+      Map("w" -> 1000L), events, expectMv = false)
+    // frame narrower than the bucket
+    check("""SELECT key, ts, sum(qty) OVER w AS s FROM events
+      WINDOW w AS (PARTITION BY key ORDER BY ts
+        ROWS_RANGE BETWEEN 500 PRECEDING AND CURRENT ROW)""",
+      Map("w" -> 1000L), events, expectMv = false)
+    // window not named in the option
+    check("""SELECT key, ts, sum(qty) OVER w AS s FROM events
+      WINDOW w AS (PARTITION BY key ORDER BY ts
+        ROWS_RANGE BETWEEN 3000 PRECEDING AND CURRENT ROW)""",
+      Map("other" -> 1000L), events, expectMv = false)
+  }
+
+  test("true streaming run: MemoryStream micro-batches hit the MV path") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = mkEvents(300)
+    val sql = """SELECT key, ts, sum(qty) OVER w AS s, avg(amt) OVER w AS a
+      FROM events WINDOW w AS (PARTITION BY key ORDER BY ts
+        ROWS_RANGE BETWEEN 3000 PRECEDING AND CURRENT ROW)"""
+    val batch = GraftSql.sql(spark, sql, Map("events" -> events))
+    StreamDeploy.LwMetrics.reset()
+    val mem = MemoryStream[(String, Long, Long, java.lang.Double, String)]
+    val stream = mem.toDF().toDF("key", "ts", "qty", "amt", "tag")
+    val out = StreamDeploy.serve(spark, sql, stream,
+      longWindows = Map("w" -> 1000L))
+      .writeStream.format("memory").queryName("lw_stream_out")
+      .outputMode("append").start()
+    val rows = events.collect().toSeq.map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.get(3).asInstanceOf[java.lang.Double], r.getString(4)))
+    // feed in event-time order (the per-key in-order discipline the
+    // reference's online index assumes), in several micro-batches
+    rows.sortBy(t => (t._2, t._1)).grouped(100).foreach { g =>
+      mem.addData(g); out.processAllAvailable()
+    }
+    val served = spark.table("lw_stream_out")
+    assert(canon(batch) == canon(served))
+    assert(StreamDeploy.LwMetrics.preAggRequests.get > 0)
+    out.stop()
+  }
+
+  test("DEPLOY rejects long_windows with JOIN; bad bucket fails at DEPLOY") {
+    val events = mkEvents(50)
+    events.createOrReplaceTempView("lw_ev")
+    Seq(("d1", "dim1")).toDF("key", "name").createOrReplaceTempView("lw_dim")
+    GraftSql.resetDeployments(spark)
+    val joinSql = """DEPLOY lwj OPTIONS(long_windows="w:1d")
+      SELECT lw_ev.key, sum(qty) OVER w AS s FROM lw_ev
+      LAST JOIN lw_dim ON lw_ev.key = lw_dim.key
+      WINDOW w AS (PARTITION BY lw_ev.key ORDER BY ts
+        ROWS_RANGE BETWEEN 1d PRECEDING AND CURRENT ROW)"""
+    val e1 = intercept[IllegalArgumentException](
+      GraftSql.statement(spark, joinSql))
+    assert(e1.getMessage.contains("JOIN"))
+    val e2 = intercept[IllegalArgumentException](
+      GraftSql.statement(spark, """DEPLOY lwb OPTIONS(long_windows="w:1x")
+        SELECT key, sum(qty) OVER w AS s FROM lw_ev
+        WINDOW w AS (PARTITION BY key ORDER BY ts
+          ROWS_RANGE BETWEEN 1d PRECEDING AND CURRENT ROW)"""))
+    assert(e2.getMessage.contains("bucket"))
+    GraftSql.resetDeployments(spark)
+  }
+
+  test("parseLongWindows: intervals, defaults, row-count buckets") {
+    assert(GraftSql.parseLongWindows("w1:1d") == Map("w1" -> 86400000L))
+    assert(GraftSql.parseLongWindows("w1:30m,w2:2h") ==
+      Map("w1" -> 1800000L, "w2" -> 7200000L))
+    assert(GraftSql.parseLongWindows("w1:") == Map("w1" -> 86400000L))
+    assert(GraftSql.parseLongWindows("w1") == Map("w1" -> 86400000L))
+    // a row-count bucket is the reference's row pre-agg — declared
+    // valid but served unoptimized here (omitted from the map)
+    assert(GraftSql.parseLongWindows("w1:100") == Map.empty)
+    intercept[IllegalArgumentException](GraftSql.parseLongWindows("w1:5y"))
+  }
+}
