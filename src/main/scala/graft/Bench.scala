@@ -60,7 +60,7 @@ object Bench {
     def guarded(label: String)(body: => Unit): Boolean =
       timed(label)(body).isDefined
 
-    val plainNames0 = benchNames.filter(PlainBaseline.sqlText.contains)
+    val plainNames0 = benchNames.filter(PlainBaseline.has)
     val plainNames =
       if (guarded("register_views")(PlainBaseline.registerViews(spark, sfDir)))
         plainNames0

@@ -241,7 +241,7 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, bands: Int, rowsPerBand: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxBucketSize: Int = 0): DataFrame = {
     val k = bands * rowsPerBand
     // Persist the signature table: without a materialization barrier
     // Catalyst inlines the k-minhash expression into every band-hash
@@ -255,11 +255,32 @@ object Dedup {
     // signature slice (a long array; the join key includes the band
     // index, so the hash needs no band seed). Rows are a fixed 20
     // bytes — the full signature never enters the band shuffle.
-    val banded = sig.select(col("doc_id"),
+    val banded0 = sig.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("sig"), b * rowsPerBand + 1,
             lit(rowsPerBand))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    // Hot-bucket cap (production-LSH hygiene): skip band buckets
+    // holding more than `maxBucketSize` docs. A bucket of B docs emits
+    // B²/2 candidates — one boilerplate-heavy shingle cluster at 100 TB
+    // turns into a full O(n²) stage; the cap bounds every bucket's
+    // contribution at maxBucketSize²/2 while pairs that also agree in
+    // any NON-hot band still surface. Pairs whose EVERY matching band
+    // is hot are dropped — on a corpus where the giant buckets ARE the
+    // true near-dup clusters (this synthetic one: >50% of all pairs
+    // exceed J=0.6), that is a direct recall trade, so the quality
+    // gate (SparkEntry q_dedup_minhash) runs uncapped; measured
+    // recall under caps in DedupSimilaritySpec. The size count is one
+    // (band, bh) window whose exchange is the same hash partitioning
+    // the self-join below needs — no extra shuffle of the banded rows.
+    val banded =
+      if (maxBucketSize <= 0) banded0
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bh"))
+        banded0.withColumn("__bsz", count(lit(1)).over(w))
+          .filter(col("__bsz") <= maxBucketSize).drop("__bsz")
+      }
     // Candidate pairs stay NARROW (two ids) through the join — the
     // 2×k-long signatures re-attach afterwards via joins against the
     // small per-doc sig table. On near-dup-dense corpora the candidate

@@ -34,6 +34,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(exact.exists(_._3 == 1.0))
   }
 
+  test("minhash hot-bucket cap bounds candidates, spares non-hot bands") {
+    // 30 boilerplate docs share every shingle (one giant bucket per
+    // band); two other docs pair only through small buckets
+    val boiler = (10L until 40L).map(i => (i, "common template text body"))
+    val rest = Seq((1L, "unique alpha beta gamma delta"),
+      (2L, "unique alpha beta gamma delta"))
+    val d2 = (boiler ++ rest).toDF("doc_id", "text")
+    val uncapped = Dedup.minhashLshPairs(d2, "doc_id", "text", 1, 4, 4, 0.9)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(uncapped.size == 30 * 29 / 2 + 1) // full clique + the pair
+    val capped = Dedup.minhashLshPairs(d2, "doc_id", "text", 1, 4, 4, 0.9,
+      maxBucketSize = 5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // the 30-doc buckets are skipped everywhere; the small-bucket pair
+    // survives untouched
+    assert(capped == Set((1L, 2L)))
+    // a cap at the clique size changes nothing
+    val wide = Dedup.minhashLshPairs(d2, "doc_id", "text", 1, 4, 4, 0.9,
+      maxBucketSize = 30)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(wide == uncapped)
+  }
+
   test("simhash: identical texts agree, different texts differ") {
     val sh = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
       .as[(Long, Long)].collect().toMap
