@@ -22,9 +22,10 @@ object PlainBaseline {
   /** Register raw parquet views (no graft Tables normalization beyond
     * the ns→ms cast the data model requires). */
   def registerViews(spark: SparkSession, dir: String): Unit = {
-    Seq("lineitem", "orders", "customer", "documents").foreach { n =>
-      spark.read.parquet(s"$dir/$n.parquet").createOrReplaceTempView(s"pb_$n")
-    }
+    Seq("lineitem", "orders", "customer", "documents", "embeddings")
+      .foreach { n =>
+        spark.read.parquet(s"$dir/$n.parquet").createOrReplaceTempView(s"pb_$n")
+      }
     // events.ts encoding varies by generator run (ns-as-long vs
     // timestamp[us]) — derive the ms order key exactly as a plain user
     // would for whichever type the read gives back.
@@ -115,6 +116,141 @@ object PlainBaseline {
     // the reference benchmark shape (BASELINE.md): scalar exprs + one
     // 30d MAXSIZE-100 window x {distinct_count,sum,count,2x case-when
     // count} + LAST JOIN to customer, all in native Spark SQL
+    "q_groupby_having" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM pb_orders GROUP BY o_custkey HAVING count(*) >= 5""".stripMargin,
+
+    "q_distinct_count" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS dc_cust,
+        |  count(*) AS cnt
+        |FROM pb_orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM pb_documents GROUP BY md5(text)""".stripMargin,
+
+    // identical regex/arithmetic shapes to TextOps (same IEEE op order,
+    // so the floor(q*1e6) long is bit-identical)
+    "q_text_stats" ->
+      """SELECT doc_id,
+        |  size(split(trim(text), '\\s+')) AS n_tokens,
+        |  length(regexp_replace(text, '\\s+', '')) AS n_chars_x,
+        |  round(CAST(length(regexp_replace(text, '\\s+', '')) AS DOUBLE)
+        |    / size(split(trim(text), '\\s+')), 6) AS avg_wlen,
+        |  round(CAST(size(filter(split(trim(text), '\\s+'),
+        |      w -> lower(w) IN ('the','a','and','of','to','in','is'))) AS DOUBLE)
+        |    / size(split(trim(text), '\\s+')), 6) AS stop_ratio,
+        |  CAST(floor((CAST(0.5 AS DOUBLE) * least(
+        |      CAST(size(split(trim(text), '\\s+')) AS DOUBLE) / CAST(100.0 AS DOUBLE),
+        |      CAST(1.0 AS DOUBLE))
+        |    + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+        |      - CAST(size(filter(split(trim(text), '\\s+'),
+        |          w -> lower(w) IN ('the','a','and','of','to','in','is'))) AS DOUBLE)
+        |        / size(split(trim(text), '\\s+')))
+        |    + CAST(0.2 AS DOUBLE) * least(
+        |      (CAST(length(regexp_replace(text, '\\s+', '')) AS DOUBLE)
+        |        / size(split(trim(text), '\\s+'))) / CAST(8.0 AS DOUBLE),
+        |      CAST(1.0 AS DOUBLE))) * 1e6) AS LONG) AS q_score
+        |FROM pb_documents""".stripMargin,
+
+    // 3-day frame over user_id%10 hot keys — the long-window regime
+    // (pairs with SparkEntry.benchVariants' MV formulation)
+    "q_long_window" ->
+      """SELECT event_id, round(sum(value) OVER w, 3) AS lw_sum,
+        |  count(value) OVER w AS lw_cnt
+        |FROM pb_events
+        |WINDOW w AS (PARTITION BY user_id % 10 ORDER BY ts_ms
+        |  RANGE BETWEEN 259200000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_skew_window" ->
+      """SELECT event_id, round(sum(value) OVER w, 3) AS sw_sum,
+        |  count(value) OVER w AS sw_cnt
+        |FROM pb_events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+        |  RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // EXCLUDE CURRENT_TIME + newest-5 cap over hot keys (user_id % 10):
+    // collect the range frame, drop same-ts non-self rows, slice newest 5
+    "q_skew_window_arr" ->
+      """WITH fr AS (
+        |  SELECT event_id,
+        |    slice(reverse(array_sort(filter(
+        |      collect_list(struct(ts_ms, event_id AS eid, value AS v)) OVER
+        |        (PARTITION BY user_id % 10 ORDER BY ts_ms
+        |         RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW),
+        |      x -> x.ts_ms <> ts_ms OR x.eid = event_id))), 1, 5) AS arr
+        |  FROM pb_events)
+        |SELECT event_id,
+        |  CASE WHEN size(filter(arr, x -> x.v IS NOT NULL)) > 0 THEN
+        |    round(aggregate(filter(arr, x -> x.v IS NOT NULL),
+        |      CAST(0.0 AS DOUBLE), (a, x) -> a + x.v), 3) END AS k_sum,
+        |  CAST(size(filter(arr, x -> x.v IS NOT NULL)) AS LONG) AS k_cnt,
+        |  array_max(transform(arr, x -> x.v)) AS k_max
+        |FROM fr""".stripMargin,
+
+    "q_join_window" ->
+      """WITH lj AS (
+        |  SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, r.l_quantity
+        |  FROM pb_orders o LEFT JOIN (
+        |    SELECT l_orderkey, l_quantity,
+        |      row_number() OVER (PARTITION BY l_orderkey
+        |        ORDER BY l_linenumber DESC, l_quantity DESC,
+        |                 l_extendedprice DESC) AS rn
+        |    FROM pb_lineitem) r
+        |    ON o.o_orderkey = r.l_orderkey AND r.rn = 1)
+        |SELECT o_orderkey, round(sum(l_quantity) OVER w, 3) AS w_qty,
+        |  count(l_quantity) OVER w AS w_cnt
+        |FROM lj
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // point-in-time features: history rows in the 10-minute range plus
+    // the request row itself (other request rows excluded from frames)
+    "q_request_mode" ->
+      """WITH u AS (
+        |  SELECT event_id, user_id, ts_ms, value,
+        |    event_id % 97 = 0 AS is_req FROM pb_events),
+        |fr AS (
+        |  SELECT event_id, is_req,
+        |    filter(collect_list(struct(ts_ms, event_id AS eid, value AS v,
+        |        is_req AS rq)) OVER
+        |      (PARTITION BY user_id ORDER BY ts_ms
+        |       RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW),
+        |      x -> NOT x.rq OR x.eid = event_id) AS arr
+        |  FROM u)
+        |SELECT event_id,
+        |  CASE WHEN size(filter(arr, x -> x.v IS NOT NULL)) > 0 THEN
+        |    round(aggregate(filter(arr, x -> x.v IS NOT NULL),
+        |      CAST(0.0 AS DOUBLE), (a, x) -> a + x.v), 3) END AS pit_sum,
+        |  CAST(size(filter(arr, x -> x.v IS NOT NULL)) AS LONG) AS pit_cnt
+        |FROM fr WHERE is_req""".stripMargin,
+
+    "q_ann_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid,
+        |    transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+        |  FROM pb_embeddings WHERE vec_id < 10),
+        |c AS (
+        |  SELECT vec_id,
+        |    transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+        |  FROM pb_embeddings),
+        |s AS (
+        |  SELECT q.qid, c.vec_id,
+        |    aggregate(zip_with(qe, ce, (x, y) -> x * y),
+        |        CAST(0.0 AS DOUBLE), (a, x) -> a + x)
+        |      / (sqrt(aggregate(zip_with(qe, qe, (x, y) -> x * y),
+        |          CAST(0.0 AS DOUBLE), (a, x) -> a + x))
+        |       * sqrt(aggregate(zip_with(ce, ce, (x, y) -> x * y),
+        |          CAST(0.0 AS DOUBLE), (a, x) -> a + x))) AS cos
+        |  FROM q JOIN c ON c.vec_id <> q.qid)
+        |SELECT qid, vec_id, round(cos, 6) AS cos, rnk FROM (
+        |  SELECT qid, vec_id, cos,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY cos DESC, vec_id) AS rnk FROM s)
+        |WHERE rnk <= 5""".stripMargin,
+
     "q_bench_shape" ->
       """WITH cust AS (
         |  SELECT c_custkey, c_nationkey, c_acctbal

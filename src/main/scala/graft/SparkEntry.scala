@@ -2162,6 +2162,28 @@ object SparkEntry {
       val docs = Tables.load(GraftSession.tune(s), d, "documents")
       graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text",
         shingleN = 1, bands = 8, rowsPerBand = 3, threshold = 0.25)
+    }),
+
+    // The gate definition (30-min frame over user_id) verifies the MV
+    // arithmetic but sits in the regime where a direct window wins
+    // (frames of ~0-2 rows at any SF of this data). The bench times
+    // the regime the operator EXISTS for — long frames over hot keys,
+    // where Spark's sliding RANGE frame recomputes the whole buffer
+    // per row (no retraction in WindowExec's SlidingWindowFunctionFrame)
+    // and goes quadratic, while the MV path stays
+    // O(rows-per-bucket + buckets-per-frame) per row. 3-day frame,
+    // 6-hour buckets, user_id%10 hot keys (~10k rows each, ~1.1k rows
+    // per frame at sf0.1).
+    "q_long_window" -> ((s: SparkSession, d: String) => {
+      val ev = Tables.load(GraftSession.tune(s), d, "events")
+        .withColumn("hk", col("user_id") % 10)
+      val pre = graft.operators.LongWindow.buildPreAgg(
+        ev, col("hk"), col("ts_ms"), col("value"), 21600000L)
+      graft.operators.LongWindow.sumCountOverLongWindow(ev, pre,
+          col("hk"), col("ts_ms"), col("value"), col("event_id"),
+          precedingMs = 259200000L, bucketMs = 21600000L)
+        .select(col("event_id"), round(col("lw_sum"), 3).as("lw_sum"),
+          col("lw_cnt"))
     })
   )
 }
