@@ -994,6 +994,99 @@ object GraftSql {
     }.toMap
   }
 
+  // ------------------------------------------------------------------
+  // Offline-job registry (task_manage/*.md). The reference's
+  // TaskManager tracks every submitted offline job (LOAD DATA =
+  // ImportOfflineData, SELECT INTO OUTFILE = ExportOfflineData — the
+  // SUBMIT_JOB.md job-producing statements) in a job-info table served
+  // by SHOW JOBS / SHOW JOB / SHOW JOBLOG / STOP JOB / DELETE JOB.
+  // This engine's jobs are synchronous Spark actions on the session,
+  // so the registry records their lifecycle around execution; STOP JOB
+  // only updates the status, exactly the documented local-mode
+  // behavior (STOP_JOB.md:10-12).
+  // ------------------------------------------------------------------
+
+  private[sql] case class JobInfo(id: Long, jobType: String, state: String,
+      startTime: Long, endTime: Long, parameter: String,
+      cluster: String, applicationId: String, error: String,
+      log: Seq[String])
+
+  private val jobsBySession =
+    new java.util.WeakHashMap[SparkSession,
+      (java.util.concurrent.atomic.AtomicLong,
+        scala.collection.concurrent.TrieMap[Long, JobInfo])]()
+  private def jobsOf(spark: SparkSession)
+      : (java.util.concurrent.atomic.AtomicLong,
+        scala.collection.concurrent.TrieMap[Long, JobInfo]) =
+    jobsBySession.synchronized {
+      var m = jobsBySession.get(spark)
+      if (m == null) {
+        m = (new java.util.concurrent.atomic.AtomicLong(0),
+          scala.collection.concurrent.TrieMap[Long, JobInfo]())
+        jobsBySession.put(spark, m)
+      }
+      m
+    }
+
+  /** Run `body` as a tracked offline job. The job row is visible to
+    * SHOW JOBS for the life of the session (or until DELETE JOB). */
+  private def trackJob[A](spark: SparkSession, jobType: String,
+      parameter: String)(body: => A): A = {
+    val (ctr, reg) = jobsOf(spark)
+    val id = ctr.incrementAndGet()
+    val start = System.currentTimeMillis()
+    reg.put(id, JobInfo(id, jobType, "RUNNING", start, 0L, parameter,
+      spark.sparkContext.master, spark.sparkContext.applicationId, "",
+      Seq(s"job $id ($jobType) submitted")))
+    try {
+      val r = body
+      val j = reg(id)
+      reg.put(id, j.copy(state = "FINISHED",
+        endTime = System.currentTimeMillis(),
+        log = j.log :+ s"job $id finished"))
+      r
+    } catch {
+      case e: Throwable =>
+        val j = reg(id)
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        reg.put(id, j.copy(state = "FAILED",
+          endTime = System.currentTimeMillis(), error = msg,
+          log = j.log :+ s"job $id failed: $msg"))
+        throw e
+    }
+  }
+
+  private def jobTime(ms: Long): String =
+    if (ms == 0L) ""
+    else new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+      .format(new java.util.Date(ms))
+
+  private val JobCols = Seq("job_id", "job_type", "state", "start_time",
+    "end_time", "parameter", "cluster", "application_id", "error")
+
+  private def jobFrame(spark: SparkSession, js: Seq[JobInfo])
+      : DataFrame = {
+    import spark.implicits._
+    js.sortBy(_.id).map(j => (j.id, j.jobType, j.state,
+        jobTime(j.startTime), jobTime(j.endTime), j.parameter,
+        j.cluster, j.applicationId, j.error))
+      .toDF(JobCols: _*)
+  }
+
+  /** Parse a job-id argument; a non-numeric id is an execution-time
+    * error (the reference's planner passes any literal through and the
+    * TaskManager rejects it). */
+  private def jobIdArg(p: Parser): Long = {
+    val t = p.next()
+    if (!t.forall(_.isDigit))
+      throw new IllegalArgumentException(s"invalid job id '$t'")
+    t.toLong
+  }
+
+  private def jobOrFail(spark: SparkSession, id: Long): JobInfo =
+    jobsOf(spark)._2.getOrElse(id,
+      throw new IllegalArgumentException(s"job $id does not exist"))
+
   /** Stored procedures by name (CREATE PROCEDURE ... BEGIN sql END) —
     * the reference's SP surface over its request engine
     * (docs/en/openmldb_sql/deployment_manage; procedures are
@@ -1534,6 +1627,41 @@ object GraftSql {
                     f.options.getOrElse("init", "")))))
             Some(rows.toDF("Name", "Return_type", "Arg_type",
               "Is_aggregate", "Body"))
+          case "JOBS" =>
+            // SHOW JOBS [FROM TASKMANAGER|NAMESERVER] [LIKE 'p']
+            // (task_manage/SHOW_JOBS.md; plan cmd.yaml ids show jobs*).
+            // Offline jobs live in the TaskManager analog (this
+            // registry); NAMESERVER jobs are the reference's internal
+            // ops (AddReplicaOP etc.), none of which exist here.
+            val target =
+              if (p.accept("FROM")) p.next().toUpperCase else "TASKMANAGER"
+            if (target != "TASKMANAGER" && target != "NAMESERVER")
+              throw new IllegalArgumentException(
+                s"SHOW JOBS FROM expects TASKMANAGER or NAMESERVER, got '$target'")
+            val like = if (p.accept("LIKE")) Some(stripQuotes(p.next()))
+              else None
+            val all = if (target == "NAMESERVER") Seq.empty[JobInfo]
+              else jobsOf(spark)._2.values.toSeq
+            val rows = like match {
+              case None => all
+              case Some(pat) =>
+                val re = pat.flatMap {
+                  case '%' => ".*"
+                  case '_' => "."
+                  case c if "\\.[]{}()*+?^$|".contains(c) => "\\" + c
+                  case c => c.toString
+                }
+                all.filter(_.id.toString.matches(re))
+            }
+            Some(jobFrame(spark, rows))
+          case "JOB" =>
+            // SHOW JOB <id> (task_manage/SHOW_JOB.md)
+            Some(jobFrame(spark, Seq(jobOrFail(spark, jobIdArg(p)))))
+          case "JOBLOG" =>
+            // SHOW JOBLOG <id> (task_manage/SHOW_JOBLOG.md): the job's
+            // captured driver-side log lines
+            val j = jobOrFail(spark, jobIdArg(p))
+            Some(j.log.map(Tuple1(_)).toDF("Log"))
           case "DEPLOYMENT" =>
             // SHOW DEPLOYMENT [db.]<name>: the deployment's SQL text
             // (deployment_manage/SHOW_DEPLOYMENT.md). The reference
@@ -1939,6 +2067,32 @@ object GraftSql {
         graft.GraftCatalog.insertValues(spark, name, rows.result())
         None
 
+      case "STOP" =>
+        // STOP JOB <id> (task_manage/STOP_JOB.md). In local mode the
+        // reference only modifies the status in the job-info table
+        // (STOP_JOB.md:10-12) — exactly this. Terminal jobs keep their
+        // final state. Returns the job row.
+        p.expect("STOP"); p.expect("JOB")
+        val id = jobIdArg(p)
+        val j = jobOrFail(spark, id)
+        val updated =
+          if (j.state == "FINISHED" || j.state == "FAILED") j
+          else j.copy(state = "STOPPED",
+            endTime = if (j.endTime == 0L) System.currentTimeMillis()
+              else j.endTime,
+            log = j.log :+ s"job $id stopped")
+        jobsOf(spark)._2.put(id, updated)
+        Some(jobFrame(spark, Seq(updated)))
+
+      case "DELETE" if p.toks.lift(1).exists(_.equalsIgnoreCase("JOB")) =>
+        // DELETE JOB <id> (plan cmd.yaml delete_job; kDeleteStmt
+        // target JOB): drop the job-info row
+        p.expect("DELETE"); p.expect("JOB")
+        val id = jobIdArg(p)
+        jobOrFail(spark, id)
+        jobsOf(spark)._2.remove(id)
+        None
+
       case "DELETE" =>
         p.expect("DELETE"); p.expect("FROM")
         val name = qualifyTable(spark, readTableName(p))
@@ -2017,8 +2171,12 @@ object GraftSql {
           throw new IllegalArgumentException(
             s"LOAD DATA target table '$rawName' does not exist")
         val schema = spark.table(name).schema
-        graft.GraftCatalog.insertInto(spark, name,
-          graft.sources.Sources.loadData(spark, path, opts, Some(schema)))
+        // LOAD DATA is a job-producing statement (SUBMIT_JOB.md) —
+        // tracked in the job registry around the Spark action
+        trackJob(spark, "ImportOfflineData", text.trim) {
+          graft.GraftCatalog.insertInto(spark, name,
+            graft.sources.Sources.loadData(spark, path, opts, Some(schema)))
+        }
         None
 
       case "DEPLOY" =>
@@ -2087,7 +2245,12 @@ object GraftSql {
           val opts = parseOptions(p)
           if (p.p != p.toks.length) p.fail("trailing tokens")
           val exported = planQuery(spark, q, Map.empty)
-          graft.sources.Sources.selectInto(exported, path, opts)
+          // SELECT INTO OUTFILE is a job-producing statement
+          // (SUBMIT_JOB.md) — tracked like the reference's
+          // ExportOfflineData TaskManager job
+          trackJob(spark, "ExportOfflineData", text.trim) {
+            graft.sources.Sources.selectInto(exported, path, opts)
+          }
           // surface the exported frame so callers can count/inspect it
           // (v040/test_out_in_offline.yaml id 0 expects count=6)
           Some(exported)
@@ -2405,6 +2568,7 @@ object GraftSql {
   def resetCatalogState(spark: SparkSession): Unit = {
     deployed(spark).clear()
     deployOpts(spark).clear()
+    locally { val (ctr, reg) = jobsOf(spark); reg.clear(); ctr.set(0) }
     procedures(spark).clear()
     dbsOf(spark).clear()
     sessionCurDb.remove(spark)

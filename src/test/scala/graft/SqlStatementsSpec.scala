@@ -215,4 +215,77 @@ class SqlStatementsSpec extends SparkSpec {
         "TTL_TYPE=ABSOLUTE, TTL=10m"))
     } finally GraftSql.statement(spark, "DROP TABLE sct1")
   }
+
+  // ---- job management (task_manage/*.md): SHOW JOBS / SHOW JOB /
+  // SHOW JOBLOG / STOP JOB / DELETE JOB over the offline-job registry
+  // fed by the job-producing statements (SUBMIT_JOB.md) ----
+
+  test("LOAD DATA and SELECT INTO register TaskManager jobs") {
+    GraftSql.resetCatalogState(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_jobs").toString
+    Seq((1L, "x"), (2L, "y")).toDF("k", "s").createOrReplaceTempView("jb_src")
+    GraftSql.statement(spark,
+      s"""SELECT k, s FROM jb_src INTO OUTFILE '$dir/out'
+         |OPTIONS (format='csv', mode='overwrite', header=true)""".stripMargin)
+    GraftSql.statement(spark, "CREATE TABLE jb_t (k bigint, s string)")
+    GraftSql.statement(spark,
+      s"LOAD DATA INFILE '$dir/out' INTO TABLE jb_t OPTIONS (format='csv', header=true)")
+
+    val jobs = GraftSql.statement(spark, "SHOW JOBS").get.collect()
+    assert(jobs.length == 2)
+    assert(jobs.map(_.getString(1)).toSet ==
+      Set("ExportOfflineData", "ImportOfflineData"))
+    assert(jobs.forall(_.getString(2) == "FINISHED"))
+    assert(jobs.forall(_.getString(4).nonEmpty)) // end_time set
+    assert(jobs.forall(_.getString(8).isEmpty))  // no error
+    // parameter records the submitted statement
+    assert(jobs.exists(_.getString(5).startsWith("LOAD DATA")))
+
+    // SHOW JOB <id> returns that row; SHOW JOBLOG its captured log
+    val j1 = GraftSql.statement(spark, "SHOW JOB 1").get.collect()
+    assert(j1.length == 1 && j1.head.getLong(0) == 1L)
+    val log = GraftSql.statement(spark, "SHOW JOBLOG 1").get
+      .collect().map(_.getString(0)).toSeq
+    assert(log.exists(_.contains("submitted")) &&
+      log.exists(_.contains("finished")))
+
+    // LIKE filters on the job id; NAMESERVER has no jobs here
+    assert(GraftSql.statement(spark, "SHOW JOBS LIKE '2'")
+      .get.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(GraftSql.statement(spark, "SHOW JOBS LIKE '%'")
+      .get.collect().length == 2)
+    assert(GraftSql.statement(spark, "SHOW JOBS FROM TASKMANAGER")
+      .get.collect().length == 2)
+    assert(GraftSql.statement(spark, "SHOW JOBS FROM NAMESERVER")
+      .get.collect().isEmpty)
+    GraftSql.statement(spark, "DROP TABLE jb_t")
+  }
+
+  test("failed jobs record FAILED state and the error; STOP/DELETE JOB") {
+    GraftSql.resetCatalogState(spark)
+    GraftSql.statement(spark, "CREATE TABLE jb_f (k bigint)")
+    intercept[Exception] {
+      GraftSql.statement(spark,
+        "LOAD DATA INFILE '/nonexistent/path' INTO TABLE jb_f OPTIONS (format='csv')")
+    }
+    val j = GraftSql.statement(spark, "SHOW JOB 1").get.collect().head
+    assert(j.getString(2) == "FAILED" && j.getString(8).nonEmpty)
+
+    // STOP JOB on a terminal job keeps its final state (local-mode
+    // semantics: status-table update only)
+    val stopped = GraftSql.statement(spark, "STOP JOB 1").get.collect().head
+    assert(stopped.getString(2) == "FAILED")
+
+    GraftSql.statement(spark, "DELETE JOB 1")
+    intercept[IllegalArgumentException] {
+      GraftSql.statement(spark, "SHOW JOB 1")
+    }
+    intercept[IllegalArgumentException] {
+      GraftSql.statement(spark, "STOP JOB 99")
+    }
+    intercept[IllegalArgumentException] {
+      GraftSql.statement(spark, "STOP JOB abc")
+    }
+    GraftSql.statement(spark, "DROP TABLE jb_f")
+  }
 }
