@@ -694,6 +694,25 @@ object SparkEntry {
           element_at(col("features"), 8).cast("long").as("n_px"))
     },
 
+    // real WAV decode through javax.sound.sampled over in-executor
+    // synthesized RIFF/PCM16 payloads; closed-form sample formula
+    // (Multimodal.wavSample) lets DuckDB recompute every statistic
+    // from doc_id alone
+    "q_multimodal_audio" -> q { (s, d) =>
+      val media = Multimodal.withWavPayload(T(s, d, "documents"), "doc_id")(s)
+      Multimodal.extractFeatures(media, new Multimodal.AudioDecoder)(s)
+        .toDF()
+        .select(col("id").as("doc_id"),
+          element_at(col("features"), 1).cast("int").as("n_chan"),
+          element_at(col("features"), 2).cast("int").as("rate_hz"),
+          element_at(col("features"), 3).cast("long").as("n_frames"),
+          element_at(col("features"), 4).cast("long").as("s_min"),
+          element_at(col("features"), 5).cast("long").as("s_max"),
+          element_at(col("features"), 6).cast("long").as("s_sum"),
+          element_at(col("features"), 7).cast("long").as("s_sum_abs"),
+          element_at(col("features"), 8).cast("long").as("n_loud"))
+    },
+
     // ---- round 2: wider SURVEY §2 coverage ----
 
     // statistical UDAFs (aggregate_def.cc:294-445)
@@ -1796,6 +1815,26 @@ object SparkEntry {
         |  CAST(max(greatest(r, g, b)) AS INTEGER) AS max_c,
         |  CAST(max(w) * max(h) AS BIGINT) AS n_px
         |FROM px GROUP BY doc_id""".stripMargin,
+
+    "q_multimodal_audio" ->
+      """WITH g AS (
+        |  SELECT d.doc_id, 40 + d.doc_id % 17 AS n, gi.i AS i
+        |  FROM documents d
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 56)) AS i) gi
+        |  WHERE gi.i < 40 + d.doc_id % 17),
+        |sm AS (
+        |  SELECT doc_id, n,
+        |    ((doc_id*131 + i*17) % 65536) - 32768 AS s
+        |  FROM g)
+        |SELECT doc_id,
+        |  CAST(1 AS INTEGER) AS n_chan, CAST(8000 AS INTEGER) AS rate_hz,
+        |  CAST(max(n) AS BIGINT) AS n_frames,
+        |  CAST(min(s) AS BIGINT) AS s_min, CAST(max(s) AS BIGINT) AS s_max,
+        |  CAST(sum(s) AS BIGINT) AS s_sum,
+        |  CAST(sum(abs(s)) AS BIGINT) AS s_sum_abs,
+        |  CAST(sum(CASE WHEN abs(s) > 30000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_loud
+        |FROM sm GROUP BY doc_id""".stripMargin,
 
     "q_stddev" ->
       """SELECT o_orderstatus,

@@ -8,11 +8,12 @@ import org.apache.spark.sql.functions._
   * extraction runs batch-wise in `mapPartitions` (the Scala analog of
   * a vectorized pandas UDF — one JVM call per partition, not per row).
   *
-  * Image decode is REAL: [[ImageDecoder]] decodes PNG/JPEG/GIF/BMP
-  * payload bytes with the JDK's `javax.imageio` (no external
-  * dependencies) into deterministic integer pixel statistics. Audio and
-  * video payloads remain opaque binaries ([[FakeDecoder]] documents the
-  * stand-in contract for codecs absent from this environment). The
+  * Image decode is REAL ([[ImageDecoder]], JDK `javax.imageio` —
+  * PNG/JPEG/GIF/BMP) and audio decode is REAL ([[AudioDecoder]], JDK
+  * `javax.sound.sampled` — WAV/AIFF/AU PCM), both producing
+  * deterministic integer statistics with no external dependencies.
+  * Video payloads remain opaque binaries ([[FakeDecoder]] documents
+  * the stand-in contract for codecs absent from this environment). The
   * Spark-side contract — schema, partition sizing, batch iteration,
   * null handling — is identical for all decoders; swap [[Decoder]]
   * implementations to plug another codec.
@@ -71,8 +72,60 @@ object Multimodal {
     }
   }
 
+  /** Real audio decode via the JDK's `javax.sound.sampled` (WAV/AIFF/AU
+    * PCM — no external libraries). Features are exact integer sample
+    * statistics (magnitudes kept < 2^24 by the synth corpus, so
+    * lossless as Float):
+    * [channels, sampleRateHz, nFrames, minSample, maxSample, sum,
+    *  sumAbs, nLoud(|s| > 30000)].
+    * Non-audio or undecodable payloads yield the zero vector (decode
+    * failure is data, not an exception). Compressed codecs (mp3/ogg)
+    * have no JDK SPI — they would decode through the same contract
+    * with a codec library on the executor classpath. */
+  class AudioDecoder extends Decoder {
+    val featureSize: Int = 8
+    def decode(payload: Array[Byte], mimeType: String): Array[Float] = {
+      val out = new Array[Float](featureSize)
+      if (payload == null || payload.isEmpty) return out
+      val ais =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        catch { case _: Exception => null }
+      if (ais == null) return out
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getEncoding !=
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16) return out
+        val bytes = ais.readAllBytes()
+        val be = fmt.isBigEndian
+        var i = 0
+        var mn = Int.MaxValue; var mx = Int.MinValue
+        var sum = 0L; var sumAbs = 0L; var loud = 0L; var n = 0L
+        while (i + 1 < bytes.length) {
+          val s =
+            if (be) ((bytes(i) << 8) | (bytes(i + 1) & 0xff)).toShort.toInt
+            else ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort.toInt
+          if (s < mn) mn = s
+          if (s > mx) mx = s
+          sum += s; sumAbs += math.abs(s)
+          if (math.abs(s) > 30000) loud += 1
+          n += 1; i += 2
+        }
+        if (n == 0) return out
+        out(0) = fmt.getChannels.toFloat
+        out(1) = fmt.getSampleRate
+        out(2) = (n / fmt.getChannels).toFloat
+        out(3) = mn.toFloat; out(4) = mx.toFloat
+        out(5) = sum.toFloat; out(6) = sumAbs.toFloat; out(7) = loud.toFloat
+        out
+      } catch { case _: Exception => new Array[Float](featureSize) }
+      finally ais.close()
+    }
+  }
+
   /** Deterministic stub for codecs absent from this environment
-    * (audio/video): byte-histogram-derived features. */
+    * (video): byte-histogram-derived features. */
   class FakeDecoder(val featureSize: Int = 8) extends Decoder {
     def decode(payload: Array[Byte], mimeType: String): Array[Float] = {
       val out = new Array[Float](featureSize)
@@ -138,6 +191,49 @@ object Multimodal {
         }
       }.toDF("id", "payload")
       .withColumn("mime_type", lit("image/png"))
+  }
+
+  /** Sample formula for [[withWavPayload]] — closed-form so an external
+    * oracle can recompute the decoded statistics from the id alone:
+    * sample(i) = ((id·131 + i·17) mod 65536) − 32768, mono 16-bit PCM
+    * at 8 kHz, nSamples = 40 + id mod 17. */
+  def wavSamples(id: Long): Int = (40 + id % 17).toInt
+  def wavSample(id: Long, i: Int): Int =
+    Math.floorMod(id * 131 + i * 17, 65536L).toInt - 32768
+  val WavRateHz = 8000
+
+  /** Synthesize one genuine RIFF/WAVE file per row (44-byte canonical
+    * header + PCM16LE frames) from the deterministic sample formula:
+    * the media bytes are real WAV files (decodable by any audio stack,
+    * including `javax.sound.sampled`) while the decoded statistics stay
+    * recomputable in closed form for oracle checks. Payloads are ≤ 156
+    * bytes, so partition sizing follows the input table. */
+  def withWavPayload(docs: DataFrame, idCol: String)
+      (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val n = wavSamples(id)
+          val dataLen = n * 2
+          val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+            .put("WAVE".getBytes("US-ASCII"))
+            .put("fmt ".getBytes("US-ASCII")).putInt(16)
+            .putShort(1)            // PCM
+            .putShort(1)            // mono
+            .putInt(WavRateHz)
+            .putInt(WavRateHz * 2)  // byte rate
+            .putShort(2)            // block align
+            .putShort(16)           // bits per sample
+            .put("data".getBytes("US-ASCII")).putInt(dataLen)
+          var i = 0
+          while (i < n) { bb.putShort(wavSample(id, i).toShort); i += 1 }
+          (id, bb.array())
+        }
+      }.toDF("id", "payload")
+      .withColumn("mime_type", lit("audio/wav"))
   }
 
   /** Batch feature extraction: partition-wise decode keeping Tungsten
