@@ -5307,20 +5307,47 @@ object GraftSql {
     // partition by (keys, bucket), and owner rows are kept afterwards —
     // a hot key becomes span/bucketMs independent tasks for one 2× row
     // duplication (same scheme as operators.SkewWindow). Applies to
-    // groups where EVERY window is a bounded ROWS_RANGE over an
-    // ascending order key (frame ⊆ [t-p, t] ⊆ {bucket-1, bucket} when
-    // bucketMs >= p, so membership — MAXSIZE / EXCLUDE / UNION flags /
-    // strict ties, all (ts, uid)-based — is bucket-invariant). ROWS
-    // frames, unbounded frames, descending keys and frameless offset
-    // functions (lag/at reach arbitrarily far back) stay unbucketed;
-    // request mode is excluded like the reference (offline-only opt).
+    // groups where EVERY window has a BOUNDED frame over an order key:
+    //  - ROWS_RANGE: time buckets (frame ⊆ [t-p, t] ⊆ {bucket-1,
+    //    bucket} when bucketMs >= p, so membership — MAXSIZE / EXCLUDE
+    //    / UNION flags / strict ties, all (ts, uid)-based — is
+    //    bucket-invariant). DESC keys bucket on the NEGATED key (the
+    //    frame reaches toward larger keys; same argument mirrored).
+    //  - ROWS: count chunks of C >= frame-rows rows, derived from a
+    //    cheap streaming rank over the unsplit key (the rank pass is
+    //    O(n log n) sort + O(n) scan; the per-row frame work — the
+    //    actual hot-key cost — then parallelizes across chunks whose
+    //    previous chunk supplies the full C-row history). Union-free
+    //    windows only: side-table rows would shift every rank.
+    // Unbounded frames and frameless offset functions (lag/at reach
+    // arbitrarily far back) stay unbucketed; request mode is excluded
+    // like the reference (offline-only opt).
     val skewOpt = !requestMode && sessionVarsOf(spark)
       .getOrElse("window_skew_opt", "false") == "true"
     val SwRoleCol = "__graft_swrole"
-    // order-expr text -> bucket column, live between explode/collapse
+    // window signature -> bucket column, live between explode/collapse.
+    // RANGE windows bucket by TIME (partition-agnostic: any window on
+    // the same ms key and direction shares one column); ROWS windows
+    // bucket by COUNT (a rank-derived chunk — partition-specific, since
+    // the rank is per key). DESC windows bucket on the NEGATED key:
+    // frames reach toward larger keys, so "next bucket" in the frame
+    // direction is the next bucket of -ts (mirror of the asc argument).
+    case class SkewEntry(key: String, order: String, desc: Boolean,
+        isRows: Boolean, partition: Seq[String], span: Long, colName: String)
+    def skewKey(w: WinDef): String =
+      (if (w.isRows) "R|" + w.partition.mkString(",") + "|" else "G|") +
+        (if (w.orderDesc) "D|" else "A|") + w.order.getOrElse("")
     var skewBuckets: Map[String, String] = Map.empty
+    def skewBucketOf(w: WinDef): Seq[Column] =
+      if (w.order.isEmpty) Nil
+      else skewBuckets.get(skewKey(w)).map(col).toSeq
+    // a ROWS chunk must hold at least the frame's row reach; the floor
+    // keeps tiny frames from exploding into per-few-row groups (small
+    // frames are cheap anyway — the chunk only needs to parallelize
+    // the heavy per-row frame work of a hot key)
+    val MinRowsChunk = 4096L
     def skewPlanOf(gexprs: Seq[(String, String, WinDef)])
-        : Option[Seq[(String, Long, String)]] = {
+        : Option[Seq[SkewEntry]] = {
       skewBuckets = Map.empty
       if (!skewOpt || gexprs.isEmpty) return None
       val offsetFns = Set("lag", "lead", "at")
@@ -5331,32 +5358,58 @@ object GraftSql {
       }
       val ok = gexprs.forall { case (_, fnText, w) =>
         val head = fnText.trim.takeWhile(_ != '(').trim.toLowerCase
-        !offsetFns(head) && !w.isRows && !w.orderDesc &&
-          w.order.isDefined && spanOf(w).isDefined
+        // offset fns are frameless (reach arbitrarily far back); ROWS
+        // chunks additionally require union-free windows (side-table
+        // rows would shift every rank)
+        !offsetFns(head) && w.order.isDefined && spanOf(w).isDefined &&
+          (!w.isRows || w.unions.isEmpty)
       }
       if (!ok) return None
-      val byOrder = gexprs.map(_._3).distinct.groupBy(_.order.get)
-      Some(byOrder.toSeq.sortBy(_._1).zipWithIndex.map { case ((o, ws), i) =>
-        (o, math.max(ws.flatMap(spanOf).max, 1L), s"__graft_swb_$i")
+      val wins = gexprs.map(_._3).distinct
+      Some(wins.groupBy(skewKey).toSeq.sortBy(_._1).zipWithIndex.map {
+        case ((k, ws), i) =>
+          val w0 = ws.head
+          val reach = math.max(ws.flatMap(spanOf).max, 1L)
+          SkewEntry(k, w0.order.get, w0.orderDesc, w0.isRows,
+            if (w0.isRows) w0.partition else Nil,
+            if (w0.isRows) math.max(reach, MinRowsChunk) else reach,
+            s"__graft_swb_$i")
       })
     }
-    def skewExplode(df0: DataFrame,
-        plan: Seq[(String, Long, String)]): DataFrame = {
-      var df = df0.withColumn(SwRoleCol, explode(array(lit(0), lit(1))))
-      plan.foreach { case (o, bMs, cn) =>
-        val ts = orderMs(base, o)
-        // exact floor-division (pre-epoch keys floor, not truncate)
-        val own = ((ts - pmod(ts, lit(bMs))) / lit(bMs)).cast("long")
-        df = df.withColumn(cn, own + col(SwRoleCol))
+    def skewExplode(df0: DataFrame, plan: Seq[SkewEntry]): DataFrame = {
+      var df = df0
+      // ROWS chunks: rank over the UNSPLIT key first (cheap streaming
+      // rank — the heavy per-row frame work is what gets bucketed),
+      // in the window's own (order, uid) tie order
+      plan.filter(_.isRows).foreach { e =>
+        val ord =
+          if (e.desc) Seq(expr(e.order).desc, col(UidCol).desc)
+          else Seq(expr(e.order).asc, col(UidCol).asc)
+        val rw = Window.partitionBy(e.partition.map(expr): _*).orderBy(ord: _*)
+        df = df.withColumn(s"${e.colName}_rn", row_number().over(rw))
       }
-      skewBuckets = plan.map { case (o, _, cn) => o -> cn }.toMap
+      df = df.withColumn(SwRoleCol, explode(array(lit(0), lit(1))))
+      plan.foreach { e =>
+        val own =
+          if (e.isRows)
+            floor((col(s"${e.colName}_rn") - 1) / lit(e.span)).cast("long")
+          else {
+            val ts0 = orderMs(base, e.order)
+            val ts = if (e.desc) -ts0 else ts0
+            // exact floor-division (pre-epoch keys floor, not truncate)
+            ((ts - pmod(ts, lit(e.span))) / lit(e.span)).cast("long")
+          }
+        df = df.withColumn(e.colName, own + col(SwRoleCol))
+      }
+      skewBuckets = plan.map(e => e.key -> e.colName).toMap
       df
     }
-    def skewCollapse(df0: DataFrame,
-        plan: Seq[(String, Long, String)]): DataFrame = {
+    def skewCollapse(df0: DataFrame, plan: Seq[SkewEntry]): DataFrame = {
       skewBuckets = Map.empty
       df0.filter(col(SwRoleCol) === 0)
-        .drop(SwRoleCol +: plan.map(_._3): _*)
+        .drop(SwRoleCol +: plan.flatMap(e =>
+          if (e.isRows) Seq(e.colName, s"${e.colName}_rn")
+          else Seq(e.colName)): _*)
     }
 
     /** Pre-partition by the (shared) window partition keys when the
@@ -5403,8 +5456,7 @@ object GraftSql {
     // every windowed computation in a skewed group MUST carry the
     // bucket or it would window over replicated rows
     def partCols(w: WinDef): Seq[Column] =
-      w.partition.map(expr) ++
-        w.order.flatMap(skewBuckets.get).map(col).toSeq
+      w.partition.map(expr) ++ skewBucketOf(w)
 
     // Aggregates over the SAME extended window spec share ONE
     // struct-valued frame array — the frame buffer, sort and
@@ -5598,7 +5650,8 @@ object GraftSql {
           // at-or-before positions at native speed. distinct_count is
           // excluded: Spark has no DISTINCT window aggregate, so it
           // takes the frame-array path below.
-          expr(fnText).over(plainSpec(w, Some(col(UidCol))))
+          expr(fnText).over(plainSpec(w, Some(col(UidCol)),
+            extraPart = skewBucketOf(w)))
         } else if (plain && !w.isRows && !windowBound && !extAggs(fn) &&
             fn != "identity" && !isUserAgg) {
           // registered UDAF families (cate / top_n / entropy / top /
@@ -5608,7 +5661,7 @@ object GraftSql {
           // sort after the current one — the documented rowsRange tie
           // deviation (WindowOps.rowsRange scaladoc).
           expr(fnText).over(plainSpec(w, msBase = base,
-                extraPart = w.order.flatMap(skewBuckets.get).map(col).toSeq))
+                extraPart = skewBucketOf(w)))
         } else if (plain && !w.isRows && !w.orderDesc && decomposable &&
             splitV.isEmpty) {
           // plain ROWS_RANGE sum/count/avg: strict-tie prefix-sum
@@ -5660,8 +5713,17 @@ object GraftSql {
           // no ORDER BY (legal only for an unbounded plain frame,
           // checked above): constant key — each row's frame is its
           // uid-ordered (ingestion-order) prefix of the partition,
-          // matching the reference's arrival-order buffer
-          val ts = w.order.map(o => orderMs(base, o)).getOrElse(lit(0L))
+          // matching the reference's arrival-order buffer.
+          // ORDER BY ... DESC is a dialect extension (the reference's
+          // window grammar has no direction and its corpus never uses
+          // one — WINDOW_CLAUSE.md:14): standard SQL reversal,
+          // expressed by NEGATING the (ms, uid) keys so every
+          // ascending frame-builder below reads the descending stream
+          // unchanged (frames reach toward larger keys, ties break on
+          // later ingestion first, like plainSpec's desc uid order)
+          val ts0 = w.order.map(o => orderMs(base, o)).getOrElse(lit(0L))
+          val ts = if (w.orderDesc) -ts0 else ts0
+          val wUid = if (w.orderDesc) -col(UidCol) else col(UidCol)
           // ROWS frames over an extended window: a row-count frame is an
           // unbounded range capped to the newest (n+1) at-or-before rows
           // (strict row order makes same-ts peers behave like ROWS);
@@ -5719,7 +5781,7 @@ object GraftSql {
             // Simple aggregates decompose into a native running aggregate
             // over STRICTLY-PRIOR rows plus the current row's own value —
             // constant state per row at any scale.
-            WindowOps.unboundedAgg(fn, v, ts, col(UidCol),
+            WindowOps.unboundedAgg(fn, v, ts, wUid,
               w.partition.map(expr),
               excludeCurrentTime = w.exclCT,
               excludeCurrentRow = w.exclCR,
@@ -5741,7 +5803,7 @@ object GraftSql {
             // rebinds base columns to the frame row; window-result ids
             // stay free and resolve to the current row's columns.
             val arrName = s"__graft_arr_$id"
-            val arr = WindowOps.frameArray(struct(col("*")), ts, col(UidCol),
+            val arr = WindowOps.frameArray(struct(col("*")), ts, wUid,
               partCols(w), preceding,
               maxSize = rowCap,
               excludeCurrentTime = w.exclCT,
@@ -5803,7 +5865,7 @@ object GraftSql {
                   // argument — including nested window-result ids —
                   // evaluates per frame row (auto_gen_case_0 shape)
                   expr(fnText).over(plainSpec(w, msBase = base,
-                extraPart = w.order.flatMap(skewBuckets.get).map(col).toSeq))
+                extraPart = skewBucketOf(w)))
                 else throw new IllegalArgumentException(
                   s"window-result-bound argument unsupported for '$other'")
             }
@@ -5815,7 +5877,7 @@ object GraftSql {
                   .contains(org.apache.spark.sql.types.BooleanType))
               s"dcb:${args.head}"
             else if (argText == "*") "*" else args.head, v,
-            sv => WindowOps.frameArray(sv, ts, col(UidCol),
+            sv => WindowOps.frameArray(sv, ts, wUid,
               partCols(w), preceding,
               maxSize = rowCap,
               excludeCurrentTime = w.exclCT,

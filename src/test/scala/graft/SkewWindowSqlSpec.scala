@@ -86,11 +86,7 @@ class SkewWindowSqlSpec extends SparkSpec {
         |  ROWS_RANGE BETWEEN 5s OPEN PRECEDING AND CURRENT ROW)""".stripMargin)
   }
 
-  test("ineligible shapes (ROWS / unbounded / lag) stay correct under the flag") {
-    assertLossless(
-      """SELECT pk, ts, sum(v) OVER w AS s
-        |FROM ev WINDOW w AS (PARTITION BY pk ORDER BY ts
-        |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin)
+  test("ineligible shapes (unbounded / lag) stay correct under the flag") {
     assertLossless(
       """SELECT pk, ts, count(v) OVER w AS c
         |FROM ev WINDOW w AS (PARTITION BY pk ORDER BY ts
@@ -99,6 +95,103 @@ class SkewWindowSqlSpec extends SparkSpec {
       """SELECT pk, ts, lag(v, 1) OVER w AS pv
         |FROM ev WINDOW w AS (PARTITION BY pk ORDER BY ts
         |  ROWS_RANGE BETWEEN 5s PRECEDING AND CURRENT ROW)""".stripMargin)
+  }
+
+  test("bounded ROWS frames chunk losslessly (incl. EXCLUDE / bounds)") {
+    assertLossless(
+      """SELECT pk, ts, sum(v) OVER w AS s, count(v) OVER w AS c
+        |FROM ev WINDOW w AS (PARTITION BY pk ORDER BY ts
+        |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin)
+    assertLossless(
+      """SELECT pk, ts, sum(v) OVER w AS s
+        |FROM ev WINDOW w AS (PARTITION BY pk ORDER BY ts
+        |  ROWS BETWEEN 5 PRECEDING AND 2 PRECEDING)""".stripMargin)
+    assertLossless(
+      """SELECT pk, ts, distinct_count(v) OVER w AS dc
+        |FROM ev WINDOW w AS (PARTITION BY pk ORDER BY ts
+        |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW EXCLUDE CURRENT_ROW)""".stripMargin)
+  }
+
+  test("ROWS chunking stays lossless across a chunk boundary (>4096 rows)") {
+    // one key larger than the minimum chunk, with duplicate timestamps:
+    // rows just past rank 4096 must read their history from the prior
+    // chunk's replicas
+    val big = (0 until 9000).map(i => ("uh", (i / 2) * 10L, i.toDouble))
+      .toDF("pk", "ts", "v")
+    assertLossless(
+      """SELECT pk, ts, sum(v) OVER w AS s, count(v) OVER w AS c
+        |FROM ev WINDOW w AS (PARTITION BY pk ORDER BY ts
+        |  ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)""".stripMargin,
+      Map("ev" -> big))
+  }
+
+  test("DESC order buckets losslessly (negated-key buckets)") {
+    assertLossless(
+      """SELECT pk, ts, sum(v) OVER w AS s, count(v) OVER w AS c
+        |FROM ev WINDOW w AS (PARTITION BY pk ORDER BY ts DESC
+        |  ROWS_RANGE BETWEEN 5s PRECEDING AND CURRENT ROW)""".stripMargin)
+    assertLossless(
+      """SELECT pk, ts, sum(v) OVER w AS s
+        |FROM ev WINDOW w AS (PARTITION BY pk ORDER BY ts DESC
+        |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin)
+    assertLossless(
+      """SELECT pk, ts, max(v) OVER w AS mx
+        |FROM ev WINDOW w AS (PARTITION BY pk ORDER BY ts DESC
+        |  ROWS_RANGE BETWEEN 5s PRECEDING AND CURRENT ROW MAXSIZE 3)""".stripMargin)
+  }
+
+  test("DESC RANGE frames reach toward larger keys (dialect extension)") {
+    // hand-computed: DESC preceding = later timestamps
+    val t = Seq(("a", 10L, 1.0), ("a", 20L, 2.0), ("a", 30L, 3.0),
+      ("a", 40L, 4.0)).toDF("k", "ts", "v")
+    def q(sql: String) = GraftSql.sql(spark, sql, Map("t" -> t)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val rr = q("""SELECT ts, sum(v) OVER w AS s FROM t
+      |WINDOW w AS (PARTITION BY k ORDER BY ts DESC
+      |  ROWS_RANGE BETWEEN 10 PRECEDING AND CURRENT ROW)""".stripMargin)
+    assert(rr == Seq((10L, 3.0), (20L, 5.0), (30L, 7.0), (40L, 4.0)))
+    // and the same under the skew flag
+    val rrSkew = withSkew(q("""SELECT ts, sum(v) OVER w AS s FROM t
+      |WINDOW w AS (PARTITION BY k ORDER BY ts DESC
+      |  ROWS_RANGE BETWEEN 10 PRECEDING AND CURRENT ROW)""".stripMargin))
+    assert(rrSkew == rr)
+    // ROWS agrees with the same direction convention
+    val rw = q("""SELECT ts, sum(v) OVER w AS s FROM t
+      |WINDOW w AS (PARTITION BY k ORDER BY ts DESC
+      |  ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)""".stripMargin)
+    assert(rw == Seq((10L, 3.0), (20L, 5.0), (30L, 7.0), (40L, 4.0)))
+  }
+
+  test("mixed ROWS + RANGE group buckets both shapes") {
+    assertLossless(
+      """SELECT pk, ts, sum(v) OVER w1 AS s1, sum(v) OVER w2 AS s2
+        |FROM ev WINDOW w1 AS (PARTITION BY pk ORDER BY ts
+        |  ROWS_RANGE BETWEEN 5s PRECEDING AND CURRENT ROW),
+        |w2 AS (PARTITION BY pk ORDER BY ts
+        |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin)
+  }
+
+  test("ROWS window with UNION keeps the whole group unbucketed, correct") {
+    val side = Seq(("u0", 1500L, 1000.0)).toDF("pk", "ts", "v")
+    val sql = """SELECT pk, ts, count(v) OVER w AS c
+      |FROM ev WINDOW w AS (UNION side PARTITION BY pk ORDER BY ts
+      |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin
+    assertLossless(sql, Map("ev" -> ev, "side" -> side))
+    val plan = withSkew(GraftSql.sql(spark, sql,
+      Map("ev" -> ev, "side" -> side))).queryExecution.executedPlan.toString
+    assert(!plan.contains("__graft_swb"))
+  }
+
+  test("the chunked ROWS plan exchanges on (keys, chunk)") {
+    val df = withSkew(GraftSql.sql(spark,
+      """SELECT pk, ts, sum(v) OVER w AS s
+        |FROM ev WINDOW w AS (PARTITION BY pk ORDER BY ts
+        |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin,
+      Map("ev" -> ev)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("__graft_swb_0"),
+      s"expected chunk column in plan:\n${plan.take(2000)}")
+    assert(plan.contains("hashpartitioning(pk"), "expected keyed exchange")
   }
 
   test("the skewed plan exchanges on (keys, bucket) — the split is real") {
