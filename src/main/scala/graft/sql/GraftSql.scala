@@ -3682,6 +3682,10 @@ object GraftSql {
             // (v040/test_udaf.yaml id 1 "un-support const node")
             throw new IllegalArgumentException(
               "count over a constant is unsupported (un-support const node)")
+          } else if (low == "atan" && splitTokenArgs(inner).length == 2) {
+            // the reference's atan(Y, X) two-arg form IS atan2
+            // (udfs_8h.md atan: "atan(Y, X) is equivalent to atan2")
+            out += "atan2"; out += "("; out ++= inner; out += ")"
           } else if (mathFns1(low)) {
             // math functions: bool operands coerce to double (except
             // the trig/sqrt family, which the reference rejects —
@@ -3827,7 +3831,36 @@ object GraftSql {
             out += "("; out ++= inner; out += ")"
           } else if (low == "timestamp") out ++= tsCall(inner)
           else if (low == "date") out ++= dateCall(inner)
-          else { out += ts(i); out += "("; out ++= inner; out += ")" }
+          else if (low == "unix_timestamp" && inner.nonEmpty &&
+              (isQuoted(inner.head) ||
+                resolveTy(inner.mkString(" ")).contains(StringType))) {
+            // unix_timestamp over a wall-clock STRING: the corpus
+            // convention reads those at UTC+8 (Tables loader,
+            // tsCall) — Spark's builtin would use the session zone.
+            // Date/timestamp operands keep the builtin (oracle-pinned).
+            out ++= Vector("floor", "(", "unix_millis", "(",
+              "to_utc_timestamp", "(", "to_timestamp", "(") ++ inner ++
+              Vector(")", ",", "'GMT+8'", ")", ")", "/", "1000", ")")
+          } else if (low == "get_json_object" &&
+              splitTokenArgs(inner).length == 2 &&
+              splitTokenArgs(inner)(1).length == 1 &&
+              isQuoted(splitTokenArgs(inner)(1).head) &&
+              stripQuotes(splitTokenArgs(inner)(1).head).startsWith("/")) {
+            // the reference's path argument is a JSON POINTER
+            // (RFC 6901: /a/b, ~0 = '~', ~1 = '/'; udf json path doc) —
+            // translate literal pointers to the Spark JsonPath dialect
+            // ($.a, $[0], $['key'])
+            val as = splitTokenArgs(inner)
+            val segs = stripQuotes(as(1).head).split("/").drop(1)
+              .map(_.replace("~1", "/").replace("~0", "~"))
+            val path = "$" + segs.map { s =>
+              if (s.forall(_.isDigit) && s.nonEmpty) s"[$s]"
+              else if (s.matches("[A-Za-z_][A-Za-z0-9_]*")) s".$s"
+              else s"['$s']"
+            }.mkString
+            out += "get_json_object"; out += "("
+            out ++= as(0); out += ","; out += quoteSqlLiteral(path); out += ")"
+          } else { out += ts(i); out += "("; out ++= inner; out += ")" }
           i = close + 1
         } else { out += ts(i); i += 1 }
       }
