@@ -631,6 +631,31 @@ object SparkEntry {
         floor(TextOps.qualityScore(t) * 1e6).cast("long").as("q_score"))
     },
 
+    // repetition metrics (Gopher/C4 duplicate-text quality filters):
+    // duplicate-word and duplicate-3-gram fractions, floor(x*1e6) to
+    // sidestep decimal-boundary rounding in the hash compare
+    "q_text_repetition" -> q { (s, d) =>
+      val t = col("text")
+      T(s, d, "documents").select(
+        col("doc_id"),
+        TextOps.tokenCount(t).as("n_words"),
+        floor(TextOps.dupWordFraction(t) * 1e6).cast("long").as("dup_word_f6"),
+        floor(TextOps.dupNgramFraction(t, 3) * 1e6).cast("long")
+          .as("dup_3gram_f6"))
+    },
+
+    // benchmark decontamination: training docs sharing any word
+    // 3-gram with the probe set (doc_id % 50 = 0 plays the benchmark)
+    // are flagged — 257 of 490 on this near-dup-dense corpus at sf0.01
+    "q_decontaminate" -> q { (s, d) =>
+      val docs = T(s, d, "documents")
+      Dedup.decontaminate(
+          docs.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(50)) === 0),
+          "doc_id", "text", n = 3)
+        .select(col("doc_id"), col("contaminated"))
+    },
+
     // BPE-ish token counting (letter/digit/punct runs)
     "q_token_bpe" -> q { (s, d) =>
       T(s, d, "documents").select(
@@ -1740,6 +1765,35 @@ object SparkEntry {
         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS INTEGER) AS n_bpe,
         | CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_ws
         |FROM documents""".stripMargin,
+
+    "q_text_repetition" ->
+      """WITH w AS (SELECT doc_id,
+        |  regexp_split_to_array(trim(text), '\s+') AS ws FROM documents)
+        |SELECT doc_id, CAST(len(ws) AS INTEGER) AS n_words,
+        | CAST(floor((1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws))
+        |   * 1e6) AS BIGINT) AS dup_word_f6,
+        | CAST(floor((CASE WHEN len(ws) < 3 THEN 0.0
+        |   ELSE 1.0 - CAST(len(list_distinct(list_transform(
+        |     generate_series(1, len(ws) - 2),
+        |     i -> array_to_string(ws[i:i+2], ' ')))) AS DOUBLE)
+        |     / (len(ws) - 2) END) * 1e6) AS BIGINT) AS dup_3gram_f6
+        |FROM w""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH w AS (SELECT doc_id,
+        |  regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |g AS (SELECT doc_id,
+        |  CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |  ELSE list_distinct(list_transform(generate_series(1, len(ws) - 2),
+        |    i -> array_to_string(ws[i:i+2], ' '))) END AS gs FROM w),
+        |probe AS (SELECT DISTINCT unnest(gs) AS gr FROM g
+        |  WHERE doc_id % 50 = 0),
+        |hit AS (SELECT DISTINCT t.doc_id FROM
+        |  (SELECT doc_id, unnest(gs) AS gr FROM g WHERE doc_id % 50 <> 0) t
+        |  JOIN probe p ON t.gr = p.gr)
+        |SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+        |FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
+        |WHERE d.doc_id % 50 <> 0""".stripMargin,
 
     "q_lang_id" ->
       """WITH t AS (SELECT doc_id,

@@ -339,6 +339,32 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Benchmark decontamination — the train/test-overlap removal step
+    * of an LLM data pipeline: flag every training document sharing ANY
+    * word n-gram with the probe (benchmark) set. Grams compare as
+    * xxhash64 shingles ([[shingleHashes]] — membership-equivalent to
+    * string n-grams, collision odds ~(|grams|²/2⁶⁵)); the probe gram
+    * set broadcasts by default (benchmark suites are tiny next to a
+    * 100 TB training corpus — drop the hint via `broadcastProbes` for
+    * a probe set past executor memory and the equi-join shuffles).
+    * Returns `train` plus a `contaminated` boolean. */
+  def decontaminate(train: DataFrame, probes: DataFrame, idCol: String,
+      textCol: String, n: Int = 3,
+      broadcastProbes: Boolean = true): DataFrame = {
+    val pg0 = probes
+      .select(explode(shingleHashes(col(textCol), n)).as("__g")).distinct()
+    val probeGrams = if (broadcastProbes) broadcast(pg0) else pg0
+    // narrow (id, gram) rows through the join; partial-agg distinct
+    // collapses duplicate hits map-side before the id shuffle
+    val hits = train.select(col(idCol).as("__cid"),
+        explode(shingleHashes(col(textCol), n)).as("__g"))
+      .join(probeGrams, "__g")
+      .select(col("__cid")).distinct()
+    train.join(hits, train(idCol) === hits("__cid"), "left")
+      .withColumn("contaminated", col("__cid").isNotNull)
+      .drop("__cid")
+  }
+
   /** 64-bit SimHash over word tokens: per-bit weighted vote of token
     * hashes; bit b set iff Σ_tokens sign(bit b of xxhash64(token)) > 0. */
   def simhash(textCol: Column): Column =

@@ -94,6 +94,40 @@ object TextOps {
       least(n - s, lit(chunkTokens)).cast("int").as("n_tokens")))
   }
 
+  /** Word n-grams as strings (space-joined, NON-distinct, in order);
+    * a document shorter than n yields its whole word sequence as one
+    * gram — the same convention as [[Dedup.shingleHashes]]'s hashed
+    * form, so hash- and string-level n-gram semantics agree. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"n must be positive, got $n")
+    val ws = words(text)
+    if (n == 1) ws
+    else when(size(ws) < n, array(array_join(ws, " ")))
+      .otherwise(transform(sequence(lit(1), size(ws) - (n - 1)),
+        i => array_join(slice(ws, i, lit(n)), " ")))
+  }
+
+  /** Repetition metrics — the Gopher/C4-style duplicate-text quality
+    * filters (a high duplicate fraction marks boilerplate/spam):
+    * fraction of words that repeat an earlier word. Pure expression,
+    * scan-scales. */
+  def dupWordFraction(text: Column): Column = {
+    val ws = words(text)
+    when(size(ws) <= 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(ws)).cast("double") / size(ws))
+  }
+
+  /** Fraction of word n-grams that repeat an earlier n-gram (documents
+    * shorter than n score 0). */
+  def dupNgramFraction(text: Column, n: Int): Column = {
+    val ws = words(text)
+    val total = size(ws) - (n - 1)
+    val gs = transform(sequence(lit(1), greatest(total, lit(1))),
+      i => array_join(slice(ws, i, lit(n)), " "))
+    when(size(ws) < n, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(gs)).cast("double") / total)
+  }
+
   /** PII redaction: emails → <EMAIL>, IPv4 literals → <IP>. Patterns
     * are RE2/Java-portable (no lookaround), so the same regex text
     * verifies in DuckDB. Extend with pipeline-specific patterns as

@@ -57,6 +57,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(wide == uncapped)
   }
 
+  test("decontaminate flags exactly the n-gram-overlapping train docs") {
+    val probes = Seq(
+      (100L, "secret benchmark question about spark engines"),
+      (101L, "short probe")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "a doc with the benchmark question about spark inside"), // shares "question about spark"
+      (2L, "completely unrelated training content here"),
+      (3L, "another clean document nothing shared"),
+      (4L, "short probe")                                           // whole-text gram (< n words)
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(train, probes, "doc_id", "text", n = 3)
+      .select("doc_id", "contaminated").as[(Long, Boolean)].collect().toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> false, 4L -> true))
+    // the non-broadcast path agrees
+    val out2 = Dedup.decontaminate(train, probes, "doc_id", "text", n = 3,
+      broadcastProbes = false)
+      .select("doc_id", "contaminated").as[(Long, Boolean)].collect().toMap
+    assert(out2 == out)
+  }
+
   test("simhash: identical texts agree, different texts differ") {
     val sh = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
       .as[(Long, Long)].collect().toMap

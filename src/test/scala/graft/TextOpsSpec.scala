@@ -39,4 +39,30 @@ class TextOpsSpec extends SparkSpec {
       .toDF("t").select(TextOps.redact(col("t"))).as[String].head()
     assert(got == "mail <EMAIL> and <IP> but not 1.2.3 or x@y")
   }
+
+  test("repetition metrics: duplicate word and n-gram fractions") {
+    val rows = Seq(
+      (1L, "a b a b a b"),        // words: 2 distinct of 6; 3-grams: "a b a","b a b" ×2 → 2 of 4
+      (2L, "x y z w"),            // no repeats at all
+      (3L, "spam spam spam spam"),// 1 distinct of 4; 3-gram "spam spam spam" ×2 → 1 of 2
+      (4L, "one two")             // shorter than n: 0 by definition
+    ).toDF("id", "t")
+    val got = rows.select(col("id"),
+        TextOps.dupWordFraction(col("t")).as("dw"),
+        TextOps.dupNgramFraction(col("t"), 3).as("dg"))
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == (1.0 - 2.0 / 6, 1.0 - 2.0 / 4))
+    assert(got(2L) == (0.0, 0.0))
+    assert(got(3L) == (0.75, 0.5))
+    assert(got(4L) == (0.0, 0.0))
+  }
+
+  test("wordNgrams keeps order and duplicates; short docs gram whole") {
+    val g = Seq("a b c d").toDF("t")
+      .select(TextOps.wordNgrams(col("t"), 2)).as[Seq[String]].head()
+    assert(g == Seq("a b", "b c", "c d"))
+    val short = Seq("a b").toDF("t")
+      .select(TextOps.wordNgrams(col("t"), 3)).as[Seq[String]].head()
+    assert(short == Seq("a b"))
+  }
 }
