@@ -162,6 +162,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("array_sort"), "fast path should not sort the frame")
   }
 
+  test("decontaminate broadcasts the probe gram set; hits stay narrow") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"probe grams should broadcast:\n${p.take(1500)}")
+    // the contaminated-id side partial-aggregates before its shuffle
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "expected partial/final distinct aggregation of hit ids")
+  }
+
   test("strict-tie SQL window plans ONE exchange and ONE sort") {
     // the tie-prefix + range decomposition must share a single
     // hash(partition) exchange and a single (partition, ts, uid) sort —
