@@ -118,12 +118,12 @@ object TextOps {
   }
 
   /** Fraction of word n-grams that repeat an earlier n-gram (documents
-    * shorter than n score 0). */
+    * shorter than n score 0 — [[wordNgrams]]'s whole-sequence gram for
+    * those is guarded away by the `when`). */
   def dupNgramFraction(text: Column, n: Int): Column = {
     val ws = words(text)
     val total = size(ws) - (n - 1)
-    val gs = transform(sequence(lit(1), greatest(total, lit(1))),
-      i => array_join(slice(ws, i, lit(n)), " "))
+    val gs = wordNgrams(text, n)
     when(size(ws) < n, lit(0.0)).otherwise(
       lit(1.0) - size(array_distinct(gs)).cast("double") / total)
   }

@@ -1771,6 +1771,7 @@ object GraftSql {
         if (deployed(spark).remove(dn).isEmpty)
           throw new IllegalArgumentException(
             s"deployment '$dn' does not exist")
+        deployOpts(spark).remove(dn)
         None
 
       case "DROP" if p.toks.lift(1).exists(_.equalsIgnoreCase("PROCEDURE")) =>
@@ -3849,17 +3850,40 @@ object GraftSql {
             // the reference's path argument is a JSON POINTER
             // (RFC 6901: /a/b, ~0 = '~', ~1 = '/'; udf json path doc) —
             // translate literal pointers to the Spark JsonPath dialect
-            // ($.a, $[0], $['key'])
+            // ($.a, $[0], $['key']). An all-digit segment is ambiguous
+            // under RFC 6901 (array index OR object member "0", decided
+            // by the document); Spark paths are static, so each digit
+            // segment expands to BOTH interpretations and the rewrite
+            // coalesces array-first (capped at 2 digit segments — 4
+            // paths; deeper digit nesting keeps array-only, the
+            // overwhelmingly common case)
             val as = splitTokenArgs(inner)
             val segs = stripQuotes(as(1).head).split("/").drop(1)
-              .map(_.replace("~1", "/").replace("~0", "~"))
-            val path = "$" + segs.map { s =>
-              if (s.forall(_.isDigit) && s.nonEmpty) s"[$s]"
-              else if (s.matches("[A-Za-z_][A-Za-z0-9_]*")) s".$s"
-              else s"['$s']"
-            }.mkString
-            out += "get_json_object"; out += "("
-            out ++= as(0); out += ","; out += quoteSqlLiteral(path); out += ")"
+              .map(_.replace("~1", "/").replace("~0", "~")).toSeq
+            def named(s: String): String =
+              if (s.matches("[A-Za-z_][A-Za-z0-9_]*")) s".$s" else s"['$s']"
+            val nDigit = segs.count(s => s.nonEmpty && s.forall(_.isDigit))
+            val paths: Seq[String] = segs.foldLeft(Seq("$")) { (acc, s) =>
+              if (s.nonEmpty && s.forall(_.isDigit) && nDigit <= 2)
+                acc.flatMap(p => Seq(p + s"[$s]", p + named(s)))
+              else if (s.nonEmpty && s.forall(_.isDigit))
+                acc.map(_ + s"[$s]")
+              else acc.map(_ + named(s))
+            }
+            val jsSql = as(0).mkString(" ")
+            // bracket-quoted segments put single quotes INSIDE the path:
+            // a double-quoted SQL literal keeps the round-trip through
+            // the dialect tokenizer escape-free
+            def pathLit(p: String): String =
+              if (!p.contains('\'')) quoteSqlLiteral(p)
+              else if (!p.contains('"')) "\"" + p + "\""
+              else throw new IllegalArgumentException(
+                "JSON pointer segments mixing both quote characters " +
+                  "are unsupported")
+            val call = paths.map(p =>
+                s"get_json_object(($jsSql), ${pathLit(p)})")
+              .reduceLeft((a, b) => s"coalesce($a, $b)")
+            out ++= tokenize(call)
           } else { out += ts(i); out += "("; out ++= inner; out += ")" }
           i = close + 1
         } else { out += ts(i); i += 1 }
@@ -5393,9 +5417,12 @@ object GraftSql {
         val head = fnText.trim.takeWhile(_ != '(').trim.toLowerCase
         // offset fns are frameless (reach arbitrarily far back); ROWS
         // chunks additionally require union-free windows (side-table
-        // rows would shift every rank)
+        // rows would shift every rank) and no EXCLUDE CURRENT_TIME —
+        // the exclusion filters same-ts predecessors BEFORE the row
+        // cap, so a long same-ts run makes the frame reach arbitrarily
+        // many rows past n, beyond any fixed chunk span
         !offsetFns(head) && w.order.isDefined && spanOf(w).isDefined &&
-          (!w.isRows || w.unions.isEmpty)
+          (!w.isRows || (w.unions.isEmpty && !w.exclCT))
       }
       if (!ok) return None
       val wins = gexprs.map(_._3).distinct

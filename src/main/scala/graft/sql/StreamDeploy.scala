@@ -70,14 +70,17 @@ object StreamDeploy {
   /** Observability for the long-window serving path (read by
     * LongWindowServeSpec to prove requests are answered from the MV
     * partials, not full-frame scans). Shared-JVM counters — exact
-    * under local[*], indicative on a real cluster. */
+    * under local[*], indicative on a real cluster. LongAdder, not
+    * AtomicLong: these sit in the per-row serving loop, and a single
+    * CAS cell would cache-line ping-pong across every stateful task. */
   object LwMetrics {
-    import java.util.concurrent.atomic.AtomicLong
-    val preAggRequests = new AtomicLong
-    val preAggRowsScanned = new AtomicLong
-    val rawRowsScanned = new AtomicLong
+    import java.util.concurrent.atomic.LongAdder
+    val preAggRequests = new LongAdder
+    val preAggRowsScanned = new LongAdder
+    val rawRowsScanned = new LongAdder
     def reset(): Unit = {
-      preAggRequests.set(0); preAggRowsScanned.set(0); rawRowsScanned.set(0)
+      preAggRequests.reset(); preAggRowsScanned.reset()
+      rawRowsScanned.reset()
     }
   }
 
@@ -718,7 +721,7 @@ object StreamDeploy {
     if (p.rowCap > 0) frame = frame.take(p.rowCap)
 
     val vs = frame.map(_.args(sp.argIdx))
-    LwMetrics.rawRowsScanned.addAndGet(vs.length)
+    LwMetrics.rawRowsScanned.add(vs.length)
     lazy val nn = vs.filter(_ != null)
     sp.fn match {
       case "count" => nn.length.toLong
@@ -804,8 +807,8 @@ object StreamDeploy {
     val head = basis.dropWhile(b => Math.floorDiv(b.ts, bms) > lb)
       .takeWhile(b => Math.floorDiv(b.ts, bms) == lb)
       .filter(_.ts >= ts - sp.p.precedingMs)
-    LwMetrics.preAggRequests.incrementAndGet()
-    LwMetrics.preAggRowsScanned.addAndGet(tail.length + head.length)
+    LwMetrics.preAggRequests.increment()
+    LwMetrics.preAggRowsScanned.add(tail.length + head.length)
 
     val edge = (tail.iterator ++ head.iterator)
       .map(_.args(sp.argIdx)).filter(_ != null).toList

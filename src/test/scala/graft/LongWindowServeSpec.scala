@@ -41,10 +41,10 @@ class LongWindowServeSpec extends SparkSpec {
     assert(b == s, s"\nsql: $sql\nbatch: ${b.take(6).mkString("\n  ")}\n" +
       s"lw:    ${s.take(6).mkString("\n  ")}")
     if (expectMv)
-      assert(StreamDeploy.LwMetrics.preAggRequests.get > 0,
+      assert(StreamDeploy.LwMetrics.preAggRequests.sum > 0,
         "expected the pre-agg MV path to answer requests")
     else
-      assert(StreamDeploy.LwMetrics.preAggRequests.get == 0,
+      assert(StreamDeploy.LwMetrics.preAggRequests.sum == 0,
         "expected fallback to the raw path")
   }
 
@@ -84,8 +84,8 @@ class LongWindowServeSpec extends SparkSpec {
       longWindows = Map("w" -> 1000L))
     assert(canon(batch) == canon(served))
     // sum went through the MV; distinct_count scanned raw frames
-    assert(StreamDeploy.LwMetrics.preAggRequests.get > 0)
-    assert(StreamDeploy.LwMetrics.rawRowsScanned.get > 0)
+    assert(StreamDeploy.LwMetrics.preAggRequests.sum > 0)
+    assert(StreamDeploy.LwMetrics.rawRowsScanned.sum > 0)
   }
 
   test("ineligible shapes fall back to raw serving (still correct)") {
@@ -135,7 +135,7 @@ class LongWindowServeSpec extends SparkSpec {
     }
     val served = spark.table("lw_stream_out")
     assert(canon(batch) == canon(served))
-    assert(StreamDeploy.LwMetrics.preAggRequests.get > 0)
+    assert(StreamDeploy.LwMetrics.preAggRequests.sum > 0)
     out.stop()
   }
 

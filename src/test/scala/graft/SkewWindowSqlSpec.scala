@@ -125,6 +125,25 @@ class SkewWindowSqlSpec extends SparkSpec {
       Map("ev" -> big))
   }
 
+  test("ROWS + EXCLUDE CURRENT_TIME stays unbucketed (reach is unbounded)") {
+    // a same-ts run longer than the minimum chunk: EXCLUDE CURRENT_TIME
+    // filters same-ts predecessors BEFORE the row cap, so the frame of
+    // a row early in the second chunk must reach across the ENTIRE
+    // first-chunk ts-run to the older rows — no fixed chunk span covers
+    // that, so the shape must stay out of the chunking rewrite
+    val run = (0 until 4200).map { i =>
+      ("uh", if (i < 8) 100L else 200L, i.toDouble) }
+      .toDF("pk", "ts", "v")
+    val sql = """SELECT pk, ts, sum(v) OVER w AS s
+      |FROM ev WINDOW w AS (PARTITION BY pk ORDER BY ts
+      |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW EXCLUDE CURRENT_TIME)""".stripMargin
+    assertLossless(sql, Map("ev" -> run))
+    val plan = withSkew(GraftSql.sql(spark, sql, Map("ev" -> run)))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("__graft_swb"),
+      "ROWS + EXCLUDE CURRENT_TIME must not chunk")
+  }
+
   test("DESC order buckets losslessly (negated-key buckets)") {
     assertLossless(
       """SELECT pk, ts, sum(v) OVER w AS s, count(v) OVER w AS c

@@ -209,23 +209,23 @@ class TrainServeConsistencySpec extends SparkSpec {
     assert(canon(batch) == canon(served))
     val m = StreamDeploy.LwMetrics
     // every request (3 keys × n rows) answered via the pre-agg path …
-    assert(m.preAggRequests.get == 3L * n * 5,
-      s"preAggRequests=${m.preAggRequests.get}")
+    assert(m.preAggRequests.sum == 3L * n * 5,
+      s"preAggRequests=${m.preAggRequests.sum}")
     // … with ZERO full-frame raw evaluations anywhere in the run
-    assert(m.rawRowsScanned.get == 0L,
-      s"rawRowsScanned=${m.rawRowsScanned.get}")
+    assert(m.rawRowsScanned.sum == 0L,
+      s"rawRowsScanned=${m.rawRowsScanned.sum}")
     // edge scans (head+tail buckets) stay well under frame size: the
     // 4000ms frame holds ~800 rows; the two 1s edge buckets ≤ ~400.
     // Demonstrate the same deployment WITHOUT the option scans far more.
     StreamDeploy.LwMetrics.reset()
     val plain = StreamDeploy.serve(spark, sql, df.alias("lw_t"))
     assert(canon(plain) == canon(batch))
-    val raw = m.rawRowsScanned.get
+    val raw = m.rawRowsScanned.sum
     StreamDeploy.LwMetrics.reset()
     StreamDeploy.serveDeployment(spark, "lw_dep", df.alias("lw_t"))
       .collect()
-    assert(m.preAggRowsScanned.get * 2 < raw,
-      s"preAgg=${m.preAggRowsScanned.get} vs raw=$raw — the MV path " +
+    assert(m.preAggRowsScanned.sum * 2 < raw,
+      s"preAgg=${m.preAggRowsScanned.sum} vs raw=$raw — the MV path " +
         "is not reducing per-request scan volume")
     GraftSql.resetDeployments(spark)
   }
