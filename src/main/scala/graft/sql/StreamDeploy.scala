@@ -519,13 +519,30 @@ object StreamDeploy {
     val argTypes: Map[Int, DataType] = argSlots.values.map(i =>
       i -> prepSchema(slotIdx(i)).dataType).toMap
 
+    // the retention the stateful stage will actually run under — needed
+    // by the eligibility check below, so derived from the pre-compile
+    // info (same arithmetic as the post-spec derivation it replaces)
+    val effTtl = ttl.getOrElse(
+      deriveTtl(windows, pres.filter(_.frameless).map(_.lagK)
+        .foldLeft(0)(math.max)))
+
     // long-window eligibility mirrors the reference's rewrite
     // conditions (long_window_optimized.h CheckSupported + the
     // DEPLOY_STATEMENT.md limitation list): a pre-aggregable fn
     // (sum/count/avg/min/max — the *_where forms already rewrote to a
     // CASE-guarded arg above), a plain RANGE frame ending at CURRENT
     // ROW, no MAXSIZE/EXCLUDE/UNION, and a bucket no wider than the
-    // frame. Anything else falls back to the raw full-frame path.
+    // frame. The retention must also COVER the frame span: the raw
+    // path truncates frames to whatever survives eviction, while
+    // bucket partials never forget — an explicit count-limited TTL
+    // (LatestCount / AbsOrLat) or an absolute span narrower than the
+    // frame would make the two paths answer differently, so those
+    // serve raw. Anything else falls back to the raw full-frame path.
+    def ttlCovers(span: Long): Boolean = effTtl match {
+      case AbsoluteTime(ms) => ms >= span
+      case AbsAndLat(ms, _) => ms >= span // keep-if-EITHER: span kept
+      case _                => false      // count eviction can cut mid-frame
+    }
     def lwBucketFor(p: Pre): Long = lwByDef.get(p.w) match {
       case Some(bms) if !p.frameless && !p.w.isRows &&
           p.w.unions.isEmpty && !p.w.inw && !p.w.exclCT && !p.w.exclCR &&
@@ -533,7 +550,8 @@ object StreamDeploy {
           Set("sum", "count", "avg", "min", "max")(p.fn) =>
         val fp = frameParams(p.w)
         if (fp.precedingMs >= bms &&
-            fp.precedingMs < graft.operators.WindowOps.UnboundedMs) bms
+            fp.precedingMs < graft.operators.WindowOps.UnboundedMs &&
+            ttlCovers(fp.precedingMs)) bms
         else 0L
       case _ => 0L
     }
@@ -564,9 +582,6 @@ object StreamDeploy {
 
     val outSchema = StructType(base.schema.fields ++
       specs.map(s => StructField(s.id, s.outType)))
-    val effTtl = ttl.getOrElse(
-      deriveTtl(windows, specs.filter(_.frameless).map(_.lagK)
-        .foldLeft(0)(math.max)))
     val anyExclCT = windows.exists(_.exclCT)
     val nSlots = argSlots.size
 
@@ -804,18 +819,30 @@ object StreamDeploy {
     // eligibility guarantees precedingMs >= bucket, so lb < hb and the
     // whole tail prefix lies inside the frame's range bound
     val tail = basis.takeWhile(b => Math.floorDiv(b.ts, bms) == hb)
-    val head = basis.dropWhile(b => Math.floorDiv(b.ts, bms) > lb)
-      .takeWhile(b => Math.floorDiv(b.ts, bms) == lb)
-      .filter(_.ts >= ts - sp.p.precedingMs)
+    // TTL consistency under out-of-order requests: eviction is relative
+    // to the NEWEST buffered ts, so a late request's frame can reach
+    // below the surviving raw window — rows there are gone from the
+    // buffer but their bucket partial still counts them (partials are
+    // never retracted). The oldest surviving row's bucket is therefore
+    // the boundary: full-bucket partials serve only buckets STRICTLY
+    // newer (absolute-span eviction can never have removed rows from
+    // those), and everything at or below it reads from the raw basis,
+    // which reflects eviction exactly like the raw path.
+    val b0 = basis.lastOption.map(r => Math.floorDiv(r.ts, bms)).getOrElse(lb)
+    val bEdge = math.max(lb, b0)
+    val rawEdge = basis.dropWhile(b => Math.floorDiv(b.ts, bms) > bEdge)
+      .takeWhile(b => Math.floorDiv(b.ts, bms) >= lb)
+      .filter(b => b.ts >= ts - sp.p.precedingMs &&
+        Math.floorDiv(b.ts, bms) < hb)
     LwMetrics.preAggRequests.increment()
-    LwMetrics.preAggRowsScanned.add(tail.length + head.length)
+    LwMetrics.preAggRowsScanned.add(tail.length + rawEdge.length)
 
-    val edge = (tail.iterator ++ head.iterator)
+    val edge = (tail.iterator ++ rawEdge.iterator)
       .map(_.args(sp.argIdx)).filter(_ != null).toList
     var cnt = edge.length.toLong
     var fullL = 0L; var fullD = 0.0
     var mn: Any = null; var mx: Any = null
-    var b = lb + 1
+    var b = bEdge + 1
     while (b < hb) {
       partials.get((bms, b, sp.argIdx)).foreach { p =>
         cnt += p.cnt; fullL += p.lsum; fullD += p.dsum

@@ -139,6 +139,73 @@ class LongWindowServeSpec extends SparkSpec {
     out.stop()
   }
 
+  test("count-limited TTLs force the raw path (partials never forget)") {
+    import graft.streaming.RequestStream.{AbsoluteTime, LatestCount}
+    val events = mkEvents(300)
+    val sql = """SELECT key, ts, sum(qty) OVER w AS s FROM events
+      WINDOW w AS (PARTITION BY key ORDER BY ts
+        ROWS_RANGE BETWEEN 3000 PRECEDING AND CURRENT ROW)"""
+    // LatestCount can evict mid-frame rows the partials would still
+    // count: the option must fall back to raw serving, answers equal
+    // to the raw path under the SAME TTL
+    StreamDeploy.LwMetrics.reset()
+    val lwServed = StreamDeploy.serve(spark, sql, events,
+      ttl = Some(LatestCount(7)), longWindows = Map("w" -> 1000L))
+    val rawServed = StreamDeploy.serve(spark, sql, events,
+      ttl = Some(LatestCount(7)))
+    assert(canon(lwServed) == canon(rawServed))
+    assert(StreamDeploy.LwMetrics.preAggRequests.sum == 0,
+      "count-limited TTL must not take the MV path")
+    // an absolute TTL narrower than the frame also serves raw
+    StreamDeploy.LwMetrics.reset()
+    StreamDeploy.serve(spark, sql, events,
+      ttl = Some(AbsoluteTime(1500L)), longWindows = Map("w" -> 1000L))
+      .collect()
+    assert(StreamDeploy.LwMetrics.preAggRequests.sum == 0)
+    // a covering absolute TTL keeps the MV path
+    StreamDeploy.LwMetrics.reset()
+    val cov = StreamDeploy.serve(spark, sql, events,
+      ttl = Some(AbsoluteTime(3000L)), longWindows = Map("w" -> 1000L))
+    val covRaw = StreamDeploy.serve(spark, sql, events,
+      ttl = Some(AbsoluteTime(3000L)))
+    assert(canon(cov) == canon(covRaw))
+    assert(StreamDeploy.LwMetrics.preAggRequests.sum > 0)
+  }
+
+  test("out-of-order feed: MV path agrees with the raw path") {
+    // GENUINELY out-of-order: micro-batches arrive in shuffled chunks,
+    // so later batches carry older timestamps (a single batch would be
+    // re-sorted inside the stateful stage). Stream answers differ from
+    // batch here (documented deviation), but the MV and raw paths must
+    // agree with each other row-for-row.
+    implicit val sqlCtx = spark.sqlContext
+    val sql = """SELECT key, ts, sum(amt) OVER w AS s, count(amt) OVER w AS c,
+      min(amt) OVER w AS mn FROM events
+      WINDOW w AS (PARTITION BY key ORDER BY ts
+        ROWS_RANGE BETWEEN 3000 PRECEDING AND CURRENT ROW)"""
+    val rows = mkEvents(400).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.get(3).asInstanceOf[java.lang.Double], r.getString(4)))
+    val chunks = rows.grouped(40).toSeq
+    // deterministic shuffle of the chunk order
+    val order = chunks.indices.sortBy(i => (i * 37) % chunks.length)
+    def runStream(lw: Map[String, Long], name: String): Seq[Seq[String]] = {
+      val mem = MemoryStream[(String, Long, Long, java.lang.Double, String)]
+      val stream = mem.toDF().toDF("key", "ts", "qty", "amt", "tag")
+      val q = StreamDeploy.serve(spark, sql, stream, longWindows = lw)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      order.foreach { i => mem.addData(chunks(i)); q.processAllAvailable() }
+      val out = canon(spark.table(name))
+      q.stop(); out
+    }
+    StreamDeploy.LwMetrics.reset()
+    val lw = runStream(Map("w" -> 1000L), "lw_ooo_mv")
+    val raw = runStream(Map.empty, "lw_ooo_raw")
+    assert(lw == raw, "MV and raw paths diverged on out-of-order input")
+    assert(StreamDeploy.LwMetrics.preAggRequests.sum > 0)
+  }
+
   test("DEPLOY rejects long_windows with JOIN; bad bucket fails at DEPLOY") {
     val events = mkEvents(50)
     events.createOrReplaceTempView("lw_ev")
