@@ -157,6 +157,40 @@ object PlainBaseline {
 
     // 3-day frame over user_id%10 hot keys — the long-window regime
     // (pairs with SparkEntry.benchVariants' MV formulation)
+    "q_text_repetition" ->
+      """WITH w AS (SELECT doc_id, split(trim(text), '\\s+') AS ws
+        |  FROM pb_documents)
+        |SELECT doc_id, size(ws) AS n_words,
+        |  CAST(floor((CAST(1.0 AS DOUBLE)
+        |    - CAST(size(array_distinct(ws)) AS DOUBLE) / size(ws)) * 1e6)
+        |    AS BIGINT) AS dup_word_f6,
+        |  CAST(floor((CASE WHEN size(ws) < 3 THEN CAST(0.0 AS DOUBLE)
+        |    ELSE CAST(1.0 AS DOUBLE)
+        |      - CAST(size(array_distinct(transform(sequence(1, size(ws) - 2),
+        |          i -> array_join(slice(ws, i, 3), ' ')))) AS DOUBLE)
+        |        / (size(ws) - 2) END) * 1e6) AS BIGINT) AS dup_3gram_f6
+        |FROM w""".stripMargin,
+
+    // same xxhash64 shingle family as the operator, written as plain
+    // CTEs: membership outcomes are identical by construction
+    "q_decontaminate" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CASE WHEN size(ws) < 3 THEN array(xxhash64(wh))
+        |    ELSE array_distinct(transform(sequence(0, size(ws) - 3),
+        |      i -> xxhash64(slice(wh, i + 1, 3)))) END AS gs
+        |  FROM (SELECT doc_id, ws, transform(ws, w -> xxhash64(w)) AS wh
+        |        FROM (SELECT doc_id, split(trim(text), '\\s+') AS ws
+        |              FROM pb_documents))),
+        |probe AS (SELECT DISTINCT explode(gs) AS g FROM h
+        |  WHERE doc_id % 50 = 0),
+        |hit AS (SELECT DISTINCT doc_id FROM
+        |  (SELECT doc_id, explode(gs) AS g FROM h WHERE doc_id % 50 <> 0) t
+        |  JOIN probe USING (g))
+        |SELECT d.doc_id, h2.doc_id IS NOT NULL AS contaminated
+        |FROM pb_documents d LEFT JOIN hit h2 ON d.doc_id = h2.doc_id
+        |WHERE d.doc_id % 50 <> 0""".stripMargin,
+
     "q_long_window" ->
       """SELECT event_id, round(sum(value) OVER w, 3) AS lw_sum,
         |  count(value) OVER w AS lw_cnt

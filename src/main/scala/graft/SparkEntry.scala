@@ -635,13 +635,19 @@ object SparkEntry {
     // duplicate-word and duplicate-3-gram fractions, floor(x*1e6) to
     // sidestep decimal-boundary rounding in the hash compare
     "q_text_repetition" -> q { (s, d) =>
-      val t = col("text")
-      T(s, d, "documents").select(
-        col("doc_id"),
-        TextOps.tokenCount(t).as("n_words"),
-        floor(TextOps.dupWordFraction(t) * 1e6).cast("long").as("dup_word_f6"),
-        floor(TextOps.dupNgramFraction(t, 3) * 1e6).cast("long")
-          .as("dup_3gram_f6"))
+      // materialize the split ONCE (CollapseProject keeps a non-cheap
+      // multiply-referenced producer): the three metrics then share
+      // the attribute instead of re-splitting per reference
+      val ws = col("__ws")
+      T(s, d, "documents")
+        .withColumn("__ws", TextOps.words(col("text")))
+        .select(
+          col("doc_id"),
+          size(ws).as("n_words"),
+          floor(TextOps.dupWordFractionOf(ws) * 1e6).cast("long")
+            .as("dup_word_f6"),
+          floor(TextOps.dupNgramFractionOf(ws, 3) * 1e6).cast("long")
+            .as("dup_3gram_f6"))
     },
 
     // benchmark decontamination: training docs sharing any word
@@ -2238,7 +2244,7 @@ object SparkEntry {
     "q1_agg", "q_window_rows_range", "q_window_rows", "q_last_join",
     "q_window_maxsize", "q_sql_window", "q_bench_shape",
     "q_groupby_having", "q_distinct_count",
-    "q_dedup_exact", "q_text_stats",
+    "q_dedup_exact", "q_text_stats", "q_text_repetition", "q_decontaminate",
     "q_join_window", "q_request_mode", "q_long_window",
     "q_skew_window", "q_skew_window_arr",
     "q_ann_topk", "q_dedup_minhash")

@@ -97,36 +97,44 @@ object TextOps {
   /** Word n-grams as strings (space-joined, NON-distinct, in order);
     * a document shorter than n yields its whole word sequence as one
     * gram — the same convention as [[Dedup.shingleHashes]]'s hashed
-    * form, so hash- and string-level n-gram semantics agree. */
-  def wordNgrams(text: Column, n: Int): Column = {
+    * form, so hash- and string-level n-gram semantics agree.
+    *
+    * The `*Of` variants take an ALREADY-SPLIT words column: several
+    * metrics over one document should materialize `words(text)` once
+    * (withColumn) and share the attribute — composing the text-typed
+    * forms into a single projection re-evaluates the split per
+    * reference, which measured ~8× slower for the three repetition
+    * metrics at sf0.1. */
+  def wordNgramsOf(ws: Column, n: Int): Column = {
     require(n >= 1, s"n must be positive, got $n")
-    val ws = words(text)
     if (n == 1) ws
     else when(size(ws) < n, array(array_join(ws, " ")))
       .otherwise(transform(sequence(lit(1), size(ws) - (n - 1)),
         i => array_join(slice(ws, i, lit(n)), " ")))
   }
+  def wordNgrams(text: Column, n: Int): Column = wordNgramsOf(words(text), n)
 
   /** Repetition metrics — the Gopher/C4-style duplicate-text quality
     * filters (a high duplicate fraction marks boilerplate/spam):
     * fraction of words that repeat an earlier word. Pure expression,
     * scan-scales. */
-  def dupWordFraction(text: Column): Column = {
-    val ws = words(text)
+  def dupWordFractionOf(ws: Column): Column =
     when(size(ws) <= 0, lit(0.0)).otherwise(
       lit(1.0) - size(array_distinct(ws)).cast("double") / size(ws))
-  }
+  def dupWordFraction(text: Column): Column =
+    dupWordFractionOf(words(text))
 
   /** Fraction of word n-grams that repeat an earlier n-gram (documents
-    * shorter than n score 0 — [[wordNgrams]]'s whole-sequence gram for
-    * those is guarded away by the `when`). */
-  def dupNgramFraction(text: Column, n: Int): Column = {
-    val ws = words(text)
+    * shorter than n score 0 — [[wordNgramsOf]]'s whole-sequence gram
+    * for those is guarded away by the `when`). */
+  def dupNgramFractionOf(ws: Column, n: Int): Column = {
     val total = size(ws) - (n - 1)
-    val gs = wordNgrams(text, n)
     when(size(ws) < n, lit(0.0)).otherwise(
-      lit(1.0) - size(array_distinct(gs)).cast("double") / total)
+      lit(1.0) - size(array_distinct(wordNgramsOf(ws, n))).cast("double")
+        / total)
   }
+  def dupNgramFraction(text: Column, n: Int): Column =
+    dupNgramFractionOf(words(text), n)
 
   /** PII redaction: emails → <EMAIL>, IPv4 literals → <IP>. Patterns
     * are RE2/Java-portable (no lookaround), so the same regex text
