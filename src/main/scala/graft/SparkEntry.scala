@@ -619,16 +619,23 @@ object SparkEntry {
 
     // token/char counts, stopword ratio, quality score
     "q_text_stats" -> q { (s, d) =>
-      val t = col("text")
-      T(s, d, "documents").select(
-        col("doc_id"),
-        TextOps.tokenCount(t).as("n_tokens"),
-        TextOps.charCount(t).as("n_chars_x"),
-        round(TextOps.avgWordLen(t), 6).as("avg_wlen"),
-        round(TextOps.stopwordRatio(t), 6).as("stop_ratio"),
-        // floor(x*1e6), not round(x,6): Spark HALF_UP and DuckDB's
-        // multiply-then-std::round disagree 1 ulp on .5-boundary doubles
-        floor(TextOps.qualityScore(t) * 1e6).cast("long").as("q_score"))
+      // words/char-count materialize ONCE and every metric shares the
+      // attributes (the TextOps *Of forms) — composing the text-typed
+      // forms re-evaluates the split/regex per reference
+      val ws = col("__ws"); val nc = col("__nc")
+      T(s, d, "documents")
+        .withColumn("__ws", TextOps.words(col("text")))
+        .withColumn("__nc", TextOps.charCount(col("text")))
+        .select(
+          col("doc_id"),
+          size(ws).as("n_tokens"),
+          nc.as("n_chars_x"),
+          round(nc.cast("double") / size(ws), 6).as("avg_wlen"),
+          round(TextOps.stopwordRatioOf(ws), 6).as("stop_ratio"),
+          // floor(x*1e6), not round(x,6): Spark HALF_UP and DuckDB's
+          // multiply-then-std::round disagree 1 ulp on .5-boundary doubles
+          floor(TextOps.qualityScoreOf(ws, nc) * 1e6).cast("long")
+            .as("q_score"))
     },
 
     // repetition metrics (Gopher/C4 duplicate-text quality filters):
@@ -672,8 +679,10 @@ object SparkEntry {
 
     // n-gram-heuristic language ID
     "q_lang_id" -> q { (s, d) =>
-      T(s, d, "documents").select(col("doc_id"),
-        TextOps.langId(col("text")).as("lang_pred"))
+      T(s, d, "documents")
+        .withColumn("__ws", TextOps.words(col("text")))
+        .select(col("doc_id"),
+          TextOps.langIdOf(col("__ws")).as("lang_pred"))
     },
 
     // document fingerprinting (normalized md5)

@@ -35,30 +35,41 @@ object TextOps {
   private val DE = Seq("der", "die", "das", "und", "ist", "ein")
   private val FR = Seq("le", "la", "et", "les", "un", "une")
 
+  private def hitsOf(ws: Column, stop: Seq[String]): Column =
+    size(filter(ws, w => lower(w).isin(stop: _*)))
   private def hits(text: Column, stop: Seq[String]): Column =
-    size(filter(words(text), w => lower(w).isin(stop: _*)))
+    hitsOf(words(text), stop)
 
+  def stopwordRatioOf(ws: Column): Column =
+    hitsOf(ws, EN).cast("double") / size(ws)
   def stopwordRatio(text: Column): Column =
-    hits(text, EN).cast("double") / tokenCount(text)
+    stopwordRatioOf(words(text))
 
   /** Heuristic quality score in [0,1]: length, information density and
-    * word-shape terms (deterministic; thresholds are pipeline config). */
-  def qualityScore(text: Column): Column = {
-    val lenTerm = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
-    val stopTerm = lit(1.0) - stopwordRatio(text)
-    val shapeTerm = least(avgWordLen(text) / 8.0, lit(1.0))
+    * word-shape terms (deterministic; thresholds are pipeline config).
+    * The `Of` form shares already-materialized words/char-count
+    * columns — see [[wordNgramsOf]] on why that matters for a
+    * multi-metric projection. */
+  def qualityScoreOf(ws: Column, nChars: Column): Column = {
+    val lenTerm = least(size(ws).cast("double") / 100.0, lit(1.0))
+    val stopTerm = lit(1.0) - stopwordRatioOf(ws)
+    val shapeTerm = least((nChars.cast("double") / size(ws)) / 8.0, lit(1.0))
     lit(0.5) * lenTerm + lit(0.3) * stopTerm + lit(0.2) * shapeTerm
   }
+  def qualityScore(text: Column): Column =
+    qualityScoreOf(words(text), charCount(text))
 
   /** Stopword-hit-count language ID with a fixed preference order on
     * ties (en > es > de > fr). */
-  def langId(text: Column): Column = {
-    val (en, es, de, fr) = (hits(text, EN), hits(text, ES), hits(text, DE), hits(text, FR))
+  def langIdOf(ws: Column): Column = {
+    val (en, es, de, fr) =
+      (hitsOf(ws, EN), hitsOf(ws, ES), hitsOf(ws, DE), hitsOf(ws, FR))
     when(en >= es && en >= de && en >= fr, "en")
       .when(es >= de && es >= fr, "es")
       .when(de >= fr, "de")
       .otherwise("fr")
   }
+  def langId(text: Column): Column = langIdOf(words(text))
 
   /** Content fingerprint: md5 of case/whitespace-normalized text. */
   def fingerprint(text: Column): Column =
