@@ -880,9 +880,8 @@ object SparkEntry {
     // (BuildBatchRequestModePhysicalPlan, RequestUnionRunner)
     "q_request_mode" -> q { (s, d) =>
       val ev = T(s, d, "events")
-      val requests = ev.filter(col("event_id") % 97 === 0)
-      val history = ev.filter(col("event_id") % 97 =!= 0)
-      val u = RequestMode.unionWithHistory(requests, history)
+      // one scan: filter+unionWithHistory would read events twice
+      val u = RequestMode.tagRequests(ev, col("event_id") % 97 === 0)
       val arr = RequestMode.pointInTimeFrame(u, col("value"), col("ts_ms"),
         col("event_id"), Seq(col("user_id")), 600000L)
       u.select(col("event_id"),

@@ -33,6 +33,16 @@ object RequestMode {
       .unionByName(history.withColumn(FlagCol, lit(false)),
         allowMissingColumns = true)
 
+  /** Request/history split of ONE source — row-equivalent to
+    * `unionWithHistory(df.filter(cond), df.filter(!cond))` without
+    * scanning the source twice (the filter+union form reads the
+    * parquet twice and re-unions; training-data generation virtually
+    * always derives both sides from the same event log). Deviation for
+    * a NULL condition: these rows stay available as frame HISTORY,
+    * where the filter+union form would drop them from both sides. */
+  def tagRequests(events: DataFrame, isRequest: Column): DataFrame =
+    events.withColumn(FlagCol, coalesce(isRequest, lit(false)))
+
   /** Point-in-time frame array of `v` for every request row.
     * Returns the unioned DataFrame (filter on [[FlagCol]] to keep
     * request rows) — compute aggregates over the returned column with
