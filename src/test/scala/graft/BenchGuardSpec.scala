@@ -24,6 +24,21 @@ class BenchGuardSpec extends SparkSpec {
     assert(errCols.contains("q1_agg"))
   }
 
+  test("full-size JSON line fits the harness's ~2000-char output tail") {
+    // Synthesize the worst case: every bench query present in all three
+    // maps with a 4-decimal timing. sbt appends a ~80-char [success] line
+    // after ours, so the line itself must stay under ~1900 chars or the
+    // harness's tail truncates the front and the JSON never parses (the
+    // parsed=null failure mode of every round through r13).
+    val names = SparkEntry.benchQueries
+    val vals = names.map(n => n -> 1234.5678)
+    val json = Bench.emitJson(vals, vals, vals, Seq.empty, "/root/testdata/sf0.1")
+    assert(json.length < 1900, s"bench JSON line too long: ${json.length}")
+    assert(!json.contains("\n"))
+    val df = parse(json)
+    assert(df.select("queries.*").columns.length == names.size)
+  }
+
   test("bench emits JSON with timings on a good dir") {
     val good = "/root/testdata/sf0.001"
     val (json, failed) = Bench.run(spark, good, good, Seq("q1_agg"))
