@@ -966,11 +966,13 @@ object GraftSql {
     deployOpts(spark).getOrElse(name, Map.empty)
 
   /** Parse a `long_windows="w1:1d,w2:30m"` option value into window
-    * name → bucket milliseconds (DEPLOY_STATEMENT.md:108-125: bucket
-    * is an interval literal s/m/h/d, default 1d). A bare-int bucket is
-    * the reference's row-count pre-agg — valid to declare, but served
-    * unoptimized here (time-bucketed partials are the MV shape), so it
-    * is omitted from the returned map. */
+    * name → bucket size (DEPLOY_STATEMENT.md:108-125: default 1d).
+    * Encoding: a POSITIVE value is a time bucket in milliseconds
+    * (interval literal s/m/h/d); a NEGATIVE value -n is a row-count
+    * bucket of n rows — the reference's kRowsNum pre-agg
+    * (src/storage/aggregator.cc:1249-1251 parses a bare integer into
+    * WindowType::kRowsNum; the DEPLOY_STATEMENT.md:143 claim that row
+    * buckets are unsupported is outdated there). */
   def parseLongWindows(value: String): Map[String, Long] = {
     val IntervalRe = "(?i)^(\\d+)(s|m|h|d)$".r
     value.split(",").iterator.map(_.trim).filter(_.nonEmpty).flatMap { part =>
@@ -987,7 +989,8 @@ object GraftSql {
             case _   => 86400000L
           }
           Some(name -> n.toLong * unitMs)
-        case b if b.forall(_.isDigit) => None // row-count bucket
+        case b if b.forall(_.isDigit) && b.toLong > 0 =>
+          Some(name -> -b.toLong) // row-count bucket (kRowsNum)
         case other => throw new IllegalArgumentException(
           s"long_windows: bad bucket size '$other' in '$part'")
       }
@@ -1061,15 +1064,22 @@ object GraftSql {
     else new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
       .format(new java.util.Date(ms))
 
+  /** The reference's full SHOW JOBS schema (SHOW_JOBS.md:41). The
+    * trailing db/name/pid/cur_task columns are NameServer-op fields —
+    * NULL for TaskManager jobs there and here (this engine has no
+    * nameserver ops); component is always "TaskManager". */
   private val JobCols = Seq("job_id", "job_type", "state", "start_time",
-    "end_time", "parameter", "cluster", "application_id", "error")
+    "end_time", "parameter", "cluster", "application_id", "error",
+    "db", "name", "pid", "cur_task", "component")
 
   private def jobFrame(spark: SparkSession, js: Seq[JobInfo])
       : DataFrame = {
     import spark.implicits._
+    val nul: String = null
     js.sortBy(_.id).map(j => (j.id, j.jobType, j.state,
         jobTime(j.startTime), jobTime(j.endTime), j.parameter,
-        j.cluster, j.applicationId, j.error))
+        j.cluster, j.applicationId, j.error,
+        nul, nul, nul, nul, "TaskManager"))
       .toDF(JobCols: _*)
   }
 
@@ -1078,7 +1088,9 @@ object GraftSql {
     * TaskManager rejects it). */
   private def jobIdArg(p: Parser): Long = {
     val t = p.next()
-    if (!t.forall(_.isDigit))
+    // nonEmpty guard: forall on "" is vacuously true and toLong would
+    // throw a raw NumberFormatException instead of this message
+    if (t.isEmpty || !t.forall(_.isDigit))
       throw new IllegalArgumentException(s"invalid job id '$t'")
     t.toLong
   }
@@ -1638,6 +1650,8 @@ object GraftSql {
             if (target != "TASKMANAGER" && target != "NAMESERVER")
               throw new IllegalArgumentException(
                 s"SHOW JOBS FROM expects TASKMANAGER or NAMESERVER, got '$target'")
+            // LIKE matches against the job id — SHOW_JOBS.md:61-63
+            // documents `LIKE '1'` as "show a job with specified id"
             val like = if (p.accept("LIKE")) Some(stripQuotes(p.next()))
               else None
             val all = if (target == "NAMESERVER") Seq.empty[JobInfo]
@@ -3854,20 +3868,25 @@ object GraftSql {
             // under RFC 6901 (array index OR object member "0", decided
             // by the document); Spark paths are static, so each digit
             // segment expands to BOTH interpretations and the rewrite
-            // coalesces array-first (capped at 2 digit segments — 4
-            // paths; deeper digit nesting keeps array-only, the
-            // overwhelmingly common case)
+            // coalesces array-first. Dual expansion is 2^n paths, so it
+            // caps at 4 digit segments (16 paths); deeper digit nesting
+            // is rejected at plan time rather than silently resolved
+            // array-only (a "0" object member 5 levels down would
+            // otherwise return a wrong null)
             val as = splitTokenArgs(inner)
             val segs = stripQuotes(as(1).head).split("/").drop(1)
               .map(_.replace("~1", "/").replace("~0", "~")).toSeq
             def named(s: String): String =
               if (s.matches("[A-Za-z_][A-Za-z0-9_]*")) s".$s" else s"['$s']"
             val nDigit = segs.count(s => s.nonEmpty && s.forall(_.isDigit))
+            if (nDigit > 4)
+              throw new IllegalArgumentException(
+                "get_json_object: unsupported JSON pointer — more than " +
+                  s"4 all-digit segments ($nDigit) cannot be statically " +
+                  "resolved to array-vs-object interpretations")
             val paths: Seq[String] = segs.foldLeft(Seq("$")) { (acc, s) =>
-              if (s.nonEmpty && s.forall(_.isDigit) && nDigit <= 2)
+              if (s.nonEmpty && s.forall(_.isDigit))
                 acc.flatMap(p => Seq(p + s"[$s]", p + named(s)))
-              else if (s.nonEmpty && s.forall(_.isDigit))
-                acc.map(_ + s"[$s]")
               else acc.map(_ + named(s))
             }
             val jsSql = as(0).mkString(" ")

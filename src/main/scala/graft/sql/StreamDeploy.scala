@@ -50,12 +50,15 @@ object StreamDeploy {
   private val TsCol = "__graft_sts"
   private val UidCol = "__graft_suid"
 
-  /** One compiled window-aggregate output column. `lwBucket` > 0 marks
+  /** One compiled window-aggregate output column. `lwBucket` != 0 marks
     * a long-window spec: answered from per-bucket partials (the
     * streaming MV — [[graft.operators.LongWindow.buildPreAgg]]'s
     * (key, bucket) rows, maintained incrementally in state exactly
     * like the reference's in-memory aggregator buckets,
-    * src/storage/aggregator.cc) plus raw head/tail edge scans. */
+    * src/storage/aggregator.cc) plus raw head/tail edge scans.
+    * Positive = time bucket (ms, serves RANGE frames); negative -n =
+    * row-count bucket of n rows by arrival ordinal (the reference's
+    * WindowType::kRowsNum, serves ROWS frames). */
   private case class WinSpec(id: String, fn: String, argIdx: Int,
       lagK: Int, frameless: Boolean, p: FrameParams, outType: DataType,
       wrapSum: Option[DataType], ignoreNulls: Boolean = false,
@@ -72,7 +75,11 @@ object StreamDeploy {
     * partials, not full-frame scans). Shared-JVM counters — exact
     * under local[*], indicative on a real cluster. LongAdder, not
     * AtomicLong: these sit in the per-row serving loop, and a single
-    * CAS cell would cache-line ping-pong across every stateful task. */
+    * CAS cell would cache-line ping-pong across every stateful task.
+    * Process-global by design: the specs that reset-and-assert run
+    * sequentially (the build forks one test JVM and sbt's default
+    * `Test / testForkedParallel := false` runs suites in it one at a
+    * time), so reset/assert pairs cannot interleave. */
   object LwMetrics {
     import java.util.concurrent.atomic.LongAdder
     val preAggRequests = new LongAdder
@@ -141,8 +148,17 @@ object StreamDeploy {
     * Public only because the Kryo state encoder requires it. */
   case class BufRow(ts: Long, seq: Long, args: Array[Any],
       primary: Boolean = true)
+  /** `ordered` tracks whether every arrival so far came in per-key
+    * event-time order. Row-count pre-agg buckets assign rows to buckets
+    * by arrival ordinal (`seq`), exactly like the reference's
+    * kRowsNum aggregator fills buffers by insertion
+    * (src/storage/aggregator.cc CheckBufferFilled) — an out-of-order
+    * arrival makes ordinal order diverge from (ts, seq) frame order, so
+    * the key permanently falls back to raw serving for row-bucket specs
+    * (time-bucket partials key by ts and are unaffected). */
   case class Buf(seq: Long, rows: List[BufRow],
-      partials: Map[(Long, Long, Int), Part] = Map.empty)
+      partials: Map[(Long, Long, Int), Part] = Map.empty,
+      ordered: Boolean = true)
 
   /** Count-retention membership. With `exclCTSlack` (some served
     * window EXCLUDEs CURRENT_TIME), rows at the buffer's newest ts
@@ -543,8 +559,18 @@ object StreamDeploy {
       case AbsAndLat(ms, _) => ms >= span // keep-if-EITHER: span kept
       case _                => false      // count eviction can cut mid-frame
     }
+    // row-count coverage: the raw path truncates a ROWS frame to the
+    // surviving newest-n rows; bucket partials never forget. Only a
+    // retention that always keeps the newest `cap` rows (LatestCount /
+    // AbsAndLat's keep-if-EITHER) makes the two paths agree.
+    def ttlCoversRows(cap: Int): Boolean = effTtl match {
+      case LatestCount(n)  => n >= cap
+      case AbsAndLat(_, n) => n >= cap
+      case _               => false
+    }
     def lwBucketFor(p: Pre): Long = lwByDef.get(p.w) match {
-      case Some(bms) if !p.frameless && !p.w.isRows &&
+      // time bucket (+ms): plain RANGE frame ending at CURRENT ROW
+      case Some(bms) if bms > 0 && !p.frameless && !p.w.isRows &&
           p.w.unions.isEmpty && !p.w.inw && !p.w.exclCT && !p.w.exclCR &&
           p.w.maxSize == 0 && p.w.hi == CurrentRow &&
           Set("sum", "count", "avg", "min", "max")(p.fn) =>
@@ -552,6 +578,17 @@ object StreamDeploy {
         if (fp.precedingMs >= bms &&
             fp.precedingMs < graft.operators.WindowOps.UnboundedMs &&
             ttlCovers(fp.precedingMs)) bms
+        else 0L
+      // row-count bucket (-n): plain bounded ROWS frame ending at
+      // CURRENT ROW — the reference's kRowsNum aggregator
+      // (aggregator.cc:1249-1251, buckets of n rows by insertion order)
+      case Some(bneg) if bneg < 0 && !p.frameless && p.w.isRows &&
+          p.w.unions.isEmpty && !p.w.inw && !p.w.exclCT && !p.w.exclCR &&
+          p.w.maxSize == 0 && p.w.hi == CurrentRow &&
+          Set("sum", "count", "avg", "min", "max")(p.fn) =>
+        val fp = frameParams(p.w)
+        if (fp.rowCap > 0 && fp.rowCap >= -bneg && fp.skipNewest == 0 &&
+            ttlCoversRows(fp.rowCap)) bneg
         else 0L
       case _ => 0L
     }
@@ -589,7 +626,7 @@ object StreamDeploy {
     // partials to keep in state, and which accumulator fields each
     // needs (sum/avg read the numeric sums; min/max read the compares)
     case class LwMaint(bms: Long, si: Int, needNum: Boolean, needCmp: Boolean)
-    val lwMaints: Seq[LwMaint] = specs.filter(_.lwBucket > 0)
+    val lwMaints: Seq[LwMaint] = specs.filter(_.lwBucket != 0)
       .map(s => (s.lwBucket, s.argIdx)).distinct.map { case (bms, si) =>
         LwMaint(bms, si,
           needNum = specs.exists(s => s.lwBucket == bms && s.argIdx == si &&
@@ -611,6 +648,8 @@ object StreamDeploy {
           var rows = st.rows
           var seq = st.seq
           var partials = st.partials
+          var ordered = st.ordered
+          val hasRowBuckets = lwMaints.exists(_.bms < 0)
           val out = Vector.newBuilder[Row]
           // (event-time, ingestion-uid) order within the micro-batch:
           // the pre-shuffle uid makes tie order deterministic instead
@@ -628,6 +667,13 @@ object StreamDeploy {
               i += 1
             }
             val (newer, older) = rows.span(b => b.ts > ts)
+            // an insert below the buffer head breaks ordinal/ts-order
+            // alignment: row-bucket partials become unusable for this
+            // key (and are dropped below); time buckets are unaffected
+            if (newer.nonEmpty && ordered && hasRowBuckets) {
+              ordered = false
+              partials = partials.filter { case ((bms, _, _), _) => bms > 0 }
+            }
             val cur = BufRow(ts, seq, args, isPrimary)
             rows = newer ::: (cur :: older)
             rows = evict(rows, effTtl, rows.head.ts, anyExclCT)
@@ -645,8 +691,13 @@ object StreamDeploy {
             if (lwMaints.nonEmpty) {
               lwMaints.foreach { m =>
                 val v = args(m.si)
-                if (v != null) {
-                  val key = (m.bms, Math.floorDiv(ts, m.bms), m.si)
+                // a row-count bucket (bms < 0) assigns by arrival
+                // ordinal — floorDiv(seq-1, n) — and is maintained only
+                // while the key's feed has stayed in order
+                if (v != null && (m.bms > 0 || ordered)) {
+                  val key =
+                    if (m.bms > 0) (m.bms, Math.floorDiv(ts, m.bms), m.si)
+                    else (m.bms, Math.floorDiv(seq - 1, -m.bms), m.si)
                   val p0 = partials.getOrElse(key, Part(0L, 0L, 0.0, null, null))
                   partials = partials.updated(key, Part(
                     p0.cnt + 1,
@@ -656,9 +707,14 @@ object StreamDeploy {
                     if (m.needCmp && (p0.mx == null || lt(p0.mx, v))) v else p0.mx))
                 }
               }
+              // prune buckets no future frame can reach: time buckets
+              // wholly older than the oldest surviving ts; row buckets
+              // wholly below the oldest surviving arrival ordinal
               val minTs = rows.last.ts
+              val minSeq = rows.last.seq
               partials = partials.filter { case ((bms, b, _), _) =>
-                (b + 1) * bms > minTs }
+                if (bms > 0) (b + 1) * bms > minTs
+                else (b + 1) * (-bms) >= minSeq }
             }
             // WINDOW UNION side rows are history only: buffered above,
             // never answered (the reference's union indexes feed
@@ -667,7 +723,8 @@ object StreamDeploy {
               // history at-or-before the request (strict (ts, seq) order)
               val basis = rows.dropWhile(b =>
                 b.ts > ts || (b.ts == ts && b.seq > seq))
-              val vals = specs.map(sp => evalSpec(sp, basis, ts, seq, partials))
+              val vals = specs.map(sp =>
+                evalSpec(sp, basis, ts, seq, partials, ordered))
               val outVals = new Array[Any](baseWidth + specs.length)
               var j = 0
               while (j < baseWidth) { outVals(j) = r.get(j); j += 1 }
@@ -676,7 +733,7 @@ object StreamDeploy {
               out += new GenericRowWithSchema(outVals, outSchema)
             }
           }
-          state.update(Buf(seq, rows, partials))
+          state.update(Buf(seq, rows, partials, ordered))
           out.result().iterator
       }
 
@@ -709,8 +766,14 @@ object StreamDeploy {
     * `basis` = buffered rows at-or-before the request, newest-first.
     * Filter order matches WindowOps.frameArray. */
   private def evalSpec(sp: WinSpec, basis: List[BufRow], ts: Long,
-      seq: Long, partials: Map[(Long, Long, Int), Part] = Map.empty): Any = {
+      seq: Long, partials: Map[(Long, Long, Int), Part] = Map.empty,
+      ordered: Boolean = true): Any = {
     if (sp.lwBucket > 0) return evalLongWindow(sp, basis, ts, partials)
+    // row-bucket pre-agg requires the key's feed to have stayed in
+    // order (ordinal buckets align with frame order); otherwise fall
+    // through to the raw full-frame path below — correct, unoptimized
+    if (sp.lwBucket < 0 && ordered)
+      return evalLongWindowRows(sp, basis, seq, partials)
     if (sp.frameless) {
       // lag/at are frameless positional lookups over ingestion order
       // (window_attributes.yaml id 0) — index from the request row.
@@ -839,17 +902,60 @@ object StreamDeploy {
 
     val edge = (tail.iterator ++ rawEdge.iterator)
       .map(_.args(sp.argIdx)).filter(_ != null).toList
+    mergeLw(sp, edge, (bEdge + 1) until hb map (b => (bms, b)), partials)
+  }
+
+  /** Row-bucket long-window evaluation (the reference's kRowsNum
+    * pre-agg, aggregator.cc:1249-1251): buckets of n rows by arrival
+    * ordinal. Only reached while the key's feed has stayed in per-key
+    * event-time order, so the surviving basis is a contiguous ordinal
+    * range [minSeq, seq] and ordinal position == frame position. Frame
+    * = newest `rowCap` ordinals at-or-before the request; full aligned
+    * buckets inside it answer from partials, the two cut edges scan
+    * raw. Per-request work is O(edge rows + buckets-in-frame). */
+  private def evalLongWindowRows(sp: WinSpec, basis: List[BufRow],
+      seq: Long, partials: Map[(Long, Long, Int), Part]): Any = {
+    val c = -sp.lwBucket
+    val minSeq = basis.lastOption.map(_.seq).getOrElse(seq)
+    // raw-path truncation: the frame holds the surviving newest rows
+    val lo = math.max(minSeq, seq - sp.p.rowCap + 1)
+    // full buckets: ordinal span [b*c+1, (b+1)*c] inside [lo, seq]
+    val bLo = Math.floorDiv(lo - 2 + c, c) // ceil((lo-1)/c), lo >= 1
+    val bHi = Math.floorDiv(seq, c) - 1
+    LwMetrics.preAggRequests.increment()
+    if (bHi < bLo) {
+      // frame narrower than one aligned bucket: all raw (still <= cap)
+      val edge = basis.takeWhile(_.seq >= lo).map(_.args(sp.argIdx))
+        .filter(_ != null).toList
+      LwMetrics.preAggRowsScanned.add(edge.length)
+      mergeLw(sp, edge, Nil, partials)
+    } else {
+      // newest-first basis: tail edge above the last full bucket, head
+      // edge below the first full bucket down to the frame start
+      val tail = basis.takeWhile(_.seq > (bHi + 1) * c)
+      val head = basis.dropWhile(_.seq > bLo * c).takeWhile(_.seq >= lo)
+      LwMetrics.preAggRowsScanned.add(tail.length + head.length)
+      val edge = (tail.iterator ++ head.iterator)
+        .map(_.args(sp.argIdx)).filter(_ != null).toList
+      mergeLw(sp, edge, bLo to bHi map (b => (sp.lwBucket, b)), partials)
+    }
+  }
+
+  /** Merge raw edge values with full-bucket partials — the reference's
+    * RequestAggUnionRunner combine of base-table edges and agg-table
+    * rows (runner.cc:1571+). */
+  private def mergeLw(sp: WinSpec, edge: List[Any],
+      buckets: Seq[(Long, Long)],
+      partials: Map[(Long, Long, Int), Part]): Any = {
     var cnt = edge.length.toLong
     var fullL = 0L; var fullD = 0.0
     var mn: Any = null; var mx: Any = null
-    var b = bEdge + 1
-    while (b < hb) {
+    buckets.foreach { case (bms, b) =>
       partials.get((bms, b, sp.argIdx)).foreach { p =>
         cnt += p.cnt; fullL += p.lsum; fullD += p.dsum
         if (p.mn != null && (mn == null || lt(p.mn, mn))) mn = p.mn
         if (p.mx != null && (mx == null || lt(mx, p.mx))) mx = p.mx
       }
-      b += 1
     }
     sp.fn match {
       case "count" => cnt

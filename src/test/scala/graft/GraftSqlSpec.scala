@@ -364,4 +364,29 @@ class GraftSqlSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(out(("u1", 20L)) == 2.0) // (10,20] excludes the ts=10 row
   }
+
+  test("JSON pointer digit segments resolve object keys at any depth <= 4") {
+    // RFC 6901: "/a/0/0/0" can address object members named "0" —
+    // every digit segment (up to 4) expands to both interpretations
+    Seq("""{"a": {"0": {"0": {"0": "deep"}}}}""").toDF("js")
+      .createOrReplaceTempView("jsp")
+    val v = GraftSql.sql(spark,
+      "SELECT get_json_object(js, '/a/0/0/0') AS v FROM jsp")
+      .collect().head.getString(0)
+    assert(v == "deep")
+    // arrays win the array-vs-object race at the same depth
+    Seq("""{"a": [[["arr"]]]}""").toDF("js")
+      .createOrReplaceTempView("jsp2")
+    val v2 = GraftSql.sql(spark,
+      "SELECT get_json_object(js, '/a/0/0/0') AS v FROM jsp2")
+      .collect().head.getString(0)
+    assert(v2 == "arr")
+    // 5+ digit segments cannot be statically resolved: plan-time error
+    // instead of a silently-wrong array-only null
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        "SELECT get_json_object(js, '/0/1/2/3/4') AS v FROM jsp")
+    }
+    assert(e.getMessage.contains("unsupported JSON pointer"))
+  }
 }

@@ -234,9 +234,87 @@ class LongWindowServeSpec extends SparkSpec {
       Map("w1" -> 1800000L, "w2" -> 7200000L))
     assert(GraftSql.parseLongWindows("w1:") == Map("w1" -> 86400000L))
     assert(GraftSql.parseLongWindows("w1") == Map("w1" -> 86400000L))
-    // a row-count bucket is the reference's row pre-agg — declared
-    // valid but served unoptimized here (omitted from the map)
-    assert(GraftSql.parseLongWindows("w1:100") == Map.empty)
+    // a row-count bucket is the reference's kRowsNum pre-agg
+    // (aggregator.cc:1249-1251), encoded as a negative size
+    assert(GraftSql.parseLongWindows("w1:100") == Map("w1" -> -100L))
     intercept[IllegalArgumentException](GraftSql.parseLongWindows("w1:5y"))
+    intercept[IllegalArgumentException](GraftSql.parseLongWindows("w1:0"))
+  }
+
+  test("row-count buckets: ROWS frames answer from ordinal partials") {
+    // all five pre-aggregable fns over a 120-row frame, 25-row buckets
+    check("""SELECT key, ts, sum(amt) OVER w AS s, count(amt) OVER w AS c,
+      avg(amt) OVER w AS a, min(amt) OVER w AS mn, max(amt) OVER w AS mx,
+      sum(qty) OVER w AS sq
+      FROM events WINDOW w AS (PARTITION BY key ORDER BY ts
+        ROWS BETWEEN 119 PRECEDING AND CURRENT ROW)""",
+      Map("w" -> -25L), mkEvents())
+  }
+
+  test("row-count buckets: ineligible shapes fall back to raw") {
+    val events = mkEvents(200)
+    // RANGE frame with a rows bucket: mismatched frame type
+    check("""SELECT key, ts, sum(qty) OVER w AS s FROM events
+      WINDOW w AS (PARTITION BY key ORDER BY ts
+        ROWS_RANGE BETWEEN 3000 PRECEDING AND CURRENT ROW)""",
+      Map("w" -> -25L), events, expectMv = false)
+    // frame narrower than one bucket
+    check("""SELECT key, ts, sum(qty) OVER w AS s FROM events
+      WINDOW w AS (PARTITION BY key ORDER BY ts
+        ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)""",
+      Map("w" -> -25L), events, expectMv = false)
+    // EXCLUDE CURRENT_ROW changes frame membership per request
+    check("""SELECT key, ts, sum(qty) OVER w AS s FROM events
+      WINDOW w AS (PARTITION BY key ORDER BY ts
+        ROWS BETWEEN 50 PRECEDING AND CURRENT ROW EXCLUDE CURRENT_ROW)""",
+      Map("w" -> -25L), events, expectMv = false)
+  }
+
+  test("row-count buckets: out-of-order feed falls back, stays correct") {
+    // chunk-shuffled micro-batches: once a key sees an out-of-order
+    // arrival, its ordinal buckets no longer align with frame order —
+    // the key must permanently serve raw (and agree with the raw path)
+    implicit val sqlCtx = spark.sqlContext
+    val sql = """SELECT key, ts, sum(qty) OVER w AS s, count(amt) OVER w AS c
+      FROM events WINDOW w AS (PARTITION BY key ORDER BY ts
+        ROWS BETWEEN 79 PRECEDING AND CURRENT ROW)"""
+    val rows = mkEvents(400).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.get(3).asInstanceOf[java.lang.Double], r.getString(4)))
+    val chunks = rows.grouped(40).toSeq
+    val order = chunks.indices.sortBy(i => (i * 37) % chunks.length)
+    def runStream(lw: Map[String, Long], name: String): Seq[Seq[String]] = {
+      val mem = MemoryStream[(String, Long, Long, java.lang.Double, String)]
+      val stream = mem.toDF().toDF("key", "ts", "qty", "amt", "tag")
+      val q = StreamDeploy.serve(spark, sql, stream, longWindows = lw)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      order.foreach { i => mem.addData(chunks(i)); q.processAllAvailable() }
+      val out = canon(spark.table(name))
+      q.stop(); out
+    }
+    val lw = runStream(Map("w" -> -25L), "lwrows_ooo_mv")
+    val raw = runStream(Map.empty, "lwrows_ooo_raw")
+    assert(lw == raw,
+      "row-bucket MV and raw paths diverged on out-of-order input")
+  }
+
+  test("row-count buckets scan far fewer raw rows than the frame") {
+    StreamDeploy.LwMetrics.reset()
+    val events = mkEvents(600)
+    val sql = """SELECT key, ts, sum(qty) OVER w AS s
+      FROM events WINDOW w AS (PARTITION BY key ORDER BY ts
+        ROWS BETWEEN 499 PRECEDING AND CURRENT ROW)"""
+    val batch = GraftSql.sql(spark, sql, Map("events" -> events))
+    val served = StreamDeploy.serve(spark, sql, events,
+      longWindows = Map("w" -> -50L))
+    assert(canon(batch) == canon(served))
+    val reqs = StreamDeploy.LwMetrics.preAggRequests.sum
+    val scanned = StreamDeploy.LwMetrics.preAggRowsScanned.sum
+    assert(reqs == 1200L) // 2 keys x 600 requests
+    // raw serving would scan ~frame rows per request (up to 500);
+    // bucketed serving scans only the two cut edges (< 2 buckets)
+    assert(scanned < reqs * 100,
+      s"expected <100 raw rows/request via partials, got ${scanned / reqs}")
   }
 }

@@ -231,7 +231,15 @@ class SqlStatementsSpec extends SparkSpec {
     GraftSql.statement(spark,
       s"LOAD DATA INFILE '$dir/out' INTO TABLE jb_t OPTIONS (format='csv', header=true)")
 
-    val jobs = GraftSql.statement(spark, "SHOW JOBS").get.collect()
+    val jobsDf = GraftSql.statement(spark, "SHOW JOBS").get
+    // the reference's full 14-column schema (SHOW_JOBS.md:41):
+    // nameserver-op fields are NULL, component is TaskManager
+    assert(jobsDf.columns.toSeq == Seq("job_id", "job_type", "state",
+      "start_time", "end_time", "parameter", "cluster", "application_id",
+      "error", "db", "name", "pid", "cur_task", "component"))
+    val jobs = jobsDf.collect()
+    assert(jobs.forall(r => r.isNullAt(9) && r.isNullAt(12) &&
+      r.getString(13) == "TaskManager"))
     assert(jobs.length == 2)
     assert(jobs.map(_.getString(1)).toSet ==
       Set("ExportOfflineData", "ImportOfflineData"))
@@ -286,6 +294,12 @@ class SqlStatementsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       GraftSql.statement(spark, "STOP JOB abc")
     }
+    // a missing id (next() at EOF yields "") gets the intended message,
+    // not a raw NumberFormatException (forall on "" is vacuously true)
+    val eEmpty = intercept[IllegalArgumentException] {
+      GraftSql.statement(spark, "STOP JOB")
+    }
+    assert(eEmpty.getMessage.contains("invalid job id"))
     GraftSql.statement(spark, "DROP TABLE jb_f")
   }
 }
