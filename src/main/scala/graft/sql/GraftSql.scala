@@ -1083,6 +1083,39 @@ object GraftSql {
       .toDF(JobCols: _*)
   }
 
+  /** A CALL argument literal as a typed Column. Numbers bound to a
+    * TIMESTAMP column are epoch MILLISECONDS (the engine's ts model);
+    * wall-clock strings read at the corpus convention (UTC+8), like
+    * the dialect's timestamp() rewrite. */
+  private def callArgColumn(toks: Vector[String],
+      dt: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types.{DateType, TimestampType}
+    val s = toks.mkString(" ")
+    if (s.equalsIgnoreCase("null")) lit(null).cast(dt)
+    else if (s.equalsIgnoreCase("true") || s.equalsIgnoreCase("false"))
+      lit(s.toBoolean).cast(dt)
+    else if (toks.length == 1 && isQuoted(toks.head)) {
+      val v = stripQuotes(toks.head)
+      dt match {
+        case TimestampType =>
+          to_utc_timestamp(to_timestamp(lit(v)), "GMT+8")
+        case DateType => to_date(lit(v))
+        case _        => lit(v).cast(dt)
+      }
+    } else {
+      val num = s.replace(" ", "")
+      if (!num.matches("[+-]?\\d+(\\.\\d+)?([eE][+-]?\\d+)?"))
+        throw new IllegalArgumentException(
+          s"CALL: unsupported argument literal '$s'")
+      dt match {
+        case TimestampType => timestamp_millis(lit(num.toDouble.toLong))
+        case _ if num.contains('.') || num.toLowerCase.contains('e') =>
+          lit(num.toDouble).cast(dt)
+        case _ => lit(num.toLong).cast(dt)
+      }
+    }
+  }
+
   /** Parse a job-id argument; a non-numeric id is an execution-time
     * error (the reference's planner passes any literal through and the
     * TaskManager rejects it). */
@@ -1608,6 +1641,71 @@ object GraftSql {
             val ddl = s"CREATE TABLE `$tn` (\n" +
               (cols ++ idxs).map("  " + _).mkString(",\n") + "\n)"
             Some(Seq((tn, ddl)).toDF("Table", "Create Table"))
+          case "TABLE" =>
+            // SHOW TABLE STATUS [LIKE 'db-pattern']
+            // (ddl/SHOW_TABLE_STATUS.md): one row per visible table
+            // with the reference's 14-column status schema. With no
+            // database in USE, all databases' tables show; LIKE
+            // filters by DATABASE name (the documented semantics).
+            p.expect("STATUS")
+            val likeDb = if (p.accept("LIKE")) Some(stripQuotes(p.next()))
+              else None
+            def likeRe(pat: String): String = pat.flatMap {
+              case '%' => ".*"
+              case '_' => "."
+              case c if "\\.[]{}()*+?^$|".contains(c) => "\\" + c
+              case c => c.toString
+            }
+            val cur = curDb(spark)
+            // (database, short name, catalog name) of every visible
+            // table: unprefixed views live in the default db
+            val all = spark.catalog.listTables().collect().toSeq
+              .map(_.name)
+              .flatMap { n =>
+                if (n.startsWith("__graftdb__")) {
+                  val rest = n.stripPrefix("__graftdb__")
+                  val cut = rest.indexOf("__")
+                  if (cut > 0)
+                    Some((rest.substring(0, cut), rest.substring(cut + 2), n))
+                  else None
+                } else if (n.startsWith("__graft")) None
+                else Some(("default", n, n))
+              }
+            val visible = (likeDb, cur) match {
+              case (Some(pat), _) =>
+                val re = likeRe(pat)
+                all.filter { case (db, _, _) => db.matches(re) }
+              case (None, Some(db)) => all.filter(_._1 == db)
+              case (None, None)     => all
+            }
+            val (_, statusReg) = tableStatusOf(spark)
+            val rows = visible.sortBy(t => (t._1, t._2)).map {
+              case (db, short, catName) =>
+                val meta = statusReg.get(catName.toLowerCase)
+                  .orElse(statusReg.get(short.toLowerCase))
+                  .getOrElse(TableStatusMeta(0L))
+                val storage = meta.opts.getOrElse("storage_mode", "memory")
+                val df = spark.table(quoteId(catName))
+                val nRows = df.count()
+                val bytes = df.queryExecution.optimizedPlan.stats
+                  .sizeInBytes.min(BigInt(Long.MaxValue)).toLong
+                val parts = meta.opts.get("partitionnum")
+                  .filter(_.matches("\\d+")).map(_.toInt).getOrElse(8)
+                val reps = meta.opts.get("replicanum")
+                  .filter(_.matches("\\d+")).map(_.toInt).getOrElse(3)
+                (meta.id, short, db, storage, nRows,
+                  if (storage == "memory") bytes else 0L,
+                  if (storage == "memory") 0L else bytes,
+                  parts, 0, reps,
+                  null.asInstanceOf[String], null.asInstanceOf[String],
+                  if (meta.symPaths.isEmpty) null
+                  else meta.symPaths.mkString(","),
+                  "")
+            }
+            Some(rows.toDF("Table_id", "Table_name", "Database_name",
+              "Storage_type", "Rows", "Memory_data_size", "Disk_data_size",
+              "Partition", "Partition_unalive", "Replica", "Offline_path",
+              "Offline_format", "Offline_symbolic_paths", "Warnings"))
           case "TABLES" =>
             val db = curDb(spark)
             val pfx = db.map(d => dbViewName(s"$d.")).getOrElse("")
@@ -1982,8 +2080,11 @@ object GraftSql {
         }
         p.expect(")")
         // trailing OPTIONS: topology spec validated against the
-        // modeled cluster (ddl/test_options.yaml, test_create 38-40)
-        validateTableOptions(spark, parseOptions(p))
+        // modeled cluster (ddl/test_options.yaml, test_create 38-40),
+        // then recorded for SHOW TABLE STATUS
+        val tblOpts = parseOptions(p).map { case (k, v) =>
+          k.toLowerCase -> stripQuotes(v) }
+        validateTableOptions(spark, tblOpts)
         val schema = org.apache.spark.sql.types.StructType(fields.result())
         indexSpecs.result().foreach { case (keys, tsCol, _) =>
           keys.foreach { kc =>
@@ -2015,6 +2116,11 @@ object GraftSql {
         }
         graft.GraftCatalog.createTable(spark, name, schema)
         createdOf(spark) += name
+        locally { // SHOW TABLE STATUS row: id + storage options
+          val (ctr, reg) = tableStatusOf(spark)
+          reg.put(name.toLowerCase,
+            TableStatusMeta(ctr.incrementAndGet(), tblOpts))
+        }
         registerTableIndexes(spark, None, name,
           indexSpecs.result().map { case (ks, ts, _) =>
             s"idx:${ks.mkString("|")}:${ts.getOrElse("")}" },
@@ -2040,12 +2146,88 @@ object GraftSql {
         }
         None
 
+      case "ALTER" =>
+        // ALTER TABLE t ADD|DROP offline_path 'uri' [, ...] —
+        // dml/ALTER_STATEMENT.md: only the offline symbolic paths are
+        // updatable; surfaced via SHOW TABLE STATUS
+        // Offline_symbolic_paths
+        p.expect("ALTER"); p.expect("TABLE")
+        val atName = qualifyTable(spark, readTableName(p))
+        if (!spark.catalog.tableExists(quoteId(atName)))
+          throw new IllegalArgumentException(
+            s"table '$atName' does not exist")
+        val (ctr, reg) = tableStatusOf(spark)
+        var meta = reg.getOrElse(atName.toLowerCase,
+          TableStatusMeta(ctr.incrementAndGet()))
+        var more = true
+        while (more) {
+          val action = p.next().toUpperCase
+          if (action != "ADD" && action != "DROP")
+            throw new IllegalArgumentException(
+              s"ALTER TABLE action must be ADD or DROP, got '$action'")
+          val kw = p.next()
+          if (!kw.equalsIgnoreCase("offline_path"))
+            throw new IllegalArgumentException(
+              s"ALTER TABLE only supports offline_path, got '$kw'")
+          val uri = stripQuotes(p.next())
+          meta =
+            if (action == "ADD")
+              meta.copy(symPaths = (meta.symPaths :+ uri).distinct)
+            else meta.copy(symPaths = meta.symPaths.filterNot(_ == uri))
+          more = p.accept(",")
+        }
+        if (p.p != p.toks.length) p.fail("trailing tokens")
+        reg.put(atName.toLowerCase, meta)
+        None
+
+      case "CALL" =>
+        // CALL [db.]name(arg, ...) — dml/CALL_STATEMENT.md: invoke a
+        // deployment (or stored procedure; DEPLOY is implemented as an
+        // SP in the reference) with ONE request row whose values are
+        // the literal args, typed by the request table's schema. The
+        // answer is the deployment's features for that request row
+        // against the stored history — requestMode with one row.
+        p.expect("CALL")
+        val cn = readTableName(p).split("\\.").last
+        val bodySql = deployed(spark).get(cn)
+          .orElse(procedures(spark).get(cn))
+          .getOrElse(throw new IllegalArgumentException(
+            s"no deployment or procedure named '$cn'"))
+        p.expect("(")
+        val argsClose = matchClose(p.toks, p.p - 1)
+        val argToks = splitTokenArgs(p.toks.slice(p.p, argsClose))
+        p.p = argsClose + 1
+        if (p.p != p.toks.length) p.fail("trailing tokens")
+        val cq = parseQueryText(bodySql)
+        def rootOf(r: TRef): String = r match {
+          case Left(n)    => n
+          case Right(sub) => rootOf(sub.selects.head.fromTable)
+        }
+        val rootTable = qualifyTable(spark,
+          rootOf(cq.selects.head.fromTable))
+        val reqSchema = org.apache.spark.sql.types.StructType(
+          spark.table(quoteId(rootTable)).schema.fields
+            .filterNot(_.name.startsWith("__graft")))
+        if (argToks.length != reqSchema.fields.length)
+          throw new IllegalArgumentException(
+            s"CALL $cn expects ${reqSchema.fields.length} arguments " +
+              s"(the request table's schema), got ${argToks.length}")
+        import spark.implicits._
+        var reqRow = Seq(1).toDF("__call_seed")
+        reqSchema.fields.zip(argToks).foreach { case (f, ts) =>
+          reqRow = reqRow.withColumn(f.name, callArgColumn(ts, f.dataType))
+        }
+        Some(requestMode(spark, bodySql, reqRow.drop("__call_seed")))
+
       case "DROP" =>
         p.expect("DROP"); p.expect("TABLE")
         if (p.accept("IF")) p.expect("EXISTS")
         val dropName = readTableName(p)
         spark.catalog.dropTempView(quoteId(dropName))
         idxMetaOf(spark).remove(dropName.toLowerCase)
+        tableStatusOf(spark)._2.remove(dropName.toLowerCase)
+        tableStatusOf(spark)._2.remove(
+          qualifyTable(spark, dropName).toLowerCase)
         None
 
       case "INSERT" =>
@@ -2584,6 +2766,7 @@ object GraftSql {
     deployed(spark).clear()
     deployOpts(spark).clear()
     locally { val (ctr, reg) = jobsOf(spark); reg.clear(); ctr.set(0) }
+    locally { val (ctr, reg) = tableStatusOf(spark); reg.clear(); ctr.set(0) }
     procedures(spark).clear()
     dbsOf(spark).clear()
     sessionCurDb.remove(spark)
@@ -2598,6 +2781,30 @@ object GraftSql {
     createdOf(spark).foreach(n => spark.catalog.dropTempView(quoteId(n)))
     createdOf(spark).clear()
   }
+
+  /** Table-status metadata recorded at CREATE TABLE (storage options)
+    * and edited by ALTER TABLE (offline symbolic paths) — the surface
+    * SHOW TABLE STATUS reports (ddl/SHOW_TABLE_STATUS.md,
+    * dml/ALTER_STATEMENT.md). */
+  private case class TableStatusMeta(id: Long,
+      opts: Map[String, String] = Map.empty,
+      symPaths: Seq[String] = Seq.empty)
+  private val tableStatusBySession =
+    new java.util.WeakHashMap[SparkSession,
+      (java.util.concurrent.atomic.AtomicLong,
+        scala.collection.concurrent.TrieMap[String, TableStatusMeta])]()
+  private def tableStatusOf(spark: SparkSession)
+      : (java.util.concurrent.atomic.AtomicLong,
+        scala.collection.concurrent.TrieMap[String, TableStatusMeta]) =
+    tableStatusBySession.synchronized {
+      var s = tableStatusBySession.get(spark)
+      if (s == null) {
+        s = (new java.util.concurrent.atomic.AtomicLong(0),
+          scala.collection.concurrent.TrieMap[String, TableStatusMeta]())
+        tableStatusBySession.put(spark, s)
+      }
+      s
+    }
 
   private val createdBySession =
     new java.util.WeakHashMap[SparkSession,

@@ -216,6 +216,96 @@ class SqlStatementsSpec extends SparkSpec {
     } finally GraftSql.statement(spark, "DROP TABLE sct1")
   }
 
+  test("CALL invokes a deployment with one typed request row") {
+    // dml/CALL_STATEMENT.md: CALL dp(args) — args match the request
+    // table's schema; the answer is the deployment's features for that
+    // single request row against the stored history
+    GraftSql.resetDeployments(spark)
+    val hist = Seq(("u1", 10L, 1.0), ("u1", 20L, 2.0), ("u2", 5L, 5.0))
+      .toDF("k", "ts", "v")
+    hist.createOrReplaceTempView("call_ev")
+    GraftSql.statement(spark,
+      """DEPLOY call_d SELECT k, sum(v) OVER w AS s FROM call_ev
+        |WINDOW w AS (PARTITION BY k ORDER BY ts
+        |  ROWS_RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)""".stripMargin)
+    val out = GraftSql.statement(spark, "CALL call_d ('u1', 30, 3.0)")
+      .get.as[(String, Double)].collect().toSeq
+    assert(out == Seq(("u1", 6.0))) // 1 + 2 + the request row's 3
+    // a stored procedure invokes the same way (DEPLOY is an SP)
+    GraftSql.statement(spark,
+      """CREATE PROCEDURE call_p (kk string, tts bigint, vv double)
+        |BEGIN SELECT k, count(v) OVER w AS c FROM call_ev
+        |WINDOW w AS (PARTITION BY k ORDER BY ts
+        |  ROWS_RANGE BETWEEN 100 PRECEDING AND CURRENT ROW); END""".stripMargin)
+    val pc = GraftSql.statement(spark, "CALL call_p ('u2', 50, 0.5)")
+      .get.as[(String, Long)].collect().toSeq
+    assert(pc == Seq(("u2", 2L))) // history row + request row
+    // arg-count and name errors
+    val eArgs = intercept[IllegalArgumentException] {
+      GraftSql.statement(spark, "CALL call_d ('u1', 30)")
+    }
+    assert(eArgs.getMessage.contains("expects 3 arguments"))
+    val eName = intercept[IllegalArgumentException] {
+      GraftSql.statement(spark, "CALL nope (1)")
+    }
+    assert(eName.getMessage.contains("no deployment or procedure"))
+    GraftSql.resetDeployments(spark)
+  }
+
+  test("ALTER TABLE edits offline paths; SHOW TABLE STATUS reports them") {
+    GraftSql.resetCatalogState(spark)
+    GraftSql.statement(spark,
+      """CREATE TABLE ts_t (k string, ts bigint, v double)
+        |OPTIONS (partitionnum=4, replicanum=2, storage_mode='ssd')""".stripMargin)
+    GraftSql.statement(spark, "INSERT INTO ts_t VALUES ('a', 1, 1.5)")
+    GraftSql.statement(spark, "INSERT INTO ts_t VALUES ('b', 2, 2.5)")
+    GraftSql.statement(spark,
+      "ALTER TABLE ts_t ADD offline_path 'file:///tmp/p1', " +
+        "ADD offline_path 'file:///tmp/p2', DROP offline_path 'file:///tmp/p1'")
+    val st = GraftSql.statement(spark, "SHOW TABLE STATUS").get
+    assert(st.columns.toSeq == Seq("Table_id", "Table_name",
+      "Database_name", "Storage_type", "Rows", "Memory_data_size",
+      "Disk_data_size", "Partition", "Partition_unalive", "Replica",
+      "Offline_path", "Offline_format", "Offline_symbolic_paths",
+      "Warnings"))
+    val row = st.filter($"Table_name" === "ts_t").collect().head
+    assert(row.getAs[String]("Storage_type") == "ssd")
+    assert(row.getAs[Long]("Rows") == 2L)
+    assert(row.getAs[Int]("Partition") == 4)
+    assert(row.getAs[Int]("Replica") == 2)
+    // ssd storage accounts under disk, not memory
+    assert(row.getAs[Long]("Memory_data_size") == 0L)
+    assert(row.getAs[Long]("Disk_data_size") > 0L)
+    assert(row.getAs[String]("Offline_symbolic_paths") == "file:///tmp/p2")
+    // defaults for a plain view: memory storage, 8 partitions, 3 replicas
+    Seq((1, "x")).toDF("a", "b").createOrReplaceTempView("ts_view")
+    val vr = GraftSql.statement(spark, "SHOW TABLE STATUS").get
+      .filter($"Table_name" === "ts_view").collect().head
+    assert(vr.getAs[String]("Storage_type") == "memory" &&
+      vr.getAs[Int]("Partition") == 8 && vr.getAs[Int]("Replica") == 3)
+    assert(vr.getAs[String]("Database_name") == "default")
+    // LIKE filters by DATABASE name (SHOW_TABLE_STATUS.md)
+    assert(GraftSql.statement(spark, "SHOW TABLE STATUS LIKE 'nodb'")
+      .get.collect().isEmpty)
+    assert(GraftSql.statement(spark, "SHOW TABLE STATUS LIKE 'def%'")
+      .get.filter($"Table_name" === "ts_t").count() == 1)
+    // bad ALTER shapes
+    val eAct = intercept[IllegalArgumentException] {
+      GraftSql.statement(spark, "ALTER TABLE ts_t RENAME offline_path 'x'")
+    }
+    assert(eAct.getMessage.contains("ADD or DROP"))
+    val eKw = intercept[IllegalArgumentException] {
+      GraftSql.statement(spark, "ALTER TABLE ts_t ADD online_path 'x'")
+    }
+    assert(eKw.getMessage.contains("offline_path"))
+    intercept[IllegalArgumentException] {
+      GraftSql.statement(spark, "ALTER TABLE ts_missing ADD offline_path 'x'")
+    }
+    GraftSql.statement(spark, "DROP TABLE ts_t")
+    spark.catalog.dropTempView("ts_view")
+    GraftSql.resetCatalogState(spark)
+  }
+
   // ---- job management (task_manage/*.md): SHOW JOBS / SHOW JOB /
   // SHOW JOBLOG / STOP JOB / DELETE JOB over the offline-job registry
   // fed by the job-producing statements (SUBMIT_JOB.md) ----

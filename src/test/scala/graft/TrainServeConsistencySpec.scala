@@ -229,4 +229,46 @@ class TrainServeConsistencySpec extends SparkSpec {
         "is not reducing per-request scan volume")
     GraftSql.resetDeployments(spark)
   }
+
+  test("serve≡batch row-bucket long_windows deployment (kRowsNum)") {
+    // DEPLOY OPTIONS(long_windows="w1:100"): a bare-integer bucket is
+    // the reference's row-count pre-agg (aggregator.cc:1249-1251) —
+    // ROWS frames answer from arrival-ordinal partials
+    import spark.implicits._
+    val n = 1500
+    val evs = for (k <- Seq("a", "b", "c"); i <- 0 until n)
+      yield (k, i.toLong * 5 + (if (k == "b") 2 else 0),
+        (i % 17).toLong, (i % 13) * 0.25)
+    val df = evs.toDF("key", "ts", "qty", "amt")
+    df.createOrReplaceTempView("lwr_t")
+    val sql = """SELECT key, ts, sum(qty) OVER w1 AS s, count(amt) OVER w1 AS c,
+      avg(amt) OVER w1 AS a, min(amt) OVER w1 AS mn, max(qty) OVER w1 AS mx
+      FROM lwr_t
+      WINDOW w1 AS (PARTITION BY key ORDER BY ts
+        ROWS BETWEEN 799 PRECEDING AND CURRENT ROW)"""
+    GraftSql.resetDeployments(spark)
+    GraftSql.statement(spark,
+      s"""DEPLOY lwr_dep OPTIONS(long_windows="w1:100") $sql""")
+    StreamDeploy.LwMetrics.reset()
+    val batch = GraftSql.sql(spark, sql)
+    val served = StreamDeploy.serveDeployment(spark, "lwr_dep",
+      df.alias("lwr_t"))
+    def canon(d: org.apache.spark.sql.DataFrame): Seq[Seq[String]] =
+      d.collect().toSeq.map(_.toSeq.map {
+        case null => "null"
+        case d0: Double => f"$d0%.6f"
+        case x => String.valueOf(x)
+      }).sortBy(_.mkString("|"))
+    assert(canon(batch) == canon(served))
+    val m = StreamDeploy.LwMetrics
+    // every request (3 keys × n rows × 5 outputs) via the pre-agg path
+    assert(m.preAggRequests.sum == 3L * n * 5,
+      s"preAggRequests=${m.preAggRequests.sum}")
+    assert(m.rawRowsScanned.sum == 0L,
+      s"rawRowsScanned=${m.rawRowsScanned.sum}")
+    // 800-row frames, 100-row buckets: edge scans < 200 rows/request
+    assert(m.preAggRowsScanned.sum < m.preAggRequests.sum * 200,
+      s"edge scan volume too high: ${m.preAggRowsScanned.sum}")
+    GraftSql.resetDeployments(spark)
+  }
 }
