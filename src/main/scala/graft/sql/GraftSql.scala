@@ -1577,6 +1577,11 @@ object GraftSql {
         p.next().toUpperCase match {
           case "DATABASES" =>
             Some(dbsOf(spark).toSeq.sorted.toDF("Databases"))
+          case "CURRENT_USER" =>
+            // SHOW CURRENT_USER (ddl/SHOW_CURRENT_USER_STATEMENT.md);
+            // sessions here are single-user root, like the reference's
+            // default login
+            Some(Seq("root").toDF("User"))
           case "VARIABLES" =>
             // SHOW VARIABLES: session system variables with defaults
             // (ddl/SET_STATEMENT.md)
@@ -1788,6 +1793,52 @@ object GraftSql {
           case other => throw new IllegalArgumentException(
             s"unsupported SHOW $other")
         }
+
+      case "CREATE" if p.toks.lift(1).exists(_.equalsIgnoreCase("USER")) =>
+        // CREATE USER [IF NOT EXISTS] name [OPTIONS(password='p')]
+        p.expect("CREATE"); p.expect("USER")
+        val ifNot =
+          if (p.accept("IF")) { p.expect("NOT"); p.expect("EXISTS"); true }
+          else false
+        val un = unq(p.next())
+        val pw = userPasswordOpt(parseOptions(p)).getOrElse("")
+        if (p.p != p.toks.length) p.fail("trailing tokens")
+        val users = usersOf(spark)
+        if (users.contains(un)) {
+          if (!ifNot) throw new IllegalArgumentException(
+            s"user '$un' already exists")
+        } else users.put(un, pw)
+        None
+
+      case "ALTER" if p.toks.lift(1).exists(_.equalsIgnoreCase("USER")) =>
+        // ALTER USER [IF EXISTS] name [SET OPTIONS(password='p')] —
+        // password unchanged when not specified (the docs' note 1)
+        p.expect("ALTER"); p.expect("USER")
+        val ifEx = if (p.accept("IF")) { p.expect("EXISTS"); true } else false
+        val un = unq(p.next())
+        val pw =
+          if (p.accept("SET")) userPasswordOpt(parseOptions(p))
+          else None
+        if (p.p != p.toks.length) p.fail("trailing tokens")
+        val users = usersOf(spark)
+        if (!users.contains(un)) {
+          if (!ifEx) throw new IllegalArgumentException(
+            s"user '$un' does not exist")
+        } else pw.foreach(users.put(un, _))
+        None
+
+      case "DROP" if p.toks.lift(1).exists(_.equalsIgnoreCase("USER")) =>
+        p.expect("DROP"); p.expect("USER")
+        val ifEx = if (p.accept("IF")) { p.expect("EXISTS"); true } else false
+        val un = unq(p.next())
+        if (p.p != p.toks.length) p.fail("trailing tokens")
+        if (un == "root") throw new IllegalArgumentException(
+          "the user 'root' cannot be deleted")
+        val users = usersOf(spark)
+        if (!users.contains(un) && !ifEx)
+          throw new IllegalArgumentException(s"user '$un' does not exist")
+        users.remove(un)
+        None
 
       case "CREATE" if p.toks.lift(1).exists(_.equalsIgnoreCase("DATABASE")) =>
         p.expect("CREATE"); p.expect("DATABASE")
@@ -2805,6 +2856,42 @@ object GraftSql {
       }
       s
     }
+
+  /** User registry (ddl/{CREATE,ALTER,DROP}_USER_STATEMENT.md,
+    * SHOW_CURRENT_USER_STATEMENT.md): user → password, seeded with
+    * `root`. Authentication itself is the cluster manager's concern in
+    * this architecture; the registry models the statement surface and
+    * its validation rules (only `password` in OPTIONS, root
+    * undeletable). */
+  private val usersBySession =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, String]]()
+  private def usersOf(spark: SparkSession)
+      : scala.collection.concurrent.TrieMap[String, String] =
+    usersBySession.synchronized {
+      var m = usersBySession.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap[String, String]("root" -> "")
+        usersBySession.put(spark, m)
+      }
+      m
+    }
+
+  /** The stored password for a user, if the user exists (test/tooling
+    * surface — the reference exposes this via its auth tables). */
+  def userPassword(spark: SparkSession, name: String): Option[String] =
+    usersOf(spark).get(name)
+
+  /** OPTIONS for user statements allow ONLY `password` (the docs'
+    * note 2); returns it stripped, or None when absent. */
+  private def userPasswordOpt(opts: Map[String, String]): Option[String] = {
+    opts.keys.find(!_.equalsIgnoreCase("password")).foreach { k =>
+      throw new IllegalArgumentException(
+        s"user OPTIONS supports only password, got '$k'")
+    }
+    opts.get("password").orElse(opts.find(_._1.equalsIgnoreCase("password"))
+      .map(_._2)).map(stripQuotes)
+  }
 
   private val createdBySession =
     new java.util.WeakHashMap[SparkSession,

@@ -250,11 +250,16 @@ object StreamDeploy {
     // DEPLOY ... OPTIONS(long_windows="w:1d") routes the named windows
     // through the pre-agg partials (the reference's
     // LongWindowOptimized rewrite, long_window_optimized.h:29-50)
-    val lw = GraftSql.deploymentOptions(spark, name).get("long_windows")
+    val opts = GraftSql.deploymentOptions(spark, name)
+    val lw = opts.get("long_windows")
       .map(GraftSql.parseLongWindows).getOrElse(Map.empty)
+    // engine extension: OPTIONS(idle_state_gc='true') opts into
+    // wall-clock expulsion of idle keys' state (pure-time TTLs only) —
+    // pair with a processing-time trigger on the sink
+    val gc = opts.get("idle_state_gc").exists(_.equalsIgnoreCase("true"))
     serve(spark, GraftSql.deployment(spark, name).getOrElse(
       throw new IllegalArgumentException(s"no deployment named '$name'")),
-      events, ttl, tables, lw)
+      events, ttl, tables, lw, gc)
   }
 
   /** Compile `sqlText` (a deployable SELECT) into a streaming (or
@@ -265,7 +270,8 @@ object StreamDeploy {
   def serve(spark: SparkSession, sqlText: String, events: DataFrame,
       ttl: Option[Ttl] = None,
       tables: Map[String, DataFrame] = Map.empty,
-      longWindows: Map[String, Long] = Map.empty): DataFrame = {
+      longWindows: Map[String, Long] = Map.empty,
+      idleStateGc: Boolean = false): DataFrame = {
     ensureFunctions(spark)
     val q = parseQueryText(sqlText)
     validateRequestQuery(q)
@@ -382,7 +388,7 @@ object StreamDeploy {
       .sortBy(_.head._1)
     val withIds: DataFrame =
       if (sigGroups.length == 1)
-        runSignature(spark, base, winExprs, ttl, tables, lwByDef)
+        runSignature(spark, base, winExprs, ttl, tables, lwByDef, idleStateGc)
       else {
         if (events.isStreaming)
           notStreamable("multiple window signatures over a stream " +
@@ -391,7 +397,8 @@ object StreamDeploy {
         val tagged = base.withColumn(uid, monotonically_increasing_id())
           .localCheckpoint(true)
         sigGroups.zipWithIndex.map { case (g, gi) =>
-          val out = runSignature(spark, tagged, g, ttl, tables, lwByDef)
+          val out = runSignature(spark, tagged, g, ttl, tables, lwByDef,
+            idleStateGc)
           if (gi == 0) out
           else out.select(col(uid) +: g.map(e => col(e._1)): _*)
         }.reduce((a, b) => a.join(b, uid)).drop(uid)
@@ -417,7 +424,8 @@ object StreamDeploy {
       winExprs: Seq[(String, String, WinDef)],
       ttl: Option[Ttl],
       tables: Map[String, DataFrame] = Map.empty,
-      lwByDef: Map[WinDef, Long] = Map.empty): DataFrame = {
+      lwByDef: Map[WinDef, Long] = Map.empty,
+      idleStateGc: Boolean = false): DataFrame = {
     def notStreamable(msg: String) = throw new IllegalArgumentException(
       s"not streamable: $msg")
     val windows = winExprs.map(_._3)
@@ -640,10 +648,45 @@ object StreamDeploy {
     implicit val rowEnc: Encoder[Row] = Encoders.row(outSchema)
     implicit val strEnc: Encoder[String] = Encoders.STRING
 
+    // Idle-key state cleanup (OPT-IN via idleStateGc): keys the stream
+    // never touches again would otherwise hold their Buf forever — at
+    // production key cardinality the state store only shrinks if
+    // someone expels them, exactly the reference's memtable
+    // absolute-TTL gc (wall-clock expiry sweeps, src/storage/
+    // mem_table.cc SchedGc). Eligible only when EVERY row expires by
+    // time alone (AbsoluteTime / AbsOrLat): under the real-time-feed
+    // assumption a key wall-idle past the span has no surviving rows,
+    // so dropping its Buf is invisible to later arrivals (they would
+    // start from an empty frame either way). Count-retention TTLs keep
+    // rows indefinitely and must keep their state.
+    //
+    // Opt-in, not automatic: with processing-time timeouts configured,
+    // Spark's micro-batch engine considers another batch warranted at
+    // EVERY trigger (shouldRunAnotherBatch) — under the default
+    // continuous trigger that is a busy-loop of no-data batches. Pair
+    // the flag with an explicit processing-time trigger on the sink.
+    // Timeouts never fire in batch mode, so corpus/spec replays keep
+    // exact event-time semantics either way.
+    // Slack avoids expelling a key racing its own eviction boundary;
+    // proportional for short spans so the behavior stays testable.
+    def withSlack(ms: Long): Long = ms + math.min(60000L, math.max(ms, 500L))
+    val idleTimeoutMs: Option[Long] =
+      if (!idleStateGc) None
+      else effTtl match {
+        case AbsoluteTime(ms) => Some(withSlack(ms))
+        case AbsOrLat(ms, _)  => Some(withSlack(ms))
+        case _                => None
+      }
+    val timeoutConf =
+      if (idleTimeoutMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+
     val served = prep.groupByKey(_.getString(keyIdx))
       .flatMapGroupsWithState[Buf, Row](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (_: String, it: Iterator[Row], state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty[Row] }
+          else {
           var st = state.getOption.getOrElse(Buf(0L, Nil))
           var rows = st.rows
           var seq = st.seq
@@ -734,7 +777,9 @@ object StreamDeploy {
             }
           }
           state.update(Buf(seq, rows, partials, ordered))
+          idleTimeoutMs.foreach(ms => state.setTimeoutDuration(ms))
           out.result().iterator
+          }
       }
 
     // integral-typed sum: wraparound cast back to the input type,

@@ -306,6 +306,50 @@ class SqlStatementsSpec extends SparkSpec {
     GraftSql.resetCatalogState(spark)
   }
 
+  test("user statements: CREATE/ALTER/DROP USER, SHOW CURRENT_USER") {
+    // ddl/{CREATE,ALTER,DROP}_USER_STATEMENT.md semantics: only
+    // password in OPTIONS, unchanged when unspecified, root undeletable
+    GraftSql.statement(spark, "CREATE USER su_u1")
+    GraftSql.statement(spark, "CREATE USER IF NOT EXISTS su_u1")
+    val eDup = intercept[IllegalArgumentException] {
+      GraftSql.statement(spark, "CREATE USER su_u1")
+    }
+    assert(eDup.getMessage.contains("already exists"))
+    GraftSql.statement(spark,
+      "CREATE USER su_u2 OPTIONS (password='123456')")
+    assert(GraftSql.userPassword(spark, "su_u2").contains("123456"))
+    assert(GraftSql.userPassword(spark, "su_u1").contains(""))
+    // ALTER without SET is a validated no-op (the doc's first example)
+    GraftSql.statement(spark, "ALTER USER su_u2")
+    assert(GraftSql.userPassword(spark, "su_u2").contains("123456"))
+    GraftSql.statement(spark,
+      "ALTER USER su_u2 SET OPTIONS (password='pw2')")
+    assert(GraftSql.userPassword(spark, "su_u2").contains("pw2"))
+    GraftSql.statement(spark, "ALTER USER IF EXISTS su_missing SET OPTIONS (password='x')")
+    intercept[IllegalArgumentException] {
+      GraftSql.statement(spark, "ALTER USER su_missing SET OPTIONS (password='x')")
+    }
+    // only password is a legal option key
+    val eOpt = intercept[IllegalArgumentException] {
+      GraftSql.statement(spark, "CREATE USER su_u3 OPTIONS (role='admin')")
+    }
+    assert(eOpt.getMessage.contains("only password"))
+    // root cannot be deleted; IF EXISTS tolerates missing users
+    val eRoot = intercept[IllegalArgumentException] {
+      GraftSql.statement(spark, "DROP USER root")
+    }
+    assert(eRoot.getMessage.contains("root"))
+    GraftSql.statement(spark, "DROP USER su_u1")
+    GraftSql.statement(spark, "DROP USER IF EXISTS su_u1")
+    intercept[IllegalArgumentException] {
+      GraftSql.statement(spark, "DROP USER su_u1")
+    }
+    GraftSql.statement(spark, "DROP USER su_u2")
+    val cu = GraftSql.statement(spark, "SHOW CURRENT_USER").get
+    assert(cu.columns.toSeq == Seq("User"))
+    assert(cu.collect().map(_.getString(0)).toSeq == Seq("root"))
+  }
+
   // ---- job management (task_manage/*.md): SHOW JOBS / SHOW JOB /
   // SHOW JOBLOG / STOP JOB / DELETE JOB over the offline-job registry
   // fed by the job-producing statements (SUBMIT_JOB.md) ----

@@ -228,6 +228,80 @@ class StreamDeploySpec extends SparkSpec {
     }
   }
 
+  test("idle keys under a pure-time TTL are expelled from state (opt-in)") {
+    // The reference's memtable absolute-TTL gc sweeps fully-expired
+    // keys by wall clock (mem_table.cc SchedGc); with
+    // idle_state_gc opted in, a key wall-idle past span+slack drops
+    // its Buf via ProcessingTimeTimeout. A later arrival for that key
+    // then starts from EMPTY history even if its event ts would have
+    // kept old rows — exactly the trade the reference's
+    // real-time-feed gc makes. Opt-in requires a processing-time
+    // trigger (continuous triggers would busy-loop no-data batches).
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.RequestStream.AbsoluteTime
+    import org.apache.spark.sql.streaming.Trigger
+    val sql = """SELECT user, ts, sum(amt) OVER w AS s FROM events
+      WINDOW w AS (PARTITION BY user ORDER BY ts
+        ROWS_RANGE BETWEEN 500 PRECEDING AND CURRENT ROW)"""
+    // NOTE: with processing-time timeouts the engine always considers
+    // another batch warranted, so noNewData never latches and
+    // processAllAvailable would never return — poll the sink instead.
+    def waitRows(name: String, ms: Long = 30000L)(
+        cond: Set[(String, Long, Double)] => Boolean)
+        : Set[(String, Long, Double)] = {
+      val deadline = System.currentTimeMillis() + ms
+      var rows = Set.empty[(String, Long, Double)]
+      while (System.currentTimeMillis() < deadline && !cond(rows)) {
+        Thread.sleep(200L)
+        rows = spark.table(name).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      }
+      assert(cond(rows), s"timed out waiting on $name, got $rows")
+      rows
+    }
+    val mem = MemoryStream[Ev]
+    val q = StreamDeploy.serve(spark, sql, mem.toDF(),
+        ttl = Some(AbsoluteTime(500L)), // idle timeout = 500+500 = 1s
+        idleStateGc = true)
+      .writeStream.format("memory").queryName("sd_idle_out")
+      .trigger(Trigger.ProcessingTime(100L))
+      .outputMode("append").start()
+    try {
+      mem.addData(Ev("k1", 1000L, 5.0, 1L, "a"))
+      waitRows("sd_idle_out")(_.contains(("k1", 1000L, 5.0)))
+      // wall-idle k1 past the 1s deadline; the periodic trigger runs
+      // the timeout sweep, expelling its state
+      Thread.sleep(2500L)
+      // k1's next row is CLOSE in event time (within the 500ms span) —
+      // event-time eviction alone would have kept ts=1000; the state
+      // sweep dropped it, so the frame is the new row alone
+      mem.addData(Ev("k1", 1200L, 2.0, 3L, "a"))
+      val rows = waitRows("sd_idle_out")(_.exists(_._2 == 1200L))
+      assert(rows.contains(("k1", 1200L, 2.0)),
+        s"expected the late k1 row to see empty history, got $rows")
+      assert(!rows.contains(("k1", 1200L, 7.0)))
+    } finally q.stop()
+    // without the opt-in the same feed keeps its state: the late row
+    // still sees the old one (the default event-time semantics)
+    val mem2 = MemoryStream[Ev]
+    val q2 = StreamDeploy.serve(spark, sql, mem2.toDF(),
+        ttl = Some(AbsoluteTime(500L)))
+      .writeStream.format("memory").queryName("sd_idle_keep")
+      .outputMode("append").start()
+    try {
+      mem2.addData(Ev("k1", 1000L, 5.0, 1L, "a"))
+      q2.processAllAvailable()
+      Thread.sleep(1500L)
+      mem2.addData(Ev("k1", 1200L, 2.0, 2L, "a"))
+      q2.processAllAvailable()
+      val rows = spark.table("sd_idle_keep")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(rows.contains(("k1", 1200L, 7.0)),
+        s"default (no gc) state must survive idleness, got $rows")
+    } finally q2.stop()
+  }
+
   test("DEPLOY statement + serveDeployment round trip") {
     // DEPLOY compiles its SQL at deploy time (the reference fails a
     // DEPLOY over a missing table), so the source must be registered;
