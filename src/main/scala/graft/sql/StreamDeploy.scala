@@ -63,7 +63,9 @@ object StreamDeploy {
       lagK: Int, frameless: Boolean, p: FrameParams, outType: DataType,
       wrapSum: Option[DataType], ignoreNulls: Boolean = false,
       boolNullFalse: Boolean = false, inw: Boolean = false,
-      lwBucket: Long = 0L)
+      lwBucket: Long = 0L, run: String = "") {
+    def metrics: LwMetrics.Counters = LwMetrics.forRun(run)
+  }
 
   /** Per-(bucketMs, bucket, argSlot) partial: non-null count, Long and
     * Double accumulations (the spec's output typing picks one), and
@@ -76,19 +78,50 @@ object StreamDeploy {
     * under local[*], indicative on a real cluster. LongAdder, not
     * AtomicLong: these sit in the per-row serving loop, and a single
     * CAS cell would cache-line ping-pong across every stateful task.
-    * Process-global by design: the specs that reset-and-assert run
-    * sequentially (the build forks one test JVM and sbt's default
-    * `Test / testForkedParallel := false` runs suites in it one at a
-    * time), so reset/assert pairs cannot interleave. */
+    *
+    * Counters are scoped PER PLAN BUILD: each `serve` mints a run id
+    * ([[newRun]]) carried by its WinSpecs (a String, so closure
+    * serialization copies only the id and increments still land on
+    * the shared registry entry in this JVM), and [[reset]] bumps an
+    * epoch so the reader facades sum only runs registered after it.
+    * A leftover streaming query from an earlier suite keeps writing
+    * to its pre-epoch instance and cannot pollute a later suite's
+    * reset/assert pair, even under parallel test execution. */
   object LwMetrics {
-    import java.util.concurrent.atomic.LongAdder
-    val preAggRequests = new LongAdder
-    val preAggRowsScanned = new LongAdder
-    val rawRowsScanned = new LongAdder
-    def reset(): Unit = {
-      preAggRequests.reset(); preAggRowsScanned.reset()
-      rawRowsScanned.reset()
+    import java.util.concurrent.atomic.{LongAdder, AtomicLong}
+    import scala.jdk.CollectionConverters._
+    final class Counters {
+      val preAggRequests = new LongAdder
+      val preAggRowsScanned = new LongAdder
+      val rawRowsScanned = new LongAdder
     }
+    private val runs =
+      new java.util.concurrent.ConcurrentHashMap[String, (Long, Counters)]()
+    private val epoch = new AtomicLong(0L)
+    /** Register a fresh counter instance for one plan build. */
+    private[sql] def newRun(): String = {
+      val id = java.util.UUID.randomUUID().toString
+      runs.put(id, (epoch.get, new Counters)); id
+    }
+    /** Counters for a run id. An id minted before the registry was
+      * last pruned re-registers as pre-epoch: still counted nowhere,
+      * never lost to an NPE in the serving loop. */
+    private[sql] def forRun(id: String): Counters =
+      runs.computeIfAbsent(id, _ => (epoch.get - 1, new Counters))._2
+    private def live: Iterable[Counters] = {
+      val e = epoch.get
+      runs.values.asScala.collect { case (`e`, c) => c }
+    }
+    /** New epoch: runs built from now on count, earlier ones do not.
+      * Prunes registrations older than the previous epoch (their
+      * closures re-register as pre-epoch if still running). */
+    def reset(): Unit = {
+      val e = epoch.incrementAndGet()
+      runs.entrySet().removeIf(kv => kv.getValue._1 < e - 1)
+    }
+    object preAggRequests { def sum: Long = live.map(_.preAggRequests.sum).sum }
+    object preAggRowsScanned { def sum: Long = live.map(_.preAggRowsScanned.sum).sum }
+    object rawRowsScanned { def sum: Long = live.map(_.rawRowsScanned.sum).sum }
   }
 
   /** Frame parameters ported from the batch planner's groupCols
@@ -601,6 +634,7 @@ object StreamDeploy {
       case _ => 0L
     }
 
+    val lwRun = LwMetrics.newRun() // one counter scope per plan build
     val specs: Seq[WinSpec] = pres.map { p =>
       val si = argSlots(p.argText)
       val at = argTypes(si)
@@ -622,7 +656,7 @@ object StreamDeploy {
         // (test_udaf_function.yaml id 6 row 4), like the batch path
         boolNullFalse = p.fn == "distinct_count" && at == BooleanType,
         inw = p.w.inw,
-        lwBucket = lwBucketFor(p))
+        lwBucket = lwBucketFor(p), run = lwRun)
     }
 
     val outSchema = StructType(base.schema.fields ++
@@ -844,7 +878,7 @@ object StreamDeploy {
     if (p.rowCap > 0) frame = frame.take(p.rowCap)
 
     val vs = frame.map(_.args(sp.argIdx))
-    LwMetrics.rawRowsScanned.add(vs.length)
+    sp.metrics.rawRowsScanned.add(vs.length)
     lazy val nn = vs.filter(_ != null)
     sp.fn match {
       case "count" => nn.length.toLong
@@ -942,8 +976,8 @@ object StreamDeploy {
       .takeWhile(b => Math.floorDiv(b.ts, bms) >= lb)
       .filter(b => b.ts >= ts - sp.p.precedingMs &&
         Math.floorDiv(b.ts, bms) < hb)
-    LwMetrics.preAggRequests.increment()
-    LwMetrics.preAggRowsScanned.add(tail.length + rawEdge.length)
+    sp.metrics.preAggRequests.increment()
+    sp.metrics.preAggRowsScanned.add(tail.length + rawEdge.length)
 
     val edge = (tail.iterator ++ rawEdge.iterator)
       .map(_.args(sp.argIdx)).filter(_ != null).toList
@@ -967,19 +1001,19 @@ object StreamDeploy {
     // full buckets: ordinal span [b*c+1, (b+1)*c] inside [lo, seq]
     val bLo = Math.floorDiv(lo - 2 + c, c) // ceil((lo-1)/c), lo >= 1
     val bHi = Math.floorDiv(seq, c) - 1
-    LwMetrics.preAggRequests.increment()
+    sp.metrics.preAggRequests.increment()
     if (bHi < bLo) {
       // frame narrower than one aligned bucket: all raw (still <= cap)
       val edge = basis.takeWhile(_.seq >= lo).map(_.args(sp.argIdx))
         .filter(_ != null).toList
-      LwMetrics.preAggRowsScanned.add(edge.length)
+      sp.metrics.preAggRowsScanned.add(edge.length)
       mergeLw(sp, edge, Nil, partials)
     } else {
       // newest-first basis: tail edge above the last full bucket, head
       // edge below the first full bucket down to the frame start
       val tail = basis.takeWhile(_.seq > (bHi + 1) * c)
       val head = basis.dropWhile(_.seq > bLo * c).takeWhile(_.seq >= lo)
-      LwMetrics.preAggRowsScanned.add(tail.length + head.length)
+      sp.metrics.preAggRowsScanned.add(tail.length + head.length)
       val edge = (tail.iterator ++ head.iterator)
         .map(_.args(sp.argIdx)).filter(_ != null).toList
       mergeLw(sp, edge, bLo to bHi map (b => (sp.lwBucket, b)), partials)
