@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM pretraining: concatenate documents into a
+  * token stream and chunk the stream into fixed-budget context windows
+  * ("packs"), emitting each document's span(s) inside its pack(s) —
+  * the standard concat-and-chunk formulation (documents MAY split
+  * across adjacent packs; no pack padding except the shard tail).
+  *
+  * Scale design. A single global stream would serialize the corpus
+  * through one ordering — instead the corpus is split into `shards`
+  * independent streams by a content-addressed hash (md5, recomputable
+  * by any engine — the same coordinate idiom as [[Sampling]]), and
+  * packs never span shards, exactly like sharded pretraining data
+  * where each worker packs its own shard. Within a shard the stream
+  * offset is ONE partitioned-window cumulative sum (one shuffle on
+  * shard, 100 TB safe for `shards` >> executor count), and the
+  * doc-to-pack fan-out is a native `sequence` + `explode` — the whole
+  * pipeline is codegen'd expressions, no UDFs, no driver state.
+  */
+object Packing {
+
+  /** Shard coordinate: first 8 md5 nibbles of "id:salt" mod `shards`
+    * — content-addressed, so retries/repartitions/engines agree. */
+  def shardOf(id: Column, shards: Int, salt: String): Column =
+    pmod(conv(substring(md5(concat(id.cast("string"), lit(":" + salt))),
+      1, 8), 16, 10).cast("long"), lit(shards.toLong))
+
+  /** Pack `docs` into `budget`-token windows over `shards` independent
+    * streams. `tokensCol` is the document's token count (any costing —
+    * whitespace, BPE-ish, chars); zero-token documents occupy no
+    * stream space and are dropped (they cannot anchor a span).
+    *
+    * Output, one row per (document, pack) span:
+    * {{{
+    *   doc_id   – idCol, passed through
+    *   shard    – which independent stream
+    *   pack_id  – pack ordinal within the shard (0-based)
+    *   doc_off  – span start within the document (tokens, 0-based)
+    *   pack_off – span start within the pack (tokens, 0-based)
+    *   span_len – span length (tokens, >= 1)
+    * }}}
+    * A document with `pack_last > pack_first` splits: its spans cover
+    * it exactly, each pack is exactly `budget` tokens except the last
+    * of each shard. Deterministic: stream order is (shard, idCol), so
+    * the layout is a pure function of the corpus.
+    */
+  def packSequences(docs: DataFrame, idCol: Column, tokensCol: Column,
+      budget: Long, shards: Int = 1024,
+      salt: String = "pack"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(shards > 0, "shards must be positive")
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    val b = lit(budget)
+    docs
+      .select(idCol.as("doc_id"), tokensCol.cast("long").as("__t"))
+      .where(col("__t") > 0)
+      .withColumn("shard", shardOf(col("doc_id"), shards, salt))
+      .withColumn("__end", sum(col("__t")).over(w))
+      .withColumn("__start", col("__end") - col("__t"))
+      // packs touched: floor(start/B) .. floor((end-1)/B)
+      .withColumn("pack_id", explode(sequence(
+        floor(col("__start") / b), floor((col("__end") - 1) / b))))
+      .withColumn("__ps", greatest(col("__start"), col("pack_id") * b))
+      .select(
+        col("doc_id"), col("shard"), col("pack_id"),
+        (col("__ps") - col("__start")).as("doc_off"),
+        (col("__ps") - col("pack_id") * b).as("pack_off"),
+        (least(col("__end"), (col("pack_id") + 1) * b) - col("__ps"))
+          .as("span_len"))
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Packing
+
+/** Invariants of the concat-and-chunk sequence packer: spans tile each
+  * document exactly, packs fill to the budget except each shard's
+  * last, and the layout is a pure function of the corpus. */
+class PackingSpec extends SparkSpec {
+
+  private def docs(counts: Seq[Long]) = {
+    import spark.implicits._
+    counts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "tk")
+  }
+
+  test("spans tile every document exactly, in order") {
+    val d = docs(Seq(100L, 200L, 300L, 50L, 256L))
+    val out = Packing.packSequences(d, col("doc_id"), col("tk"),
+      budget = 256L, shards = 1).cache()
+    // per doc: span lengths sum to the token count and doc_off tiles
+    // [0, tk) without gaps
+    val perDoc = out.groupBy("doc_id")
+      .agg(sum("span_len").as("s"), min("doc_off").as("mn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val tk = Map(0L -> 100L, 1L -> 200L, 2L -> 300L, 3L -> 50L, 4L -> 256L)
+    perDoc.foreach { case (id, s, mn) =>
+      assert(s == tk(id), s"doc $id covered $s of ${tk(id)}")
+      assert(mn == 0L)
+    }
+    // contiguity: each span starts where the previous one ended
+    val spans = out.orderBy("doc_id", "pack_id").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(5)))
+    spans.groupBy(_._1).foreach { case (_, ss) =>
+      ss.sortBy(_._2).foldLeft(0L) { case (at, (_, off, len)) =>
+        assert(off == at); at + len
+      }
+    }
+  }
+
+  test("packs fill to the budget except the shard tail") {
+    val d = docs(Seq.tabulate(40)(i => (i % 7 + 1) * 37L))
+    val out = Packing.packSequences(d, col("doc_id"), col("tk"),
+      budget = 256L, shards = 1).cache()
+    val packs = out.groupBy("shard", "pack_id")
+      .agg(sum("span_len").as("s")).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val last = packs.map(_._1).max
+    packs.foreach { case (p, s) =>
+      if (p < last) assert(s == 256L, s"pack $p holds $s")
+      else assert(s <= 256L)
+    }
+    // pack_off stays inside the budget
+    assert(out.where(col("pack_off") < 0 ||
+      col("pack_off") + col("span_len") > 256).isEmpty)
+  }
+
+  test("zero-token documents are dropped; sharding is deterministic") {
+    val d = docs(Seq(10L, 0L, 20L))
+    val out = Packing.packSequences(d, col("doc_id"), col("tk"),
+      budget = 16L, shards = 4, salt = "t")
+    assert(out.where(col("doc_id") === 1L).isEmpty)
+    val a = out.collect().map(_.toSeq).toSet
+    val b = Packing.packSequences(d.repartition(7), col("doc_id"),
+      col("tk"), budget = 16L, shards = 4, salt = "t")
+      .collect().map(_.toSeq).toSet
+    assert(a == b, "layout must not depend on physical partitioning")
+  }
+
+  test("a document larger than the budget splits across packs") {
+    val d = docs(Seq(600L))
+    val out = Packing.packSequences(d, col("doc_id"), col("tk"),
+      budget = 256L, shards = 1).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq((0L, 0L, 0L, 256L), (1L, 256L, 0L, 256L),
+      (2L, 512L, 0L, 88L)))
+  }
+}

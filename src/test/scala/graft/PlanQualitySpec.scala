@@ -185,4 +185,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(sorts == 1, s"expected 1 sort, got $sorts:\n${p.take(1500)}")
     assert("windowspecdefinition".r.findAllIn(p).nonEmpty)
   }
+
+  test("sequence packing plans ONE exchange and no UDFs") {
+    // the whole packer is one shard-hash shuffle (the window cumsum)
+    // followed by codegen'd span arithmetic + Generate — a second
+    // exchange or a UDF here would dominate a 100 TB pack run
+    val p = plan("q_pack_sequences")
+    val exchanges = "Exchange (hash|range)partitioning".r
+      .findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n${p.take(1500)}")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      "packer must stay native")
+    assert(p.contains("Generate explode"), "span fan-out must be a Generate")
+    // only doc_id and text leave the scan (token costing reads text)
+    assert(!p.contains("lang") || !p.contains("ReadSchema: struct<doc_id:bigint,lang"),
+      "scan reads columns the packer never uses")
+  }
 }
