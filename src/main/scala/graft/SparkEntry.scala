@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, LastJoin, Multimodal, RequestMode, Sampling, Similarity, TextOps, WindowOps}
+import graft.operators.{Dedup, LastJoin, Multimodal, Packing, RequestMode, Sampling, Similarity, TextOps, WindowOps}
 import graft.functions.{FeatureSignature => FS, GraftAggregates => A, GraftScalars => F}
 import graft.sql.GraftSql
 
@@ -753,6 +753,25 @@ object SparkEntry {
           element_at(col("features"), 8).cast("long").as("n_loud"))
     },
 
+    // REAL multi-frame video decode (animated GIF, the one container
+    // with a JDK codec): genuine GIFs synthesized in-executor, decoded
+    // frame-by-frame with ImageIO; the closed-form luma formula lets
+    // DuckDB recompute every statistic from doc_id alone
+    "q_multimodal_video" -> q { (s, d) =>
+      val media = Multimodal.withGifPayload(T(s, d, "documents"), "doc_id")(s)
+      Multimodal.extractFeatures(media, new Multimodal.VideoDecoder)(s)
+        .toDF()
+        .select(col("id").as("doc_id"),
+          element_at(col("features"), 1).cast("int").as("n_frames"),
+          element_at(col("features"), 2).cast("int").as("width"),
+          element_at(col("features"), 3).cast("int").as("height"),
+          element_at(col("features"), 4).cast("long").as("l_sum"),
+          element_at(col("features"), 5).cast("int").as("l_min"),
+          element_at(col("features"), 6).cast("int").as("l_max"),
+          element_at(col("features"), 7).cast("long").as("l_sum_f0"),
+          element_at(col("features"), 8).cast("long").as("n_px"))
+    },
+
     // ---- round 2: wider SURVEY §2 coverage ----
 
     // statistical UDAFs (aggregate_def.cc:294-445)
@@ -1206,6 +1225,17 @@ object SparkEntry {
       Sampling.stratified(T(s, d, "documents"), col("lang"),
         col("doc_id"), quota = 30, salt = "s9")
         .select(col("lang"), col("doc_id"))
+    },
+
+    // sequence packing (concat-and-chunk into fixed-budget context
+    // windows over content-addressed shards): one span row per
+    // (document, pack) — documents split across adjacent packs, packs
+    // never span shards
+    "q_pack_sequences" -> q { (s, d) =>
+      Packing.packSequences(
+        T(s, d, "documents").select(col("doc_id"), col("text")),
+        col("doc_id"), TextOps.tokenCount(col("text")),
+        budget = 256L, shards = 8, salt = "p14")
     },
 
     // streaming exact dedup (first-seen-wins flatMapGroupsWithState):
@@ -1904,6 +1934,30 @@ object SparkEntry {
         |    AS n_loud
         |FROM sm GROUP BY doc_id""".stripMargin,
 
+    "q_multimodal_video" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 2 + doc_id % 3 AS nf, 4 + doc_id % 4 AS w,
+        |         3 + doc_id % 3 AS h
+        |  FROM documents),
+        |g AS (
+        |  SELECT d.doc_id, d.nf, d.w, d.h, gf.f, gx.x, gy.y,
+        |    (d.doc_id*31 + gf.f*97 + gx.x*7 + gy.y*13) % 256 AS luma
+        |  FROM dims d
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS f) gf
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS x) gx
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS y) gy
+        |  WHERE gf.f < d.nf AND gx.x < d.w AND gy.y < d.h)
+        |SELECT doc_id,
+        |  CAST(max(nf) AS INTEGER) AS n_frames,
+        |  CAST(max(w) AS INTEGER) AS width, CAST(max(h) AS INTEGER) AS height,
+        |  CAST(sum(luma) AS BIGINT) AS l_sum,
+        |  CAST(min(luma) AS INTEGER) AS l_min,
+        |  CAST(max(luma) AS INTEGER) AS l_max,
+        |  CAST(sum(CASE WHEN f = 0 THEN luma ELSE 0 END) AS BIGINT)
+        |    AS l_sum_f0,
+        |  CAST(max(nf) * max(w) * max(h) AS BIGINT) AS n_px
+        |FROM g GROUP BY doc_id""".stripMargin,
+
     "q_stddev" ->
       """SELECT o_orderstatus,
         | round(stddev_samp(o_totalprice), 4) AS sd_samp,
@@ -2201,6 +2255,27 @@ object SparkEntry {
       """SELECT lang, doc_id FROM documents
         |QUALIFY row_number() OVER (PARTITION BY lang
         |  ORDER BY md5(doc_id || ':s9'), doc_id) <= 30""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tk,
+        |    CAST(concat('0x', substr(md5(doc_id || ':p14'), 1, 8)) AS BIGINT)
+        |      % 8 AS shard
+        |  FROM documents),
+        |c AS (SELECT doc_id, shard, tk,
+        |        CAST(sum(tk) OVER (PARTITION BY shard ORDER BY doc_id)
+        |          AS BIGINT) AS en
+        |      FROM t WHERE tk > 0),
+        |s AS (SELECT doc_id, shard, en - tk AS st, en FROM c),
+        |g AS (SELECT doc_id, shard, st, en,
+        |        unnest(generate_series(st // 256, (en - 1) // 256)) AS p
+        |      FROM s)
+        |SELECT doc_id, shard, p AS pack_id,
+        |  greatest(st, p * 256) - st AS doc_off,
+        |  greatest(st, p * 256) - p * 256 AS pack_off,
+        |  least(en, (p + 1) * 256) - greatest(st, p * 256) AS span_len
+        |FROM g""".stripMargin,
 
     "q_stream_dedup" ->
       """SELECT doc_id, text FROM documents

@@ -9,14 +9,16 @@ import org.apache.spark.sql.functions._
   * a vectorized pandas UDF — one JVM call per partition, not per row).
   *
   * Image decode is REAL ([[ImageDecoder]], JDK `javax.imageio` —
-  * PNG/JPEG/GIF/BMP) and audio decode is REAL ([[AudioDecoder]], JDK
-  * `javax.sound.sampled` — WAV/AIFF/AU PCM), both producing
+  * PNG/JPEG/GIF/BMP), audio decode is REAL ([[AudioDecoder]], JDK
+  * `javax.sound.sampled` — WAV/AIFF/AU PCM), and video decode is REAL
+  * for the one container with a JDK codec ([[VideoDecoder]],
+  * multi-frame animated GIF via ImageIO read-sequence) — all producing
   * deterministic integer statistics with no external dependencies.
-  * Video payloads remain opaque binaries ([[FakeDecoder]] documents
-  * the stand-in contract for codecs absent from this environment). The
-  * Spark-side contract — schema, partition sizing, batch iteration,
-  * null handling — is identical for all decoders; swap [[Decoder]]
-  * implementations to plug another codec.
+  * Containers with no JDK SPI (mp4/h264/webm) keep the documented
+  * stand-in ([[FakeDecoder]]). The Spark-side contract — schema,
+  * partition sizing, batch iteration, null handling — is identical for
+  * all decoders; swap [[Decoder]] implementations to plug another
+  * codec.
   */
 object Multimodal {
 
@@ -124,8 +126,157 @@ object Multimodal {
     }
   }
 
-  /** Deterministic stub for codecs absent from this environment
-    * (video): byte-histogram-derived features. */
+  /** Real video decode via the JDK's multi-frame ImageIO readers
+    * (animated GIF — the one video-ish container with a built-in JDK
+    * codec; no external libraries). Features are exact integer
+    * frame/pixel statistics (all < 2^24, lossless as Float):
+    * [nFrames, width, height, sumLuma(all frames), minLuma, maxLuma,
+    *  sumLuma(frame 0), nFrames·width·height]
+    * with luma = (r + g + b) / 3 (integer division — exact on the gray
+    * frames [[withGifPayload]] emits). Frames are read standalone
+    * (full-frame disposal, as written by the synthesizer); compositing
+    * partial-frame GIFs and real containers (mp4/webm) would plug in
+    * through the same [[Decoder]] contract with a codec library on the
+    * executor classpath. Non-video or undecodable payloads yield the
+    * zero vector (decode failure is data, not an exception). */
+  class VideoDecoder extends Decoder {
+    val featureSize: Int = 8
+    def decode(payload: Array[Byte], mimeType: String): Array[Float] = {
+      val out = new Array[Float](featureSize)
+      if (payload == null || payload.isEmpty) return out
+      val iis =
+        try javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        catch { case _: Exception => null }
+      if (iis == null) return out
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return out
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, false)
+          val n = reader.getNumImages(true)
+          if (n <= 0) return out
+          var w = 0; var h = 0
+          var sumL = 0L; var sumF0 = 0L
+          var minL = 255; var maxL = 0
+          var f = 0
+          while (f < n) {
+            val img = reader.read(f)
+            if (f == 0) { w = img.getWidth; h = img.getHeight }
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                val luma = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+                  (rgb & 0xff)) / 3
+                sumL += luma
+                if (f == 0) sumF0 += luma
+                if (luma < minL) minL = luma
+                if (luma > maxL) maxL = luma
+                x += 1
+              }
+              y += 1
+            }
+            f += 1
+          }
+          out(0) = n.toFloat; out(1) = w.toFloat; out(2) = h.toFloat
+          out(3) = sumL.toFloat; out(4) = minL.toFloat; out(5) = maxL.toFloat
+          out(6) = sumF0.toFloat
+          out(7) = (n.toLong * w * h).toFloat
+          out
+        } finally reader.dispose()
+      } catch { case _: Exception => new Array[Float](featureSize) }
+      finally iis.close()
+    }
+  }
+
+  /** Frame formulas for [[withGifPayload]] — closed-form so an external
+    * oracle can recompute the decoded statistics from the id alone:
+    * luma(f, x, y) = (id·31 + f·97 + x·7 + y·13) mod 256 on a
+    * (4 + id mod 4) × (3 + id mod 3) canvas over (2 + id mod 3)
+    * frames. */
+  def gifFrames(id: Long): Int = (2 + id % 3).toInt
+  def gifDims(id: Long): (Int, Int) = ((4 + id % 4).toInt, (3 + id % 3).toInt)
+  def gifLuma(id: Long, f: Int, x: Int, y: Int): Int =
+    Math.floorMod(id * 31 + f * 97 + x * 7 + y * 13, 256L).toInt
+
+  /** Synthesize one genuine multi-frame animated GIF89a per row from
+    * the deterministic luma formula. The container is assembled
+    * directly (header, logical screen descriptor, an EXACT 256-gray
+    * global color table, per-frame image descriptor + LZW data,
+    * trailer) because the JDK's GIF *writer* re-quantizes palettes —
+    * whereas any GIF *reader*, including ImageIO's, decodes this
+    * byte-exactly: pixel index == palette gray == the formula value.
+    * The LZW stream is the all-literals encoding (9-bit codes, a CLEAR
+    * every 200 symbols so the code width never grows) — valid LZW any
+    * decoder accepts. Payloads are ≤ a few hundred bytes (≤ 7×5 px ×
+    * 4 frames), so partition sizing follows the input table. */
+  def withGifPayload(docs: DataFrame, idCol: String)
+      (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id")).as[Long]
+      .mapPartitions(_.map(id => (id, gifBytes(id))))
+      .toDF("id", "payload")
+      .withColumn("mime_type", lit("image/gif"))
+  }
+
+  /** The GIF89a bytes for one id — see [[withGifPayload]]. */
+  def gifBytes(id: Long): Array[Byte] = {
+    val (w, h) = gifDims(id)
+    val n = gifFrames(id)
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    u16(w); u16(h)
+    out.write(0xF7) // global color table, 8-bit, 256 entries
+    out.write(0); out.write(0)
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    var f = 0
+    while (f < n) {
+      out.write(0x2C) // image descriptor
+      u16(0); u16(0); u16(w); u16(h)
+      out.write(0x00) // no local color table
+      out.write(8)    // LZW min code size
+      // 9-bit LZW, LSB-first bit packing, CLEAR every 200 literals
+      val data = new java.io.ByteArrayOutputStream()
+      var cur = 0; var nbits = 0
+      def emit(code: Int): Unit = {
+        cur |= code << nbits; nbits += 9
+        while (nbits >= 8) { data.write(cur & 0xff); cur >>= 8; nbits -= 8 }
+      }
+      emit(256) // initial CLEAR
+      var k = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          if (k == 200) { emit(256); k = 0 }
+          emit(gifLuma(id, f, x, y)); k += 1
+          x += 1
+        }
+        y += 1
+      }
+      emit(257) // END
+      if (nbits > 0) data.write(cur & 0xff)
+      // sub-block the LZW stream (<= 255 bytes per block)
+      val lzw = data.toByteArray
+      var p = 0
+      while (p < lzw.length) {
+        val len = math.min(255, lzw.length - p)
+        out.write(len); out.write(lzw, p, len); p += len
+      }
+      out.write(0) // block terminator
+      f += 1
+    }
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  /** Deterministic stub for codecs with no JDK SPI (mp4/h264/webm):
+    * byte-histogram-derived features. */
   class FakeDecoder(val featureSize: Int = 8) extends Decoder {
     def decode(payload: Array[Byte], mimeType: String): Array[Float] = {
       val out = new Array[Float](featureSize)
