@@ -285,6 +285,28 @@ object PlainBaseline {
         |      ORDER BY cos DESC, vec_id) AS rnk FROM s)
         |WHERE rnk <= 5""".stripMargin,
 
+    "q_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(size(split(trim(text), '\\s+')) AS BIGINT) AS tk,
+        |    pmod(CAST(conv(substring(md5(concat(CAST(doc_id AS STRING),
+        |      ':p14')), 1, 8), 16, 10) AS BIGINT), 8) AS shard
+        |  FROM pb_documents),
+        |c AS (SELECT doc_id, shard, tk,
+        |        sum(tk) OVER (PARTITION BY shard ORDER BY doc_id) AS en
+        |      FROM t WHERE tk > 0),
+        |s AS (SELECT doc_id, shard, en - tk AS st, en FROM c),
+        |g AS (SELECT doc_id, shard, st, en,
+        |        explode(sequence(CAST(floor(st / 256) AS BIGINT),
+        |          CAST(floor((en - 1) / 256) AS BIGINT))) AS pack_id
+        |      FROM s)
+        |SELECT doc_id, shard, pack_id,
+        |  greatest(st, pack_id * 256) - st AS doc_off,
+        |  greatest(st, pack_id * 256) - pack_id * 256 AS pack_off,
+        |  least(en, (pack_id + 1) * 256) - greatest(st, pack_id * 256)
+        |    AS span_len
+        |FROM g""".stripMargin,
+
     "q_bench_shape" ->
       """WITH cust AS (
         |  SELECT c_custkey, c_nationkey, c_acctbal
