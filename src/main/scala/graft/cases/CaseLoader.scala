@@ -159,7 +159,10 @@ object CaseLoader {
       success = opt(n.get("success")).forall(_.asBoolean()),
       order = opt(n.get("order")).map(_.asText()),
       columns = opt(n.get("columns")).map(strs)
-        .orElse(opt(n.get("schema")).map(s => schemaCols(s.asText()))),
+        .orElse(opt(n.get("schema")).map(s => schemaCols(s.asText())))
+        // upstream typo in test_execute_mode.yaml id 5 ("colunms:") —
+        // tolerated so the case still asserts its schema + rows
+        .orElse(opt(n.get("colunms")).map(strs)),
       rows = opt(n.get("rows")).map(rows)
         .orElse(opt(n.get("data")).map(d => csvRows(d.asText()))),
       count = opt(n.get("count")).map(_.asLong()),

@@ -2292,7 +2292,9 @@ object GraftSql {
             p.p = close + 1
             cs
           } else schema.fieldNames.toSeq
-        p.expect("VALUES")
+        // VALUE is the MySQL-style synonym the reference's grammar also
+        // takes (cases/function/v040/test_execute_mode.yaml id 4)
+        if (!p.accept("VALUES")) p.expect("VALUE")
         val bound = params.iterator
         val rows = Seq.newBuilder[org.apache.spark.sql.Row]
         var more = true

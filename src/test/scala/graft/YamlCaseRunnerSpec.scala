@@ -137,7 +137,14 @@ class YamlCaseRunnerSpec extends SparkSpec {
     ("hybridsql_gen_cases/auto_gen_case_0.yaml", "auto_gen_0"),
     // storage: SSD/HDD input attr — storage medium only, identical
     // query semantics (the engine's storage is columnar parquet)
-    ("function/disk_table/disk_table.yaml", "disk_table"))
+    ("function/disk_table/disk_table.yaml", "disk_table"),
+    // session execute_mode round-trips (v040). Siblings test_job.yaml
+    // (seeds __INTERNAL_DB.JOB_INFO by hand, expects synthetic job
+    // ids) and test_load_data.yaml (reads a hardcoded company-internal
+    // HDFS endpoint) are environment-bound, not SQL semantics — the
+    // same surfaces are covered by SqlStatementsSpec's job-management
+    // and LOAD DATA tests
+    ("function/v040/test_execute_mode.yaml", "execute_mode"))
 
   /** Cases GraftSql cannot run yet, with the reason. Keyed by
     * SqlCase.key = "<fileTag>:<id><variant>". */
@@ -168,7 +175,15 @@ class YamlCaseRunnerSpec extends SparkSpec {
     "perf_insensitive:12" -> ("mode offline-unsupport (the reference's " +
       "own Spark engine cannot run it) and the unordered LAST JOIN of " +
       "two windowed subqueries picks rows by native storage iteration " +
-      "order, which this engine does not model"))
+      "order, which this engine does not model"),
+    "execute_mode:0" -> ("v040-era variable inventory: the case " +
+      "expects SHOW VARIABLES to return ONLY execute_mode; the modern " +
+      "session exposes the full variable set (SET_STATEMENT.md), " +
+      "asserted exhaustively in SqlStatementsSpec"),
+    "execute_mode:3" -> ("contradicts id 0 of the same file: the " +
+      "identical statement modulo whitespace succeeds there but is " +
+      "expected to fail here — a v040 CLI tokenizer artifact, not SQL " +
+      "semantics; this engine accepts both spellings"))
 
   // column-decl parsing and cell coercion shared with
   // TrainServeConsistencySpec — see CaseData
