@@ -1227,6 +1227,12 @@ object SparkEntry {
         .select(col("lang"), col("doc_id"))
     },
 
+    // corpus vocabulary: tf/df per token, top-k by tf (term
+    // tie-break) — one shuffle, expression-side per-doc counting
+    "q_vocab" -> q { (s, d) =>
+      TextOps.vocab(T(s, d, "documents"), col("text"), 50)
+    },
+
     // sequence packing (concat-and-chunk into fixed-budget context
     // windows over content-addressed shards): one span row per
     // (document, pack) — documents split across adjacent packs, packs
@@ -2255,6 +2261,16 @@ object SparkEntry {
       """SELECT lang, doc_id FROM documents
         |QUALIFY row_number() OVER (PARTITION BY lang
         |  ORDER BY md5(doc_id || ':s9'), doc_id) <= 30""".stripMargin,
+
+    "q_vocab" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+'))
+        |    AS term
+        |  FROM documents)
+        |SELECT term, CAST(count(*) AS BIGINT) AS tf,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |FROM w GROUP BY term
+        |ORDER BY tf DESC, term LIMIT 50""".stripMargin,
 
     "q_pack_sequences" ->
       """WITH t AS (

@@ -159,4 +159,29 @@ object TextOps {
     regexp_replace(
       regexp_replace(text, EmailPattern, "<EMAIL>"),
       Ipv4Pattern, "<IP>")
+  /** Corpus vocabulary: term frequency (total occurrences) and
+    * document frequency (docs containing the term) per token, the
+    * top-k by tf with a deterministic term tie-break — the first step
+    * of any tokenizer/BPE training or df-based filtering run.
+    *
+    * Scale: the per-doc (term, in-doc count) pairs are built
+    * expression-side (distinct terms × a codegen'd filter count — no
+    * shuffle, no UDF), so the explode fans out one row per DISTINCT
+    * term per doc, not per occurrence; ONE hash shuffle on term then
+    * serves both tf (sum of in-doc counts, partial-aggregated
+    * map-side) and df (row count), and top-k is a TakeOrdered — no
+    * global sort materialization, no second wordcount pass. */
+  def vocab(docs: org.apache.spark.sql.DataFrame, textCol: Column,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val ws = words(textCol)
+    val pairs = transform(array_distinct(ws),
+      t => struct(t.as("term"),
+        size(filter(ws, w => w === t)).cast("long").as("cnt")))
+    docs.select(explode(pairs).as("tc"))
+      .select(col("tc.term").as("term"), col("tc.cnt").as("cnt"))
+      .groupBy("term")
+      .agg(sum("cnt").as("tf"), count(lit(1)).as("df"))
+      .orderBy(col("tf").desc, col("term"))
+      .limit(k)
+  }
 }

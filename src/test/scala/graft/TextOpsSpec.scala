@@ -65,4 +65,15 @@ class TextOpsSpec extends SparkSpec {
       .select(TextOps.wordNgrams(col("t"), 3)).as[Seq[String]].head()
     assert(short == Seq("a b"))
   }
+
+  test("vocab: tf/df with deterministic top-k tie-break") {
+    import spark.implicits._
+    val docs = Seq(
+      "a b a c", "b b d", "a e", "  a   b  "
+    ).toDF("text")
+    val v = TextOps.vocab(docs, org.apache.spark.sql.functions.col("text"), 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // tf: a=4 b=4 c=1 d=1 e=1; top-3 ties broken by term asc
+    assert(v.toSeq == Seq(("a", 4L, 3L), ("b", 4L, 3L), ("c", 1L, 1L)))
+  }
 }
