@@ -1227,6 +1227,17 @@ object SparkEntry {
         .select(col("lang"), col("doc_id"))
     },
 
+    // weighted (importance) sampling: keep-probability proportional
+    // to document length, content-addressed so any engine/retry
+    // selects the identical subset
+    "q_sample_weighted" -> q { (s, d) =>
+      val docs = T(s, d, "documents")
+      Sampling.weightedSample(docs, col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("double") / 150.0,
+          salt = "w9")
+        .select(col("doc_id"), col("lang"))
+    },
+
     // corpus vocabulary: tf/df per token, top-k by tf (term
     // tie-break) — one shuffle, expression-side per-doc counting
     "q_vocab" -> q { (s, d) =>
@@ -2261,6 +2272,13 @@ object SparkEntry {
       """SELECT lang, doc_id FROM documents
         |QUALIFY row_number() OVER (PARTITION BY lang
         |  ORDER BY md5(doc_id || ':s9'), doc_id) <= 30""".stripMargin,
+
+    "q_sample_weighted" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(concat('0x', substr(md5(doc_id || ':w9'), 1, 8))
+        |        AS BIGINT) / 4294967296.0
+        |  < least(1.0, greatest(0.0,
+        |      len(regexp_split_to_array(trim(text), '\s+')) / 150.0))""".stripMargin,
 
     "q_vocab" ->
       """WITH w AS (

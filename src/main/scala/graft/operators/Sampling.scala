@@ -40,6 +40,25 @@ object Sampling {
     df.filter(substring(sampleKey(key, salt), 1, 8)
       .lt(lit(hexThreshold(rate))))
 
+  /** The decision coordinate as an exact dyadic fraction in [0, 1):
+    * first 8 md5 nibbles / 2^32. Both operands are integer-valued
+    * doubles, so any IEEE engine computes the identical value — the
+    * DuckDB gate recompares it bit-for-bit. */
+  def sampleFraction(key: Column, salt: String): Column =
+    conv(substring(sampleKey(key, salt), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+
+  /** Weighted (importance) sample: keep each row with ITS OWN
+    * probability `weight` (clamped to [0, 1]) — quality-curriculum
+    * selection, e.g. keep long/high-scoring documents preferentially.
+    * Same content-addressed decision as [[hashSample]], so retries,
+    * repartitions, and engines agree row-by-row; still a pure filter,
+    * so pushdown and pruning apply upstream. */
+  def weightedSample(df: DataFrame, key: Column, weight: Column,
+      salt: String = "graft"): DataFrame =
+    df.filter(sampleFraction(key, salt) <
+      least(lit(1.0), greatest(lit(0.0), weight)))
+
   /** Stratified fixed-quota sample: the `quota` rows of each stratum
     * whose decision coordinate orders first (key tiebreak). One
     * hash-shuffle on the stratum column + one in-partition sort —

@@ -59,4 +59,28 @@ class SamplingSpec extends SparkSpec {
     val first = out.select("doc_id").as[Long].collect().sorted
     assert(first.sameElements(again))
   }
+  test("weightedSample: clamped per-row keep probability, monotone in weight") {
+    import spark.implicits._
+    val df = (0L until 2000L).toDF("id")
+    // weight 0 keeps nothing, weight >= 1 keeps everything
+    assert(Sampling.weightedSample(df, col("id"), lit(0.0)).isEmpty)
+    assert(Sampling.weightedSample(df, col("id"), lit(1.0)).count() == 2000L)
+    assert(Sampling.weightedSample(df, col("id"), lit(7.5)).count() == 2000L)
+    // per-row weight: rate ~ w for a uniform coordinate
+    val kept = Sampling.weightedSample(df, col("id"), lit(0.3)).count()
+    assert(kept > 450 && kept < 750, s"0.3-weight kept $kept of 2000")
+    // monotone: the 0.2-weight selection is a subset of the 0.5 one
+    val a = Sampling.weightedSample(df, col("id"), lit(0.2))
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.weightedSample(df, col("id"), lit(0.5))
+      .collect().map(_.getLong(0)).toSet
+    assert(a.subsetOf(b))
+    // agrees with hashSample at the same uniform rate (same coordinate)
+    val hs = Sampling.hashSample(df, col("id"), 0.5)
+      .collect().map(_.getLong(0)).toSet
+    val diff = (b -- hs) ++ (hs -- b)
+    // hashSample truncates to 8 nibbles lexicographically; the
+    // fraction form divides the SAME 8 nibbles — identical decisions
+    assert(diff.isEmpty, s"coordinate forms disagree on ${diff.take(5)}")
+  }
 }
