@@ -1244,6 +1244,13 @@ object SparkEntry {
       TextOps.vocab(T(s, d, "documents"), col("text"), 50)
     },
 
+    // per-doc top-3 salient terms by tf-idf (broadcast df table, one
+    // corpus shuffle for the per-doc top-k window)
+    "q_tfidf" -> q { (s, d) =>
+      TextOps.tfidfTopTerms(T(s, d, "documents"), col("doc_id"),
+        col("text"), 3)
+    },
+
     // sequence packing (concat-and-chunk into fixed-budget context
     // windows over content-addressed shards): one span row per
     // (document, pack) — documents split across adjacent packs, packs
@@ -2279,6 +2286,22 @@ object SparkEntry {
         |        AS BIGINT) / 4294967296.0
         |  < least(1.0, greatest(0.0,
         |      len(regexp_split_to_array(trim(text), '\s+')) / 150.0))""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH tc AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT doc_id,
+        |          unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |        FROM documents)
+        |  GROUP BY doc_id, term),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |       FROM tc GROUP BY term),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+        |SELECT doc_id, term,
+        |  round(cnt * ln(n_docs / df), 6) AS score
+        |FROM tc JOIN df USING (term) CROSS JOIN n
+        |QUALIFY row_number() OVER (PARTITION BY doc_id
+        |  ORDER BY cnt * ln(n_docs / df) DESC, term) <= 3""".stripMargin,
 
     "q_vocab" ->
       """WITH w AS (

@@ -184,4 +184,40 @@ object TextOps {
       .orderBy(col("tf").desc, col("term"))
       .limit(k)
   }
+
+  /** Per-document top-k TF-IDF terms: score = in-doc count · ln(N/df),
+    * ties broken by term — the classic salient-term extraction for
+    * corpus exploration and topic features.
+    *
+    * Scale: the document-frequency table is vocabulary-sized (bounded
+    * by token diversity, not corpus size) and broadcast to the
+    * per-doc (term, count) stream — no shuffle of the corpus side;
+    * N rides along as a 1-row broadcast cross join rather than a
+    * driver-side `.count()`. The only corpus-wide shuffle is the
+    * top-k window on doc_id. Should the vocabulary outgrow the
+    * broadcast threshold, drop the hint and the same plan degrades to
+    * a shuffle join. */
+  def tfidfTopTerms(docs: org.apache.spark.sql.DataFrame, idCol: Column,
+      textCol: Column, k: Int): org.apache.spark.sql.DataFrame = {
+    val ws = words(textCol)
+    val pairs = transform(array_distinct(ws),
+      t => struct(t.as("term"),
+        size(filter(ws, w => w === t)).cast("long").as("cnt")))
+    val tc = docs.select(idCol.as("doc_id"), explode(pairs).as("tc"))
+      .select(col("doc_id"), col("tc.term").as("term"),
+        col("tc.cnt").as("cnt"))
+    val dfTab = tc.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tc.join(broadcast(dfTab), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("cnt") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("doc_id"), col("term"),
+        round(col("score"), 6).as("score"))
+  }
 }

@@ -76,4 +76,27 @@ class TextOpsSpec extends SparkSpec {
     // tf: a=4 b=4 c=1 d=1 e=1; top-3 ties broken by term asc
     assert(v.toSeq == Seq(("a", 4L, 3L), ("b", 4L, 3L), ("c", 1L, 1L)))
   }
+  test("tfidfTopTerms: salient terms rank by cnt*ln(N/df), df joins broadcast") {
+    import spark.implicits._
+    // 4 docs; "x" appears everywhere (idf 0), "rare" in one doc
+    val docs = Seq(
+      (1L, "x x rare"), (2L, "x common common"),
+      (3L, "x common"), (4L, "x")
+    ).toDF("id", "text")
+    val out = TextOps.tfidfTopTerms(docs, col("id"), col("text"), 2)
+    val byDoc = out.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .groupBy(_._1)
+    // doc 1: rare (1*ln4) beats x (2*ln1 = 0)
+    assert(byDoc(1L).head._2 == "rare")
+    assert(math.abs(byDoc(1L).head._3 - math.log(4.0)) < 1e-6)
+    // doc 4: only x, score exactly 0
+    assert(byDoc(4L).map(t => (t._2, t._3)).toSeq == Seq(("x", 0.0)))
+    // doc 2: common counts twice (2*ln2) over x
+    assert(byDoc(2L).head._2 == "common")
+    // the df side joins as a broadcast (no corpus-side shuffle)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
 }
