@@ -285,6 +285,29 @@ object PlainBaseline {
         |      ORDER BY cos DESC, vec_id) AS rnk FROM s)
         |WHERE rnk <= 5""".stripMargin,
 
+    "q_vocab" ->
+      """WITH w AS (
+        |  SELECT doc_id, explode(split(trim(text), '\\s+')) AS term
+        |  FROM pb_documents)
+        |SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM w GROUP BY term ORDER BY tf DESC, term LIMIT 50""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH tc AS (
+        |  SELECT doc_id, term, count(*) AS cnt
+        |  FROM (SELECT doc_id, explode(split(trim(text), '\\s+')) AS term
+        |        FROM pb_documents)
+        |  GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tc GROUP BY term),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM pb_documents),
+        |s AS (
+        |  SELECT doc_id, term, cnt * ln(n_docs / df) AS score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY cnt * ln(n_docs / df) DESC, term) AS rn
+        |  FROM tc JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, round(score, 6) AS score
+        |FROM s WHERE rn <= 3""".stripMargin,
+
     "q_pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -2385,7 +2385,7 @@ object SparkEntry {
     "q_window_maxsize", "q_sql_window", "q_bench_shape",
     "q_groupby_having", "q_distinct_count",
     "q_dedup_exact", "q_text_stats", "q_text_repetition", "q_decontaminate",
-    "q_pack_sequences",
+    "q_pack_sequences", "q_vocab", "q_tfidf",
     "q_join_window", "q_request_mode", "q_long_window",
     "q_skew_window", "q_skew_window_arr",
     "q_ann_topk", "q_dedup_minhash")
