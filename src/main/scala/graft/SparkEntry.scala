@@ -1262,6 +1262,14 @@ object SparkEntry {
         budget = 256L, shards = 8, salt = "p14")
     },
 
+    // materialized packs: the actual training rows — concatenated
+    // token text per (shard, pack), every pack exactly `budget` tokens
+    // except shard tails
+    "q_pack_texts" -> q { (s, d) =>
+      Packing.packTexts(T(s, d, "documents"), col("doc_id"), col("text"),
+        budget = 256L, shards = 8, salt = "p14")
+    },
+
     // streaming exact dedup (first-seen-wins flatMapGroupsWithState):
     // a single sorted partition pins arrival order to doc_id order, so
     // "first seen" == the batch groupBy's min(doc_id) and the decision
@@ -2333,6 +2341,34 @@ object SparkEntry {
         |  greatest(st, p * 256) - p * 256 AS pack_off,
         |  least(en, (p + 1) * 256) - greatest(st, p * 256) AS span_len
         |FROM g""".stripMargin,
+
+    "q_pack_texts" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS tk,
+        |    CAST(concat('0x', substr(md5(doc_id || ':p14'), 1, 8)) AS BIGINT)
+        |      % 8 AS shard
+        |  FROM documents),
+        |c AS (SELECT doc_id, shard, ws, tk,
+        |        CAST(sum(tk) OVER (PARTITION BY shard ORDER BY doc_id)
+        |          AS BIGINT) AS en
+        |      FROM t WHERE tk > 0),
+        |s AS (SELECT doc_id, shard, ws, en - tk AS st, en FROM c),
+        |g AS (SELECT doc_id, shard, ws, st, en,
+        |        unnest(generate_series(st // 256, (en - 1) // 256)) AS p
+        |      FROM s),
+        |sp AS (
+        |  SELECT shard, p AS pack_id,
+        |    greatest(st, p * 256) - p * 256 AS pack_off,
+        |    array_to_string(ws[(greatest(st, p * 256) - st + 1):
+        |      (least(en, (p + 1) * 256) - st)], ' ') AS tok_str,
+        |    least(en, (p + 1) * 256) - greatest(st, p * 256) AS span_len
+        |  FROM g)
+        |SELECT shard, pack_id,
+        |  string_agg(tok_str, ' ' ORDER BY pack_off) AS text,
+        |  CAST(sum(span_len) AS BIGINT) AS n_tokens
+        |FROM sp GROUP BY shard, pack_id""".stripMargin,
 
     "q_stream_dedup" ->
       """SELECT doc_id, text FROM documents

@@ -72,4 +72,36 @@ object Packing {
         (least(col("__end"), (col("pack_id") + 1) * b) - col("__ps"))
           .as("span_len"))
   }
+
+  /** Materialize the packed training rows: one row per (shard, pack)
+    * with the concatenated token text and its token count. Documents
+    * are whitespace-tokenized ([[TextOps.words]] costing — pass the
+    * same costing to [[packSequences]] callers comparing layouts).
+    *
+    * Scale: the span layout joins BACK to the corpus on doc_id (both
+    * sides hash-partition on the join key; span rows are narrow), each
+    * span slices its token range expression-side, and one groupBy
+    * (shard, pack_id) assembles packs — spans of a pack are few, so
+    * the collected list stays small regardless of corpus size.
+    * Ordering inside a pack is deterministic: pack_off is unique
+    * within a pack, and `sort_array` on (pack_off, tokens) structs
+    * restores stream order without a sort exchange. */
+  def packTexts(docs: DataFrame, idCol: Column, textCol: Column,
+      budget: Long, shards: Int = 1024,
+      salt: String = "pack"): DataFrame = {
+    val spans = packSequences(
+      docs.select(idCol.as("doc_id"), textCol.as("__text")),
+      col("doc_id"), TextOps.tokenCount(col("__text")), budget, shards, salt)
+    val toks = slice(TextOps.words(col("__text")),
+      (col("doc_off") + 1).cast("int"), col("span_len").cast("int"))
+    spans
+      .join(docs.select(idCol.as("doc_id"), textCol.as("__text")), "doc_id")
+      .select(col("shard"), col("pack_id"),
+        struct(col("pack_off"), toks.as("toks")).as("__sp"))
+      .groupBy("shard", "pack_id")
+      .agg(
+        array_join(flatten(transform(sort_array(collect_list(col("__sp"))),
+          x => x("toks"))), " ").as("text"),
+        sum(size(col("__sp")("toks"))).cast("long").as("n_tokens"))
+  }
 }

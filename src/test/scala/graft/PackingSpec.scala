@@ -76,4 +76,20 @@ class PackingSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 0L, 0L, 256L), (1L, 256L, 0L, 256L),
       (2L, 512L, 0L, 88L)))
   }
+  test("packTexts reassembles the exact token stream per pack") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c d e"), (1L, "f g h"), (2L, "i j k l m n o p")
+    ).toDF("doc_id", "text")
+    val out = Packing.packTexts(docs, col("doc_id"), col("text"),
+        budget = 6L, shards = 1)
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    // shard stream: a b c d e | f g h | i j k l m n o p  (16 tokens)
+    // packs of 6: [a b c d e f] [g h i j k l] [m n o p]
+    assert(out.toSeq == Seq(
+      (0L, "a b c d e f", 6L),
+      (1L, "g h i j k l", 6L),
+      (2L, "m n o p", 4L)))
+  }
 }
