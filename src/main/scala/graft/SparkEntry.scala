@@ -772,6 +772,41 @@ object SparkEntry {
           element_at(col("features"), 8).cast("long").as("n_px"))
     },
 
+    // REAL nearest-neighbor resize: PNG decode → integer-floor pixel
+    // sampling → lossless PNG re-encode → decode stats; the sampling
+    // rule is closed-form so DuckDB replays it from doc_id alone
+    "q_img_resize" -> q { (s, d) =>
+      val media = Multimodal.withPngPayload(T(s, d, "documents"), "doc_id")(s)
+      val resized = Multimodal.resizeImages(media, 3, 2)(s)
+      Multimodal.extractFeatures(resized, new Multimodal.ImageDecoder)(s)
+        .toDF()
+        .select(col("id").as("doc_id"),
+          element_at(col("features"), 1).cast("int").as("width"),
+          element_at(col("features"), 2).cast("int").as("height"),
+          element_at(col("features"), 3).cast("long").as("sum_r"),
+          element_at(col("features"), 4).cast("long").as("sum_g"),
+          element_at(col("features"), 5).cast("long").as("sum_b"),
+          element_at(col("features"), 6).cast("int").as("c_min"),
+          element_at(col("features"), 7).cast("int").as("c_max"))
+    },
+
+    // REAL temporal frame sampling: animated-GIF decode → keep every
+    // 2nd frame → re-encode → multi-frame decode stats
+    "q_vid_sample" -> q { (s, d) =>
+      val media = Multimodal.withGifPayload(T(s, d, "documents"), "doc_id")(s)
+      val sampled = Multimodal.sampleFrames(media, 2)(s)
+      Multimodal.extractFeatures(sampled, new Multimodal.VideoDecoder)(s)
+        .toDF()
+        .select(col("id").as("doc_id"),
+          element_at(col("features"), 1).cast("int").as("n_frames"),
+          element_at(col("features"), 2).cast("int").as("width"),
+          element_at(col("features"), 3).cast("int").as("height"),
+          element_at(col("features"), 4).cast("long").as("l_sum"),
+          element_at(col("features"), 5).cast("int").as("l_min"),
+          element_at(col("features"), 6).cast("int").as("l_max"),
+          element_at(col("features"), 7).cast("long").as("l_sum_f0"))
+    },
+
     // ---- round 2: wider SURVEY §2 coverage ----
 
     // statistical UDAFs (aggregate_def.cc:294-445)
@@ -1988,6 +2023,53 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN f = 0 THEN luma ELSE 0 END) AS BIGINT)
         |    AS l_sum_f0,
         |  CAST(max(nf) * max(w) * max(h) AS BIGINT) AS n_px
+        |FROM g GROUP BY doc_id""".stripMargin,
+
+    "q_img_resize" ->
+      """WITH g AS (
+        |  SELECT d.doc_id,
+        |    (gx.x * (4 + d.doc_id % 5)) // 3 AS sx,
+        |    (gy.y * (4 + d.doc_id % 3)) // 2 AS sy
+        |  FROM documents d
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS x) gx
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS y) gy),
+        |px AS (
+        |  SELECT doc_id,
+        |    (doc_id*31 + sx*7 + sy*13) % 256 AS r,
+        |    (doc_id*17 + sx*3 + sy*5) % 256 AS gg,
+        |    (doc_id*7 + sx*11 + sy*3) % 256 AS b
+        |  FROM g)
+        |SELECT doc_id,
+        |  CAST(3 AS INTEGER) AS width, CAST(2 AS INTEGER) AS height,
+        |  CAST(sum(r) AS BIGINT) AS sum_r,
+        |  CAST(sum(gg) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b,
+        |  CAST(min(least(r, gg, b)) AS INTEGER) AS c_min,
+        |  CAST(max(greatest(r, gg, b)) AS INTEGER) AS c_max
+        |FROM px GROUP BY doc_id""".stripMargin,
+
+    "q_vid_sample" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 2 + doc_id % 3 AS nf, 4 + doc_id % 4 AS w,
+        |         3 + doc_id % 3 AS h
+        |  FROM documents),
+        |g AS (
+        |  SELECT d.doc_id, d.nf, d.w, d.h, gf.f, gx.x, gy.y,
+        |    (d.doc_id*31 + gf.f*97 + gx.x*7 + gy.y*13) % 256 AS luma
+        |  FROM dims d
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS f) gf
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS x) gx
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS y) gy
+        |  WHERE gf.f < d.nf AND gf.f % 2 = 0
+        |    AND gx.x < d.w AND gy.y < d.h)
+        |SELECT doc_id,
+        |  CAST((max(nf) + 1) // 2 AS INTEGER) AS n_frames,
+        |  CAST(max(w) AS INTEGER) AS width, CAST(max(h) AS INTEGER) AS height,
+        |  CAST(sum(luma) AS BIGINT) AS l_sum,
+        |  CAST(min(luma) AS INTEGER) AS l_min,
+        |  CAST(max(luma) AS INTEGER) AS l_max,
+        |  CAST(sum(CASE WHEN f = 0 THEN luma ELSE 0 END) AS BIGINT)
+        |    AS l_sum_f0
         |FROM g GROUP BY doc_id""".stripMargin,
 
     "q_stddev" ->

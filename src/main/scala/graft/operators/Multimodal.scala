@@ -225,7 +225,14 @@ object Multimodal {
   /** The GIF89a bytes for one id — see [[withGifPayload]]. */
   def gifBytes(id: Long): Array[Byte] = {
     val (w, h) = gifDims(id)
-    val n = gifFrames(id)
+    encodeGrayGif(w, h, gifFrames(id), (f, x, y) => gifLuma(id, f, x, y))
+  }
+
+  /** Assemble a GIF89a container over the exact 256-gray palette from
+    * a per-frame luma function — see [[withGifPayload]] for why the
+    * JDK's GIF writer cannot be used here. */
+  private[operators] def encodeGrayGif(w: Int, h: Int, n: Int,
+      luma: (Int, Int, Int) => Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
     out.write("GIF89a".getBytes("US-ASCII"))
@@ -254,7 +261,7 @@ object Multimodal {
         var x = 0
         while (x < w) {
           if (k == 200) { emit(256); k = 0 }
-          emit(gifLuma(id, f, x, y)); k += 1
+          emit(luma(f, x, y) & 0xff); k += 1
           x += 1
         }
         y += 1
@@ -385,6 +392,108 @@ object Multimodal {
         }
       }.toDF("id", "payload")
       .withColumn("mime_type", lit("audio/wav"))
+  }
+
+  /** Nearest-neighbor image resize, partition-wise: decode with
+    * ImageIO, sample src pixel (x·srcW/dstW, y·srcH/dstH) (integer
+    * floor — the closed-form rule an external oracle can replay), and
+    * re-encode as PNG (lossless, so downstream decode sees exactly the
+    * sampled pixels). Undecodable payloads pass through as empty
+    * payloads with width/height 0 — data, not exceptions. Output
+    * schema: id, payload (PNG), mime_type, width, height. */
+  def resizeImages(media: DataFrame, dstW: Int, dstH: Int)
+      (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    require(dstW > 0 && dstH > 0, "target dims must be positive")
+    media.select(col("id"), col("payload"),
+        col("mime_type").as("mimeType")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val src =
+            if (r.payload == null || r.payload.isEmpty) null
+            else
+              try javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(r.payload))
+              catch { case _: Exception => null }
+          if (src == null) (r.id, Array.empty[Byte], "image/png", 0, 0)
+          else {
+            val sw = src.getWidth; val sh = src.getHeight
+            val dst = new java.awt.image.BufferedImage(
+              dstW, dstH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < dstH) {
+              var x = 0
+              while (x < dstW) {
+                dst.setRGB(x, y,
+                  src.getRGB(x * sw / dstW, y * sh / dstH) & 0xffffff)
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(dst, "png", bos)
+            (r.id, bos.toByteArray, "image/png", dstW, dstH)
+          }
+        }
+      }.toDF("id", "payload", "mime_type", "width", "height")
+  }
+
+  /** Temporal frame sampling for multi-frame payloads: keep frames
+    * 0, k, 2k, … of an animated GIF and re-encode (the luma of each
+    * kept frame re-indexes the exact gray palette, so the sampled
+    * container round-trips losslessly for gray-frame corpora; color
+    * frames are carried via their luma — the standard luminance proxy
+    * for sampling features). Undecodable payloads yield an empty
+    * payload with n_frames 0. Output: id, payload (GIF), mime_type,
+    * n_frames. */
+  def sampleFrames(media: DataFrame, k: Int)
+      (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    require(k > 0, "sampling stride must be positive")
+    media.select(col("id"), col("payload"),
+        col("mime_type").as("mimeType")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val frames = readFrames(r.payload)
+          if (frames.isEmpty) (r.id, Array.empty[Byte], "image/gif", 0)
+          else {
+            val kept = frames.indices.collect {
+              case i if i % k == 0 => frames(i)
+            }
+            val w = kept.head.getWidth; val h = kept.head.getHeight
+            val luma = (img: java.awt.image.BufferedImage,
+                x: Int, y: Int) => {
+              val rgb = img.getRGB(x, y)
+              (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+            }
+            val bytes = encodeGrayGif(w, h, kept.length,
+              (f, x, y) => luma(kept(f), x, y))
+            (r.id, bytes, "image/gif", kept.length)
+          }
+        }
+      }.toDF("id", "payload", "mime_type", "n_frames")
+  }
+
+  /** All frames of a multi-frame payload via ImageIO; empty on any
+    * decode failure. */
+  private def readFrames(payload: Array[Byte])
+      : IndexedSeq[java.awt.image.BufferedImage] = {
+    if (payload == null || payload.isEmpty) return IndexedSeq.empty
+    val iis =
+      try javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (iis == null) return IndexedSeq.empty
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return IndexedSeq.empty
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, false)
+        (0 until reader.getNumImages(true)).map(reader.read)
+      } finally reader.dispose()
+    } catch { case _: Exception => IndexedSeq.empty }
+    finally iis.close()
   }
 
   /** Batch feature extraction: partition-wise decode keeping Tungsten
