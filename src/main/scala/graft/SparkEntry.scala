@@ -1297,6 +1297,20 @@ object SparkEntry {
         budget = 256L, shards = 8, salt = "p14")
     },
 
+    // streaming pack assembly (per-shard offset state): a single
+    // sorted partition pins arrival order to doc_id order, so the
+    // layout equals the batch packer's and the batch oracle applies
+    "q_stream_pack" -> q { (s, d) =>
+      import s.implicits._
+      val docs = T(s, d, "documents")
+        .select(col("doc_id"),
+          Packing.shardOf(col("doc_id"), 8, "p14").as("shard"),
+          TextOps.tokenCount(col("text")).cast("long").as("tk"))
+        .as[graft.streaming.StreamingPacking.Doc]
+        .coalesce(1).sortWithinPartitions("doc_id")
+      graft.streaming.StreamingPacking.packStream(docs, 256L).toDF()
+    },
+
     // materialized packs: the actual training rows — concatenated
     // token text per (shard, pack), every pack exactly `budget` tokens
     // except shard tails
@@ -2404,6 +2418,27 @@ object SparkEntry {
         |ORDER BY tf DESC, term LIMIT 50""".stripMargin,
 
     "q_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tk,
+        |    CAST(concat('0x', substr(md5(doc_id || ':p14'), 1, 8)) AS BIGINT)
+        |      % 8 AS shard
+        |  FROM documents),
+        |c AS (SELECT doc_id, shard, tk,
+        |        CAST(sum(tk) OVER (PARTITION BY shard ORDER BY doc_id)
+        |          AS BIGINT) AS en
+        |      FROM t WHERE tk > 0),
+        |s AS (SELECT doc_id, shard, en - tk AS st, en FROM c),
+        |g AS (SELECT doc_id, shard, st, en,
+        |        unnest(generate_series(st // 256, (en - 1) // 256)) AS p
+        |      FROM s)
+        |SELECT doc_id, shard, p AS pack_id,
+        |  greatest(st, p * 256) - st AS doc_off,
+        |  greatest(st, p * 256) - p * 256 AS pack_off,
+        |  least(en, (p + 1) * 256) - greatest(st, p * 256) AS span_len
+        |FROM g""".stripMargin,
+
+    "q_stream_pack" ->
       """WITH t AS (
         |  SELECT doc_id,
         |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tk,
