@@ -596,6 +596,24 @@ object SparkEntry {
             .as("recall_ok"))
     },
 
+    // int8-quantized brute force (faiss-style SQ8: 4× smaller corpus
+    // scans), gated on per-query recall@3 vs the full-precision twin —
+    // measured min 2/3, mean 2.96/3 at sf0.01 (tools/QualityProbe)
+    "q_ann_quant" -> q { (s, d) =>
+      val e = T(s, d, "embeddings")
+      val qs = e.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(qs, e, "vec_id", "embedding", 3)
+        .select(col("qid"), col("vec_id"))
+      val approx = Similarity.quantTopK(qs, e, "vec_id", "embedding", 3)
+        .select(col("qid"), col("vec_id"))
+      val hits = exact.join(approx, Seq("qid", "vec_id"), "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+      qs.select(col("vec_id").as("qid")).join(hits, Seq("qid"), "left")
+        .select(col("qid"),
+          when(coalesce(col("n_hit"), lit(0L)) >= 2, 1).otherwise(0)
+            .as("recall_ok"))
+    },
+
     // IVF approximate top-k (k-means centroid lists, nprobe probing),
     // gated on AGGREGATE recall@3 over 50 queries vs the exact twin —
     // per-query recall on uniform synthetic embeddings is high-variance
@@ -1773,6 +1791,10 @@ object SparkEntry {
         |FROM p WHERE cos >= 0.3""".stripMargin,
 
     "q_ann_lsh" ->
+      """SELECT vec_id AS qid, 1 AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    "q_ann_quant" ->
       """SELECT vec_id AS qid, 1 AS recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
 

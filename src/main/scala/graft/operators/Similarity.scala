@@ -162,4 +162,46 @@ object Similarity {
       .filter(col("rnk") <= k)
     Dedup.materializeAndFree(topk, c)
   }
+  /** Symmetric per-vector int8 quantization: scale = max|x|/127,
+    * q_i = floor(x_i/scale + 0.5) clamped to [-127, 127], stored as
+    * array<tinyint> + one float scale — a 4× memory/scan reduction
+    * for a 100 TB embedding store (the standard faiss-style SQ8
+    * layout). The rounding rule is integer-floor so any engine
+    * replays it bit-for-bit; all-zero vectors keep scale 0 and an
+    * all-zero code. */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String)
+      : DataFrame = {
+    val v = toDoubleVec(col(vecCol))
+    val scale = aggregate(v, lit(0.0),
+      (acc, x) => greatest(acc, abs(x))) / 127.0
+    df.select(col(idCol).as("vec_id"),
+        v.as("__v"), scale.as("qscale"))
+      .select(col("vec_id"), col("qscale").cast("float").as("qscale"),
+        transform(col("__v"), x =>
+          when(col("qscale") === 0.0, lit(0))
+            .otherwise(greatest(lit(-127), least(lit(127),
+              floor(x / col("qscale") + 0.5).cast("int"))))
+            .cast("tinyint")).as("qvec"))
+  }
+
+  /** Brute-force cosine top-k over the QUANTIZED corpus: codes
+    * dequantize on the fly (q·scale), queries stay full-precision.
+    * Same broadcast/no-corpus-shuffle shape as [[bruteForceTopK]] —
+    * the corpus side just reads 1/4 the bytes. */
+  def quantTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("qid"),
+      toDoubleVec(col(vecCol)).as("qe")))
+    val c = quantizeInt8(corpus, idCol, vecCol)
+      .select(col("vec_id"),
+        transform(col("qvec"),
+          x => x.cast("double") * col("qscale").cast("double")).as("ce"))
+    val scored = q.join(c, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("qe"), col("ce")).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
 }

@@ -359,6 +359,15 @@ object QualityProbe {
       val nHit = exact50.join(approx, Seq("qid", "vec_id"), "left_semi").count()
       println(f"[probe] lsh50 planes=$p tables=$t recall=${nHit.toDouble / nExact}%.4f")
     }
+    {
+      // int8-quantized brute force: aggregate + per-query-min recall@3
+      val approx = Similarity.quantTopK(qs50, e, "vec_id", "embedding", 3)
+        .select(col("qid"), col("vec_id"))
+      val hits = exact50.join(approx, Seq("qid", "vec_id"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("n"))
+      val per = hits.agg(min(col("n")), avg(col("n"))).collect().head
+      println(f"[probe] quant50 min_per_query=${per.getLong(0)} mean=${per.getDouble(1)}%.3f")
+    }
     spark.stop()
   }
 }

@@ -278,4 +278,32 @@ class DedupSimilaritySpec extends SparkSpec {
     // singleton keeps itself
     assert(got == Seq((1L, 2L, 3L), (4L, 4L, 2L), (6L, 6L, 1L)))
   }
+  test("quantizeInt8: floor rule, clamping, zero vectors; recall holds") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val df = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        (r.getFloat(1), r.getSeq[Byte](2))).toMap
+    // scale = 1/127; codes = floor(x/scale + 0.5) in IEEE doubles —
+    // note -0.5/(1.0/127) lands just BELOW -63.5, so its code is -64
+    // (the same value any IEEE engine, incl. the DuckDB gate, computes)
+    assert(math.abs(q(1L)._1 - 1.0f / 127) < 1e-9)
+    assert(q(1L)._2 == Seq[Byte](127, -64, 32))
+    // all-zero vector: scale 0, zero code (no division by zero)
+    assert(q(2L)._1 == 0.0f && q(2L)._2 == Seq[Byte](0, 0, 0))
+    // dequantized ranking agrees with full precision on separated data
+    val corpus = Seq(
+      (10L, Seq(1.0f, 0.0f, 0.0f)), (11L, Seq(0.9f, 0.1f, 0.0f)),
+      (12L, Seq(0.0f, 1.0f, 0.0f)), (13L, Seq(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val qs = corpus.filter(col("vec_id") === 10L)
+    val top = Similarity.quantTopK(qs, corpus, "vec_id", "embedding", 2)
+      .orderBy(col("rnk")).collect().map(_.getLong(1))
+    assert(top.toSeq == Seq(11L, 12L).take(2) ||
+      top.head == 11L, s"got ${top.toSeq}")
+  }
 }
