@@ -1280,6 +1280,17 @@ object SparkEntry {
         .select(col("lang"), col("doc_id"))
     },
 
+    // mixture rebalancing: downsample languages to a 50/25/25 target
+    // mix (largest achievable under downsampling-only; unlisted
+    // languages drop) — deterministic via the content-addressed
+    // coordinate
+    "q_rebalance" -> q { (s, d) =>
+      Sampling.rebalance(T(s, d, "documents"), col("lang"),
+          col("doc_id"),
+          Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25), salt = "r14")
+        .select(col("doc_id"), col("lang"))
+    },
+
     // weighted (importance) sampling: keep-probability proportional
     // to document length, content-addressed so any engine/retry
     // selects the identical subset
@@ -2405,6 +2416,19 @@ object SparkEntry {
       """SELECT lang, doc_id FROM documents
         |QUALIFY row_number() OVER (PARTITION BY lang
         |  ORDER BY md5(doc_id || ':s9'), doc_id) <= 30""".stripMargin,
+
+    "q_rebalance" ->
+      """WITH sh AS (SELECT * FROM (VALUES ('en', 0.5), ('de', 0.25),
+        |    ('fr', 0.25)) AS t(lang, share)),
+        |c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n
+        |      FROM documents GROUP BY lang),
+        |j AS (SELECT c.lang, n, share FROM c JOIN sh USING (lang)),
+        |np AS (SELECT min(n / share) AS np FROM j),
+        |r AS (SELECT lang, least(1.0, share * np / n) AS rate
+        |      FROM j CROSS JOIN np)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.lang
+        |WHERE CAST(concat('0x', substr(md5(d.doc_id || ':r14'), 1, 8))
+        |        AS BIGINT) / 4294967296.0 < r.rate""".stripMargin,
 
     "q_sample_weighted" ->
       """SELECT doc_id, lang FROM documents

@@ -59,6 +59,40 @@ object Sampling {
     df.filter(sampleFraction(key, salt) <
       least(lit(1.0), greatest(lit(0.0), weight)))
 
+  /** Mixture rebalancing: downsample strata so the kept corpus matches
+    * `targetShares` (stratum → fraction) in expectation — the standard
+    * domain/language remixing step before pretraining. The largest
+    * achievable total under downsampling-only is
+    * N' = min over strata of (n_s / p_s); each stratum keeps with rate
+    * p_s · N' / n_s (the limiting stratum keeps everything). Strata
+    * absent from the map are dropped.
+    *
+    * Scale: stratum counts are a stratum-cardinality aggregate
+    * (partial-aggregated wordcount shape) joined BACK as a broadcast —
+    * the corpus side stays a pure filter on the content-addressed
+    * coordinate, so pushdown still applies and any engine/retry keeps
+    * identical rows. */
+  def rebalance(df: DataFrame, stratum: Column, key: Column,
+      targetShares: Map[String, Double],
+      salt: String = "graft"): DataFrame = {
+    require(targetShares.nonEmpty && targetShares.values.forall(_ > 0.0),
+      "target shares must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val shares = targetShares.toSeq.toDF("__stratum", "__share")
+    val counts = df.groupBy(stratum.as("__stratum"))
+      .agg(count(lit(1)).cast("double").as("__n"))
+      .join(shares, "__stratum")
+    val nPrime = counts.agg(min(col("__n") / col("__share")).as("__np"))
+    val rates = counts.crossJoin(broadcast(nPrime))
+      .select(col("__stratum").as("__rate_s"),
+        least(lit(1.0), col("__share") * col("__np") / col("__n"))
+          .as("__rate"))
+    df.join(broadcast(rates), stratum === col("__rate_s"), "inner")
+      .where(sampleFraction(key, salt) < col("__rate"))
+      .drop("__rate", "__rate_s")
+  }
+
   /** Stratified fixed-quota sample: the `quota` rows of each stratum
     * whose decision coordinate orders first (key tiebreak). One
     * hash-shuffle on the stratum column + one in-partition sort —

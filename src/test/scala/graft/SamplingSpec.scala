@@ -83,4 +83,22 @@ class SamplingSpec extends SparkSpec {
     // fraction form divides the SAME 8 nibbles — identical decisions
     assert(diff.isEmpty, s"coordinate forms disagree on ${diff.take(5)}")
   }
+  test("rebalance hits the target mix in expectation, drops unlisted strata") {
+    import spark.implicits._
+    val df = (0L until 3000L).map(i =>
+      (i, if (i % 6 < 3) "a" else if (i % 6 < 5) "b" else "c"))
+      .toDF("id", "s") // a: 1500, b: 1000, c: 500
+    val out = Sampling.rebalance(df, col("s"), col("id"),
+      Map("a" -> 0.5, "b" -> 0.5)).cache()
+    // N' = min(1500/0.5, 1000/0.5) = 2000 → a keeps 2/3, b keeps all
+    val n = out.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!n.contains("c"), "unlisted stratum must drop")
+    assert(n("b") == 1000L, s"limiting stratum keeps everything, got $n")
+    assert(n("a") > 850 && n("a") < 1150, s"a should keep ~1000, got $n")
+    // deterministic under repartitioning
+    val again = Sampling.rebalance(df.repartition(7), col("s"), col("id"),
+      Map("a" -> 0.5, "b" -> 0.5)).collect().map(_.getLong(0)).toSet
+    assert(again == out.collect().map(_.getLong(0)).toSet)
+  }
 }
