@@ -125,20 +125,22 @@ object Bench {
     (emitJson(results, plainOut, ratios, errors.toSeq, sfDir), errors.size)
   }
 
-  /** Render the one-line JSON. Timings are rounded to 4 decimals (0.1 ms)
-    * so the full line stays comfortably under the ~2000-char tail window
-    * the harness keeps of this process's output — full-precision doubles
-    * pushed the line past it, truncating the front of the JSON and making
-    * it unparseable (every BENCH_r*.json through r13 has parsed=null). */
+  /** Render the one-line JSON. Timings are rounded to 3 decimals (1 ms —
+    * below bench noise) so the full line stays comfortably under the
+    * ~2000-char tail window the harness keeps of this process's output —
+    * full-precision doubles pushed the line past it, truncating the front
+    * of the JSON and making it unparseable (every BENCH_r*.json through
+    * r13 has parsed=null). Guarded by BenchGuardSpec at the current
+    * bench-query count. */
   def emitJson(results: Seq[(String, Double)], plainOut: Seq[(String, Double)],
                ratios: Seq[(String, Double)], errors: Seq[(String, String)],
                sfDir: String): String = {
-    def r4(v: Double): String = "%.4f".format(v)
+    def r3(v: Double): String = "%.3f".format(v)
     def jmap(kv: Seq[(String, Double)]): String =
-      kv.map { case (k, v) => "\"" + k + "\":" + r4(v) }.mkString("{", ",", "}")
+      kv.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     def smap(kv: Seq[(String, String)]): String =
       kv.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":${jmap(results)},"plain":${jmap(plainOut)},"ratio":${jmap(ratios)},"errors":${smap(errors)},"failed":${errors.size},"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(results)},"plain":${jmap(plainOut)},"ratio":${jmap(ratios)},"errors":${smap(errors)},"failed":${errors.size},"sf":"$sfDir"}"""
   }
 }

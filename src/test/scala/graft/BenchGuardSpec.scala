@@ -26,7 +26,7 @@ class BenchGuardSpec extends SparkSpec {
 
   test("full-size JSON line fits the harness's ~2000-char output tail") {
     // Synthesize the worst case: every bench query present in all three
-    // maps with a 4-decimal timing. sbt appends a ~80-char [success] line
+    // maps with a 3-decimal timing. sbt appends a ~80-char [success] line
     // after ours, so the line itself must stay under ~1900 chars or the
     // harness's tail truncates the front and the JSON never parses (the
     // parsed=null failure mode of every round through r13).
