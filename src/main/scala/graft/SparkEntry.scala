@@ -1326,6 +1326,15 @@ object SparkEntry {
         budget = 256L, shards = 8, salt = "p14")
     },
 
+    // shuffled packing: content-addressed pseudorandom in-shard order
+    // (shuffle-before-pack), layout still a pure function of the corpus
+    "q_pack_shuffled" -> q { (s, d) =>
+      Packing.packSequences(
+        T(s, d, "documents").select(col("doc_id"), col("text")),
+        col("doc_id"), TextOps.tokenCount(col("text")),
+        budget = 256L, shards = 8, salt = "p14", shuffled = true)
+    },
+
     // streaming pack assembly (per-shard offset state): a single
     // sorted partition pins arrival order to doc_id order, so the
     // layout equals the batch packer's and the batch oracle applies
@@ -2472,6 +2481,28 @@ object SparkEntry {
         |  FROM documents),
         |c AS (SELECT doc_id, shard, tk,
         |        CAST(sum(tk) OVER (PARTITION BY shard ORDER BY doc_id)
+        |          AS BIGINT) AS en
+        |      FROM t WHERE tk > 0),
+        |s AS (SELECT doc_id, shard, en - tk AS st, en FROM c),
+        |g AS (SELECT doc_id, shard, st, en,
+        |        unnest(generate_series(st // 256, (en - 1) // 256)) AS p
+        |      FROM s)
+        |SELECT doc_id, shard, p AS pack_id,
+        |  greatest(st, p * 256) - st AS doc_off,
+        |  greatest(st, p * 256) - p * 256 AS pack_off,
+        |  least(en, (p + 1) * 256) - greatest(st, p * 256) AS span_len
+        |FROM g""".stripMargin,
+
+    "q_pack_shuffled" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tk,
+        |    CAST(concat('0x', substr(md5(doc_id || ':p14'), 1, 8)) AS BIGINT)
+        |      % 8 AS shard,
+        |    md5(doc_id || ':p14#o') AS ord
+        |  FROM documents),
+        |c AS (SELECT doc_id, shard, tk,
+        |        CAST(sum(tk) OVER (PARTITION BY shard ORDER BY ord)
         |          AS BIGINT) AS en
         |      FROM t WHERE tk > 0),
         |s AS (SELECT doc_id, shard, en - tk AS st, en FROM c),

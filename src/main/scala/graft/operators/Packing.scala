@@ -50,10 +50,18 @@ object Packing {
     */
   def packSequences(docs: DataFrame, idCol: Column, tokensCol: Column,
       budget: Long, shards: Int = 1024,
-      salt: String = "pack"): DataFrame = {
+      salt: String = "pack", shuffled: Boolean = false): DataFrame = {
     require(budget > 0, "budget must be positive")
     require(shards > 0, "shards must be positive")
-    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    // `shuffled` packs in content-addressed pseudorandom order (md5
+    // coordinate, unique per id) instead of id order — the standard
+    // shuffle-before-pack so a pack doesn't concatenate adjacent ids;
+    // still a pure function of the corpus (retry/engine-stable), and
+    // still the same ONE shuffle (only the in-shard sort key changes)
+    val orderKey =
+      if (shuffled) Sampling.sampleKey(col("doc_id"), salt + "#o")
+      else col("doc_id")
+    val w = Window.partitionBy(col("shard")).orderBy(orderKey)
     val b = lit(budget)
     docs
       .select(idCol.as("doc_id"), tokensCol.cast("long").as("__t"))

@@ -92,4 +92,22 @@ class PackingSpec extends SparkSpec {
       (1L, "g h i j k l", 6L),
       (2L, "m n o p", 4L)))
   }
+  test("shuffled packing permutes stream order, keeps tiling + determinism") {
+    val d = docs(Seq.tabulate(30)(i => (i % 5 + 1) * 10L))
+    val plain = Packing.packSequences(d, col("doc_id"), col("tk"),
+      budget = 64L, shards = 1).collect().map(_.toSeq).toSet
+    val shuf = Packing.packSequences(d, col("doc_id"), col("tk"),
+      budget = 64L, shards = 1, shuffled = true).cache()
+    val shufSet = shuf.collect().map(_.toSeq).toSet
+    assert(shufSet != plain, "shuffled order must differ from id order")
+    // every doc still fully tiled
+    val per = shuf.groupBy("doc_id").agg(sum("span_len").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    (0L until 30L).foreach(id => assert(per(id) == (id % 5 + 1) * 10L))
+    // pure function of the corpus
+    val again = Packing.packSequences(d.repartition(5), col("doc_id"),
+        col("tk"), budget = 64L, shards = 1, shuffled = true)
+      .collect().map(_.toSeq).toSet
+    assert(again == shufSet)
+  }
 }
