@@ -342,6 +342,28 @@ object WindowOps {
           element_at(vals, (n / 2).cast("int") + 1)) / 2.0))
   }
 
+  /** drawdown over a frame: max peak-to-trough decline ratio where the
+    * trough is NEWER than the peak (default_udf_library.cc:609-655,
+    * DrawdownUdafDef — walks newest-first keeping the running min of
+    * newer values; negatives are skipped). The frame array is already
+    * newest-first. NULL when the frame has no valid value. */
+  def aggDrawdown(arr: Column): Column =
+    aggregate(arr,
+      struct(lit(null).cast("double").as("mn"),
+        lit(null).cast("double").as("dd")),
+      (acc, x) => {
+        val v = x("v").cast("double")
+        val valid = v.isNotNull && v >= 0.0
+        val mn = acc("mn")
+        val cur = when(mn.isNotNull && mn < v && v =!= 0.0,
+          (v - mn) / v).otherwise(lit(0.0))
+        struct(
+          when(valid && (mn.isNull || v <= mn), v).otherwise(mn).as("mn"),
+          when(valid, greatest(coalesce(acc("dd"), lit(0.0)), cur))
+            .otherwise(acc("dd")).as("dd"))
+      },
+      acc => acc("dd"))
+
   /** top1_ratio over a frame: most-common-value count / total, 0.0 when
     * empty (feature_zero_def.cc:426-471). Quadratic in the frame span —
     * frames are MAXSIZE/TTL-bounded, and the grouped path keeps its

@@ -165,4 +165,159 @@ class DocExamplesSpec extends SparkSpec {
     assert(checked >= 60,
       s"only $checked examples value-checked — the golden net went vacuous")
   }
+
+  // -------------------------------------------------------------------
+  // Windowed (UDAF) examples: `SELECT fn(args) OVER w; -- output X`
+  // preceded by a markdown table of input rows. The full window (last
+  // row under UNBOUNDED PRECEDING .. CURRENT ROW, ordered by the
+  // table's row order) must produce the documented value.
+  // -------------------------------------------------------------------
+
+  private case class WEx(fn: String, idx: Int, call: String,
+      expected: String, cols: Seq[String], rows: Seq[Seq[String]])
+
+  private lazy val windowExamples: Seq[WEx] = {
+    val src = scala.io.Source.fromFile(
+      "/root/reference/docs/zh/openmldb_sql/udfs_8h.md", "UTF-8")
+    val text = try src.mkString finally src.close()
+    val sections = text.split("(?m)^### function ").drop(1).toSeq
+    val callRe =
+      "(?is)^\\s*SELECT\\s+([a-z0-9_]+\\s*\\(.*\\))\\s+OVER\\s+w\\s*;?\\s*$".r
+    sections.flatMap { sec =>
+      val name = sec.linesIterator.next().trim
+      val tables = "(?m)((?:^\\|[^\\n]*\\|[ \\t]*$\\n?)+)".r
+        .findAllMatchIn(sec).toSeq
+      var idx = 0
+      "(?s)```sql\\s*\\n(.*?)```".r.findAllMatchIn(sec).toSeq.flatMap { m =>
+        val lines = m.group(1).linesIterator.map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        val stmt = lines.filterNot(_.startsWith("--"))
+          .map(_.split("--")(0).trim).mkString(" ")
+        val out = lines.find(_.contains("--"))
+          .map(_.split("--", 2)(1).trim).filter(_.nonEmpty)
+        val parsed = for {
+          call <- stmt match {
+            case callRe(c) => Some(c)
+            case _         => None
+          }
+          e <- out
+          t <- tables.filter(_.start < m.start).lastOption
+        } yield {
+          val tl = t.group(1).linesIterator.map(_.trim)
+            .filter(_.nonEmpty).toSeq
+          val cols = tl.head.split("\\|").map(_.trim)
+            .filter(_.nonEmpty).toSeq
+          val rows = tl.drop(2)
+            .map(_.split("\\|").map(_.trim).filter(_.nonEmpty).toSeq)
+            .filter(_.length == cols.length)
+          val ex = WEx(name, idx, call, e, cols, rows)
+          idx += 1
+          ex
+        }
+        parsed.toSeq
+      }
+    }
+  }
+
+  /** Window examples whose documented output contradicts its own input
+    * table — arithmetic shows the doc value is impossible; the engine's
+    * semantics are pinned by the q_topn_* DuckDB oracle rows and the
+    * test_udaf_function corpus instead. */
+  private val skipWin: Map[String, String] = Map(
+    "top_n_value_avg_cate_where:0" -> ("doc says \"z:5,x:4\" but the " +
+      "table's true-condition x rows are {0,4} → avg 2, not 4 (ours: " +
+      "z:5,x:2)"),
+    "top_n_value_count_cate_where:0" -> ("doc says \"x:3,y:2\" but y " +
+      "has ONE true row ({1}) → count 1; z has {5,6} → 2 (ours: " +
+      "x:3,z:2)"),
+    "top_n_value_min_cate_where:0" -> ("doc says \"z:5,x:2\" but x's " +
+      "true rows are {0,2} → min 0, and by-value ranking picks y:1 " +
+      "over x:0 is false too — z:5,y:1 (ours) is the correct top-2 " +
+      "by aggregated value"))
+
+  /** cate-map compare: "x:2,y:2" vs "x:2.000000,y:2.000000" — keys in
+    * order, values numerically at the doc's printed precision. */
+  private def cateMatches(exp: String, got: String): Boolean = {
+    val pe = exp.split(",", -1)
+    val pg = got.split(",", -1)
+    pe.length == pg.length && pe.zip(pg).forall { case (a, b) =>
+      (a.split(":", 2), b.split(":", 2)) match {
+        case (Array(ka, va), Array(kb, vb)) =>
+          ka.trim == kb.trim && matches(va.trim, vb.trim)
+        case _ => a.trim == b.trim
+      }
+    }
+  }
+
+  test("documented UDAF window examples compute the documented values") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    assert(windowExamples.nonEmpty, "no window examples parsed")
+    val failures = Seq.newBuilder[String]
+    var checked = 0
+    windowExamples.filterNot(ex => skipWin.contains(s"${ex.fn}:${ex.idx}"))
+      .foreach { ex =>
+      try {
+        def typeOf(ci: Int): DataType = {
+          val cells = ex.rows.map(_(ci))
+          if (cells.forall(_.matches("-?\\d+"))) IntegerType
+          else if (cells.forall(c =>
+            c.equalsIgnoreCase("true") || c.equalsIgnoreCase("false")))
+            BooleanType
+          else if (cells.forall(_.matches("-?\\d+(\\.\\d+)?"))) DoubleType
+          else StringType
+        }
+        val types = ex.cols.indices.map(typeOf)
+        // the doc tables spell the category column 'catagory' while
+        // some *_cate_where calls reference 'category' — provide both
+        val fields = ex.cols.zip(types).map { case (c, t) =>
+          StructField(c, t)
+        } ++ (if (ex.cols.contains("catagory") &&
+            ex.call.toLowerCase.contains("category"))
+          Seq(StructField("category",
+            types(ex.cols.indexOf("catagory"))))
+        else Nil) ++
+          Seq(StructField("rid", IntegerType), StructField("grp", IntegerType))
+        val data = ex.rows.zipWithIndex.map { case (r, i) =>
+          val vals = r.zip(types).map {
+            case (c, IntegerType) => c.toInt
+            case (c, DoubleType)  => c.toDouble
+            case (c, BooleanType) => c.toBoolean
+            case (c, _)           => c
+          }
+          val dup = if (fields.exists(_.name == "category"))
+            Seq(vals(ex.cols.indexOf("catagory"))) else Nil
+          Row.fromSeq(vals ++ dup ++ Seq(i, 1))
+        }
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(data, 1), StructType(fields))
+        val sql = s"SELECT rid, ${ex.call} OVER w AS r FROM tdoc WINDOW " +
+          "w AS (PARTITION BY grp ORDER BY rid ROWS BETWEEN UNBOUNDED " +
+          "PRECEDING AND CURRENT ROW)"
+        val rows = GraftSql.sql(spark, sql, tables = Map("tdoc" -> df))
+          .collect()
+        val lastRid = ex.rows.length - 1
+        val got = rows.find(_.getInt(0) == lastRid)
+          .map(_.get(1)).getOrElse("<no row>")
+        val exp = cleanExpected(ex.expected)
+        val ok = matches(exp, got) ||
+          (exp.contains(":") && cateMatches(exp, render(got)))
+        if (!ok)
+          failures += s"${ex.fn}:${ex.idx}: `${ex.call}` → " +
+            s"${render(got)}, doc says ${ex.expected}"
+        else checked += 1
+      } catch {
+        case e: Throwable =>
+          failures += s"${ex.fn}:${ex.idx}: `${ex.call}` threw " +
+            Option(e.getMessage).getOrElse(e.getClass.getName)
+              .linesIterator.next().take(140)
+      }
+    }
+    val fs = failures.result()
+    info(s"value-checked $checked documented window examples")
+    assert(fs.isEmpty, s"${fs.size} documented window examples diverge:\n" +
+      fs.mkString("\n"))
+    assert(checked >= 35,
+      s"only $checked window examples checked — the net went vacuous")
+  }
 }

@@ -144,7 +144,19 @@ class YamlCaseRunnerSpec extends SparkSpec {
     // HDFS endpoint) are environment-bound, not SQL semantics — the
     // same surfaces are covered by SqlStatementsSpec's job-management
     // and LOAD DATA tests
-    ("function/v040/test_execute_mode.yaml", "execute_mode"))
+    ("function/v040/test_execute_mode.yaml", "execute_mode"),
+    // integration_test/ holds the newer superset of the function/ tree
+    // (the OpenMLDB integration suite, test/integration-test/openmldb-test-
+    // java reads THIS tree); the files below exist only there
+    ("integration_test/select/test_full_table.yaml", "full_table"),
+    ("integration_test/select/test_limit.yaml", "it_limit"),
+    ("integration_test/function/test_udaf_table.yaml", "udaf_table"),
+    ("integration_test/long_window/test_xxx_where.yaml", "xxx_where"),
+    ("integration_test/long_window/test_long_window.yaml", "it_long_window"),
+    ("integration_test/long_window/test_udaf.yaml", "lw_udaf"),
+    ("integration_test/ddl/test_delete_index.yaml", "delete_index"),
+    ("integration_test/non_auto/test_online_batch_config.yaml",
+      "online_batch_config"))
 
   /** Cases GraftSql cannot run yet, with the reason. Keyed by
     * SqlCase.key = "<fileTag>:<id><variant>". */
@@ -180,6 +192,10 @@ class YamlCaseRunnerSpec extends SparkSpec {
       "expects SHOW VARIABLES to return ONLY execute_mode; the modern " +
       "session exposes the full variable set (SET_STATEMENT.md), " +
       "asserted exhaustively in SqlStatementsSpec"),
+    "online_batch_config:6" -> ("expect-block decl typo: it declares " +
+      "`c3 string` while the input column is int and every expected " +
+      "cell is an int literal; the same query shape with int decls is " +
+      "green as ids 0/5 of the file"),
     "execute_mode:3" -> ("contradicts id 0 of the same file: the " +
       "identical statement modulo whitespace succeeds there but is " +
       "expected to fail here — a v040 CLI tokenizer artifact, not SQL " +
@@ -310,11 +326,23 @@ class YamlCaseRunnerSpec extends SparkSpec {
           case None =>
             df.createOrReplaceTempView(name)
             harnessViews += name
+            // a case-level default db (test_delete_index id 1-2) means
+            // db-qualified statement references (CREATE INDEX ON
+            // db1.{0}) must resolve too — register the db view as well
+            c.db.foreach(db => GraftSql.registerDbTable(spark, db, name, df))
         }
         // replacing the view replaces the table: stale index/TTL
         // metadata from an earlier case must not expire the new rows
         GraftSql.clearTableIndexes(spark, in.db, name)
         GraftSql.registerTableIndexes(spark, in.db, name, in.indexs)
+        val effDb = in.db.orElse(c.db)
+        if (effDb != in.db) {
+          // checkIdxs (and db-qualified CREATE/DROP INDEX statements)
+          // read the db-scoped registry key when the case declares a
+          // default db — mirror the registration there
+          GraftSql.clearTableIndexes(spark, effDb, name)
+          GraftSql.registerTableIndexes(spark, effDb, name, in.indexs)
+        }
       }
     }
     // out_in sqls write/read '<t>.csv' — redirect to a per-case scratch
@@ -412,7 +440,10 @@ class YamlCaseRunnerSpec extends SparkSpec {
                 Ttl.TtlSpec("absolute", 0, 0))).toSeq
           case _ => Seq.empty
         }
-      val engineMetas = GraftSql.tableIndexMeta(spark, name)
+      // db-scoped inputs (input-level `db:` or the case-level default)
+      // register under the db-qualified key (test_delete_index 1-1/1-2)
+      val engineMetas = GraftSql.tableIndexMeta(spark, name,
+          in.flatMap(_.db).orElse(c.db))
         .map(m => (m.keys, m.ts.filterNot(_.equalsIgnoreCase("null")),
           m.ttl))
       val got = autoMetas ++ engineMetas
@@ -558,15 +589,33 @@ class YamlCaseRunnerSpec extends SparkSpec {
       case None => GraftSql.sql(spark, sql, tables = scoped, params = params,
         tsHints = hints, defaultDb = c.db)
     }
+    // The `longWindow:` attr replays the integration harness, which
+    // DEPLOYs with OPTIONS(long_windows=...) through the router and so
+    // hits the full CreateAggregator validation surface
+    // (sql_cluster_test.cc:728-751). The older long_window.yaml corpus
+    // pins the v040 CLI behavior where an unmatched window name is
+    // ignored (ids 13/14 expect success) — hence the deep check lives
+    // HERE, keyed on the attr, not in the DEPLOY statement path.
+    def validateLw(): Unit = c.longWindow.foreach { spec =>
+      GraftSql.validateLongWindowConditions(sql)
+      val colTypes: Map[String, DataType] = c.inputs.flatMap(_.columns)
+        .flatMap { cdef =>
+          val parts = declParts(cdef)
+          typOpt(parts.last).map(parts.dropRight(1).mkString(" ")
+            .toLowerCase -> _)
+        }.toMap
+      val disk = c.inputs.exists(_.storage.exists(s =>
+        Set("ssd", "hdd")(s.trim.toLowerCase)))
+      GraftSql.validateLongWindowDeploy(sql, spec, colTypes.get, disk)
+    }
     if (!c.expect.success) {
       intercept[Throwable] {
-        c.longWindow.foreach(_ =>
-          GraftSql.validateLongWindowConditions(sql))
+        validateLw()
         plan().collect()
       }
       return
     }
-    c.longWindow.foreach(_ => GraftSql.validateLongWindowConditions(sql))
+    validateLw()
     compareExpect(c, sql, plan())
   }
 
