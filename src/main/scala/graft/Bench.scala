@@ -101,8 +101,11 @@ object Bench {
       first.foreach(t => oursBest(name) = t)
       timed(s"plain:$name")(materialize(PlainBaseline.query(spark, name)))
         .foreach(t => plainBest(name) = t)
-      // expensive pairs amortize their noise; re-pass only sub-second ones
-      val passes = if (first.exists(_ > 1.5)) 1 else 2
+      // expensive pairs amortize their noise; re-pass the cheap ones
+      // (the 3 s line keeps multi-second approximate operators at two
+      // runs while the sub-2 s plan-shape pairs — whose first run still
+      // carries JIT/codegen warm-up — get a true best-of-3)
+      val passes = if (first.exists(_ > 3.0)) 1 else 2
       (1 to passes).foreach { _ =>
         timed(name)(materialize(benchQuery(name)(spark, sfDir)))
           .foreach(t => oursBest(name) =
@@ -113,7 +116,12 @@ object Bench {
       }
       first.map(name -> _)
     }
-    val results = ratioResults ++ soloNames.flatMap { name =>
+    // report the BEST ours timing for paired queries (the same number
+    // the ratio uses) — the first run carries whatever JIT/codegen
+    // warm-up survived the sf0.001 pass and is not the plan's cost
+    val results = ratioResults.map { case (n, t) =>
+      n -> oursBest.getOrElse(n, t)
+    } ++ soloNames.flatMap { name =>
       timed(name)(materialize(benchQuery(name)(spark, sfDir)))
         .map(name -> _)
     }

@@ -1076,16 +1076,20 @@ object SparkEntry {
         2592000000L, maxSize = 100, strictRowOrder = true)
       val a = col("__arr")
       val vOf = (x: Column) => x("v")("v")
-      val nn = filter(a, x => vOf(x).isNotNull)
+      // numeric outputs run over a FLAT double array extracted once:
+      // higher-order filter over array<struct> deep-copies each struct
+      // element per pass, while filter over array<double> is a cheap
+      // primitive copy — measurably faster with four consumers
+      val nn = filter(transform(a, vOf), x => x.isNotNull)
       joined.withColumn("__arr", fa).select(
         col("event_id"),
         upper(col("event_type")).as("et_up"),
         (col("value") * 2).as("v2"),
         col("c_nationkey"),
         round(col("c_acctbal") / 100, 4).as("bal_h"),
-        size(array_distinct(transform(nn, vOf))).cast("long").as("w_dc"),
+        size(array_distinct(nn)).cast("long").as("w_dc"),
         round(when(size(nn) > 0,
-          aggregate(nn, lit(0.0), (acc, x) => acc + vOf(x).cast("double"))), 3)
+          aggregate(nn, lit(0.0), (acc, x) => acc + x)), 3)
           .as("w_sum"),
         size(nn).cast("long").as("w_cnt"),
         // avg is (w_sum, w_cnt)-determined; its decimal representation
@@ -1093,8 +1097,7 @@ object SparkEntry {
         // counts), so it is not hash-compared separately
         size(filter(a, x => x("v")("et") === "click" && vOf(x).isNotNull))
           .cast("long").as("w_clicks"),
-        size(filter(a, x => vOf(x).isNotNull && vOf(x) > 100))
-          .cast("long").as("w_big"))
+        size(filter(nn, x => x > 100)).cast("long").as("w_big"))
     },
 
     // skew-parallelized window (openmldb.window.skew.opt analog):
