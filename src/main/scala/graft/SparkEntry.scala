@@ -1311,6 +1311,16 @@ object SparkEntry {
       TextOps.vocab(T(s, d, "documents"), col("text"), 50)
     },
 
+    // bigram-LM perplexity scoring (the CCNet/KenLM-style quality
+    // filter): add-one-smoothed model trained on the corpus itself,
+    // per-doc average log-likelihood folded in document order so the
+    // score is bit-deterministic. vocabSize 20 < the corpus's 31
+    // distinct tokens, so the OOV → <unk> path is exercised.
+    "q_perplexity" -> q { (s, d) =>
+      graft.operators.LangModel.perplexity(T(s, d, "documents"),
+        col("doc_id"), col("text"), 20)
+    },
+
     // per-doc top-3 salient terms by tf-idf (broadcast df table, one
     // corpus shuffle for the per-doc top-k window)
     "q_tfidf" -> q { (s, d) =>
@@ -2464,6 +2474,39 @@ object SparkEntry {
         |FROM tc JOIN df USING (term) CROSS JOIN n
         |QUALIFY row_number() OVER (PARTITION BY doc_id
         |  ORDER BY cnt * ln(n_docs / df) DESC, term) <= 3""".stripMargin,
+
+    "q_perplexity" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> x <> '') AS t
+        |  FROM documents),
+        |tok AS (SELECT doc_id, u.w FROM tk, unnest(t) AS u(w)),
+        |vocab AS (SELECT w FROM (SELECT w, count(*) c FROM tok GROUP BY w
+        |                         ORDER BY c DESC, w LIMIT 20)),
+        |vs AS (SELECT CAST(count(*) + 1 AS DOUBLE) AS v FROM vocab),
+        |big AS (
+        |  SELECT doc_id, p AS pos,
+        |    CASE WHEN t[p+1] IN (SELECT w FROM vocab)
+        |      THEN t[p+1] ELSE '<unk>' END AS w1,
+        |    CASE WHEN t[p+2] IN (SELECT w FROM vocab)
+        |      THEN t[p+2] ELSE '<unk>' END AS w2
+        |  FROM tk, unnest(generate_series(0, len(t)-2)) AS g(p)
+        |  WHERE len(t) >= 2),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1,2),
+        |c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+        |terms AS (
+        |  SELECT b.doc_id, b.pos,
+        |    ln((coalesce(c2.c2,0) + 1.0) / (coalesce(c1.c1,0) + vs.v)) AS lp
+        |  FROM big b LEFT JOIN c2 USING (w1,w2) LEFT JOIN c1 USING (w1), vs),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    list_reduce(list(lp ORDER BY pos), (a,b) -> a+b) AS s
+        |  FROM terms GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  round(a.s / a.n_bigrams, 6) AS avg_logprob,
+        |  round(exp(-a.s / a.n_bigrams), 4) AS ppl
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     "q_vocab" ->
       """WITH w AS (

@@ -2691,10 +2691,16 @@ object GraftSql {
     dist.foreach { entries =>
       if (entries.isEmpty) throw new IllegalArgumentException(
         "distribution must name at least one partition")
-      // the reference accepts a single distribution entry
-      // (test_options.yaml ids 5/13)
-      if (entries.length > 1) throw new IllegalArgumentException(
-        "only one distribution entry is supported")
+      // one entry PER PARTITION — when partitionnum is also given the
+      // counts must agree (integration_test test_options.yaml id 5
+      // accepts two entries at partitionnum=2; ids 6/21 reject 0/4
+      // against one entry; the v040 function-tree ids 5/19/21 pinned
+      // the OLDER single-entry nameserver and are superseded)
+      partNum.foreach { pn =>
+        if (pn != entries.length) throw new IllegalArgumentException(
+          s"partitionnum $pn does not match ${entries.length} " +
+            "distribution entries")
+      }
       entries.foreach { case (leader, followers) =>
         val eps = leader +: followers
         eps.foreach { e =>
@@ -2704,9 +2710,13 @@ object GraftSql {
         if (eps.distinct.length != eps.length)
           throw new IllegalArgumentException(
             "distribution endpoints must be distinct")
-        val want = repNum.getOrElse(tablets.length)
-        if (eps.length != want) throw new IllegalArgumentException(
-          s"distribution lists ${eps.length} endpoints but replicanum is $want")
+        // with replicanum unspecified it derives from the entry
+        // (1 + followers — integration id 19: ('ep0',[]) is replica 1)
+        repNum.foreach { want =>
+          if (eps.length != want) throw new IllegalArgumentException(
+            s"distribution lists ${eps.length} endpoints but " +
+              s"replicanum is $want")
+        }
       }
     }
     if (partNum.contains(0) && dist.isEmpty)
@@ -2846,10 +2856,13 @@ object GraftSql {
     *    count_where is exempt — its aggregator counts any value,
     *    including '*' (test_count_where.yaml ids 0-9 are green over
     *    every type)
-    *  - {min,max,sum,avg}_where under a row-count bucket
-    *    (aggregator.cc:122 "unsupported rows bucket window for *_where
-    *    agg op"; test_xxx_where.yaml id 29 — count_where again exempt,
-    *    test_count_where.yaml runs whole on 'w1:2')
+    *  - *_where under a row-count bucket (aggregator.cc:122 tests
+    *    FILTER PRESENCE, not the function: "unsupported rows bucket
+    *    window for *_where agg op"; test_xxx_where.yaml id 29 and
+    *    integration_test test_count_where.yaml id 29). The OLDER
+    *    function-tree test_count_where.yaml predates that check and
+    *    runs whole on 'w1:2' — `countWhereRowsBucketOk = true` keeps
+    *    count_where exempt when replaying that era's files
     *  - *_where condition columns of timestamp/date type
     *    (test_xxx_where.yaml ids 26/27)
     *  - pre-agg over disk tables: aggregator state is memtable-resident
@@ -2864,7 +2877,8 @@ object GraftSql {
     * rejecting them would only remove working functionality). */
   def validateLongWindowDeploy(sql: String, spec: String,
       colType: String => Option[org.apache.spark.sql.types.DataType],
-      hasDiskInput: Boolean = false): Unit = {
+      hasDiskInput: Boolean = false,
+      countWhereRowsBucketOk: Boolean = true): Unit = {
     import org.apache.spark.sql.types._
     val buckets = parseLongWindows(spec) // throws on a bad bucket unit
     val toks = tokenize(sql)
@@ -2935,7 +2949,7 @@ object GraftSql {
             })
           }
           if (isWhere) {
-            if (low != "count_where" && b < 0)
+            if (b < 0 && (low != "count_where" || !countWhereRowsBucketOk))
               throw new IllegalArgumentException(
                 s"create aggregator failed: unsupported rows bucket " +
                   s"window for $low (aggregator.cc:122)")
@@ -6145,14 +6159,31 @@ object GraftSql {
       val windowBound = argText.contains("__graft_w")
       val decomposable = !windowBound && Set("sum", "count", "avg")(fn)
       val isOffsetFn = fn == "lag" || fn == "lead" || fn == "at"
-      // a window without ORDER BY is legal only as an unbounded plain
-      // frame (window_query.yaml id 28 pins ROWS_RANGE
-      // UNBOUNDED..CURRENT with no ORDER BY as legal) — checked here
-      // for every aggregate family, including the frame-array ones
-      if (w.order.isEmpty && !windowBound && extAggs(fn) && !isOffsetFn &&
-          (w.lo != Unbounded || w.hi != CurrentRow || w.isExtended))
-        throw new IllegalArgumentException(
-          "a window without ORDER BY requires an unbounded plain frame")
+      // ORDER BY is optional in the reference's window clause
+      // (WINDOW_CLAUSE.md:127-131, "Starting from OpenMLDB 0.8.4"):
+      // ROWS frames then process the partition in arrival order (uid
+      // here — a legal instantiation of the documented "indeterminate
+      // order"; integration_test error_window id 0 pins bounded ROWS
+      // as legal), ROWS_RANGE additionally requires UNBOUNDED
+      // PRECEDING .. CURRENT ROW (function error_window id 0 pins the
+      // message), and EXCLUDE CURRENT_TIME needs a time axis
+      if (w.order.isEmpty && !windowBound && extAggs(fn) && !isOffsetFn) {
+        if (w.exclCT)
+          throw new IllegalArgumentException(
+            "a window without ORDER BY cannot have EXCLUDE CURRENT_TIME")
+        if (!w.isRows && (w.lo != Unbounded || w.hi != CurrentRow))
+          throw new IllegalArgumentException(
+            "RANGE/ROWS_RANGE-type FRAME with offset PRECEDING/FOLLOWING " +
+              "requires exactly one ORDER BY column")
+        if (!w.isRows && w.isExtended)
+          throw new IllegalArgumentException(
+            "a window without ORDER BY requires an unbounded plain frame")
+        if (w.isRows && (w.isExtended || frameOnlyAggs(fn) || isUserAgg ||
+            splitV.isDefined))
+          throw new IllegalArgumentException(
+            "a window without ORDER BY supports only plain ROWS " +
+              "aggregates (no MAXSIZE/EXCLUDE/UNION attributes)")
+      }
       val c: Column =
         if (w.order.isEmpty && !windowBound && extAggs(fn) &&
             !isOffsetFn && !frameOnlyAggs(fn) && splitV.isEmpty &&
@@ -6460,18 +6491,14 @@ object GraftSql {
               // tokens joined (test_feature_zero_function.yaml ids 3/5)
               array_join(transform(arr, x => x("v")),
                 unescapeSqlLiteral(stripQuotes(args(1).trim)))
-            case "sum" if skipRows > 0 && !w.exclCR =>
-              // reference quirk pinned by test_window.yaml id 31 vs
-              // test_current_row.yaml ids 4/12: a ROWS frame with a
-              // PRECEDING upper bound zero-fills an empty frame — unless
-              // EXCLUDE CURRENT_ROW is also present (then NULL). RANGE hi
-              // bounds stay NULL too (test_maxsize.yaml id 6).
-              if (sumIntegralType.isDefined)
-                coalesce(WindowOps.aggSum(arr, integral = true),
-                  lit(java.math.BigDecimal.ZERO)
-                    .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-              else coalesce(WindowOps.aggSum(arr), lit(0.0))
             case "sum"            =>
+              // sum over an EMPTY frame is NULL in every frame shape —
+              // the pre-0.6.4 engine zero-filled empty pure-history
+              // ROWS frames (old test_window.yaml id 31 pinned 0) but
+              // the integration tree's 0.6.4 revision of the same case
+              // expects NULL, consistent with EXCLUDE CURRENT_ROW
+              // (test_current_row.yaml ids 4/12) and RANGE hi bounds
+              // (test_maxsize.yaml id 6)
               WindowOps.aggSum(arr, integral = sumIntegralType.isDefined)
             case "count"          => WindowOps.aggCount(arr)
             case "avg"            => WindowOps.aggAvg(arr)
