@@ -454,6 +454,12 @@ object SparkEntry {
       Dedup.exact(T(s, d, "documents"), "doc_id", "text")
     },
 
+    // C4-style span-level dedup: 16-token spans duplicated anywhere in
+    // the corpus are removed, keeping the globally-first occurrence
+    "q_dedup_span" -> q { (s, d) =>
+      Dedup.spanDedup(T(s, d, "documents"), "doc_id", "text", 16)
+    },
+
     // word-level Jaccard near-dup pairs (inverted-index join)
     "q_dedup_jaccard" -> q { (s, d) =>
       Dedup.jaccardPairs(T(s, d, "documents"), "doc_id", "text", 0.6)
@@ -1770,6 +1776,36 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "q_dedup_span" ->
+      """WITH t AS (SELECT doc_id,
+        |             regexp_split_to_array(trim(text), '\s+') AS ws,
+        |             trim(text) AS tt
+        |           FROM documents),
+        |s AS (SELECT doc_id, st // 16 AS span_idx,
+        |        array_to_string(ws[st + 1 : st + 16], ' ') AS span,
+        |        doc_id * 1000000 + st // 16 AS ord
+        |      FROM (SELECT doc_id, ws, len(ws) AS n,
+        |              unnest(generate_series(0, len(ws) - 1, 16)) AS st
+        |            FROM t WHERE length(tt) > 0)
+        |      WHERE st < n),
+        |w AS (SELECT md5(span) AS h, min(ord) AS keep_ord,
+        |        count(*) AS occ
+        |      FROM s GROUP BY md5(span)),
+        |kept AS (SELECT s.* FROM s JOIN w ON md5(s.span) = w.h
+        |         WHERE occ = 1 OR ord = keep_ord),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |          string_agg(span, ' ' ORDER BY span_idx) AS text_dedup
+        |        FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+        |        FROM s GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(tot.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+        |  coalesce(agg.text_dedup, '') AS text_dedup
+        |FROM documents d
+        |LEFT JOIN tot ON d.doc_id = tot.doc_id
+        |LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin,
 
     "q_dedup_jaccard" ->
       """WITH w AS (

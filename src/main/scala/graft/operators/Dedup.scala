@@ -50,6 +50,47 @@ object Dedup {
         max_by(col(idCol), struct(col(scoreCol), -col(idCol))).as("keep_id"),
         count(lit(1)).as("n_docs"))
 
+  /** C4-style span-level deduplication: any `spanTokens`-token span
+    * (non-overlapping, in token order) whose exact text occurs anywhere
+    * else in the corpus is removed, keeping the single globally-first
+    * occurrence (C4 does this with three-sentence spans; token windows
+    * are the tokenizer-only analog). Returns one row per input
+    * document: (doc_id, n_spans, n_kept, text_dedup).
+    *
+    * Scale shape: ONE shuffle on the span hash (md5 keeps the grouped
+    * rows narrow — the span text itself never shuffles twice), partial
+    * aggregation collapses in-partition duplicates, then one shuffle
+    * back to doc_id to reassemble surviving spans in order. The
+    * first-occurrence rule is a single min over an encoded
+    * (doc_id, span_idx) — no window, no driver state. The encoding
+    * assumes < 1e6 spans per document (64M tokens at spanTokens=64). */
+  def spanDedup(docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int): DataFrame = {
+    val spans = docs.select(col(idCol).as("doc_id"),
+        explode(TextOps.chunks(col(textCol), spanTokens, spanTokens))
+          .as("c"))
+      .select(col("doc_id"), col("c")("chunk_idx").as("span_idx"),
+        col("c")("chunk").as("span"))
+      .withColumn("h", md5(col("span")))
+      .withColumn("ord", col("doc_id") * 1000000L + col("span_idx"))
+    val winners = spans.groupBy("h")
+      .agg(min("ord").as("keep_ord"), count(lit(1)).as("occ"))
+    val kept = spans.join(winners, "h")
+      .where(col("occ") === 1 || col("ord") === col("keep_ord"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(array_sort(collect_list(
+          struct(col("span_idx"), col("span")))), x => x("span")))
+          .as("text_dedup"))
+    docs.select(col(idCol).as("doc_id"),
+        size(TextOps.chunks(col(textCol), spanTokens, spanTokens))
+          .cast("long").as("n_spans"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
   /** Distinct word tokens of a text column. */
   def tokens(textCol: Column): Column =
     array_distinct(split(trim(textCol), "\\s+"))

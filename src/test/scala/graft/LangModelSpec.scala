@@ -54,3 +54,37 @@ class LangModelSpec extends SparkSpec {
     assert(math.abs(out._3.get - math.log(0.2)) < 1e-6)
   }
 }
+
+/** Span-level dedup hand values (corpus behavior gated via
+  * q_dedup_span). */
+class SpanDedupSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Dedup
+
+  test("duplicated spans are removed, first occurrence kept") {
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b x y"),
+      (3L, "c d"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, "doc_id", "text", 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 2L, "a b c d"),   // both spans are the first occurrence
+      (2L, 2L, 1L, "x y"),       // "a b" lost to doc 1 span 0
+      (3L, 1L, 0L, ""),          // its only span lost to doc 1 span 1
+      (4L, 0L, 0L, "")))         // empty document has no spans
+  }
+
+  test("a trailing partial span dedups like any other") {
+    val docs = Seq((1L, "p q r"), (2L, "z z r")).toDF("doc_id", "text")
+    // spans of 2: doc1 ["p q", "r"], doc2 ["z z", "r"] — the partial
+    // "r" is duplicated; doc 1 (lower ord) keeps it
+    val out = Dedup.spanDedup(docs, "doc_id", "text", 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq((1L, 2L, 2L, "p q r"), (2L, 2L, 1L, "z z")))
+  }
+}
