@@ -121,6 +121,74 @@ object PlainBaseline {
         |  round(sum(o_totalprice), 2) AS sum_price
         |FROM pb_orders GROUP BY o_custkey HAVING count(*) >= 5""".stripMargin,
 
+    // same bigram-LM shape in native Spark SQL (vocab top-20, add-one
+    // smoothing, ordered fold per doc)
+    "q_perplexity" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    filter(split(trim(text), '\\s+'), x -> x != '') AS t
+        |  FROM pb_documents),
+        |tok AS (SELECT doc_id, explode(t) AS w FROM tk),
+        |vocab AS (SELECT w FROM (SELECT w, count(*) AS c FROM tok GROUP BY w
+        |                         ORDER BY c DESC, w LIMIT 20)),
+        |vs AS (SELECT CAST(count(*) + 1 AS DOUBLE) AS v FROM vocab),
+        |raw AS (
+        |  SELECT doc_id, posexplode(arrays_zip(
+        |      slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1)))
+        |  FROM tk WHERE size(t) >= 2),
+        |big AS (
+        |  SELECT r.doc_id, r.pos,
+        |    CASE WHEN v1.w IS NOT NULL THEN r.col.`0` ELSE '<unk>' END AS w1,
+        |    CASE WHEN v2.w IS NOT NULL THEN r.col.`1` ELSE '<unk>' END AS w2
+        |  FROM raw r
+        |  LEFT JOIN vocab v1 ON r.col.`0` = v1.w
+        |  LEFT JOIN vocab v2 ON r.col.`1` = v2.w),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
+        |c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1),
+        |terms AS (
+        |  SELECT b.doc_id, b.pos,
+        |    ln((coalesce(c2.c2, 0) + 1.0D) / (coalesce(c1.c1, 0) + vs.v)) AS lp
+        |  FROM big b LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+        |  LEFT JOIN c1 ON b.w1 = c1.w1 CROSS JOIN vs),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    aggregate(array_sort(collect_list(struct(pos, lp))),
+        |      CAST(0.0 AS DOUBLE), (a, x) -> a + x.lp) AS s
+        |  FROM terms GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+        |  round(a.s / a.n_bigrams, 6) AS avg_logprob,
+        |  round(exp(-a.s / a.n_bigrams), 4) AS ppl
+        |FROM pb_documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
+
+    // same span-dedup shape in native Spark SQL
+    "q_dedup_span" ->
+      """WITH t AS (SELECT doc_id, split(trim(text), '\\s+') AS ws,
+        |             trim(text) AS tt
+        |           FROM pb_documents),
+        |s AS (SELECT doc_id, CAST(st / 16 AS INT) AS span_idx,
+        |        array_join(slice(ws, st + 1, 16), ' ') AS span,
+        |        doc_id * 1000000 + CAST(st / 16 AS INT) AS ord
+        |      FROM (SELECT doc_id, ws, size(ws) AS n,
+        |              explode(sequence(0, greatest(size(ws) - 1, 0), 16)) AS st
+        |            FROM t WHERE length(tt) > 0)
+        |      WHERE st < n),
+        |w AS (SELECT md5(span) AS h, min(ord) AS keep_ord, count(*) AS occ
+        |      FROM s GROUP BY md5(span)),
+        |kept AS (SELECT s.* FROM s JOIN w ON md5(s.span) = w.h
+        |         WHERE occ = 1 OR ord = keep_ord),
+        |agg AS (SELECT doc_id, count(*) AS n_kept,
+        |          concat_ws(' ', transform(array_sort(
+        |            collect_list(struct(span_idx, span))), x -> x.span))
+        |            AS text_dedup
+        |        FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n_spans FROM s GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(tot.n_spans, 0) AS n_spans,
+        |  coalesce(agg.n_kept, 0) AS n_kept,
+        |  coalesce(agg.text_dedup, '') AS text_dedup
+        |FROM pb_documents d
+        |LEFT JOIN tot ON d.doc_id = tot.doc_id
+        |LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin,
+
     "q_distinct_count" ->
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS dc_cust,
         |  count(*) AS cnt

@@ -2696,8 +2696,9 @@ object SparkEntry {
     "q1_agg", "q_window_rows_range", "q_window_rows", "q_last_join",
     "q_window_maxsize", "q_sql_window", "q_bench_shape",
     "q_groupby_having", "q_distinct_count",
-    "q_dedup_exact", "q_text_stats", "q_text_repetition", "q_decontaminate",
-    "q_pack_sequences", "q_vocab", "q_tfidf",
+    "q_dedup_exact", "q_dedup_span", "q_text_stats", "q_text_repetition",
+    "q_decontaminate",
+    "q_pack_sequences", "q_vocab", "q_tfidf", "q_perplexity",
     "q_join_window", "q_request_mode", "q_long_window",
     "q_skew_window", "q_skew_window_arr",
     "q_ann_topk", "q_dedup_minhash")
