@@ -216,7 +216,15 @@ object CaseLoader {
           .map(parseInput(_, baseDir))
         val baseSql = opt(sqlNode).map(_.asText().trim.stripSuffix(";"))
           .getOrElse("")
-        val baseExpect = parseExpect(c.get("expect"))
+        // `unequalExpect` carries mode-specific expectations where batch
+        // and request results legitimately differ (ut_case
+        // test_unique_expect id 0: MAXSIZE over out-of-order ingestion —
+        // batch sorts by ts, the online buffer sees arrival order).
+        // This runner executes the batch plan, so batch_expect applies.
+        val baseExpect = Option(c.get("unequalExpect"))
+          .flatMap(u => Option(u.get("batch_expect")))
+          .map(parseExpect)
+          .getOrElse(parseExpect(c.get("expect")))
         val mode = opt(c.get("mode")).map(_.asText())
           .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty)
         val tags = opt(c.get("tags")).map(strs).getOrElse(Seq.empty)
