@@ -183,15 +183,25 @@ object SparkEntry {
       // consumers then reference an attribute (CollapseProject keeps the
       // split because the producer expression is non-cheap and
       // multiply-referenced) instead of re-deriving the array 6x
-      val a = col("__arr")
-      T(s, d, "events").withColumn("__arr", arr).select(
-        col("event_id"),
-        round(WindowOps.aggSum(a), 3).as("m_sum"),
-        WindowOps.aggCount(a).as("m_cnt"),
-        WindowOps.aggMin(a).as("m_min"),
-        WindowOps.aggMax(a).as("m_max"),
-        round(WindowOps.aggAvg(a), 4).as("m_avg"),
-        WindowOps.aggDistinctCount(a).as("m_dc"))
+      // the six consumers share ONE flat value array extracted from
+      // the frame structs (higher-order ops over array<struct>
+      // deep-copy each element per pass — same measured win as
+      // q_bench_shape); values identical to the agg* helpers:
+      // min/max/distinct read the raw values (array_min/max skip
+      // nulls, distinct counts null), sum/cnt/avg the non-null ones
+      val av = col("__vals")
+      val nn = filter(av, x => x.isNotNull)
+      val sum = aggregate(nn, lit(0.0), (acc, x) => acc + x)
+      T(s, d, "events").withColumn("__arr", arr)
+        .withColumn("__vals", transform(col("__arr"), x => x("v")))
+        .select(
+          col("event_id"),
+          round(when(size(nn) > 0, sum), 3).as("m_sum"),
+          size(nn).cast("long").as("m_cnt"),
+          array_min(av).as("m_min"),
+          array_max(av).as("m_max"),
+          round(when(size(nn) > 0, sum / size(nn)), 4).as("m_avg"),
+          size(array_distinct(av)).cast("long").as("m_dc"))
     },
 
     // EXCLUDE CURRENT_TIME over a minute-granular order key (forces

@@ -94,6 +94,9 @@ object WindowOps {
       val hi = -skip.toLong
       val spec = Window.partitionBy(partition: _*)
         .orderBy(tsMs.asc, uid.asc).rowsBetween(lo, hi)
+      // (entry keeps the full ts/uid/flag/v shape: SkewWindow's chunk
+      // merge and the exclusion filters read uid — a narrowed fast-path
+      // entry was tried and breaks those consumers)
       var arr = reverse(collect_list(entry(tsMs, uid, lit(true), v)).over(spec))
       if (precedingMs < UnboundedMs) {
         val minTs = tsMs - precedingMs
