@@ -124,6 +124,38 @@ class StreamDeploySpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("out-of-order arrival answers each row at insertion time " +
+      "(reference request_expect)") {
+    // integration_test/ut_case/test_unique_expect.yaml id 0: rows
+    // inserted OUT of ts order; the online answer for each row uses
+    // only the rows inserted so far (ts-ordered buffer), so it differs
+    // from batch — the reference pins both via unequalExpect. Feeding
+    // one row per micro-batch reproduces request_expect exactly.
+    implicit val sqlCtx = spark.sqlContext
+    val sql = """SELECT qty, user, sum(amt) OVER w1 AS s FROM events
+      WINDOW w1 AS (PARTITION BY user ORDER BY ts
+        ROWS_RANGE BETWEEN 6 PRECEDING AND CURRENT ROW MAXSIZE 3)"""
+    // (user=c1, ts=c7 low bits, amt=c4, qty=id)
+    val ins = Seq(
+      Ev("aa", 1590738990003L, 33.0, 4L, "-"),
+      Ev("aa", 1590738990002L, 32.0, 3L, "-"),
+      Ev("aa", 1590738990000L, 30.0, 1L, "-"),
+      Ev("aa", 1590738990001L, 31.0, 2L, "-"),
+      Ev("aa", 1590738990004L, 34.0, 5L, "-"))
+    val mem = MemoryStream[Ev]
+    val q = StreamDeploy.serve(spark, sql, mem.toDF())
+      .writeStream.format("memory").queryName("sd_ooo")
+      .outputMode("append").start()
+    ins.foreach { e => mem.addData(e); q.processAllAvailable() }
+    val got = spark.table("sd_ooo").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq.sortBy(_._1)
+    q.stop()
+    // request_expect: 1->30, 2->61, 3->32 (only itself inserted in
+    // range), 4->33 (first insert), 5->99 (MAXSIZE 3: ids 5,4,3)
+    assert(got == Seq(1L -> 30.0, 2L -> 61.0, 3L -> 32.0,
+      4L -> 33.0, 5L -> 99.0))
+  }
+
   test("UNBOUNDED PRECEDING ROWS frame retains full history (derived TTL)") {
     // deriveTtl must not cap retention at 1 row when a ROWS frame has
     // no finite depth — a running aggregate needs the whole history
