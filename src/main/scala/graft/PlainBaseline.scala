@@ -160,6 +160,48 @@ object PlainBaseline {
         |  round(exp(-a.s / a.n_bigrams), 4) AS ppl
         |FROM pb_documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
 
+    // the textbook explode-based banded-MinHash first-seen dedup in
+    // native Spark SQL (one row per shingle x permutation)
+    "q_dedup_lshseen" ->
+      """WITH tk AS (
+        |  SELECT doc_id, filter(split(trim(text), '\\s+'), x -> x != '')
+        |    AS ws
+        |  FROM pb_documents),
+        |sh AS (SELECT doc_id,
+        |    CASE WHEN size(ws) = 0 THEN array()
+        |         WHEN size(ws) < 3 THEN array(array_join(ws, ' '))
+        |         ELSE transform(sequence(1, size(ws) - 2),
+        |                p -> array_join(slice(ws, p, 3), ' ')) END AS grams
+        |  FROM tk),
+        |nz AS (SELECT doc_id, filter(grams, g -> g != '') AS t
+        |       FROM sh WHERE size(grams) > 0),
+        |hv AS (SELECT doc_id,
+        |         CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT)
+        |           AS h0,
+        |         CAST(conv(substring(md5(w), 9, 8), 16, 10) AS BIGINT)
+        |           AS h1
+        |       FROM (SELECT doc_id, t FROM nz WHERE size(t) > 0)
+        |       LATERAL VIEW explode(t) AS w),
+        |ph AS (SELECT doc_id, i,
+        |         min(pmod(h0 + i * h1, 4294967291L)) AS s
+        |       FROM hv LATERAL VIEW explode(sequence(0, 11)) AS i
+        |       GROUP BY doc_id, i),
+        |sg AS (SELECT doc_id,
+        |         transform(array_sort(collect_list(struct(i, s))),
+        |           x -> x.s) AS sig
+        |       FROM ph GROUP BY doc_id),
+        |b AS (SELECT doc_id, bi AS band,
+        |        md5(concat_ws(',', transform(slice(sig, bi * 3 + 1, 3),
+        |          x -> CAST(x AS STRING)))) AS bh
+        |      FROM sg LATERAL VIEW explode(sequence(0, 3)) AS bi),
+        |f AS (SELECT band, bh, min(doc_id) AS first_id FROM b
+        |      GROUP BY band, bh),
+        |m AS (SELECT b.doc_id, min(first_id) AS matched_id
+        |      FROM b JOIN f ON b.band = f.band AND b.bh = f.bh
+        |      WHERE first_id < b.doc_id GROUP BY b.doc_id)
+        |SELECT d.doc_id, m.matched_id IS NOT NULL AS is_dup, m.matched_id
+        |FROM pb_documents d LEFT JOIN m ON d.doc_id = m.doc_id""".stripMargin,
+
     // same span-dedup shape in native Spark SQL
     "q_dedup_span" ->
       """WITH t AS (SELECT doc_id, split(trim(text), '\\s+') AS ws,

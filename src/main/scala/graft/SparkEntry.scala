@@ -470,6 +470,13 @@ object SparkEntry {
       Dedup.spanDedup(T(s, d, "documents"), "doc_id", "text", 16)
     },
 
+    // incremental (first-seen) LSH near-dup verdicts over a PORTABLE
+    // md5-derived MinHash — exact oracle, unlike the quality-gated
+    // xxhash64 pair enumeration of q_dedup_minhash
+    "q_dedup_lshseen" -> q { (s, d) =>
+      Dedup.lshFirstSeen(T(s, d, "documents"), "doc_id", "text")
+    },
+
     // word-level Jaccard near-dup pairs (inverted-index join)
     "q_dedup_jaccard" -> q { (s, d) =>
       Dedup.jaccardPairs(T(s, d, "documents"), "doc_id", "text", 0.6)
@@ -1817,6 +1824,47 @@ object SparkEntry {
         |LEFT JOIN tot ON d.doc_id = tot.doc_id
         |LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin,
 
+    "q_dedup_lshseen" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ws) = 0 THEN []
+        |         WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |         ELSE (SELECT list(array_to_string(ws[p.p : p.p + 2], ' '))
+        |               FROM (SELECT unnest(generate_series(1, len(ws) - 2))
+        |                     AS p) p)
+        |    END AS grams
+        |  FROM tk),
+        |nz AS (SELECT doc_id,
+        |         list_filter(grams, g -> g <> '') AS t
+        |       FROM sh WHERE len(grams) > 0),
+        |hv AS (SELECT doc_id,
+        |         CAST(concat('0x', substr(md5(u.w), 1, 8)) AS BIGINT) AS h0,
+        |         CAST(concat('0x', substr(md5(u.w), 9, 8)) AS BIGINT) AS h1
+        |       FROM (SELECT * FROM nz WHERE len(t) > 0) nz2,
+        |         unnest(t) AS u(w)),
+        |ph AS (SELECT doc_id, i.i,
+        |         min((h0 + i.i * h1) % 4294967291) AS s
+        |       FROM hv, (SELECT unnest(generate_series(0, 11)) AS i) i
+        |       GROUP BY doc_id, i.i),
+        |sg AS (SELECT doc_id, list(s ORDER BY i) AS sig FROM ph
+        |       GROUP BY doc_id),
+        |b AS (
+        |  SELECT doc_id, bi.b AS band,
+        |    md5(array_to_string(list_transform(
+        |      sig[bi.b * 3 + 1 : bi.b * 3 + 3],
+        |      x -> CAST(x AS VARCHAR)), ',')) AS bh
+        |  FROM sg, (SELECT unnest(generate_series(0, 3)) AS b) bi),
+        |f AS (SELECT band, bh, min(doc_id) AS first_id FROM b GROUP BY 1, 2),
+        |m AS (SELECT b.doc_id, min(first_id) AS matched_id
+        |      FROM b JOIN f USING (band, bh)
+        |      WHERE first_id < b.doc_id GROUP BY b.doc_id)
+        |SELECT d.doc_id, m.matched_id IS NOT NULL AS is_dup, m.matched_id
+        |FROM documents d LEFT JOIN m USING (doc_id)""".stripMargin,
+
     "q_dedup_jaccard" ->
       """WITH w AS (
         |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS w
@@ -2706,7 +2754,8 @@ object SparkEntry {
     "q1_agg", "q_window_rows_range", "q_window_rows", "q_last_join",
     "q_window_maxsize", "q_sql_window", "q_bench_shape",
     "q_groupby_having", "q_distinct_count",
-    "q_dedup_exact", "q_dedup_span", "q_text_stats", "q_text_repetition",
+    "q_dedup_exact", "q_dedup_span", "q_dedup_lshseen",
+    "q_text_stats", "q_text_repetition",
     "q_decontaminate",
     "q_pack_sequences", "q_vocab", "q_tfidf", "q_perplexity",
     "q_join_window", "q_request_mode", "q_long_window",

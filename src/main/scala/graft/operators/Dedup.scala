@@ -105,6 +105,89 @@ object Dedup {
         coalesce(col("text_dedup"), lit("")).as("text_dedup"))
   }
 
+  /** Banded MinHash buckets with a PORTABLE hash (md5-derived, exactly
+    * replayable by any engine — unlike xxhash64, DuckDB can recompute
+    * it): one row per (doc, band) with the band's bucket key. Documents
+    * with no tokens produce no buckets (no content → no near-dup).
+    * Shared by the batch [[lshFirstSeen]] and the streaming
+    * [[graft.streaming.StreamingDedup.lshFirstSeen]] — the expressions
+    * run unchanged on a streaming DataFrame. */
+  def lshBuckets(docs: DataFrame, idCol: String, textCol: String,
+      bands: Int, rowsPerBand: Int, shingleN: Int = 3): DataFrame = {
+    val k = bands * rowsPerBand
+    // shingle over word n-grams (TextOps.wordNgramsOf convention: a
+    // doc shorter than n yields its whole word sequence as one gram) —
+    // distinct unigram sets are too coarse on small shared
+    // vocabularies to discriminate near-dups
+    // no array_distinct: the min of a multiset IS the min of its set,
+    // and distinct over n-gram strings is O(n²) string compares per doc
+    val toks = filter(TextOps.wordNgramsOf(
+      filter(TextOps.words(col(textCol)), w => w =!= ""), shingleN),
+      g => g =!= "") // an empty doc's whole-sequence gram is "" — drop it
+    // double-hashing MinHash family: ONE md5 per shingle split into two
+    // 32-bit halves, permutation i = (h0 + i*h1) mod prime — k md5
+    // calls per shingle measured 2x slower than this at sf0.1. The k
+    // minima accumulate in ONE fold over the shingle array (k separate
+    // array_min passes each re-copy the array)
+    val P = 4294967291L // largest prime below 2^32
+    // (h0, h1) pack into one long — struct field names do not survive
+    // inside higher-order lambdas (col1/col2)
+    val hs = transform(transform(col("__toks"), w => md5(w)), m =>
+      shiftleft(conv(substring(m, 1, 8), 16, 10).cast("long"), 32) +
+        conv(substring(m, 9, 8), 16, 10).cast("long"))
+    val sig = aggregate(hs,
+      array_repeat(lit(Long.MaxValue), k),
+      (acc, x) => {
+        val h0 = shiftrightunsigned(x, 32)
+        val h1 = x.bitwiseAND(lit(0xffffffffL))
+        zip_with(acc, sequence(lit(0L), lit(k - 1L)),
+          (a, i) => least(a, pmod(h0 + i * h1, lit(P))))
+      })
+    // the band fan-out goes through a Generate (explode of the band
+    // ordinals) with __sig as a pass-through column: building the band
+    // hashes inside a transform lambda re-evaluated the whole
+    // signature fold per band (no CSE inside lambdas — measured 4x)
+    docs.select(col(idCol).as("doc_id"), toks.as("__toks"))
+      .where(size(col("__toks")) > 0)
+      .select(col("doc_id"), sig.as("__sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("doc_id"), col("band"),
+        md5(concat_ws(",", transform(
+          slice(col("__sig"), col("band") * rowsPerBand + 1,
+            lit(rowsPerBand)),
+          x => x.cast("string")))).as("bh"))
+  }
+
+  /** Incremental (first-seen) LSH near-dup verdicts: a document is a
+    * near-duplicate iff any of its MinHash band buckets was already
+    * claimed by an earlier document (min doc_id); `matched_id` is the
+    * earliest such claimant. This is the dedup-against-prior-corpus
+    * decision a continually-ingested pipeline makes per document —
+    * [[minhashLshPairs]] materializes the full pair set instead.
+    * Returns (doc_id, is_dup, matched_id).
+    *
+    * Scale: one groupBy on (band, bh) for the bucket minima, one
+    * narrow join back, one per-doc min — no pair blowup: work is
+    * O(docs × bands) regardless of how dense the duplicate clusters
+    * are (the pathological case where pair enumeration goes O(n²)). */
+  def lshFirstSeen(docs: DataFrame, idCol: String, textCol: String,
+      bands: Int = 4, rowsPerBand: Int = 3,
+      shingleN: Int = 3): DataFrame = {
+    // the bucket stream feeds BOTH the per-bucket minima and the join
+    // back — cache it so the shingle/signature work runs once
+    val buckets = lshBuckets(docs, idCol, textCol, bands, rowsPerBand,
+      shingleN).cache()
+    val firsts = buckets.groupBy("band", "bh")
+      .agg(min("doc_id").as("first_id"))
+    val matched = buckets.join(firsts, Seq("band", "bh"))
+      .where(col("first_id") < col("doc_id"))
+      .groupBy("doc_id").agg(min("first_id").as("matched_id"))
+    materializeAndFree(docs.select(col(idCol).as("doc_id"))
+      .join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("matched_id").isNotNull.as("is_dup"),
+        col("matched_id")), buckets)
+  }
+
   /** Distinct word tokens of a text column. */
   def tokens(textCol: Column): Column =
     array_distinct(split(trim(textCol), "\\s+"))

@@ -48,6 +48,58 @@ object StreamingDedup {
 
   case class Doc(doc_id: Long, text: String)
 
+  case class BucketRow(doc_id: Long, band: Int, bh: String)
+  case class BucketMatch(doc_id: Long, matched_id: Option[Long])
+
+  /** Streaming incremental LSH near-dup — the online half of
+    * [[graft.operators.Dedup.lshFirstSeen]]: state is ONE long per
+    * live (band, bucket) — the first-arrived claimant — sharded on the
+    * bucket key Spark already shuffles on. Emits one verdict per input
+    * bucket row; the per-document reduction (is_dup = any match,
+    * matched_id = min) is a trivial groupBy at the consumer (or sink
+    * side), keeping this operator single-stateful-stage. Within a
+    * micro-batch rows claim in doc_id order, so an in-order feed
+    * reproduces the batch verdicts exactly (StreamingDedupSpec);
+    * under out-of-order arrival the FIRST ARRIVAL owns the bucket —
+    * arrival semantics, like [[firstSeen]]. `stateTtl` bounds state by
+    * processing-time expiry. */
+  def lshFirstSeen(docs: DataFrame, idCol: String, textCol: String,
+      bands: Int = 4, rowsPerBand: Int = 2,
+      stateTtl: Option[String] = None): Dataset[BucketMatch] = {
+    implicit val rowEnc = Encoders.product[BucketRow]
+    implicit val outEnc = Encoders.product[BucketMatch]
+    implicit val longEnc = Encoders.scalaLong
+    implicit val strEnc = Encoders.STRING
+    val timeout =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    graft.operators.Dedup.lshBuckets(docs, idCol, textCol,
+        bands, rowsPerBand)
+      .as[BucketRow]
+      .groupByKey(r => r.band + "|" + r.bh)
+      .flatMapGroupsWithState[Long, BucketMatch](
+        OutputMode.Append(), timeout) { (_, rows, state) =>
+        if (state.hasTimedOut) { state.remove(); Iterator.empty }
+        else {
+          var owner: Option[Long] =
+            if (state.exists) Some(state.get) else None
+          val out = rows.toVector.sortBy(_.doc_id).map { r =>
+            owner match {
+              case Some(o) if o != r.doc_id =>
+                BucketMatch(r.doc_id, Some(o))
+              case Some(_) => BucketMatch(r.doc_id, None)
+              case None =>
+                owner = Some(r.doc_id)
+                state.update(r.doc_id)
+                stateTtl.foreach(state.setTimeoutDuration)
+                BucketMatch(r.doc_id, None)
+            }
+          }
+          out.iterator
+        }
+      }
+  }
+
   /** Exact first-seen-wins dedup: emits a document only when its
     * content hash has not been seen before. `stateTtl` (e.g. "2 hours")
     * bounds state by processing-time expiry; None retains state for

@@ -52,6 +52,42 @@ class StreamingDedupSpec extends SparkSpec {
     assert(kept.sameElements(batchKeep))
   }
 
+  test("lshFirstSeen (streaming) agrees with the batch verdicts") {
+    // near-dup corpus: docs 2 and 4 shingle-overlap doc 0 heavily
+    val docs = Seq(
+      Doc(0L, "the quick brown fox jumps over the lazy dog"),
+      Doc(1L, "entirely different words compose this document body"),
+      Doc(2L, "the quick brown fox jumps over the lazy cat"),
+      Doc(3L, "short"),
+      Doc(4L, "quick brown fox jumps over the lazy dog today"),
+      Doc(5L, ""))
+    val batch = Dedup.lshFirstSeen(docs.toDF(), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(batch(0) == false && batch(1) == false && batch(3) == false)
+    assert(batch(5) == false) // empty doc: no shingles, no verdict
+    assert(batch(2) || batch(4), "expected at least one near-dup hit")
+
+    // streaming, one doc per micro-batch in doc_id order, then reduce
+    // bucket verdicts per doc at the sink — must equal batch exactly
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val q = StreamingDedup.lshFirstSeen(mem.toDF(), "doc_id", "text")
+      .writeStream.format("memory").queryName("lsh_seen")
+      .outputMode("append").start()
+    docs.foreach { d => mem.addData(d); q.processAllAvailable() }
+    val streamed = spark.table("lsh_seen")
+      .groupBy("doc_id").agg(min("matched_id").as("matched_id"))
+      .collect()
+      .map(r => (r.getLong(0), !r.isNullAt(1))).toMap
+    q.stop()
+    docs.filter(_.text.nonEmpty).foreach { d =>
+      assert(streamed(d.doc_id) == batch(d.doc_id),
+        s"doc ${d.doc_id}: stream ${streamed(d.doc_id)} vs " +
+          s"batch ${batch(d.doc_id)}")
+    }
+    assert(!streamed.contains(5L), "empty doc should emit no buckets")
+  }
+
   test("withinWatermark drops duplicates inside the lateness bound") {
     implicit val sqlCtx = spark.sqlContext
     case class Ev(doc_id: Long, text: String, ts: java.sql.Timestamp)

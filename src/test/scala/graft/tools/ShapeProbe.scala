@@ -117,6 +117,24 @@ object ShapeProbe {
     }
     time(spark, "ours_win_vals")(oursWinVals(T("events")))
 
+    // lshFirstSeen stage costs
+    {
+      import graft.operators.{Dedup, TextOps}
+      val docs = T("documents")
+      time(spark, "lsh_toks") {
+        docs.select(col("doc_id"),
+          array_distinct(filter(TextOps.wordNgramsOf(
+            filter(TextOps.words(col("text")), w => w =!= ""), 3),
+            g => g =!= "")).as("t"))
+      }
+      time(spark, "lsh_buckets")(
+        Dedup.lshBuckets(docs, "doc_id", "text", 4, 3))
+      time(spark, "lsh_full")(
+        Dedup.lshFirstSeen(docs, "doc_id", "text"))
+      Dedup.lshBuckets(docs, "doc_id", "text", 4, 3)
+        .explain("formatted")
+    }
+
     // the plain twin's window half alone
     time(spark, "plain_win_only")(spark.sql(
       """SELECT event_id,
