@@ -125,31 +125,55 @@ object Dedup {
       filter(TextOps.words(col(textCol)), w => w =!= ""), shingleN),
       g => g =!= "") // an empty doc's whole-sequence gram is "" — drop it
     // double-hashing MinHash family: ONE md5 per shingle split into two
-    // 32-bit halves, permutation i = (h0 + i*h1) mod prime — k md5
-    // calls per shingle measured 2x slower than this at sf0.1. The k
-    // minima accumulate in ONE fold over the shingle array (k separate
-    // array_min passes each re-copy the array)
+    // 32-bit halves, permutation i = (h0 + i*h1) mod prime (k md5
+    // calls per shingle measured 2x slower)
     val P = 4294967291L // largest prime below 2^32
-    // (h0, h1) pack into one long — struct field names do not survive
-    // inside higher-order lambdas (col1/col2)
-    val hs = transform(transform(col("__toks"), w => md5(w)), m =>
-      shiftleft(conv(substring(m, 1, 8), 16, 10).cast("long"), 32) +
-        conv(substring(m, 9, 8), 16, 10).cast("long"))
-    val sig = aggregate(hs,
-      array_repeat(lit(Long.MaxValue), k),
-      (acc, x) => {
-        val h0 = shiftrightunsigned(x, 32)
-        val h1 = x.bitwiseAND(lit(0xffffffffL))
-        zip_with(acc, sequence(lit(0L), lit(k - 1L)),
-          (a, i) => least(a, pmod(h0 + i * h1, lit(P))))
-      })
-    // the band fan-out goes through a Generate (explode of the band
-    // ordinals) with __sig as a pass-through column: building the band
-    // hashes inside a transform lambda re-evaluated the whole
-    // signature fold per band (no CSE inside lambdas — measured 4x)
-    docs.select(col(idCol).as("doc_id"), toks.as("__toks"))
-      .where(size(col("__toks")) > 0)
-      .select(col("doc_id"), sig.as("__sig"),
+    // Batch path: the k minima come from ONE hash aggregate with k min
+    // columns over exploded shingle rows — an expression-side fold
+    // (aggregate + zip_with over the shingle array) measured ~3x
+    // slower, the same explode-beats-fused lesson as the vocab/tfidf
+    // wordcounts; partial aggregation keeps the shuffle at one row per
+    // (doc, partition). Streaming path: a groupBy here would be a
+    // streaming aggregation — illegal before the downstream
+    // flatMapGroupsWithState in append mode — so the stateless
+    // expression fold stays as the streaming formulation.
+    val sig: DataFrame =
+      if (docs.isStreaming) {
+        // (h0, h1) pack into one long — struct field names do not
+        // survive inside higher-order lambdas (col1/col2)
+        val hs = transform(transform(col("__toks"), w => md5(w)), m =>
+          shiftleft(conv(substring(m, 1, 8), 16, 10).cast("long"), 32) +
+            conv(substring(m, 9, 8), 16, 10).cast("long"))
+        val sigCol = aggregate(hs,
+          array_repeat(lit(Long.MaxValue), k),
+          (acc, x) => {
+            val h0 = shiftrightunsigned(x, 32)
+            val h1 = x.bitwiseAND(lit(0xffffffffL))
+            zip_with(acc, sequence(lit(0L), lit(k - 1L)),
+              (a, i) => least(a, pmod(h0 + i * h1, lit(P))))
+          })
+        docs.select(col(idCol).as("doc_id"), toks.as("__toks"))
+          .where(size(col("__toks")) > 0)
+          .select(col("doc_id"), sigCol.as("__sig"))
+      } else {
+        val hv = docs.select(col(idCol).as("doc_id"), toks.as("__toks"))
+          .where(size(col("__toks")) > 0)
+          .select(col("doc_id"), explode(col("__toks")).as("g"))
+          .select(col("doc_id"),
+            conv(substring(md5(col("g")), 1, 8), 16, 10)
+              .cast("long").as("h0"),
+            conv(substring(md5(col("g")), 9, 8), 16, 10)
+              .cast("long").as("h1"))
+        val mins = (0 until k).map(i =>
+          min(pmod(col("h0") + col("h1") * i, lit(P))).as(s"__s$i"))
+        hv.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+          .select(col("doc_id"),
+            array((0 until k).map(i => col(s"__s$i")): _*).as("__sig"))
+      }
+    // band fan-out through a Generate with __sig as a pass-through
+    // column: band hashes inside a transform lambda re-evaluated the
+    // signature per band (no CSE inside lambdas — measured 4x)
+    sig.select(col("doc_id"), col("__sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .select(col("doc_id"), col("band"),
         md5(concat_ws(",", transform(

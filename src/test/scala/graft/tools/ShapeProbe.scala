@@ -131,8 +131,31 @@ object ShapeProbe {
         Dedup.lshBuckets(docs, "doc_id", "text", 4, 3))
       time(spark, "lsh_full")(
         Dedup.lshFirstSeen(docs, "doc_id", "text"))
-      Dedup.lshBuckets(docs, "doc_id", "text", 4, 3)
-        .explain("formatted")
+      // variant: no cache, no checkpoint (recompute buckets twice)
+      time(spark, "lsh_nocache") {
+        val b = Dedup.lshBuckets(docs, "doc_id", "text", 4, 3)
+        val f = b.groupBy("band", "bh").agg(min("doc_id").as("first_id"))
+        val m = b.join(f, Seq("band", "bh"))
+          .where(col("first_id") < col("doc_id"))
+          .groupBy("doc_id").agg(min("first_id").as("matched_id"))
+        docs.select(col("doc_id")).join(m, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("matched_id").isNotNull.as("is_dup"),
+            col("matched_id"))
+      }
+      // variant: cache, lazy (no eager localCheckpoint)
+      locally {
+        val b = Dedup.lshBuckets(docs, "doc_id", "text", 4, 3).cache()
+        val f = b.groupBy("band", "bh").agg(min("doc_id").as("first_id"))
+        val m = b.join(f, Seq("band", "bh"))
+          .where(col("first_id") < col("doc_id"))
+          .groupBy("doc_id").agg(min("first_id").as("matched_id"))
+        time(spark, "lsh_cache_lazy") {
+          docs.select(col("doc_id")).join(m, Seq("doc_id"), "left")
+            .select(col("doc_id"), col("matched_id").isNotNull.as("is_dup"),
+              col("matched_id"))
+        }
+        b.unpersist(false)
+      }
     }
 
     // the plain twin's window half alone
