@@ -301,6 +301,27 @@ object PlainBaseline {
         |FROM pb_documents d LEFT JOIN hit h2 ON d.doc_id = h2.doc_id
         |WHERE d.doc_id % 50 <> 0""".stripMargin,
 
+    // the Bloom-prefiltered operator races the plain exact 13-gram
+    // formulation — the ratio is the prefilter's win over paying the
+    // full explode + join for every document
+    "q_decontaminate_bloom" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CASE WHEN size(ws) < 13 THEN array(xxhash64(wh))
+        |    ELSE array_distinct(transform(sequence(0, size(ws) - 13),
+        |      i -> xxhash64(slice(wh, i + 1, 13)))) END AS gs
+        |  FROM (SELECT doc_id, ws, transform(ws, w -> xxhash64(w)) AS wh
+        |        FROM (SELECT doc_id, split(trim(text), '\\s+') AS ws
+        |              FROM pb_documents))),
+        |probe AS (SELECT DISTINCT explode(gs) AS g FROM h
+        |  WHERE doc_id % 50 = 0),
+        |hit AS (SELECT DISTINCT doc_id FROM
+        |  (SELECT doc_id, explode(gs) AS g FROM h WHERE doc_id % 50 <> 0) t
+        |  JOIN probe USING (g))
+        |SELECT d.doc_id, h2.doc_id IS NOT NULL AS contaminated
+        |FROM pb_documents d LEFT JOIN hit h2 ON d.doc_id = h2.doc_id
+        |WHERE d.doc_id % 50 <> 0""".stripMargin,
+
     "q_long_window" ->
       """SELECT event_id, round(sum(value) OVER w, 3) AS lw_sum,
         |  count(value) OVER w AS lw_cnt

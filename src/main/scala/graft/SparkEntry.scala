@@ -710,6 +710,22 @@ object SparkEntry {
         .select(col("doc_id"), col("contaminated"))
     },
 
+    // Bloom-prefiltered decontamination at the 13-gram overlap rule
+    // (the GPT-3-report convention; 3-grams over-flag 98% of this
+    // template-heavy corpus, 13-grams flag the true contamination —
+    // the regime the prefilter exists for). Verdicts are bit-identical
+    // to the exact path: false positives die in the exact verify; the
+    // win is that clean documents (virtually all of a 100 TB corpus)
+    // are dismissed inside the scan without exploding their grams
+    "q_decontaminate_bloom" -> q { (s, d) =>
+      val docs = T(s, d, "documents")
+      Dedup.decontaminateBloom(
+          docs.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(50)) === 0),
+          "doc_id", "text", n = 13)
+        .select(col("doc_id"), col("contaminated"))
+    },
+
     // BPE-ish token counting (letter/digit/punct runs)
     "q_token_bpe" -> q { (s, d) =>
       T(s, d, "documents").select(
@@ -1447,7 +1463,7 @@ object SparkEntry {
       GraftSql.statement(s,
         s"""LOAD DATA INFILE '$out' INTO TABLE t_graft_loaded
            |OPTIONS (format='csv', delimiter=';', header=true,
-           |  null_value='NULL')""".stripMargin)
+           |  null_value='NULL', mode='append')""".stripMargin)
       GraftSql.sql(s,
         """SELECT r_name, max(r_regionkey) AS max_key
           |FROM t_graft_loaded GROUP BY r_name""".stripMargin)
@@ -2060,6 +2076,24 @@ object SparkEntry {
         |  CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
         |  ELSE list_distinct(list_transform(generate_series(1, len(ws) - 2),
         |    i -> array_to_string(ws[i:i+2], ' '))) END AS gs FROM w),
+        |probe AS (SELECT DISTINCT unnest(gs) AS gr FROM g
+        |  WHERE doc_id % 50 = 0),
+        |hit AS (SELECT DISTINCT t.doc_id FROM
+        |  (SELECT doc_id, unnest(gs) AS gr FROM g WHERE doc_id % 50 <> 0) t
+        |  JOIN probe p ON t.gr = p.gr)
+        |SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+        |FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
+        |WHERE d.doc_id % 50 <> 0""".stripMargin,
+
+    // the Bloom path is output-identical to an exact 13-gram overlap
+    // check by construction — the oracle recomputes it exactly
+    "q_decontaminate_bloom" ->
+      """WITH w AS (SELECT doc_id,
+        |  regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |g AS (SELECT doc_id,
+        |  CASE WHEN len(ws) < 13 THEN [array_to_string(ws, ' ')]
+        |  ELSE list_distinct(list_transform(generate_series(1, len(ws) - 12),
+        |    i -> array_to_string(ws[i:i+12], ' '))) END AS gs FROM w),
         |probe AS (SELECT DISTINCT unnest(gs) AS gr FROM g
         |  WHERE doc_id % 50 = 0),
         |hit AS (SELECT DISTINCT t.doc_id FROM
@@ -2756,7 +2790,7 @@ object SparkEntry {
     "q_groupby_having", "q_distinct_count",
     "q_dedup_exact", "q_dedup_span", "q_dedup_lshseen",
     "q_text_stats", "q_text_repetition",
-    "q_decontaminate",
+    "q_decontaminate", "q_decontaminate_bloom",
     "q_pack_sequences", "q_vocab", "q_tfidf", "q_perplexity",
     "q_join_window", "q_request_mode", "q_long_window",
     "q_skew_window", "q_skew_window_arr",

@@ -75,6 +75,30 @@ class DedupSimilaritySpec extends SparkSpec {
       broadcastProbes = false)
       .select("doc_id", "contaminated").as[(Long, Boolean)].collect().toMap
     assert(out2 == out)
+    // the Bloom-prefiltered path is verdict-identical (false positives
+    // die in the exact verify) — also at a deliberately terrible fpp,
+    // which only widens the candidate set
+    val out3 = Dedup.decontaminateBloom(train, probes, "doc_id", "text",
+        n = 3)
+      .select("doc_id", "contaminated").as[(Long, Boolean)].collect().toMap
+    assert(out3 == out)
+    val out4 = Dedup.decontaminateBloom(train, probes, "doc_id", "text",
+        n = 3, fpp = 0.5)
+      .select("doc_id", "contaminated").as[(Long, Boolean)].collect().toMap
+    assert(out4 == out)
+  }
+
+  test("decontaminateBloom agrees with exact on the documents corpus") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val train = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+    val probes = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+    val exact = Dedup.decontaminate(train, probes, "doc_id", "text", n = 3)
+      .select("doc_id", "contaminated").as[(Long, Boolean)].collect().toMap
+    val bloom = Dedup.decontaminateBloom(train, probes, "doc_id", "text",
+        n = 3)
+      .select("doc_id", "contaminated").as[(Long, Boolean)].collect().toMap
+    assert(bloom == exact)
+    assert(exact.values.count(identity) > 0) // the corpus really overlaps
   }
 
   test("simhash: identical texts agree, different texts differ") {
