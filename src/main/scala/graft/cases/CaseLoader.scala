@@ -31,13 +31,20 @@ case class IdxExpect(keys: Seq[String], ts: Option[String],
   * every line the csv holds, header rows included. */
 case class CatExpect(path: String, lines: Seq[String])
 
-/** Expected result: `success = false` marks a must-fail case. */
+/** Expected result: `success = false` marks a must-fail case.
+  * `offlineColumns`/`offlineRows` carry the expectation of a case whose
+  * final query runs in OFFLINE execute_mode (integration_test/out_in);
+  * `offlineInfo` asserts the table's offline Data/Symbolic path after a
+  * soft-copy LOAD (id 47). */
 case class CaseExpect(success: Boolean, order: Option[String],
     columns: Option[Seq[String]], rows: Option[Seq[Seq[Any]]],
     count: Option[Long],
     deployment: Option[DeployExpect] = None,
     idxs: Option[Seq[IdxExpect]] = None,
-    cat: Option[CatExpect] = None)
+    cat: Option[CatExpect] = None,
+    offlineColumns: Option[Seq[String]] = None,
+    offlineRows: Option[Seq[Seq[Any]]] = None,
+    offlineInfo: Option[String] = None)
 
 /** A fully-expanded SQL case (dataProvider variants resolved).
   * `key` is "file:id[variant]" — stable across runs, used for skip
@@ -169,7 +176,11 @@ object CaseLoader {
       deployment = opt(n.get("deployment")).map(parseDeploy),
       idxs = opt(n.get("idxs")).map(parseIdxs),
       cat = opt(n.get("cat")).map(cn => CatExpect(
-        cn.get("path").asText(), strs(cn.get("lines")))))
+        cn.get("path").asText(), strs(cn.get("lines")))),
+      offlineColumns = opt(n.get("offlineColumns")).map(strs),
+      offlineRows = opt(n.get("offlineRows")).map(rows),
+      offlineInfo = opt(n.get("offlineInfo"))
+        .flatMap(oi => opt(oi.get("path"))).map(_.asText()))
 
   /** expectProvider override: merge non-null fields over the base. */
   private def mergeExpect(base: CaseExpect, n: JsonNode): CaseExpect =
@@ -189,6 +200,18 @@ object CaseLoader {
     * basename without extension). Cases using unsupported schema
     * features (`sqls` lists, input `resource` refs) are dropped. */
   def load(path: String, fileTag: String): Seq[SqlCase] = {
+    val out = load0(path, fileTag)
+    // a few upstream files repeat an id (test_select_into_load_data
+    // .yaml has two id-64 and two id-65 cases) — de-duplicate the keys
+    // so skip lists and test names address exactly one case
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    out.map { c =>
+      val n = seen.getOrElse(c.key, 0); seen(c.key) = n + 1
+      if (n == 0) c else c.copy(variant = c.variant + "#" + (n + 1))
+    }
+  }
+
+  private def load0(path: String, fileTag: String): Seq[SqlCase] = {
     val root = mapper.readTree(new java.io.File(path))
     // resource refs are written relative to the repository root
     // ("cases/resource/simple_t1.yaml")

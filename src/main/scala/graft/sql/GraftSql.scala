@@ -678,8 +678,9 @@ object GraftSql {
     ensureFunctions(spark)
     tsHintsTL.set(tsHints)
     defaultDbTL.set(defaultDb.orElse(Option(sessionCurDb.get(spark))))
+    cteNamesTL.remove()
     try sqlImpl(spark, text, tables, params)
-    finally { tsHintsTL.remove(); defaultDbTL.remove() }
+    finally { tsHintsTL.remove(); defaultDbTL.remove(); cteNamesTL.remove() }
   }
 
   private def sqlImpl(spark: SparkSession, text: String,
@@ -1490,6 +1491,7 @@ object GraftSql {
   def statement(spark: SparkSession, text: String,
       params: Seq[Any] = Nil): Option[DataFrame] = {
     ensureFunctions(spark)
+    cteNamesTL.remove()
     val p = new Parser(tokenize(text.trim.stripSuffix(";")))
     p.peekUp match {
       case "SET" =>
@@ -2300,6 +2302,14 @@ object GraftSql {
         tableStatusOf(spark)._2.remove(dropName.toLowerCase)
         tableStatusOf(spark)._2.remove(
           qualifyTable(spark, dropName).toLowerCase)
+        // dropping a table clears its offline info AND its hard-copy
+        // files ("If we recreate table, this dir will be cleaned too",
+        // LoadDataPlan.scala:152; test_select_into_load_data.yaml id
+        // 37-2 re-imports with errorifexists after a drop+recreate)
+        Seq(dropName.toLowerCase, qualifyTable(spark, dropName).toLowerCase)
+          .flatMap(offlineOf(spark).remove).flatMap(_.dataPath)
+          .foreach(d => org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(d)))
         None
 
       case "INSERT" =>
@@ -2335,7 +2345,27 @@ object GraftSql {
         if (p.p != p.toks.length) p.fail("trailing tokens after INSERT")
         if (bound.hasNext) throw new IllegalArgumentException(
           "INSERT bound more parameters than '?' placeholders")
-        graft.GraftCatalog.insertValues(spark, name, rows.result())
+        if (offlineMode(spark)) {
+          // offline INSERT appends parquet rows to the table's data
+          // path (InsertPlan.scala:55-95, which also rejects tables
+          // holding soft-copied data); test_execute_mode.yaml id 5
+          // pins that an offline insert is visible to offline reads
+          val key = name.toLowerCase
+          val info = offlineOf(spark)
+            .getOrElse(key, OfflineInfo(None, Vector.empty))
+          if (info.sym.nonEmpty)
+            throw new IllegalArgumentException(
+              "can't insert into table with soft copied data")
+          val df = spark.createDataFrame(
+            spark.sparkContext.parallelize(rows.result()), schema)
+          val dir = info.dataPath.getOrElse(offlineDataPath(spark, key))
+          if (info.dataPath.isEmpty)
+            org.apache.commons.io.FileUtils.deleteQuietly(
+              new java.io.File(dir))
+          df.write.mode("append").parquet(dir)
+          offlineOf(spark).put(key, info.copy(dataPath = Some(dir)))
+        } else
+          graft.GraftCatalog.insertValues(spark, name, rows.result())
         None
 
       case "STOP" =>
@@ -2442,11 +2472,111 @@ object GraftSql {
           throw new IllegalArgumentException(
             s"LOAD DATA target table '$rawName' does not exist")
         val schema = spark.table(name).schema
-        // LOAD DATA is a job-producing statement (SUBMIT_JOB.md) —
-        // tracked in the job registry around the Spark action
-        trackJob(spark, "ImportOfflineData", text.trim) {
-          graft.GraftCatalog.insertInto(spark, name,
-            graft.sources.Sources.loadData(spark, path, opts, Some(schema)))
+        val mode = opts.get("mode").map(stripQuotes).map(_.toLowerCase)
+          .map { case "error_if_exists" => "errorifexists"; case m => m }
+          .getOrElse("errorifexists")
+        val deepCopy = opts.get("deep_copy").map(stripQuotes)
+          .forall(_.equalsIgnoreCase("true"))
+        val cluster = clusterEdition(spark)
+        val fmt = stripQuotes(opts.getOrElse("format", "csv")).toLowerCase
+        if (!offlineMode(spark)) {
+          // ONLINE import. The cluster edition only accepts explicit
+          // mode='append' hard copies (LoadDataPlan.scala:69
+          // `require(deepCopy && mode == "append")`;
+          // test_select_into_load_data.yaml ids 39/40/50); the
+          // standalone edition has no storage split and loads with the
+          // strict local reader (LOAD_DATA_STATEMENT.md load_mode
+          // note; function/out_in corpus).
+          if (cluster && (mode != "append" || !deepCopy))
+            throw new IllegalArgumentException("import to online " +
+              "storage, can't do soft copy, and mode must be append")
+          // LOAD DATA is a job-producing statement (SUBMIT_JOB.md) —
+          // tracked in the job registry around the Spark action
+          trackJob(spark, "ImportOnlineData", text.trim) {
+            val df = graft.sources.Sources.loadData(spark, path, opts,
+              Some(schema), flavor = if (cluster) "cluster" else "local")
+            if (cluster) {
+              // the online writer fails a row whose index ts column is
+              // NULL (the tablet rejects a keyless ts put — pinned by
+              // ids 25-1/34-1: header-as-data / column-shifted rows
+              // die HERE, not in the permissive read)
+              val tsCols = indexesOf(spark)
+                .get(name.toLowerCase).toSeq.flatten.flatMap(_._2)
+                .flatMap(ts => schema.fields.map(_.name)
+                  .find(_.equalsIgnoreCase(ts))).distinct
+              tsCols.foreach { ts =>
+                if (df.filter(col(ts).isNull).limit(1).count() > 0)
+                  throw new IllegalArgumentException(
+                    s"fail to insert: index ts column '$ts' is null")
+              }
+            }
+            graft.GraftCatalog.insertInto(spark, name, df)
+          }
+        } else {
+          // OFFLINE import (LoadDataPlan.scala:86-196): soft copies
+          // edit the symbolic-path list, deep copies write parquet
+          // into the table's internal data path.
+          val store = offlineOf(spark)
+          val key = name.toLowerCase
+          val info = store.getOrElse(key, OfflineInfo(None, Vector.empty))
+          if (mode == "errorifexists" && info.exists)
+            throw new IllegalArgumentException(
+              if (deepCopy)
+                "has offline info(even no deep path), can't do errorifexists"
+              else "offline info exists")
+          val readOpts = opts -- Seq("mode", "deep_copy", "format",
+            "load_mode", "thread", "writer_type")
+          if (!deepCopy) {
+            // A soft link never coexists with a hard data path and a
+            // path links at most once — re-linking an existing
+            // symbolic path or soft-replacing a hard store are errors
+            // (test_select_into_load_data.yaml ids 45/46/59; the
+            // append format/options equality is LoadDataPlan's own
+            // require at :123-128).
+            if (info.dataPath.nonEmpty)
+              throw new IllegalArgumentException(
+                "can't soft-link over an existing hard-copy data path")
+            if (info.sym.exists(_.path == path))
+              throw new IllegalArgumentException(
+                s"path $path is already a symbolic path of the table")
+            if (mode != "overwrite" && info.sym.exists(sp =>
+                sp.format != fmt || sp.options != readOpts))
+              throw new IllegalArgumentException(
+                "format and options must be the same with existed")
+            trackJob(spark, "ImportOfflineData", text.trim) {
+              // the reference reads the input even in soft copy, to
+              // check it against the table schema (LoadDataPlan:60-62)
+              graft.sources.Sources.loadData(spark, path, opts,
+                Some(schema), flavor = "cluster").limit(1).collect()
+              val sp = SymPath(path, fmt, readOpts)
+              store.put(key,
+                if (mode == "overwrite") OfflineInfo(None, Vector(sp))
+                else info.copy(sym = info.sym :+ sp))
+            }
+          } else {
+            // deep copy: one distributed scan + parquet write — at
+            // scale this is the import job itself, no driver data
+            if (mode != "overwrite" && info.sym.nonEmpty)
+              throw new IllegalArgumentException("can't do deep copy " +
+                s"in existed paths' format or options in mode $mode")
+            trackJob(spark, "ImportOfflineData", text.trim) {
+              val df = graft.sources.Sources.loadData(spark, path, opts,
+                Some(schema), flavor = "cluster")
+              val dir = info.dataPath.getOrElse(offlineDataPath(spark, key))
+              if (info.dataPath.isEmpty) {
+                // a fresh incarnation must not append into files left
+                // by a dropped table of the same name
+                org.apache.commons.io.FileUtils.deleteQuietly(
+                  new java.io.File(dir))
+                df.write.mode("overwrite").parquet(dir)
+              } else if (mode == "overwrite")
+                df.write.mode("overwrite").parquet(dir)
+              else df.write.mode("append").parquet(dir)
+              store.put(key,
+                if (mode == "overwrite") OfflineInfo(Some(dir), Vector.empty)
+                else OfflineInfo(Some(dir), info.sym))
+            }
+          }
         }
         None
 
@@ -2520,7 +2650,12 @@ object GraftSql {
           // (SUBMIT_JOB.md) — tracked like the reference's
           // ExportOfflineData TaskManager job
           trackJob(spark, "ExportOfflineData", text.trim) {
-            graft.sources.Sources.selectInto(exported, path, opts)
+            // the offline export is a Spark directory write (mkdir -p
+            // like any job); the online CLI export writes ONE local
+            // file and needs its folder to exist
+            graft.sources.Sources.selectInto(exported, path, opts,
+              requireParent = !offlineMode(spark),
+              clientFile = !offlineMode(spark))
           }
           // surface the exported frame so callers can count/inspect it
           // (v040/test_out_in_offline.yaml id 0 expects count=6)
@@ -2539,6 +2674,7 @@ object GraftSql {
     // a CTE's name qualifies its columns downstream (`t2.c5` where t2
     // is a WITH name — with.yaml id 2), so alias the planned frame
     val scope = q.ctes.foldLeft(scope0) { case (sc, (name, sub)) =>
+      cteNamesTL.get += name.toLowerCase // shields it from offline routing
       sc + (name -> planQuery(spark, sub, sc).alias(name))
     }
     val planned = q.selects.map(planSelect(spark, _, scope))
@@ -2983,9 +3119,139 @@ object GraftSql {
     * deployments, databases, USE state, index specs, and db-scoped
     * views — session state would otherwise leak between corpus cases
     * (test_out_in.yaml id 6 expects `db1.t0` to be unknown). */
+  // ------------------------------------------------------------------
+  // Offline storage (cluster edition). A table owns TWO stores: the
+  // online view (session temp view, the serving store) and its OFFLINE
+  // table info — one hard-copy Data path (internal parquet, written by
+  // deep-copy LOAD DATA and offline INSERT) plus a list of Symbolic
+  // paths (soft links re-read at query time with their recorded
+  // format/options). `execute_mode` routes statements between the two:
+  // an offline read of a table with no offline info is an EMPTY frame
+  // with the table schema, exactly like the reference's batch session
+  // (OpenmldbSession.scala:295-335 "Register empty dataframe");
+  // offline import/overwrite/append/errorifexists and the soft-copy
+  // constraints follow LoadDataPlan.scala:86-196 and
+  // LOAD_DATA_STATEMENT.md "Offline Import Rules".
+  //
+  // Scale note: the hard store is a real parquet directory per table —
+  // a deep-copy LOAD is one distributed scan + columnar write, append
+  // is a file-level add, and offline queries are plain parquet scans
+  // with pushdown; nothing is held on the driver.
+  // ------------------------------------------------------------------
+  private case class SymPath(path: String, format: String,
+      options: Map[String, String])
+  private case class OfflineInfo(dataPath: Option[String],
+      sym: Vector[SymPath]) {
+    def exists: Boolean = dataPath.nonEmpty || sym.nonEmpty
+    /** current format of the offline info: the hard store is always
+      * parquet; otherwise the first soft link's format */
+    def format: String =
+      if (dataPath.nonEmpty) "parquet"
+      else sym.headOption.map(_.format).getOrElse("parquet")
+  }
+  private val sessionOffline = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, OfflineInfo]]())
+  private def offlineOf(spark: SparkSession)
+      : scala.collection.concurrent.TrieMap[String, OfflineInfo] = {
+    var m = sessionOffline.get(spark)
+    if (m == null) {
+      m = scala.collection.concurrent.TrieMap[String, OfflineInfo]()
+      sessionOffline.put(spark, m)
+    }
+    m
+  }
+  // hard-store root epoch: bumped on resetCatalogState so a fresh
+  // logical catalog never collides with a previous incarnation's files
+  private val sessionOfflineEpoch = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.atomic.AtomicLong]())
+  private def offlineEpoch(spark: SparkSession)
+      : java.util.concurrent.atomic.AtomicLong = {
+    var c = sessionOfflineEpoch.get(spark)
+    if (c == null) {
+      c = new java.util.concurrent.atomic.AtomicLong(0)
+      sessionOfflineEpoch.put(spark, c)
+    }
+    c
+  }
+  private def offlineDataPath(spark: SparkSession, key: String): String =
+    "/tmp/graft_offline/s" +
+      Integer.toHexString(System.identityHashCode(spark)) +
+      "/e" + offlineEpoch(spark).get() + "/" +
+      key.replaceAll("[^A-Za-z0-9_]", "_")
+
+  /** Load editions, mirroring the reference's two deployments:
+    * "cluster" (default) = TaskManager Spark jobs — permissive csv
+    * loads, online import requires explicit mode='append', offline
+    * dual storage; "standalone" = the single-node CLI — strict local
+    * csv loads, no storage split (the v040-era corpus semantics). */
+  private val sessionEdition = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+  def setLoadEdition(spark: SparkSession, edition: String): Unit = {
+    require(Set("cluster", "standalone")(edition), edition)
+    sessionEdition.put(spark, edition)
+  }
+  private def clusterEdition(spark: SparkSession): Boolean =
+    sessionEdition.getOrDefault(spark, "cluster") == "cluster"
+
+  private def execMode(spark: SparkSession): String =
+    sessionVarsOf(spark).getOrElse("execute_mode", "online")
+  private def offlineMode(spark: SparkSession): Boolean =
+    clusterEdition(spark) && execMode(spark) == "offline"
+
+  /** The offline-store key for a (possibly db-qualified) table name —
+    * the same identity qualifyTable gives the online view, so LOAD /
+    * INSERT / SELECT agree on which store they touch. */
+  private def offlineKey(spark: SparkSession, name: String): String =
+    qualifyTable(spark, name).toLowerCase
+
+  /** The offline frame of a table: hard parquet + each symbolic path
+    * read with its recorded reader options; EMPTY with the declared
+    * schema when the table has no offline info. */
+  private def offlineFrame(spark: SparkSession, key: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val parts: Seq[DataFrame] = offlineOf(spark).get(key) match {
+      case None => Seq.empty
+      case Some(info) =>
+        info.dataPath.filter(p => new java.io.File(p).exists())
+          .map(p => spark.read.schema(schema).parquet(p)).toSeq ++
+          info.sym.map(sp => graft.sources.Sources.loadData(spark,
+            sp.path, sp.options + ("format" -> sp.format), Some(schema),
+            flavor = "cluster"))
+    }
+    if (parts.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else parts.reduce(_ unionByName _)
+  }
+
+  /** Offline table info for DESC / the test harness: (hard data path,
+    * symbolic paths, format). */
+  def offlineTableInfo(spark: SparkSession, name: String)
+      : Option[(Option[String], Seq[String], String)] =
+    offlineOf(spark).get(offlineKey(spark, name))
+      .map(i => (i.dataPath, i.sym.map(_.path), i.format))
+
+  /** Every offline Data/Symbolic path registered in the session (the
+    * test harness's expect.offlineInfo surface). */
+  def allOfflinePaths(spark: SparkSession): Seq[String] =
+    offlineOf(spark).values.toSeq
+      .flatMap(i => i.dataPath.toSeq ++ i.sym.map(_.path))
+
+  /** CTE names of the query being planned — a WITH name shadows any
+    * physical table, so offline routing must not reinterpret it. */
+  private val cteNamesTL = new ThreadLocal[scala.collection.mutable.Set[String]] {
+    override def initialValue(): scala.collection.mutable.Set[String] =
+      scala.collection.mutable.Set.empty
+  }
+
   def resetCatalogState(spark: SparkSession): Unit = {
     deployed(spark).clear()
     deployOpts(spark).clear()
+    offlineOf(spark).clear()
+    offlineEpoch(spark).incrementAndGet()
+    sessionEdition.remove(spark)
     locally { val (ctr, reg) = jobsOf(spark); reg.clear(); ctr.set(0) }
     locally { val (ctr, reg) = tableStatusOf(spark); reg.clear(); ctr.set(0) }
     procedures(spark).clear()
@@ -3122,22 +3388,37 @@ object GraftSql {
 
   private def resolve(spark: SparkSession, name: String,
       scope: Map[String, DataFrame]): DataFrame = {
+    // offline execute_mode reads the table's OFFLINE store — empty
+    // when it has none (OpenmldbSession registers an empty frame for
+    // tables without offline info). The online frame still resolves
+    // first: unknown tables error identically in both modes, and the
+    // offline frame borrows its schema. WITH names shadow physical
+    // tables, so they are never rerouted.
+    def route(df: DataFrame): DataFrame =
+      if (offlineMode(spark) &&
+          !cteNamesTL.get.contains(name.toLowerCase))
+        // re-alias: the swapped frame must keep answering qualified
+        // column references ({0}.card_no) like the spark.table view did
+        offlineFrame(spark, offlineKey(spark, name), df.schema)
+          .alias(name.split("\\.").last)
+      else df
     def aliased(df: DataFrame, n: String): DataFrame =
       if (n.contains('.')) df.alias(dbQualifier(scope, n))
       else df
-    scope.get(name).map(aliased(_, name))
+    scope.get(name).map(d => aliased(route(d), name))
       .orElse(if (!name.contains('.'))
         curDb(spark).flatMap(db => scope.get(s"$db.$name"))
-          .map(_.alias(name))
+          .map(d => route(d).alias(name))
       else None)
       .getOrElse {
         if (name.contains('.'))
-          aliased(spark.table(quoteId(dbViewName(name))), name)
+          aliased(route(spark.table(quoteId(dbViewName(name)))), name)
         else curDb(spark) match {
           case Some(db) if spark.catalog.tableExists(
               quoteId(dbViewName(s"$db.$name"))) =>
-            spark.table(quoteId(dbViewName(s"$db.$name"))).alias(name)
-          case _ => spark.table(quoteId(name))
+            route(spark.table(quoteId(dbViewName(s"$db.$name"))))
+              .alias(name)
+          case _ => route(spark.table(quoteId(name)))
         }
       }
   }

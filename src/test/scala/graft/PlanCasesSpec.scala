@@ -69,8 +69,10 @@ class PlanCasesSpec extends SparkSpec {
       "DATA surface is gated by the out_in corpus (YamlCaseRunnerSpec)."),
     "where_query:7" -> likeNum,
     "where_query:8" -> likeNum,
-    ("back_quote_identifier:13/Create table statement with back " +
-      "quote name") -> ("the CREATE's index block points ts/version " +
+    // the file's SECOND id-13 (CaseLoader de-duplicates repeated ids
+    // with a #N variant suffix)
+    "back_quote_identifier:13#2" -> ("the CREATE's index block points " +
+      "ts/version " +
       "at columns (`column-2`, `column-5`) that the table does not " +
       "declare; parse-only upstream — this engine validates index " +
       "columns at CREATE (pinned by ddl/test_create.yaml ids 11/12), " +

@@ -52,7 +52,7 @@ class SqlStatementsSpec extends SparkSpec {
     GraftSql.statement(spark, "DROP TABLE IF EXISTS st_loaded")
     GraftSql.statement(spark, "CREATE TABLE st_loaded (k bigint, s string)")
     GraftSql.statement(spark,
-      s"LOAD DATA INFILE '$dir/out' INTO TABLE st_loaded OPTIONS (format='csv', header=true)")
+      s"LOAD DATA INFILE '$dir/out' INTO TABLE st_loaded OPTIONS (format='csv', header=true, mode='append')")
     val got = GraftSql.sql(spark, "SELECT k, s FROM st_loaded")
       .as[(Long, String)].collect().sorted.toSeq
     assert(got == Seq((1L, "x"), (2L, "y")))
@@ -363,7 +363,7 @@ class SqlStatementsSpec extends SparkSpec {
          |OPTIONS (format='csv', mode='overwrite', header=true)""".stripMargin)
     GraftSql.statement(spark, "CREATE TABLE jb_t (k bigint, s string)")
     GraftSql.statement(spark,
-      s"LOAD DATA INFILE '$dir/out' INTO TABLE jb_t OPTIONS (format='csv', header=true)")
+      s"LOAD DATA INFILE '$dir/out' INTO TABLE jb_t OPTIONS (format='csv', header=true, mode='append')")
 
     val jobsDf = GraftSql.statement(spark, "SHOW JOBS").get
     // the reference's full 14-column schema (SHOW_JOBS.md:41):
@@ -376,7 +376,7 @@ class SqlStatementsSpec extends SparkSpec {
       r.getString(13) == "TaskManager"))
     assert(jobs.length == 2)
     assert(jobs.map(_.getString(1)).toSet ==
-      Set("ExportOfflineData", "ImportOfflineData"))
+      Set("ExportOfflineData", "ImportOnlineData"))
     assert(jobs.forall(_.getString(2) == "FINISHED"))
     assert(jobs.forall(_.getString(4).nonEmpty)) // end_time set
     assert(jobs.forall(_.getString(8).isEmpty))  // no error
@@ -408,7 +408,8 @@ class SqlStatementsSpec extends SparkSpec {
     GraftSql.statement(spark, "CREATE TABLE jb_f (k bigint)")
     intercept[Exception] {
       GraftSql.statement(spark,
-        "LOAD DATA INFILE '/nonexistent/path' INTO TABLE jb_f OPTIONS (format='csv')")
+        "LOAD DATA INFILE '/nonexistent/path' INTO TABLE jb_f " +
+          "OPTIONS (format='csv', mode='append')")
     }
     val j = GraftSql.statement(spark, "SHOW JOB 1").get.collect().head
     assert(j.getString(2) == "FAILED" && j.getString(8).nonEmpty)
