@@ -47,6 +47,23 @@ object GraftCatalog {
       spark.createDataFrame(spark.sparkContext.parallelize(rows), schema))
   }
 
+  /** INSERT OR IGNORE / LOAD DATA put_if_absent: append only rows not
+    * already present (full-row null-safe equality — the reference's
+    * "ignoring data that already exists in the table",
+    * dml/INSERT_STATEMENT.md:18; LOAD_DATA_STATEMENT.md put_if_absent).
+    * EqualNullSafe conjunctions plan as hash-join keys, so the
+    * dedup is one shuffle join, not a cross product. */
+  def insertIgnore(spark: SparkSession, name: String, rows: DataFrame): Unit = {
+    val cur = spark.table(q(name))
+    require(rows.schema.fields.map(f => (f.name, f.dataType)).sameElements(
+      cur.schema.fields.map(f => (f.name, f.dataType))),
+      s"INSERT schema mismatch for $name: ${rows.schema.simpleString} " +
+        s"vs ${cur.schema.simpleString}")
+    val fresh = rows.join(cur,
+      rows.columns.map(c => rows(c) <=> cur(c)).reduce(_ && _), "left_anti")
+    cur.unionByName(fresh).createOrReplaceTempView(q(name))
+  }
+
   /** DELETE FROM name WHERE cond: anti-filter rewrite. */
   def delete(spark: SparkSession, name: String, cond: Column): Unit =
     spark.table(q(name)).filter(!cond || cond.isNull)

@@ -1367,6 +1367,22 @@ object SparkEntry {
         col("text"), 3)
     },
 
+    // BM25 lexical top-5 retrieval: every 100th document's first 8
+    // tokens query the rest of the corpus — the sparse complement to
+    // the embedding ANN family (contamination triage, hard-negative
+    // mining, RAG lookup). Scores fold in sorted-term order so the
+    // fp sum is bit-deterministic and DuckDB replays it exactly.
+    "q_bm25" -> q { (s, d) =>
+      val docs = T(s, d, "documents")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(100)) =!= 0)
+      val queries = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(TextOps.words(col("text")), 1, 8), " ")
+            .as("qtext"))
+      TextOps.bm25TopK(corpus, col("doc_id"), col("text"),
+        queries, col("qid"), col("qtext"), k = 5)
+    },
+
     // sequence packing (concat-and-chunk into fixed-budget context
     // windows over content-addressed shards): one span row per
     // (document, pack) — documents split across adjacent packs, packs
@@ -2602,6 +2618,35 @@ object SparkEntry {
         |FROM tc JOIN df USING (term) CROSS JOIN n
         |QUALIFY row_number() OVER (PARTITION BY doc_id
         |  ORDER BY cnt * ln(n_docs / df) DESC, term) <= 3""".stripMargin,
+
+    // identical association order and the identical sorted-term fold —
+    // every double op replays bit-exactly (see TextOps.bm25TopK)
+    "q_bm25" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |           FROM documents WHERE doc_id % 100 <> 0),
+        |base AS (SELECT doc_id, ws, CAST(len(ws) AS DOUBLE) AS dl FROM d),
+        |tc AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+        |       FROM (SELECT doc_id, dl, unnest(ws) AS term FROM base)
+        |       GROUP BY doc_id, dl, term),
+        |dfv AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tc GROUP BY term),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM base),
+        |qs AS (SELECT doc_id AS qid,
+        |         list_distinct(regexp_split_to_array(trim(text), '\s+')[1:8]) AS qts
+        |       FROM documents WHERE doc_id % 100 = 0),
+        |qt AS (SELECT qid, unnest(qts) AS term FROM qs),
+        |c AS (SELECT qid, tc.doc_id AS doc_id, tc.term AS term,
+        |        ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0)
+        |          / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS w
+        |      FROM qt JOIN tc USING (term) JOIN dfv USING (term) CROSS JOIN st),
+        |s AS (SELECT qid, doc_id,
+        |        list_reduce(list(w ORDER BY term), (a, x) -> a + x) AS score
+        |      FROM c GROUP BY qid, doc_id)
+        |SELECT qid, CAST(rnk AS INTEGER) AS rank, doc_id,
+        |       round(score, 6) AS score
+        |FROM (SELECT qid, doc_id, score,
+        |        row_number() OVER (PARTITION BY qid
+        |          ORDER BY score DESC, doc_id) AS rnk FROM s)
+        |WHERE rnk <= 5""".stripMargin,
 
     "q_perplexity" ->
       """WITH tk AS (

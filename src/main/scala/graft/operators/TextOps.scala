@@ -220,4 +220,63 @@ object TextOps {
       .select(col("doc_id"), col("term"),
         round(col("score"), 6).as("score"))
   }
+
+  /** BM25 lexical top-k retrieval (Robertson–Spärck Jones weighting
+    * with the Lucene-standard idf = ln(1 + (N − df + 0.5)/(df + 0.5))):
+    *
+    *   score(q,d) = Σ_{t∈q} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl))
+    *
+    * The sparse-retrieval complement to the embedding ANN family —
+    * contamination triage, hard-negative mining, RAG-style lookup all
+    * start from a lexical index.
+    *
+    * Shape (scales like tf-idf): one corpus pass builds (doc, term,
+    * tf, |d|); df and the (N, avgdl) pair are vocabulary-/unit-sized
+    * and broadcast; the query terms equi-join the posting stream on
+    * term (queries × postings is the retrieval work itself); ONE
+    * shuffle groups contributions per (query, doc). Σ over doubles is
+    * order-sensitive, so contributions fold in sorted-term order —
+    * bit-deterministic, and an oracle can replay the identical fold
+    * (same discipline as LangModel.perplexity). |d| sums are integer-
+    * valued doubles < 2^53, so avgdl is exact in any partition order. */
+  def bm25TopK(docs: org.apache.spark.sql.DataFrame, idCol: Column,
+      textCol: Column,
+      queries: org.apache.spark.sql.DataFrame, qidCol: Column,
+      qtextCol: Column, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    val base = docs.select(idCol.as("doc_id"), words(textCol).as("ws"))
+      .select(col("doc_id"), col("ws"),
+        size(col("ws")).cast("double").as("dl"))
+    val tc = base
+      .select(col("doc_id"), col("dl"), explode(col("ws")).as("term"))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfTab = tc.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val stats = base.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val qt = queries
+      .select(qidCol.as("qid"),
+        explode(array_distinct(words(qtextCol))).as("term"))
+    val contrib = qt.join(tc, "term")
+      .join(broadcast(dfTab), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("w",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5))) *
+          col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) +
+            lit(b) * col("dl") / col("avgdl"))))
+    val scored = contrib.groupBy("qid", "doc_id")
+      .agg(sort_array(collect_list(struct(col("term"), col("w"))))
+        .as("cs"))
+      .withColumn("score",
+        aggregate(col("cs"), lit(0.0), (acc, x) => acc + x("w")))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("doc_id"),
+        round(col("score"), 6).as("score"))
+  }
 }

@@ -22,14 +22,15 @@ object Sources {
     * a quoted string are type errors (header='true', id 13). */
   private val knownKeys = Set("delimiter", "header", "quote", "null_value",
     "format", "mode", "deep_copy", "load_mode", "thread", "coalesce",
-    "writer_type")
+    "writer_type", "put_if_absent")
   private def quoted(v: String): Boolean =
     v.length >= 2 && (v.head == '\'' || v.head == '"')
   private def strip(v: String): String = if (quoted(v)) v.tail.init else v
   private def validate(options: Map[String, String]): Unit = {
     options.keys.find(!knownKeys(_)).foreach(k =>
       throw new IllegalArgumentException(s"unknown option '$k'"))
-    Seq("header", "deep_copy").foreach(k => options.get(k).foreach { v =>
+    Seq("header", "deep_copy", "put_if_absent").foreach(k =>
+      options.get(k).foreach { v =>
       if (quoted(v) || !Set("true", "false")(v.toLowerCase))
         throw new IllegalArgumentException(s"invalid $k value $v (bool)")
     })
@@ -62,7 +63,8 @@ object Sources {
       case ("format", _)     => Nil // handled by caller
       case ("mode", _)       => Nil
       case ("deep_copy", _) | ("load_mode", _) | ("thread", _) |
-           ("coalesce", _) | ("writer_type", _) => Nil
+           ("coalesce", _) | ("writer_type", _) |
+           ("put_if_absent", _) => Nil
       case (k, v)            => Seq(k -> strip(v))
     }
     if (mapped.contains("quote")) mapped

@@ -1700,13 +1700,20 @@ object GraftSql {
                   .filter(_.matches("\\d+")).map(_.toInt).getOrElse(8)
                 val reps = meta.opts.get("replicanum")
                   .filter(_.matches("\\d+")).map(_.toInt).getOrElse(3)
+                // offline columns come from the live offline store
+                // (LOAD DATA / offline INSERT / ALTER edits), falling
+                // back to ALTER-only legacy metadata
+                val oinfo = offlineTableInfo(spark, catName)
+                  .orElse(offlineTableInfo(spark, short))
+                val symPaths = oinfo.map(_._2.toSeq)
+                  .filter(_.nonEmpty).getOrElse(meta.symPaths)
                 (meta.id, short, db, storage, nRows,
                   if (storage == "memory") bytes else 0L,
                   if (storage == "memory") 0L else bytes,
                   parts, 0, reps,
-                  null.asInstanceOf[String], null.asInstanceOf[String],
-                  if (meta.symPaths.isEmpty) null
-                  else meta.symPaths.mkString(","),
+                  oinfo.flatMap(_._1).orNull,
+                  oinfo.map(_._3).orNull,
+                  if (symPaths.isEmpty) null else symPaths.mkString(","),
                   "")
             }
             Some(rows.toDF("Table_id", "Table_name", "Database_name",
@@ -2252,6 +2259,26 @@ object GraftSql {
         }
         if (p.p != p.toks.length) p.fail("trailing tokens")
         reg.put(atName.toLowerCase, meta)
+        // the symbolic paths ARE the table's offline info — an ALTER
+        // edit must show up in offline reads, not just SHOW TABLE
+        // STATUS (ALTER_STATEMENT.md edits the NS offline table info).
+        // Paths added here read with the table's current offline
+        // format/options (parquet by default — the doc's coexistence
+        // rule for hard copies + symlinks).
+        locally {
+          val key = atName.toLowerCase
+          val info0 = offlineOf(spark)
+            .getOrElse(key, OfflineInfo(None, Vector.empty))
+          val keep = info0.sym.filter(sp => meta.symPaths.contains(sp.path))
+          val opts = info0.sym.headOption
+            .map(_.options).getOrElse(Map.empty[String, String])
+          val added = meta.symPaths
+            .filterNot(pth => keep.exists(_.path == pth))
+            .map(pth => SymPath(pth, info0.format, opts))
+          val info1 = info0.copy(sym = keep ++ added.toVector)
+          if (info1.exists || offlineOf(spark).contains(key))
+            offlineOf(spark).put(key, info1)
+        }
         None
 
       case "CALL" =>
@@ -2313,7 +2340,13 @@ object GraftSql {
         None
 
       case "INSERT" =>
-        p.expect("INSERT"); p.expect("INTO")
+        p.expect("INSERT")
+        // INSERT [[OR] IGNORE] (dml/INSERT_STATEMENT.md): ignore rows
+        // already present; online-only
+        val orIgnore =
+          if (p.accept("OR")) { p.expect("IGNORE"); true }
+          else p.accept("IGNORE")
+        p.expect("INTO")
         val name = qualifyTable(spark, readTableName(p))
         val schema = spark.table(quoteId(name)).schema
         val cols: Seq[String] =
@@ -2350,6 +2383,9 @@ object GraftSql {
           // path (InsertPlan.scala:55-95, which also rejects tables
           // holding soft-copied data); test_execute_mode.yaml id 5
           // pins that an offline insert is visible to offline reads
+          if (orIgnore) throw new IllegalArgumentException(
+            "Offline execute mode only supports INSERT, not INSERT OR " +
+              "IGNORE")
           val key = name.toLowerCase
           val info = offlineOf(spark)
             .getOrElse(key, OfflineInfo(None, Vector.empty))
@@ -2364,6 +2400,10 @@ object GraftSql {
               new java.io.File(dir))
           df.write.mode("append").parquet(dir)
           offlineOf(spark).put(key, info.copy(dataPath = Some(dir)))
+        } else if (orIgnore) {
+          val df = spark.createDataFrame(
+            spark.sparkContext.parallelize(rows.result()), schema)
+          graft.GraftCatalog.insertIgnore(spark, name, df)
         } else
           graft.GraftCatalog.insertValues(spark, name, rows.result())
         None
@@ -2510,7 +2550,12 @@ object GraftSql {
                     s"fail to insert: index ts column '$ts' is null")
               }
             }
-            graft.GraftCatalog.insertInto(spark, name, df)
+            // put_if_absent = INSERT OR IGNORE for retried import jobs
+            // (LOAD_DATA_STATEMENT.md put_if_absent row)
+            if (opts.get("put_if_absent").map(stripQuotes)
+                .exists(_.equalsIgnoreCase("true")))
+              graft.GraftCatalog.insertIgnore(spark, name, df)
+            else graft.GraftCatalog.insertInto(spark, name, df)
           }
         } else {
           // OFFLINE import (LoadDataPlan.scala:86-196): soft copies

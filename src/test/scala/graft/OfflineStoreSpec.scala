@@ -201,6 +201,68 @@ class OfflineStoreSpec extends SparkSpec {
     st("SET @@execute_mode = 'online'")
   }
 
+  test("ALTER TABLE ADD/DROP offline_path edits the live offline info " +
+      "and SHOW TABLE STATUS reflects it (ALTER_STATEMENT.md)") {
+    GraftSql.resetCatalogState(spark)
+    val dir = freshDir()
+    Seq((7L, "q")).toDF("k", "s").write.mode("overwrite")
+      .parquet(s"$dir/sym")
+    st("CREATE TABLE offa (k bigint, s string)")
+    st(s"ALTER TABLE offa ADD offline_path '$dir/sym'")
+    val info = GraftSql.offlineTableInfo(spark, "offa").get
+    assert(info._2 == Seq(s"$dir/sym") && info._3 == "parquet")
+    // the added path is readable offline right away
+    st("SET @@execute_mode = 'offline'")
+    assert(rows("SELECT k, s FROM offa") == Seq(Seq(7L, "q")))
+    st("SET @@execute_mode = 'online'")
+    val status = GraftSql.statement(spark, "SHOW TABLE STATUS").get
+      .filter(col("Table_name") === "offa").collect().head
+    assert(status.getAs[String]("Offline_symbolic_paths") == s"$dir/sym")
+    assert(status.getAs[String]("Offline_format") == "parquet")
+    st(s"ALTER TABLE offa DROP offline_path '$dir/sym'")
+    assert(GraftSql.offlineTableInfo(spark, "offa")
+      .forall(_._2.isEmpty))
+    st("SET @@execute_mode = 'offline'")
+    assert(GraftSql.sql(spark, "SELECT k FROM offa").count() == 0)
+    st("SET @@execute_mode = 'online'")
+  }
+
+  test("INSERT OR IGNORE skips existing rows online and is rejected " +
+      "offline (INSERT_STATEMENT.md:18-19)") {
+    GraftSql.resetCatalogState(spark)
+    st("CREATE TABLE offb (k bigint, s string)")
+    st("INSERT INTO offb VALUES (1, 'a'), (2, NULL)")
+    // duplicate full rows (null-safely) are ignored; new rows land
+    st("INSERT OR IGNORE INTO offb VALUES (1, 'a'), (2, NULL), (3, 'c')")
+    assert(GraftSql.sql(spark, "SELECT k FROM offb").count() == 3)
+    // the bare-IGNORE spelling parses too (INSERT [[OR] IGNORE])
+    st("INSERT IGNORE INTO offb VALUES (3, 'c')")
+    assert(GraftSql.sql(spark, "SELECT k FROM offb").count() == 3)
+    st("SET @@execute_mode = 'offline'")
+    val e = intercept[IllegalArgumentException] {
+      st("INSERT OR IGNORE INTO offb VALUES (4, 'd')")
+    }
+    assert(e.getMessage.contains("only supports INSERT"))
+    st("SET @@execute_mode = 'online'")
+  }
+
+  test("LOAD DATA put_if_absent dedups a retried online import " +
+      "(LOAD_DATA_STATEMENT.md put_if_absent)") {
+    GraftSql.resetCatalogState(spark)
+    val dir = freshDir()
+    Seq((1L, "x"), (2L, "y")).toDF("k", "s")
+      .createOrReplaceTempView("offc_src")
+    st(s"SELECT k, s FROM offc_src INTO OUTFILE '$dir/out' " +
+      "OPTIONS (mode='overwrite')")
+    st("CREATE TABLE offc (k bigint, s string)")
+    st(s"LOAD DATA INFILE '$dir/out' INTO TABLE offc " +
+      "OPTIONS (mode='append', put_if_absent=true)")
+    // the retry is a no-op instead of doubling the table
+    st(s"LOAD DATA INFILE '$dir/out' INTO TABLE offc " +
+      "OPTIONS (mode='append', put_if_absent=true)")
+    assert(GraftSql.sql(spark, "SELECT k FROM offc").count() == 2)
+  }
+
   test("standalone edition keeps the v040 single-store semantics") {
     GraftSql.resetCatalogState(spark)
     GraftSql.setLoadEdition(spark, "standalone")
