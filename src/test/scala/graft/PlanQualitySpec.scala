@@ -201,4 +201,56 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("lang") || !p.contains("ReadSchema: struct<doc_id:bigint,lang"),
       "scan reads columns the packer never uses")
   }
+
+  test("Bloom decontamination filters gram rows BEFORE any join and " +
+      "never broadcasts the probe grams") {
+    // the whole point of the Bloom path: corpus gram rows die in a
+    // codegen'd might_contain scan-side Filter; the exact verify join
+    // then sees only survivors, so neither side needs to fit in
+    // executor memory at 100 TB
+    val p = plan("q_decontaminate_bloom")
+    assert(p.contains("might_contain"),
+      s"no BloomFilterMightContain filter in plan:\n${p.take(1500)}")
+    val filterIdx = p.indexOf("might_contain")
+    val joinIdx = p.indexOf("Join")
+    assert(joinIdx < 0 || p.indexOf("Filter", joinIdx) > 0,
+      "bloom filter should sit below the verify join")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      "bloom path must stay native")
+    assert(filterIdx >= 0)
+  }
+
+  test("BM25 top-k pre-limits map-side before the per-query shuffle") {
+    // WindowGroupLimit(Partial) keeps at most k rows per query per
+    // task BEFORE the qid exchange — without it the shuffle carries
+    // every (query, doc) score, which is the retrieval blow-up a
+    // 100 TB corpus cannot afford
+    val p = plan("q_bm25")
+    assert(p.contains("WindowGroupLimit"),
+      s"no group-limit pushdown:\n${p.take(1500)}")
+    assert("WindowGroupLimit .*Partial".r.findAllIn(p).nonEmpty,
+      "expected the map-side partial group limit")
+    // df and corpus stats ride broadcast joins; the postings stream
+    // is never broadcast
+    assert(p.contains("BroadcastHashJoin"), "df/stats should broadcast")
+  }
+
+  test("offline-store reads are plain parquet scans with column pruning") {
+    import graft.sql.GraftSql
+    GraftSql.resetCatalogState(spark)
+    GraftSql.statement(spark, "CREATE TABLE pq_off (k bigint, s string, " +
+      "v double)")
+    GraftSql.statement(spark, "SET @@execute_mode = 'offline'")
+    GraftSql.statement(spark, "INSERT INTO pq_off VALUES (1, 'a', 1.5)")
+    val p = GraftSql.sql(spark, "SELECT k FROM pq_off WHERE k > 0")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("FileScan parquet"),
+      s"offline read should be a parquet scan:\n${p.take(1200)}")
+    assert(p.contains("PushedFilters: [IsNotNull(k), GreaterThan(k,0)]"),
+      "filter not pushed into the offline scan")
+    assert(!p.contains("struct<k:bigint,s:string,v:double"),
+      "offline scan reads columns the query never uses")
+    GraftSql.statement(spark, "SET @@execute_mode = 'online'")
+    GraftSql.resetCatalogState(spark)
+  }
 }
