@@ -1367,6 +1367,13 @@ object SparkEntry {
         col("text"), 3)
     },
 
+    // per-language corpus datasheet: volumes, exact length quantiles,
+    // duplicate rate, short/quality-pass counts — one partial-agg
+    // groupBy over one scan
+    "q_profile" -> q { (s, d) =>
+      TextOps.corpusProfile(T(s, d, "documents"), col("text"), col("lang"))
+    },
+
     // BM25 lexical top-5 retrieval: every 100th document's first 8
     // tokens query the rest of the corpus — the sparse complement to
     // the embedding ANN family (contamination triage, hard-negative
@@ -2618,6 +2625,33 @@ object SparkEntry {
         |FROM tc JOIN df USING (term) CROSS JOIN n
         |QUALIFY row_number() OVER (PARTITION BY doc_id
         |  ORDER BY cnt * ln(n_docs / df) DESC, term) <= 3""".stripMargin,
+
+    // counts are exact; quantile_cont replays Spark's exact type-7
+    // percentile; the quality term reuses q_text_stats' proven
+    // floor(q*1e6) fragment
+    "q_profile" ->
+      """WITH t AS (SELECT lang AS stratum,
+        |             regexp_split_to_array(trim(text), '\s+') AS ws,
+        |             length(regexp_replace(text, '\s+', '', 'g')) AS nc,
+        |             md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        |           FROM documents),
+        |s AS (SELECT stratum, len(ws) AS toks, fp,
+        |        CAST(floor((CAST(0.5 AS DOUBLE) * least(CAST(len(ws) AS DOUBLE) / 100, 1.0)
+        |          + CAST(0.3 AS DOUBLE) * (1 - CAST(len(list_filter(ws, w -> lower(w) IN
+        |              ('the','a','and','of','to','in','is'))) AS DOUBLE) / len(ws))
+        |          + CAST(0.2 AS DOUBLE) * least((CAST(nc AS DOUBLE) / len(ws)) / 8, 1.0)) * 1000000)
+        |          AS BIGINT) AS q6
+        |      FROM t)
+        |SELECT stratum,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+        |  round(quantile_cont(toks, 0.5), 6) AS tok_p50,
+        |  round(quantile_cont(toks, 0.9), 6) AS tok_p90,
+        |  round(quantile_cont(toks, 0.99), 6) AS tok_p99,
+        |  CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
+        |  CAST(sum(CASE WHEN toks < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+        |  CAST(sum(CASE WHEN q6 >= 500000 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality
+        |FROM s GROUP BY stratum""".stripMargin,
 
     // identical association order and the identical sorted-term fold —
     // every double op replays bit-exactly (see TextOps.bm25TopK)

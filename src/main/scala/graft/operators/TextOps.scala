@@ -279,4 +279,35 @@ object TextOps {
       .select(col("qid"), col("rank"), col("doc_id"),
         round(col("score"), 6).as("score"))
   }
+
+  /** Per-stratum corpus datasheet — the profiling pass a training-data
+    * release ships with (doc/token volumes, length quantiles, exact
+    * duplicate rate, short-doc and quality-pass counts). ONE partial-
+    * aggregating groupBy over a single corpus scan. Every output is an
+    * integer or an exact percentile: counts commute, the quality
+    * score is compared through the same floor(q·1e6) quantization the
+    * rest of the suite uses, and the length quantiles use Spark's
+    * EXACT `percentile` — its state is a count-map over DISTINCT
+    * lengths (a bounded domain: document lengths, not documents), so
+    * it scales as histogram size, not corpus size. Nothing here is
+    * fp-order-sensitive. */
+  def corpusProfile(docs: org.apache.spark.sql.DataFrame,
+      textCol: Column, strataCol: Column): org.apache.spark.sql.DataFrame = {
+    val base = docs.select(strataCol.as("stratum"),
+        words(textCol).as("__ws"), charCount(textCol).as("__nc"),
+        fingerprint(textCol).as("__fp"))
+      .select(col("stratum"), size(col("__ws")).as("toks"),
+        floor(qualityScoreOf(col("__ws"), col("__nc")) * 1e6)
+          .cast("long").as("q6"),
+        col("__fp"))
+    base.groupBy("stratum").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("toks").cast("long")).as("n_tokens"),
+      round(percentile(col("toks"), lit(0.5)), 6).as("tok_p50"),
+      round(percentile(col("toks"), lit(0.9)), 6).as("tok_p90"),
+      round(percentile(col("toks"), lit(0.99)), 6).as("tok_p99"),
+      countDistinct(col("__fp")).as("n_unique"),
+      sum(when(col("toks") < 50, 1L).otherwise(0L)).as("n_short"),
+      sum(when(col("q6") >= 500000L, 1L).otherwise(0L)).as("n_quality"))
+  }
 }

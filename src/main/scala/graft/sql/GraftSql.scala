@@ -2084,6 +2084,32 @@ object GraftSql {
           throw new IllegalArgumentException(
             s"table '$rawName' already exists")
         }
+        if (p.peekUp == "LIKE") {
+          // CREATE TABLE t LIKE PARQUET 'uri' | LIKE HIVE 'hive://db.t'
+          // (ddl/CREATE_TABLE_STATEMENT.md:199-207): the table takes
+          // the source's schema; an empty ONLINE table is registered
+          // (the reference creates the table shell — data still
+          // arrives via LOAD DATA / INSERT)
+          p.expect("LIKE")
+          val kind = p.next().toUpperCase
+          val src = stripQuotes(p.next())
+          if (p.p != p.toks.length) p.fail("trailing tokens")
+          val schema = kind match {
+            case "PARQUET" =>
+              val path = if (src.startsWith("file://")) src.drop(7) else src
+              spark.read.parquet(path).schema
+            case "HIVE" =>
+              val t = if (src.toLowerCase.startsWith("hive://")) src.drop(7)
+                else throw new IllegalArgumentException(
+                  s"LIKE HIVE expects a hive:// uri, got '$src'")
+              spark.read.table(t).schema
+            case other => throw new IllegalArgumentException(
+              s"CREATE TABLE LIKE supports PARQUET|HIVE, got '$other'")
+          }
+          graft.GraftCatalog.createTable(spark, name, schema)
+          createdOf(spark) += name
+          return None
+        }
         if (p.peek != "(") {
           // columnless CREATE TABLE (cases/plan/cmd.yaml id 2
           // "CREATE TABLE schema.sql"): registers an empty-schema

@@ -26,6 +26,25 @@ class SqlStatementsSpec extends SparkSpec {
     assert(row.toSeq == Seq((1L, true), (3L, true)))
   }
 
+  test("CREATE TABLE LIKE PARQUET takes the file's schema " +
+      "(CREATE_TABLE_STATEMENT.md:199-207)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_like").toString
+    Seq((1L, "x", 2.5)).toDF("k", "s", "v").write.parquet(s"$dir/src")
+    GraftSql.statement(spark, "DROP TABLE IF EXISTS st_like")
+    GraftSql.statement(spark,
+      s"CREATE TABLE st_like LIKE PARQUET 'file://$dir/src'")
+    val sch = spark.table("st_like").schema
+    assert(sch.fieldNames.toSeq == Seq("k", "s", "v"))
+    assert(spark.table("st_like").count() == 0) // a shell, not a copy
+    GraftSql.statement(spark, "INSERT INTO st_like VALUES (7, 'y', 1.5)")
+    assert(GraftSql.sql(spark, "SELECT k FROM st_like").count() == 1)
+    intercept[IllegalArgumentException] {
+      GraftSql.statement(spark,
+        s"CREATE TABLE st_like2 LIKE CSV 'file://$dir/src'")
+    }
+    GraftSql.statement(spark, "DROP TABLE st_like")
+  }
+
   test("INSERT with explicit column subset null-fills the rest") {
     GraftSql.statement(spark, "CREATE TABLE st2 (a int, b string, c double)")
     GraftSql.statement(spark, "INSERT INTO st2 (a, c) VALUES (7, 3.5)")
