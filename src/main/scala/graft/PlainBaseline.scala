@@ -322,6 +322,55 @@ object PlainBaseline {
         |FROM pb_documents d LEFT JOIN hit h2 ON d.doc_id = h2.doc_id
         |WHERE d.doc_id % 50 <> 0""".stripMargin,
 
+    // same formulation a plain user would write (the operator's win is
+    // organizational, not a special plan — the ratio should sit ~1.0)
+    "q_profile" ->
+      """WITH t AS (SELECT lang AS stratum, split(trim(text), '\\s+') AS ws,
+        |             length(regexp_replace(text, '\\s+', '')) AS nc,
+        |             md5(lower(regexp_replace(trim(text), '\\s+', ' '))) AS fp
+        |           FROM pb_documents),
+        |s AS (SELECT stratum, size(ws) AS toks, fp,
+        |        CAST(floor((0.5D * least(CAST(size(ws) AS DOUBLE) / 100, 1.0D)
+        |          + 0.3D * (1 - CAST(size(filter(ws, w -> lower(w) IN
+        |              ('the','a','and','of','to','in','is'))) AS DOUBLE) / size(ws))
+        |          + 0.2D * least((CAST(nc AS DOUBLE) / size(ws)) / 8, 1.0D)) * 1000000)
+        |          AS BIGINT) AS q6
+        |      FROM t)
+        |SELECT stratum, count(*) AS n_docs, sum(toks) AS n_tokens,
+        |  round(percentile(toks, 0.5D), 6) AS tok_p50,
+        |  round(percentile(toks, 0.9D), 6) AS tok_p90,
+        |  round(percentile(toks, 0.99D), 6) AS tok_p99,
+        |  count(DISTINCT fp) AS n_unique,
+        |  sum(CASE WHEN toks < 50 THEN 1L ELSE 0L END) AS n_short,
+        |  sum(CASE WHEN q6 >= 500000 THEN 1L ELSE 0L END) AS n_quality
+        |FROM s GROUP BY stratum""".stripMargin,
+
+    "q_bm25" ->
+      """WITH base AS (SELECT doc_id, split(trim(text), '\\s+') AS ws
+        |              FROM pb_documents WHERE doc_id % 100 <> 0),
+        |b2 AS (SELECT doc_id, ws, CAST(size(ws) AS DOUBLE) AS dl FROM base),
+        |tc AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+        |       FROM (SELECT doc_id, dl, explode(ws) AS term FROM b2)
+        |       GROUP BY doc_id, dl, term),
+        |dfv AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tc GROUP BY term),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM b2),
+        |qs AS (SELECT doc_id AS qid,
+        |         array_distinct(slice(split(trim(text), '\\s+'), 1, 8)) AS qts
+        |       FROM pb_documents WHERE doc_id % 100 = 0),
+        |qt AS (SELECT qid, explode(qts) AS term FROM qs),
+        |c AS (SELECT qid, tc.doc_id AS doc_id, tc.term AS term,
+        |        ln(1.0D + (n_docs - df + 0.5D) / (df + 0.5D)) * tf * (1.2D + 1.0D)
+        |          / (tf + 1.2D * (1.0D - 0.75D + 0.75D * dl / avgdl)) AS w
+        |      FROM qt JOIN tc USING (term) JOIN dfv USING (term) CROSS JOIN st),
+        |s AS (SELECT qid, doc_id,
+        |        aggregate(array_sort(collect_list(struct(term, w))),
+        |          CAST(0 AS DOUBLE), (a, x) -> a + x.w) AS score
+        |      FROM c GROUP BY qid, doc_id)
+        |SELECT qid, CAST(rnk AS INT) AS rank, doc_id, round(score, 6) AS score
+        |FROM (SELECT qid, doc_id, score, row_number() OVER
+        |        (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk FROM s)
+        |WHERE rnk <= 5""".stripMargin,
+
     "q_long_window" ->
       """SELECT event_id, round(sum(value) OVER w, 3) AS lw_sum,
         |  count(value) OVER w AS lw_cnt

@@ -2871,6 +2871,7 @@ object SparkEntry {
     "q_text_stats", "q_text_repetition",
     "q_decontaminate", "q_decontaminate_bloom",
     "q_pack_sequences", "q_vocab", "q_tfidf", "q_perplexity",
+    "q_profile", "q_bm25",
     "q_join_window", "q_request_mode", "q_long_window",
     "q_skew_window", "q_skew_window_arr",
     "q_ann_topk", "q_dedup_minhash")

@@ -556,9 +556,19 @@ object Dedup {
     * [[decontaminate]]. */
   def decontaminateBloom(train: DataFrame, probes: DataFrame,
       idCol: String, textCol: String, n: Int = 3,
-      fpp: Double = 0.01): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.graftbridge.CatalystBridge
+      fpp: Double = 0.01): DataFrame =
+    decontaminateWith(probeFilter(probes, textCol, n, fpp),
+      train, idCol, textCol)
+
+  /** The static half of the Bloom decontamination pipeline: the probe
+    * gram set and its serialized Bloom filter. Built ONCE and reused
+    * across corpora / micro-batches (the probe set — a benchmark
+    * suite — does not change per batch). */
+  case class ProbeFilter(bytes: Array[Byte],
+      grams: DataFrame, n: Int)
+
+  def probeFilter(probes: DataFrame, textCol: String, n: Int = 3,
+      fpp: Double = 0.01): ProbeFilter = {
     // the probe gram set is small relative to the corpus (benchmark
     // suites vs a 100 TB corpus) — recomputing it for the sizing
     // count, the filter build, and the verify join beats holding a
@@ -567,17 +577,22 @@ object Dedup {
       .select(explode(shingleHashes(col(textCol), n)).as("__g")).distinct()
     // two driver actions on the (small) probe side: size, then build
     val bf = pg.stat.bloomFilter("__g", math.max(pg.count(), 1L), fpp)
-    val bytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos); bos.toByteArray
-    }
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    ProbeFilter(bos.toByteArray, pg, n)
+  }
+
+  def decontaminateWith(pf: ProbeFilter, train: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.CatalystBridge
     val mightContain = CatalystBridge.column(
-      BloomFilterMightContain(Literal(bytes),
+      BloomFilterMightContain(Literal(pf.bytes),
         CatalystBridge.expression(col("__g"))))
     val hits = train.select(col(idCol).as("__cid"),
-        explode(shingleHashes(col(textCol), n)).as("__g"))
+        explode(shingleHashes(col(textCol), pf.n)).as("__g"))
       .where(mightContain)
-      .join(pg, "__g")
+      .join(pf.grams, "__g")
       .select(col("__cid")).distinct()
     train.join(hits, train(idCol) === hits("__cid"), "left")
       .withColumn("contaminated", col("__cid").isNotNull)

@@ -128,4 +128,25 @@ object StreamingDedup {
         }
       }
   }
+
+  /** Streaming decontamination — the online half of
+    * [[graft.operators.Dedup.decontaminateBloom]]. A verdict depends
+    * only on the document itself and the STATIC probe set, so the
+    * operator is STATELESS across micro-batches: the probe filter is
+    * built ONCE ([[graft.operators.Dedup.probeFilter]] — its two
+    * driver actions happen before the stream starts, never per batch)
+    * and each micro-batch runs the identical batch pipeline via
+    * foreachBatch — the standard stream-static pattern when the
+    * static side needs driver-side preparation. Restart-safe with no
+    * checkpoint state beyond the source offsets. */
+  def decontaminate(stream: DataFrame,
+      pf: graft.operators.Dedup.ProbeFilter,
+      idCol: String, textCol: String)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(graft.operators.Dedup.decontaminateWith(
+          pf, batch, idCol, textCol), id)
+      }.start()
 }

@@ -110,4 +110,36 @@ class StreamingDedupSpec extends SparkSpec {
     // aa keeps only its first arrival within the watermark; bb/cc unique
     assert(kept.sameElements(Array(0L, 1L, 4L)))
   }
+
+  test("streaming decontamination verdicts equal the batch operator's") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val train = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+    val probes = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+    val want = Dedup.decontaminateBloom(train, probes, "doc_id", "text",
+        n = 3)
+      .select("doc_id", "contaminated").as[(Long, Boolean)]
+      .collect().toMap
+
+    // probe filter built ONCE; the corpus arrives in three batches
+    val pf = Dedup.probeFilter(probes, "text", n = 3)
+    val rows = train.select("doc_id", "text").as[(Long, String)]
+      .collect().sortBy(_._1).map { case (i, t) => Doc(i, t) }
+    val got = scala.collection.mutable.Map.empty[Long, Boolean]
+    val mem = MemoryStream[Doc]
+    val q = StreamingDedup.decontaminate(mem.toDF(), pf,
+      "doc_id", "text") { (out, _) =>
+      out.select("doc_id", "contaminated").collect()
+        .foreach(r => got.synchronized {
+          got(r.getLong(0)) = r.getBoolean(1)
+        })
+    }
+    rows.grouped(math.max(1, rows.length / 3)).foreach { b =>
+      mem.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    assert(got.toMap == want)
+    assert(want.values.count(identity) > 0) // the corpus really overlaps
+  }
 }
