@@ -1367,6 +1367,21 @@ object SparkEntry {
         col("text"), 3)
     },
 
+    // sharded-release round-trip: write 16 content-addressed parquet
+    // shards, read them BACK, and manifest them — counts + an
+    // order-independent fingerprint the oracle re-derives from the
+    // source corpus, so a row lost or duplicated by the writer flips
+    // the hash
+    "q_shard_manifest" -> q { (s, d) =>
+      val out = s"/tmp/graft_io/shards_${new java.io.File(d).getName}"
+      val docs = T(s, d, "documents").select(col("doc_id"), col("text"),
+        TextOps.tokenCount(col("text")).as("toks"))
+      Packing.writeShards(docs, col("doc_id"), shards = 16,
+        salt = "rel14", outDir = out)
+      Packing.shardManifest(s.read.parquet(out), col("shard"),
+        col("doc_id"), col("text"), col("toks"))
+    },
+
     // per-language corpus datasheet: volumes, exact length quantiles,
     // duplicate rate, short/quality-pass counts — one partial-agg
     // groupBy over one scan
@@ -2625,6 +2640,21 @@ object SparkEntry {
         |FROM tc JOIN df USING (term) CROSS JOIN n
         |QUALIFY row_number() OVER (PARTITION BY doc_id
         |  ORDER BY cnt * ln(n_docs / df) DESC, term) <= 3""".stripMargin,
+
+    // the oracle manifests the SOURCE corpus directly — matching the
+    // Spark side's written-and-read-back manifest proves the writer
+    // moved every row exactly once
+    "q_shard_manifest" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS toks,
+        |    CAST(CAST(concat('0x', substr(md5(doc_id || ':rel14'), 1, 8))
+        |      AS BIGINT) % 16 AS INTEGER) AS shard,
+        |    CAST(concat('0x', substr(md5(doc_id || ':' || text), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(toks) AS BIGINT) AS n_tokens, bit_xor(h) AS fp
+        |FROM t GROUP BY shard""".stripMargin,
 
     // counts are exact; quantile_cont replays Spark's exact type-7
     // percentile; the quality term reuses q_text_stats' proven

@@ -112,4 +112,40 @@ object Packing {
           x => x("toks"))), " ").as("text"),
         sum(size(col("__sp")("toks"))).cast("long").as("n_tokens"))
   }
+
+  /** Sharded-release writer: the corpus lands as `shards`
+    * content-addressed parquet shards (`outDir/shard=<s>/…`) in a
+    * deterministic in-shard order. Assignment ([[shardOf]]) and order
+    * (a second md5 coordinate) are pure functions of the corpus, so
+    * retries, cluster sizes, and engines agree on which rows belong to
+    * which shard and in what sequence — the property a reproducible
+    * data release needs. ONE shuffle: the repartition on the shard id
+    * co-locates each shard in a single task, so `partitionBy` emits
+    * exactly one ordered file per shard with no second pass. */
+  def writeShards(docs: DataFrame, idCol: Column, shards: Int,
+      salt: String, outDir: String): Unit = {
+    require(shards > 0, "shards must be positive")
+    docs.withColumn("shard", shardOf(idCol, shards, salt))
+      .withColumn("__ord",
+        md5(concat(idCol.cast("string"), lit(":o:" + salt))))
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("__ord"))
+      .drop("__ord")
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+  }
+
+  /** Order-independent shard manifest over (written or virtual) shard
+    * rows: per-shard doc/token counts plus a content fingerprint —
+    * bit_xor of a portable md5-derived 60-bit row hash, so a reader
+    * re-derives and checks release integrity without caring about row
+    * order, and any lost/duplicated row flips the fingerprint. */
+  def shardManifest(rows: DataFrame, shardCol: Column, idCol: Column,
+      textCol: Column, toksCol: Column): DataFrame =
+    rows.select(shardCol.cast("int").as("shard"),
+        toksCol.cast("long").as("__toks"),
+        conv(substring(md5(concat(idCol.cast("string"), lit(":"),
+          textCol)), 1, 15), 16, 10).cast("long").as("__h"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__toks")).as("n_tokens"),
+        expr("bit_xor(__h)").as("fp"))
 }

@@ -110,4 +110,53 @@ class PackingSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(again == shufSet)
   }
+
+  test("writeShards: one ordered file per shard; manifest matches the " +
+      "source; layout is input-partitioning-independent") {
+    import spark.implicits._
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_shards").toString + "/rel"
+    val docs = (0L until 200L)
+      .map(i => (i, s"doc $i body " + ("w " * (i % 7).toInt)))
+      .toDF("doc_id", "text")
+      .withColumn("toks", graft.operators.TextOps.tokenCount(col("text")))
+    Packing.writeShards(docs, col("doc_id"), shards = 8,
+      salt = "s14", outDir = out)
+    // exactly one data file per shard directory
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("shard="))
+    assert(dirs.length == 8)
+    dirs.foreach { sd =>
+      val parts = sd.listFiles().filter(f =>
+        f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      assert(parts.length == 1, s"${sd.getName}: ${parts.length} files")
+      // in-shard order is the content-addressed coordinate: reading
+      // the single file back preserves it
+      val ids = spark.read.parquet(parts.head.getPath)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+      val want = ids.sortBy(i =>
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(i + ":o:s14"))
+      assert(ids == want, s"${sd.getName} not in coordinate order")
+    }
+    // manifest of the written shards == manifest of the source corpus
+    val back = Packing.shardManifest(spark.read.parquet(out),
+      col("shard"), col("doc_id"), col("text"), col("toks"))
+      .collect().map(_.toSeq).toSet
+    val src = Packing.shardManifest(
+      docs.withColumn("shard",
+        Packing.shardOf(col("doc_id"), 8, "s14")),
+      col("shard"), col("doc_id"), col("text"), col("toks"))
+      .collect().map(_.toSeq).toSet
+    assert(back == src)
+    // re-writing from a differently-partitioned input produces the
+    // same shard contents (retry/cluster-size independence)
+    val out2 = java.nio.file.Files
+      .createTempDirectory("graft_shards2").toString + "/rel"
+    Packing.writeShards(docs.repartition(13), col("doc_id"), shards = 8,
+      salt = "s14", outDir = out2)
+    val again = Packing.shardManifest(spark.read.parquet(out2),
+      col("shard"), col("doc_id"), col("text"), col("toks"))
+      .collect().map(_.toSeq).toSet
+    assert(again == back)
+  }
 }
