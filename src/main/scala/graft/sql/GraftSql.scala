@@ -3285,7 +3285,13 @@ object GraftSql {
     val parts: Seq[DataFrame] = offlineOf(spark).get(key) match {
       case None => Seq.empty
       case Some(info) =>
-        info.dataPath.filter(p => new java.io.File(p).exists())
+        // existence through the path's own filesystem (hdfs/s3-safe),
+        // guarding the dropped-and-recreated-table edge
+        info.dataPath.filter { p =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .exists(hp)
+        }
           .map(p => spark.read.schema(schema).parquet(p)).toSeq ++
           info.sym.map(sp => graft.sources.Sources.loadData(spark,
             sp.path, sp.options + ("format" -> sp.format), Some(schema),
