@@ -1836,6 +1836,27 @@ object GraftSql {
         } else pw.foreach(users.put(un, _))
         None
 
+      case "DROP" if p.toks.lift(1).exists(_.equalsIgnoreCase("DATABASE")) =>
+        // DROP DATABASE [IF EXISTS] name (ddl/DROP_DATABASE_STATEMENT
+        // .md): a database still holding tables refuses —
+        // name_server_impl.cc:9160 "database not empty"
+        p.expect("DROP"); p.expect("DATABASE")
+        val ifEx = if (p.accept("IF")) { p.expect("EXISTS"); true } else false
+        val dbn = unq(p.next())
+        if (p.p != p.toks.length) p.fail("trailing tokens")
+        if (!dbsOf(spark).contains(dbn)) {
+          if (!ifEx) throw new IllegalArgumentException(
+            s"database '$dbn' does not exist")
+        } else {
+          val pfx = dbViewName(s"$dbn.")
+          if (spark.catalog.listTables().collect().exists(_.name.startsWith(pfx)))
+            throw new IllegalArgumentException("database not empty")
+          dbsOf(spark) -= dbn
+          if (Option(sessionCurDb.get(spark)).contains(dbn))
+            sessionCurDb.remove(spark)
+        }
+        None
+
       case "DROP" if p.toks.lift(1).exists(_.equalsIgnoreCase("USER")) =>
         p.expect("DROP"); p.expect("USER")
         val ifEx = if (p.accept("IF")) { p.expect("EXISTS"); true } else false
@@ -1985,14 +2006,6 @@ object GraftSql {
           indexesOf(spark).remove(vn)
           idxMetaOf(spark).remove(vn)
         }
-        None
-
-      case "DROP" if p.toks.lift(1).exists(_.equalsIgnoreCase("DATABASE")) =>
-        p.expect("DROP"); p.expect("DATABASE")
-        if (p.accept("IF")) { p.expect("EXISTS") }
-        val db = p.next()
-        dbsOf(spark) -= db
-        if (curDb(spark).contains(db)) sessionCurDb.remove(spark)
         None
 
       case "DROP" if p.toks.lift(1).exists(_.equalsIgnoreCase("FUNCTION")) =>
@@ -2351,6 +2364,10 @@ object GraftSql {
         if (p.accept("IF")) p.expect("EXISTS")
         val dropName = readTableName(p)
         spark.catalog.dropTempView(quoteId(dropName))
+        // under USE db (or a db-qualified name) the real view carries
+        // the db prefix — drop that too, or the table survives its
+        // own DROP (surfaced by DROP DATABASE's not-empty check)
+        spark.catalog.dropTempView(quoteId(qualifyTable(spark, dropName)))
         idxMetaOf(spark).remove(dropName.toLowerCase)
         tableStatusOf(spark)._2.remove(dropName.toLowerCase)
         tableStatusOf(spark)._2.remove(

@@ -26,6 +26,34 @@ class SqlStatementsSpec extends SparkSpec {
     assert(row.toSeq == Seq((1L, true), (3L, true)))
   }
 
+  test("DROP DATABASE: empty drops, non-empty refuses, unknown errors " +
+      "(name_server_impl.cc:9160)") {
+    GraftSql.resetCatalogState(spark)
+    try dropDatabaseBody()
+    finally GraftSql.resetCatalogState(spark)
+  }
+
+  private def dropDatabaseBody(): Unit = {
+    GraftSql.statement(spark, "CREATE DATABASE dd1")
+    GraftSql.statement(spark, "CREATE DATABASE dd2")
+    GraftSql.statement(spark, "USE dd2")
+    GraftSql.statement(spark, "CREATE TABLE ddt (k bigint)")
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.statement(spark, "DROP DATABASE dd2")
+    }
+    assert(e.getMessage.contains("database not empty"))
+    GraftSql.statement(spark, "DROP TABLE ddt")
+    GraftSql.statement(spark, "DROP DATABASE dd2")
+    GraftSql.statement(spark, "DROP DATABASE dd1")
+    intercept[IllegalArgumentException] {
+      GraftSql.statement(spark, "DROP DATABASE dd1")
+    }
+    GraftSql.statement(spark, "DROP DATABASE IF EXISTS dd1") // no-op
+    val dbs = GraftSql.statement(spark, "SHOW DATABASES").get
+      .collect().map(_.getString(0)).toSet
+    assert(!dbs.contains("dd1") && !dbs.contains("dd2"))
+  }
+
   test("CREATE TABLE LIKE PARQUET takes the file's schema " +
       "(CREATE_TABLE_STATEMENT.md:199-207)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_like").toString
@@ -152,6 +180,9 @@ class SqlStatementsSpec extends SparkSpec {
       val deps = GraftSql.statement(spark, "SHOW DEPLOYMENTS").get
       assert(deps.columns.sameElements(Array("Deployment")))
     } finally {
+      // a database refuses to drop while it still holds tables
+      // (name_server_impl.cc:9160)
+      GraftSql.statement(spark, "DROP TABLE dbt")
       GraftSql.statement(spark, "DROP DATABASE graft_db_a")
       GraftSql.statement(spark, "DROP DATABASE IF EXISTS graft_db_b")
     }
