@@ -43,7 +43,9 @@ object LangModel {
     * |vocab| + 1 (the unk class). P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V).
     */
   def perplexity(docs: DataFrame, idCol: Column, textCol: Column,
-      vocabSize: Int, model: DataFrame = null): DataFrame = {
+      vocabSize: Int, model: DataFrame = null,
+      broadcastBudgetBytes: Long = TextOps.VocabBroadcastBudget)
+      : DataFrame = {
     val corpus = Option(model).getOrElse(docs)
     val vocab = vocabulary(corpus, textCol, vocabSize)
 
@@ -69,14 +71,22 @@ object LangModel {
         when(col("__v2").isNotNull, col("w2")).otherwise("<unk>").as("w2"))
 
     val trainBig = mapped(bigrams(corpus, lit(0L)))
-    val c2 = trainBig.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    // The bigram table is bounded by (V+1)² in principle and by the
+    // corpus's distinct-bigram count in practice — at 100 TB that can
+    // exceed driver memory even with vocab-mapping, so the broadcast
+    // is size-gated (measured, same discipline as the minhash sig
+    // cache): hinted under the budget, shuffle join past it.
+    val c2 = TextOps.gatedBroadcastBy(
+      trainBig.groupBy("w1", "w2").agg(count(lit(1)).as("c2")),
+      length(col("w1")) + length(col("w2")) + lit(56),
+      broadcastBudgetBytes)
     val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
     // smoothing denominator: |vocab| + 1 (ride along as a 1-row
     // broadcast instead of a driver-side collect)
     val vSize = vocab.agg((count(lit(1)) + 1).cast("double").as("v"))
 
     val scored = mapped(bigrams(docs, idCol))
-      .join(c2.hint("broadcast"), Seq("w1", "w2"), "left")
+      .join(c2, Seq("w1", "w2"), "left")
       .join(broadcast(c1), Seq("w1"), "left")
       .crossJoin(broadcast(vSize))
       .select(col("doc_id"), col("pos"),

@@ -186,6 +186,43 @@ object TextOps {
       .limit(k)
   }
 
+  /** Size-gated broadcast hint for a vocabulary-sized derived table
+    * (same discipline as the minhash signature cache gate in
+    * `Dedup.minhashLshPairs`): the static planner sees no size for a
+    * derived aggregate, so an unconditional `broadcast(...)` hint is
+    * the only way to get a broadcast join — but on a 100 TB web
+    * corpus the distinct-token table (typos, URLs, hashes) can reach
+    * billions of rows and an unconditional hint OOMs the driver.
+    * Instead: persist the table (it feeds both the measuring job and
+    * the join — without the persist the wordcount would recompute),
+    * MEASURE it with one cheap agg job (row count + total term bytes;
+    * `fixedBytes` covers the numeric columns + per-row overhead), and
+    * hint only under `budgetBytes`. Past the budget the hint drops
+    * away and the join degrades to a shuffle join — the correct shape
+    * at that size. The persist stays registered (LRU-evicted), same
+    * rationale as the sig cache in `Dedup.scala`. */
+  private[graft] def gatedVocabBroadcast(t: org.apache.spark.sql.DataFrame,
+      termCol: String, fixedBytes: Int,
+      budgetBytes: Long): org.apache.spark.sql.DataFrame =
+    gatedBroadcastBy(t, length(col(termCol)).cast("long") + fixedBytes,
+      budgetBytes)
+
+  /** General form of [[gatedVocabBroadcast]]: `rowBytes` is a per-row
+    * byte-estimate expression summed in the measuring job. */
+  private[graft] def gatedBroadcastBy(t: org.apache.spark.sql.DataFrame,
+      rowBytes: Column,
+      budgetBytes: Long): org.apache.spark.sql.DataFrame = {
+    val cached = t.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bytes = cached
+      .agg(coalesce(sum(rowBytes.cast("long")), lit(0L))).head().getLong(0)
+    if (bytes < budgetBytes) broadcast(cached) else cached
+  }
+
+  /** Default build-side budget for [[gatedVocabBroadcast]] — matches
+    * the 64 MB gate used for the minhash signature cache. */
+  val VocabBroadcastBudget: Long = 64L << 20
+
   /** Per-document top-k TF-IDF terms: score = in-doc count · ln(N/df),
     * ties broken by term — the classic salient-term extraction for
     * corpus exploration and topic features.
@@ -196,22 +233,27 @@ object TextOps {
     * distinct term per doc (NOT per occurrence; an expression-side
     * fused variant was measured 2× slower and quadratic in document
     * length). The document-frequency table is vocabulary-sized
-    * (bounded by token diversity, not corpus size) and broadcast back
-    * to that stream; N rides along as a 1-row broadcast cross join
-    * rather than a driver-side `.count()`. Should the vocabulary
-    * outgrow the broadcast threshold, drop the hint and the same plan
-    * degrades to a shuffle join. */
+    * (bounded by token diversity, not corpus size) and joined back to
+    * that stream through the measured [[gatedVocabBroadcast]] gate —
+    * broadcast under the budget, shuffle join past it; N rides along
+    * as a 1-row broadcast cross join rather than a driver-side
+    * `.count()`. */
   def tfidfTopTerms(docs: org.apache.spark.sql.DataFrame, idCol: Column,
-      textCol: Column, k: Int): org.apache.spark.sql.DataFrame = {
+      textCol: Column, k: Int,
+      broadcastBudgetBytes: Long = VocabBroadcastBudget)
+      : org.apache.spark.sql.DataFrame = {
     val tc = docs.select(idCol.as("doc_id"),
         explode(words(textCol)).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
-    val dfTab = tc.groupBy("term").agg(count(lit(1)).as("df"))
+    // fixedBytes: 8 (df long) + ~24 string/row overhead.
+    val dfTab = gatedVocabBroadcast(
+      tc.groupBy("term").agg(count(lit(1)).as("df")),
+      "term", 32, broadcastBudgetBytes)
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term").asc)
-    tc.join(broadcast(dfTab), "term")
+    tc.join(dfTab, "term")
       .crossJoin(broadcast(n))
       .withColumn("score",
         col("cnt") * log(col("n_docs").cast("double") / col("df")))
@@ -231,8 +273,10 @@ object TextOps {
     * start from a lexical index.
     *
     * Shape (scales like tf-idf): one corpus pass builds (doc, term,
-    * tf, |d|); df and the (N, avgdl) pair are vocabulary-/unit-sized
-    * and broadcast; the query terms equi-join the posting stream on
+    * tf, |d|); df goes through the measured [[gatedVocabBroadcast]]
+    * gate (broadcast under budget, shuffle join past it) and the
+    * (N, avgdl) pair is unit-sized and broadcast; the query terms
+    * equi-join the posting stream on
     * term (queries × postings is the retrieval work itself); ONE
     * shuffle groups contributions per (query, doc). Σ over doubles is
     * order-sensitive, so contributions fold in sorted-term order —
@@ -243,7 +287,9 @@ object TextOps {
       textCol: Column,
       queries: org.apache.spark.sql.DataFrame, qidCol: Column,
       qtextCol: Column, k: Int,
-      k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      broadcastBudgetBytes: Long = VocabBroadcastBudget)
+      : org.apache.spark.sql.DataFrame = {
     val base = docs.select(idCol.as("doc_id"), words(textCol).as("ws"))
       .select(col("doc_id"), col("ws"),
         size(col("ws")).cast("double").as("dl"))
@@ -251,14 +297,17 @@ object TextOps {
       .select(col("doc_id"), col("dl"), explode(col("ws")).as("term"))
       .groupBy("doc_id", "dl", "term")
       .agg(count(lit(1)).cast("double").as("tf"))
-    val dfTab = tc.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    // fixedBytes: 8 (df double) + ~24 string/row overhead.
+    val dfTab = gatedVocabBroadcast(
+      tc.groupBy("term").agg(count(lit(1)).cast("double").as("df")),
+      "term", 32, broadcastBudgetBytes)
     val stats = base.agg(count(lit(1)).cast("double").as("n_docs"),
       avg(col("dl")).as("avgdl"))
     val qt = queries
       .select(qidCol.as("qid"),
         explode(array_distinct(words(qtextCol))).as("term"))
     val contrib = qt.join(tc, "term")
-      .join(broadcast(dfTab), "term")
+      .join(dfTab, "term")
       .crossJoin(broadcast(stats))
       .withColumn("w",
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /

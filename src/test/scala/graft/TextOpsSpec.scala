@@ -99,4 +99,40 @@ class TextOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") ||
       plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
   }
+
+  test("tfidf/bm25 vocabulary broadcast is size-gated: both paths equal") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x x rare quick brown fox"), (2L, "x common common fox jumps"),
+      (3L, "x common lazy dog"), (4L, "x over the lazy dog")
+    ).toDF("id", "text")
+    val queries = Seq((10L, "lazy fox"), (11L, "common rare")).toDF("qid", "q")
+
+    // budget 0 forces the shuffle-join path; default takes broadcast.
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+
+    val tHint = TextOps.tfidfTopTerms(docs, col("id"), col("text"), 3)
+    val tShuf = TextOps.tfidfTopTerms(docs, col("id"), col("text"), 3,
+      broadcastBudgetBytes = 0L)
+    assert(canon(tHint) == canon(tShuf))
+    // the gate really changed the plan: only the hinted variant carries
+    // a broadcast hint on the df table (auto-broadcast of tiny test
+    // tables is a planner choice, so assert on the analyzed plan's
+    // ResolvedHint, not the physical join pick)
+    def hintCount(df: org.apache.spark.sql.DataFrame): Int =
+      "(?i)resolvedhint".r
+        .findAllIn(df.queryExecution.analyzed.toString).length
+    // hinted: df-table hint + 1-row n_docs hint; gated-off: n_docs only
+    assert(hintCount(tHint) == 2, tHint.queryExecution.analyzed.toString)
+    assert(hintCount(tShuf) == 1)
+
+    val bHint = TextOps.bm25TopK(docs, col("id"), col("text"),
+      queries, col("qid"), col("q"), 2)
+    val bShuf = TextOps.bm25TopK(docs, col("id"), col("text"),
+      queries, col("qid"), col("q"), 2, broadcastBudgetBytes = 0L)
+    assert(canon(bHint) == canon(bShuf))
+    assert(hintCount(bHint) == 2 && hintCount(bShuf) == 1)
+    assert(bHint.collect().nonEmpty)
+  }
 }
