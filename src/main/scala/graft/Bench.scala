@@ -146,8 +146,16 @@ object Bench {
     def r3(v: Double): String = "%.3f".format(v)
     def jmap(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    // exception messages can carry quotes/backslashes/newlines — escape
+    // per RFC 8259 or the one line this whole refactor protects breaks
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
+      case c => c.toString
+    } + "\""
     def smap(kv: Seq[(String, String)]): String =
-      kv.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
+      kv.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // no separate "plain" map: with every query ratio-paired the three
     // maps overflow the tail window — plain twin timings are exactly

@@ -71,7 +71,15 @@ object Sampling {
     * (partial-aggregated wordcount shape) joined BACK as a broadcast —
     * the corpus side stays a pure filter on the content-addressed
     * coordinate, so pushdown still applies and any engine/retry keeps
-    * identical rows. */
+    * identical rows.
+    *
+    * Every target stratum must be PRESENT in the corpus: a requested
+    * stratum with zero rows makes the mix unsatisfiable (its n_s/p_s
+    * bound is 0), so rather than silently ignoring it and shipping a
+    * corpus that cannot match the requested shares, this fails fast.
+    * The check collects the stratum-count table — bounded by
+    * |targetShares| rows — and persists it, so the corpus is still
+    * scanned once. */
   def rebalance(df: DataFrame, stratum: Column, key: Column,
       targetShares: Map[String, Double],
       salt: String = "graft"): DataFrame = {
@@ -83,6 +91,13 @@ object Sampling {
     val counts = df.groupBy(stratum.as("__stratum"))
       .agg(count(lit(1)).cast("double").as("__n"))
       .join(shares, "__stratum")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val present = counts.select(col("__stratum").cast("string"))
+      .as[String].collect().toSet
+    val missing = targetShares.keySet -- present
+    require(missing.isEmpty,
+      "rebalance: target strata absent from the corpus (unsatisfiable " +
+        s"mix): ${missing.toSeq.sorted.mkString(", ")}")
     val nPrime = counts.agg(min(col("__n") / col("__share")).as("__np"))
     val rates = counts.crossJoin(broadcast(nPrime))
       .select(col("__stratum").as("__rate_s"),

@@ -1693,9 +1693,24 @@ object GraftSql {
                   .getOrElse(TableStatusMeta(0L))
                 val storage = meta.opts.getOrElse("storage_mode", "memory")
                 val df = spark.table(quoteId(catName))
-                val nRows = df.count()
-                val bytes = df.queryExecution.optimizedPlan.stats
-                  .sizeInBytes.min(BigInt(Long.MaxValue)).toLong
+                // Rows/size are STORED stats (the reference serves
+                // tablet-reported stats, not a scan per SHOW): cached
+                // per session under the view's canonicalized-plan hash,
+                // so repeat SHOWs and unmutated tables cost nothing —
+                // a table is counted once per mutation epoch, when its
+                // snapshot plan actually changed.
+                val planKey = df.queryExecution.analyzed.canonicalized
+                  .semanticHash()
+                val stats = tableRowStatsOf(spark)
+                val (nRows, bytes) = stats.get(catName.toLowerCase) match {
+                  case Some((k, r, b)) if k == planKey => (r, b)
+                  case _ =>
+                    val r = df.count()
+                    val b = df.queryExecution.optimizedPlan.stats
+                      .sizeInBytes.min(BigInt(Long.MaxValue)).toLong
+                    stats.put(catName.toLowerCase, (planKey, r, b))
+                    (r, b)
+                }
                 val parts = meta.opts.get("partitionnum")
                   .filter(_.matches("\\d+")).map(_.toInt).getOrElse(8)
                 val reps = meta.opts.get("replicanum")
@@ -3348,6 +3363,7 @@ object GraftSql {
     sessionEdition.remove(spark)
     locally { val (ctr, reg) = jobsOf(spark); reg.clear(); ctr.set(0) }
     locally { val (ctr, reg) = tableStatusOf(spark); reg.clear(); ctr.set(0) }
+    tableRowStatsOf(spark).clear()
     procedures(spark).clear()
     dbsOf(spark).clear()
     sessionCurDb.remove(spark)
@@ -3370,6 +3386,23 @@ object GraftSql {
   private case class TableStatusMeta(id: Long,
       opts: Map[String, String] = Map.empty,
       symPaths: Seq[String] = Seq.empty)
+  // stored row/size stats for SHOW TABLE STATUS: table →
+  // (canonical-plan hash, rows, bytes); invalidated by plan identity,
+  // not by hooks — every mutation path re-registers the temp view with
+  // a new plan, so a changed hash IS the mutation signal
+  private val tableRowStatsBySession =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, (Int, Long, Long)]]()
+  private def tableRowStatsOf(spark: SparkSession)
+      : scala.collection.concurrent.TrieMap[String, (Int, Long, Long)] =
+    tableRowStatsBySession.synchronized {
+      var m = tableRowStatsBySession.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap[String, (Int, Long, Long)]()
+        tableRowStatsBySession.put(spark, m)
+      }
+      m
+    }
   private val tableStatusBySession =
     new java.util.WeakHashMap[SparkSession,
       (java.util.concurrent.atomic.AtomicLong,

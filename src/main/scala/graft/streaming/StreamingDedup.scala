@@ -64,7 +64,7 @@ object StreamingDedup {
     * arrival semantics, like [[firstSeen]]. `stateTtl` bounds state by
     * processing-time expiry. */
   def lshFirstSeen(docs: DataFrame, idCol: String, textCol: String,
-      bands: Int = 4, rowsPerBand: Int = 2,
+      bands: Int = 4, rowsPerBand: Int = 3,
       stateTtl: Option[String] = None): Dataset[BucketMatch] = {
     implicit val rowEnc = Encoders.product[BucketRow]
     implicit val outEnc = Encoders.product[BucketMatch]

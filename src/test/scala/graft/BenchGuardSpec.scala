@@ -24,6 +24,16 @@ class BenchGuardSpec extends SparkSpec {
     assert(errCols.contains("q1_agg"))
   }
 
+  test("error strings with quotes/backslashes/newlines stay parseable") {
+    val vals = Seq("q_ok" -> 0.5)
+    val errs = Seq(
+      "q_bad" -> "path \"C:\\tmp\" not found\nline2 \u0001ctl")
+    val json = Bench.emitJson(vals, vals, vals, errs, "/tmp/sf")
+    val df = parse(json)
+    val err = df.select("errors.q_bad").collect().head.getString(0)
+    assert(err == "path \"C:\\tmp\" not found\nline2 \u0001ctl")
+  }
+
   test("full-size JSON line fits the harness's ~2000-char output tail") {
     // Synthesize the worst case: every bench query present in all three
     // maps with a 3-decimal timing. sbt appends a ~80-char [success] line

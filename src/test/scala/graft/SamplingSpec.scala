@@ -101,4 +101,14 @@ class SamplingSpec extends SparkSpec {
       Map("a" -> 0.5, "b" -> 0.5)).collect().map(_.getLong(0)).toSet
     assert(again == out.collect().map(_.getLong(0)).toSet)
   }
+  test("rebalance fails fast on a target stratum absent from the corpus") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "s")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.rebalance(df, col("s"), col("id"),
+        Map("a" -> 0.5, "zz_missing" -> 0.5))
+    }
+    assert(e.getMessage.contains("zz_missing"), e.getMessage)
+    assert(e.getMessage.contains("absent"), e.getMessage)
+  }
 }

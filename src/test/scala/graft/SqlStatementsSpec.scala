@@ -356,6 +356,39 @@ class SqlStatementsSpec extends SparkSpec {
     GraftSql.resetCatalogState(spark)
   }
 
+  test("SHOW TABLE STATUS serves stored stats, recounting only on mutation") {
+    GraftSql.resetCatalogState(spark)
+    GraftSql.statement(spark, "CREATE TABLE st_cache (k string, v int)")
+    GraftSql.statement(spark, "INSERT INTO st_cache VALUES ('a', 1)")
+    def rowsOf(): Long = GraftSql.statement(spark, "SHOW TABLE STATUS").get
+      .filter($"Table_name" === "st_cache").collect()
+      .head.getAs[Long]("Rows")
+    assert(rowsOf() == 1L) // first SHOW counts and stores
+    // repeat SHOW: stats come from the session cache — no count job
+    // (count jobs carry a "count at" callsite)
+    val jobSites = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobSites.add(Option(j.properties)
+          .map(_.getProperty("callSite.short", "")).getOrElse(""))
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(rowsOf() == 1L)
+      // listener delivery is async — poll briefly for the bus to drain
+      Thread.sleep(500)
+      val counts = jobSites.toArray.map(_.toString)
+        .filter(_.startsWith("count at"))
+      assert(counts.isEmpty, s"repeat SHOW recounted: ${counts.toSeq}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // mutation re-registers the view with a new plan → recount
+    GraftSql.statement(spark, "INSERT INTO st_cache VALUES ('b', 2)")
+    assert(rowsOf() == 2L)
+    GraftSql.statement(spark, "DROP TABLE st_cache")
+    GraftSql.resetCatalogState(spark)
+  }
+
   test("user statements: CREATE/ALTER/DROP USER, SHOW CURRENT_USER") {
     // ddl/{CREATE,ALTER,DROP}_USER_STATEMENT.md semantics: only
     // password in OPTIONS, unchanged when unspecified, root undeletable
