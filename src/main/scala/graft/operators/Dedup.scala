@@ -61,9 +61,12 @@ object Dedup {
     * rows narrow — the span text itself never shuffles twice), partial
     * aggregation collapses in-partition duplicates, then one shuffle
     * back to doc_id to reassemble surviving spans in order. The
-    * first-occurrence rule is a single min over an encoded
-    * (doc_id, span_idx) — no window, no driver state. The encoding
-    * assumes < 1e6 spans per document (64M tokens at spanTokens=64). */
+    * first-occurrence rule is a single min over a (doc_id, span_idx)
+    * struct — no window, no driver state, and (unlike an arithmetic
+    * doc_id·1e6+span_idx encoding) it neither overflows for large ids
+    * nor nulls out (dropping every occurrence) on a non-numeric id
+    * column: struct min orders lexicographically on any orderable id
+    * type. */
   def spanDedup(docs: DataFrame, idCol: String, textCol: String,
       spanTokens: Int): DataFrame = {
     // explode the START OFFSETS first (cheap ints), then build each
@@ -83,7 +86,7 @@ object Dedup {
         array_join(slice(col("ws"), col("st") + 1, lit(spanTokens)), " ")
           .as("span"))
       .withColumn("h", md5(col("span")))
-      .withColumn("ord", col("doc_id") * 1000000L + col("span_idx"))
+      .withColumn("ord", struct(col("doc_id"), col("span_idx")))
     val winners = spans.groupBy("h")
       .agg(min("ord").as("keep_ord"), count(lit(1)).as("occ"))
     val kept = spans.join(winners, "h")
@@ -196,17 +199,50 @@ object Dedup {
     * are (the pathological case where pair enumeration goes O(n²)). */
   def lshFirstSeen(docs: DataFrame, idCol: String, textCol: String,
       bands: Int = 4, rowsPerBand: Int = 3,
-      shingleN: Int = 3): DataFrame = {
+      shingleN: Int = 3, maxBucketSize: Int = 0): DataFrame = {
+    val (result, buckets) =
+      lshFirstSeenPlan(docs, idCol, textCol, bands, rowsPerBand, shingleN,
+        maxBucketSize)
+    materializeAndFree(result, buckets)
+  }
+
+  /** [[lshFirstSeen]] WITHOUT the materialization barrier — the public
+    * operator's localCheckpoint truncates the lineage to
+    * `Scan ExistingRDD`, which hides the banded groupBy/join shape from
+    * the plan gate (Plans/PlanQualitySpec read this form instead).
+    * Returns (result, buckets cache); callers other than the plan gate
+    * must hand both to [[materializeAndFree]] or the signature cache
+    * leaks. */
+  private[graft] def lshFirstSeenPlan(docs: DataFrame, idCol: String,
+      textCol: String, bands: Int = 4, rowsPerBand: Int = 3,
+      shingleN: Int = 3, maxBucketSize: Int = 0): (DataFrame, DataFrame) = {
     // the bucket stream feeds BOTH the per-bucket minima and the join
     // back — cache it so the shingle/signature work runs once
-    val buckets = lshBuckets(docs, idCol, textCol, bands, rowsPerBand,
+    val buckets0 = lshBuckets(docs, idCol, textCol, bands, rowsPerBand,
       shingleN).cache()
+    // Hot-bucket cap, mirroring [[minhashLshPairs]]'s production
+    // hygiene: a band bucket holding more than `maxBucketSize` docs is
+    // usually a boilerplate-pattern cluster; skipping it bounds the
+    // join-back fan-in. Unlike the pairs operator this stage is only
+    // O(bucket size) per bucket, so the cap is a recall trade, not a
+    // complexity one — the quality gate runs uncapped and the capped
+    // form is the at-scale configuration (benched as
+    // q_dedup_lshseen_capped). The count window's exchange is the same
+    // (band, bh) hash partitioning the groupBy below needs.
+    val buckets =
+      if (maxBucketSize <= 0) buckets0
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bh"))
+        buckets0.withColumn("__bsz", count(lit(1)).over(w))
+          .filter(col("__bsz") <= maxBucketSize).drop("__bsz")
+      }
     val firsts = buckets.groupBy("band", "bh")
       .agg(min("doc_id").as("first_id"))
     val matched = buckets.join(firsts, Seq("band", "bh"))
       .where(col("first_id") < col("doc_id"))
       .groupBy("doc_id").agg(min("first_id").as("matched_id"))
-    materializeAndFree(docs.select(col(idCol).as("doc_id"))
+    (docs.select(col(idCol).as("doc_id"))
       .join(matched, Seq("doc_id"), "left")
       .select(col("doc_id"), col("matched_id").isNotNull.as("is_dup"),
         col("matched_id")), buckets)

@@ -42,6 +42,14 @@ class LangModelSpec extends SparkSpec {
     assert(out(3)._3.isEmpty && out(3)._4.isEmpty)
   }
 
+  test("bigram-table broadcast is size-gated: both paths score equal") {
+    val hinted = LangModel.perplexity(docs, col("doc_id"), col("text"), 2)
+    val gatedOff = LangModel.perplexity(docs, col("doc_id"), col("text"), 2,
+      broadcastBudgetBytes = 0L)
+    assert(hinted.collect().map(_.toString).sorted.toSeq ==
+      gatedOff.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("external model: scoring corpus differs from training corpus") {
     val train = Seq((0L, "a b a b a")).toDF("doc_id", "text")
     // vocab {a,b}; train bigrams (a,b)x2 (b,a)x2 → c1: a=2, b=2; V=3
@@ -86,5 +94,31 @@ class SpanDedupSpec extends SparkSpec {
       .orderBy("doc_id")
       .as[(Long, Long, Long, String)].collect().toSeq
     assert(out == Seq((1L, 2L, 2L, "p q r"), (2L, 2L, 1L, "z z")))
+  }
+
+  test("non-numeric id column: first occurrence still kept") {
+    // the former doc_id*1e6+span_idx encoding cast a string id to null,
+    // dropping EVERY occurrence of a duplicated span; the struct-min
+    // ordinal keeps first-by-(id, span_idx) for any orderable id type
+    val docs = Seq(("docA", "a b c d"), ("docB", "a b x y"))
+      .toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, "doc_id", "text", 2)
+      .orderBy("doc_id")
+      .as[(String, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      ("docA", 2L, 2L, "a b c d"),
+      ("docB", 2L, 1L, "x y")))
+  }
+
+  test("large ids that would overflow the arithmetic encoding") {
+    val big = Long.MaxValue / 10 // doc_id * 1e6 would overflow
+    val docs = Seq((big, "a b c d"), (big + 1, "a b x y"))
+      .toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, "doc_id", "text", 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (big, 2L, 2L, "a b c d"),
+      (big + 1, 2L, 1L, "x y")))
   }
 }
