@@ -178,7 +178,8 @@ object SparkEntry {
     // ROWS-frame fast path); identical to ANSI peers on this data.
     "q_window_maxsize" -> q { (s, d) =>
       val arr = WindowOps.frameArray(col("value"), col("ts_ms"), col("event_id"),
-        Seq(col("user_id")), 600000L, maxSize = 5, strictRowOrder = true)
+        Seq(col("user_id")), 600000L, maxSize = 5, strictRowOrder = true,
+        narrowEntry = true)
       // materialize the frame array once in its own projection: the six
       // consumers then reference an attribute (CollapseProject keeps the
       // split because the producer expression is non-cheap and
@@ -1112,7 +1113,8 @@ object SparkEntry {
       val fa = WindowOps.frameArray(
         struct(col("value").as("v"), col("event_type").as("et")),
         col("ts_ms"), col("event_id"), Seq(col("user_id")),
-        2592000000L, maxSize = 100, strictRowOrder = true)
+        2592000000L, maxSize = 100, strictRowOrder = true,
+        narrowEntry = true)
       val a = col("__arr")
       val vOf = (x: Column) => x("v")("v")
       // numeric outputs run over a FLAT double array extracted once:
@@ -2904,7 +2906,7 @@ object SparkEntry {
     "q_profile", "q_bm25",
     "q_join_window", "q_request_mode", "q_long_window",
     "q_skew_window", "q_skew_window_arr",
-    "q_ann_topk", "q_dedup_minhash")
+    "q_ann_topk", "q_dedup_minhash", "q_dedup_lshseen_capped")
 
   /** Bench-time overrides: the CORRECTNESS-gate versions of the
     * approximate operators spend most of their time computing the
@@ -2918,6 +2920,22 @@ object SparkEntry {
       val docs = Tables.load(GraftSession.tune(s), d, "documents")
       graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text",
         shingleN = 1, bands = 8, rowsPerBand = 3, threshold = 0.25)
+    }),
+
+    // The production-hygiene configuration of q_dedup_lshseen: hot
+    // buckets (boilerplate-pattern clusters) capped at 64 docs. Timing-
+    // only — the uncapped form is the correctness-gated definition, the
+    // cap is a recall trade a 100 TB deployment makes deliberately
+    // (DedupSimilaritySpec pins the semantics). On THIS dup-dense
+    // synthetic corpus the cap's count window costs more than it saves
+    // (~9.8 s vs ~7.9 s uncapped at sf0.1) because the first-seen
+    // join-back is already linear in bucket size; the cap pays off when
+    // boilerplate mega-buckets dominate the bucket key's skew, not its
+    // volume.
+    "q_dedup_lshseen_capped" -> ((s: SparkSession, d: String) => {
+      val docs = Tables.load(GraftSession.tune(s), d, "documents")
+      graft.operators.Dedup.lshFirstSeen(docs, "doc_id", "text",
+        maxBucketSize = 64)
     }),
 
     // The gate definition (30-min frame over user_id) verifies the MV
@@ -2940,6 +2958,18 @@ object SparkEntry {
           precedingMs = 259200000L, bucketMs = 21600000L)
         .select(col("event_id"), round(col("lw_sum"), 3).as("lw_sum"),
           col("lw_cnt"))
+    })
+  )
+
+  /** Plan-gate overrides (graft.Plans / PlanQualitySpec): operators
+    * whose public form ends in a materialization barrier
+    * (localCheckpoint → `Scan ExistingRDD`) expose their pre-barrier
+    * plan here so a regression in the actual shape stays visible.
+    * Names absent here inspect their gate definition unchanged. */
+  def planVariants: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_lshseen" -> ((s: SparkSession, d: String) => {
+      val docs = Tables.load(GraftSession.tune(s), d, "documents")
+      graft.operators.Dedup.lshFirstSeenPlan(docs, "doc_id", "text")._1
     })
   )
 }

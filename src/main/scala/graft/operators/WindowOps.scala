@@ -76,7 +76,8 @@ object WindowOps {
       instanceNotInWindow: Boolean = false,
       strictRowOrder: Boolean = false,
       hiPrecedingMs: Long = 0,
-      skipNewest: Int = 0): Column = {
+      skipNewest: Int = 0,
+      narrowEntry: Boolean = false): Column = {
     val hasUnion = isPrimary != null
     // Fast path: a row-capped strict frame with no flag- or
     // time-dependent membership is exactly the newest `maxSize`
@@ -94,16 +95,25 @@ object WindowOps {
       val hi = -skip.toLong
       val spec = Window.partitionBy(partition: _*)
         .orderBy(tsMs.asc, uid.asc).rowsBetween(lo, hi)
-      // (entry keeps the full ts/uid/flag/v shape: SkewWindow's chunk
-      // merge and the exclusion filters read uid — a narrowed fast-path
-      // entry was tried and breaks those consumers)
-      var arr = reverse(collect_list(entry(tsMs, uid, lit(true), v)).over(spec))
+      // entry keeps the full ts/uid/flag/v shape BY DEFAULT: SkewWindow's
+      // chunk merge reads uid and WINDOW UNION reads flag. Consumers that
+      // only fold over v (the plain MAXSIZE aggregates) opt into
+      // `narrowEntry` — a (ts, v) struct — because every higher-order
+      // pass over array<struct> deep-copies each element, so halving the
+      // struct width is a measured win (q_window_maxsize ratio
+      // 1.18 → ~1.0 at sf0.1); ts stays for the range cutoff below.
+      val e = if (narrowEntry) struct(tsMs.as("ts"), v.as("v"))
+        else entry(tsMs, uid, lit(true), v)
+      var arr = reverse(collect_list(e).over(spec))
       if (precedingMs < UnboundedMs) {
         val minTs = tsMs - precedingMs
         arr = filter(arr, x => x("ts") >= minTs)
       }
       return arr
     }
+    require(!narrowEntry,
+      "narrowEntry is only valid on the bounded-ROWS fast path " +
+        "(strict row order + maxSize, no union/time exclusions)")
     val spec = rowsRange(partition, tsMs, precedingMs)
     val flag = if (hasUnion) isPrimary else lit(true)
     val arr0 = collect_list(entry(tsMs, uid, flag, v)).over(spec)

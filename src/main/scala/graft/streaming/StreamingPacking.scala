@@ -13,11 +13,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Keyed by the same content-addressed shard as the batch operator,
   * so the shuffle Spark already plans shards the state across
-  * executors. Pack ids are assigned in ARRIVAL order within a shard;
-  * feeding the batch corpus in (shard, doc_id) order reproduces the
-  * batch layout exactly — the same train/serve parity contract as
-  * [[StreamingDedup]] (asserted in StreamingPackingSpec and by the
-  * q_stream_pack oracle row, which replays the batch twin's SQL).
+  * executors. Pack ids are assigned in ARRIVAL order within a shard,
+  * with one repair: rows WITHIN a micro-batch append in doc_id order
+  * (the group iterator's order is partition-arrival order — not even
+  * stable across retries — so the sort is also what makes re-executed
+  * tasks emit identical spans). Consequently:
+  *
+  *  - a feed that is in order, or disordered only WITHIN micro-batch
+  *    boundaries, reproduces the batch layout exactly;
+  *  - disorder ACROSS micro-batches follows arrival semantics — a
+  *    doc arriving a batch late appends at the then-current offset.
+  *    The layout diverges from the batch twin's but keeps every
+  *    packing invariant (contiguous shard stream, spans tile each
+  *    doc, pack boundaries at the budget) — same arrival-semantics
+  *    contract as [[StreamingDedup.lshFirstSeen]] and the row-count
+  *    long-window fallback. Both halves pinned in
+  *    StreamingPackingSpec; in-order parity is also the q_stream_pack
+  *    oracle row, which replays the batch twin's SQL.
   */
 object StreamingPacking {
 
@@ -42,7 +54,9 @@ object StreamingPacking {
         (shard: Long, it: Iterator[Doc], state: GroupState[Long]) =>
           var off = state.getOption.getOrElse(0L)
           val out = Seq.newBuilder[Span]
-          it.foreach { d =>
+          // within-batch doc_id order: determinism under retries and
+          // batch parity for intra-batch disorder (see class doc)
+          it.toVector.sortBy(_.doc_id).foreach { d =>
             if (d.tk > 0) {
               val st = off
               val en = off + d.tk

@@ -57,6 +57,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(wide == uncapped)
   }
 
+  test("lshFirstSeen hot-bucket cap skips boilerplate buckets, keeps " +
+      "small-bucket matches (q_dedup_lshseen_capped semantics)") {
+    // 30 boilerplate docs form one giant bucket per band; docs 1 and 2
+    // match each other only through small buckets
+    val boiler = (10L until 40L).map(i => (i, "common template text body"))
+    val rest = Seq((1L, "unique alpha beta gamma delta"),
+      (2L, "unique alpha beta gamma delta"))
+    val d2 = (boiler ++ rest).toDF("doc_id", "text")
+    def dups(maxBucket: Int): Map[Long, Option[Long]] =
+      Dedup.lshFirstSeen(d2, "doc_id", "text", bands = 4, rowsPerBand = 4,
+          shingleN = 1, maxBucketSize = maxBucket)
+        .where(col("is_dup"))
+        .select("doc_id", "matched_id")
+        .as[(Long, Option[Long])].collect().toMap
+    val uncapped = dups(0)
+    // uncapped: all boilerplate docs after the first match doc 10
+    assert(uncapped.keySet == (11L until 40L).toSet + 2L)
+    assert(uncapped(2L).contains(1L))
+    // capped at 5: the 30-doc buckets are skipped — boilerplate docs
+    // report no dup (the documented recall trade); the small-bucket
+    // match survives
+    val capped = dups(5)
+    assert(capped == Map(2L -> Some(1L)))
+    // a cap at the cluster size changes nothing
+    assert(dups(30) == uncapped)
+  }
+
   test("decontaminate flags exactly the n-gram-overlapping train docs") {
     val probes = Seq(
       (100L, "secret benchmark question about spark engines"),

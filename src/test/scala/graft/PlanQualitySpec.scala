@@ -162,6 +162,21 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("array_sort"), "fast path should not sort the frame")
   }
 
+  test("lshFirstSeen pre-barrier plan shows the banded groupBy/join " +
+      "shape (the public form checkpoints to Scan ExistingRDD)") {
+    val df = SparkEntry.planVariants("q_dedup_lshseen")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    // per-bucket minima: partial/final aggregate keyed on (band, bh)
+    assert(p.contains("band") && p.contains("bh"),
+      s"banded bucket key missing from plan:\n${p.take(1500)}")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "expected partial/final min(doc_id) aggregation per bucket")
+    // the join back is an equi-join on the bucket key — never a
+    // cartesian/pair blowup
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), "bucket join degenerated")
+  }
+
   test("decontaminate broadcasts the probe gram set; hits stay narrow") {
     val p = plan("q_decontaminate")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),

@@ -51,6 +51,58 @@ class StreamingPackingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intra-batch disorder repairs to batch parity (doc_id sort)") {
+    implicit val sqlCtx = spark.sqlContext
+    // docs shuffled WITHIN one micro-batch: layout must equal the
+    // in-order feed's — the packer sorts each batch's group by doc_id
+    val docs = Seq(Doc(3L, 0L, 4L), Doc(1L, 0L, 6L), Doc(2L, 0L, 8L),
+      Doc(5L, 1L, 7L), Doc(4L, 1L, 5L))
+    val mem = MemoryStream[Doc]
+    val q = StreamingPacking.packStream(mem.toDS(), budget = 10L)
+      .writeStream.format("memory").queryName("sp_shuf")
+      .outputMode("append").start()
+    val inOrder = StreamingPacking.packStream(
+      docs.sortBy(_.doc_id).toDS().coalesce(1)
+        .sortWithinPartitions("doc_id"), budget = 10L)
+      .collect().toSet
+    try {
+      mem.addData(docs: _*) // one batch, shuffled arrival
+      q.processAllAvailable()
+      val rows = spark.table("sp_shuf").as[Span].collect().toSet
+      assert(rows == inOrder)
+    } finally q.stop()
+  }
+
+  test("cross-batch disorder follows arrival semantics: divergent " +
+      "layout, invariants hold (documented fallback)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val q = StreamingPacking.packStream(mem.toDS(), budget = 10L)
+      .writeStream.format("memory").queryName("sp_ooo")
+      .outputMode("append").start()
+    try {
+      // doc 2 arrives a micro-batch BEFORE doc 1
+      mem.addData(Doc(2L, 0L, 8L))
+      q.processAllAvailable()
+      mem.addData(Doc(1L, 0L, 6L))
+      q.processAllAvailable()
+      val rows = spark.table("sp_ooo").as[Span].collect().toSeq
+      // arrival order owns the stream: doc 2 occupies [0, 8), doc 1
+      // appends at 8 — NOT the batch layout (which would place doc 1
+      // first); this is the pinned divergence
+      assert(rows.sortBy(r => (r.pack_id, r.pack_off)) == Seq(
+        Span(2L, 0L, 0L, 0L, 0L, 8L),
+        Span(1L, 0L, 0L, 0L, 8L, 2L),
+        Span(1L, 0L, 1L, 2L, 0L, 4L)))
+      // invariants: spans tile each doc's tokens; offsets stay in-budget
+      val byDoc = rows.groupBy(_.doc_id)
+      assert(byDoc(1L).map(_.span_len).sum == 6L)
+      assert(byDoc(2L).map(_.span_len).sum == 8L)
+      assert(rows.forall(r => r.pack_off >= 0 && r.pack_off < 10 &&
+        r.span_len > 0 && r.pack_off + r.span_len <= 10))
+    } finally q.stop()
+  }
+
   test("zero-token documents emit nothing and advance nothing") {
     val docs = Seq(Doc(1L, 0L, 0L), Doc(2L, 0L, 5L)).toDS()
       .coalesce(1).sortWithinPartitions("doc_id")
