@@ -102,6 +102,24 @@ object SparkEntry {
           col("l_linenumber").as("last_line"), col("l_quantity").as("last_qty"))
     },
 
+    // LAST JOIN with a general (equi + residual) condition — the
+    // row_number strategy (JOIN_CLAUSE.md general condition;
+    // LastJoin.general). Ordering pins only the OUTPUT columns
+    // (l_extendedprice, l_suppkey): deeper ties yield identical rows,
+    // so the gate is data-independent.
+    "q_last_join_general" -> q { (s, d) =>
+      val o = T(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      val li = T(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_suppkey"))
+      LastJoin.general(o, li,
+          o("o_orderkey") === li("l_orderkey") && li("l_quantity") > 25,
+          struct(li("l_extendedprice"), li("l_suppkey")))
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("l_extendedprice").as("lj_price"),
+          col("l_suppkey").as("lj_supp"))
+    },
+
     // SetOperation: UNION DISTINCT
     "q_union" -> q { (s, d) =>
       T(s, d, "customer").select(col("c_custkey").as("key"))
@@ -1096,6 +1114,30 @@ object SparkEntry {
           col("lw_cnt"))
     },
 
+    // the same MV arithmetic END-TO-END through the SQL front-end:
+    // DEPLOY ... OPTIONS(long_windows='w:5m') then serve the corpus
+    // through the deployment — the pre-agg partials (not the raw
+    // frame) answer the sum/count (DEPLOY_STATEMENT.md:108-143,
+    // long_window_optimized.h:29-50). Same-ms ties deduped on both
+    // sides (see q_stream_deploy).
+    "q_sql_long_window" -> q { (s, d) =>
+      val tieW = Window.partitionBy(col("user_id"), col("ts_ms"))
+        .orderBy(col("event_id"))
+      val ev = T(s, d, "events")
+        .withColumn("__rn", row_number().over(tieW))
+        .filter(col("__rn") === 1).drop("__rn")
+      ev.createOrReplaceTempView("lw_sql_events")
+      GraftSql.statement(s,
+        """DEPLOY q_sql_lw_dep OPTIONS (long_windows='w:5m', overwrite=true)
+          |SELECT event_id, round(sum(value) OVER w, 3) AS lw_sum,
+          |  count(value) OVER w AS lw_cnt
+          |FROM lw_sql_events WINDOW w AS (PARTITION BY user_id
+          |  ORDER BY ts_ms
+          |  ROWS_RANGE BETWEEN 30m PRECEDING AND CURRENT ROW)""".stripMargin)
+      graft.sql.StreamDeploy.serveDeployment(s, "q_sql_lw_dep", ev)
+        .select(col("event_id"), col("lw_sum"), col("lw_cnt"))
+    },
+
     // the reference's benchmark query shape (benchmark/.../Util.java:71-110,
     // BASELINE.md): scalar exprs + one window × {distinct_count, sum,
     // count, avg, 2× case-when-count} over ROWS_RANGE MAXSIZE, plus a
@@ -1555,6 +1597,17 @@ object SparkEntry {
         |          ORDER BY l_linenumber DESC, l_quantity DESC, l_extendedprice DESC) AS rn
         |        FROM lineitem) WHERE rn = 1
         |) r ON o_orderkey = r.l_orderkey""".stripMargin,
+
+    "q_last_join_general" ->
+      """WITH j AS (
+        |  SELECT o.o_orderkey, o.o_totalprice,
+        |    l.l_extendedprice AS lj_price, l.l_suppkey AS lj_supp,
+        |    row_number() OVER (PARTITION BY o.o_orderkey
+        |      ORDER BY l.l_extendedprice DESC, l.l_suppkey DESC) AS rn
+        |  FROM orders o LEFT JOIN lineitem l
+        |    ON o.o_orderkey = l.l_orderkey AND l.l_quantity > 25)
+        |SELECT o_orderkey, o_totalprice, lj_price, lj_supp
+        |FROM j WHERE rn = 1""".stripMargin,
 
     "q_union" ->
       "SELECT c_custkey AS key FROM customer UNION SELECT o_custkey FROM orders",
@@ -2516,6 +2569,18 @@ object SparkEntry {
         | round(sum(value) OVER w, 3) AS lw_sum,
         | count(value) OVER w AS lw_cnt
         |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+        |             RANGE BETWEEN 1800000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_sql_long_window" ->
+      """WITH ev AS (
+        |  SELECT * FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, epoch_ms(ts)
+        |                             ORDER BY event_id) = 1)
+        |SELECT event_id,
+        | round(sum(value) OVER w, 3) AS lw_sum,
+        | count(value) OVER w AS lw_cnt
+        |FROM ev
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
         |             RANGE BETWEEN 1800000 PRECEDING AND CURRENT ROW)""".stripMargin,
 

@@ -946,6 +946,37 @@ object GraftSql {
   def deployment(spark: SparkSession, name: String): Option[String] =
     deployed(spark).get(name)
 
+  /** Body SQL of a deployment OR stored procedure (CALL and the HTTP
+    * serving shim resolve both, like the reference's apiserver — a
+    * DEPLOY is an SP there, api_server_impl.cc:451-458). */
+  def callableBody(spark: SparkSession, name: String): Option[String] =
+    deployed(spark).get(name).orElse(procedures(spark).get(name))
+
+  /** Request-row schema of a deployment/procedure: the body query's
+    * root-table schema minus engine-internal columns — what CALL types
+    * its literal args by and the HTTP API types JSON input rows by
+    * (the reference reads the same input schema off the SP,
+    * api_server_impl.cc:524-531). */
+  def requestSchemaFor(spark: SparkSession, name: String)
+      : org.apache.spark.sql.types.StructType = {
+    val bodySql = callableBody(spark, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"no deployment or procedure named '$name'"))
+    val cq = parseQueryText(bodySql)
+    def rootOf(r: TRef): String = r match {
+      case Left(n)    => n
+      case Right(sub) => rootOf(sub.selects.head.fromTable)
+    }
+    val rootTable = qualifyTable(spark, rootOf(cq.selects.head.fromTable))
+    // request rows may carry nulls even when the stored history's
+    // schema is non-nullable (a Seq-of-tuples view infers primitive
+    // fields as required) — the request-row schema is always nullable
+    org.apache.spark.sql.types.StructType(
+      spark.table(quoteId(rootTable)).schema.fields
+        .filterNot(_.name.startsWith("__graft"))
+        .map(_.copy(nullable = true)))
+  }
+
   /** DEPLOY OPTIONS by deployment name (long_windows, overwrite, …) —
     * serving consults them (StreamDeploy routes eligible windows
     * through the pre-agg partials when long_windows names them). */
@@ -2344,8 +2375,7 @@ object GraftSql {
         // against the stored history — requestMode with one row.
         p.expect("CALL")
         val cn = readTableName(p).split("\\.").last
-        val bodySql = deployed(spark).get(cn)
-          .orElse(procedures(spark).get(cn))
+        val bodySql = callableBody(spark, cn)
           .getOrElse(throw new IllegalArgumentException(
             s"no deployment or procedure named '$cn'"))
         p.expect("(")
@@ -2353,16 +2383,7 @@ object GraftSql {
         val argToks = splitTokenArgs(p.toks.slice(p.p, argsClose))
         p.p = argsClose + 1
         if (p.p != p.toks.length) p.fail("trailing tokens")
-        val cq = parseQueryText(bodySql)
-        def rootOf(r: TRef): String = r match {
-          case Left(n)    => n
-          case Right(sub) => rootOf(sub.selects.head.fromTable)
-        }
-        val rootTable = qualifyTable(spark,
-          rootOf(cq.selects.head.fromTable))
-        val reqSchema = org.apache.spark.sql.types.StructType(
-          spark.table(quoteId(rootTable)).schema.fields
-            .filterNot(_.name.startsWith("__graft")))
+        val reqSchema = requestSchemaFor(spark, cn)
         if (argToks.length != reqSchema.fields.length)
           throw new IllegalArgumentException(
             s"CALL $cn expects ${reqSchema.fields.length} arguments " +

@@ -1,0 +1,120 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.functions._
+import graft.serving.ApiServer
+import graft.sql.GraftSql
+
+/** The REST shim must return exactly what CALL returns for the same
+  * request row — it is the same requestMode plan behind an HTTP
+  * adapter (reference surface: src/apiserver/api_server_impl.cc). */
+class ApiServerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def post(port: Int, path: String, body: String): String = {
+    val client = HttpClient.newHttpClient()
+    val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
+      .build()
+    client.send(req, HttpResponse.BodyHandlers.ofString()).body()
+  }
+
+  private def get(port: Int, path: String): String = {
+    val client = HttpClient.newHttpClient()
+    val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      .GET().build()
+    client.send(req, HttpResponse.BodyHandlers.ofString()).body()
+  }
+
+  private def parse(json: String) =
+    new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+
+  test("POST /dbs/_/deployments/{name} answers match CALL row-for-row") {
+    GraftSql.resetDeployments(spark)
+    Seq(("u1", 10L, 1.0), ("u1", 20L, 2.0), ("u2", 5L, 5.0))
+      .toDF("k", "ts", "v").createOrReplaceTempView("api_ev")
+    GraftSql.statement(spark,
+      """DEPLOY api_d SELECT k, sum(v) OVER w AS s FROM api_ev
+        |WINDOW w AS (PARTITION BY k ORDER BY ts
+        |  ROWS_RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)""".stripMargin)
+    val srv = ApiServer.start(spark)
+    try {
+      // positional-array row
+      val r1 = parse(post(srv.port, "/dbs/demo/deployments/api_d",
+        """{"input": [["u1", 30, 3.0]]}"""))
+      assert(r1.get("code").asInt() == 0, r1.toString)
+      val data1 = r1.get("data").get("data")
+      assert(data1.size() == 1)
+      assert(data1.get(0).get(0).asText() == "u1")
+      assert(data1.get(0).get(1).asDouble() == 6.0) // 1 + 2 + request 3
+      // the CALL twin agrees
+      val call = GraftSql.statement(spark, "CALL api_d ('u1', 30, 3.0)")
+        .get.as[(String, Double)].collect().toSeq
+      assert(call == Seq(("u1", 6.0)))
+
+      // column-name map row + need_schema
+      val r2 = parse(post(srv.port, "/dbs/demo/deployments/api_d",
+        """{"input": [{"k": "u2", "ts": 50, "v": 0.5}], "need_schema": true}"""))
+      assert(r2.get("code").asInt() == 0, r2.toString)
+      assert(r2.get("data").get("data").get(0).get(1).asDouble() == 5.5)
+      val sch = r2.get("data").get("schema")
+      assert(sch.get(0).get("name").asText() == "k")
+      assert(sch.get(1).get("name").asText() == "s")
+
+      // batch input: one output row per request row, request rows
+      // never see each other (two u1 rows, same answer)
+      val r3 = parse(post(srv.port, "/dbs/demo/deployments/api_d",
+        """{"input": [["u1", 30, 3.0], ["u1", 30, 3.0]]}"""))
+      val d3 = r3.get("data").get("data")
+      assert(d3.size() == 2)
+      assert(d3.get(0).get(1).asDouble() == 6.0)
+      assert(d3.get(1).get(1).asDouble() == 6.0)
+
+      // GET echoes the deployment body
+      val g = parse(get(srv.port, "/dbs/demo/deployments/api_d"))
+      assert(g.get("code").asInt() == 0)
+      assert(g.get("data").get("sql").asText().contains("FROM api_ev"))
+
+      // errors: unknown name, bad arity, invalid input field
+      val eName = parse(post(srv.port, "/dbs/demo/deployments/nope",
+        """{"input": [[1]]}"""))
+      assert(eName.get("code").asInt() == -1)
+      assert(eName.get("msg").asText().contains("no deployment"))
+      val eArity = parse(post(srv.port, "/dbs/demo/deployments/api_d",
+        """{"input": [["u1", 30]]}"""))
+      assert(eArity.get("code").asInt() == -1)
+      assert(eArity.get("msg").asText().contains("Invalid input data size"))
+      val eInput = parse(post(srv.port, "/dbs/demo/deployments/api_d",
+        """{"nope": 1}"""))
+      assert(eInput.get("msg").asText().contains("input is invalid"))
+    } finally {
+      srv.stop()
+      GraftSql.resetDeployments(spark)
+    }
+  }
+
+  test("procedures route serves stored procedures; nulls round-trip") {
+    GraftSql.resetDeployments(spark)
+    Seq(("u1", 10L, 1.0), ("u1", 20L, 2.0))
+      .toDF("k", "ts", "v").createOrReplaceTempView("api_ev2")
+    GraftSql.statement(spark,
+      """CREATE PROCEDURE api_p (kk string, tts bigint, vv double)
+        |BEGIN SELECT k, count(v) OVER w AS c FROM api_ev2
+        |WINDOW w AS (PARTITION BY k ORDER BY ts
+        |  ROWS_RANGE BETWEEN 100 PRECEDING AND CURRENT ROW); END""".stripMargin)
+    val srv = ApiServer.start(spark)
+    try {
+      val r = parse(post(srv.port, "/dbs/demo/procedures/api_p",
+        """{"input": [["u1", 30, null]]}"""))
+      assert(r.get("code").asInt() == 0, r.toString)
+      // count(v) skips the request row's null v: history 2 rows
+      assert(r.get("data").get("data").get(0).get(1).asLong() == 2L)
+    } finally {
+      srv.stop()
+      GraftSql.resetDeployments(spark)
+    }
+  }
+}
