@@ -145,11 +145,29 @@ object ApiServer {
       out.schema.fields.foreach { f =>
         val fo = M.createObjectNode()
         fo.put("name", f.name)
-        fo.put("type", f.dataType.simpleString)
+        fo.put("type", wireType(f.dataType))
         sch.add(fo)
       }
     }
+    // the reference always carries common-column data (empty when the
+    // deployment declares none — ours never do; constants inline)
+    data.putArray("common_cols_data")
     envelope(0, "ok", Some(data))
+  }
+
+  /** Reference wire type names (openmldb type system, not Spark's) —
+    * cases/restful expects int16/int32/int64 etc. */
+  private def wireType(dt: DataType): String = dt match {
+    case ShortType     => "int16"
+    case IntegerType   => "int32"
+    case LongType      => "int64"
+    case FloatType     => "float"
+    case DoubleType    => "double"
+    case StringType    => "string"
+    case BooleanType   => "bool"
+    case TimestampType => "timestamp"
+    case DateType      => "date"
+    case other         => other.simpleString
   }
 
   /** JSON value → Spark external row value for `dt` (the subset of
@@ -194,7 +212,11 @@ object ApiServer {
           if (nanNull && (d.isNaN || d.isInfinite)) a.addNull() else a.add(d)
         case TimestampType =>
           a.add(r.getTimestamp(i).getTime)
-        case DateType => a.add(r.getDate(i).toString)
+        case DateType =>
+          // reference wire format: unpadded y-M-d ("2020-5-1",
+          // json_helper / restful corpus expectations)
+          val ld = r.getDate(i).toLocalDate
+          a.add(s"${ld.getYear}-${ld.getMonthValue}-${ld.getDayOfMonth}")
         case DecimalType() => a.add(r.getDecimal(i))
         case _ => a.add(String.valueOf(r.get(i)))
       }
