@@ -55,27 +55,85 @@ object ApiServer {
     new Handle(server)
   }
 
-  private val Route =
+  private val CallRoute =
     "/dbs/([^/]+)/(deployments|procedures)/([^/]+)".r
+  private val TableRoute =
+    "/dbs/([^/]+)/tables/([^/]+)".r
+  private val TableListRoute =
+    "/dbs/([^/]+)/tables".r
+
+  /** A deployment/procedure resolves when its DB exists and the name
+    * is registered — otherwise the reference's exact not-found message
+    * (api_server_impl.cc ShowProcedure path). The registry here is
+    * session-scoped, so any EXISTING db sees every deployment (like
+    * CALL, which ignores the qualifier). */
+  private def resolveCallable(spark: SparkSession, db: String,
+      name: String): String = {
+    val dbOk = db == "default" || GraftSql.databases(spark).contains(db)
+    (if (dbOk) GraftSql.callableBody(spark, name) else None).getOrElse(
+      throw new IllegalArgumentException(
+        s"procedure not found, msg: $name does not exist in $db"))
+  }
 
   private def handle(spark: SparkSession, ex: HttpExchange): Unit = {
     val reply =
       try {
         (ex.getRequestMethod, ex.getRequestURI.getPath) match {
-          case ("POST", Route(_, _, name)) =>
+          case ("POST", CallRoute(db, kind, name)) =>
             val body = new String(ex.getRequestBody.readAllBytes(),
               StandardCharsets.UTF_8)
-            execute(spark, name, body)
-          case ("GET", Route(_, _, name)) =>
-            val sql = GraftSql.callableBody(spark, name).getOrElse(
-              throw new IllegalArgumentException(
-                s"no deployment or procedure named '$name'"))
-            val data = M.createObjectNode()
-            data.put("name", name)
-            data.put("sql", sql)
-            envelope(0, "ok", Some(data))
+            // only the procedures route honors common (const) columns
+            // (api_server_impl.cc:451-458 binds has_common_col)
+            execute(spark, name, resolveCallable(spark, db, name), body,
+              hasCommon = kind == "procedures")
+          case ("GET", CallRoute(db, _, name)) =>
+            envelope(0, "ok",
+              Some(procedureInfo(spark, name,
+                resolveCallable(spark, db, name))))
+          case ("PUT", TableRoute(db, table)) =>
+            val body = new String(ex.getRequestBody.readAllBytes(),
+              StandardCharsets.UTF_8)
+            insertRow(spark, db, table, body)
+          case ("GET", TableRoute(db, table)) =>
+            // reference RegisterGetTable: {"table": {...}} (exact
+            // not-found wordings from api_server_impl.cc)
+            if (db != "default" && !GraftSql.databases(spark).contains(db))
+              envelope(-1, "DB not found", None)
+            else GraftSql.resolveDbTable(spark, db, table) match {
+              case None => envelope(-1, "Table not found", None)
+              case Some(vn) =>
+                val root = M.createObjectNode()
+                root.put("code", 0)
+                root.put("msg", "ok")
+                root.set[ObjectNode]("table", tableInfo(spark, table, vn))
+                M.writeValueAsString(root)
+            }
+          case ("GET", TableListRoute(db)) =>
+            if (db != "default" && !GraftSql.databases(spark).contains(db))
+              envelope(-1, "DB not found", None)
+            else {
+              val root = M.createObjectNode()
+              root.put("code", 0)
+              root.put("msg", "ok")
+              val arr = root.putArray("tables")
+              GraftSql.tablesIn(spark, db).foreach { t =>
+                GraftSql.resolveDbTable(spark, db, t).foreach(vn =>
+                  arr.add(tableInfo(spark, t, vn)))
+              }
+              M.writeValueAsString(root)
+            }
+          case ("GET", "/dbs") =>
+            // reference show-databases route: dbs list rides at the
+            // envelope's top level, not under data
+            val root = M.createObjectNode()
+            root.put("code", 0)
+            root.put("msg", "ok")
+            val arr = root.putArray("dbs")
+            GraftSql.databases(spark).toSeq.sorted.foreach(arr.add)
+            M.writeValueAsString(root)
           case (m, p) =>
-            envelope(-1, s"unsupported route: $m $p", None)
+            // reference InterfaceProvider wording for unroutable calls
+            envelope(-1, s"no match method: $m $p", None)
         }
       } catch {
         case e: Throwable =>
@@ -89,6 +147,101 @@ object ApiServer {
     ex.close()
   }
 
+  /** PUT /dbs/{db}/tables/{t} — the reference's single-row insert
+    * route (api_server_impl.cc:376-447): body {"value": [[...]]},
+    * exactly one positional row, strict per-column conversion (string
+    * columns take only JSON strings, timestamps only epoch numbers,
+    * integrals only integral numbers, NOT NULL columns refuse null). */
+  private def insertRow(spark: SparkSession, db: String, table: String,
+      body: String): String = {
+    val doc =
+      try M.readTree(body)
+      catch { case e: Throwable =>
+        return envelope(-1, "Json parse failed, error code: 1", None) }
+    if (doc == null || doc.isMissingNode)
+      return envelope(-1, "Json parse failed, error code: 1", None)
+    val value = if (doc.isObject) doc.get("value") else null
+    if (value == null || !value.isArray || value.isEmpty ||
+        value.size() > 1 || !value.get(0).isArray)
+      return envelope(-1,
+        "Invalid value in body, only support to put one row", None)
+    // the reference routes the row through GetInsertRow("insert into t
+    // values(?,...)") — an unknown table or db surfaces as that sql
+    // plan's failure, which also names the missing relation
+    val viewName = GraftSql.resolveDbTable(spark, db, table).getOrElse(
+      return envelope(-1,
+        s"fail to get sql plan with insert into $table values: " +
+          s"table $table does not exist in $db", None))
+    val schema = spark.table(quoteView(viewName)).schema
+    val arr = value.get(0)
+    if (arr.size() > schema.fields.length)
+      return envelope(-1, "column size != schema size", None)
+    if (arr.size() < schema.fields.length)
+      // too few placeholders: the reference's plan step fails
+      return envelope(-1,
+        s"fail to get sql plan with insert into $table: plan failed, " +
+          s"${arr.size()} values for ${schema.fields.length} columns",
+        None)
+    val vals =
+      try schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
+        val v = arr.get(i)
+        if ((v == null || v.isNull) && !f.nullable)
+          throw new IllegalArgumentException("not null")
+        coerceStrict(v, f.dataType)
+      } catch { case e: Throwable =>
+        return envelope(-1,
+          s"Translate to insert row failed: ${e.getMessage}", None)
+      }
+    graft.GraftCatalog.insertValues(spark, viewName,
+      Seq(Row.fromSeq(vals)))
+    envelope(0, "ok", None)
+  }
+
+  private def quoteView(n: String): String =
+    if (n.matches("[A-Za-z_][\\w]*")) n
+    else "`" + n.replace("`", "``") + "`"
+
+  /** Strict JSON → column conversion for the insert route (the
+    * deployment-execute route's [[coerce]] stays lenient for
+    * timestamps — request bodies there may carry ISO text). */
+  private def coerceStrict(v: JsonNode, dt: DataType): Any = {
+    if (v == null || v.isNull) return null
+    dt match {
+      case StringType =>
+        if (!v.isTextual) throw new IllegalArgumentException(
+          "value is not string")
+        v.asText()
+      case BooleanType =>
+        if (!v.isBoolean) throw new IllegalArgumentException(
+          "value is not bool")
+        v.asBoolean()
+      case IntegerType | ShortType | LongType =>
+        if (!v.isIntegralNumber) throw new IllegalArgumentException(
+          "value is not integral")
+        dt match {
+          case IntegerType => v.asInt()
+          case ShortType   => v.asInt().toShort
+          case _           => v.asLong()
+        }
+      case FloatType  =>
+        if (!v.isNumber) throw new IllegalArgumentException(
+          "value is not numeric")
+        v.asDouble().toFloat
+      case DoubleType =>
+        if (!v.isNumber) throw new IllegalArgumentException(
+          "value is not numeric")
+        v.asDouble()
+      case TimestampType =>
+        if (!v.isIntegralNumber) throw new IllegalArgumentException(
+          "timestamp takes an epoch-millis number")
+        new java.sql.Timestamp(v.asLong())
+      case DateType =>
+        java.sql.Date.valueOf(v.asText()) // throws on bad format
+      case other => throw new IllegalArgumentException(
+        s"unsupported column type ${other.simpleString}")
+    }
+  }
+
   private def envelope(code: Int, msg: String,
       data: Option[JsonNode]): String = {
     val root = M.createObjectNode()
@@ -99,12 +252,14 @@ object ApiServer {
   }
 
   /** Run one POST body against a deployment: parse, type the input
-    * rows by the request schema, request-mode them, render. */
-  private def execute(spark: SparkSession, name: String,
-      body: String): String = {
-    val bodySql = GraftSql.callableBody(spark, name).getOrElse(
-      throw new IllegalArgumentException(
-        s"no deployment or procedure named '$name'"))
+    * rows by the request schema, request-mode them, render.
+    * `bodySql` is the already-resolved deployment body; `name` keys
+    * the request-schema lookup. With `hasCommon` (procedures route),
+    * a stored signature's `const` params are COMMON columns: the body
+    * carries them once in `common_cols` and input rows carry only the
+    * non-const columns (api_server_impl.cc:487-545). */
+  private def execute(spark: SparkSession, name: String, bodySql: String,
+      body: String, hasCommon: Boolean = false): String = {
     val doc = M.readTree(body)
     val input = doc.get("input")
     if (input == null || !input.isArray || input.isEmpty)
@@ -114,20 +269,56 @@ object ApiServer {
     val needSchema = Option(doc.get("need_schema"))
       .exists(_.asBoolean(false))
 
-    val schema = GraftSql.requestSchemaFor(spark, name)
+    val sig = GraftSql.procedureSignature(spark, name)
+    // SP parameters bind POSITIONALLY to the request table's columns
+    // (the signature's formal names may differ from the column names);
+    // the table schema is authoritative for reading, the signature
+    // contributes the const flags
+    val tableSchema = GraftSql.requestSchemaFor(spark, name)
+    val schema: StructType = sig match {
+      case Some(s) if s.length != tableSchema.fields.length =>
+        StructType(s.map { case (n, t, _) =>
+          StructField(n, t, nullable = true) })
+      case _ => tableSchema
+    }
+    // const flags per schema position (procedures route only)
+    val isConst: Seq[Boolean] =
+      if (hasCommon) sig.map(_.map(_._3))
+        .getOrElse(Seq.fill(schema.fields.length)(false))
+      else Seq.fill(schema.fields.length)(false)
+    val commonVals: Seq[JsonNode] =
+      if (!hasCommon) Seq.empty
+      else doc.get("common_cols") match {
+        case null => Seq.empty
+        case cc if !cc.isArray =>
+          throw new IllegalArgumentException("common_cols is not array")
+        case cc => (0 until cc.size()).map(cc.get(_))
+      }
+    val nConst = isConst.count(identity)
+    if (hasCommon && commonVals.length != nConst)
+      throw new IllegalArgumentException("Invalid common cols size")
+    val expectedInput = schema.fields.length - nConst
+
     val rows = (0 until input.size()).map { i =>
       val r = input.get(i)
+      var ci = 0 // next common value
+      var ri = 0 // next row value
       val vals: Seq[Any] =
         if (r.isArray) {
-          if (r.size() != schema.fields.length)
+          if (r.size() != expectedInput)
             throw new IllegalArgumentException(
               s"Invalid input data size in row $i")
           schema.fields.toSeq.zipWithIndex.map { case (f, j) =>
-            coerce(r.get(j), f.dataType, f.name)
+            val v = if (isConst(j)) { val x = commonVals(ci); ci += 1; x }
+              else { val x = r.get(ri); ri += 1; x }
+            coerce(v, f.dataType, f.name)
           }
         } else if (r.isObject) {
-          schema.fields.toSeq.map(f => coerce(r.get(f.name), f.dataType,
-            f.name))
+          schema.fields.toSeq.zipWithIndex.map { case (f, j) =>
+            val v = if (isConst(j)) { val x = commonVals(ci); ci += 1; x }
+              else r.get(f.name)
+            coerce(v, f.dataType, f.name)
+          }
         } else throw new IllegalArgumentException(
           s"Must be array or map, row $i")
       Row.fromSeq(vals)
@@ -153,6 +344,117 @@ object ApiServer {
     // deployment declares none — ours never do; constants inline)
     data.putArray("common_cols_data")
     envelope(0, "ok", Some(data))
+  }
+
+  /** GET deployment/procedure info — the reference's ShowProcedure
+    * shape (cases/restful/v230/test_get_procedure.yaml): name, the
+    * original statement text, input schema (declared signature, or
+    * the request table for signature-less deployments), the PLANNED
+    * output schema, const/common column names, and the physical
+    * tables the body reads. Output common columns surface only when
+    * the body is a pass-through of the input schema (matching the
+    * corpus: SELECT * keeps them, any reshaping projection/window
+    * drops them). */
+  private def procedureInfo(spark: SparkSession, name: String,
+      bodySql: String): ObjectNode = {
+    val data = M.createObjectNode()
+    data.put("name", name)
+    val raw = GraftSql.procedureText(spark, name).getOrElse(bodySql)
+    data.put("sql", bodySql)
+    data.put("procedure", raw)
+    val sig = GraftSql.procedureSignature(spark, name)
+    val inSchema: StructType = sig match {
+      case Some(s) => StructType(s.map { case (n, t, _) =>
+        StructField(n, t, nullable = true) })
+      case None => GraftSql.requestSchemaFor(spark, name)
+    }
+    val consts = sig.map(_.filter(_._3).map(_._1)).getOrElse(Seq.empty)
+    def schemaArr(key: String, st: StructType): Unit = {
+      val a = data.putArray(key)
+      st.fields.foreach { f =>
+        val fo = M.createObjectNode()
+        fo.put("name", f.name)
+        fo.put("type", wireType(f.dataType))
+        a.add(fo)
+      }
+    }
+    schemaArr("input_schema", inSchema)
+    val outSchema = GraftSql.sql(spark, bodySql).schema
+    schemaArr("output_schema", outSchema)
+    val inCommon = data.putArray("input_common_cols")
+    consts.foreach(inCommon.add)
+    val outCommon = data.putArray("output_common_cols")
+    if (outSchema.fieldNames.sameElements(inSchema.fieldNames))
+      consts.foreach(outCommon.add)
+    val tbls = data.putArray("tables")
+    GraftSql.referencedTables(bodySql).foreach(tbls.add)
+    data
+  }
+
+  /** Table metadata (the reference's nameserver TableInfo JSON —
+    * cases/restful/v230/test_{desc,show_tables}.yaml): columns with
+    * the DESC type vocabulary and NOT NULL flags, declared indexes as
+    * column_key entries with the reference's TTL JSON (abs in
+    * MINUTES), partition/replica counts from CREATE TABLE options
+    * (standalone default 1/1). Placement fields the nameserver owns
+    * (table_partition_size, format_version, partition_key,
+    * schema_versions) carry the standalone constants. */
+  private def tableInfo(spark: SparkSession, short: String,
+      viewName: String): ObjectNode = {
+    val o = M.createObjectNode()
+    o.put("name", short)
+    o.put("table_partition_size", 1)
+    val opts = GraftSql.tableOptions(spark, short)
+    def intOpt(k: String, dflt: Int): Int =
+      opts.get(k).filter(_.matches("\\d+")).map(_.toInt).getOrElse(dflt)
+    o.put("partition_num", intOpt("partitionnum", 1))
+    o.put("replica_num", intOpt("replicanum", 1))
+    val notNull = GraftSql.notNullColumns(spark, short)
+    val cd = o.putArray("column_desc")
+    spark.table(quoteView(viewName)).schema.fields.foreach { f =>
+      val fo = M.createObjectNode()
+      fo.put("name", f.name)
+      fo.put("type", descType(f.dataType))
+      fo.put("not_null", notNull.contains(f.name))
+      cd.add(fo)
+    }
+    o.putArray("added_column_desc")
+    val ck = o.putArray("column_key")
+    GraftSql.tableIndexMeta(spark, short).foreach { m =>
+      val ko = M.createObjectNode()
+      val cn = ko.putArray("col_name")
+      m.keys.foreach(cn.add)
+      m.ts.foreach(ko.put("ts_name", _))
+      val ttl = ko.putObject("ttl")
+      ttl.put("ttl_type", m.ttl.kind)
+      m.ttl.kind match {
+        case "latest" => ttl.put("lat_ttl", m.ttl.lat)
+        case "absolute" => ttl.put("abs_ttl", m.ttl.absMs / 60000L)
+        case _ =>
+          ttl.put("abs_ttl", m.ttl.absMs / 60000L)
+          ttl.put("lat_ttl", m.ttl.lat)
+      }
+      ck.add(ko)
+    }
+    o.put("format_version", 1)
+    o.putArray("partition_key")
+    o.putArray("schema_versions")
+    o
+  }
+
+  /** DESC/table-metadata type vocabulary (string surfaces as varchar
+    * there, unlike the SP schema's `string`). */
+  private def descType(dt: DataType): String = dt match {
+    case StringType    => "varchar"
+    case ShortType     => "smallint"
+    case IntegerType   => "int"
+    case LongType      => "bigint"
+    case FloatType     => "float"
+    case DoubleType    => "double"
+    case BooleanType   => "bool"
+    case TimestampType => "timestamp"
+    case DateType      => "date"
+    case other         => other.simpleString
   }
 
   /** Reference wire type names (openmldb type system, not Spark's) —

@@ -1182,6 +1182,72 @@ object GraftSql {
       m
     }
 
+  // procedure signatures: name → (param, type, isConst) in declared
+  // order; const params are the reference's COMMON columns
+  private val procedureSigsBySession =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String,
+        Seq[(String, org.apache.spark.sql.types.DataType, Boolean)]]]()
+  private def procedureSigs(spark: SparkSession)
+      : scala.collection.concurrent.TrieMap[String,
+        Seq[(String, org.apache.spark.sql.types.DataType, Boolean)]] =
+    procedureSigsBySession.synchronized {
+      var m = procedureSigsBySession.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap[String,
+          Seq[(String, org.apache.spark.sql.types.DataType, Boolean)]]()
+        procedureSigsBySession.put(spark, m)
+      }
+      m
+    }
+
+  /** Declared signature of a stored procedure (REST shim surface):
+    * (param name, type, isConst) in order — const params are the
+    * common columns the HTTP procedures route splits out. */
+  def procedureSignature(spark: SparkSession, name: String)
+      : Option[Seq[(String, org.apache.spark.sql.types.DataType, Boolean)]] =
+    procedureSigs(spark).get(name)
+
+  // original CREATE PROCEDURE statement text (the reference's
+  // ShowProcedure echoes it verbatim)
+  private val procedureRawBySession =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, String]]()
+  private def procedureRaw(spark: SparkSession)
+      : scala.collection.concurrent.TrieMap[String, String] =
+    procedureRawBySession.synchronized {
+      var m = procedureRawBySession.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap[String, String]()
+        procedureRawBySession.put(spark, m)
+      }
+      m
+    }
+
+  /** The CREATE PROCEDURE statement as originally written. */
+  def procedureText(spark: SparkSession, name: String): Option[String] =
+    procedureRaw(spark).get(name)
+
+  /** Physical tables a query reads (FROM + JOIN sides, depth-first,
+    * deduped in first-reference order) — the reference's SP info
+    * `tables` field. */
+  def referencedTables(sqlText: String): Seq[String] = {
+    val out = scala.collection.mutable.LinkedHashSet[String]()
+    def walkRef(r: TRef): Unit = r match {
+      case Left(n)  => out += n
+      case Right(q) => walkQuery(q)
+    }
+    def walkQuery(q: Query): Unit = {
+      q.ctes.foreach { case (_, cq) => walkQuery(cq) }
+      q.selects.foreach { s =>
+        walkRef(s.fromTable)
+        s.joins.foreach(j => walkRef(j.table))
+      }
+    }
+    walkQuery(parseQueryText(sqlText))
+    out.toSeq
+  }
+
   /** CREATE FUNCTION registry (ddl/CREATE_FUNCTION.md;
     * udf_develop_guide.md:1-40). The reference registers C++ UDFs from
     * `.so` files via dlopen (hybridse/src/udf/dynamic_lib_manager.cc:37);
@@ -1366,9 +1432,9 @@ object GraftSql {
   private def parseColType(t: String): org.apache.spark.sql.types.DataType = {
     import org.apache.spark.sql.types._
     t.toLowerCase match {
-      case "int" | "int32" | "integer"  => IntegerType
-      case "smallint" | "int16"         => ShortType
-      case "bigint" | "int64" | "long"  => LongType
+      case "int" | "int32" | "integer" | "i32" => IntegerType
+      case "smallint" | "int16" | "i16"        => ShortType
+      case "bigint" | "int64" | "long" | "i64" => LongType
       case "float"                      => FloatType
       case "double"                     => DoubleType
       case "string" | "varchar"         => StringType
@@ -1929,7 +1995,26 @@ object GraftSql {
         // SP compile against a request row)
         p.expect("CREATE"); p.expect("PROCEDURE")
         val pn = readTableName(p)
-        if (p.peek == "(") p.p = matchClose(p.toks, p.p) + 1
+        if (p.peek == "(") {
+          // signature: [const] name type, ... — const marks COMMON
+          // columns (shared across a batch request, the reference's
+          // ColumnIndicesSet; the HTTP procedures route splits its
+          // common_cols/input by these flags)
+          val close = matchClose(p.toks, p.p)
+          val sigToks = p.toks.slice(p.p + 1, close)
+          p.p = close + 1
+          val sig = splitTokenArgs(sigToks).map { entry =>
+            val (isConst, rest) =
+              if (entry.headOption.exists(_.equalsIgnoreCase("const")))
+                (true, entry.tail)
+              else (false, entry)
+            require(rest.length == 2,
+              s"procedure parameter must be [const] name type: " +
+                entry.mkString(" "))
+            (unq(rest(0)), parseColType(rest(1)), isConst)
+          }
+          procedureSigs(spark).put(pn, sig)
+        }
         p.expect("BEGIN")
         val endIdx = p.toks.lastIndexWhere(_.equalsIgnoreCase("END"))
         if (endIdx < p.p) p.fail("CREATE PROCEDURE body must end with END")
@@ -1938,6 +2023,7 @@ object GraftSql {
         p.p = p.toks.length
         parseQueryText(body) // structural validation only
         procedures(spark).put(pn, body)
+        procedureRaw(spark).put(pn, text.trim)
         None
 
       case "CREATE" if p.toks.lift(1).exists(_.equalsIgnoreCase("INDEX")) =>
@@ -2016,7 +2102,12 @@ object GraftSql {
       case "DROP" if p.toks.lift(1).exists(_.equalsIgnoreCase("PROCEDURE")) =>
         p.expect("DROP"); p.expect("PROCEDURE")
         if (p.accept("IF")) p.expect("EXISTS")
-        procedures(spark) -= readTableName(p)
+        locally {
+          val dn = readTableName(p)
+          procedures(spark) -= dn
+          procedureSigs(spark) -= dn
+          procedureRaw(spark) -= dn
+        }
         None
 
       case "DROP" if p.toks.lift(1).exists(_.equalsIgnoreCase("INDEX")) =>
@@ -2186,6 +2277,7 @@ object GraftSql {
         // SPEC still validates (test_create.yaml ids 11/12/15-18)
         val indexSpecs = Seq.newBuilder[
           (Seq[String], Option[String], Option[graft.operators.Ttl.TtlSpec])]
+        val notNullBuf = scala.collection.mutable.LinkedHashSet[String]()
         var more = true
         while (more && p.peek != ")") {
           if (p.peekUp == "INDEX") {
@@ -2239,8 +2331,16 @@ object GraftSql {
                 s"reserved keyword '$cn' cannot name a column")
             val ct = unq(p.next())
             fields += org.apache.spark.sql.types.StructField(cn, parseColType(ct))
-            // skip NOT NULL / DEFAULT v to the next ',' or ')'
-            while (p.peek != "," && p.peek != ")" && p.p < p.toks.length) p.next()
+            // skip NOT NULL / DEFAULT v to the next ',' or ')' — the
+            // NOT NULL flag is recorded for the metadata surfaces (the
+            // view schema itself stays nullable: enforcement happens at
+            // the write path, not in Catalyst encoders)
+            while (p.peek != "," && p.peek != ")" && p.p < p.toks.length) {
+              if (p.peekUp == "NOT" &&
+                  p.toks.lift(p.p + 1).exists(_.equalsIgnoreCase("NULL")))
+                notNullBuf += cn
+              p.next()
+            }
           }
           more = p.accept(",")
         }
@@ -2287,6 +2387,9 @@ object GraftSql {
           reg.put(name.toLowerCase,
             TableStatusMeta(ctr.incrementAndGet(), tblOpts))
         }
+        if (notNullBuf.nonEmpty)
+          notNullColsOf(spark).put(name.toLowerCase, notNullBuf.toSet)
+        else notNullColsOf(spark).remove(name.toLowerCase)
         registerTableIndexes(spark, None, name,
           indexSpecs.result().map { case (ks, ts, _) =>
             s"idx:${ks.mkString("|")}:${ts.getOrElse("")}" },
@@ -2407,6 +2510,9 @@ object GraftSql {
         idxMetaOf(spark).remove(dropName.toLowerCase)
         tableStatusOf(spark)._2.remove(dropName.toLowerCase)
         tableStatusOf(spark)._2.remove(
+          qualifyTable(spark, dropName).toLowerCase)
+        notNullColsOf(spark).remove(dropName.toLowerCase)
+        notNullColsOf(spark).remove(
           qualifyTable(spark, dropName).toLowerCase)
         // dropping a table clears its offline info AND its hard-copy
         // files ("If we recreate table, this dir will be cleaned too",
@@ -2839,6 +2945,29 @@ object GraftSql {
     df.createOrReplaceTempView(quoteId(dbViewName(s"$db.$name")))
   }
 
+  /** Databases created in the session (REST shim surface — the
+    * reference's SHOW DATABASES; the unprefixed `default` namespace is
+    * implicit and not listed). */
+  def databases(spark: SparkSession): Set[String] = dbsOf(spark).toSet
+
+  /** Catalog view name of a db-scoped table, when it exists (REST
+    * shim surface). The db must exist (`default` = the implicit
+    * unprefixed namespace); a db-prefixed view wins, falling back to
+    * the session's unprefixed view — session tables are visible from
+    * any existing db, matching how deployments resolve. */
+  def resolveDbTable(spark: SparkSession, db: String,
+      table: String): Option[String] = {
+    val dbOk = db == "default" || dbsOf(spark).contains(db)
+    if (!dbOk || table.isEmpty) None
+    else {
+      val scopedName = dbViewName(s"$db.$table")
+      if (db != "default" &&
+          spark.catalog.tableExists(quoteId(scopedName))) Some(scopedName)
+      else if (spark.catalog.tableExists(quoteId(table))) Some(table)
+      else None
+    }
+  }
+
   // table → index specs (key columns, ts column); DELETE validates its
   // condition against these when present (DELETE_STATEMENT.md: the
   // condition must be key equality over one index)
@@ -2862,6 +2991,47 @@ object GraftSql {
     * read-time TTL visibility (operators/Ttl.scala). */
   final case class IndexMeta(keys: Seq[String], ts: Option[String],
       ttl: graft.operators.Ttl.TtlSpec, name: Option[String] = None)
+
+  // NOT NULL columns by table (CREATE TABLE decl flags) — the view
+  // schema stays nullable (enforcement is a write-path concern); the
+  // metadata surfaces (REST table info, strict inserts) read this
+  private val notNullColsBySession =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, Set[String]]]()
+  private def notNullColsOf(spark: SparkSession)
+      : scala.collection.concurrent.TrieMap[String, Set[String]] =
+    notNullColsBySession.synchronized {
+      var m = notNullColsBySession.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap[String, Set[String]]()
+        notNullColsBySession.put(spark, m)
+      }
+      m
+    }
+
+  /** Columns declared NOT NULL in CREATE TABLE (metadata surface). */
+  def notNullColumns(spark: SparkSession, table: String): Set[String] =
+    notNullColsOf(spark).getOrElse(table.toLowerCase, Set.empty)
+
+  /** CREATE TABLE OPTIONS of a table (metadata surface). */
+  def tableOptions(spark: SparkSession, table: String): Map[String, String] =
+    tableStatusOf(spark)._2.get(table.toLowerCase).map(_.opts)
+      .getOrElse(Map.empty)
+
+  /** Short names of the tables visible from `db` (REST shim surface):
+    * the db's prefixed views plus the session's unprefixed tables —
+    * the same visibility [[resolveDbTable]] resolves with. */
+  def tablesIn(spark: SparkSession, db: String): Seq[String] = {
+    val all = spark.catalog.listTables().collect().toSeq.map(_.name)
+    val scoped =
+      if (db == "default") Seq.empty
+      else {
+        val pfx = dbViewName(s"$db.")
+        all.filter(_.startsWith(pfx)).map(_.stripPrefix(pfx))
+      }
+    val plain = all.filterNot(_.startsWith("__graft"))
+    (scoped ++ plain).distinct.sorted
+  }
   private val idxMetaBySession =
     new java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[String, Seq[IndexMeta]]]()
@@ -3237,6 +3407,8 @@ object GraftSql {
   def resetDeployments(spark: SparkSession): Unit = {
     deployed(spark).clear()
     deployOpts(spark).clear()
+    procedureSigs(spark).clear()
+    procedureRaw(spark).clear()
   }
 
   /** Full per-case catalog isolation for the test harness: clears
@@ -3385,6 +3557,7 @@ object GraftSql {
     locally { val (ctr, reg) = jobsOf(spark); reg.clear(); ctr.set(0) }
     locally { val (ctr, reg) = tableStatusOf(spark); reg.clear(); ctr.set(0) }
     tableRowStatsOf(spark).clear()
+    notNullColsOf(spark).clear()
     procedures(spark).clear()
     dbsOf(spark).clear()
     sessionCurDb.remove(spark)

@@ -43,7 +43,7 @@ class ApiServerSpec extends SparkSpec {
     val srv = ApiServer.start(spark)
     try {
       // positional-array row
-      val r1 = parse(post(srv.port, "/dbs/demo/deployments/api_d",
+      val r1 = parse(post(srv.port, "/dbs/default/deployments/api_d",
         """{"input": [["u1", 30, 3.0]]}"""))
       assert(r1.get("code").asInt() == 0, r1.toString)
       val data1 = r1.get("data").get("data")
@@ -56,7 +56,7 @@ class ApiServerSpec extends SparkSpec {
       assert(call == Seq(("u1", 6.0)))
 
       // column-name map row + need_schema
-      val r2 = parse(post(srv.port, "/dbs/demo/deployments/api_d",
+      val r2 = parse(post(srv.port, "/dbs/default/deployments/api_d",
         """{"input": [{"k": "u2", "ts": 50, "v": 0.5}], "need_schema": true}"""))
       assert(r2.get("code").asInt() == 0, r2.toString)
       assert(r2.get("data").get("data").get(0).get(1).asDouble() == 5.5)
@@ -66,7 +66,7 @@ class ApiServerSpec extends SparkSpec {
 
       // batch input: one output row per request row, request rows
       // never see each other (two u1 rows, same answer)
-      val r3 = parse(post(srv.port, "/dbs/demo/deployments/api_d",
+      val r3 = parse(post(srv.port, "/dbs/default/deployments/api_d",
         """{"input": [["u1", 30, 3.0], ["u1", 30, 3.0]]}"""))
       val d3 = r3.get("data").get("data")
       assert(d3.size() == 2)
@@ -74,20 +74,25 @@ class ApiServerSpec extends SparkSpec {
       assert(d3.get(1).get(1).asDouble() == 6.0)
 
       // GET echoes the deployment body
-      val g = parse(get(srv.port, "/dbs/demo/deployments/api_d"))
+      val g = parse(get(srv.port, "/dbs/default/deployments/api_d"))
       assert(g.get("code").asInt() == 0)
       assert(g.get("data").get("sql").asText().contains("FROM api_ev"))
 
-      // errors: unknown name, bad arity, invalid input field
-      val eName = parse(post(srv.port, "/dbs/demo/deployments/nope",
+      // errors: unknown name, unknown db, bad arity, invalid input
+      val eName = parse(post(srv.port, "/dbs/default/deployments/nope",
         """{"input": [[1]]}"""))
       assert(eName.get("code").asInt() == -1)
-      assert(eName.get("msg").asText().contains("no deployment"))
-      val eArity = parse(post(srv.port, "/dbs/demo/deployments/api_d",
+      assert(eName.get("msg").asText() ==
+        "procedure not found, msg: nope does not exist in default")
+      val eDb = parse(post(srv.port, "/dbs/no_such_db/deployments/api_d",
+        """{"input": [["u1", 30, 3.0]]}"""))
+      assert(eDb.get("code").asInt() == -1)
+      assert(eDb.get("msg").asText().contains("does not exist in no_such_db"))
+      val eArity = parse(post(srv.port, "/dbs/default/deployments/api_d",
         """{"input": [["u1", 30]]}"""))
       assert(eArity.get("code").asInt() == -1)
       assert(eArity.get("msg").asText().contains("Invalid input data size"))
-      val eInput = parse(post(srv.port, "/dbs/demo/deployments/api_d",
+      val eInput = parse(post(srv.port, "/dbs/default/deployments/api_d",
         """{"nope": 1}"""))
       assert(eInput.get("msg").asText().contains("input is invalid"))
     } finally {
@@ -107,7 +112,7 @@ class ApiServerSpec extends SparkSpec {
         |  ROWS_RANGE BETWEEN 100 PRECEDING AND CURRENT ROW); END""".stripMargin)
     val srv = ApiServer.start(spark)
     try {
-      val r = parse(post(srv.port, "/dbs/demo/procedures/api_p",
+      val r = parse(post(srv.port, "/dbs/default/procedures/api_p",
         """{"input": [["u1", 30, null]]}"""))
       assert(r.get("code").asInt() == 0, r.toString)
       // count(v) skips the request row's null v: history 2 rows
