@@ -61,6 +61,8 @@ object ApiServer {
     "/dbs/([^/]+)/tables/([^/]+)".r
   private val TableListRoute =
     "/dbs/([^/]+)/tables".r
+  private val DbRoute =
+    "/dbs/([^/]+)".r
 
   /** A deployment/procedure resolves when its DB exists and the name
     * is registered — otherwise the reference's exact not-found message
@@ -122,6 +124,10 @@ object ApiServer {
               }
               M.writeValueAsString(root)
             }
+          case ("POST", DbRoute(db)) =>
+            val body = new String(ex.getRequestBody.readAllBytes(),
+              StandardCharsets.UTF_8)
+            executeSql(spark, db, body)
           case ("GET", "/dbs") =>
             // reference show-databases route: dbs list rides at the
             // envelope's top level, not under data
@@ -389,6 +395,93 @@ object ApiServer {
     val tbls = data.putArray("tables")
     GraftSql.referencedTables(bodySql).foreach(tbls.add)
     data
+  }
+
+  /** POST /dbs/{db} — the reference's ExecuteSQL route
+    * (api_server_impl.cc:140-197): body {"sql": "...", "mode":
+    * offsync|offasync|online|onsync, "parameter": [...],
+    * "write_nan_and_inf_null": bool}. Any statement the SQL front end
+    * takes runs here (the reference routes DDL through it too); a
+    * result set renders as {"data": {"schema": ["Int32", ...],
+    * "data": [[...]]}} with the capitalized type vocabulary. The mode
+    * maps onto the session's execute_mode (online/offline dual-store
+    * routing); sync-vs-async is a job-scheduling concern the local
+    * engine runs synchronously either way. */
+  private def executeSql(spark: SparkSession, db: String,
+      body: String): String = {
+    val doc =
+      try M.readTree(body)
+      catch { case e: Throwable =>
+        return envelope(-1,
+          s"Json parse failed, ${Option(e.getMessage).getOrElse("")}"
+            .take(200), None) }
+    if (doc == null || !doc.isObject || !doc.has("sql") ||
+        !doc.get("sql").isTextual)
+      return envelope(-1, "Json parse failed, missing sql", None)
+    val sql = doc.get("sql").asText()
+    val mode = Option(doc.get("mode")).filterNot(_.isNull)
+      .map(_.asText().toLowerCase).getOrElse("offsync")
+    val online = mode match {
+      case "offsync" | "offasync" => false
+      case "online" | "onsync"    => true
+      case other => return envelope(-1, s"Invalid mode $other", None)
+    }
+    if (db != "default" && !GraftSql.databases(spark).contains(db))
+      return envelope(-1, s"DB $db not found", None)
+    val nanNull = Option(doc.get("write_nan_and_inf_null"))
+      .exists(_.asBoolean(false))
+    val params: Seq[Any] = Option(doc.get("parameter"))
+      .filter(_.isArray).map { arr =>
+        (0 until arr.size()).map { i =>
+          val v = arr.get(i)
+          if (v.isNull) null
+          else if (v.isTextual) v.asText()
+          else if (v.isBoolean) v.asBoolean()
+          else if (v.isIntegralNumber) v.asLong()
+          else v.asDouble()
+        }
+      }.getOrElse(Seq.empty)
+    // run under the requested execute_mode, restoring the session's
+    val prev = GraftSql.statement(spark, "SHOW VARIABLES").get
+      .collect().find(_.getString(0) == "execute_mode")
+      .map(_.getString(1)).getOrElse("online")
+    GraftSql.statement(spark,
+      s"SET @@execute_mode = '${if (online) "online" else "offline"}'")
+    // parameterized queries bind through the query front end (the
+    // statement surface's `?` binding covers prepared INSERTs)
+    val up = sql.trim.toUpperCase
+    val isQuery = up.startsWith("SELECT") || up.startsWith("WITH")
+    val result =
+      try {
+        if (isQuery && params.nonEmpty)
+          Some(GraftSql.sql(spark, sql, params = params))
+        else GraftSql.statement(spark, sql, params.toList)
+      } finally GraftSql.statement(spark, s"SET @@execute_mode = '$prev'")
+    result match {
+      case None => envelope(0, "ok", None)
+      case Some(df) =>
+        val data = M.createObjectNode()
+        val sch = data.putArray("schema")
+        df.schema.fields.foreach(f => sch.add(queryType(f.dataType)))
+        val arr = data.putArray("data")
+        df.collect().foreach(r => arr.add(renderRow(r, df.schema, nanNull)))
+        envelope(0, "ok", Some(data))
+    }
+  }
+
+  /** Capitalized type vocabulary of the ExecuteSQL result schema
+    * (api_server_impl.cc:1292-1330). */
+  private def queryType(dt: DataType): String = dt match {
+    case BooleanType   => "Bool"
+    case ShortType     => "Int16"
+    case IntegerType   => "Int32"
+    case LongType      => "Int64"
+    case FloatType     => "Float"
+    case DoubleType    => "Double"
+    case StringType    => "String"
+    case DateType      => "Date"
+    case TimestampType => "Timestamp"
+    case other         => other.simpleString.capitalize
   }
 
   /** Table metadata (the reference's nameserver TableInfo JSON —

@@ -101,6 +101,48 @@ class ApiServerSpec extends SparkSpec {
     }
   }
 
+  test("POST /dbs/{db} runs any statement (the ExecuteSQL route)") {
+    val srv = ApiServer.start(spark)
+    try {
+      // DDL + DML through the route (the reference routes DDL here too)
+      val c = parse(post(srv.port, "/dbs/default",
+        """{"sql": "CREATE TABLE api_q (k string, v int)", "mode": "online"}"""))
+      assert(c.get("code").asInt() == 0, c.toString)
+      assert(parse(post(srv.port, "/dbs/default",
+        """{"sql": "INSERT INTO api_q VALUES ('a', 1)", "mode": "online"}"""))
+        .get("code").asInt() == 0)
+      assert(parse(post(srv.port, "/dbs/default",
+        """{"sql": "INSERT INTO api_q VALUES ('b', 2)", "mode": "online"}"""))
+        .get("code").asInt() == 0)
+      // query: capitalized schema vocabulary + row data
+      val q = parse(post(srv.port, "/dbs/default",
+        """{"sql": "SELECT k, v FROM api_q", "mode": "online"}"""))
+      assert(q.get("code").asInt() == 0, q.toString)
+      val sch = q.get("data").get("schema")
+      assert(sch.get(0).asText() == "String" && sch.get(1).asText() == "Int32")
+      val rows = (0 until q.get("data").get("data").size())
+        .map(i => q.get("data").get("data").get(i))
+        .map(r => (r.get(0).asText(), r.get(1).asInt())).sortBy(_._1)
+      assert(rows == Seq(("a", 1), ("b", 2)))
+      // parameterized query
+      val p = parse(post(srv.port, "/dbs/default",
+        """{"sql": "SELECT k FROM api_q WHERE v > ?", "mode": "online",
+          | "parameter": [1]}""".stripMargin))
+      assert(p.get("code").asInt() == 0, p.toString)
+      assert(p.get("data").get("data").size() == 1)
+      assert(p.get("data").get("data").get(0).get(0).asText() == "b")
+      // error surface: bad mode, missing sql, unknown db
+      assert(parse(post(srv.port, "/dbs/default",
+        """{"sql": "SELECT 1", "mode": "nope"}""")).get("msg").asText()
+        == "Invalid mode nope")
+      assert(parse(post(srv.port, "/dbs/default", """{"mode": "online"}"""))
+        .get("msg").asText().contains("Json parse failed"))
+      assert(parse(post(srv.port, "/dbs/ghost",
+        """{"sql": "SELECT 1", "mode": "online"}""")).get("code").asInt() == -1)
+      GraftSql.statement(spark, "DROP TABLE api_q")
+    } finally srv.stop()
+  }
+
   test("procedures route serves stored procedures; nulls round-trip") {
     GraftSql.resetDeployments(spark)
     Seq(("u1", 10L, 1.0), ("u1", 20L, 2.0))
