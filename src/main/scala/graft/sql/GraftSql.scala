@@ -2585,6 +2585,9 @@ object GraftSql {
               new java.io.File(dir))
           df.write.mode("append").parquet(dir)
           offlineOf(spark).put(key, info.copy(dataPath = Some(dir)))
+          // offline writes change data under an unchanged plan — the
+          // stored-stats cache cannot see them through its plan hash
+          tableRowStatsOf(spark).remove(key)
         } else if (orIgnore) {
           val df = spark.createDataFrame(
             spark.sparkContext.parallelize(rows.result()), schema)
@@ -2696,6 +2699,12 @@ object GraftSql {
         if (!spark.catalog.tableExists(name))
           throw new IllegalArgumentException(
             s"LOAD DATA target table '$rawName' does not exist")
+        // offline loads change data UNDER an unchanged view plan, so
+        // the plan-hash key of the stored-stats cache cannot see them —
+        // invalidate explicitly (online loads re-register the view and
+        // invalidate through the hash)
+        tableRowStatsOf(spark).remove(name.toLowerCase)
+        tableRowStatsOf(spark).remove(rawName.toLowerCase)
         val schema = spark.table(name).schema
         val mode = opts.get("mode").map(stripQuotes).map(_.toLowerCase)
           .map { case "error_if_exists" => "errorifexists"; case m => m }
