@@ -266,7 +266,11 @@ object ApiServer {
     * non-const columns (api_server_impl.cc:487-545). */
   private def execute(spark: SparkSession, name: String, bodySql: String,
       body: String, hasCommon: Boolean = false): String = {
-    val doc = M.readTree(body)
+    val doc =
+      try M.readTree(body)
+      catch { case _: Throwable => null }
+    if (doc == null || doc.isMissingNode || !doc.isObject)
+      throw new IllegalArgumentException("Request body json parse failed")
     val input = doc.get("input")
     if (input == null || !input.isArray || input.isEmpty)
       throw new IllegalArgumentException("Field input is invalid")
@@ -569,12 +573,16 @@ object ApiServer {
     * types a request table carries). */
   private def coerce(v: JsonNode, dt: DataType, field: String): Any = {
     if (v == null || v.isNull) return null
+    def integral(): Unit =
+      if (!v.isIntegralNumber) throw new IllegalArgumentException(
+        s"Translate to request row failed: non-integral value for " +
+          s"$field (${dt.simpleString})")
     dt match {
       case StringType  => v.asText()
       case BooleanType => v.asBoolean()
-      case IntegerType => v.asInt()
-      case ShortType   => v.asInt().toShort
-      case LongType    => v.asLong()
+      case IntegerType => integral(); v.asInt()
+      case ShortType   => integral(); v.asInt().toShort
+      case LongType    => integral(); v.asLong()
       case FloatType   => v.asDouble().toFloat
       case DoubleType  => v.asDouble()
       case TimestampType =>

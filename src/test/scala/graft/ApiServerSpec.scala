@@ -95,6 +95,17 @@ class ApiServerSpec extends SparkSpec {
       val eInput = parse(post(srv.port, "/dbs/default/deployments/api_d",
         """{"nope": 1}"""))
       assert(eInput.get("msg").asText().contains("input is invalid"))
+      // empty body and non-object roots answer a parse error, not a 500
+      val eEmpty = parse(post(srv.port, "/dbs/default/deployments/api_d", ""))
+      assert(eEmpty.get("code").asInt() == -1)
+      assert(eEmpty.get("msg").asText().contains("json parse failed")
+        || eEmpty.get("msg").asText().contains("Request body"))
+      // non-integral values into integral columns are rejected, not
+      // silently truncated (ts is bigint here)
+      val eTrunc = parse(post(srv.port, "/dbs/default/deployments/api_d",
+        """{"input": [["u1", 30.7, 3.0]]}"""))
+      assert(eTrunc.get("code").asInt() == -1)
+      assert(eTrunc.get("msg").asText().contains("non-integral"))
     } finally {
       srv.stop()
       GraftSql.resetDeployments(spark)
