@@ -1309,6 +1309,16 @@ object SparkEntry {
         Map("orders" -> T(s, d, "orders")))
     },
 
+    // column AND table aliases through the dialect front end (the
+    // Rename operator — previously corpus/spec-verified only)
+    "q_sql_alias" -> q { (s, d) =>
+      graft.sql.GraftSql.sql(s,
+        """SELECT o.o_orderkey AS id, o.o_totalprice AS price,
+          |  o.o_orderstatus AS st
+          |FROM orders AS o WHERE o.o_orderkey < 1000""".stripMargin,
+        Map("orders" -> T(s, d, "orders")))
+    },
+
     // LAST JOIN with an interval-literal range condition — the as-of
     // range-join shape (cases/plan/join_query.yaml ids 7-1/7-2):
     // each event joins its latest strictly-earlier same-user event
@@ -2538,6 +2548,11 @@ object SparkEntry {
 
     "q_sql_distinct" ->
       "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+
+    "q_sql_alias" ->
+      """SELECT o.o_orderkey AS id, o.o_totalprice AS price,
+        |  o.o_orderstatus AS st
+        |FROM orders AS o WHERE o.o_orderkey < 1000""".stripMargin,
 
     "q_sql_interval_join" ->
       """SELECT e.event_id AS event_id,
