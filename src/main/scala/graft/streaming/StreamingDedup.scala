@@ -51,24 +51,39 @@ object StreamingDedup {
   case class BucketRow(doc_id: Long, band: Int, bh: String)
   case class BucketMatch(doc_id: Long, matched_id: Option[Long])
 
+  /** Bucket state: the first-arrived claimant plus the arrivals seen —
+    * two longs per live (band, bucket). */
+  case class BucketState(owner: Long, seen: Long)
+
   /** Streaming incremental LSH near-dup — the online half of
-    * [[graft.operators.Dedup.lshFirstSeen]]: state is ONE long per
-    * live (band, bucket) — the first-arrived claimant — sharded on the
-    * bucket key Spark already shuffles on. Emits one verdict per input
-    * bucket row; the per-document reduction (is_dup = any match,
-    * matched_id = min) is a trivial groupBy at the consumer (or sink
-    * side), keeping this operator single-stateful-stage. Within a
-    * micro-batch rows claim in doc_id order, so an in-order feed
-    * reproduces the batch verdicts exactly (StreamingDedupSpec);
-    * under out-of-order arrival the FIRST ARRIVAL owns the bucket —
-    * arrival semantics, like [[firstSeen]]. `stateTtl` bounds state by
-    * processing-time expiry. */
+    * [[graft.operators.Dedup.lshFirstSeen]]: state is two longs per
+    * live (band, bucket) — the first-arrived claimant and the arrival
+    * count — sharded on the bucket key Spark already shuffles on.
+    * Emits one verdict per input bucket row; the per-document
+    * reduction (is_dup = any match, matched_id = min) is a trivial
+    * groupBy at the consumer (or sink side), keeping this operator
+    * single-stateful-stage. Within a micro-batch rows claim in doc_id
+    * order, so an in-order feed reproduces the batch verdicts exactly
+    * (StreamingDedupSpec); under out-of-order arrival the FIRST
+    * ARRIVAL owns the bucket — arrival semantics, like [[firstSeen]].
+    * `stateTtl` bounds state by processing-time expiry.
+    *
+    * `maxBucketSize` is the streaming face of the batch operator's
+    * hot-bucket cap, under arrival semantics: once a bucket has seen
+    * `maxBucketSize` docs it goes DORMANT — later arrivals neither
+    * match through it nor claim it. Verdicts already emitted stand
+    * (append mode cannot retract), so it diverges from the batch cap
+    * exactly where arrival order must: the batch form drops an
+    * over-cap bucket retroactively, the stream stops it going forward.
+    * Buckets that never exceed the cap agree with batch exactly —
+    * both halves pinned in StreamingDedupSpec. */
   def lshFirstSeen(docs: DataFrame, idCol: String, textCol: String,
       bands: Int = 4, rowsPerBand: Int = 3,
-      stateTtl: Option[String] = None): Dataset[BucketMatch] = {
+      stateTtl: Option[String] = None,
+      maxBucketSize: Int = 0): Dataset[BucketMatch] = {
     implicit val rowEnc = Encoders.product[BucketRow]
     implicit val outEnc = Encoders.product[BucketMatch]
-    implicit val longEnc = Encoders.scalaLong
+    implicit val stEnc = Encoders.product[BucketState]
     implicit val strEnc = Encoders.STRING
     val timeout =
       if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
@@ -77,23 +92,28 @@ object StreamingDedup {
         bands, rowsPerBand)
       .as[BucketRow]
       .groupByKey(r => r.band + "|" + r.bh)
-      .flatMapGroupsWithState[Long, BucketMatch](
+      .flatMapGroupsWithState[BucketState, BucketMatch](
         OutputMode.Append(), timeout) { (_, rows, state) =>
         if (state.hasTimedOut) { state.remove(); Iterator.empty }
         else {
-          var owner: Option[Long] =
-            if (state.exists) Some(state.get) else None
+          var st: Option[BucketState] = state.getOption
           val out = rows.toVector.sortBy(_.doc_id).map { r =>
-            owner match {
-              case Some(o) if o != r.doc_id =>
-                BucketMatch(r.doc_id, Some(o))
+            val dormant = maxBucketSize > 0 &&
+              st.exists(_.seen >= maxBucketSize)
+            val verdict = st match {
+              case _ if dormant => BucketMatch(r.doc_id, None)
+              case Some(s) if s.owner != r.doc_id =>
+                BucketMatch(r.doc_id, Some(s.owner))
               case Some(_) => BucketMatch(r.doc_id, None)
-              case None =>
-                owner = Some(r.doc_id)
-                state.update(r.doc_id)
-                stateTtl.foreach(state.setTimeoutDuration)
-                BucketMatch(r.doc_id, None)
+              case None => BucketMatch(r.doc_id, None)
             }
+            if (!dormant) {
+              st = Some(st.map(s => s.copy(seen = s.seen + 1))
+                .getOrElse(BucketState(r.doc_id, 1L)))
+              state.update(st.get)
+              stateTtl.foreach(state.setTimeoutDuration)
+            }
+            verdict
           }
           out.iterator
         }

@@ -88,6 +88,43 @@ class StreamingDedupSpec extends SparkSpec {
     assert(!streamed.contains(5L), "empty doc should emit no buckets")
   }
 
+  test("streaming hot-bucket cap: dormant after the cap, under-cap " +
+      "buckets keep batch parity (arrival semantics pinned)") {
+    implicit val sqlCtx = spark.sqlContext
+    // 6 identical docs — every band bucket fills with all of them —
+    // plus an unrelated pair that matches through small buckets
+    val boiler = (0L until 6L).map(i => Doc(i, "common template body text"))
+    val pair = Seq(Doc(10L, "unique alpha beta gamma delta"),
+      Doc(11L, "unique alpha beta gamma delta"))
+    val docs = boiler ++ pair
+    val mem = MemoryStream[Doc]
+    val q = StreamingDedup.lshFirstSeen(mem.toDF(), "doc_id", "text",
+        maxBucketSize = 3)
+      .writeStream.format("memory").queryName("lsh_cap")
+      .outputMode("append").start()
+    try {
+      docs.foreach { d => mem.addData(d); q.processAllAvailable() }
+      val verdicts = spark.table("lsh_cap")
+        .groupBy("doc_id").agg(min("matched_id").as("matched_id"))
+        .collect().map(r => (r.getLong(0), !r.isNullAt(1))).toMap
+      // arrivals before the cap matched (docs 1, 2 against owner 0);
+      // arrivals after the bucket went dormant did not (docs 3..5) —
+      // the divergence from the batch cap, which drops the whole
+      // bucket retroactively, is exactly these pre-cap verdicts
+      assert(verdicts(1L) && verdicts(2L), s"pre-cap arrivals: $verdicts")
+      assert(!verdicts(3L) && !verdicts(4L) && !verdicts(5L),
+        s"post-cap arrivals must be dormant: $verdicts")
+      // the small-bucket pair is untouched by the cap — batch parity
+      assert(!verdicts(10L) && verdicts(11L), s"small bucket: $verdicts")
+      val batchCapped = Dedup.lshFirstSeen(docs.toDF(), "doc_id", "text",
+          maxBucketSize = 3)
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+      assert(!batchCapped(1L) && !batchCapped(2L),
+        "batch cap drops the hot bucket retroactively (documented)")
+      assert(batchCapped(11L) && !batchCapped(10L))
+    } finally q.stop()
+  }
+
   test("withinWatermark drops duplicates inside the lateness bound") {
     implicit val sqlCtx = spark.sqlContext
     case class Ev(doc_id: Long, text: String, ts: java.sql.Timestamp)
