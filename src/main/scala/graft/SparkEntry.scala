@@ -1387,6 +1387,15 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     },
 
+    // temperature-flattened mixing (T5/multilingual rule): shares
+    // p_s ∝ n_s^(1/T), downsample-only; rates quantized to 1e-6 so
+    // DuckDB's pow replays the identical keep set
+    "q_temperature_mix" -> q { (s, d) =>
+      Sampling.temperatureMix(T(s, d, "documents"), col("lang"),
+          col("doc_id"), temperature = 2.0, salt = "t15")
+        .select(col("doc_id"), col("lang"))
+    },
+
     // weighted (importance) sampling: keep-probability proportional
     // to document length, content-addressed so any engine/retry
     // selects the identical subset
@@ -2698,6 +2707,19 @@ object SparkEntry {
         |      FROM j CROSS JOIN np)
         |SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.lang
         |WHERE CAST(concat('0x', substr(md5(d.doc_id || ':r14'), 1, 8))
+        |        AS BIGINT) / 4294967296.0 < r.rate""".stripMargin,
+
+    "q_temperature_mix" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n
+        |           FROM documents GROUP BY lang),
+        |p AS (SELECT lang, n,
+        |        pow(n, 0.5) / sum(pow(n, 0.5)) OVER () AS p FROM c),
+        |np AS (SELECT min(n / p) AS np FROM p),
+        |r AS (SELECT lang,
+        |        floor(least(1.0, p * np / n) * 1000000) / 1000000 AS rate
+        |      FROM p CROSS JOIN np)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.lang
+        |WHERE CAST(concat('0x', substr(md5(d.doc_id || ':t15'), 1, 8))
         |        AS BIGINT) / 4294967296.0 < r.rate""".stripMargin,
 
     "q_sample_weighted" ->

@@ -108,6 +108,41 @@ object Sampling {
       .drop("__rate", "__rate_s")
   }
 
+  /** Temperature-flattened mixture sampling — the multilingual/T5
+    * mixing rule: the kept corpus follows shares p_s ∝ n_s^(1/T)
+    * (T = 1 keeps the natural mix, i.e. everything; T → ∞ approaches
+    * uniform shares), realized by downsampling only, so the largest
+    * achievable total is N' = min_s(n_s / p_s) and stratum s keeps
+    * with rate p_s · N' / n_s — the limiting stratum keeps all rows.
+    *
+    * Scale: identical shape to [[rebalance]] — one stratum-cardinality
+    * aggregate, unit-sized share/total relations riding along as
+    * broadcasts, and the corpus side stays a pure filter on the
+    * content-addressed coordinate (pushdown applies; any engine/retry
+    * keeps identical rows). Unlike rebalance's dyadic literal shares,
+    * the pow() rates are NOT binary-exact across runtimes, so rates
+    * quantize to 1e-6 before the coordinate compare — the same
+    * discipline as the suite's quality-score gates — and any engine
+    * replays the identical keep set. */
+  def temperatureMix(df: DataFrame, stratum: Column, key: Column,
+      temperature: Double, salt: String = "graft"): DataFrame = {
+    require(temperature > 0.0, "temperature must be positive")
+    val invT = 1.0 / temperature
+    val counts = df.groupBy(stratum.as("__stratum"))
+      .agg(count(lit(1)).cast("double").as("__n"))
+    val tot = counts.agg(sum(pow(col("__n"), invT)).as("__tot"))
+    val p = counts.crossJoin(broadcast(tot))
+      .withColumn("__p", pow(col("__n"), invT) / col("__tot"))
+    val nPrime = p.agg(min(col("__n") / col("__p")).as("__np"))
+    val rates = p.crossJoin(broadcast(nPrime))
+      .select(col("__stratum").as("__rate_s"),
+        (floor(least(lit(1.0), col("__p") * col("__np") / col("__n"))
+          * 1e6) / 1e6).as("__rate"))
+    df.join(broadcast(rates), stratum === col("__rate_s"), "inner")
+      .where(sampleFraction(key, salt) < col("__rate"))
+      .drop("__rate", "__rate_s")
+  }
+
   /** Stratified fixed-quota sample: the `quota` rows of each stratum
     * whose decision coordinate orders first (key tiebreak). One
     * hash-shuffle on the stratum column + one in-partition sort —

@@ -101,6 +101,37 @@ class SamplingSpec extends SparkSpec {
       Map("a" -> 0.5, "b" -> 0.5)).collect().map(_.getLong(0)).toSet
     assert(again == out.collect().map(_.getLong(0)).toSet)
   }
+  test("temperatureMix: T=1 keeps everything; T=2 flattens the mix; " +
+      "deterministic under repartitioning") {
+    import spark.implicits._
+    val df = (0L until 3000L).map(i =>
+      (i, if (i % 6 < 4) "big" else "small")).toDF("id", "s")
+    // big: 2000, small: 1000
+    // T=1: p_s = natural shares -> every rate is 1.0, identity keep
+    val t1 = Sampling.temperatureMix(df, col("s"), col("id"), 1.0)
+    assert(t1.count() == 3000L)
+    // T=2: p ∝ sqrt(n): p_big ≈ 0.5858, p_small ≈ 0.4142;
+    // N' = min(2000/p_big ≈ 3414, 1000/p_small ≈ 2414) — SMALL is the
+    // limiting stratum and keeps all 1000; big keeps with rate
+    // p_big·N'/2000 ≈ 0.7071 → ~1414 rows in expectation
+    val out = Sampling.temperatureMix(df, col("s"), col("id"), 2.0,
+      salt = "tm").cache()
+    val n = out.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(n("small") == 1000L, s"limiting stratum keeps everything: $n")
+    assert(n("big") > 1280 && n("big") < 1550,
+      s"big should keep ~1414 in expectation, got $n")
+    // the kept mix flattened toward the sqrt shares (natural small
+    // share was 1/3; target ≈ 0.414)
+    val smallShare = n("small").toDouble / n.values.sum
+    assert(smallShare > 0.37 && smallShare < 0.46,
+      s"small share should flatten toward 0.414, got $smallShare ($n)")
+    // deterministic under repartitioning
+    val again = Sampling.temperatureMix(df.repartition(7), col("s"),
+      col("id"), 2.0, salt = "tm").collect().map(_.getLong(0)).toSet
+    assert(again == out.collect().map(_.getLong(0)).toSet)
+  }
+
   test("rebalance fails fast on a target stratum absent from the corpus") {
     import spark.implicits._
     val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "s")
