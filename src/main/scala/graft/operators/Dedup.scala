@@ -242,10 +242,14 @@ object Dedup {
     val matched = buckets.join(firsts, Seq("band", "bh"))
       .where(col("first_id") < col("doc_id"))
       .groupBy("doc_id").agg(min("first_id").as("matched_id"))
+    // buckets0, NOT the capped derivative: unpersist matches cache
+    // entries by plan equality, so handing back the filter-derived
+    // frame would no-op and leak the shingle/signature cache on every
+    // capped call.
     (docs.select(col(idCol).as("doc_id"))
       .join(matched, Seq("doc_id"), "left")
       .select(col("doc_id"), col("matched_id").isNotNull.as("is_dup"),
-        col("matched_id")), buckets)
+        col("matched_id")), buckets0)
   }
 
   /** Distinct word tokens of a text column. */

@@ -64,18 +64,33 @@ object ApiServer {
   private val DbRoute =
     "/dbs/([^/]+)".r
 
-  /** A deployment/procedure resolves when its DB exists and the name
-    * is registered — otherwise the reference's exact not-found message
-    * (api_server_impl.cc ShowProcedure path). The registry here is
-    * session-scoped, so any EXISTING db sees every deployment (like
-    * CALL, which ignores the qualifier). */
+  /** A deployment/procedure resolves when its DB exists, the name is
+    * registered, AND the deployment's home db matches the URL db —
+    * the reference scopes deployments per-db (ShowProcedure takes
+    * (db, name)). A deployment made with no current db (the implicit
+    * default namespace) stays visible from every existing db, matching
+    * CALL's qualifier-free resolution. Failure = the reference's exact
+    * not-found message (api_server_impl.cc ShowProcedure path). */
   private def resolveCallable(spark: SparkSession, db: String,
       name: String): String = {
     val dbOk = db == "default" || GraftSql.databases(spark).contains(db)
-    (if (dbOk) GraftSql.callableBody(spark, name) else None).getOrElse(
+    val scopeOk = dbOk && (GraftSql.deploymentDb(spark, name) match {
+      case Some(home) => home == db
+      case None       => true
+    })
+    (if (scopeOk) GraftSql.callableBody(spark, name) else None).getOrElse(
       throw new IllegalArgumentException(
         s"procedure not found, msg: $name does not exist in $db"))
   }
+
+  /** Run `body` under the deployment's home db when it has one (a
+    * USE-scoped DEPLOY), else under the session's current db as-is. */
+  private def inHomeDb[A](spark: SparkSession, name: String)(
+      body: => A): A =
+    GraftSql.deploymentDb(spark, name) match {
+      case some @ Some(_) => GraftSql.withCurrentDb(spark, some)(body)
+      case None           => body
+    }
 
   private def handle(spark: SparkSession, ex: HttpExchange): Unit = {
     val reply =
@@ -86,12 +101,20 @@ object ApiServer {
               StandardCharsets.UTF_8)
             // only the procedures route honors common (const) columns
             // (api_server_impl.cc:451-458 binds has_common_col)
-            execute(spark, name, resolveCallable(spark, db, name), body,
-              hasCommon = kind == "procedures")
+            val bodySql = resolveCallable(spark, db, name)
+            // a db-scoped deployment's body may use plain table names
+            // that only resolve under its home db — execute there,
+            // like the reference (an SP runs in its own db)
+            inHomeDb(spark, name) {
+              execute(spark, name, bodySql, body,
+                hasCommon = kind == "procedures")
+            }
           case ("GET", CallRoute(db, _, name)) =>
-            envelope(0, "ok",
-              Some(procedureInfo(spark, name,
-                resolveCallable(spark, db, name))))
+            val bodySql = resolveCallable(spark, db, name)
+            inHomeDb(spark, name) {
+              envelope(0, "ok",
+                Some(procedureInfo(spark, name, bodySql)))
+            }
           case ("PUT", TableRoute(db, table)) =>
             val body = new String(ex.getRequestBody.readAllBytes(),
               StandardCharsets.UTF_8)
@@ -128,6 +151,12 @@ object ApiServer {
             val body = new String(ex.getRequestBody.readAllBytes(),
               StandardCharsets.UTF_8)
             executeSql(spark, db, body)
+          case ("POST", "/refresh") =>
+            // reference RegisterRefresh (api_server_impl.cc:750):
+            // refresh the router's catalog cache. The session catalog
+            // here is always current (no nameserver cache to go
+            // stale), so refreshing is answering the envelope.
+            envelope(0, "ok", None)
           case ("GET", "/dbs") =>
             // reference show-databases route: dbs list rides at the
             // envelope's top level, not under data
@@ -188,10 +217,16 @@ object ApiServer {
         s"fail to get sql plan with insert into $table: plan failed, " +
           s"${arr.size()} values for ${schema.fields.length} columns",
         None)
+    // NOT NULL can live in two places: the view schema (harness-built
+    // tables set nullable=false directly) or GraftSql's declared-flag
+    // registry (DDL-created tables keep the view nullable and record
+    // the flag as metadata) — honor both, like tableInfo's column_desc
+    val declaredNotNull = notNullOf(spark, table, viewName)
     val vals =
       try schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
         val v = arr.get(i)
-        if ((v == null || v.isNull) && !f.nullable)
+        if ((v == null || v.isNull) &&
+            (!f.nullable || declaredNotNull.contains(f.name)))
           throw new IllegalArgumentException("not null")
         coerceStrict(v, f.dataType)
       } catch { case e: Throwable =>
@@ -206,6 +241,14 @@ object ApiServer {
   private def quoteView(n: String): String =
     if (n.matches("[A-Za-z_][\\w]*")) n
     else "`" + n.replace("`", "``") + "`"
+
+  /** Declared-NOT-NULL columns of a table, whichever name GraftSql
+    * keyed them under: the short name (default-db DDL) or the resolved
+    * internal view name (db-scoped DDL). */
+  private def notNullOf(spark: SparkSession, short: String,
+      viewName: String): Set[String] =
+    GraftSql.notNullColumns(spark, short) ++
+      GraftSql.notNullColumns(spark, viewName)
 
   /** Strict JSON → column conversion for the insert route (the
     * deployment-execute route's [[coerce]] stays lenient for
@@ -445,33 +488,62 @@ object ApiServer {
           else v.asDouble()
         }
       }.getOrElse(Seq.empty)
-    // run under the requested execute_mode, restoring the session's
-    val prev = GraftSql.statement(spark, "SHOW VARIABLES").get
-      .collect().find(_.getString(0) == "execute_mode")
-      .map(_.getString(1)).getOrElse("online")
-    GraftSql.statement(spark,
-      s"SET @@execute_mode = '${if (online) "online" else "offline"}'")
-    // parameterized queries bind through the query front end (the
-    // statement surface's `?` binding covers prepared INSERTs)
-    val up = sql.trim.toUpperCase
-    val isQuery = up.startsWith("SELECT") || up.startsWith("WITH")
-    val result =
-      try {
-        if (isQuery && params.nonEmpty)
-          Some(GraftSql.sql(spark, sql, params = params))
-        else GraftSql.statement(spark, sql, params.toList)
-      } finally GraftSql.statement(spark, s"SET @@execute_mode = '$prev'")
-    result match {
-      case None => envelope(0, "ok", None)
-      case Some(df) =>
-        val data = M.createObjectNode()
-        val sch = data.putArray("schema")
-        df.schema.fields.foreach(f => sch.add(queryType(f.dataType)))
-        val arr = data.putArray("data")
-        df.collect().foreach(r => arr.add(renderRow(r, df.schema, nanNull)))
-        envelope(0, "ok", Some(data))
+    // run under the requested execute_mode AND the URL's db (the
+    // reference's route binds execution to the path db, not whatever
+    // the session last USE'd), restoring both after. The session-
+    // global mutate-and-restore is race-free only because requests
+    // serialize — `start` uses setExecutor(null) (caller thread per
+    // exchange) and this lock pins that invariant even if the server
+    // ever grows a thread pool.
+    sqlRouteLock.synchronized {
+      val prev = GraftSql.statement(spark, "SHOW VARIABLES").get
+        .collect().find(_.getString(0) == "execute_mode")
+        .map(_.getString(1)).getOrElse("online")
+      GraftSql.statement(spark,
+        s"SET @@execute_mode = '${if (online) "online" else "offline"}'")
+      // parameterized queries bind through the query front end (the
+      // statement surface's `?` binding covers prepared INSERTs)
+      val up = sql.trim.toUpperCase
+      val isQuery = up.startsWith("SELECT") || up.startsWith("WITH")
+      val urlDb = if (db == "default") None else Some(db)
+      val result =
+        try GraftSql.withCurrentDb(spark, urlDb) {
+          if (isQuery && params.nonEmpty)
+            Some(GraftSql.sql(spark, sql, params = params))
+          else GraftSql.statement(spark, sql, params.toList)
+        } finally GraftSql.statement(spark, s"SET @@execute_mode = '$prev'")
+      result match {
+        case None => envelope(0, "ok", None)
+        case Some(df) =>
+          // the route buffers the whole result on the driver (the
+          // reference's Query route does the same) — cap it so an
+          // offline `SELECT *` over a big table can't OOM the server;
+          // 0 = unlimited, for callers that accept the buffering
+          val cap = spark.conf.getOption(MaxResultRowsKey)
+            .map(_.trim.toLong).getOrElse(DefaultMaxResultRows)
+          val rows =
+            if (cap <= 0) df.collect()
+            else df.limit(
+              math.min(cap, Int.MaxValue - 1L).toInt + 1).collect()
+          if (cap > 0 && rows.length > cap)
+            return envelope(-1,
+              s"result exceeds $MaxResultRowsKey=$cap rows; add a " +
+                "LIMIT or raise the cap", None)
+          val data = M.createObjectNode()
+          val sch = data.putArray("schema")
+          df.schema.fields.foreach(f => sch.add(queryType(f.dataType)))
+          val arr = data.putArray("data")
+          rows.foreach(r => arr.add(renderRow(r, df.schema, nanNull)))
+          envelope(0, "ok", Some(data))
+      }
     }
   }
+
+  /** Session conf key capping how many rows the ExecuteSQL route will
+    * buffer on the driver (0 = unlimited). */
+  val MaxResultRowsKey = "graft.apiserver.maxResultRows"
+  private val DefaultMaxResultRows = 100000L
+  private val sqlRouteLock = new Object
 
   /** Capitalized type vocabulary of the ExecuteSQL result schema
     * (api_server_impl.cc:1292-1330). */
@@ -506,13 +578,13 @@ object ApiServer {
       opts.get(k).filter(_.matches("\\d+")).map(_.toInt).getOrElse(dflt)
     o.put("partition_num", intOpt("partitionnum", 1))
     o.put("replica_num", intOpt("replicanum", 1))
-    val notNull = GraftSql.notNullColumns(spark, short)
+    val notNull = notNullOf(spark, short, viewName)
     val cd = o.putArray("column_desc")
     spark.table(quoteView(viewName)).schema.fields.foreach { f =>
       val fo = M.createObjectNode()
       fo.put("name", f.name)
       fo.put("type", descType(f.dataType))
-      fo.put("not_null", notNull.contains(f.name))
+      fo.put("not_null", notNull.contains(f.name) || !f.nullable)
       cd.add(fo)
     }
     o.putArray("added_column_desc")

@@ -946,6 +946,31 @@ object GraftSql {
   def deployment(spark: SparkSession, name: String): Option[String] =
     deployed(spark).get(name)
 
+  // Home db of each deployment: the session's current db (USE target)
+  // at DEPLOY time. The reference scopes deployments per-db
+  // (ShowProcedure takes (db, name)); here a deployment made under an
+  // explicit USE is visible only from that db, while default-namespace
+  // deployments stay visible everywhere (CALL's behavior, and what the
+  // restful corpus relies on — it deploys with no USE).
+  private val deployDbBySession =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, String]]()
+  private def deployDbs(spark: SparkSession)
+      : scala.collection.concurrent.TrieMap[String, String] =
+    deployDbBySession.synchronized {
+      var m = deployDbBySession.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap[String, String]()
+        deployDbBySession.put(spark, m)
+      }
+      m
+    }
+
+  /** Home db a deployment was created under (None = the implicit
+    * default namespace — visible from every db). */
+  def deploymentDb(spark: SparkSession, name: String): Option[String] =
+    deployDbs(spark).get(name)
+
   /** Body SQL of a deployment OR stored procedure (CALL and the HTTP
     * serving shim resolve both, like the reference's apiserver — a
     * DEPLOY is an SP there, api_server_impl.cc:451-458). */
@@ -2097,6 +2122,7 @@ object GraftSql {
           throw new IllegalArgumentException(
             s"deployment '$dn' does not exist")
         deployOpts(spark).remove(dn)
+        deployDbs(spark).remove(dn)
         None
 
       case "DROP" if p.toks.lift(1).exists(_.equalsIgnoreCase("PROCEDURE")) =>
@@ -2873,6 +2899,10 @@ object GraftSql {
           throw new IllegalArgumentException(
             s"deployment '$name' already exists (use OPTIONS(overwrite=true))")
         reg.put(name, rest.mkString(" "))
+        Option(sessionCurDb.get(spark)) match {
+          case Some(db) => deployDbs(spark).put(name, db)
+          case None     => deployDbs(spark).remove(name)
+        }
         deployOpts(spark).put(name,
           opts.map { case (k, v) => k -> stripQuotes(v) })
         None
@@ -2958,6 +2988,29 @@ object GraftSql {
     * reference's SHOW DATABASES; the unprefixed `default` namespace is
     * implicit and not listed). */
   def databases(spark: SparkSession): Set[String] = dbsOf(spark).toSet
+
+  /** The session's current db (USE target), if any (REST shim
+    * surface: ExecuteSQL scopes a statement to the URL's db). */
+  def currentDb(spark: SparkSession): Option[String] =
+    Option(sessionCurDb.get(spark))
+
+  /** Run `body` with the session's current db set to `db` (None = the
+    * implicit default namespace), restoring the previous current db
+    * after — the reference's apiserver binds each ExecuteSQL request
+    * to the URL's db rather than whatever the session last USE'd. */
+  def withCurrentDb[A](spark: SparkSession, db: Option[String])(
+      body: => A): A = {
+    val prev = Option(sessionCurDb.get(spark))
+    db match {
+      case Some(d) => sessionCurDb.put(spark, d)
+      case None    => sessionCurDb.remove(spark)
+    }
+    try body
+    finally prev match {
+      case Some(d) => sessionCurDb.put(spark, d)
+      case None    => sessionCurDb.remove(spark)
+    }
+  }
 
   /** Catalog view name of a db-scoped table, when it exists (REST
     * shim surface). The db must exist (`default` = the implicit
@@ -3416,6 +3469,7 @@ object GraftSql {
   def resetDeployments(spark: SparkSession): Unit = {
     deployed(spark).clear()
     deployOpts(spark).clear()
+    deployDbs(spark).clear()
     procedureSigs(spark).clear()
     procedureRaw(spark).clear()
   }
@@ -3560,6 +3614,7 @@ object GraftSql {
   def resetCatalogState(spark: SparkSession): Unit = {
     deployed(spark).clear()
     deployOpts(spark).clear()
+    deployDbs(spark).clear()
     offlineOf(spark).clear()
     offlineEpoch(spark).incrementAndGet()
     sessionEdition.remove(spark)

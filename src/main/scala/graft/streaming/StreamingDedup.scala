@@ -76,7 +76,15 @@ object StreamingDedup {
     * exactly where arrival order must: the batch form drops an
     * over-cap bucket retroactively, the stream stops it going forward.
     * Buckets that never exceed the cap agree with batch exactly —
-    * both halves pinned in StreamingDedupSpec. */
+    * both halves pinned in StreamingDedupSpec.
+    *
+    * `stateTtl` is a SLIDING processing-time TTL re-armed on every
+    * arrival — including arrivals at a dormant (capped) bucket, which
+    * would otherwise CLEAR the timeout (GroupState drops an unset
+    * timeout on each invocation) and leak the hottest buckets' state
+    * forever. The cap holds while traffic continues; a bucket idle
+    * past the TTL ages out and may be re-claimed by later arrivals —
+    * the documented TTL/recall trade, pinned in StreamingDedupSpec. */
   def lshFirstSeen(docs: DataFrame, idCol: String, textCol: String,
       bands: Int = 4, rowsPerBand: Int = 3,
       stateTtl: Option[String] = None,
@@ -111,8 +119,20 @@ object StreamingDedup {
               st = Some(st.map(s => s.copy(seen = s.seen + 1))
                 .getOrElse(BucketState(r.doc_id, 1L)))
               state.update(st.get)
-              stateTtl.foreach(state.setTimeoutDuration)
             }
+            // the TTL is SLIDING and must be re-armed on EVERY
+            // invocation — GroupState clears a previously-set timeout
+            // whenever the function runs for a key without setting a
+            // new one, so skipping this on dormant arrivals would make
+            // a capped bucket's state immortal once traffic hits it
+            // (an unbounded state leak on exactly the hottest keys).
+            // Re-arming on dormant arrivals keeps the cap in force
+            // while traffic continues; only a genuinely idle bucket
+            // ages out (and may be re-claimed — the documented TTL
+            // trade). State exists on every path here — dormancy
+            // requires existing state, and the non-dormant branch
+            // just updated it.
+            stateTtl.foreach(state.setTimeoutDuration)
             verdict
           }
           out.iterator

@@ -154,6 +154,131 @@ class ApiServerSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  private def put(port: Int, path: String, body: String): String = {
+    val client = HttpClient.newHttpClient()
+    val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      .PUT(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
+      .build()
+    client.send(req, HttpResponse.BodyHandlers.ofString()).body()
+  }
+
+  test("deployments are scoped to their home db; default stays global") {
+    GraftSql.resetDeployments(spark)
+    GraftSql.statement(spark, "CREATE DATABASE IF NOT EXISTS sc1")
+    GraftSql.statement(spark, "CREATE DATABASE IF NOT EXISTS sc2")
+    GraftSql.registerDbTable(spark, "sc1", "sc_ev",
+      Seq(("u1", 10L, 1.0)).toDF("k", "ts", "v"))
+    // deployed under USE sc1 → home db sc1
+    GraftSql.withCurrentDb(spark, Some("sc1")) {
+      GraftSql.statement(spark,
+        """DEPLOY sc_d SELECT k, sum(v) OVER w AS s FROM sc_ev
+          |WINDOW w AS (PARTITION BY k ORDER BY ts
+          |  ROWS_RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)""".stripMargin)
+    }
+    val srv = ApiServer.start(spark)
+    try {
+      // home db executes it — the body's plain table name resolves in
+      // the deployment's own db, whatever the session's current db is
+      val ok = parse(post(srv.port, "/dbs/sc1/deployments/sc_d",
+        """{"input": [["u1", 30, 3.0]]}"""))
+      assert(ok.get("code").asInt() == 0, ok.toString)
+      assert(ok.get("data").get("data").get(0).get(1).asDouble() == 4.0)
+      // a different db gets the reference's exact not-found message
+      val miss = parse(post(srv.port, "/dbs/sc2/deployments/sc_d",
+        """{"input": [["u1", 30, 3.0]]}"""))
+      assert(miss.get("code").asInt() == -1)
+      assert(miss.get("msg").asText() ==
+        "procedure not found, msg: sc_d does not exist in sc2")
+      // GET is scoped identically
+      assert(parse(get(srv.port, "/dbs/sc2/deployments/sc_d"))
+        .get("code").asInt() == -1)
+      assert(parse(get(srv.port, "/dbs/sc1/deployments/sc_d"))
+        .get("code").asInt() == 0)
+    } finally {
+      srv.stop()
+      GraftSql.resetDeployments(spark)
+    }
+  }
+
+  test("ExecuteSQL scopes to the URL db; row cap; POST /refresh") {
+    GraftSql.statement(spark, "CREATE DATABASE IF NOT EXISTS sc3")
+    val srv = ApiServer.start(spark)
+    try {
+      // DDL through /dbs/sc3 lands the table in sc3, like the
+      // reference route (execution binds to the path db)
+      assert(parse(post(srv.port, "/dbs/sc3",
+        """{"sql": "CREATE TABLE api_sc (k string, v int)", "mode": "online"}"""))
+        .get("code").asInt() == 0)
+      assert(parse(post(srv.port, "/dbs/sc3",
+        """{"sql": "INSERT INTO api_sc VALUES ('a', 1)", "mode": "online"}"""))
+        .get("code").asInt() == 0)
+      val q = parse(post(srv.port, "/dbs/sc3",
+        """{"sql": "SELECT k, v FROM api_sc", "mode": "online"}"""))
+      assert(q.get("code").asInt() == 0, q.toString)
+      assert(q.get("data").get("data").size() == 1)
+      // the table is NOT visible from the default namespace
+      assert(parse(post(srv.port, "/dbs/default",
+        """{"sql": "SELECT k FROM api_sc", "mode": "online"}"""))
+        .get("code").asInt() == -1)
+      // row cap: results past graft.apiserver.maxResultRows refuse
+      // instead of buffering the world on the driver
+      spark.conf.set(ApiServer.MaxResultRowsKey, "3")
+      try {
+        assert(parse(post(srv.port, "/dbs/sc3",
+          """{"sql": "INSERT INTO api_sc VALUES ('b', 2)", "mode": "online"}"""))
+          .get("code").asInt() == 0)
+        assert(parse(post(srv.port, "/dbs/sc3",
+          """{"sql": "INSERT INTO api_sc VALUES ('c', 3)", "mode": "online"}"""))
+          .get("code").asInt() == 0)
+        assert(parse(post(srv.port, "/dbs/sc3",
+          """{"sql": "INSERT INTO api_sc VALUES ('d', 4)", "mode": "online"}"""))
+          .get("code").asInt() == 0)
+        val over = parse(post(srv.port, "/dbs/sc3",
+          """{"sql": "SELECT k FROM api_sc", "mode": "online"}"""))
+        assert(over.get("code").asInt() == -1)
+        assert(over.get("msg").asText().contains("exceeds"))
+        // under the cap still answers
+        val under = parse(post(srv.port, "/dbs/sc3",
+          """{"sql": "SELECT k FROM api_sc WHERE v <= 3", "mode": "online"}"""))
+        assert(under.get("code").asInt() == 0, under.toString)
+        assert(under.get("data").get("data").size() == 3)
+      } finally spark.conf.unset(ApiServer.MaxResultRowsKey)
+      // RegisterRefresh parity: POST /refresh answers the envelope
+      val rf = parse(post(srv.port, "/refresh", ""))
+      assert(rf.get("code").asInt() == 0 && rf.get("msg").asText() == "ok")
+      assert(parse(post(srv.port, "/dbs/sc3",
+        """{"sql": "DROP TABLE api_sc", "mode": "online"}"""))
+        .get("code").asInt() == 0)
+    } finally srv.stop()
+  }
+
+  test("PUT insert enforces NOT NULL declared via CREATE TABLE DDL") {
+    GraftSql.statement(spark,
+      "CREATE TABLE api_nn (k string NOT NULL, v int)")
+    val srv = ApiServer.start(spark)
+    try {
+      // null into the declared-NOT-NULL column refuses (the view
+      // schema stays nullable — the flag lives in GraftSql metadata)
+      val bad = parse(put(srv.port, "/dbs/default/tables/api_nn",
+        """{"value": [[null, 1]]}"""))
+      assert(bad.get("code").asInt() == -1, bad.toString)
+      assert(bad.get("msg").asText().contains(
+        "Translate to insert row failed"))
+      // null into the nullable column is fine
+      val ok = parse(put(srv.port, "/dbs/default/tables/api_nn",
+        """{"value": [["a", null]]}"""))
+      assert(ok.get("code").asInt() == 0, ok.toString)
+      // GET table reflects the declared flag
+      val info = parse(get(srv.port, "/dbs/default/tables/api_nn"))
+      val cd = info.get("table").get("column_desc")
+      assert(cd.get(0).get("not_null").asBoolean())
+      assert(!cd.get(1).get("not_null").asBoolean())
+    } finally {
+      srv.stop()
+      GraftSql.statement(spark, "DROP TABLE api_nn")
+    }
+  }
+
   test("procedures route serves stored procedures; nulls round-trip") {
     GraftSql.resetDeployments(spark)
     Seq(("u1", 10L, 1.0), ("u1", 20L, 2.0))

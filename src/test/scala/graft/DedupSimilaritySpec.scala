@@ -78,8 +78,16 @@ class DedupSimilaritySpec extends SparkSpec {
     // capped at 5: the 30-doc buckets are skipped — boilerplate docs
     // report no dup (the documented recall trade); the small-bucket
     // match survives
+    // regression: the capped path must unpersist the bucket cache it
+    // built (materializeAndFree must receive the CACHED frame, not the
+    // capped derivative — unpersist matches by plan equality). Guarded
+    // on a clean cache so other suites' live caches can't false-fail.
+    val cacheWasEmpty = spark.sharedState.cacheManager.isEmpty
     val capped = dups(5)
     assert(capped == Map(2L -> Some(1L)))
+    if (cacheWasEmpty)
+      assert(spark.sharedState.cacheManager.isEmpty,
+        "capped lshFirstSeen leaked its shingle/signature cache")
     // a cap at the cluster size changes nothing
     assert(dups(30) == uncapped)
   }

@@ -125,6 +125,62 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateTtl re-arms on dormant-bucket arrivals (no immortal " +
+      "state) and an idle capped bucket ages out — the TTL trade") {
+    implicit val sqlCtx = spark.sqlContext
+    // cap=2: doc 0 claims (seen=1), doc 1 matches and caps (seen=2),
+    // doc 2's DORMANT arrival must RE-ARM the 6 s TTL — GroupState
+    // clears a timeout not re-set during an invocation, so the pre-fix
+    // code (which skipped the call on dormant arrivals) made capped-
+    // bucket state immortal. After traffic stops the bucket must age
+    // out: doc 3 re-claims the expired bucket and doc 4 matches doc 3.
+    // Under the pre-fix leak the state never expires, doc 4 stays
+    // dormant, and the final assertion fails (verified vs the revert).
+    val mem = MemoryStream[Doc]
+    // ProcessingTimeTimeout makes shouldRunAnotherBatch always-true, so
+    // with no-data micro-batches enabled the engine busy-loops and
+    // processAllAvailable never observes noNewData — disable them so
+    // timeouts fire only when a data batch runs (deterministic here:
+    // the unrelated-key batch below is that batch)
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNoData = spark.conf.get(noDataKey)
+    spark.conf.set(noDataKey, "false")
+    val q = StreamingDedup.lshFirstSeen(mem.toDF(), "doc_id", "text",
+        stateTtl = Some("6 seconds"), maxBucketSize = 2)
+      .writeStream.format("memory").queryName("lsh_ttl")
+      .outputMode("append").start()
+    try {
+      val hot = "common template body text"
+      mem.addData(Doc(0L, hot)); q.processAllAvailable() // claims (1/2)
+      mem.addData(Doc(1L, hot)); q.processAllAvailable() // matches, caps
+      Thread.sleep(1000)
+      mem.addData(Doc(2L, hot)); q.processAllAvailable() // dormant, re-arms
+      // idle well past the re-armed expiry; the unrelated-key batch is
+      // the data batch whose run fires the timeout and drops the state
+      Thread.sleep(8000)
+      mem.addData(Doc(100L, "unrelated other content"))
+      q.processAllAvailable()
+      mem.addData(Doc(3L, hot)); q.processAllAvailable() // re-claims
+      mem.addData(Doc(4L, hot)); q.processAllAvailable() // matches doc 3
+      val verdicts = spark.table("lsh_ttl")
+        .groupBy("doc_id").agg(min("matched_id").as("matched_id"))
+        .collect().map(r =>
+          (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toMap
+      assert(verdicts(1L).contains(0L), s"pre-cap match: $verdicts")
+      assert(verdicts(2L).isEmpty,
+        s"dormant arrival must not match: $verdicts")
+      assert(verdicts(3L).isEmpty,
+        s"doc 3 re-claims the aged-out bucket: $verdicts")
+      assert(verdicts(4L).contains(3L),
+        "idle capped bucket must age out and re-open (pre-fix leak " +
+          s"keeps it dormant forever): $verdicts")
+    } finally {
+      q.stop()
+      spark.conf.set(noDataKey, prevNoData)
+    }
+  }
+
   test("withinWatermark drops duplicates inside the lateness bound") {
     implicit val sqlCtx = spark.sqlContext
     case class Ev(doc_id: Long, text: String, ts: java.sql.Timestamp)
