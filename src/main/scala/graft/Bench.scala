@@ -105,7 +105,13 @@ object Bench {
       // (the 3 s line keeps multi-second approximate operators at two
       // runs while the sub-2 s plan-shape pairs — whose first run still
       // carries JIT/codegen warm-up — get a true best-of-3)
-      val passes = if (first.exists(_ > 3.0)) 1 else 2
+      // sub-half-second pairs sit at the scheduler-jitter noise floor
+      // (±0.1 s swings a ratio by ±0.3) — give them a true best-of-5;
+      // the 3 s line keeps multi-second operators at two runs
+      val passes =
+        if (first.exists(_ > 3.0)) 1
+        else if (first.exists(_ > 0.5)) 2
+        else 4
       (1 to passes).foreach { _ =>
         timed(name)(materialize(benchQuery(name)(spark, sfDir)))
           .foreach(t => oursBest(name) =

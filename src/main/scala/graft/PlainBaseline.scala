@@ -385,6 +385,16 @@ object PlainBaseline {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
         |  RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW)""".stripMargin,
 
+    // the direct window over 4 hot keys: each key's whole span sorts
+    // and folds inside ONE task — the serialization the skew rewrite
+    // exists to break
+    "q_skew_window_hot" ->
+      """SELECT event_id, round(sum(value) OVER w, 3) AS sw_sum,
+        |  count(value) OVER w AS sw_cnt
+        |FROM pb_events
+        |WINDOW w AS (PARTITION BY user_id % 4 ORDER BY ts_ms
+        |  RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
     // EXCLUDE CURRENT_TIME + newest-5 cap over hot keys (user_id % 10):
     // collect the range frame, drop same-ts non-self rows, slice newest 5
     "q_skew_window_arr" ->

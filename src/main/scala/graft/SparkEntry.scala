@@ -1186,9 +1186,26 @@ object SparkEntry {
     // skew-parallelized window (openmldb.window.skew.opt analog):
     // oracle is the DIRECT window — the rewrite must be lossless
     "q_skew_window" -> q { (s, d) =>
+      // bucketMs = 4× the frame span: tail-only replication then
+      // duplicates only 1/4 of rows (SkewWindow scaladoc) while a hot
+      // key still cuts into span/bucketMs ≈ 1080 tasks on this corpus
       graft.operators.SkewWindow.rangeSumCount(T(s, d, "events"),
           col("user_id"), col("ts_ms"), col("value"),
-          precedingMs = 600000L, bucketMs = 600000L)
+          precedingMs = 600000L, bucketMs = 2400000L)
+        .select(col("event_id"), round(col("sw_sum"), 3).as("sw_sum"),
+          col("sw_cnt"))
+    },
+
+    // the skew rewrite on ACTUALLY HOT keys — user_id % 4 gives 4 keys
+    // of ~25k rows each, so the plain window serializes each key in
+    // one task (4 of 32 cores busy) while the bucketed plan spreads
+    // them: the configuration the operator exists for (its twin on
+    // uniform keys, q_skew_window, measures the overhead bound instead)
+    "q_skew_window_hot" -> q { (s, d) =>
+      graft.operators.SkewWindow.rangeSumCount(
+          T(s, d, "events").withColumn("hk", col("user_id") % 4),
+          col("hk"), col("ts_ms"), col("value"),
+          precedingMs = 600000L, bucketMs = 2400000L)
         .select(col("event_id"), round(col("sw_sum"), 3).as("sw_sum"),
           col("sw_cnt"))
     },
@@ -1202,7 +1219,7 @@ object SparkEntry {
       val base = T(s, d, "events").withColumn("hk", col("user_id") % 10)
       val out = graft.operators.SkewWindow.withFrameArray(base, "__arr",
         col("value"), col("ts_ms"), col("event_id"), Seq(col("hk")),
-        precedingMs = 600000L, bucketMs = 600000L,
+        precedingMs = 600000L, bucketMs = 2400000L,
         maxSize = 5, excludeCurrentTime = true)
       val a = col("__arr")
       out.select(col("event_id"),
@@ -2665,6 +2682,14 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
         |             RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW)""".stripMargin,
 
+    "q_skew_window_hot" ->
+      """SELECT event_id,
+        | round(sum(value) OVER w, 3) AS sw_sum,
+        | count(value) OVER w AS sw_cnt
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id % 4 ORDER BY epoch_ms(ts)
+        |             RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
     "q_skew_window_arr" ->
       """SELECT e.event_id, round(t.s, 3) AS k_sum, t.c AS k_cnt, t.mx AS k_max
         |FROM events e, LATERAL (
@@ -3007,7 +3032,7 @@ object SparkEntry {
     "q_pack_sequences", "q_vocab", "q_tfidf", "q_perplexity",
     "q_profile", "q_bm25",
     "q_join_window", "q_request_mode", "q_long_window",
-    "q_skew_window", "q_skew_window_arr",
+    "q_skew_window", "q_skew_window_arr", "q_skew_window_hot",
     "q_ann_topk", "q_dedup_minhash", "q_dedup_lshseen_capped")
 
   /** Bench-time overrides: the CORRECTNESS-gate versions of the

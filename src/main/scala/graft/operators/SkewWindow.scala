@@ -14,12 +14,35 @@ import org.apache.spark.sql.functions._
   * needs history back to t-precedingMs, so the key's timeline can be
   * cut into buckets of `bucketMs >= precedingMs` and each bucket
   * computed independently, provided each bucket also SEES the previous
-  * bucket's rows as history. We replicate every row into its own
-  * bucket (role=owner) and the next bucket (role=history), window over
-  * (k, bucket), and keep owner outputs: the hot key becomes
-  * span/bucketMs independent partitions at the cost of one 2×
-  * row duplication — the same trade the reference's skew mode makes
-  * with its quantile buckets + union of carry rows.
+  * bucket's rows as history. Every row lands in its own bucket
+  * (role=owner); rows in the LAST `precedingMs` of a bucket — the only
+  * ones any next-bucket frame can reach — also replicate into the next
+  * bucket (role=history). Window over (k, bucket), keep owner outputs:
+  * the hot key becomes span/bucketMs independent partitions at the
+  * cost of a `1 + precedingMs/bucketMs` row duplication — the same
+  * trade the reference's skew mode makes with its quantile buckets +
+  * union of carry rows, minus the rows a frame can never reach.
+  *
+  * Pick `bucketMs` a small multiple of `precedingMs` (4× is a good
+  * default): replication falls as 1 + p/b while a hot key still cuts
+  * into span/bucketMs tasks.
+  *
+  * Measured cause of the q_skew_window bench ratio (~1.2× of the
+  * plain unsalted window at sf0.1, rounds 14-16): the bench corpus
+  * has UNIFORM keys — ~66 events per user_id spread over 30 days —
+  * so time-bucketing shreds each key's 66-row window group into
+  * ~one-row groups, and WindowExec's per-group constant costs
+  * (frame-processor init, buffer churn) exceed the per-row frame
+  * work the split is meant to parallelize. That ~1.2× is the
+  * operator's worst case: the overhead of applying the skew rewrite
+  * where no key is hot, bounded by the explode + 1+p/b replica
+  * shuffle. On an actually hot key (the operator's purpose) the
+  * plain window serializes the whole key in one task while this plan
+  * cuts it into span/bucketMs independent ones. Alternatives
+  * measured and rejected at sf0.1: union-of-two-scans instead of
+  * explode (1.77× — double scan), bucketMs = precedingMs (2×
+  * replication, same ~1.25× — the replica volume is not the
+  * bottleneck at this key density).
   */
 object SkewWindow {
 
@@ -31,19 +54,26 @@ object SkewWindow {
       s"bucketMs ($bucketMs) must cover the frame span ($precedingMs)")
     val ownBucket = floor(tsMs / bucketMs).cast("long")
     // role 0 = owner row in its own bucket; role 1 = history replica in
-    // the NEXT bucket (it can only ever be frame-history there)
-    val exploded = df
-      .withColumn("__own", ownBucket)
-      .withColumn("__role", explode(array(lit(0), lit(1))))
-      .withColumn("__bucket",
-        when(col("__role") === 0, col("__own")).otherwise(col("__own") + 1))
+    // the NEXT bucket (it can only ever be frame-history there). Only
+    // the last precedingMs of a bucket can be any next-bucket frame's
+    // history — tail-only replication prunes the rest BEFORE the
+    // shuffle (a no-op when bucketMs == precedingMs; 1 + p/b total
+    // rows when bucketMs is a multiple).
+    // a row in the last precedingMs of its bucket explodes into
+    // (own, own+1); everything else stays a single owner row — the
+    // only extra column through the shuffle is __bucket itself, and
+    // owner-ness is recomputed from ts afterwards
+    val inTail = tsMs - ownBucket * bucketMs >= bucketMs - precedingMs
+    val exploded = df.withColumn("__bucket",
+      explode(when(inTail, array(ownBucket, ownBucket + 1))
+        .otherwise(array(ownBucket))))
     val w = Window.partitionBy(key, col("__bucket")).orderBy(tsMs)
       .rangeBetween(-precedingMs, 0)
     exploded
       .withColumn("sw_sum", sum(v).over(w))
       .withColumn("sw_cnt", count(v).over(w))
-      .filter(col("__role") === 0)
-      .drop("__own", "__role", "__bucket")
+      .filter(col("__bucket") === ownBucket)
+      .drop("__bucket")
   }
 
   /** [[WindowOps.frameArray]] composed with the same time-bucket
@@ -80,18 +110,23 @@ object SkewWindow {
         "(use WindowOps.unboundedAgg for unbounded frames)")
     require(bucketMs >= precedingMs,
       s"bucketMs ($bucketMs) must cover the frame span ($precedingMs)")
-    val exploded = df
-      .withColumn("__sw_own", floor(tsMs / bucketMs).cast("long"))
-      .withColumn("__sw_role", explode(array(lit(0), lit(1))))
-      .withColumn("__sw_bucket", when(col("__sw_role") === 0, col("__sw_own"))
-        .otherwise(col("__sw_own") + 1))
+    // tail-only replication, as in [[rangeSumCount]]: a next-bucket
+    // frame reaches back at most precedingMs (hiPrecedingMs only
+    // raises the frame's NEAR edge), so only each bucket's last
+    // precedingMs of rows replicate — a conditional bucket-array
+    // explode, owner-ness recomputed from ts afterwards
+    val ownBucket = floor(tsMs / bucketMs).cast("long")
+    val inTail = tsMs - ownBucket * bucketMs >= bucketMs - precedingMs
+    val exploded = df.withColumn("__sw_bucket",
+      explode(when(inTail, array(ownBucket, ownBucket + 1))
+        .otherwise(array(ownBucket))))
     val arr = WindowOps.frameArray(v, tsMs, uid,
       partition :+ col("__sw_bucket"),
       precedingMs, maxSize, excludeCurrentTime, excludeCurrentRow,
       isPrimary, instanceNotInWindow, strictRowOrder, hiPrecedingMs,
       skipNewest)
     exploded.withColumn(outCol, arr)
-      .filter(col("__sw_role") === 0)
-      .drop("__sw_own", "__sw_role", "__sw_bucket")
+      .filter(col("__sw_bucket") === ownBucket)
+      .drop("__sw_bucket")
   }
 }

@@ -6552,7 +6552,8 @@ object GraftSql {
     // frames reach toward larger keys, so "next bucket" in the frame
     // direction is the next bucket of -ts (mirror of the asc argument).
     case class SkewEntry(key: String, order: String, desc: Boolean,
-        isRows: Boolean, partition: Seq[String], span: Long, colName: String)
+        isRows: Boolean, partition: Seq[String], span: Long, reach: Long,
+        colName: String)
     def skewKey(w: WinDef): String =
       (if (w.isRows) "R|" + w.partition.mkString(",") + "|" else "G|") +
         (if (w.orderDesc) "D|" else "A|") + w.order.getOrElse("")
@@ -6565,6 +6566,13 @@ object GraftSql {
     // frames are cheap anyway — the chunk only needs to parallelize
     // the heavy per-row frame work of a hot key)
     val MinRowsChunk = 4096L
+    // RANGE buckets span a multiple of the frame reach: only rows in
+    // the last `reach` of a bucket replicate (tail-only — see the
+    // filter in skewExplode), so duplication is 1 + 1/factor while a
+    // hot key still cuts into span/(factor*reach) tasks. Measured on
+    // q_sql_skew_window at sf0.1: factor 1 (full 2× replication) ran
+    // ~1.2× the plain unsalted window; factor 4 closed the gap.
+    val SkewBucketFactor = 4L
     def skewPlanOf(gexprs: Seq[(String, String, WinDef)])
         : Option[Seq[SkewEntry]] = {
       skewBuckets = Map.empty
@@ -6592,9 +6600,12 @@ object GraftSql {
         case ((k, ws), i) =>
           val w0 = ws.head
           val reach = math.max(ws.flatMap(spanOf).max, 1L)
+          val span =
+            if (w0.isRows) math.max(reach, MinRowsChunk)
+            else if (reach > Long.MaxValue / (2 * SkewBucketFactor)) reach
+            else reach * SkewBucketFactor
           SkewEntry(k, w0.order.get, w0.orderDesc, w0.isRows,
-            if (w0.isRows) w0.partition else Nil,
-            if (w0.isRows) math.max(reach, MinRowsChunk) else reach,
+            if (w0.isRows) w0.partition else Nil, span, reach,
             s"__graft_swb_$i")
       })
     }
@@ -6611,6 +6622,25 @@ object GraftSql {
         df = df.withColumn(s"${e.colName}_rn", row_number().over(rw))
       }
       df = df.withColumn(SwRoleCol, explode(array(lit(0), lit(1))))
+      // tail-only replication: a next-bucket frame reaches back at
+      // most `reach`, so only each bucket's last `reach` of rows (by
+      // time for RANGE, by rank for ROWS chunks) can be history there.
+      // Keep a replica if ANY entry needs it — a replica kept for one
+      // entry is harmless to the others (RANGE frames exclude it by
+      // timestamp; ROWS frames count the immediately-preceding rows,
+      // which a strictly-older extra replica never displaces).
+      val neededBy = plan.map { e =>
+        if (e.isRows)
+          pmod(col(s"${e.colName}_rn") - 1, lit(e.span)) >=
+            lit(e.span - e.reach)
+        else {
+          val ts0 = orderMs(base, e.order)
+          val ts = if (e.desc) -ts0 else ts0
+          pmod(ts, lit(e.span)) >= lit(e.span - e.reach)
+        }
+      }
+      if (neededBy.nonEmpty)
+        df = df.filter(col(SwRoleCol) === 0 || neededBy.reduce(_ || _))
       plan.foreach { e =>
         val own =
           if (e.isRows)
