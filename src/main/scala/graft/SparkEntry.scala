@@ -3033,7 +3033,8 @@ object SparkEntry {
     "q_profile", "q_bm25",
     "q_join_window", "q_request_mode", "q_long_window",
     "q_skew_window", "q_skew_window_arr", "q_skew_window_hot",
-    "q_ann_topk", "q_dedup_minhash", "q_dedup_lshseen_capped")
+    "q_ann_topk", "q_dedup_minhash", "q_dedup_lshseen_capped",
+    "q_dedup_minhash_skew", "q_dedup_minhash_skew_uncapped")
 
   /** Bench-time overrides: the CORRECTNESS-gate versions of the
     * approximate operators spend most of their time computing the
@@ -3056,14 +3057,30 @@ object SparkEntry {
     // (DedupSimilaritySpec pins the semantics). On THIS dup-dense
     // synthetic corpus the cap's count window costs more than it saves
     // (~9.8 s vs ~7.9 s uncapped at sf0.1) because the first-seen
-    // join-back is already linear in bucket size; the cap pays off when
-    // boilerplate mega-buckets dominate the bucket key's skew, not its
-    // volume.
+    // join-back is already linear in bucket size; under a real mega
+    // bucket it helps only mildly for the same reason (SkewCapProbe,
+    // 10% boilerplate fixture at sf0.1: 7.49 s uncapped → 7.14 s
+    // capped). The operator whose complexity the cap actually bounds
+    // is the PAIRS form — see q_dedup_minhash_skew below.
     "q_dedup_lshseen_capped" -> ((s: SparkSession, d: String) => {
       val docs = Tables.load(GraftSession.tune(s), d, "documents")
       graft.operators.Dedup.lshFirstSeen(docs, "doc_id", "text",
         maxBucketSize = 64)
     }),
+
+    // The hot-bucket cap under REAL bucket skew (VERDICT r15 item 1):
+    // 10% of the corpus rewritten to one boilerplate template — one
+    // mega bucket per band, the O(bucket²) pair-enumeration case the
+    // cap exists for. Measured at sf0.1 (graft.tools.SkewCapProbe,
+    // best-of-3): uncapped 10.15 s; cap=16 0.57 s; cap=64 0.61 s;
+    // cap=256 1.11 s — the cap wins 16.8× at 64, and 64 is the default
+    // recommendation (retains more small-cluster recall than 16 at the
+    // same cost; 256 already doubles the runtime). The skew fixture is
+    // derived deterministically so both variants time the same corpus.
+    "q_dedup_minhash_skew" -> ((s: SparkSession, d: String) =>
+      minhashSkew(s, d, cap = 64)),
+    "q_dedup_minhash_skew_uncapped" -> ((s: SparkSession, d: String) =>
+      minhashSkew(s, d, cap = 0)),
 
     // The gate definition (30-min frame over user_id) verifies the MV
     // arithmetic but sits in the regime where a direct window wins
@@ -3087,6 +3104,21 @@ object SparkEntry {
           col("lw_cnt"))
     })
   )
+
+  /** Boilerplate-skew fixture for the hot-bucket-cap bench pair: 10%
+    * of documents share one template text (one mega bucket per band). */
+  private def minhashSkew(s: SparkSession, d: String,
+      cap: Int): DataFrame = {
+    val docs = Tables.load(GraftSession.tune(s), d, "documents")
+      .withColumn("text",
+        when(col("doc_id") % 10 === 0,
+          lit("the quick brown template boilerplate footer text " +
+            "repeated across every page of the crawl"))
+          .otherwise(col("text")))
+    graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleN = 1, bands = 8, rowsPerBand = 3, threshold = 0.25,
+      maxBucketSize = cap)
+  }
 
   /** Plan-gate overrides (graft.Plans / PlanQualitySpec): operators
     * whose public form ends in a materialization barrier

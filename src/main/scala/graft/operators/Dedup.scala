@@ -440,6 +440,18 @@ object Dedup {
     * = k), bucket-join docs sharing any band hash, then estimate
     * similarity as matching-minhash fraction. Returns
     * (id1, id2, est_jaccard >= threshold).
+    *
+    * `maxBucketSize` caps the O(bucket²) pair enumeration: a band
+    * bucket over the cap (a boilerplate-pattern cluster) is skipped
+    * entirely — a deliberate recall trade. Measured under a real mega
+    * bucket (graft.tools.SkewCapProbe: 10% of the sf0.1 corpus
+    * rewritten to one template, best-of-3): uncapped 10.15 s,
+    * cap=16 0.57 s, cap=64 0.61 s, cap=256 1.11 s — 64 is the
+    * recommended production cap (16.8× over uncapped, with more
+    * small-cluster recall headroom than 16; 256 already doubles the
+    * cost as the surviving buckets' pair counts grow quadratically).
+    * 0 (the default) disables the cap — the exact-audit configuration
+    * the correctness gate runs.
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, bands: Int, rowsPerBand: Int,
