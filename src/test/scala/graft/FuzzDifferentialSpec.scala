@@ -41,6 +41,18 @@ class FuzzDifferentialSpec extends SparkSpec {
         (col("event_id") % 2).as("par"))
       .localCheckpoint(true)
       .createOrReplaceTempView("fz")
+    // union-side twin of fz: disjoint id space (mod class 2 vs 0) so
+    // ORDER BY id never ties across tables; uts (id/64) is a coarse
+    // key with REAL ties for the EXCLUDE CURRENT_TIME productions
+    ev.filter(col("event_id") % 4 === 2)
+      .select(col("event_id").as("id"),
+        (col("user_id") % 7).as("k1"),
+        col("event_type").as("k2"),
+        col("user_id").as("n"),
+        col("value").as("v"),
+        (col("event_id") % 2).as("par"))
+      .localCheckpoint(true)
+      .createOrReplaceTempView("fzu")
     ev.filter(col("event_id") % 4 === 1)
       .select(col("event_id").as("id"),
         (col("user_id") % 37).as("k"),
@@ -183,6 +195,94 @@ class FuzzDifferentialSpec extends SparkSpec {
       val twin = s"SELECT id, $exprT AS x FROM fz"
       diff(GraftSql.sql(spark, ours), spark.sql(twin), 1,
           s"seed=${Seed + 1} case=$i ours=[$ours] twin=[$twin]")
+        .foreach(msg => fail(msg))
+    }
+  }
+
+  test("window-union/attribute-combo fuzz: 60 cases agree with a Spark twin") {
+    val r = new scala.util.Random(Seed + 3)
+    (0 until 60).foreach { i =>
+      val pk = pick(r, Seq("k1", "par"))
+      val n = 4 + r.nextInt(800)
+      val (ours, twin, nKeys) = i % 5 match {
+        case 0 => // WINDOW UNION: frame over fz ∪ fzu, output fz rows only
+          val a = pick(r, Seq("sum", "count", "min", "max"))
+          (s"SELECT id, $a(v) OVER w AS x FROM fz WINDOW w AS " +
+             s"(UNION fzu PARTITION BY $pk ORDER BY id " +
+             s"ROWS_RANGE BETWEEN $n PRECEDING AND CURRENT ROW)",
+           s"SELECT id, x FROM (SELECT id, m, $a(v) OVER " +
+             s"(PARTITION BY $pk ORDER BY id RANGE BETWEEN $n PRECEDING " +
+             "AND CURRENT ROW) AS x FROM (" +
+             s"SELECT id, $pk, v, 1 AS m FROM fz UNION ALL " +
+             s"SELECT id, $pk, v, 0 AS m FROM fzu) u) t WHERE m = 1",
+           1)
+        case 1 => // UNION + INSTANCE_NOT_IN_WINDOW: union rows + self only
+          val a = pick(r, Seq("sum", "count", "min"))
+          val fr = s"(PARTITION BY $pk ORDER BY id RANGE BETWEEN " +
+            s"$n PRECEDING AND CURRENT ROW)"
+          val tx = a match {
+            case "sum" =>
+              s"v + coalesce(sum(CASE WHEN m = 0 THEN v END) OVER $fr, " +
+                "CAST(0.0 AS DOUBLE))"
+            case "count" =>
+              s"count(CASE WHEN m = 0 THEN 1 END) OVER $fr + 1"
+            case _ =>
+              s"least(v, min(CASE WHEN m = 0 THEN v END) OVER $fr)"
+          }
+          (s"SELECT id, $a(v) OVER w AS x FROM fz WINDOW w AS " +
+             s"(UNION fzu PARTITION BY $pk ORDER BY id " +
+             s"ROWS_RANGE BETWEEN $n PRECEDING AND CURRENT ROW " +
+             "INSTANCE_NOT_IN_WINDOW)",
+           s"SELECT id, x FROM (SELECT id, m, $tx AS x FROM (" +
+             s"SELECT id, $pk, v, 1 AS m FROM fz UNION ALL " +
+             s"SELECT id, $pk, v, 0 AS m FROM fzu) u) t WHERE m = 1",
+           1)
+        case 2 => // EXCLUDE CURRENT_TIME over the tied uts key: the frame
+          // is [cur-n, cur-1] + self whatever the tie handling, so the
+          // twin sidesteps strict-vs-ANSI peer semantics entirely
+          val a = pick(r, Seq("sum", "count"))
+          val tx =
+            if (a == "sum")
+              s"coalesce(sum(v) OVER (PARTITION BY $pk ORDER BY uts " +
+                s"RANGE BETWEEN $n PRECEDING AND 1 PRECEDING), " +
+                "CAST(0.0 AS DOUBLE)) + v"
+            else
+              s"count(v) OVER (PARTITION BY $pk ORDER BY uts " +
+                s"RANGE BETWEEN $n PRECEDING AND 1 PRECEDING) + 1"
+          (s"SELECT id, $a(v) OVER w AS x FROM " +
+             "(SELECT id, k1, par, v, CAST(floor(id / 64) AS BIGINT) " +
+             "AS uts FROM fz) fzt WINDOW w AS " +
+             s"(PARTITION BY $pk ORDER BY uts ROWS_RANGE BETWEEN " +
+             s"$n PRECEDING AND CURRENT ROW EXCLUDE CURRENT_TIME)",
+           s"SELECT id, $tx AS x FROM (SELECT id, k1, par, v, " +
+             "CAST(floor(id / 64) AS BIGINT) AS uts FROM fz) fzt",
+           1)
+        case 3 => // MAXSIZE + EXCLUDE CURRENT_ROW: newest msz of [id-n, id-1]
+          val a = pick(r, Seq("sum", "count"))
+          val msz = 1 + r.nextInt(8)
+          val fr2 = s"(PARTITION BY $pk ORDER BY id RANGE BETWEEN " +
+            s"$n PRECEDING AND 1 PRECEDING)"
+          val tx =
+            if (a == "count") s"least(count(v) OVER $fr2, $msz)"
+            else s"CASE WHEN count(v) OVER $fr2 > 0 THEN " +
+              "aggregate(slice(reverse(array_sort(" +
+              s"collect_list(named_struct('i', id, 'x', v)) OVER $fr2)), " +
+              s"1, $msz), CAST(0.0 AS DOUBLE), (acc, e) -> acc + e.x) END"
+          (s"SELECT id, $a(v) OVER w AS x FROM fz WINDOW w AS " +
+             s"(PARTITION BY $pk ORDER BY id ROWS_RANGE BETWEEN " +
+             s"$n PRECEDING AND CURRENT ROW MAXSIZE $msz " +
+             "EXCLUDE CURRENT_ROW)",
+           s"SELECT id, $tx AS x FROM fz", 1)
+        case _ => // DESC frame direction: standard overlap, same text
+          val a = pick(r, Seq("sum", "count", "min", "max", "avg"))
+          val nr = 2 + r.nextInt(40)
+          val sql = s"SELECT id, $a(v) OVER (PARTITION BY $pk " +
+            s"ORDER BY id DESC ROWS BETWEEN $nr PRECEDING AND " +
+            "CURRENT ROW) AS x FROM fz"
+          (sql, sql, 1)
+      }
+      diff(GraftSql.sql(spark, ours), spark.sql(twin), nKeys,
+          s"seed=${Seed + 3} case=$i ours=[$ours] twin=[$twin]")
         .foreach(msg => fail(msg))
     }
   }
