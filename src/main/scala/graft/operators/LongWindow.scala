@@ -22,8 +22,17 @@ import org.apache.spark.sql.functions._
   *    constant frame, whole-stage codegen.
   *  - full buckets: an equi-join on key against the MV with a bucket
   *    range predicate, aggregated back per row uid.
-  *  - head: an equi-join on (key, head bucket) against raw rows,
-  *    filtered to the frame's left edge.
+  *  - head: probe points (one per row, at the frame's left edge ts)
+  *    UNIONED with the raw rows of their head bucket, then ONE
+  *    cumulative window over (key, bucket) ordered by ts DESC — each
+  *    probe reads the suffix aggregate "raw rows with ts' >= edge" as
+  *    a running total. A (key, head-bucket) equi-join against raw rows
+  *    (the previous formulation) is O(rows-per-bucket²) per bucket —
+  *    every probe row pairs with every raw bucket row before the edge
+  *    filter — which measured 0.9 s → 13.9 s from sf0.1 → sf1 (10×
+  *    data, ~100× head-join intermediate: ~8M → ~830M pair rows). The
+  *    union window is O(rows-per-bucket · log) per bucket and keeps
+  *    the whole edge linear in the input at any bucket density.
   */
 object LongWindow {
 
@@ -78,18 +87,36 @@ object LongWindow {
         min(col("b_min")).as("__full_min"), max(col("b_max")).as("__full_max"))
 
     // head bucket (lb): raw rows with ts' >= ts - precedingMs, only
-    // when the head bucket differs from the row's own bucket
-    val rawHead = df.select(key.as("hk"), tsMs.as("hts"), v.as("hv"))
-    val headJoin = base.select(uid.as("__uid"), key.as("__k"), tsMs.as("__ts"),
-        col("__hb"), col("__lb"))
+    // when the head bucket differs from the row's own bucket. One
+    // probe point per row at the frame's left edge, unioned with the
+    // bucket's raw rows; a DESC cumulative window hands each probe the
+    // suffix aggregate of the raws at or after its edge (ties sort
+    // raw-first so an exactly-on-edge raw row is included). Linear in
+    // rows-per-bucket — see the class doc for the quadratic join this
+    // replaces.
+    val vType = df.select(v.as("__v")).schema.head.dataType
+    val uidType = df.select(uid.as("__uid")).schema.head.dataType
+    val probes = withBuckets
       .filter(col("__lb") < col("__hb"))
-      .join(rawHead,
-        col("__k") === col("hk") &&
-          floor(col("hts") / bucketMs).cast("long") === col("__lb") &&
-          col("hts") >= col("__ts") - precedingMs)
-      .groupBy(col("__uid"))
-      .agg(sum(col("hv")).as("__head_sum"), count(col("hv")).as("__head_cnt"),
-        min(col("hv")).as("__head_min"), max(col("hv")).as("__head_max"))
+      .select(uid.as("__uid"), key.as("__k"), col("__lb").as("__b"),
+        (tsMs - precedingMs).as("__t"), lit(1).as("__p"),
+        lit(null).cast(vType).as("__v"))
+    val raws = df.select(lit(null).cast(uidType).as("__uid"), key.as("__k"),
+        floor(tsMs / bucketMs).cast("long").as("__b"), tsMs.as("__t"),
+        lit(0).as("__p"), v.as("__v"))
+    val wHead = Window.partitionBy(col("__k"), col("__b"))
+      .orderBy(col("__t").desc, col("__p").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val rv = when(col("__p") === 0, col("__v"))
+    val headJoin = probes.unionByName(raws)
+      .withColumns(Map(
+        "__head_sum" -> sum(rv).over(wHead),
+        "__head_cnt" -> count(rv).over(wHead),
+        "__head_min" -> min(rv).over(wHead),
+        "__head_max" -> max(rv).over(wHead)))
+      .filter(col("__p") === 1)
+      .select(col("__uid"), col("__head_sum"), col("__head_cnt"),
+        col("__head_min"), col("__head_max"))
 
     base
       .join(fullJoin, uid === col("__uid"), "left").drop("__uid")
