@@ -25,6 +25,19 @@ import org.apache.spark.sql.functions._
   *     equi-join that Catalyst can broadcast when small. At 100 TB this
   *     is strictly better than joining then deduping: the join input is
   *     pre-shrunk to one row per key and AQE can pick broadcast.
+  *
+  *     Measured plan note (sf0.1 vs 10× sf1, graft.tools.PlanProbe):
+  *     `max_by` carries a struct buffer, which hash aggregation cannot
+  *     hold, so Spark plans SortAggregate — a map-side sort feeds the
+  *     partial, the exchange then moves only one row per (key ×
+  *     map-partition). At sf0.1 AQE broadcasts the reduced side
+  *     (ratio 0.87); at sf1 both sides exceed the broadcast threshold
+  *     and the join goes sort-merge, landing the local ratio at ~1.1
+  *     (isolated best-of-3) against a row_number twin that shuffles
+  *     ALL right rows but sorts only once. On a real cluster the 4×
+  *     smaller shuffle wins; locally shuffle is nearly free, so the
+  *     twin's single sort reads faster — a local[32] artifact, not a
+  *     plan defect.
   *  2. [[general]] (arbitrary condition / residual predicates): tag left
   *     rows with a synthetic id, left-outer join, keep the top-1 right
   *     row per left id via `row_number`. Costs a full shuffle of the

@@ -102,9 +102,14 @@ object ScaleUp {
       val salted = when(rep === 0, col("text")).otherwise(
         array_join(transform(split(col("text"), " "),
           w => concat(w, lit("_"), rep.cast("string"))), " "))
+      // salt ONCE into a scratch column: a second `salted` reference
+      // after text is replaced would re-evaluate against the salted
+      // text (double-salt) — n_chars derives from the scratch column
       df.withColumn("doc_id", col("doc_id") + rep * sDoc)
-        .withColumn("text", salted)
-        .withColumn("n_chars", length(salted).cast("long"))
+        .withColumn("__salted", salted)
+        .withColumn("text", col("__salted"))
+        .withColumn("n_chars", length(col("__salted")).cast("long"))
+        .drop("__salted")
     }, "documents", 8)
 
     // embeddings: rotate the vector by `rep` positions — norms and
