@@ -76,7 +76,15 @@ object LongWindow {
       "__tail_min" -> min(v).over(wTail),
       "__tail_max" -> max(v).over(wTail)))
 
-    // full buckets strictly between lb and hb
+    // full buckets strictly between lb and hb. Per-row cost is
+    // O(buckets-per-frame); size bucketMs so frames span ≲100 buckets.
+    // A per-key PREFIX sum over the MV (full-range = prefix[hb-1] −
+    // prefix[lb], O(1) per row) was considered and rejected: the
+    // subtraction carries the ulp of the whole-partition running sum
+    // (not of the frame sum), a float-cancellation error class the
+    // round-to-3 hash oracle can flip on; direct summation of the
+    // frame's bucket partials keeps the association the reference's
+    // aggregator uses (src/storage/aggregator.cc).
     val fullJoin = base.select(uid.as("__uid"), key.as("__k"),
         col("__hb"), col("__lb"))
       .join(preAgg,

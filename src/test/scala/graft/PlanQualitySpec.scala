@@ -40,6 +40,26 @@ class PlanQualitySpec extends SparkSpec {
       "reduced right side did not join as an equi-join")
   }
 
+  test("long-window head edge is a window, not a raw-bucket join") {
+    // the head-bucket edge must come from the union + suffix-window
+    // formulation: a (key, head-bucket) equi-join against raw rows is
+    // O(rows-per-bucket²) per bucket (measured 0.9s → 13.9s from
+    // sf0.1 → sf1 before the rewrite). Shape gate: two Window nodes
+    // (tail cumulative + head suffix) and exactly three joins (the
+    // full-bucket MV join and the two join-backs on uid).
+    val df = SparkEntry.queries("q_long_window")(spark, d)
+    val opt = df.queryExecution.optimizedPlan
+    val windows = opt.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    val joins = opt.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(windows.size == 2,
+      s"expected tail+head windows, got ${windows.size}")
+    assert(joins.size == 3,
+      s"expected MV join + 2 uid join-backs, got ${joins.size} joins " +
+        "(a 4th join is the quadratic head-bucket shape)")
+  }
+
   test("scalar pipelines run inside whole-stage codegen") {
     // codegen'd stages print with the "*(n)" marker in simple format
     val p = plan("q_scalar_math")
