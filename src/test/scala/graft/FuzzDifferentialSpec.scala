@@ -287,6 +287,54 @@ class FuzzDifferentialSpec extends SparkSpec {
     }
   }
 
+  test("train/serve fuzz: 30 random window queries agree between " +
+      "batch and request-mode serving") {
+    // the reference's highest-stakes invariant (its EngineTest runs
+    // every case through both modes): random dialect windows here run
+    // through GraftSql batch AND StreamDeploy.serve's insert-by-insert
+    // state replay. The fixture's order key (id) is UNIQUE, so batch
+    // RANGE frames equal the server's at-or-before arrival state.
+    val ev = Tables.load(GraftSession.tune(spark), Dir, "events")
+    val fx = ev.filter(col("event_id") % 16 === 5)
+      .select(col("event_id").as("id"),
+        (col("user_id") % 5).as("k"),
+        col("value").as("v"))
+      .orderBy("id")
+      .localCheckpoint(true)
+    fx.createOrReplaceTempView("fzts")
+    val r = new scala.util.Random(Seed + 4)
+    var skipped = 0
+    (0 until 30).foreach { i =>
+      val n = 2 + r.nextInt(300)
+      val nAgg = 1 + r.nextInt(3)
+      val aggs = (0 until nAgg).map { j =>
+        val a = pick(r, Seq("sum", "count", "min", "max", "avg"))
+        s"$a(v) OVER w AS a$j"
+      }
+      val attr = i % 4 match {
+        case 0 => ""
+        case 1 => s" MAXSIZE ${1 + r.nextInt(6)}"
+        case 2 => " EXCLUDE CURRENT_ROW"
+        case _ => " EXCLUDE CURRENT_TIME"
+      }
+      val frame = if (i % 2 == 0) s"ROWS BETWEEN $n PRECEDING AND CURRENT ROW"
+        else s"ROWS_RANGE BETWEEN $n PRECEDING AND CURRENT ROW"
+      // MAXSIZE is a ROWS_RANGE-only attribute in the dialect grammar
+      val fr = if (attr.startsWith(" MAXSIZE"))
+        s"ROWS_RANGE BETWEEN $n PRECEDING AND CURRENT ROW" else frame
+      val sql = s"SELECT id, ${aggs.mkString(", ")} FROM fzts " +
+        s"WINDOW w AS (PARTITION BY k ORDER BY id $fr$attr)"
+      val batch = GraftSql.sql(spark, sql)
+      val served =
+        try graft.sql.StreamDeploy.serve(spark, sql, fx.alias("fzts"))
+        catch { case _: IllegalArgumentException => skipped += 1; null }
+      if (served != null)
+        diff(batch, served, 1, s"seed=${Seed + 4} case=$i sql=[$sql]")
+          .foreach(msg => fail(msg))
+    }
+    assert(skipped <= 6, s"deploy compiler rejected $skipped/30 shapes")
+  }
+
   test("LAST JOIN fuzz: 40 equi/as-of/general cases agree with the " +
       "row_number twin") {
     val r = new scala.util.Random(Seed + 2)
