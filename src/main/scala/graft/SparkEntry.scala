@@ -507,13 +507,12 @@ object SparkEntry {
     // representative = smallest doc_id reachable). Singleton docs keep
     // their own id.
     "q_dedup_components" -> q { (s, d) =>
-      val docs = T(s, d, "documents")
-      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.6)
-      val comps = Dedup.connectedComponents(pairs, "id1", "id2")
-      docs.select(col("doc_id"))
-        .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("component"), col("doc_id")).as("component"))
+      // set-graph CC (Dedup.jaccardComponents): identical-text cliques
+      // contribute membership, not edges — the doc-pair formulation's
+      // 71M edges at the 10× fixture OOM'd an 8 GiB JVM; this one
+      // covers every doc directly (singletons label themselves)
+      Dedup.jaccardComponents(T(s, d, "documents"), "doc_id", "text", 0.6)
+        .select(col("doc_id"), col("component"))
     },
 
     // retention step after clustering: keep ONE canonical doc per
@@ -521,12 +520,8 @@ object SparkEntry {
     // (the training-pipeline "dedup keep-best" policy)
     "q_dedup_keep" -> q { (s, d) =>
       val docs = T(s, d, "documents")
-      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.6)
-      val comps = docs.select(col("doc_id"))
-        .join(Dedup.connectedComponents(pairs, "id1", "id2")
-          .withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("component"), col("doc_id")).as("component"))
+      // set-graph CC — see q_dedup_components for the scale rationale
+      val comps = Dedup.jaccardComponents(docs, "doc_id", "text", 0.6)
       val scores = docs.select(col("doc_id"),
         floor(TextOps.qualityScore(col("text")) * 1e6).cast("long").as("score"))
       Dedup.keepBest(comps, scores)

@@ -28,6 +28,23 @@ object Dedup {
     out
   }
 
+  /** Free the pinned blocks under a `localCheckpoint(true)`-produced
+    * Dataset. `Dataset.unpersist` only clears CacheManager entries and
+    * a local checkpoint never registers there — its blocks live on the
+    * RDD inside the plan's LogicalRDD leaf, and they are NOT evictable
+    * (truncated lineage = only copy), so an iterative algorithm that
+    * checkpoints per round pins every round's edges until session end.
+    * Measured: connectedComponents at sf1 exhausted an 8 GiB heap this
+    * way (q_dedup_keep / q_dedup_components OOM) while every round's
+    * LIVE working set was a fraction of it. Call only once every
+    * consumer of `df` has been materialized. */
+  private[operators] def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(false)
+      case _ => ()
+    }
+
   /** Exact dedup: group identical texts by md5, keep the smallest id. */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.groupBy(md5(col(textCol)).as("text_hash"))
@@ -274,6 +291,60 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
+    val (verified, selfPairs, docsBySet, sets) =
+      jaccardSetGraph(docs, idCol, textCol, threshold)
+    // expand set pairs back to doc pairs (id1 < id2)
+    val pairs = verified.unionByName(selfPairs)
+      .join(docsBySet.select(col("set_id").as("s1"), col("doc_id").as("d1")), "s1")
+      .join(docsBySet.select(col("set_id").as("s2"), col("doc_id").as("d2")), "s2")
+      .filter(col("s1") =!= col("s2") || col("d1") < col("d2"))
+      .select(least(col("d1"), col("d2")).as("id1"),
+        greatest(col("d1"), col("d2")).as("id2"), col("jaccard"))
+    materializeAndFree(pairs, sets)
+  }
+
+  /** Near-dup cluster assignment, computed WITHOUT materializing doc
+    * pairs: connected components over the DISTINCT-TOKEN-SET graph.
+    * Identical-text documents share one set node, so a k-copy
+    * boilerplate clique contributes ZERO edges here instead of the
+    * k(k−1)/2 doc pairs `connectedComponents(jaccardPairs(...))`
+    * feeds on — the measured difference at the 10× sf1 fixture is 71M
+    * doc-pair edges (heap-OOM in an 8 GiB single JVM) vs the set
+    * graph's edge count, which is bounded by DISTINCT texts. On a
+    * dup-dense 100 TB crawl this is the only shape that survives:
+    * pair volume grows quadratically in clique size, set-graph volume
+    * linearly. Output equals the pair formulation exactly: two docs
+    * connect iff their sets connect (or coincide), and the component
+    * label is the smallest member doc id — (doc_id, component), one
+    * row per input document (singletons label themselves).
+    */
+  def jaccardComponents(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val (verified, _, docsBySet, sets) =
+      jaccardSetGraph(docs, idCol, textCol, threshold)
+    val setComp = connectedComponents(
+      verified.select(col("s1"), col("s2")), "s1", "s2")
+    // a set with no near-dup edge labels itself; identical-text docs
+    // still collapse because they share the set node
+    val labeled = docsBySet
+      .join(setComp.withColumnRenamed("id", "set_id"), Seq("set_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("set_id")).as("__lbl"))
+    val minDoc = labeled.groupBy(col("__lbl"))
+      .agg(min(col("doc_id")).as("component"))
+    val out = labeled.join(minDoc, "__lbl")
+      .select(col("doc_id"), col("component"))
+    materializeAndFree(out, sets)
+  }
+
+  /** Shared machinery of [[jaccardPairs]] / [[jaccardComponents]]:
+    * distinct token sets, PPJoin prefix candidates, exact
+    * verification. Returns (verified set pairs (s1,s2,jaccard),
+    * identical-set self pairs, doc↔set membership, the persisted sets
+    * handle — callers free it via [[materializeAndFree]]). */
+  private def jaccardSetGraph(docs: DataFrame, idCol: String,
+      textCol: String, threshold: Double)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val docSets = docs.select(col(idCol).as("doc_id"),
       array_sort(tokens(col(textCol))).as("toks"))
     // distinct token sets, keyed by set hash; persisted — referenced by
@@ -304,10 +375,18 @@ object Dedup {
       .dropDuplicates("s1", "s2")
 
     // exact verification per distinct-set pair. The threshold filter
-    // goes AFTER a narrow checkpoint barrier: pushed past the project it
-    // would land in the toks-attach join condition, knocking that stage
-    // out of whole-stage codegen (same measured pattern as the MinHash
-    // sig-attach: ~25x slower interpreted).
+    // must NOT push past the project into the toks-attach join
+    // condition (that knocks the stage out of whole-stage codegen —
+    // same measured pattern as the MinHash sig-attach: ~25x slower
+    // interpreted). The pushdown fence is an always-true
+    // non-deterministic conjunct: Catalyst never moves a filter with a
+    // non-deterministic term, the whole pipeline stays streaming and
+    // codegen'd, and — unlike the eager localCheckpoint barrier this
+    // replaces — nothing materializes. The checkpoint pinned EVERY
+    // pre-threshold candidate pair on the heap (MEMORY_AND_DISK blocks
+    // unroll in memory first, 32 tasks at once), which at the 10× sf1
+    // fixture (dup-dense corpus, ~tiny vocabulary → 10⁸-scale
+    // candidates) took down an 8 GiB JVM before the filter ever ran.
     val verified = cand
       .join(sets.select(col("set_id").as("s1"), col("toks").as("t1"),
         col("sz").as("z1")), "s1")
@@ -317,20 +396,12 @@ object Dedup {
       .withColumn("jaccard", col("inter").cast("double") /
         (col("z1") + col("z2") - col("inter")))
       .select(col("s1"), col("s2"), col("jaccard"))
-      .localCheckpoint(true)
-      .filter(col("jaccard") >= threshold)
+      .filter(col("jaccard") >= threshold && rand(42) > lit(-1.0))
     // identical token sets: J = 1.0 by definition
     val selfPairs = sets.select(col("set_id").as("s1"),
       col("set_id").as("s2"), lit(1.0).as("jaccard"))
 
-    // expand set pairs back to doc pairs (id1 < id2)
-    val pairs = verified.unionByName(selfPairs)
-      .join(docsBySet.select(col("set_id").as("s1"), col("doc_id").as("d1")), "s1")
-      .join(docsBySet.select(col("set_id").as("s2"), col("doc_id").as("d2")), "s2")
-      .filter(col("s1") =!= col("s2") || col("d1") < col("d2"))
-      .select(least(col("d1"), col("d2")).as("id1"),
-        greatest(col("d1"), col("d2")).as("id2"), col("jaccard"))
-    materializeAndFree(pairs, sets)
+    (verified, selfPairs, docsBySet, sets)
   }
 
   /** Connected components over an undirected near-dup pair list —
@@ -388,10 +459,15 @@ object Dedup {
     var round = 0
     var sig = edgeSig(edges)
     while (!stable && round < maxRounds) {
+      // eager checkpoint materializes `next` BEFORE the previous
+      // round's blocks are released — local-checkpoint blocks are
+      // pinned (not evictable), so skipping the release accumulates
+      // every round's edge set on the heap (see freeLocalCheckpoint)
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
       val nextSig = edgeSig(next)
       stable = nextSig == sig
       sig = nextSig
+      freeLocalCheckpoint(edges)
       edges = next
       round += 1
     }

@@ -287,6 +287,41 @@ class FuzzDifferentialSpec extends SparkSpec {
     }
   }
 
+  test("composition fuzz: 40 CTE→agg→window / multi-window cases " +
+      "agree with spark.sql") {
+    // standard-overlap productions over the two COMPOSITION paths the
+    // flat fuzzers never reach: a grouped CTE feeding a window (the
+    // agg↔window pipeline), and several named windows in one SELECT
+    // (the dialect plans these as one stitched pass — CONCAT join
+    // subsumption; Spark's front end computes them independently)
+    val r = new scala.util.Random(Seed + 5)
+    (0 until 40).foreach { i =>
+      val sql = if (i % 2 == 0) {
+        val gk = pick(r, Seq("k1", "k2", "par"))
+        val a1 = pick(r, Seq("sum(v)", "avg(v)", "max(v)", "count(*)"))
+        val n = 1 + r.nextInt(9)
+        val wa = pick(r, Seq("sum", "min", "max", "count"))
+        s"WITH g AS (SELECT $gk, $a1 AS sv, max(id) AS mid FROM fz " +
+          s"GROUP BY $gk) " +
+          s"SELECT mid, $wa(sv) OVER (ORDER BY mid " +
+          s"ROWS BETWEEN $n PRECEDING AND CURRENT ROW) AS x FROM g"
+      } else {
+        val (p1, p2) = (pick(r, Seq("k1", "k2")), pick(r, Seq("par", "k2")))
+        val (n1, n2) = (1 + r.nextInt(40), 1 + r.nextInt(40))
+        val (a1, a2) = (pick(r, Seq("sum", "min", "avg")),
+          pick(r, Seq("count", "max", "sum")))
+        s"SELECT id, $a1(v) OVER w1 AS x1, $a2(v) OVER w2 AS x2 FROM fz " +
+          s"WINDOW w1 AS (PARTITION BY $p1 ORDER BY id " +
+          s"ROWS BETWEEN $n1 PRECEDING AND CURRENT ROW), " +
+          s"w2 AS (PARTITION BY $p2 ORDER BY id " +
+          s"ROWS BETWEEN $n2 PRECEDING AND CURRENT ROW)"
+      }
+      diff(GraftSql.sql(spark, sql), spark.sql(sql), 1,
+          s"seed=${Seed + 5} case=$i sql=[$sql]")
+        .foreach(msg => fail(msg))
+    }
+  }
+
   test("train/serve fuzz: 30 random window queries agree between " +
       "batch and request-mode serving") {
     // the reference's highest-stakes invariant (its EngineTest runs
