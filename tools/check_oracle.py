@@ -47,8 +47,13 @@ def canon(rows, cols):
 
 def main(sfdir, outdir, only):
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+        # driver testdata tables are single files; ScaleUp fixtures are
+        # Spark-written directories of part files — accept both
+        p = f"{sfdir}/{t}.parquet"
+        pat = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracles):
