@@ -294,6 +294,14 @@ class FuzzDifferentialSpec extends SparkSpec {
     // agg↔window pipeline), and several named windows in one SELECT
     // (the dialect plans these as one stitched pass — CONCAT join
     // subsumption; Spark's front end computes them independently)
+    // the dialect REQUIRES a window PARTITION BY (WINDOW_CLAUSE.md:125
+    // "OpenMLDB requires that PARTITION BY must be configured") — the
+    // fuzzer's first run generated a partition-less OVER and the parser
+    // correctly refused it; pin that rejection as reference parity
+    intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, "SELECT id, sum(v) OVER (ORDER BY id " +
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS x FROM fz")
+    }
     val r = new scala.util.Random(Seed + 5)
     (0 until 40).foreach { i =>
       val sql = if (i % 2 == 0) {
@@ -301,9 +309,11 @@ class FuzzDifferentialSpec extends SparkSpec {
         val a1 = pick(r, Seq("sum(v)", "avg(v)", "max(v)", "count(*)"))
         val n = 1 + r.nextInt(9)
         val wa = pick(r, Seq("sum", "min", "max", "count"))
-        s"WITH g AS (SELECT $gk, $a1 AS sv, max(id) AS mid FROM fz " +
-          s"GROUP BY $gk) " +
-          s"SELECT mid, $wa(sv) OVER (ORDER BY mid " +
+        // pp: constant partition column — the dialect mandates
+        // PARTITION BY and only supports column references there
+        s"WITH g AS (SELECT $gk, $a1 AS sv, max(id) AS mid, 0 AS pp " +
+          s"FROM fz GROUP BY $gk) " +
+          s"SELECT mid, $wa(sv) OVER (PARTITION BY pp ORDER BY mid " +
           s"ROWS BETWEEN $n PRECEDING AND CURRENT ROW) AS x FROM g"
       } else {
         val (p1, p2) = (pick(r, Seq("k1", "k2")), pick(r, Seq("par", "k2")))
