@@ -43,6 +43,22 @@ object PlainBaseline {
   }
 
   val sqlText: Map[String, String] = Map(
+    "q_zorder" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  xd | shiftleft(yd, 1) AS zval
+        |FROM (SELECT *, (xc | shiftleft(xc, 1)) & 1431655765 AS xd,
+        |             (yc | shiftleft(yc, 1)) & 1431655765 AS yd
+        |  FROM (SELECT *, (xb | shiftleft(xb, 2)) & 858993459 AS xc,
+        |               (yb | shiftleft(yb, 2)) & 858993459 AS yc
+        |    FROM (SELECT *, (xa | shiftleft(xa, 4)) & 252645135 AS xb,
+        |                 (ya | shiftleft(ya, 4)) & 252645135 AS yb
+        |      FROM (SELECT *, (x | shiftleft(x, 8)) & 16711935 AS xa,
+        |                   (y | shiftleft(y, 8)) & 16711935 AS ya
+        |        FROM (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |                CAST(l_partkey AS BIGINT) & 65535 AS x,
+        |                CAST(l_suppkey AS BIGINT) & 65535 AS y
+        |              FROM pb_lineitem) t0) t1) t2) t3) t4""".stripMargin,
+
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

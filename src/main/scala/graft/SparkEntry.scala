@@ -604,6 +604,36 @@ object SparkEntry {
             .otherwise(0).as("recall_ok"))
     },
 
+    // SemDeDup semantic dedup (k-means clusters → within-cluster
+    // cosine pairs → keep ONE per dup group, farthest from centroid).
+    // Gate: dup coverage — fraction of TRUE near-dup pairs (exact
+    // all-pairs cosine, quadratic by design, bounded to this sf0.01
+    // gate) where at least one side was removed. Floor 0.80 sits under
+    // the measured sf0.01 coverage: 0.889 at nlist=8 (0.983 at
+    // nlist=4, 0.775 at nlist=16 — finer clusters split more true
+    // pairs; pick nlist for the pair-cost/coverage trade).
+    "q_dedup_semantic" -> q { (s, d) =>
+      val e = T(s, d, "embeddings")
+      val res = Dedup.semanticDedup(e, "vec_id", "embedding",
+        threshold = 0.3, nlist = 8, iters = 5)
+      val kept = res.filter(col("keep")).select(col("doc_id"))
+      val vecs = e.select(col("vec_id"),
+        Similarity.toDoubleVec(col("embedding")).as("v"))
+      val truth = vecs.as("a")
+        .join(vecs.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+          Similarity.cosine(col("a.v"), col("b.v")).as("cos"))
+        .filter(col("cos") >= 0.3)
+      val bothKept = truth
+        .join(kept.withColumnRenamed("doc_id", "id1"), Seq("id1"), "left_semi")
+        .join(kept.withColumnRenamed("doc_id", "id2"), Seq("id2"), "left_semi")
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(bothKept.agg(count(lit(1)).as("n_uncov")))
+        .select(col("n_true"),
+          when((col("n_true") - col("n_uncov")).cast("double") /
+            col("n_true") >= 0.80, 1).otherwise(0).as("coverage_ok"))
+    },
+
     // brute-force cosine top-k (exact ANN baseline)
     "q_ann_topk" -> q { (s, d) =>
       val e = T(s, d, "embeddings")
@@ -1580,6 +1610,78 @@ object SparkEntry {
       GraftSql.sql(s,
         """SELECT r_name, max(r_regionkey) AS max_key
           |FROM t_graft_loaded GROUP BY r_name""".stripMargin)
+    },
+
+    // Misra–Gries heavy-hitters sketch (capacity 16 < the corpus's 31
+    // distinct tokens, so the sketch genuinely decrements/truncates).
+    // Gates recompute the exact counts IN SPARK and assert the MG
+    // guarantee: (a) every token with true count > N/(k+1) is in the
+    // sketch, (b) true − N/(k+1) ≤ est ≤ true for every sketch entry.
+    // DuckDB recomputes n_hot exactly and expects both gates green.
+    "q_heavy_hitters" -> q { (s, d) =>
+      val cap = 16
+      val toks = T(s, d, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val est = toks.agg(A.heavy_hitters(col("tok"), cap).as("m"))
+        .select(explode(col("m")))
+        .toDF("term", "est")
+      val exact = toks.groupBy(col("tok").as("term"))
+        .agg(count(lit(1)).as("cnt"))
+      val n = toks.agg(count(lit(1)).as("n"))
+      exact.crossJoin(broadcast(n))
+        .withColumn("thresh", col("n").cast("double") / (cap + 1))
+        .join(est, Seq("term"), "left")
+        .agg(
+          sum(when(col("cnt") > col("thresh"), 1L).otherwise(0L))
+            .as("n_hot"),
+          max(when(col("cnt") > col("thresh") && col("est").isNull, 1)
+            .otherwise(0)).as("__miss"),
+          max(when(col("est").isNotNull && (col("est") > col("cnt") ||
+            (col("cnt") - col("est")).cast("double") > col("thresh")), 1)
+            .otherwise(0)).as("__oob"))
+        .select(col("n_hot"),
+          when(col("__miss") === 0, 1).otherwise(0).as("contained_ok"),
+          when(col("__oob") === 0, 1).otherwise(0).as("bounds_ok"))
+    },
+
+    // Z-order (Morton) multi-dimensional layout: the z-value is pure
+    // closed-form bit arithmetic, so the oracle replays it bit-exactly
+    // in SQL — a FULL hash compare over every lineitem row. The layout
+    // op itself (range exchange + within-partition sort on this value)
+    // is locality-spec'd in LayoutSpec.
+    "q_zorder" -> q { (s, d) =>
+      import graft.operators.Layout
+      T(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"),
+        Layout.zorderValue(
+          Seq(col("l_partkey"), col("l_suppkey"))).as("zval"))
+    },
+
+    // DataSource V2 connector (`format("graft")`) — the reference's
+    // openmldb-spark-connector surface (OpenmldbSource.java): write a
+    // DataFrame into an engine table in append mode, read it back with
+    // column pruning + filter pushdown, aggregate. The oracle computes
+    // the same aggregate straight over the parquet, so the row-hash
+    // proves the connector round-trip is lossless.
+    "q_dsv2" -> q { (s, d) =>
+      GraftSql.statement(s, "DROP TABLE IF EXISTS t_dsv2")
+      GraftSql.statement(s,
+        "CREATE TABLE t_dsv2 (c_custkey bigint, c_nationkey bigint, " +
+          "c_acctbal double)")
+      T(s, d, "customer")
+        .select(col("c_custkey").cast("long"),
+          col("c_nationkey").cast("long"), col("c_acctbal").cast("double"))
+        .write.format("graft")
+        .option("db", "default").option("table", "t_dsv2")
+        .mode("append").save()
+      s.read.format("graft")
+        .option("db", "default").option("table", "t_dsv2").load()
+        .filter(col("c_acctbal") > 0)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"),
+          round(sum(col("c_acctbal")), 2).as("sum_bal"))
     }
   )
 
@@ -2057,6 +2159,17 @@ object SparkEntry {
         |SELECT CAST(count(*) AS BIGINT) AS n_true, 1 AS recall_ok
         |FROM p WHERE cos >= 0.3""".stripMargin,
 
+    "q_dedup_semantic" ->
+      """WITH e AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |        list_dot_product(a.v, b.v)
+        |          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+        |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_true, 1 AS coverage_ok
+        |FROM p WHERE cos >= 0.3""".stripMargin,
+
     "q_ann_lsh" ->
       """SELECT vec_id AS qid, 1 AS recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
@@ -2519,6 +2632,37 @@ object SparkEntry {
     "q_out_in" ->
       """SELECT r_name, CAST(max(r_regionkey) AS BIGINT) AS max_key
         |FROM region GROUP BY r_name""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |           FROM documents),
+        |tt AS (SELECT tok FROM t WHERE length(tok) > 0),
+        |c AS (SELECT tok, count(*) AS cnt FROM tt GROUP BY tok),
+        |n AS (SELECT count(*) AS n FROM tt)
+        |SELECT CAST(count(*) FILTER (WHERE cnt > CAST(n AS DOUBLE) / 17) AS BIGINT) AS n_hot,
+        |  1 AS contained_ok, 1 AS bounds_ok
+        |FROM c, n""".stripMargin,
+
+    "q_zorder" ->
+      """WITH t AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  CAST(l_partkey AS BIGINT) & 65535 AS x,
+        |  CAST(l_suppkey AS BIGINT) & 65535 AS y FROM lineitem),
+        |s1 AS (SELECT *, (x | (x << 8)) & 16711935 AS xa,
+        |               (y | (y << 8)) & 16711935 AS ya FROM t),
+        |s2 AS (SELECT *, (xa | (xa << 4)) & 252645135 AS xb,
+        |               (ya | (ya << 4)) & 252645135 AS yb FROM s1),
+        |s3 AS (SELECT *, (xb | (xb << 2)) & 858993459 AS xc,
+        |               (yb | (yb << 2)) & 858993459 AS yc FROM s2),
+        |s4 AS (SELECT *, (xc | (xc << 1)) & 1431655765 AS xd,
+        |               (yc | (yc << 1)) & 1431655765 AS yd FROM s3)
+        |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  xd | (yd << 1) AS zval FROM s4""".stripMargin,
+
+    "q_dsv2" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        | count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+        |FROM customer WHERE c_acctbal > 0
+        |GROUP BY c_nationkey""".stripMargin,
 
     "q_sql_agg" ->
       """SELECT o_orderstatus, round(sum(o_totalprice), 2) AS s_price, count(*) AS cnt
@@ -3027,6 +3171,7 @@ object SparkEntry {
     "q_pack_sequences", "q_vocab", "q_tfidf", "q_perplexity",
     "q_profile", "q_bm25",
     "q_join_window", "q_request_mode", "q_long_window",
+    "q_zorder",
     "q_skew_window", "q_skew_window_arr", "q_skew_window_hot",
     "q_ann_topk", "q_dedup_minhash", "q_dedup_lshseen_capped",
     "q_dedup_minhash_skew", "q_dedup_minhash_skew_uncapped")
@@ -3124,6 +3269,11 @@ object SparkEntry {
     "q_dedup_lshseen" -> ((s: SparkSession, d: String) => {
       val docs = Tables.load(GraftSession.tune(s), d, "documents")
       graft.operators.Dedup.lshFirstSeenPlan(docs, "doc_id", "text")._1
+    }),
+    "q_dedup_semantic" -> ((s: SparkSession, d: String) => {
+      val e = Tables.load(GraftSession.tune(s), d, "embeddings")
+      graft.operators.Dedup.semanticDedupPlan(e, "vec_id", "embedding",
+        threshold = 0.3, nlist = 8, iters = 5)._1
     })
   )
 }

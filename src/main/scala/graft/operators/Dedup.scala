@@ -791,4 +791,85 @@ object Dedup {
     vecs.unpersist(false); keyed.unpersist(false)
     scored.filter(col("cos") >= threshold)
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540): k-means-cluster the embedding
+    * space, enumerate near-dup pairs ONLY within a cluster
+    * (cos >= `threshold`), connect them into semantic-dup groups, and
+    * keep exactly one document per group — the member FARTHEST from
+    * its cluster centroid (the paper's "low similarity to centroid"
+    * keep rule; it preserves the cluster's outer, most-diverse
+    * examples), ties to the smallest id.
+    *
+    * Returns one row per input doc: (doc_id, cluster, component,
+    * keep) — `component` is the semantic-dup group label (smallest
+    * member id), singletons keep themselves.
+    *
+    * Scale shape: pair enumeration is the IVF/LSH bucket pattern —
+    * one shuffle of (cluster, id, vec) rows, per-cluster self-join, so
+    * the cost is sum(cluster_size²) instead of n²; nlist scales it
+    * (the paper runs 50k clusters over 5B embeddings). Assignment is
+    * a codegen'd argmin against broadcast centroid literals (code, not
+    * data — no shuffle), components use the same large/small-star
+    * rounds as every other dedup family here, and the keep rule is one
+    * max_by aggregate. A pathological mega-cluster has the same
+    * O(bucket²) failure mode as an LSH hot bucket; pick nlist so
+    * E[cluster] stays bounded, or pre-split on a coarser hash as the
+    * reference-scale mitigation.
+    */
+  def semanticDedup(docs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int, iters: Int = 3,
+      centroidsIn: Option[Seq[Seq[Double]]] = None): DataFrame = {
+    val (out, assigned) = semanticDedupPlan(docs, idCol, vecCol,
+      threshold, nlist, iters, centroidsIn)
+    materializeAndFree(out, assigned)
+  }
+
+  /** [[semanticDedup]] before its materialization barrier — (result,
+    * cached assignment handle). Exposes the lazy plan to the plan-gate
+    * (PLANS.md / PlanQualitySpec), the same surface lshFirstSeenPlan
+    * provides. */
+  def semanticDedupPlan(docs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int, iters: Int = 3,
+      centroidsIn: Option[Seq[Seq[Double]]] = None)
+      : (DataFrame, DataFrame) = {
+    // the paper's production shape clusters ONCE and reuses the
+    // centroids across corpus snapshots — accept them precomputed
+    val centroids = centroidsIn.getOrElse(
+      Similarity.kmeansCentroids(docs, idCol, vecCol, nlist, iters))
+    // one argmin pass yields both the cluster id and the keep-rule
+    // distance; persisted — referenced by both self-join sides and the
+    // final labeling
+    val assigned = docs.select(col(idCol).as("doc_id"),
+        Similarity.toDoubleVec(col(vecCol)).as("v"))
+      .withColumn("__a", Similarity.nearestCentroidAssign(col("v"), centroids))
+      .select(col("doc_id"), col("v"), col("__a")("cluster").as("cluster"),
+        col("__a")("cdist").as("cdist"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val l = assigned.select(col("cluster"), col("doc_id").as("d1"),
+      col("v").as("v1"))
+    val r = assigned.select(col("cluster"), col("doc_id").as("d2"),
+      col("v").as("v2"))
+    // within-cluster near-dup edges; the cosine stays in the join's
+    // output projection (narrow (d1, d2) edges survive)
+    val edges = l.join(r, Seq("cluster")).filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        Similarity.cosine(col("v1"), col("v2")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("d1"), col("d2"))
+    val comp = connectedComponents(edges, "d1", "d2")
+      .withColumnRenamed("id", "doc_id")
+    val labeled = assigned.join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cluster"), col("cdist"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+    // keep rule: max cdist wins, ties to the smallest doc id
+    val keepers = labeled.groupBy(col("component"))
+      .agg(max_by(col("doc_id"),
+        struct(col("cdist"), (-col("doc_id")).as("nid"))).as("__keep_id"))
+    val out = labeled.join(keepers, "component")
+      .select(col("doc_id"), col("cluster"), col("component"),
+        (col("doc_id") === col("__keep_id")).as("keep"))
+    (out, assigned)
+  }
 }

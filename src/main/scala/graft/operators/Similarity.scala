@@ -77,6 +77,14 @@ object Similarity {
   def nearestCentroid(vec: Column, centroids: Seq[Seq[Double]]): Column =
     array_min(centroidDists(vec, centroids))("c")
 
+  /** (cluster, cdist) struct: nearest-centroid id AND the squared-L2
+    * distance to it in one argmin pass (assignment + keep-rule inputs
+    * of [[graft.operators.Dedup.semanticDedup]]). */
+  def nearestCentroidAssign(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    val m = array_min(centroidDists(vec, centroids))
+    struct(m("c").as("cluster"), m("d").as("cdist"))
+  }
+
   /** Lloyd k-means over an embedding column, distributed: assignment is
     * a codegen'd argmin against broadcast centroid literals, the update
     * step one (cid, dim) grouped mean. Returns nlist centroids.

@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.{AnalysisException, Row}
+import org.apache.spark.sql.types._
+
+import graft.sql.GraftSql
+
+/** The `format("graft")` DataSource V2 connector — user-API parity
+  * with the reference's openmldb-spark-connector (TestRead/TestWrite
+  * in java/openmldb-spark-connector): read a catalog table back as a
+  * DataFrame, append-mode writes land as inserts, putIfAbsent dedups,
+  * option preconditions match, unsupported modes/types error. */
+class GraftSourceSpec extends SparkSpec {
+
+  private def ddl(sql: String) = GraftSql.statement(spark, sql)
+
+  private val schemaSql =
+    "(c1 bool, c2 smallint, c3 int, c4 bigint, c5 float, c6 double, " +
+      "c7 string NOT NULL, c8 date, c9 timestamp)"
+
+  test("read round-trips a catalog table, values and schema") {
+    ddl(s"CREATE TABLE conn_r $schemaSql")
+    ddl("INSERT INTO conn_r VALUES (true, 1, 2, 3, 1.5, 2.5, 'a', " +
+      "'2024-01-02', '2024-01-02 03:04:05')")
+    ddl("INSERT INTO conn_r VALUES (false, NULL, 4, 5, NULL, 3.5, 'b', " +
+      "NULL, NULL)")
+    val df = spark.read.format("graft")
+      .option("db", "default").option("table", "conn_r").load()
+    // NOT NULL column surfaces as non-nullable (reference
+    // OpenmldbTable.java:69 — !column.isNotNull())
+    assert(!df.schema("c7").nullable && df.schema("c3").nullable)
+    val got = df.collect().sortBy(r => Option(r.getString(6)).getOrElse(""))
+    assert(got.length == 2)
+    assert(got(0).getString(6) == "a" && got(0).getLong(3) == 3L)
+    assert(got(0).getDate(7).toString == "2024-01-02")
+    assert(got(1).getString(6) == "b" && got(1).isNullAt(1) &&
+      got(1).isNullAt(7) && got(1).isNullAt(8))
+  }
+
+  test("column pruning and filter pushdown reach the scan") {
+    ddl(s"CREATE TABLE conn_p $schemaSql")
+    (1 to 50).foreach(i => ddl(
+      s"INSERT INTO conn_p VALUES (true, 1, $i, ${i}0, 1.0, 2.0, 'r$i', " +
+        "'2024-01-01', '2024-01-01 00:00:00')"))
+    val df = spark.read.format("graft")
+      .option("db", "default").option("table", "conn_p").load()
+      .filter("c3 > 40").select("c3", "c7")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThan(c3,40)"), plan)
+    assert(df.collect().map(_.getInt(0)).sorted.toSeq == (41 to 50))
+    // pruned read schema: the scan's readSchema carries only (c3, c7)
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(!scan.contains("c6"), scan)
+  }
+
+  test("multi-partition slicing honors numPartitions") {
+    ddl(s"CREATE TABLE conn_n $schemaSql")
+    (1 to 12).foreach(i => ddl(
+      s"INSERT INTO conn_n VALUES (true, 1, $i, 1, 1.0, 2.0, 'x', " +
+        "'2024-01-01', '2024-01-01 00:00:00')"))
+    val df = spark.read.format("graft").option("db", "default")
+      .option("table", "conn_n").option("numPartitions", "4").load()
+    assert(df.rdd.getNumPartitions == 4)
+    assert(df.count() == 12)
+  }
+
+  test("append write inserts; putIfAbsent dedups full rows") {
+    ddl(s"CREATE TABLE conn_w $schemaSql")
+    ddl("INSERT INTO conn_w VALUES (true, 1, 1, 1, 1.0, 1.0, 'seed', " +
+      "'2024-01-01', '2024-01-01 00:00:00')")
+    val view = spark.table("conn_w")
+    val two = view.union(view.withColumn("c3",
+      org.apache.spark.sql.functions.lit(99)))
+    val opts = Map("db" -> "default", "table" -> "conn_w")
+    two.write.format("graft").options(opts).mode("append").save()
+    assert(spark.table("conn_w").count() == 3) // seed + (dup seed, 99)
+    // putIfAbsent: re-writing the same two rows adds nothing new
+    // beyond the rows not already present
+    spark.table("conn_w").write.format("graft").options(opts)
+      .option("putIfAbsent", "true").mode("append").save()
+    // seed appears twice in the table, so the put-if-absent write of
+    // the current snapshot adds zero rows only if every row value
+    // already exists — it does (dup seed rows match by value)
+    assert(spark.table("conn_w").count() == 3)
+  }
+
+  test("write-schema mismatch is an AnalysisException (reference TestWrite)") {
+    ddl(s"CREATE TABLE conn_s $schemaSql")
+    val bad = spark.createDataFrame(
+      java.util.List.of(Row("all", "string", "cols")),
+      StructType(Seq(StructField("a", StringType),
+        StructField("b", StringType), StructField("c", StringType))))
+    val e = intercept[AnalysisException] {
+      bad.write.format("graft")
+        .option("db", "default").option("table", "conn_s")
+        .mode("append").save()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("option preconditions match the reference") {
+    val r = spark.read.format("graft")
+    val e1 = intercept[IllegalArgumentException] {
+      r.option("table", "t").load()
+    }
+    assert(e1.getMessage.contains("db name must not be empty"))
+    val e2 = intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("db", "default").load()
+    }
+    assert(e2.getMessage.contains("table name must not be empty"))
+    val e3 = intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("db", "default")
+        .option("table", "conn_r").option("writerType", "stream").load()
+    }
+    assert(e3.getMessage.contains("writerType must be 'single' or 'batch'"))
+    val e4 = intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("db", "default")
+        .option("table", "nope_missing").load()
+    }
+    assert(e4.getMessage.contains("does not exist"))
+  }
+
+  test("unsupported column type rejected with the reference's shape") {
+    spark.createDataFrame(java.util.List.of(Row(Seq(1, 2))),
+      StructType(Seq(StructField("arr", ArrayType(IntegerType)))))
+      .createOrReplaceTempView("conn_arr")
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("db", "default")
+        .option("table", "conn_arr").load().collect()
+    }
+    assert(e.getMessage.contains("No support for sql type"))
+  }
+
+  test("db-scoped tables resolve through the db option") {
+    ddl("CREATE DATABASE IF NOT EXISTS conndb")
+    GraftSql.registerDbTable(spark, "conndb", "scoped",
+      spark.range(3).toDF("id")
+        .selectExpr("CAST(id AS BIGINT) AS c4"))
+    val df = spark.read.format("graft")
+      .option("db", "conndb").option("table", "scoped").load()
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L, 2L))
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Layout
+
+/** Z-order layout: bit-exact Morton values, locality benefit of the
+  * re-layout, rank bucketing of continuous dims. */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def z2(x: Long, y: Long): Long =
+    Seq((x, y)).toDF("x", "y")
+      .select(Layout.zorderValue(Seq(col("x"), col("y"))))
+      .head().getLong(0)
+
+  private def z3(x: Long, y: Long, z: Long): Long =
+    Seq((x, y, z)).toDF("x", "y", "z")
+      .select(Layout.zorderValue(Seq(col("x"), col("y"), col("z"))))
+      .head().getLong(0)
+
+  test("2-dim Morton values match hand-interleaved bits") {
+    assert(z2(0, 0) == 0L)
+    assert(z2(1, 0) == 1L)
+    assert(z2(0, 1) == 2L)
+    assert(z2(3, 5) == 39L)      // x=011, y=101 -> 100111
+    assert(z2(65535, 0) == 0x55555555L)
+    assert(z2(0, 65535) == 0xAAAAAAAAL)
+    assert(z2(65535, 65535) == 0xFFFFFFFFL)
+    // reference scalar implementation, checked across a grid
+    def ref(x: Long, y: Long): Long =
+      (0 until 16).map(i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1)))
+        .reduce(_ | _)
+    for (x <- Seq(0L, 1L, 7L, 123L, 9999L, 65535L);
+         y <- Seq(0L, 2L, 31L, 456L, 65535L))
+      assert(z2(x, y) == ref(x, y), s"($x, $y)")
+  }
+
+  test("3-dim Morton values match hand-interleaved bits") {
+    assert(z3(1, 1, 1) == 7L)
+    assert(z3(2, 0, 1) == 12L)
+    def ref(x: Long, y: Long, z: Long): Long =
+      (0 until 21).map(i =>
+        (((x >> i) & 1L) << (3 * i)) | (((y >> i) & 1L) << (3 * i + 1)) |
+          (((z >> i) & 1L) << (3 * i + 2))).reduce(_ | _)
+    for (x <- Seq(0L, 5L, 12345L, (1L << 21) - 1);
+         y <- Seq(0L, 77L, 54321L); z <- Seq(0L, 1L, 99999L))
+      assert(z3(x, y, z) == ref(x, y, z), s"($x, $y, $z)")
+  }
+
+  test("values above the bit budget wrap via low-bit masking") {
+    assert(z2(65536L, 0) == z2(0L, 0)) // 2^16 masks to 0
+  }
+
+  test("zorderBy improves cross-dimension locality vs single-column sort") {
+    val grid = spark.range(64 * 64).select(
+      (col("id") % 64).as("x"), (col("id") / 64).as("y"))
+    def spans(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val s = df.withColumn("__p", spark_partition_id())
+        .groupBy("__p")
+        .agg((max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"))
+        .agg(avg("sx"), avg("sy")).head()
+      (s.getDouble(0), s.getDouble(1))
+    }
+    val (zx, zy) = spans(
+      Layout.zorderBy(grid, Seq(col("x"), col("y")), 16))
+    val (_, sy) = spans(
+      grid.repartitionByRange(16, col("x")).sortWithinPartitions("x"))
+    // single-column sort leaves the other dimension's span at full
+    // range (63); z-order bounds both
+    assert(sy > 60.0, s"x-sort y-span $sy")
+    assert(zy < 32.0 && zx < 32.0, s"z-order spans ($zx, $zy)")
+  }
+
+  test("rankBuckets: monotone, bounded, deterministic") {
+    val df = spark.range(1000)
+      .select((col("id") * col("id")).cast("double").as("v"))
+    val b = df.select(col("v"),
+      Layout.rankBuckets(df, col("v"), 4).as("bkt")).collect()
+      .map(r => (r.getDouble(0), r.getInt(1))).sortBy(_._1)
+    assert(b.head._2 == 0 && b.forall(_._2 <= 15) && b.forall(_._2 >= 0))
+    // monotone non-decreasing in v
+    assert(b.sliding(2).forall(p => p(0)._2 <= p(1)._2))
+    // roughly balanced: every bucket holds between half and double the
+    // uniform share
+    val byB = b.groupBy(_._2).view.mapValues(_.length)
+    assert(byB.values.forall(n => n > 1000 / 16 / 2 && n < 1000 / 16 * 2),
+      byB.toMap.toString)
+  }
+
+  test("zorderValue rejects unsupported dimension counts") {
+    intercept[IllegalArgumentException] {
+      Layout.zorderValue(Seq(lit(1)))
+    }
+    intercept[IllegalArgumentException] {
+      Layout.zorderValue(Seq(lit(1), lit(2), lit(3), lit(4)))
+    }
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** SemDeDup-style semantic dedup (Dedup.semanticDedup): one keeper per
+  * semantic-dup group, keep-farthest-from-centroid rule, within-cluster
+  * pair enumeration only. */
+class SemanticDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val axes = Some(Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0),
+    Seq(0.0, 0.0, 1.0)))
+
+  // two tight direction groups + one isolated vector
+  private def corpus: DataFrame = Seq(
+    (1L, Seq(1.00f, 0.00f, 0.0f)),
+    (2L, Seq(0.99f, 0.01f, 0.0f)),
+    (3L, Seq(0.98f, 0.03f, 0.0f)),
+    (4L, Seq(0.00f, 1.00f, 0.0f)),
+    (5L, Seq(0.01f, 0.99f, 0.0f)),
+    (6L, Seq(0.00f, 0.00f, 1.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("one keeper per dup group; singletons keep themselves") {
+    val res = Dedup.semanticDedup(corpus, "vec_id", "embedding",
+      threshold = 0.999, nlist = 3, iters = 5, centroidsIn = axes).cache()
+    assert(res.count() == 6)
+    // every component has exactly one keep=true
+    val perComp = res.groupBy("component")
+      .agg(sum(when(col("keep"), 1).otherwise(0)).as("n_keep"))
+      .collect()
+    assert(perComp.forall(_.getLong(1) == 1L), perComp.mkString(","))
+    // ids 1-3 near-dup (cos > 0.999), 4-5 near-dup, 6 isolated —
+    // provided k-means separated the three directions
+    val comps = res.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(comps(1L) == comps(2L) && comps(2L) == comps(3L))
+    assert(comps(4L) == comps(5L))
+    assert(comps(6L) == 6L)
+    res.unpersist()
+  }
+
+  test("no two kept docs in one cluster remain above the threshold") {
+    val res = Dedup.semanticDedup(corpus, "vec_id", "embedding",
+      threshold = 0.999, nlist = 3, iters = 5, centroidsIn = axes)
+    val kept = res.filter(col("keep"))
+      .select(col("doc_id"), col("cluster"))
+    val vecs = corpus.select(col("vec_id").as("doc_id"),
+      Similarity.toDoubleVec(col("embedding")).as("v"))
+    val keptV = kept.join(vecs, "doc_id")
+    val viol = keptV.as("a").join(keptV.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .filter(Similarity.cosine(col("a.v"), col("b.v")) >= 0.999)
+    assert(viol.count() == 0)
+  }
+
+  test("keep rule: the member farthest from its centroid survives") {
+    val res = Dedup.semanticDedup(corpus, "vec_id", "embedding",
+      threshold = 0.999, nlist = 3, iters = 5, centroidsIn = axes)
+    // group {1,2,3}: centroid ≈ their mean; id 3 (0.98, 0.03) is the
+    // farthest member of the x-direction cluster, so it is the keeper
+    val keepIds = res.filter(col("keep")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val g1Keep = Set(1L, 2L, 3L).intersect(keepIds)
+    assert(g1Keep.size == 1)
+    // replicate the rule: squared-L2 distance to the CLUSTER centroid
+    // (the pinned x axis here) — the kept member maximizes it
+    val vs = Map(1L -> Seq(1.00, 0.00, 0.0), 2L -> Seq(0.99, 0.01, 0.0),
+      3L -> Seq(0.98, 0.03, 0.0))
+    val ctr = Seq(1.0, 0.0, 0.0)
+    def d2(v: Seq[Double]) = v.zip(ctr).map { case (a, b) => (a - b) * (a - b) }.sum
+    val want = vs.maxBy { case (id, v) => (d2(v), -id) }._1
+    assert(g1Keep.head == want && want == 3L)
+  }
+
+  test("deterministic across runs") {
+    def run() = Dedup.semanticDedup(corpus, "vec_id", "embedding",
+        threshold = 0.999, nlist = 3, iters = 5, centroidsIn = axes)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    assert(run() == run())
+  }
+
+  test("coverage gate on the sf0.001 embeddings") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val res = Dedup.semanticDedup(e, "vec_id", "embedding",
+      threshold = 0.3, nlist = 4, iters = 5)
+    val kept = res.filter(col("keep")).select(col("doc_id"))
+    val vecs = e.select(col("vec_id"),
+      Similarity.toDoubleVec(col("embedding")).as("v"))
+    val truth = vecs.as("a")
+      .join(vecs.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        Similarity.cosine(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= 0.3)
+    val nTrue = truth.count()
+    val bothKept = truth
+      .join(kept.withColumnRenamed("doc_id", "id1"), Seq("id1"), "left_semi")
+      .join(kept.withColumnRenamed("doc_id", "id2"), Seq("id2"), "left_semi")
+      .count()
+    val coverage =
+      if (nTrue == 0) 1.0 else (nTrue - bothKept).toDouble / nTrue
+    info(s"semantic dedup coverage @sf0.001 nlist=4: $coverage ($nTrue true pairs)")
+    assert(coverage >= 0.5, s"coverage $coverage")
+  }
+}
