@@ -132,6 +132,34 @@ class GraftSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("No support for sql type"))
   }
 
+  test("seeded differential: pushdown reads equal direct view reads") {
+    ddl(s"CREATE TABLE conn_f $schemaSql")
+    val rnd = new scala.util.Random(20260816)
+    (1 to 60).foreach { i =>
+      val c8 = if (i % 7 == 0) "NULL" else s"'2024-01-${i % 28 + 1}'"
+      ddl(s"INSERT INTO conn_f VALUES (${i % 2 == 0}, ${i % 5}, $i, " +
+        s"${i * 10}, ${i % 3}.5, ${i % 11}.25, 'v${i % 13}', $c8, " +
+        "'2024-01-01 00:00:00')")
+    }
+    val direct = spark.table("conn_f")
+    val viaDs = spark.read.format("graft")
+      .option("db", "default").option("table", "conn_f").load()
+    val preds = Seq("c3 > 100", "c2 = 3", "c7 like 'v1%'", "c8 is null",
+      "c6 <= 5.25", "c4 in (10, 500, 990)", "c1 = true and c5 > 1.0",
+      "c7 > 'v5' or c3 < 20")
+    val colPool = Seq("c1", "c2", "c3", "c4", "c5", "c6", "c7", "c8")
+    (1 to 30).foreach { _ =>
+      val pred = preds(rnd.nextInt(preds.length))
+      val cols = rnd.shuffle(colPool).take(1 + rnd.nextInt(4))
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.filter(pred)
+          .select(cols.map(org.apache.spark.sql.functions.col): _*)
+          .collect()
+          .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+      assert(canon(viaDs) == canon(direct), s"pred=$pred cols=$cols")
+    }
+  }
+
   test("db-scoped tables resolve through the db option") {
     ddl("CREATE DATABASE IF NOT EXISTS conndb")
     GraftSql.registerDbTable(spark, "conndb", "scoped",
