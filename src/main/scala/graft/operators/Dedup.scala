@@ -814,15 +814,20 @@ object Dedup {
     * data — no shuffle), components use the same large/small-star
     * rounds as every other dedup family here, and the keep rule is one
     * max_by aggregate. A pathological mega-cluster has the same
-    * O(bucket²) failure mode as an LSH hot bucket; pick nlist so
-    * E[cluster] stays bounded, or pre-split on a coarser hash as the
-    * reference-scale mitigation.
+    * O(bucket²) failure mode as an LSH hot bucket; `maxClusterSize`
+    * is the same production cap the LSH families carry — a cluster
+    * over the cap skips pair enumeration entirely (its members all
+    * stay kept, a deliberate recall trade pinned in
+    * SemanticDedupSpec), bounding every cluster's contribution at
+    * maxClusterSize²/2. 0 (default) disables the cap — the
+    * exact-audit configuration the correctness gate runs.
     */
   def semanticDedup(docs: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nlist: Int, iters: Int = 3,
-      centroidsIn: Option[Seq[Seq[Double]]] = None): DataFrame = {
+      centroidsIn: Option[Seq[Seq[Double]]] = None,
+      maxClusterSize: Int = 0): DataFrame = {
     val (out, assigned) = semanticDedupPlan(docs, idCol, vecCol,
-      threshold, nlist, iters, centroidsIn)
+      threshold, nlist, iters, centroidsIn, maxClusterSize)
     materializeAndFree(out, assigned)
   }
 
@@ -832,8 +837,8 @@ object Dedup {
     * provides. */
   def semanticDedupPlan(docs: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nlist: Int, iters: Int = 3,
-      centroidsIn: Option[Seq[Seq[Double]]] = None)
-      : (DataFrame, DataFrame) = {
+      centroidsIn: Option[Seq[Seq[Double]]] = None,
+      maxClusterSize: Int = 0): (DataFrame, DataFrame) = {
     // the paper's production shape clusters ONCE and reuses the
     // centroids across corpus snapshots — accept them precomputed
     val centroids = centroidsIn.getOrElse(
@@ -847,9 +852,21 @@ object Dedup {
       .select(col("doc_id"), col("v"), col("__a")("cluster").as("cluster"),
         col("__a")("cdist").as("cdist"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val l = assigned.select(col("cluster"), col("doc_id").as("d1"),
+    // mega-cluster cap: the size count is one cluster-partitioned
+    // window whose exchange is the same hash partitioning the
+    // self-join below needs — no extra shuffle (the LSH hot-bucket
+    // cap's shape, Dedup.minhashLshPairs)
+    val paired =
+      if (maxClusterSize <= 0) assigned
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster"))
+        assigned.withColumn("__csz", count(lit(1)).over(w))
+          .filter(col("__csz") <= maxClusterSize).drop("__csz")
+      }
+    val l = paired.select(col("cluster"), col("doc_id").as("d1"),
       col("v").as("v1"))
-    val r = assigned.select(col("cluster"), col("doc_id").as("d2"),
+    val r = paired.select(col("cluster"), col("doc_id").as("d2"),
       col("v").as("v2"))
     // within-cluster near-dup edges; the cosine stays in the join's
     // output projection (narrow (d1, d2) edges survive)

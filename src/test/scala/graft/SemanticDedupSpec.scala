@@ -84,6 +84,27 @@ class SemanticDedupSpec extends SparkSpec {
     assert(run() == run())
   }
 
+  test("mega-cluster cap skips over-cap clusters; small clusters still dedup") {
+    // 40 near-identical x-direction vectors (one mega cluster) + the
+    // 2-member y-direction group + the isolated z vector
+    val mega = (1L to 40L).map(i => (i, Seq(1.0f, i.toFloat * 1e-4f, 0.0f)))
+    val rest = Seq((100L, Seq(0.00f, 1.00f, 0.0f)),
+      (101L, Seq(0.01f, 0.99f, 0.0f)), (200L, Seq(0.0f, 0.0f, 1.0f)))
+    val df = (mega ++ rest).toDF("vec_id", "embedding")
+    val capped = Dedup.semanticDedup(df, "vec_id", "embedding",
+      threshold = 0.999, nlist = 3, iters = 5, centroidsIn = axes,
+      maxClusterSize = 16)
+    // the 40-member cluster skipped pair enumeration: every member kept
+    assert(capped.filter(col("doc_id") <= 40L && col("keep")).count() == 40)
+    // the under-cap y cluster still dedups to one keeper
+    assert(capped.filter(col("doc_id").isin(100L, 101L) && col("keep"))
+      .count() == 1)
+    // uncapped removes all but one of the mega cluster
+    val uncapped = Dedup.semanticDedup(df, "vec_id", "embedding",
+      threshold = 0.999, nlist = 3, iters = 5, centroidsIn = axes)
+    assert(uncapped.filter(col("doc_id") <= 40L && col("keep")).count() == 1)
+  }
+
   test("coverage gate on the sf0.001 embeddings") {
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val res = Dedup.semanticDedup(e, "vec_id", "embedding",
