@@ -624,14 +624,19 @@ object SparkEntry {
         .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
           Similarity.cosine(col("a.v"), col("b.v")).as("cos"))
         .filter(col("cos") >= 0.3)
-      val bothKept = truth
-        .join(kept.withColumnRenamed("doc_id", "id1"), Seq("id1"), "left_semi")
-        .join(kept.withColumnRenamed("doc_id", "id2"), Seq("id2"), "left_semi")
-      truth.agg(count(lit(1)).as("n_true"))
-        .crossJoin(bothKept.agg(count(lit(1)).as("n_uncov")))
+      // ONE pass over the (deliberately quadratic, sf0.01-only) truth
+      // join computes both counts: left-join keep indicators per side,
+      // conditional count — the O(n²) subtree runs once, not twice
+      val k1 = kept.select(col("doc_id").as("id1"), lit(1).as("__k1"))
+      val k2 = kept.select(col("doc_id").as("id2"), lit(1).as("__k2"))
+      truth.join(k1, Seq("id1"), "left").join(k2, Seq("id2"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          count(when(col("__k1").isNotNull && col("__k2").isNotNull, 1))
+            .as("__n_uncov"))
         .select(col("n_true"),
-          when((col("n_true") - col("n_uncov")).cast("double") /
-            col("n_true") >= 0.80, 1).otherwise(0).as("coverage_ok"))
+          when(col("n_true") === 0 ||
+            (col("n_true") - col("__n_uncov")).cast("double") /
+              col("n_true") >= 0.80, 1).otherwise(0).as("coverage_ok"))
     },
 
     // brute-force cosine top-k (exact ANN baseline)

@@ -155,6 +155,7 @@ object GraftAggregates {
     require(k >= 1, s"capacity must be >= 1, got $k")
     def zero: KeyCountBuf = KeyCountBuf(Map.empty)
     def reduce(b: KeyCountBuf, item: String): KeyCountBuf = {
+      if (item == null) return b // null never counts (sibling-aggregate rule)
       val m = b.m
       m.get(item) match {
         case Some(c) => KeyCountBuf(m.updated(item, c + 1))
@@ -168,9 +169,7 @@ object GraftAggregates {
       }
     }
     def merge(x: KeyCountBuf, y: KeyCountBuf): KeyCountBuf = {
-      val sum = (x.m.keySet ++ y.m.keySet).iterator.map { key =>
-        key -> (x.m.getOrElse(key, 0L) + y.m.getOrElse(key, 0L))
-      }.toMap
+      val sum = mergeKC(x, y).m
       if (sum.size <= k) KeyCountBuf(sum)
       else {
         // subtract the (k+1)-th largest count from everything; at most

@@ -64,17 +64,24 @@ object Layout {
       s"zorderValue interleaves 2 or 3 dimensions, got ${other.length}")
   }
 
-  /** Bucket a continuous column into 2^bits rank buckets using exact
-    * distinct-value quantile boundaries computed in ONE aggregate pass
-    * (percentile over the distinct values, broadcast as literals into
-    * a codegen'd width_bucket). Exact and deterministic — boundaries
-    * are a pure function of the column's distinct-value set. */
+  /** Bucket a continuous column into 2^bits rank buckets: quantile
+    * boundaries over the DISTINCT values in ONE aggregate pass,
+    * broadcast as literals into a codegen'd boundary count. Exact (and
+    * therefore a pure function of the distinct-value set) up to the
+    * sketch accuracy of 10,000 distinct values; above that the
+    * boundaries are approximate and can vary with partial-merge order —
+    * for the byte-identical cross-engine re-layout contract, feed
+    * integral bucket ids through [[lowBits]] instead (the z-value
+    * interleave itself is always bit-exact given bucket indices). */
   def rankBuckets(df: DataFrame, c: Column, bits: Int): Column = {
     val n = 1 << bits
     val qs = (1 until n).map(_.toDouble / n)
     val row = df.select(c.cast("double").as("__v")).distinct()
       .agg(percentile_approx(col("__v"),
         array(qs.map(lit): _*), lit(10000)).as("b")).head()
+    // empty / all-null column: no boundaries, everything lands in
+    // bucket 0 instead of an NPE
+    if (row.isNullAt(0)) return lit(0)
     val bounds = row.getSeq[Double](0)
     // width_bucket over explicit ascending bounds: index of the first
     // boundary >= value (dedup'd — percentile can repeat boundaries)

@@ -117,7 +117,14 @@ object GraftSource {
   def tableSchema(cfg: Config): StructType = {
     val spark = SparkSession.active
     val view = resolveView(cfg)
-    val notNull = graft.sql.GraftSql.notNullColumns(spark, cfg.table)
+    // NOT NULL registry keys by the registered view name for db-scoped
+    // tables and by the short name for session tables — prefer the
+    // resolved view's entry so db=x,table=t never inherits default.t's
+    // constraint set
+    val byView = graft.sql.GraftSql.notNullColumns(spark, view)
+    val notNull =
+      if (byView.nonEmpty) byView
+      else graft.sql.GraftSql.notNullColumns(spark, cfg.table)
     StructType(spark.table(quote(view)).schema.fields.map { f =>
       if (!supported.contains(f.dataType))
         throw new IllegalArgumentException(

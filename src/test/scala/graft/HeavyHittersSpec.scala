@@ -57,4 +57,12 @@ class HeavyHittersSpec extends SparkSpec {
   test("capacity must be positive") {
     intercept[IllegalArgumentException] { new A.HeavyHitters(0) }
   }
+
+  test("null inputs never count (sibling-aggregate rule)") {
+    val df = Seq(Some("a"), None, Some("a"), None, Some("b"))
+      .toDF("tok")
+    val m = df.agg(A.heavy_hitters(col("tok"), 4).as("m"))
+      .select(explode(col("m"))).as[(String, Long)].collect().toMap
+    assert(m == Map("a" -> 2L, "b" -> 1L))
+  }
 }

@@ -89,6 +89,15 @@ class LayoutSpec extends SparkSpec {
       byB.toMap.toString)
   }
 
+  test("rankBuckets degrades to bucket 0 on empty/all-null input") {
+    val empty = spark.range(0).select(col("id").cast("double").as("v"))
+    assert(empty.select(Layout.rankBuckets(empty, col("v"), 4)).count() == 0)
+    val nulls = spark.range(5).select(lit(null).cast("double").as("v"))
+    val b = nulls.select(Layout.rankBuckets(nulls, col("v"), 4).as("b"))
+      .collect().map(_.getInt(0))
+    assert(b.forall(_ == 0))
+  }
+
   test("zorderValue rejects unsupported dimension counts") {
     intercept[IllegalArgumentException] {
       Layout.zorderValue(Seq(lit(1)))
