@@ -608,14 +608,17 @@ object SparkEntry {
     // cosine pairs → keep ONE per dup group, farthest from centroid).
     // Gate: dup coverage — fraction of TRUE near-dup pairs (exact
     // all-pairs cosine, quadratic by design, bounded to this sf0.01
-    // gate) where at least one side was removed. Floor 0.80 sits under
-    // the measured sf0.01 coverage: 0.889 at nlist=8 (0.983 at
-    // nlist=4, 0.775 at nlist=16 — finer clusters split more true
-    // pairs; pick nlist for the pair-cost/coverage trade).
+    // gate) where at least one side was removed. Measured sf0.01
+    // coverage: single-probe 0.889 at nlist=8 (0.983 nlist=4, 0.775
+    // nlist=16 — finer clusters split more true pairs); multi-probe
+    // pair enumeration recovers the boundary splits — nprobe=2 0.998,
+    // nprobe=3 1.000 at nlist=8; 0.994 at nlist=16/nprobe=2. The gate
+    // runs the production configuration (nlist=8, nprobe=2) with the
+    // floor at 0.95.
     "q_dedup_semantic" -> q { (s, d) =>
       val e = T(s, d, "embeddings")
       val res = Dedup.semanticDedup(e, "vec_id", "embedding",
-        threshold = 0.3, nlist = 8, iters = 5)
+        threshold = 0.3, nlist = 8, iters = 5, nprobe = 2)
       val kept = res.filter(col("keep")).select(col("doc_id"))
       val vecs = e.select(col("vec_id"),
         Similarity.toDoubleVec(col("embedding")).as("v"))
@@ -636,7 +639,7 @@ object SparkEntry {
         .select(col("n_true"),
           when(col("n_true") === 0 ||
             (col("n_true") - col("__n_uncov")).cast("double") /
-              col("n_true") >= 0.80, 1).otherwise(0).as("coverage_ok"))
+              col("n_true") >= 0.95, 1).otherwise(0).as("coverage_ok"))
     },
 
     // brute-force cosine top-k (exact ANN baseline)
@@ -3278,7 +3281,7 @@ object SparkEntry {
     "q_dedup_semantic" -> ((s: SparkSession, d: String) => {
       val e = Tables.load(GraftSession.tune(s), d, "embeddings")
       graft.operators.Dedup.semanticDedupPlan(e, "vec_id", "embedding",
-        threshold = 0.3, nlist = 8, iters = 5)._1
+        threshold = 0.3, nlist = 8, iters = 5, nprobe = 2)._1
     })
   )
 }

@@ -85,6 +85,13 @@ object Similarity {
     struct(m("c").as("cluster"), m("d").as("cdist"))
   }
 
+  /** The `nprobe` nearest centroid ids, nearest first (the IVF probe
+    * list; multi-probe pair enumeration in semanticDedup). */
+  def nearestCentroids(vec: Column, centroids: Seq[Seq[Double]],
+      nprobe: Int): Column =
+    slice(transform(array_sort(centroidDists(vec, centroids)),
+      s => s("c")), 1, nprobe)
+
   /** Lloyd k-means over an embedding column, distributed: assignment is
     * a codegen'd argmin against broadcast centroid literals, the update
     * step one (cid, dim) grouped mean. Returns nlist centroids.

@@ -105,6 +105,31 @@ class SemanticDedupSpec extends SparkSpec {
     assert(uncapped.filter(col("doc_id") <= 40L && col("keep")).count() == 1)
   }
 
+  test("multi-probe recovers a near-dup pair split across clusters") {
+    // two near-identical vectors on either side of the x/y decision
+    // boundary: each is nearest to a DIFFERENT axis centroid, so
+    // single-probe never enumerates the pair; probe-2 puts both in
+    // each other's second-nearest bucket
+    val df = Seq(
+      (1L, Seq(1.00f, 0.99f, 0.0f)), // nearest x axis... barely
+      (2L, Seq(0.99f, 1.00f, 0.0f)), // nearest y axis
+      (3L, Seq(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val single = Dedup.semanticDedup(df, "vec_id", "embedding",
+      threshold = 0.999, nlist = 3, iters = 5, centroidsIn = axes)
+    // split pair: both kept under single-probe
+    assert(single.filter(col("doc_id").isin(1L, 2L) && col("keep"))
+      .count() == 2)
+    val probed = Dedup.semanticDedup(df, "vec_id", "embedding",
+      threshold = 0.999, nlist = 3, iters = 5, centroidsIn = axes,
+      nprobe = 2)
+    assert(probed.filter(col("doc_id").isin(1L, 2L) && col("keep"))
+      .count() == 1)
+    // output contract unchanged: one row per doc, one keeper per group
+    assert(probed.count() == 3 &&
+      probed.filter(col("doc_id") === 3L && col("keep")).count() == 1)
+  }
+
   test("coverage gate on the sf0.001 embeddings") {
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val res = Dedup.semanticDedup(e, "vec_id", "embedding",
