@@ -150,8 +150,12 @@ object Bench {
                ratios: Seq[(String, Double)], errors: Seq[(String, String)],
                sfDir: String): String = {
     def r3(v: Double): String = "%.3f".format(v)
-    def jmap(kv: Seq[(String, Double)]): String =
-      kv.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    // per-query seconds carry 2 decimals (10 ms grain — the noise
+    // floor is ±100 ms anyway); ratios keep 3. The line must stay
+    // under the harness's ~1900-char tail window (BenchGuardSpec).
+    def r2(v: Double): String = "%.2f".format(v)
+    def jmap(kv: Seq[(String, Double)], f: Double => String = r3): String =
+      kv.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     // exception messages can carry quotes/backslashes/newlines — escape
     // per RFC 8259 or the one line this whole refactor protects breaks
     def jstr(s: String): String = "\"" + s.flatMap {
@@ -166,6 +170,6 @@ object Bench {
     // no separate "plain" map: with every query ratio-paired the three
     // maps overflow the tail window — plain twin timings are exactly
     // queries[k] / ratio[k]
-    s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(results)},"ratio":${jmap(ratios)},"errors":${smap(errors)},"failed":${errors.size},"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(results, r2)},"ratio":${jmap(ratios)},"errors":${smap(errors)},"failed":${errors.size},"sf":"${new java.io.File(sfDir).getName}"}"""
   }
 }
