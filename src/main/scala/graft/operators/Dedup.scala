@@ -815,12 +815,18 @@ object Dedup {
     * rounds as every other dedup family here, and the keep rule is one
     * max_by aggregate. A pathological mega-cluster has the same
     * O(bucket²) failure mode as an LSH hot bucket; `maxClusterSize`
-    * is the same production cap the LSH families carry — a cluster
-    * over the cap skips pair enumeration entirely (its members all
-    * stay kept, a deliberate recall trade pinned in
-    * SemanticDedupSpec), bounding every cluster's contribution at
-    * maxClusterSize²/2. 0 (default) disables the cap — the
-    * exact-audit configuration the correctness gate runs.
+    * is the same production cap the LSH families carry — a pair
+    * ENUMERATION BUCKET over the cap skips pair enumeration entirely,
+    * bounding every bucket's contribution at maxClusterSize²/2. With
+    * nprobe=1 buckets ARE the clusters, so over-cap clusters keep all
+    * members (recall trade pinned in SemanticDedupSpec); with
+    * nprobe>1 the cap applies per PROBE bucket (a cluster's bucket
+    * holds its members plus outside probes, so the cap trips at
+    * correspondingly smaller cluster sizes, and a doc capped out of
+    * one bucket can still pair through another probe — LSH
+    * any-non-hot-band semantics, not a per-cluster guarantee).
+    * 0 (default) disables the cap — the exact-audit configuration the
+    * correctness gate runs.
     */
   def semanticDedup(docs: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nlist: Int, iters: Int = 3,
@@ -832,10 +838,37 @@ object Dedup {
   }
 
   /** [[semanticDedup]] before its materialization barrier — (result,
-    * cached assignment handle). Exposes the lazy plan to the plan-gate
-    * (PLANS.md / PlanQualitySpec), the same surface lshFirstSeenPlan
-    * provides. */
+    * cached assignment handle). The connected-components rounds inside
+    * are EAGER (iterative actions over checkpointed edge sets), so the
+    * returned plan shows the labeling joins; the lazily-planned pair
+    * enumeration the plan gate audits is [[semanticDedupEdges]]. */
   def semanticDedupPlan(docs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int, iters: Int = 3,
+      centroidsIn: Option[Seq[Seq[Double]]] = None,
+      maxClusterSize: Int = 0, nprobe: Int = 1): (DataFrame, DataFrame) = {
+    val (edges, assigned) = semanticDedupEdges(docs, idCol, vecCol,
+      threshold, nlist, iters, centroidsIn, maxClusterSize, nprobe)
+    val comp = connectedComponents(edges, "d1", "d2")
+      .withColumnRenamed("id", "doc_id")
+    val labeled = assigned.join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cluster"), col("cdist"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+    // keep rule: max cdist wins, ties to the smallest doc id
+    val keepers = labeled.groupBy(col("component"))
+      .agg(max_by(col("doc_id"),
+        struct(col("cdist"), (-col("doc_id")).as("nid"))).as("__keep_id"))
+    val out = labeled.join(keepers, "component")
+      .select(col("doc_id"), col("cluster"), col("component"),
+        (col("doc_id") === col("__keep_id")).as("keep"))
+    (out, assigned)
+  }
+
+  /** Pair-enumeration stage of [[semanticDedup]] as a LAZY plan —
+    * (near-dup edges (d1, d2), cached assignment handle). This is the
+    * scale-critical subplan (bucketed self-join, argmin assignment as
+    * broadcast literals) the plan gate audits; [[semanticDedupPlan]]
+    * feeds it to the eager components rounds. */
+  def semanticDedupEdges(docs: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nlist: Int, iters: Int = 3,
       centroidsIn: Option[Seq[Seq[Double]]] = None,
       maxClusterSize: Int = 0, nprobe: Int = 1): (DataFrame, DataFrame) = {
@@ -843,32 +876,35 @@ object Dedup {
     // centroids across corpus snapshots — accept them precomputed
     val centroids = centroidsIn.getOrElse(
       Similarity.kmeansCentroids(docs, idCol, vecCol, nlist, iters))
-    // one argmin pass yields both the cluster id and the keep-rule
-    // distance; the vector is stored NORMALIZED so pair scoring below
-    // is a bare dot product (cos = dot of unit vectors) — the norms
-    // are computed once per doc instead of twice per candidate pair
-    // (measured 43 s → see scaladoc; the norm dominates the per-pair
-    // expression at 64 dims). Persisted — referenced by both self-join
-    // sides and the final labeling.
+    // one argmin pass yields the cluster id and keep-rule distance;
+    // the probe list (nprobe > 1) is computed HERE, from the same RAW
+    // vector and the same raw-space metric as the assignment — probing
+    // with the normalized vector would rank centroids differently
+    // whenever doc norms ≠ 1 and could drop pairs single-probe finds.
+    // The vector is then stored NORMALIZED so pair scoring below is a
+    // bare dot product (cos = dot of unit vectors) — norms once per
+    // doc, not twice per candidate pair; the per-element norm
+    // recompute inside the transform is bounded by the one-time cache
+    // build (O(d²) per doc, ~4k flops at 64 dims). Persisted —
+    // referenced by both self-join sides and the final labeling.
     val assigned = docs.select(col(idCol).as("doc_id"),
         Similarity.toDoubleVec(col(vecCol)).as("v0"))
       .withColumn("__a", Similarity.nearestCentroidAssign(col("v0"), centroids))
       .select(col("doc_id"),
         transform(col("v0"), x => x / Similarity.norm(col("v0"))).as("v"),
         col("__a")("cluster").as("cluster"),
-        col("__a")("cdist").as("cdist"))
+        col("__a")("cdist").as("cdist"),
+        (if (nprobe <= 1) array(col("__a")("cluster"))
+         else Similarity.nearestCentroids(col("v0"), centroids, nprobe))
+          .as("probes"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // pair-enumeration buckets: the primary cluster, or (nprobe > 1)
     // each doc's nprobe nearest clusters — multi-probe recovers true
     // pairs the hard cluster boundary splits (SemDeDup's recall loss
     // mode; measured at sf0.01: coverage 0.889 nprobe=1 → see gate
     // comment for nprobe=2), at nprobe× bucket rows
-    val probed =
-      if (nprobe <= 1)
-        assigned.select(col("doc_id"), col("v"), col("cluster").as("pc"))
-      else assigned.select(col("doc_id"), col("v"),
-        explode(Similarity.nearestCentroids(col("v"), centroids, nprobe))
-          .as("pc"))
+    val probed = assigned.select(col("doc_id"), col("v"),
+      explode(col("probes")).as("pc"))
     // mega-bucket cap: the size count is one bucket-partitioned window
     // whose exchange is the same hash partitioning the self-join below
     // needs — no extra shuffle (the LSH hot-bucket cap's shape,
@@ -916,18 +952,6 @@ object Dedup {
           .filter(col("cos") >= threshold)
           .select(col("d1"), col("d2"))
       }
-    val comp = connectedComponents(edges, "d1", "d2")
-      .withColumnRenamed("id", "doc_id")
-    val labeled = assigned.join(comp, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("cluster"), col("cdist"),
-        coalesce(col("component"), col("doc_id")).as("component"))
-    // keep rule: max cdist wins, ties to the smallest doc id
-    val keepers = labeled.groupBy(col("component"))
-      .agg(max_by(col("doc_id"),
-        struct(col("cdist"), (-col("doc_id")).as("nid"))).as("__keep_id"))
-    val out = labeled.join(keepers, "component")
-      .select(col("doc_id"), col("cluster"), col("component"),
-        (col("doc_id") === col("__keep_id")).as("keep"))
-    (out, assigned)
+    (edges, assigned)
   }
 }

@@ -129,9 +129,8 @@ object Similarity {
       .withColumn("cid", nearestCentroid(col("ce"), centroids))
     val q = broadcast(queries.select(col(idCol).as("qid"),
         toDoubleVec(col(vecCol)).as("qe"))
-      .withColumn("cid", explode(slice(transform(
-        array_sort(centroidDists(col("qe"), centroids)), s => s("c")),
-        1, nprobe))))
+      .withColumn("cid",
+        explode(nearestCentroids(col("qe"), centroids, nprobe))))
     val scored = q.join(c, q("cid") === c("cid") && col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"), cosine(col("qe"), col("ce")).as("cos"))
     val w = Window.partitionBy(col("qid"))

@@ -197,6 +197,21 @@ class PlanQualitySpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), "bucket join degenerated")
   }
 
+  test("semanticDedup pre-barrier plan: bucketed equi-join, no cartesian, " +
+      "centroids as literals (code, not data)") {
+    val df = SparkEntry.planVariants("q_dedup_semantic")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    // pair enumeration is an equi-join on the probe-bucket key
+    assert(p.contains("pc"), s"probe bucket key missing:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "pair enumeration degenerated to a cross join")
+    // centroid assignment ships as broadcast literals inside the
+    // expression — no centroid-table shuffle or join anywhere
+    assert(!p.toLowerCase.contains("centroid"),
+      "centroids must not appear as a relation")
+  }
+
   test("decontaminate broadcasts the probe gram set; hits stay narrow") {
     val p = plan("q_decontaminate")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),

@@ -130,6 +130,30 @@ class SemanticDedupSpec extends SparkSpec {
       probed.filter(col("doc_id") === 3L && col("keep")).count() == 1)
   }
 
+  test("probe metric matches assignment metric: nprobe=2 removals are a " +
+      "superset of nprobe=1 on NON-unit-norm vectors") {
+    // magnitudes vary wildly: a normalized-space probe ranking would
+    // disagree with the raw-space assignment and could miss the
+    // primary cluster entirely (the regression this test pins)
+    val rnd = new scala.util.Random(7)
+    val df = (1L to 60L).map { i =>
+      val axis = (i % 3).toInt
+      val base = Array.fill(3)(rnd.nextFloat() * 0.02f)
+      base(axis) = 1f
+      val mag = (if (i % 2 == 0) 0.05f else 40f) * (1 + (i % 7) * 0.1f)
+      (i, base.toSeq.map(_ * mag))
+    }.toDF("vec_id", "embedding")
+    def removed(np: Int) = Dedup.semanticDedup(df, "vec_id", "embedding",
+        threshold = 0.99, nlist = 3, iters = 5, nprobe = np)
+      .filter(!col("keep")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val r1 = removed(1); val r2 = removed(2)
+    // multi-probe may only find MORE near-dup pairs, never fewer
+    assert(r1.subsetOf(r2), s"nprobe=1 removed ${r1.size}, " +
+      s"nprobe=2 removed ${r2.size}; lost: ${r1 -- r2}")
+    assert(r1.nonEmpty)
+  }
+
   test("coverage gate on the sf0.001 embeddings") {
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val res = Dedup.semanticDedup(e, "vec_id", "embedding",
