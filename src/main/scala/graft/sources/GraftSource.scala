@@ -9,6 +9,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -201,7 +202,8 @@ private[sources] class GraftDsTable(cfg: GraftSource.Config,
     if (schema0 != null && schema0.nonEmpty) schema0
     else GraftSource.tableSchema(cfg)
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
@@ -303,22 +305,23 @@ private[sources] class GraftWriteBuilder(cfg: GraftSource.Config,
     schema: StructType) extends WriteBuilder {
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new GraftBatchWrite(cfg, schema)
+    override def toStreaming: StreamingWrite =
+      new GraftStreamingWrite(cfg, schema)
   }
 }
 
-/** Tasks buffer externalized rows into their commit message; commit
-  * (driver-side) applies ONE catalog append — the reference's "batch"
-  * writerType made atomic. putIfAbsent routes through the INSERT OR
-  * IGNORE path (full-row dedup against the current snapshot,
-  * GraftCatalog.insertIgnore). */
-private[sources] class GraftBatchWrite(cfg: GraftSource.Config,
-    schema: StructType) extends BatchWrite {
-  override def createBatchWriterFactory(
-      info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftWriterFactory(schema)
-
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val spark = SparkSession.active
+private[sources] object GraftWrites {
+  /** Driver-side commit shared by the batch and streaming faces: ONE
+    * catalog append of the buffered task rows. putIfAbsent routes
+    * through INSERT OR IGNORE (full-row dedup against the current
+    * snapshot) — which also makes streaming epoch REPLAYS idempotent. */
+  def applyRows(cfg: GraftSource.Config, schema: StructType,
+      messages: Array[WriterCommitMessage]): Unit = {
+    // streaming epoch commits run on the stream-execution thread whose
+    // ACTIVE session is a clone (its temp-view registry is a snapshot)
+    // — apply the append to the ORIGINAL (default) session so readers
+    // of the catalog table see it
+    val spark = SparkSession.getDefaultSession.getOrElse(SparkSession.active)
     val view = GraftSource.resolveView(cfg)
     val rows = messages.iterator.flatMap {
       case GraftCommitRows(rs) => rs.iterator.map(Row.fromSeq)
@@ -337,8 +340,51 @@ private[sources] class GraftBatchWrite(cfg: GraftSource.Config,
     if (cfg.putIfAbsent) graft.GraftCatalog.insertIgnore(spark, view, df)
     else graft.GraftCatalog.insertInto(spark, view, df)
   }
+}
+
+/** Tasks buffer externalized rows into their commit message; commit
+  * (driver-side) applies ONE catalog append — the reference's "batch"
+  * writerType made atomic. */
+private[sources] class GraftBatchWrite(cfg: GraftSource.Config,
+    schema: StructType) extends BatchWrite {
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftWriterFactory(schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    GraftWrites.applyRows(cfg, schema, messages)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {}
+}
+
+/** `writeStream.format("graft")` — streaming ingest into the online
+  * store, the Spark-native replacement for the reference's
+  * Kafka/RocketMQ connectors (extensions/kafka-connect-jdbc: a sink
+  * that writes stream records into online tables through the SDK).
+  * Here ANY Structured Streaming source (Kafka, files, sockets — Spark
+  * speaks them natively) appends into the catalog table per epoch;
+  * `putIfAbsent` makes epoch replays after a recovery idempotent
+  * (full-row dedup — the connector's put_if_absent semantics). */
+private[sources] class GraftStreamingWrite(cfg: GraftSource.Config,
+    schema: StructType) extends StreamingWrite {
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new GraftStreamingWriterFactory(schema)
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    GraftWrites.applyRows(cfg, schema, messages)
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {}
+}
+
+private[sources] class GraftStreamingWriterFactory(schema: StructType)
+    extends StreamingDataWriterFactory {
+  private val inner = new GraftWriterFactory(schema)
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    inner.createWriter(partitionId, taskId)
 }
 
 private[sources] final case class GraftCommitRows(

@@ -160,6 +160,30 @@ class GraftSourceSpec extends SparkSpec {
     }
   }
 
+  test("writeStream.format(\"graft\"): micro-batches append to the online " +
+      "table; putIfAbsent makes epoch replays idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    ddl("CREATE TABLE conn_st (c3 int, c7 string)")
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Int, String)]
+    val q = mem.toDF().toDF("c3", "c7").writeStream.format("graft")
+      .option("db", "default").option("table", "conn_st")
+      .option("putIfAbsent", "true")
+      .option("checkpointLocation",
+        s"/tmp/graft_conn_st_ckpt_${System.nanoTime()}")
+      .outputMode("append").start()
+    try {
+      mem.addData((1, "a"), (2, "b")); q.processAllAvailable()
+      mem.addData((3, "c")); q.processAllAvailable()
+      // replayed rows (same values) dedup under putIfAbsent
+      mem.addData((2, "b")); q.processAllAvailable()
+      val got = spark.table("conn_st").as[(Int, String)]
+        .collect().sortBy(_._1).toSeq
+      assert(got == Seq((1, "a"), (2, "b"), (3, "c")))
+    } finally q.stop()
+  }
+
   test("db-scoped tables resolve through the db option") {
     ddl("CREATE DATABASE IF NOT EXISTS conndb")
     GraftSql.registerDbTable(spark, "conndb", "scoped",
