@@ -26,7 +26,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * `putIfAbsent` (write dedup = INSERT OR IGNORE,
   * OpenmldbConfig.java:35), `writerType` single|batch
   * (OpenmldbConfig.java:31-33), `insert_memory_usage_limit`; table
-  * capabilities BATCH_READ + BATCH_WRITE (OpenmldbTable.java:118-124);
+  * capabilities BATCH_READ + BATCH_WRITE (OpenmldbTable.java:118-124)
+  * plus STREAMING_WRITE, the ingest-connector replacement;
   * the supported column-type vocabulary is the reference's
   * sdkTypeToSparkType list (OpenmldbTable.java:34-57: bool, smallint,
   * int, bigint, float, double, string, date, timestamp) and anything
@@ -100,12 +101,15 @@ object GraftSource {
   /** Resolve the config's view in the engine catalog (db-scoped view
     * first, session view fallback — the same visibility CALL and the
     * REST routes use). */
-  def resolveView(cfg: Config): String = {
-    val spark = SparkSession.active
+  def resolveView(cfg: Config): String = resolveView(cfg, SparkSession.active)
+
+  /** [[resolveView]] against an explicit session — the db registry is
+    * keyed by session identity, so resolution must run on the SAME
+    * session the append will target. */
+  def resolveView(cfg: Config, spark: SparkSession): String =
     graft.sql.GraftSql.resolveDbTable(spark, cfg.db, cfg.table).getOrElse(
       throw new IllegalArgumentException(
         s"table ${cfg.db}.${cfg.table} does not exist"))
-  }
 
   private val supported: Set[DataType] = Set(BooleanType, ShortType,
     IntegerType, LongType, FloatType, DoubleType, StringType, DateType,
@@ -193,8 +197,9 @@ object GraftSource {
     }
 }
 
-/** The resolved graft table: BATCH_READ + BATCH_WRITE, like the
-  * reference's OpenmldbTable. */
+/** The resolved graft table: BATCH_READ + BATCH_WRITE (the
+  * reference's OpenmldbTable capability set) + STREAMING_WRITE (the
+  * ingest-connector replacement, [[GraftStreamingWrite]]). */
 private[sources] class GraftDsTable(cfg: GraftSource.Config,
     schema0: StructType) extends Table with SupportsRead with SupportsWrite {
   override def name(): String = cfg.table
@@ -311,18 +316,31 @@ private[sources] class GraftWriteBuilder(cfg: GraftSource.Config,
 }
 
 private[sources] object GraftWrites {
+  // serializes the read-union-replace append: the streaming face
+  // commits from the stream-execution thread, so a concurrent batch
+  // write into the same table would otherwise lose whichever
+  // createOrReplaceTempView lands first (in-JVM lock — the catalog is
+  // session-scoped by contract, so cross-process writers don't exist)
+  private val commitLock = new Object
+
+  // per-view commit counter + the LogicalRDD ids of OUR last
+  // compaction, for the epoch-depth bound below
+  private val compactState =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Set[Int])]
+
+  /** How many commits may stack on a view before it is compacted into
+    * an eager local checkpoint (bounds the union/anti-join plan depth
+    * a long-running stream would otherwise grow without limit). */
+  private val CompactEvery = 16L
+
   /** Driver-side commit shared by the batch and streaming faces: ONE
     * catalog append of the buffered task rows. putIfAbsent routes
     * through INSERT OR IGNORE (full-row dedup against the current
     * snapshot) — which also makes streaming epoch REPLAYS idempotent. */
   def applyRows(cfg: GraftSource.Config, schema: StructType,
-      messages: Array[WriterCommitMessage]): Unit = {
-    // streaming epoch commits run on the stream-execution thread whose
-    // ACTIVE session is a clone (its temp-view registry is a snapshot)
-    // — apply the append to the ORIGINAL (default) session so readers
-    // of the catalog table see it
-    val spark = SparkSession.getDefaultSession.getOrElse(SparkSession.active)
-    val view = GraftSource.resolveView(cfg)
+      messages: Array[WriterCommitMessage],
+      spark: SparkSession): Unit = commitLock.synchronized {
+    val view = GraftSource.resolveView(cfg, spark)
     val rows = messages.iterator.flatMap {
       case GraftCommitRows(rs) => rs.iterator.map(Row.fromSeq)
       case _                   => Iterator.empty
@@ -339,6 +357,34 @@ private[sources] object GraftWrites {
       cur.columns.map(c => df0(GraftSource.quote(c))).toSeq: _*)
     if (cfg.putIfAbsent) graft.GraftCatalog.insertIgnore(spark, view, df)
     else graft.GraftCatalog.insertInto(spark, view, df)
+    compactIfDue(spark, view)
+  }
+
+  /** Every [[CompactEvery]] commits, replace the view's union chain
+    * with an eager local checkpoint: without this a long-running
+    * stream re-analyzes and re-executes an ever-deeper union (plus a
+    * full anti-join per epoch under putIfAbsent) — per-epoch cost
+    * growing with epoch count. The online store is memory-resident by
+    * contract, so the checkpointed blocks are the table itself; the
+    * PREVIOUS compaction's pinned blocks (local checkpoints are not
+    * evictable) are freed once the new one is materialized. */
+  private def compactIfDue(spark: SparkSession, view: String): Unit = {
+    val (n, lastIds) = compactState.getOrElse(view, (0L, Set.empty[Int]))
+    if ((n + 1) % CompactEvery != 0L) {
+      compactState(view) = (n + 1, lastIds)
+      return
+    }
+    val compacted = spark.table(GraftSource.quote(view)).localCheckpoint(true)
+    compacted.createOrReplaceTempView(GraftSource.quote(view))
+    val newIds = compacted.queryExecution.analyzed.collectLeaves().collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }.toSet
+    // free only blocks WE pinned in the prior compaction (never a
+    // user's own checkpointed data), now unreachable from the view
+    spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (lastIds.contains(id) && !newIds.contains(id)) rdd.unpersist(false)
+    }
+    compactState(view) = (n + 1, newIds)
   }
 }
 
@@ -351,8 +397,11 @@ private[sources] class GraftBatchWrite(cfg: GraftSource.Config,
       info: PhysicalWriteInfo): DataWriterFactory =
     new GraftWriterFactory(schema)
 
+  // batch commits run on the caller's thread — the ACTIVE session is
+  // the one that resolved the table (a user on spark.newSession() must
+  // append to their own session's view)
   override def commit(messages: Array[WriterCommitMessage]): Unit =
-    GraftWrites.applyRows(cfg, schema, messages)
+    GraftWrites.applyRows(cfg, schema, messages, SparkSession.active)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {}
 }
@@ -371,9 +420,14 @@ private[sources] class GraftStreamingWrite(cfg: GraftSource.Config,
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new GraftStreamingWriterFactory(schema)
 
+  // epoch commits run on the stream-execution thread whose ACTIVE
+  // session is a clone (snapshot view registry, empty db registry) —
+  // apply to the ORIGINAL (default) session so the user's readers see
+  // the appends and db-scoped tables resolve
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
-    GraftWrites.applyRows(cfg, schema, messages)
+    GraftWrites.applyRows(cfg, schema, messages,
+      SparkSession.getDefaultSession.getOrElse(SparkSession.active))
 
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {}

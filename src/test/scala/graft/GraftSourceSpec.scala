@@ -167,11 +167,11 @@ class GraftSourceSpec extends SparkSpec {
     ddl("CREATE TABLE conn_st (c3 int, c7 string)")
     val mem = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Int, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_conn_st_ckpt")
     val q = mem.toDF().toDF("c3", "c7").writeStream.format("graft")
       .option("db", "default").option("table", "conn_st")
       .option("putIfAbsent", "true")
-      .option("checkpointLocation",
-        s"/tmp/graft_conn_st_ckpt_${System.nanoTime()}")
+      .option("checkpointLocation", ckpt.toString)
       .outputMode("append").start()
     try {
       mem.addData((1, "a"), (2, "b")); q.processAllAvailable()
@@ -181,7 +181,44 @@ class GraftSourceSpec extends SparkSpec {
       val got = spark.table("conn_st").as[(Int, String)]
         .collect().sortBy(_._1).toSeq
       assert(got == Seq((1, "a"), (2, "b"), (3, "c")))
-    } finally q.stop()
+    } finally {
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("streaming write into a DB-SCOPED table across many epochs " +
+      "(epoch commits resolve on the default session; union chain " +
+      "compacts past 16 commits)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    ddl("CREATE DATABASE IF NOT EXISTS conndb")
+    GraftSql.registerDbTable(spark, "conndb", "st_scoped",
+      Seq.empty[(Int, String)].toDF("c3", "c7"))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Int, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_scoped_ckpt")
+    val q = mem.toDF().toDF("c3", "c7").writeStream.format("graft")
+      .option("db", "conndb").option("table", "st_scoped")
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    try {
+      // 20 epochs crosses the CompactEvery=16 compaction boundary
+      (1 to 20).foreach { i =>
+        mem.addData((i, s"r$i")); q.processAllAvailable()
+      }
+      val df = spark.read.format("graft")
+        .option("db", "conndb").option("table", "st_scoped").load()
+      assert(df.count() == 20)
+      assert(df.collect().map(_.getInt(0)).sorted.toSeq == (1 to 20))
+    } finally {
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   test("db-scoped tables resolve through the db option") {

@@ -26,6 +26,10 @@ class PipelineEndToEndSpec extends SparkSpec {
     val docs = Tables.load(spark, d, "documents")
       .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
         col("text")).cache()
+    try runStages(docs) finally docs.unpersist(false)
+  }
+
+  private def runStages(docs: DataFrame): (Seq[Long], DataFrame, Long) = {
     val n0 = docs.count()
 
     // 1. exact dedup (identical text → keep smallest id)
