@@ -1147,6 +1147,29 @@ object SparkEntry {
           col("lw_cnt"))
     },
 
+    // incremental MV maintenance (the reference's ingest-time
+    // aggregator, src/storage/aggregator.cc): history MV + appended
+    // tail slice merged via LongWindow.updatePreAgg — only the slice is
+    // re-aggregated, the raw history is never re-read — then the SAME
+    // serving arithmetic as q_long_window. Oracle is the direct full
+    // window: proving append-then-query is lossless end-to-end.
+    "q_long_window_inc" -> q { (s, d) =>
+      val ev = T(s, d, "events")
+      val mm = ev.agg(min(col("ts_ms")), max(col("ts_ms"))).head
+      val split = (mm.getLong(0) + mm.getLong(1)) / 2
+      val hist = ev.filter(col("ts_ms") < split)
+      val appended = ev.filter(col("ts_ms") >= split)
+      val mv0 = graft.operators.LongWindow.buildPreAgg(
+        hist, col("user_id"), col("ts_ms"), col("value"), 300000L)
+      val mv = graft.operators.LongWindow.updatePreAgg(
+        mv0, appended, col("user_id"), col("ts_ms"), col("value"), 300000L)
+      graft.operators.LongWindow.sumCountOverLongWindow(ev, mv,
+          col("user_id"), col("ts_ms"), col("value"), col("event_id"),
+          precedingMs = 1800000L, bucketMs = 300000L)
+        .select(col("event_id"), round(col("lw_sum"), 3).as("lw_sum"),
+          col("lw_cnt"))
+    },
+
     // the same MV arithmetic END-TO-END through the SQL front-end:
     // DEPLOY ... OPTIONS(long_windows='w:5m') then serve the corpus
     // through the deployment — the pre-agg partials (not the raw
@@ -2760,6 +2783,14 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
         |             RANGE BETWEEN 1800000 PRECEDING AND CURRENT ROW)""".stripMargin,
 
+    "q_long_window_inc" ->
+      """SELECT event_id,
+        | round(sum(value) OVER w, 3) AS lw_sum,
+        | count(value) OVER w AS lw_cnt
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+        |             RANGE BETWEEN 1800000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
     "q_sql_long_window" ->
       """WITH ev AS (
         |  SELECT * FROM events
@@ -3299,8 +3330,14 @@ object SparkEntry {
     // assignment), not the final labeling joins
     "q_dedup_semantic" -> ((s: SparkSession, d: String) => {
       val e = Tables.load(GraftSession.tune(s), d, "embeddings")
-      graft.operators.Dedup.semanticDedupEdges(e, "vec_id", "embedding",
-        threshold = 0.3, nlist = 8, iters = 5, nprobe = 2)._1
+      val (edges, assigned) =
+        graft.operators.Dedup.semanticDedupEdges(e, "vec_id", "embedding",
+          threshold = 0.3, nlist = 8, iters = 5, nprobe = 2)
+      // plan inspection never executes the edges, so the persisted
+      // assignment handle would leak a registered RDD per gate run;
+      // dropping the cache does not change the audited plan shape
+      assigned.unpersist(false)
+      edges
     })
   )
 }

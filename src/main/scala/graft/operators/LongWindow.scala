@@ -43,6 +43,43 @@ object LongWindow {
       .agg(sum(v).as("b_sum"), count(v).as("b_cnt"),
         min(v).as("b_min"), max(v).as("b_max"))
 
+  /** Incremental MV maintenance — the reference's ingest-time
+    * aggregator semantics (src/storage/aggregator.cc: per-(key, bucket)
+    * running partials updated per PUT, replayed from the binlog tail on
+    * restart) in batch form. Aggregate ONLY the appended slice (one
+    * shuffle of the slice, never the history) and merge partials into
+    * the existing MV by (k, bucket): sums and counts add, min/max
+    * combine — a commutative-monoid merge, so a slice touching an OLD
+    * bucket (out-of-order arrival) folds in just as correctly as the
+    * steady-state newest-bucket append. Update cost is O(appended) +
+    * one merge join of the MV keyed on the same k the serving joins
+    * use; at 100 TB the MV lives partitioned by k and the merge is the
+    * only full-MV pass — the raw history is never re-read. Equality
+    * with a from-scratch [[buildPreAgg]] (modulo fp association, which
+    * the serving-side round() absorbs) is pinned by LongWindowSpec and
+    * the q_long_window_inc oracle row. */
+  def updatePreAgg(preAgg: DataFrame, appended: DataFrame,
+      key: Column, tsMs: Column, v: Column, bucketMs: Long): DataFrame = {
+    val delta = buildPreAgg(appended, key, tsMs, v, bucketMs)
+      .select(col("k"), col("bucket"),
+        col("b_sum").as("__d_sum"), col("b_cnt").as("__d_cnt"),
+        col("b_min").as("__d_min"), col("b_max").as("__d_max"))
+    // null-safe partial add: a bucket whose every v is NULL carries a
+    // NULL sum with a 0 count — the merged sum must stay NULL unless
+    // the other side contributes one (coalesce-to-0 would turn it
+    // into 0.0 and diverge from the full rebuild's schema semantics)
+    def addPartial(a: String, b: String) =
+      when(col(b).isNull, col(a)).when(col(a).isNull, col(b))
+        .otherwise(col(a) + col(b))
+    preAgg.join(delta, Seq("k", "bucket"), "full_outer")
+      .select(col("k"), col("bucket"),
+        addPartial("b_sum", "__d_sum").as("b_sum"),
+        (coalesce(col("b_cnt"), lit(0L)) +
+          coalesce(col("__d_cnt"), lit(0L))).as("b_cnt"),
+        least(col("b_min"), col("__d_min")).as("b_min"),
+        greatest(col("b_max"), col("__d_max")).as("b_max"))
+  }
+
   /** sum/count/min/max of `v` over `ROWS_RANGE precedingMs PRECEDING`
     * answered via the MV (the reference pre-aggregates exactly these —
     * src/storage/aggregator.h:121-278). `uid` must be unique per row.

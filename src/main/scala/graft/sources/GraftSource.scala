@@ -51,7 +51,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * fits driver memory by the same contract that makes it fit the
   * reference's tablet memory; the 100 TB path is the OFFLINE store,
   * which LOAD DATA / offline SELECT already read through Spark's
-  * native parquet source with full pushdown. Writes buffer per task
+  * native parquet source with full pushdown. Misuse (pointing
+  * `format("graft")` at a table holding offline-scale data) fails
+  * loudly: the scan refuses past the `maxScanRows` budget (default
+  * [[GraftSource.DefaultMaxScanRows]]) with an error naming the
+  * offline path, instead of OOMing the driver. Writes buffer per task
   * and apply on BatchWrite.commit — the reference's "batch"
   * writerType (insert when commit, OpenmldbConfig.java:32); its
   * "single" mode (insert per row, no atomicity) is accepted and
@@ -67,13 +71,27 @@ class GraftSource extends TableProvider with DataSourceRegister {
       properties: util.Map[String, String]): Table = {
     val cfg = GraftSource.config(
       new CaseInsensitiveStringMap(properties))
-    new GraftDsTable(cfg, schema)
+    // getTable runs on the USER's thread (DataStreamWriter.start /
+    // DataFrameReader resolution) — capture that session so streaming
+    // epoch commits, which run on the stream-execution thread with a
+    // CLONED active session, append into the catalog the user reads
+    // (a stream started from spark.newSession() must not land in the
+    // default session's view registry)
+    new GraftDsTable(cfg, schema, SparkSession.getActiveSession)
   }
 }
 
 object GraftSource {
   final case class Config(db: String, table: String, putIfAbsent: Boolean,
-      writerType: String, numPartitions: Int) extends Serializable
+      writerType: String, numPartitions: Int,
+      maxScanRows: Long = DefaultMaxScanRows) extends Serializable
+
+  /** Defensive budget on the snapshot scan (below): the online store is
+    * the TTL-bounded serving tier and fits driver memory by contract,
+    * but pointing `format("graft")` at a table someone bulk-loaded an
+    * offline-sized dataset into must fail loudly, not OOM the driver.
+    * 10M rows ≈ low-GB driver footprint at typical serving-row widths. */
+  val DefaultMaxScanRows: Long = 10000000L
 
   /** Parse + validate options with the reference's preconditions
     * (OpenmldbConfig.setDB/setTable/setWriterType). */
@@ -95,7 +113,10 @@ object GraftSource {
     }
     val put = Option(options.get("putIfAbsent")).exists(_.toBoolean)
     val np = Option(options.get("numPartitions")).map(_.toInt).getOrElse(0)
-    Config(db, table, put, wt, np)
+    val cap = Option(options.get("maxScanRows")).map(_.toLong)
+      .getOrElse(DefaultMaxScanRows)
+    require(cap > 0, s"maxScanRows must be positive, got $cap")
+    Config(db, table, put, wt, np, cap)
   }
 
   /** Resolve the config's view in the engine catalog (db-scoped view
@@ -201,7 +222,9 @@ object GraftSource {
   * reference's OpenmldbTable capability set) + STREAMING_WRITE (the
   * ingest-connector replacement, [[GraftStreamingWrite]]). */
 private[sources] class GraftDsTable(cfg: GraftSource.Config,
-    schema0: StructType) extends Table with SupportsRead with SupportsWrite {
+    schema0: StructType,
+    owner: Option[SparkSession] = None)
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = cfg.table
   override def schema(): StructType =
     if (schema0 != null && schema0.nonEmpty) schema0
@@ -215,7 +238,7 @@ private[sources] class GraftDsTable(cfg: GraftSource.Config,
     new GraftScanBuilder(cfg, schema())
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(cfg, info.schema())
+    new GraftWriteBuilder(cfg, info.schema(), owner)
 }
 
 /** Column pruning + filter pushdown at the snapshot boundary: both are
@@ -267,6 +290,18 @@ private[sources] class GraftScan(cfg: GraftSource.Config,
     val base0 = spark.table(GraftSource.quote(view))
     val base = pushed.flatMap(GraftSource.toColumn)
       .foldLeft(base0)((d, c) => d.filter(c))
+    // defensive byte/row budget (post-pushdown): refuse to snapshot an
+    // offline-sized table onto the driver — the count job is one cheap
+    // pass over the memory-resident online view, and failing here with
+    // a named alternative beats an opaque driver OOM mid-collect
+    val cnt = base.count()
+    if (cnt > cfg.maxScanRows) throw new IllegalStateException(
+      s"graft scan of ${cfg.db}.${cfg.table} would snapshot $cnt rows " +
+        s"(after pushdown) onto the driver, over the maxScanRows budget " +
+        s"of ${cfg.maxScanRows}. The online store is the TTL-bounded " +
+        s"serving tier; for offline-scale data read the table's offline " +
+        s"path (LOAD DATA ... OPTIONS(execute_mode='offline') + " +
+        s"spark.read.parquet) or raise the 'maxScanRows' option.")
     // 0-column read (count-style): keep the row count, ship no values
     val rows: Array[Row] =
       if (required.isEmpty) base.select().collect()
@@ -307,11 +342,12 @@ private[sources] class GraftReaderFactory(schema: StructType)
 }
 
 private[sources] class GraftWriteBuilder(cfg: GraftSource.Config,
-    schema: StructType) extends WriteBuilder {
+    schema: StructType,
+    owner: Option[SparkSession] = None) extends WriteBuilder {
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new GraftBatchWrite(cfg, schema)
     override def toStreaming: StreamingWrite =
-      new GraftStreamingWrite(cfg, schema)
+      new GraftStreamingWrite(cfg, schema, owner)
   }
 }
 
@@ -323,10 +359,14 @@ private[sources] object GraftWrites {
   // session-scoped by contract, so cross-process writers don't exist)
   private val commitLock = new Object
 
-  // per-view commit counter + the LogicalRDD ids of OUR last
-  // compaction, for the epoch-depth bound below
-  private val compactState =
-    scala.collection.concurrent.TrieMap.empty[String, (Long, Set[Int])]
+  // per-view commit counter + the LogicalRDD ids of OUR last TWO
+  // compactions, for the epoch-depth bound below: the previous
+  // generation is kept alive for one more compaction cycle so a
+  // DataFrame a user derived from the view shortly before a
+  // compaction (whose lineage the local checkpoint truncated) stays
+  // readable for a full CompactEvery window before its blocks free
+  private val compactState = scala.collection.concurrent.TrieMap
+    .empty[String, (Long, Set[Int], Set[Int])]
 
   /** How many commits may stack on a view before it is compacted into
     * an eager local checkpoint (bounds the union/anti-join plan depth
@@ -355,7 +395,12 @@ private[sources] object GraftWrites {
         f.copy(nullable = true, metadata = Metadata.empty))))
     val df = df0.select(
       cur.columns.map(c => df0(GraftSource.quote(c))).toSeq: _*)
-    if (cfg.putIfAbsent) graft.GraftCatalog.insertIgnore(spark, view, df)
+    // insertIgnore dedups against the current SNAPSHOT; the reference's
+    // per-row put_if_absent also keeps exactly one of two identical NEW
+    // rows arriving in the same batch/epoch — distinct() closes that gap
+    // (cheap: one exchange over commit-buffered rows, snapshot-bounded)
+    if (cfg.putIfAbsent)
+      graft.GraftCatalog.insertIgnore(spark, view, df.distinct())
     else graft.GraftCatalog.insertInto(spark, view, df)
     compactIfDue(spark, view)
   }
@@ -365,13 +410,20 @@ private[sources] object GraftWrites {
     * stream re-analyzes and re-executes an ever-deeper union (plus a
     * full anti-join per epoch under putIfAbsent) — per-epoch cost
     * growing with epoch count. The online store is memory-resident by
-    * contract, so the checkpointed blocks are the table itself; the
-    * PREVIOUS compaction's pinned blocks (local checkpoints are not
-    * evictable) are freed once the new one is materialized. */
+    * contract, so the checkpointed blocks are the table itself.
+    * Generational free: local checkpoints TRUNCATE lineage, so a
+    * DataFrame a user derived from the view cannot recompute its
+    * LogicalRDD blocks once they unpersist — we therefore keep the
+    * previous compaction's blocks pinned through one further cycle
+    * (free generation N−2 when building N). A handle held across TWO
+    * compactions (≥ 2×CompactEvery commits) still invalidates — re-read
+    * `spark.table(...)` for a fresh snapshot; at steady state the
+    * overhead is one extra generation (bounded by table size). */
   private def compactIfDue(spark: SparkSession, view: String): Unit = {
-    val (n, lastIds) = compactState.getOrElse(view, (0L, Set.empty[Int]))
+    val (n, lastIds, prevIds) =
+      compactState.getOrElse(view, (0L, Set.empty[Int], Set.empty[Int]))
     if ((n + 1) % CompactEvery != 0L) {
-      compactState(view) = (n + 1, lastIds)
+      compactState(view) = (n + 1, lastIds, prevIds)
       return
     }
     val compacted = spark.table(GraftSource.quote(view)).localCheckpoint(true)
@@ -379,12 +431,13 @@ private[sources] object GraftWrites {
     val newIds = compacted.queryExecution.analyzed.collectLeaves().collect {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
     }.toSet
-    // free only blocks WE pinned in the prior compaction (never a
-    // user's own checkpointed data), now unreachable from the view
+    // free only blocks WE pinned two compactions ago (never a user's
+    // own checkpointed data), now out of their grace window
     spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-      if (lastIds.contains(id) && !newIds.contains(id)) rdd.unpersist(false)
+      if (prevIds.contains(id) && !newIds.contains(id) &&
+          !lastIds.contains(id)) rdd.unpersist(false)
     }
-    compactState(view) = (n + 1, newIds)
+    compactState(view) = (n + 1, newIds, lastIds)
   }
 }
 
@@ -415,19 +468,24 @@ private[sources] class GraftBatchWrite(cfg: GraftSource.Config,
   * `putIfAbsent` makes epoch replays after a recovery idempotent
   * (full-row dedup — the connector's put_if_absent semantics). */
 private[sources] class GraftStreamingWrite(cfg: GraftSource.Config,
-    schema: StructType) extends StreamingWrite {
+    schema: StructType,
+    owner: Option[SparkSession] = None) extends StreamingWrite {
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new GraftStreamingWriterFactory(schema)
 
   // epoch commits run on the stream-execution thread whose ACTIVE
   // session is a clone (snapshot view registry, empty db registry) —
-  // apply to the ORIGINAL (default) session so the user's readers see
-  // the appends and db-scoped tables resolve
+  // apply to the ORIGINATING session captured when the user's thread
+  // resolved the table (a stream started from spark.newSession() must
+  // append to that session's registry, not the default session's);
+  // fall back to the default session only when nothing was captured
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
     GraftWrites.applyRows(cfg, schema, messages,
-      SparkSession.getDefaultSession.getOrElse(SparkSession.active))
+      owner.filterNot(_.sparkContext.isStopped)
+        .orElse(SparkSession.getDefaultSession)
+        .getOrElse(SparkSession.active))
 
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {}

@@ -221,6 +221,76 @@ class GraftSourceSpec extends SparkSpec {
     }
   }
 
+  test("putIfAbsent collapses identical rows WITHIN one batch " +
+      "(reference per-row put_if_absent keeps exactly one)") {
+    import spark.implicits._
+    ddl("CREATE TABLE conn_wb (c3 int, c7 string)")
+    Seq((1, "x"), (1, "x"), (2, "y")).toDF("c3", "c7")
+      .write.format("graft")
+      .option("db", "default").option("table", "conn_wb")
+      .option("putIfAbsent", "true").mode("append").save()
+    assert(spark.table("conn_wb").count() == 2)
+  }
+
+  test("maxScanRows budget: oversized snapshot read fails loudly " +
+      "naming the offline path; the budget applies post-pushdown") {
+    ddl("CREATE TABLE conn_cap (c3 int, c7 string)")
+    (1 to 6).foreach(i =>
+      ddl(s"INSERT INTO conn_cap VALUES ($i, 'r$i')"))
+    def rd = spark.read.format("graft").option("db", "default")
+      .option("table", "conn_cap").option("maxScanRows", "3")
+    val e = intercept[Exception] { rd.load().collect() }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("maxScanRows") && msg.contains("offline"), msg)
+    // pushdown runs BEFORE the budget check: a filtered read whose
+    // post-pushdown volume fits the budget succeeds
+    assert(rd.load().filter("c3 <= 3").count() == 3)
+    val bad = intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("db", "default")
+        .option("table", "conn_cap").option("maxScanRows", "0").load()
+    }
+    assert(bad.getMessage.contains("maxScanRows must be positive"))
+  }
+
+  test("streaming commit targets the ORIGINATING session (a stream " +
+      "started from spark.newSession() must not land in the default " +
+      "session's registry)") {
+    import org.apache.spark.sql.SparkSession
+    val s2 = spark.newSession()
+    GraftSql.statement(s2, "CREATE TABLE conn_ns (c3 int, c7 string)")
+    // decoy with the same name in the DEFAULT session: a commit that
+    // wrongly resolves via getDefaultSession would append HERE
+    ddl("CREATE TABLE conn_ns (c3 int, c7 string)")
+    val prev = SparkSession.getActiveSession
+    SparkSession.setActiveSession(s2)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_conn_ns_ckpt")
+    implicit val sqlCtx = s2.sqlContext
+    import sqlCtx.sparkSession.implicits._
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Int, String)]
+    val q = mem.toDF().toDF("c3", "c7").writeStream.format("graft")
+      .option("db", "default").option("table", "conn_ns")
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    try {
+      mem.addData((1, "a"), (2, "b")); q.processAllAvailable()
+      assert(s2.table("conn_ns").count() == 2,
+        "rows must land in the originating session's table")
+      assert(spark.table("conn_ns").count() == 0,
+        "the default session's same-named table must stay empty")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => SparkSession.setActiveSession(p)
+        case None    => SparkSession.clearActiveSession()
+      }
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("db-scoped tables resolve through the db option") {
     ddl("CREATE DATABASE IF NOT EXISTS conndb")
     GraftSql.registerDbTable(spark, "conndb", "scoped",
