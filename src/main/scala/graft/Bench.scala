@@ -97,6 +97,16 @@ object Bench {
     val oursBest = scala.collection.mutable.LinkedHashMap[String, Double]()
     val plainBest = scala.collection.mutable.LinkedHashMap[String, Double]()
     val ratioResults = ratioNames.flatMap { name =>
+      // cold cache state per QUERY: the persist-heavy operators
+      // (minhash sig tables, lshFirstSeen, semanticDedup assignments)
+      // leave InMemoryRelations behind, and accumulated pressure makes
+      // LATER queries' own caches LRU-evict mid-run — a partial sig
+      // eviction re-inlines the k-minhash projection into both join
+      // sides, turning a 13 s query into 45 s (measured: isolated
+      // q_dedup_minhash best-of-5 12.98-44.67 s spread on identical
+      // work, r17 probe). Within a pair both sides then share warm
+      // state symmetrically, which is what a ratio should measure.
+      spark.catalog.clearCache()
       val first = timed(name)(materialize(benchQuery(name)(spark, sfDir)))
       first.foreach(t => oursBest(name) = t)
       timed(s"plain:$name")(materialize(PlainBaseline.query(spark, name)))
@@ -106,10 +116,12 @@ object Bench {
       // runs while the sub-2 s plan-shape pairs — whose first run still
       // carries JIT/codegen warm-up — get a true best-of-3)
       // sub-half-second pairs sit at the scheduler-jitter noise floor
-      // (±0.1 s swings a ratio by ±0.3) — give them a true best-of-5;
-      // the 3 s line keeps multi-second operators at two runs
+      // (±0.1 s swings a ratio by ±0.3) — give them a true best-of-5.
+      // Multi-second pairs get best-of-3 (was 2): at two samples one
+      // GC-burst draw decides the ratio — the r16 q_dedup_minhash
+      // 1.252 reading, which a fresh-JVM best-of-5 measured at 0.93
       val passes =
-        if (first.exists(_ > 3.0)) 1
+        if (first.exists(_ > 3.0)) 2
         else if (first.exists(_ > 0.5)) 2
         else 4
       (1 to passes).foreach { _ =>
@@ -128,6 +140,7 @@ object Bench {
     val results = ratioResults.map { case (n, t) =>
       n -> oursBest.getOrElse(n, t)
     } ++ soloNames.flatMap { name =>
+      spark.catalog.clearCache() // same per-query cold start as pairs
       timed(name)(materialize(benchQuery(name)(spark, sfDir)))
         .map(name -> _)
     }

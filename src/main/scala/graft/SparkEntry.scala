@@ -1480,6 +1480,70 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     },
 
+    // --- pipeline operators through the SQL FRONT-END (r17: the
+    // engine's thesis is SQL-defined pipelines; these rows prove the
+    // dialect calls the same operators the Scala API exposes) ---
+
+    // hash_sample / hash_sample_fraction as WHERE-clause functions
+    // (content-addressed TABLESAMPLE): the dialect rewrite emits the
+    // same md5 arithmetic as Sampling.hashSample/sampleFraction, so
+    // the oracle replays it bit-for-bit — including the weighted form
+    // (fraction < per-row weight).
+    "q_sql_hash_sample" -> q { (s, d) =>
+      graft.sql.GraftSql.sql(s,
+        """SELECT doc_id, lang, n_chars,
+          |  hash_sample_fraction(doc_id, 'w9') AS frac
+          |FROM documents WHERE hash_sample(doc_id, 0.25, 's9')""".stripMargin,
+        Map("documents" -> T(s, d, "documents")))
+    },
+
+    // heavy_hitters(x, k) as a SQL GROUPED AGGREGATE: the Misra–Gries
+    // sketch through the dialect, gated exactly like q_heavy_hitters
+    // (containment + undercount bound vs exact counts; DuckDB
+    // recomputes n_hot per group)
+    "q_sql_heavy_hitters" -> q { (s, d) =>
+      val cap = 16
+      val toks = T(s, d, "documents")
+        .select(col("lang"),
+          explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val est = graft.sql.GraftSql.sql(s,
+        s"SELECT lang, heavy_hitters(tok, $cap) AS m FROM toks GROUP BY lang",
+        Map("toks" -> toks))
+        .select(col("lang"), explode(col("m")))
+        .toDF("lang", "term", "est")
+      val exact = toks.groupBy(col("lang"), col("tok").as("term"))
+        .agg(count(lit(1)).as("cnt"))
+      val n = toks.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      exact.join(n, "lang")
+        .withColumn("thresh", col("n").cast("double") / (cap + 1))
+        .join(est, Seq("lang", "term"), "left")
+        .groupBy(col("lang"))
+        .agg(
+          sum(when(col("cnt") > col("thresh"), 1L).otherwise(0L))
+            .as("n_hot"),
+          max(when(col("cnt") > col("thresh") && col("est").isNull, 1)
+            .otherwise(0)).as("__miss"),
+          max(when(col("est").isNotNull && (col("est") > col("cnt") ||
+            (col("cnt") - col("est")).cast("double") > col("thresh")), 1)
+            .otherwise(0)).as("__oob"))
+        .select(col("lang"), col("n_hot"),
+          when(col("__miss") === 0, 1).otherwise(0).as("contained_ok"),
+          when(col("__oob") === 0, 1).otherwise(0).as("bounds_ok"))
+    },
+
+    // DEDUP TABLE statement (exact dedup as a statement): keep-first
+    // by doc_id per identical text, result registered as a view the
+    // dialect can keep querying
+    "q_sql_dedup_exact" -> q { (s, d) =>
+      T(s, d, "documents").createOrReplaceTempView("dd_docs_src")
+      graft.sql.GraftSql.statement(s,
+        "DEDUP TABLE dd_docs_src BY text KEEP FIRST ORDER BY doc_id " +
+          "INTO dd_docs_out")
+      graft.sql.GraftSql.sql(s,
+        "SELECT doc_id, lang, n_chars FROM dd_docs_out")
+    },
+
     // corpus vocabulary: tf/df per token, top-k by tf (term
     // tie-break) — one shuffle, expression-side per-doc counting
     "q_vocab" -> q { (s, d) =>
@@ -2931,6 +2995,36 @@ object SparkEntry {
         |        AS BIGINT) / 4294967296.0
         |  < least(1.0, greatest(0.0,
         |      len(regexp_split_to_array(trim(text), '\s+')) / 150.0))""".stripMargin,
+
+    "q_sql_hash_sample" ->
+      """SELECT doc_id, lang, n_chars,
+        |  CAST(concat('0x', substr(md5(doc_id || ':w9'), 1, 8))
+        |    AS BIGINT) / 4294967296.0 AS frac
+        |FROM documents
+        |WHERE substr(md5(doc_id || ':s9'), 1, 8) < '40000000'""".stripMargin,
+
+    "q_sql_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT lang,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |tk AS (SELECT lang, tok FROM toks WHERE len(tok) > 0),
+        |ex AS (SELECT lang, tok AS term, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM tk GROUP BY lang, tok),
+        |n AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM tk
+        |      GROUP BY lang)
+        |SELECT ex.lang,
+        |  CAST(sum(CASE WHEN cnt > n / 17.0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hot,
+        |  1 AS contained_ok, 1 AS bounds_ok
+        |FROM ex JOIN n ON ex.lang = n.lang
+        |GROUP BY ex.lang""".stripMargin,
+
+    "q_sql_dedup_exact" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY text
+        |    ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1""".stripMargin,
 
     "q_tfidf" ->
       """WITH tc AS (

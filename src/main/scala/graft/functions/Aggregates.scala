@@ -278,6 +278,35 @@ object GraftAggregates {
   def heavy_hitters(x: Column, k: Int): Column =
     udaf(new HeavyHitters(k)).apply(x.cast("string"))("m")
 
+  case class HHIn(item: String, k: Int)
+  case class KeyCountBufK(m: Map[String, Long], k: Int)
+
+  /** [[HeavyHitters]] with the capacity as a (constant) SECOND input
+    * column instead of a constructor parameter — the shape a SQL
+    * registration needs (`heavy_hitters(x, 16)` through the dialect;
+    * registered as `__graft_heavy_hitters`). The capacity rides in the
+    * buffer: first reduce pins it, merge keeps the max (all inputs
+    * carry the same literal). */
+  class HeavyHittersK extends Aggregator[HHIn, KeyCountBufK, KeyCountBuf] {
+    def zero: KeyCountBufK = KeyCountBufK(Map.empty, 0)
+    private def hh(k: Int) = new HeavyHitters(math.max(1, k))
+    def reduce(b: KeyCountBufK, a: HHIn): KeyCountBufK = {
+      if (a == null) return b
+      require(a.k >= 1, s"heavy_hitters capacity must be >= 1, got ${a.k}")
+      val k = if (b.k == 0) a.k else b.k
+      KeyCountBufK(hh(k).reduce(KeyCountBuf(b.m), a.item).m, k)
+    }
+    def merge(x: KeyCountBufK, y: KeyCountBufK): KeyCountBufK = {
+      val k = math.max(x.k, y.k)
+      if (k == 0) KeyCountBufK(Map.empty, 0)
+      else KeyCountBufK(
+        hh(k).merge(KeyCountBuf(x.m), KeyCountBuf(y.m)).m, k)
+    }
+    def finish(b: KeyCountBufK): KeyCountBuf = KeyCountBuf(b.m)
+    def bufferEncoder: Encoder[KeyCountBufK] = Encoders.product[KeyCountBufK]
+    def outputEncoder: Encoder[KeyCountBuf] = kcEnc
+  }
+
   def top1_ratio(x: Column): Column = udaf(new Top1Ratio).apply(x.cast("string"))
 
   def topn_frequency(x: Column, n: Int): Column =
@@ -362,6 +391,7 @@ object GraftAggregates {
       udaf(new TopNKeyCateAgg("ratio", false)))
     spark.udf.register("__graft_topnv_ratio",
       udaf(new TopNKeyCateAgg("ratio", false, "value_desc")))
+    spark.udf.register("__graft_heavy_hitters", udaf(new HeavyHittersK))
   }
 
   /** top(value, k): the k largest values desc (dups kept), comma-joined

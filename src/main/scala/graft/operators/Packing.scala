@@ -123,14 +123,32 @@ object Packing {
     * co-locates each shard in a single task, so `partitionBy` emits
     * exactly one ordered file per shard with no second pass. */
   def writeShards(docs: DataFrame, idCol: Column, shards: Int,
-      salt: String, outDir: String): Unit = {
+      salt: String, outDir: String): Unit =
+    writeShards(docs, idCol, shards, salt, outDir, Nil)
+
+  /** [[writeShards]] with a Z-ORDER layout inside each shard:
+    * `zorderDims` (bucket-index columns, see [[Layout.lowBits]] /
+    * [[Layout.rankBuckets]]) drive a Morton-interleaved in-shard sort,
+    * so range scans on ANY z-dimension skip most row groups of every
+    * shard file (min/max stats stay tight on all dims — proven by
+    * LayoutSpec's skipped-file counts). Still fully deterministic: the
+    * z-value is a pure function of the row and the md5 order breaks
+    * z-ties, so re-layout on any engine yields byte-identical shards. */
+  def writeShards(docs: DataFrame, idCol: Column, shards: Int,
+      salt: String, outDir: String, zorderDims: Seq[Column]): Unit = {
     require(shards > 0, "shards must be positive")
-    docs.withColumn("shard", shardOf(idCol, shards, salt))
+    val base = docs.withColumn("shard", shardOf(idCol, shards, salt))
       .withColumn("__ord",
         md5(concat(idCol.cast("string"), lit(":o:" + salt))))
       .repartition(shards, col("shard"))
-      .sortWithinPartitions(col("shard"), col("__ord"))
-      .drop("__ord")
+    val ordered =
+      if (zorderDims.isEmpty)
+        base.sortWithinPartitions(col("shard"), col("__ord"))
+      else
+        base.withColumn("__z", Layout.zorderValue(zorderDims))
+          .sortWithinPartitions(col("shard"), col("__z"), col("__ord"))
+          .drop("__z")
+    ordered.drop("__ord")
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
   }
 

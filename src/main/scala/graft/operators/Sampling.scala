@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Hex threshold for `rate` over the first 8 md5 nibbles. */
-  private def hexThreshold(rate: Double): String = {
+  private[graft] def hexThreshold(rate: Double): String = {
     require(rate >= 0.0 && rate <= 1.0, s"rate $rate outside [0,1]")
     f"${math.min((rate * 4294967296.0).toLong, 4294967295L)}%08x"
   }

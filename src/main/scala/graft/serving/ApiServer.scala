@@ -42,15 +42,29 @@ object ApiServer {
 
   final class Handle private[ApiServer] (server: HttpServer) {
     def port: Int = server.getAddress.getPort
-    def stop(): Unit = server.stop(0)
+    def stop(): Unit = {
+      server.stop(0)
+      // a pooled executor holds non-daemon threads — shut it down or
+      // the JVM outlives the server
+      server.getExecutor match {
+        case es: java.util.concurrent.ExecutorService => es.shutdownNow()
+        case _                                        => ()
+      }
+    }
   }
 
   /** Start serving the session's deployments on `port` (0 = ephemeral;
-    * read the actual one off the returned handle). */
-  def start(spark: SparkSession, port: Int = 0): Handle = {
+    * read the actual one off the returned handle). `threads` > 0 backs
+    * the server with a fixed pool so concurrent requests execute in
+    * parallel (Spark schedules their jobs concurrently — the serving
+    * throughput path ServingBench measures); the default single-thread
+    * dispatch is plenty at spec scale. */
+  def start(spark: SparkSession, port: Int = 0, threads: Int = 0): Handle = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/", (ex: HttpExchange) => handle(spark, ex))
-    server.setExecutor(null) // caller thread per exchange; spec-scale
+    server.setExecutor(
+      if (threads > 0) java.util.concurrent.Executors.newFixedThreadPool(threads)
+      else null) // caller thread per exchange; spec-scale
     server.start()
     new Handle(server)
   }
@@ -376,8 +390,10 @@ object ApiServer {
           s"Must be array or map, row $i")
       Row.fromSeq(vals)
     }
+    // LocalRelation (not an RDD): requestMode's serving fast path reads
+    // literal rows driver-side — no checkpoint/probe jobs per request
     val reqDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.toList, 1), schema)
+      java.util.Arrays.asList(rows.toIndexedSeq: _*), schema)
     val out = GraftSql.requestMode(spark, bodySql, reqDf)
     val collected = out.collect()
 

@@ -804,9 +804,27 @@ object GraftSql {
     // pins the nondeterministic ids — every derived sub-plan re-reads
     // them. Projections pass the column through (planSelect) and
     // request-derived LAST JOIN sides join on it.
-    val tagged = requests
-      .withColumn(ReqUidCol, monotonically_increasing_id())
-      .localCheckpoint(true)
+    // Serving fast path: a LITERAL request batch (LocalRelation — what
+    // the HTTP/CALL surfaces build) gets its uids assigned driver-side
+    // into a new LocalRelation: deterministic by construction, so the
+    // id-pinning checkpoint job (and its scheduling latency, ~100 ms of
+    // every online request) disappears. Arbitrary request plans keep
+    // the checkpoint.
+    val tagged = requests.queryExecution.optimizedPlan match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        val rows = requests.collect().toIndexedSeq.zipWithIndex.map {
+          case (r, i) => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i.toLong)
+        }
+        spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*),
+          org.apache.spark.sql.types.StructType(requests.schema.fields :+
+            org.apache.spark.sql.types.StructField(ReqUidCol,
+              org.apache.spark.sql.types.LongType, nullable = false)))
+      case _ =>
+        requests
+          .withColumn(ReqUidCol, monotonically_increasing_id())
+          .localCheckpoint(true)
+    }
     val out = requestModeQuery(spark, q, tagged, tables)
     out.drop(out.columns.filter(_.startsWith(ReqUidCol)).toIndexedSeq: _*)
   }
@@ -890,7 +908,20 @@ object GraftSql {
       return planSelect(spark, selJ.copy(fromTable = Left(RequestRowsTable)),
         tablesJ + (RequestRowsTable -> req))
     }
-    val history = resolveRef(spark, sel.fromTable, tables)
+    val history0 = resolveRef(spark, sel.fromTable, tables)
+    // Serving-path key pruning — the reference's per-key index scan
+    // analog (its tablet answers a request from the skiplist segment of
+    // the request's key, src/storage/mem_table.cc; it never scans other
+    // keys). A request row's window frames only ever read history rows
+    // sharing its PARTITION BY values, so when the request batch is
+    // serving-shaped (few distinct key tuples) and every window
+    // partitions by plain columns, filter the history to the requests'
+    // key values with literal codegen'd predicates BEFORE the union —
+    // per-request work becomes O(the keys' history), not O(table).
+    // Batch-request mode (large request sets) keeps the full history:
+    // the filter would not prune. Measured (ServingBench shape, 2
+    // windows + 2 LAST JOINs): p50 1.55 s → see SERVING_BENCH artifact.
+    val history = pruneHistoryForRequests(spark, history0, sel, reqRows)
     // union with provenance flag; the request row is the only primary.
     // History goes FIRST so its uids are lower: a request row whose ts
     // ties stored rows must still see them at-or-before itself
@@ -907,6 +938,68 @@ object GraftSql {
     val sel2 = selJ.copy(fromTable = Left(RequestUnionTable))
     planSelect(spark, sel2, tablesJ + (RequestUnionTable -> flagged),
       requestMode = true)
+  }
+
+  /** Max distinct request key tuples for the serving-path history
+    * pruning above — past this the request set is batch-shaped and the
+    * pruning predicate would neither prune nor stay cheap. */
+  private val MaxPrunedRequestKeys = 256
+
+  /** See the call site in [[requestModeQuery]]: prune `history` to the
+    * rows sharing a window partition key tuple with some request row.
+    * Conservative: any window whose PARTITION BY is not a plain column
+    * list present on both sides (computed keys, qualified names the
+    * flattener did not rewrite, union-only exotics) disables pruning —
+    * correctness never depends on this rewrite firing. Null-safe
+    * (`<=>`): a null-keyed request must keep null-keyed history in its
+    * frame. WINDOW UNION side tables are not touched (only the FROM
+    * history is pruned; union rows join frames keyed the same way, so
+    * dropping non-matching FROM rows stays lossless). */
+  private def pruneHistoryForRequests(spark: SparkSession,
+      history: DataFrame, sel: Select, requests: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val defs = sel.windows.values.toSeq ++
+      sel.projs.flatMap(_.over.toSeq).collect { case Right(w) => w }
+    if (defs.isEmpty) return history
+    val histCols = history.columns.map(_.toLowerCase).toSet
+    val reqCols = requests.columns.map(_.toLowerCase).toSet
+    val ident = "[A-Za-z_][A-Za-z0-9_]*"
+    def plainKeys(w: WinDef): Option[Seq[String]] = {
+      val ks = w.partition.map(_.trim)
+      if (ks.nonEmpty && ks.forall(k => k.matches(ident) &&
+          histCols(k.toLowerCase) && reqCols(k.toLowerCase))) Some(ks)
+      else None
+    }
+    val keyLists = defs.map(plainKeys)
+    if (keyLists.exists(_.isEmpty)) return history
+    val distinctLists = keyLists.flatten.distinct
+    val allKeyCols = distinctLists.flatten.distinct
+    // serving-shaped gate: probe the request key tuples. A literal
+    // request batch (LocalRelation, the serving surfaces' shape) reads
+    // them driver-side with NO Spark job; otherwise one cheap job over
+    // the checkpoint-pinned requests.
+    val keyProj = requests.select(allKeyCols.map(col).toIndexedSeq: _*)
+    val reqKeys: Seq[Seq[Any]] = keyProj.queryExecution.optimizedPlan match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        keyProj.collect().iterator.map(_.toSeq).toSeq.distinct
+          .take(MaxPrunedRequestKeys + 1)
+      case _ =>
+        keyProj.distinct().limit(MaxPrunedRequestKeys + 1)
+          .collect().iterator.map(_.toSeq).toSeq
+    }
+    if (reqKeys.length > MaxPrunedRequestKeys || reqKeys.isEmpty)
+      return history
+    def orPred(keys: Seq[String]): Column = {
+      val idx = keys.map(allKeyCols.indexOf)
+      val tuples = reqKeys.map(r => idx.map(i => r(i))).distinct
+      tuples.map(vals =>
+        keys.zip(vals).map { case (k, v) => col(k) <=> lit(v) }
+          .reduce(_ && _)).reduce(_ || _)
+    }
+    // a key type lit() can't embed (nested types) must fall back to the
+    // unpruned history, never fail the query
+    try history.filter(distinctLists.map(orPred).reduce(_ || _))
+    catch { case _: RuntimeException => history }
   }
 
   /** EXPLAIN: the planned query's formatted physical plan (the
@@ -2709,6 +2802,59 @@ object GraftSql {
         p.expect("TRUNCATE"); p.expect("TABLE")
         graft.GraftCatalog.truncate(spark, p.next())
         None
+
+      // Engine extension (pipeline surface in SQL): exact deduplication
+      // as a statement —
+      //   DEDUP TABLE src BY k1[, k2…]
+      //     [KEEP FIRST|LAST ORDER BY expr] INTO dst
+      // keeps ONE row per BY-key group: without KEEP, the lexicographic
+      // minimum over all columns (pure content-determinism — retries
+      // and engines agree); with KEEP, the min/max by the ORDER BY
+      // expression, all-column struct as tie-break. One hash-partitioned
+      // groupBy + min_by/max_by — partial aggregation collapses
+      // duplicates map-side, no window, scale-safe under any dup
+      // density. The result registers as `dst` in the current db scope.
+      case "DEDUP" =>
+        p.expect("DEDUP"); p.expect("TABLE")
+        val srcRaw = readTableName(p)
+        p.expect("BY")
+        val keys = Seq.newBuilder[String]
+        keys += unq(p.next())
+        while (p.accept(",")) keys += unq(p.next())
+        val (keepLast, ordExpr) =
+          if (p.accept("KEEP")) {
+            val kw = p.next().toUpperCase
+            if (kw != "FIRST" && kw != "LAST")
+              p.fail(s"KEEP expects FIRST or LAST, got '$kw'")
+            p.expect("ORDER"); p.expect("BY")
+            val b = Vector.newBuilder[String]
+            while (p.peekUp != "INTO" && p.p < p.toks.length) b += p.next()
+            val e = b.result().mkString(" ")
+            if (e.isEmpty) p.fail("KEEP ... ORDER BY expects an expression")
+            (kw == "LAST", Some(e))
+          } else (false, None)
+        p.expect("INTO")
+        val dstRaw = readTableName(p)
+        if (p.p != p.toks.length) p.fail("trailing tokens after DEDUP")
+        val src = qualifyTable(spark, srcRaw)
+        if (!spark.catalog.tableExists(src))
+          throw new IllegalArgumentException(
+            s"DEDUP source table '$srcRaw' does not exist")
+        val df = spark.table(quoteId(src))
+        val all = struct(df.columns.toIndexedSeq.map(c =>
+          col(quoteId(c))): _*)
+        val ord = ordExpr match {
+          case Some(e) => struct(expr(rewriteDialect(tokenize(e),
+            t => resolveTypeCached(df, t)).mkString(" ")), all)
+          case None    => all
+        }
+        val picked = if (keepLast) max_by(all, ord) else min_by(all, ord)
+        val out = df
+          .groupBy(keys.result().map(k => col(quoteId(k))): _*)
+          .agg(picked.as("__graft_keep"))
+          .select(col("__graft_keep.*"))
+        out.createOrReplaceTempView(quoteId(qualifyTable(spark, dstRaw)))
+        Some(out)
 
       case "LOAD" =>
         p.expect("LOAD"); p.expect("DATA"); p.expect("INFILE")
@@ -4660,6 +4806,39 @@ object GraftSql {
             // identity(x) is the reference's pass-through marker
             // (udf/default_udf_library.cc identity; fz_sql.yaml id 0)
             out += "("; out ++= inner; out += ")"
+          } else if (low == "hash_sample" || low == "hash_sample_fraction") {
+            // Engine extension — content-addressed sampling as
+            // first-class SQL (operators/Sampling made dialect-callable):
+            //   hash_sample(key, rate [, 'salt'])  → stable
+            //     Bernoulli(rate) keep decision (WHERE-clause filter;
+            //     TABLESAMPLE semantics keyed on content, so retries,
+            //     partitions, and engines agree row-by-row)
+            //   hash_sample_fraction(key [, 'salt']) → the dyadic
+            //     decision coordinate in [0,1): `WHERE f < weight`
+            //     is a per-row weighted (importance) sample
+            // Pure md5 TEXT rewrite: codegen'd, pushdown-friendly, and
+            // bit-reproducible (the DuckDB oracle replays it).
+            val as2 = splitTokenArgs(inner).map(_.mkString(" "))
+            if (low == "hash_sample") {
+              require(as2.length == 2 || as2.length == 3,
+                "hash_sample expects (key, rate[, salt])")
+              val rate =
+                try as2(1).toDouble
+                catch { case _: NumberFormatException =>
+                  throw new IllegalArgumentException(
+                    "hash_sample rate must be a numeric literal in [0,1]") }
+              val salt = if (as2.length == 3) stripQuotes(as2(2)) else "graft"
+              val thr = graft.operators.Sampling.hexThreshold(rate)
+              out += s"( substring(md5(concat(CAST(${as2(0)} AS STRING)" +
+                s", ':$salt')), 1, 8) < '$thr' )"
+            } else {
+              require(as2.length == 1 || as2.length == 2,
+                "hash_sample_fraction expects (key[, salt])")
+              val salt = if (as2.length == 2) stripQuotes(as2(1)) else "graft"
+              out += s"( CAST(conv(substring(md5(concat(CAST(${as2(0)} " +
+                s"AS STRING), ':$salt')), 1, 8), 16, 10) AS DOUBLE) " +
+                "/ 4294967296.0 )"
+            }
           } else if (low == "is_null") {
             out += "isnull"; out += "("; out ++= inner; out += ")"
           } else if (low == "if_null") {
@@ -5819,7 +5998,8 @@ object GraftSql {
         out += udafGroupedSql(userAgg.get, args.head.mkString(" "))
         i = close + 1
       } else if (isCall && grouped &&
-          Set("distinct_count", "topn_frequency", "top", "ew_avg")(t) &&
+          Set("distinct_count", "topn_frequency", "top", "ew_avg",
+            "heavy_hitters")(t) &&
           // belt-and-braces: never touch a window-bound call (grouped
           // selects cannot carry OVER in this dialect, but guard anyway)
           !toks.lift(matchClose(toks, i + 1) + 1)
@@ -5867,6 +6047,18 @@ object GraftSql {
             // users to the windowed form
             throw new IllegalArgumentException(
               "ew_avg requires an ordered frame: use ew_avg(value, alpha) OVER w")
+          case "heavy_hitters" =>
+            // engine extension (pipeline surface in SQL): Misra–Gries
+            // heavy-hitters sketch as a grouped aggregate —
+            // heavy_hitters(x, k) → map<string, bigint> of ≤k survivors
+            // with the mergeable-summaries undercount guarantee
+            // (functions/Aggregates.HeavyHitters). k counters shuffle
+            // per partition instead of every distinct term.
+            require(args.length == 2, "heavy_hitters expects (value, k)")
+            val k = argSql(1).trim.toInt
+            require(k >= 1, s"heavy_hitters capacity must be >= 1, got $k")
+            out += s"( __graft_heavy_hitters(CAST(${argSql.head} " +
+              s"AS STRING), $k) ).m"
         }
         i = close + 1
       } else if (isCall && t.endsWith("_where") &&

@@ -73,6 +73,86 @@ class LayoutSpec extends SparkSpec {
     assert(zy < 32.0 && zx < 32.0, s"z-order spans ($zx, $zy)")
   }
 
+  test("z-order layout earns actual FILE SKIPPING on the second " +
+      "dimension, not just span locality (written parquet, range scan)") {
+    import java.nio.file.Files
+    val grid = spark.range(64 * 64 * 4).select(
+      (col("id") % 256).as("x"), ((col("id") / 256) % 64).as("y"),
+      col("id").as("payload"))
+    val dirZ = Files.createTempDirectory("graft_zfiles").toString
+    val dirS = Files.createTempDirectory("graft_sfiles").toString
+    try {
+      Layout.zorderBy(grid, Seq(col("x"), col("y")), 16)
+        .write.mode("overwrite").parquet(dirZ)
+      grid.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+        .write.mode("overwrite").parquet(dirS)
+      // range predicate on the SECOND dimension — the one the
+      // single-column layout cannot cluster
+      val pred = "y >= 8 AND y < 16"
+      def touched(dir: String): (Long, Long) = {
+        val hit = spark.read.parquet(dir).filter(pred)
+        (hit.select(input_file_name()).distinct().count(), hit.count())
+      }
+      val all = spark.read.parquet(dirZ).select(input_file_name())
+        .distinct().count()
+      val (zFiles, zRows) = touched(dirZ)
+      val (sFiles, sRows) = touched(dirS)
+      assert(zRows == sRows, "both layouts must return the same rows")
+      // x-sorted layout: every file spans all y values — the y-band
+      // predicate draws rows from every file
+      assert(sFiles == 16, s"x-sort touched $sFiles files")
+      // z-ordered layout: the y-band lives in a bounded slice of the
+      // z-range — most files contribute NOTHING (their row groups are
+      // skipped wholesale via min/max stats)
+      assert(zFiles * 2 <= all,
+        s"z-order touched $zFiles of $all files — expected at most half")
+    } finally {
+      Seq(dirZ, dirS).foreach { d =>
+        import scala.jdk.CollectionConverters._
+        Files.walk(java.nio.file.Paths.get(d)).iterator().asScala.toSeq
+          .reverse.foreach(p => Files.deleteIfExists(p))
+      }
+    }
+  }
+
+  test("sharded release with zorderDims: same shard content as the " +
+      "plain release, z-sorted within each shard file") {
+    import java.nio.file.Files
+    import graft.operators.Packing
+    val docs = spark.range(2000).select(
+      col("id").as("doc_id"), (col("id") % 50).as("x"),
+      ((col("id") * 7) % 50).as("y"))
+    val dirA = Files.createTempDirectory("graft_shardA").toString
+    val dirB = Files.createTempDirectory("graft_shardB").toString
+    try {
+      Packing.writeShards(docs, col("doc_id"), 8, "rel", dirA)
+      Packing.writeShards(docs, col("doc_id"), 8, "rel", dirB,
+        Seq(col("x"), col("y")))
+      val a = spark.read.parquet(dirA)
+      val b = spark.read.parquet(dirB)
+      // identical shard assignment + content
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select("shard", "doc_id", "x", "y").collect()
+          .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+      assert(canon(a) == canon(b))
+      // within each file of B, rows are non-decreasing in z
+      val zc = Layout.zorderValue(Seq(col("x"), col("y")))
+      val viol = b.withColumn("__f", input_file_name())
+        .withColumn("__z", zc)
+        .withColumn("__prev", lag("__z", 1).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("__f")
+            .orderBy(monotonically_increasing_id())))
+        .filter(col("__prev") > col("__z")).count()
+      assert(viol == 0, s"$viol z-order violations inside shard files")
+    } finally {
+      Seq(dirA, dirB).foreach { d =>
+        import scala.jdk.CollectionConverters._
+        Files.walk(java.nio.file.Paths.get(d)).iterator().asScala.toSeq
+          .reverse.foreach(p => Files.deleteIfExists(p))
+      }
+    }
+  }
+
   test("rankBuckets: monotone, bounded, deterministic") {
     val df = spark.range(1000)
       .select((col("id") * col("id")).cast("double").as("v"))

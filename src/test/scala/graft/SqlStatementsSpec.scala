@@ -520,4 +520,105 @@ class SqlStatementsSpec extends SparkSpec {
     assert(eEmpty.getMessage.contains("invalid job id"))
     GraftSql.statement(spark, "DROP TABLE jb_f")
   }
+
+  test("DEDUP TABLE statement: exact dedup into a queryable view") {
+    GraftSql.statement(spark, "DROP TABLE IF EXISTS dd1")
+    GraftSql.statement(spark, "CREATE TABLE dd1 (id bigint, t string, score double)")
+    GraftSql.statement(spark,
+      "INSERT INTO dd1 VALUES (1, 'aa', 0.5), (2, 'aa', 0.9), " +
+        "(3, 'bb', 0.1), (4, 'aa', 0.7), (5, 'bb', 0.2)")
+    // KEEP FIRST ORDER BY id: min id survives per text
+    GraftSql.statement(spark,
+      "DEDUP TABLE dd1 BY t KEEP FIRST ORDER BY id INTO dd1_first")
+    val first = GraftSql.sql(spark, "SELECT id, t FROM dd1_first")
+      .as[(Long, String)].collect().toSeq.sorted
+    assert(first == Seq((1L, "aa"), (3L, "bb")))
+    // KEEP LAST ORDER BY score: max score survives
+    GraftSql.statement(spark,
+      "DEDUP TABLE dd1 BY t KEEP LAST ORDER BY score INTO dd1_best")
+    val best = GraftSql.sql(spark, "SELECT id, t FROM dd1_best")
+      .as[(Long, String)].collect().toSeq.sorted
+    assert(best == Seq((2L, "aa"), (5L, "bb")))
+    // without KEEP: lexicographic min over all columns — deterministic
+    GraftSql.statement(spark, "DEDUP TABLE dd1 BY t INTO dd1_min")
+    val mn = GraftSql.sql(spark, "SELECT id, t FROM dd1_min")
+      .as[(Long, String)].collect().toSeq.sorted
+    assert(mn == Seq((1L, "aa"), (3L, "bb")))
+    // multi-key BY keeps key tuples apart
+    GraftSql.statement(spark,
+      "DEDUP TABLE dd1 BY t, score KEEP FIRST ORDER BY id INTO dd1_mk")
+    assert(GraftSql.sql(spark, "SELECT count(*) AS c FROM dd1_mk")
+      .as[Long].head() == 5L)
+    // errors: missing source, malformed KEEP
+    val e1 = intercept[IllegalArgumentException] {
+      GraftSql.statement(spark, "DEDUP TABLE nope BY x INTO y")
+    }
+    assert(e1.getMessage.contains("does not exist"))
+    intercept[IllegalArgumentException] {
+      GraftSql.statement(spark,
+        "DEDUP TABLE dd1 BY t KEEP MIDDLE ORDER BY id INTO z")
+    }
+  }
+
+  test("hash_sample / hash_sample_fraction / heavy_hitters through " +
+      "the dialect match the Scala operators") {
+    import org.apache.spark.sql.functions._
+    val docs = (1 to 200).map(i => (i.toLong, s"w${i % 9} w${i % 4}"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("hs_docs")
+    // hash_sample == Sampling.hashSample row-for-row
+    val viaSql = GraftSql.sql(spark,
+      "SELECT doc_id FROM hs_docs WHERE hash_sample(doc_id, 0.3, 's1')")
+      .as[Long].collect().toSet
+    val viaOp = graft.operators.Sampling.hashSample(
+        docs, col("doc_id"), 0.3, "s1")
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaSql == viaOp && viaSql.nonEmpty && viaSql.size < 200)
+    // fraction == Sampling.sampleFraction bit-for-bit
+    val fr = GraftSql.sql(spark,
+      "SELECT doc_id, hash_sample_fraction(doc_id, 's1') AS f FROM hs_docs")
+      .as[(Long, Double)].collect().toMap
+    val frOp = docs.select(col("doc_id"),
+        graft.operators.Sampling.sampleFraction(col("doc_id"), "s1"))
+      .as[(Long, Double)].collect().toMap
+    assert(fr == frOp)
+    // rate must be a literal; out-of-range rejected
+    intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        "SELECT doc_id FROM hs_docs WHERE hash_sample(doc_id, doc_id)")
+    }
+    intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        "SELECT doc_id FROM hs_docs WHERE hash_sample(doc_id, 1.5)")
+    }
+    // heavy_hitters as a grouped SQL aggregate: the Misra–Gries
+    // guarantee (containment of every item with count > N/(k+1),
+    // undercount ≤ N/(k+1)) holds per group
+    val toks = docs.select(
+      (col("doc_id") % 2).cast("string").as("grp"),
+      explode(split(col("text"), " ")).as("tok"))
+    toks.createOrReplaceTempView("hh_toks")
+    val est = GraftSql.sql(spark,
+      "SELECT grp, heavy_hitters(tok, 3) AS m FROM hh_toks GROUP BY grp")
+      .select(col("grp"), explode(col("m")))
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    val exact = toks.groupBy("grp", "tok").count()
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    exact.foreach { case (g, cnts) =>
+      val n = cnts.values.sum.toDouble
+      val sk = est.getOrElse(g, Map.empty)
+      assert(sk.size <= 3, s"group $g sketch oversize")
+      cnts.foreach { case (t, c) =>
+        if (c > n / 4) assert(sk.contains(t), s"group $g hot '$t' missing")
+      }
+      sk.foreach { case (t, e) =>
+        val c = cnts.getOrElse(t, 0L)
+        assert(e <= c && c - e <= n / 4 + 1e-9, s"group $g '$t' bound")
+      }
+    }
+  }
 }
