@@ -59,10 +59,39 @@ object GraftCatalog {
       cur.schema.fields.map(f => (f.name, f.dataType))),
       s"INSERT schema mismatch for $name: ${rows.schema.simpleString} " +
         s"vs ${cur.schema.simpleString}")
+    // Materialize the delta so the stored view references `cur` ONCE:
+    // view = cur ∪ checkpoint(rows ⟕̸ cur). The lazy formulation
+    // cur ∪ (rows anti-join cur) references cur TWICE, doubling the
+    // plan per insert — 2^k leaf re-executions after k chained INSERT
+    // OR IGNOREs (found by the r17 sf1 streaming soak: the 16-epoch
+    // putIfAbsent chain's compaction ran 45+ min at 1 core; with the
+    // delta pinned it is seconds). The eager job is bounded by one
+    // anti-join scan of the current table per insert — the linear
+    // cost full-row dedup without an index fundamentally pays. The
+    // pinned delta blocks are drained into the streaming sink's
+    // generational free at the next epoch compaction.
     val fresh = rows.join(cur,
       rows.columns.map(c => rows(c) <=> cur(c)).reduce(_ && _), "left_anti")
+      .localCheckpoint(true)
+    val ids = fresh.queryExecution.analyzed.collectLeaves().collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }.toSet
+    pinnedDeltas.updateWith(name)(s => Some(s.getOrElse(Set.empty) ++ ids))
     cur.unionByName(fresh).createOrReplaceTempView(q(name))
   }
+
+  // local-checkpoint block ids pinned by insertIgnore deltas, per view
+  // name — drained by GraftWrites.compactIfDue so superseded delta
+  // blocks free one compaction cycle after the snapshot replaces them
+  private val pinnedDeltas =
+    scala.collection.concurrent.TrieMap.empty[String, Set[Int]]
+
+  /** Remove and return the delta block ids pinned for `name` (the
+    * streaming sink's epoch compaction folds them into its deferred
+    * free; for batch INSERT OR IGNORE flows with no compaction the
+    * blocks simply ARE the table's resident data). */
+  def drainPinnedDeltas(name: String): Set[Int] =
+    pinnedDeltas.remove(name).getOrElse(Set.empty)
 
   /** DELETE FROM name WHERE cond: anti-filter rewrite. */
   def delete(spark: SparkSession, name: String, cond: Column): Unit =

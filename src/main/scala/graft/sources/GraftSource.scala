@@ -437,7 +437,11 @@ private[sources] object GraftWrites {
       if (prevIds.contains(id) && !newIds.contains(id) &&
           !lastIds.contains(id)) rdd.unpersist(false)
     }
-    compactState(view) = (n + 1, newIds, lastIds)
+    // putIfAbsent delta checkpoints superseded by this compaction join
+    // the N−1 generation: freed at the NEXT compaction (same grace
+    // window as the compaction snapshots themselves)
+    val drained = graft.GraftCatalog.drainPinnedDeltas(view)
+    compactState(view) = (n + 1, newIds, lastIds ++ drained)
   }
 }
 

@@ -989,16 +989,27 @@ object GraftSql {
     }
     if (reqKeys.length > MaxPrunedRequestKeys || reqKeys.isEmpty)
       return history
-    def orPred(keys: Seq[String]): Column = {
-      val idx = keys.map(allKeyCols.indexOf)
-      val tuples = reqKeys.map(r => idx.map(i => r(i))).distinct
-      tuples.map(vals =>
-        keys.zip(vals).map { case (k, v) => col(k) <=> lit(v) }
-          .reduce(_ && _)).reduce(_ || _)
-    }
-    // a key type lit() can't embed (nested types) must fall back to the
-    // unpruned history, never fail the query
-    try history.filter(distinctLists.map(orPred).reduce(_ || _))
+    // Per-COLUMN membership conjunction (isin → InSet hash lookup),
+    // not a per-tuple OR chain: a 256-tuple × 2-window OR of equality
+    // conjunctions evaluates hundreds of comparisons per history row
+    // (measured: q_request_mode ratio 1.46 at sf0.1), while InSet is
+    // O(1) per column. The per-column form is a SUPERSET of the exact
+    // tuple set (cross-product slack) — all pruning needs: frames only
+    // ever read same-key rows, and non-request rows are dropped by the
+    // post-window request filter, so extra kept rows cost only volume.
+    def keyPred(keys: Seq[String]): Column =
+      keys.map { k =>
+        val i = allKeyCols.indexOf(k)
+        val vs = reqKeys.map(_(i)).distinct
+        val nonNull = vs.filter(_ != null)
+        val base =
+          if (nonNull.isEmpty) lit(false)
+          else col(k).isin(nonNull: _*)
+        if (vs.contains(null)) base || col(k).isNull else base
+      }.reduce(_ && _)
+    // a key type isin/lit can't embed (nested types) must fall back to
+    // the unpruned history, never fail the query
+    try history.filter(distinctLists.map(keyPred).reduce(_ || _))
     catch { case _: RuntimeException => history }
   }
 
