@@ -24,10 +24,25 @@ object GraftCatalog {
     if (n.matches("[A-Za-z_][\\w]*")) n
     else "`" + n.replace("`", "``") + "`"
 
-  /** CREATE TABLE name (schema): registers an empty table. */
-  def createTable(spark: SparkSession, name: String, schema: StructType): Unit =
+  /** CREATE TABLE name (schema): registers an empty table. Any delta
+    * blocks pinned for a PREVIOUS incarnation of the name free now —
+    * the old view is gone, nothing can read them. */
+  def createTable(spark: SparkSession, name: String, schema: StructType): Unit = {
+    freePinnedDeltas(spark, name)
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       .createOrReplaceTempView(q(name))
+  }
+
+  /** Unpersist the insertIgnore delta blocks pinned for `name` (used
+    * when the table is dropped/truncated/re-created — derived handles
+    * are invalid after that anyway). */
+  def freePinnedDeltas(spark: SparkSession, name: String): Unit = {
+    val ids = drainPinnedDeltas(name)
+    if (ids.nonEmpty)
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (ids.contains(id)) rdd.unpersist(false)
+      }
+  }
 
   /** INSERT INTO name SELECT ...: schema-checked append. */
   def insertInto(spark: SparkSession, name: String, rows: DataFrame): Unit = {

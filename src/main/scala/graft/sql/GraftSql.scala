@@ -2632,6 +2632,11 @@ object GraftSql {
         p.expect("DROP"); p.expect("TABLE")
         if (p.accept("IF")) p.expect("EXISTS")
         val dropName = readTableName(p)
+        // free any INSERT OR IGNORE delta checkpoints pinned for the
+        // table (nothing can read them once the view is gone)
+        graft.GraftCatalog.freePinnedDeltas(spark, dropName)
+        graft.GraftCatalog.freePinnedDeltas(spark,
+          qualifyTable(spark, dropName))
         spark.catalog.dropTempView(quoteId(dropName))
         // under USE db (or a db-qualified name) the real view carries
         // the db prefix — drop that too, or the table survives its
