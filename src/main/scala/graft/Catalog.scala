@@ -42,6 +42,10 @@ object GraftCatalog {
       spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
         if (ids.contains(id)) rdd.unpersist(false)
       }
+    // also drop any streaming-write compaction generations pinned for
+    // the name — a dropped table's final two localCheckpoint
+    // generations would otherwise stay persisted forever
+    graft.sources.GraftSource.releaseCompactState(spark, name)
   }
 
   /** INSERT INTO name SELECT ...: schema-checked append. */

@@ -1204,39 +1204,37 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
       val joined = LastJoin(ev, cust, Seq("user_id"), Seq("c_custkey"),
         Some(col("c_custkey")))
-      // ONE collect per row serves all five window outputs: the frame
-      // value is a (value, event_type) struct and each aggregate projects
-      // the field it needs. Materialized once via withColumn so the
-      // consumers share the array attribute instead of re-deriving it.
+      // ONE collect per row serves all five window outputs. The
+      // conditional memberships (click-count, big-count) are
+      // precomputed PER ROW before the collect — codegen'd once per
+      // input row — so frame scoring is a FrameAggExpr one-pass loop
+      // per aggregate with zero per-element Catalyst interpretation
+      // (this query is the reference's own benchmark shape and the
+      // serving path's hot code; the interpreted-lambda formulation
+      // was the engine's one measured scale-killer eval class).
       val fa = WindowOps.frameArray(
-        struct(col("value").as("v"), col("event_type").as("et")),
+        struct(col("value").as("v"),
+          when(col("event_type") === "click", col("value")).as("cv"),
+          when(col("value") > 100, col("value")).as("bv")),
         col("ts_ms"), col("event_id"), Seq(col("user_id")),
         2592000000L, maxSize = 100, strictRowOrder = true,
         narrowEntry = true)
       val a = col("__arr")
-      val vOf = (x: Column) => x("v")("v")
-      // numeric outputs run over a FLAT double array extracted once:
-      // higher-order filter over array<struct> deep-copies each struct
-      // element per pass, while filter over array<double> is a cheap
-      // primitive copy — measurably faster with four consumers
-      val nn = filter(transform(a, vOf), x => x.isNotNull)
+      val fagg = graft.functions.FrameAgg.agg(a, _: String, _: Option[String])
       joined.withColumn("__arr", fa).select(
         col("event_id"),
         upper(col("event_type")).as("et_up"),
         (col("value") * 2).as("v2"),
         col("c_nationkey"),
         round(col("c_acctbal") / 100, 4).as("bal_h"),
-        size(array_distinct(nn)).cast("long").as("w_dc"),
-        round(when(size(nn) > 0,
-          aggregate(nn, lit(0.0), (acc, x) => acc + x)), 3)
-          .as("w_sum"),
-        size(nn).cast("long").as("w_cnt"),
+        fagg("dcount", Some("v")).as("w_dc"),
+        round(fagg("sum_double", Some("v")), 3).as("w_sum"),
+        fagg("count", Some("v")).as("w_cnt"),
         // avg is (w_sum, w_cnt)-determined; its decimal representation
         // lands exactly on rounding boundaries (2-decimal inputs / small
         // counts), so it is not hash-compared separately
-        size(filter(a, x => x("v")("et") === "click" && vOf(x).isNotNull))
-          .cast("long").as("w_clicks"),
-        size(filter(nn, x => x > 100)).cast("long").as("w_big"))
+        fagg("count", Some("cv")).as("w_clicks"),
+        fagg("count", Some("bv")).as("w_big"))
     },
 
     // skew-parallelized window (openmldb.window.skew.opt analog):

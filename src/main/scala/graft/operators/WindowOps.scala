@@ -105,10 +105,12 @@ object WindowOps {
       val e = if (narrowEntry) struct(tsMs.as("ts"), v.as("v"))
         else entry(tsMs, uid, lit(true), v)
       var arr = reverse(collect_list(e).over(spec))
-      if (precedingMs < UnboundedMs) {
-        val minTs = tsMs - precedingMs
-        arr = filter(arr, x => x("ts") >= minTs)
-      }
+      if (precedingMs < UnboundedMs)
+        // imperative one-pass range bound (FrameCutoffExpr) — the
+        // interpreted higher-order filter walked a Catalyst tree per
+        // element on the hottest window path
+        arr = graft.functions.FrameAgg.cutoff(arr,
+          (tsMs - precedingMs).cast("long"))
       return arr
     }
     require(!narrowEntry,
@@ -295,24 +297,18 @@ object WindowOps {
     }
   }
 
-  /** SUM over a frame array (null values ignored, like SQL SUM).
-    * Integral inputs accumulate exactly in DECIMAL(38,0) — a Double
-    * accumulator silently loses unit precision past 2^53, and a Long
-    * one would throw under ANSI on the overflow the reference wraps;
-    * [[wrapToLongRange]] brings the exact total back into Long range
-    * with wraparound semantics before any downstream cast. */
+  /** SUM over a frame array (null values ignored, like SQL SUM), via
+    * the one-pass imperative [[graft.functions.FrameAggExpr]] scorer —
+    * NOT interpreted higher-order lambdas (those re-evaluate a Catalyst
+    * tree per element; measured as the engine's one scale-killer eval
+    * class on the reference's benchmark shape). Integral inputs
+    * accumulate in a native Long whose two's-complement overflow IS
+    * the reference's 2^64 wraparound (udf sum wrap semantics) — the
+    * same final value the old exact-DECIMAL + [[wrapToLongRange]]
+    * pair produced, in one pass. NULL on an empty/all-null frame. */
   def aggSum(arr: Column, integral: Boolean = false): Column =
-    if (integral)
-      when(aggCount(arr) > 0,
-        aggregate(filter(arr, x => x("v").isNotNull),
-          lit(java.math.BigDecimal.ZERO)
-            .cast(org.apache.spark.sql.types.DecimalType(38, 0)),
-          (acc, x) => acc +
-            x("v").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
-    else
-      when(aggCount(arr) > 0,
-        aggregate(filter(arr, x => x("v").isNotNull),
-          lit(0.0), (acc, x) => acc + x("v").cast("double")))
+    graft.functions.FrameAgg.agg(arr,
+      if (integral) "sum_long" else "sum_double")
 
   /** Reduce an exact DECIMAL(38,0) total into Long range with 2^64
     * wraparound (the reference's integral-sum overflow behavior), so
@@ -327,21 +323,21 @@ object WindowOps {
 
   /** COUNT of non-null values. */
   def aggCount(arr: Column): Column =
-    size(filter(arr, x => x("v").isNotNull)).cast("long")
+    graft.functions.FrameAgg.agg(arr, "count")
 
   def aggAvg(arr: Column): Column =
-    when(aggCount(arr) > 0, aggSum(arr) / aggCount(arr))
+    graft.functions.FrameAgg.agg(arr, "avg")
 
   def aggMin(arr: Column): Column =
-    array_min(transform(arr, x => x("v")))
+    graft.functions.FrameAgg.agg(arr, "min")
 
   def aggMax(arr: Column): Column =
-    array_max(transform(arr, x => x("v")))
+    graft.functions.FrameAgg.agg(arr, "max")
 
   /** distinct_count counts NULL as a distinct value
     * (test_udaf_function.yaml id 5 row 4). */
   def aggDistinctCount(arr: Column): Column =
-    size(array_distinct(transform(arr, x => x("v")))).cast("long")
+    graft.functions.FrameAgg.agg(arr, "dcount_null")
 
   /** exact median over a frame (even count → mean of the two middle
     * values; reference udaf median). */

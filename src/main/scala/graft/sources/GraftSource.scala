@@ -122,6 +122,12 @@ object GraftSource {
   /** Resolve the config's view in the engine catalog (db-scoped view
     * first, session view fallback — the same visibility CALL and the
     * REST routes use). */
+  /** Free the write path's compaction state for `view` (the last two
+    * generations' localCheckpoint blocks) — called when the table is
+    * dropped or re-created; see [[GraftWrites.release]]. */
+  def releaseCompactState(spark: SparkSession, view: String): Unit =
+    GraftWrites.release(spark, view)
+
   def resolveView(cfg: Config): String = resolveView(cfg, SparkSession.active)
 
   /** [[resolveView]] against an explicit session — the db registry is
@@ -291,12 +297,16 @@ private[sources] class GraftScan(cfg: GraftSource.Config,
     val base = pushed.flatMap(GraftSource.toColumn)
       .foldLeft(base0)((d, c) => d.filter(c))
     // defensive byte/row budget (post-pushdown): refuse to snapshot an
-    // offline-sized table onto the driver — the count job is one cheap
-    // pass over the memory-resident online view, and failing here with
-    // a named alternative beats an opaque driver OOM mid-collect
-    val cnt = base.count()
+    // offline-sized table onto the driver. BOUNDED probe — limit(B+1)
+    // stops counting at the budget, so the common in-budget read pays
+    // at most one budget-bounded pass instead of a full count() per
+    // scan; failing here with a named alternative beats an opaque
+    // driver OOM mid-collect
+    val probeCap = math.min(cfg.maxScanRows, (Int.MaxValue - 1).toLong).toInt + 1
+    val cnt = base.limit(probeCap).count()
     if (cnt > cfg.maxScanRows) throw new IllegalStateException(
-      s"graft scan of ${cfg.db}.${cfg.table} would snapshot $cnt rows " +
+      s"graft scan of ${cfg.db}.${cfg.table} would snapshot more than " +
+        s"${cfg.maxScanRows} rows " +
         s"(after pushdown) onto the driver, over the maxScanRows budget " +
         s"of ${cfg.maxScanRows}. The online store is the TTL-bounded " +
         s"serving tier; for offline-scale data read the table's offline " +
@@ -372,6 +382,22 @@ private[sources] object GraftWrites {
     * an eager local checkpoint (bounds the union/anti-join plan depth
     * a long-running stream would otherwise grow without limit). */
   private val CompactEvery = 16L
+
+  /** Drop `view`'s compaction generations: unpersist the last two
+    * generations' localCheckpoint blocks and forget the commit
+    * counter. Called from DROP TABLE / CREATE TABLE (re-incarnation) —
+    * without this the final two generations (potentially the whole
+    * table) stay pinned forever after a drop. */
+  def release(spark: SparkSession, view: String): Unit =
+    commitLock.synchronized {
+      compactState.remove(view).foreach { case (_, lastIds, prevIds) =>
+        val ids = lastIds ++ prevIds
+        if (ids.nonEmpty)
+          spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+            if (ids.contains(id)) rdd.unpersist(false)
+          }
+      }
+    }
 
   /** Driver-side commit shared by the batch and streaming faces: ONE
     * catalog append of the buffered task rows. putIfAbsent routes

@@ -958,8 +958,42 @@ object GraftSql {
   private def pruneHistoryForRequests(spark: SparkSession,
       history: DataFrame, sel: Select, requests: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
+    // Nested inline OVER specs (`abs(sum(b) OVER (PARTITION BY c2 ...))`)
+    // appear in neither sel.windows nor proj.over — extractWinCalls
+    // parses them only during projection rewrite. Parse them here too:
+    // missing one would prune history by the WRONG key set and silently
+    // drop rows from that window's frames. A named nested OVER is
+    // already covered via sel.windows.values; anything unparseable
+    // conservatively disables pruning.
+    def nestedInlineDefs(toks: Vector[String]): Option[Seq[WinDef]] = {
+      val out = Seq.newBuilder[WinDef]
+      var i = 0
+      while (i < toks.length) {
+        if (toks(i).equalsIgnoreCase("OVER")) {
+          if (i + 1 < toks.length && toks(i + 1) == "(") {
+            var depth = 0; var j = i + 1; var close = -1
+            while (j < toks.length && close < 0) {
+              if (toks(j) == "(") depth += 1
+              if (toks(j) == ")") { depth -= 1; if (depth == 0) close = j }
+              j += 1
+            }
+            if (close < 0) return None
+            try out += new Parser(toks.slice(i + 2, close)).parseWinDefPublic()
+            catch { case scala.util.control.NonFatal(_) => return None }
+            i = close + 1
+          } else if (i + 1 < toks.length && sel.windows.contains(toks(i + 1))) {
+            i += 2 // named window — in sel.windows.values below
+          } else return None
+        } else i += 1
+      }
+      Some(out.result())
+    }
+    val nested = sel.projs.filter(_.hasNestedOver)
+      .map(p => nestedInlineDefs(p.tokens))
+    if (nested.exists(_.isEmpty)) return history
     val defs = sel.windows.values.toSeq ++
-      sel.projs.flatMap(_.over.toSeq).collect { case Right(w) => w }
+      sel.projs.flatMap(_.over.toSeq).collect { case Right(w) => w } ++
+      nested.flatten.flatten
     if (defs.isEmpty) return history
     val histCols = history.columns.map(_.toLowerCase).toSet
     val reqCols = requests.columns.map(_.toLowerCase).toSet
@@ -1007,10 +1041,12 @@ object GraftSql {
           else col(k).isin(nonNull: _*)
         if (vs.contains(null)) base || col(k).isNull else base
       }.reduce(_ && _)
-    // a key type isin/lit can't embed (nested types) must fall back to
-    // the unpruned history, never fail the query
+    // a key type isin/lit can't embed (nested types), or any analysis
+    // failure building the predicate, must fall back to the unpruned
+    // history, never fail the query (AnalysisException is NOT a
+    // RuntimeException in Spark — catch NonFatal)
     try history.filter(distinctLists.map(keyPred).reduce(_ || _))
-    catch { case _: RuntimeException => history }
+    catch { case scala.util.control.NonFatal(_) => history }
   }
 
   /** EXPLAIN: the planned query's formatted physical plan (the
@@ -7386,6 +7422,26 @@ object GraftSql {
               struct(x("ts").as("ts"), x("uid").as("uid"),
                 x("flag").as("flag"), e.as("v")))))
           else arr0
+          // the six hot simple aggregates score the SHARED frame array
+          // directly via the one-pass FrameAggExpr scorer, navigating
+          // to their field (`v.<fld>`) inside the loop — no interpreted
+          // per-aggregate `transform` copy of the array. Split-valued
+          // frames (flattened token streams) keep the narrowed shape.
+          def hotAgg(f: String): Column =
+            if (splitV.isDefined) f match {
+              case "sum" => WindowOps.aggSum(arr,
+                integral = sumIntegralType.isDefined)
+              case "count"          => WindowOps.aggCount(arr)
+              case "avg"            => WindowOps.aggAvg(arr)
+              case "min"            => WindowOps.aggMin(arr)
+              case "max"            => WindowOps.aggMax(arr)
+              case "distinct_count" => WindowOps.aggDistinctCount(arr)
+            } else graft.functions.FrameAgg.agg(col(arrName), f match {
+              case "sum" =>
+                if (sumIntegralType.isDefined) "sum_long" else "sum_double"
+              case "distinct_count" => "dcount_null"
+              case other            => other
+            }, Some(fld))
           fn match {
             case f if windowSplitFns.contains(f) =>
               // the window_split list itself
@@ -7403,12 +7459,12 @@ object GraftSql {
               // expects NULL, consistent with EXCLUDE CURRENT_ROW
               // (test_current_row.yaml ids 4/12) and RANGE hi bounds
               // (test_maxsize.yaml id 6)
-              WindowOps.aggSum(arr, integral = sumIntegralType.isDefined)
-            case "count"          => WindowOps.aggCount(arr)
-            case "avg"            => WindowOps.aggAvg(arr)
-            case "min"            => WindowOps.aggMin(arr)
-            case "max"            => WindowOps.aggMax(arr)
-            case "distinct_count" => WindowOps.aggDistinctCount(arr)
+              hotAgg("sum")
+            case "count"          => hotAgg("count")
+            case "avg"            => hotAgg("avg")
+            case "min"            => hotAgg("min")
+            case "max"            => hotAgg("max")
+            case "distinct_count" => hotAgg("distinct_count")
             case "lag" | "at"     =>
               val k = if (args.length > 1) args(1).toInt else 1
               // lag counts positions from the CURRENT ROW; when the

@@ -289,6 +289,34 @@ class GraftSqlSpec extends SparkSpec {
     assert(out.toSet == Set(103.0 -> 3L, 203.0 -> 3L))
   }
 
+  test("request mode: serving-path pruning keeps frames of NESTED " +
+      "inline windows keyed on different columns") {
+    // Regression: pruneHistoryForRequests used to collect window defs
+    // only from sel.windows + top-level proj.over — a nested inline
+    // spec (`abs(sum(v) OVER (PARTITION BY grp ...))`) partitioned on
+    // a DIFFERENT column was invisible, so history got pruned to the
+    // named window's pk keys and the nested window's frame silently
+    // lost its same-grp / different-pk rows.
+    val hist = Seq(
+      ("u1", "gA", 10L, 1.0),
+      ("u2", "gA", 20L, 2.0), // shares grp with the request, NOT pk
+      ("u3", "gB", 5L, 4.0)
+    ).toDF("pk", "grp", "ts", "v")
+    hist.createOrReplaceTempView("prune_nested")
+    val req = Seq(("u1", "gA", 25L, 100.0)).toDF("pk", "grp", "ts", "v")
+    val out = GraftSql.requestMode(spark,
+      """SELECT pk,
+        |  sum(v) OVER w AS s_pk,
+        |  abs(sum(v) OVER (PARTITION BY grp ORDER BY ts
+        |    ROWS_RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)) AS s_grp
+        |FROM prune_nested WINDOW w AS (PARTITION BY pk ORDER BY ts
+        |  ROWS_RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)""".stripMargin,
+      req).collect()
+    assert(out.length == 1)
+    assert(out(0).getDouble(1) == 101.0) // u1 history + request
+    assert(out(0).getDouble(2) == 103.0) // gA history (u1 AND u2) + request
+  }
+
   test("navigation functions over extended windows (request-mode style)") {
     val out = GraftSql.sql(spark,
       """SELECT pk, ts, lag(v, 1) OVER w AS prev,
