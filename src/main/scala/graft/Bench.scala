@@ -148,8 +148,20 @@ object Bench {
     val ratios = plainOut.flatMap { case (name, pSec) =>
       oursBest.get(name).map(o => name -> (o / math.max(pSec, 1e-9)))
     }
+    // steady-state protocol, recorded in the artifact: when a pair's FIRST pass read
+    // >2x its best (JIT/codegen warm-up draw), surface that cold reading
+    // alongside the steady ratio instead of letting one draw tell the
+    // whole story (the r17 q_bench_shape 2.605-vs-1.2 class)
+    // capped at the 8 widest spreads: the one-line JSON must stay
+    // under the harness's ~1900-char tail window (BenchGuardSpec)
+    val coldSpread = ratioResults.filter { case (n, first) =>
+      oursBest.get(n).exists(b => first / math.max(b, 1e-9) > 2.0)
+    }.sortBy { case (n, first) =>
+      -(first / math.max(oursBest.getOrElse(n, first), 1e-9))
+    }.take(8)
 
-    (emitJson(results, plainOut, ratios, errors.toSeq, sfDir), errors.size)
+    (emitJson(results, plainOut, ratios, errors.toSeq, sfDir, coldSpread),
+      errors.size)
   }
 
   /** Render the one-line JSON. Timings are rounded to 3 decimals (1 ms —
@@ -161,7 +173,8 @@ object Bench {
     * bench-query count. */
   def emitJson(results: Seq[(String, Double)], plainOut: Seq[(String, Double)],
                ratios: Seq[(String, Double)], errors: Seq[(String, String)],
-               sfDir: String): String = {
+               sfDir: String,
+               coldSpread: Seq[(String, Double)] = Nil): String = {
     def r3(v: Double): String = "%.3f".format(v)
     // per-query seconds carry 2 decimals (10 ms grain — the noise
     // floor is ±100 ms anyway); ratios keep 3. The line must stay
@@ -183,6 +196,9 @@ object Bench {
     // no separate "plain" map: with every query ratio-paired the three
     // maps overflow the tail window — plain twin timings are exactly
     // queries[k] / ratio[k]
-    s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(results, r2)},"ratio":${jmap(ratios)},"errors":${smap(errors)},"failed":${errors.size},"sf":"${new java.io.File(sfDir).getName}"}"""
+    val cold =
+      if (coldSpread.isEmpty) ""
+      else s""","cold":${jmap(coldSpread, r2)}"""
+    s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(results, r2)},"ratio":${jmap(ratios)}$cold,"errors":${smap(errors)},"failed":${errors.size},"sf":"${new java.io.File(sfDir).getName}"}"""
   }
 }

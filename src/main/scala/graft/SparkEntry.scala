@@ -1542,6 +1542,63 @@ object SparkEntry {
         "SELECT doc_id, lang, n_chars FROM dd_docs_out")
     },
 
+    // SQL face of the MinHash-LSH near-dup dedup (`DEDUP TABLE ... BY
+    // MINHASH(text) ... INTO`): the statement keeps one representative
+    // per LSH-pair-graph component. Gate mirrors q_dedup_minhash's
+    // recall floor: among TRUE J>=0.6 pairs (exact, bounded to the
+    // doc_id%5 sample), at most 10% may survive with BOTH sides kept
+    // (an uncovered pair = the LSH recall miss class).
+    "q_sql_dedup_minhash" -> q { (s, d) =>
+      T(s, d, "documents").createOrReplaceTempView("mh_src")
+      graft.sql.GraftSql.statement(s,
+        "DEDUP TABLE mh_src BY MINHASH(text) OPTIONS(id=doc_id, " +
+          "shingle=1, bands=8, rows=3, threshold=0.25) INTO mh_out")
+      val kept = graft.sql.GraftSql.sql(s, "SELECT doc_id FROM mh_out")
+      val docs = T(s, d, "documents")
+      val truth = Dedup.jaccardPairs(
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text", 0.6)
+      val k1 = kept.select(col("doc_id").as("id1"), lit(1).as("__k1"))
+      val k2 = kept.select(col("doc_id").as("id2"), lit(1).as("__k2"))
+      truth.join(k1, Seq("id1"), "left").join(k2, Seq("id2"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          count(when(col("__k1").isNotNull && col("__k2").isNotNull, 1))
+            .as("__n_uncov"))
+        .select(col("n_true"),
+          when(col("n_true") === 0 ||
+            col("__n_uncov").cast("double") / col("n_true") <= 0.10, 1)
+            .otherwise(0).as("coverage_ok"))
+    },
+
+    // SQL face of the SemDeDup semantic dedup (`DEDUP TABLE ... BY
+    // SEMANTIC(embedding) ... INTO`), same coverage gate as
+    // q_dedup_semantic (floor 0.95 over the exact cosine truth).
+    "q_sql_dedup_semantic" -> q { (s, d) =>
+      T(s, d, "embeddings").createOrReplaceTempView("sem_src")
+      graft.sql.GraftSql.statement(s,
+        "DEDUP TABLE sem_src BY SEMANTIC(embedding) OPTIONS(id=vec_id, " +
+          "threshold=0.3, nlist=8, iters=5, nprobe=2) INTO sem_out")
+      val kept = graft.sql.GraftSql.sql(s, "SELECT vec_id FROM sem_out")
+      val e = T(s, d, "embeddings")
+      val vecs = e.select(col("vec_id"),
+        Similarity.toDoubleVec(col("embedding")).as("v"))
+      val truth = vecs.as("a")
+        .join(vecs.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+          Similarity.cosine(col("a.v"), col("b.v")).as("cos"))
+        .filter(col("cos") >= 0.3)
+      val k1 = kept.select(col("vec_id").as("id1"), lit(1).as("__k1"))
+      val k2 = kept.select(col("vec_id").as("id2"), lit(1).as("__k2"))
+      truth.join(k1, Seq("id1"), "left").join(k2, Seq("id2"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          count(when(col("__k1").isNotNull && col("__k2").isNotNull, 1))
+            .as("__n_uncov"))
+        .select(col("n_true"),
+          when(col("n_true") === 0 ||
+            lit(1.0) - col("__n_uncov").cast("double") / col("n_true")
+              >= 0.95, 1)
+            .otherwise(0).as("coverage_ok"))
+    },
+
     // corpus vocabulary: tf/df per token, top-k by tf (term
     // tie-break) — one shuffle, expression-side per-doc counting
     "q_vocab" -> q { (s, d) =>
@@ -3023,6 +3080,32 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY text
         |    ORDER BY doc_id) AS rn
         |  FROM documents) WHERE rn = 1""".stripMargin,
+
+    "q_sql_dedup_minhash" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS w
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM w GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+        |  FROM w a JOIN w b ON a.w = b.w AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_true, 1 AS coverage_ok
+        |FROM inter
+        |JOIN sz s1 ON id1 = s1.doc_id
+        |JOIN sz s2 ON id2 = s2.doc_id
+        |WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.6""".stripMargin,
+
+    "q_sql_dedup_semantic" ->
+      """WITH e AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |        list_dot_product(a.v, b.v)
+        |          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+        |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_true, 1 AS coverage_ok
+        |FROM p WHERE cos >= 0.3""".stripMargin,
 
     "q_tfidf" ->
       """WITH tc AS (

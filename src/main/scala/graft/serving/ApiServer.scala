@@ -394,7 +394,7 @@ object ApiServer {
     // literal rows driver-side — no checkpoint/probe jobs per request
     val reqDf = spark.createDataFrame(
       java.util.Arrays.asList(rows.toIndexedSeq: _*), schema)
-    val out = GraftSql.requestMode(spark, bodySql, reqDf)
+    val out = GraftSql.serveRequest(spark, bodySql, reqDf)
     val collected = out.collect()
 
     val data = M.createObjectNode()

@@ -829,6 +829,230 @@ object GraftSql {
     out.drop(out.columns.filter(_.startsWith(ReqUidCol)).toIndexedSeq: _*)
   }
 
+  // ------------------------------------------------------------------
+  // Compiled serving templates — the reference compiles a DEPLOYed
+  // query ONCE and reuses the JIT'd plan per request (EngineLRUCache'd
+  // CompileInfo, hybridse/src/vm/engine.cc:149); our requestMode
+  // instead re-built + re-analyzed + re-optimized the plan per POST
+  // (~0.3 s of every request, SERVING_BENCH_r17 audit). serveRequest
+  // optimizes the request query ONCE against an opaque RDD placeholder
+  // relation, then each request swaps the placeholder's rows and pays
+  // physical planning + execution only.
+  // ------------------------------------------------------------------
+
+  /** True while a serving template is being PLANNED on this thread:
+    * plan construction must stay request-VALUE-independent (pruning
+    * switches from InSet literals to broadcast key joins). */
+  private val templateModeTL = new ThreadLocal[Boolean] {
+    override def initialValue(): Boolean = false
+  }
+
+  private final case class ServeTemplate(
+      optimized: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      placeholder: org.apache.spark.rdd.RDD[
+        org.apache.spark.sql.catalyst.InternalRow],
+      reqSig: Seq[(String, org.apache.spark.sql.types.DataType)],
+      taggedSchema: org.apache.spark.sql.types.StructType,
+      outSchema: org.apache.spark.sql.types.StructType,
+      fromInternal: org.apache.spark.sql.catalyst.InternalRow =>
+        org.apache.spark.sql.Row,
+      // per referenced table: (name, stored temp-view relation
+      // instance at build time, analyzed unwrapped plan). The instance
+      // identity check is the per-request fast path; the sameResult
+      // fallback tolerates benign re-registrations of an identical
+      // view.
+      sources: Seq[(String, Option[AnyRef],
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)],
+      // prepared physical template (exchanges at serving parallelism,
+      // static-side broadcasts SHARED across requests); None when
+      // physical substitution is unsafe — execution then re-plans
+      // physical from `optimized` per request
+      phys: Option[org.apache.spark.sql.execution.SparkPlan])
+
+  private type ServeKey = (SparkSession, String, String, String, String)
+  private val serveTemplates =
+    new scala.collection.concurrent.TrieMap[ServeKey, ServeTemplate]()
+  private val serveUncacheable =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+  /** Template (re)builds — observable for specs pinning cache reuse. */
+  private[sql] val serveTemplateBuilds =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def unwrapView(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = p match {
+    case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+      unwrapView(s.child)
+    case v: org.apache.spark.sql.catalyst.plans.logical.View =>
+      unwrapView(v.child)
+    case other => other
+  }
+
+  /** Every physical table name the query reads (FROM, joins, WINDOW
+    * UNION sides), for template staleness checks. */
+  private def tableRefNames(q: Query): Seq[String] = {
+    def ofRef(r: TRef): Seq[String] = r match {
+      case Left(n)    => if (n.isEmpty) Nil else Seq(n)
+      case Right(sub) => tableRefNames(sub)
+    }
+    val cteNames = q.ctes.map(_._1.toLowerCase).toSet
+    (q.ctes.flatMap(c => tableRefNames(c._2)) ++
+      q.selects.flatMap { s =>
+        ofRef(s.fromTable) ++ s.joins.flatMap(j => ofRef(j.table)) ++
+          s.windows.values.flatMap(_.unions.flatMap(ofRef))
+      }).filterNot(n => cteNames(n.toLowerCase)).distinct
+  }
+
+  /** The stored-catalog plan a table name currently resolves to —
+    * compared per request against the template's captured one; any
+    * INSERT / DELETE / stream commit re-registers the view with a new
+    * plan, so read-your-commits serving stays exact. */
+  private def currentSource(spark: SparkSession, name: String)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    unwrapView(resolve(spark, name, Map.empty).queryExecution.analyzed)
+
+  /** The catalog name `resolve` would read for a bare table ref —
+    * mirrors resolve()'s db-qualification so the raw-instance lookup
+    * sees the same view. */
+  private def resolvedViewName(spark: SparkSession, name: String): String =
+    if (name.contains('.')) dbViewName(name)
+    else curDb(spark) match {
+      case Some(db) if spark.catalog.tableExists(
+          quoteId(dbViewName(s"$db.$name"))) => dbViewName(s"$db.$name")
+      case _ => name
+    }
+
+  private def sourcesFresh(spark: SparkSession, t: ServeTemplate): Boolean =
+    t.sources.forall { case (n, raw, p) =>
+      val rawNow = org.apache.spark.sql.GraftServe.rawTempView(
+        spark, resolvedViewName(spark, n))
+      (raw, rawNow) match {
+        case (Some(a), Some(b)) if a eq b => true // no analyzer run
+        case _ =>
+          try {
+            val cur = currentSource(spark, n)
+            (cur eq p) || cur.sameResult(p)
+          } catch { case scala.util.control.NonFatal(_) => false }
+      }
+    }
+
+  private def reqSigOf(df: DataFrame): Seq[(String, org.apache.spark.sql.types.DataType)] =
+    df.schema.fields.toSeq.map(f => (f.name, f.dataType))
+
+  /** Serving entry point: requestMode semantics, compiled-plan reuse.
+    * Falls back to [[requestMode]] whenever the template path cannot
+    * apply (non-literal request batches, explicit table maps, offline
+    * mode, template build/execution failure) — never fails a request
+    * the dynamic path would answer. */
+  def serveRequest(spark: SparkSession, text: String, requests: DataFrame,
+      tables: Map[String, DataFrame] = Map.empty): DataFrame = {
+    val viaTemplate =
+      try serveViaTemplate(spark, text, requests, tables)
+      catch { case scala.util.control.NonFatal(e) =>
+        if (sys.env.contains("GRAFT_SERVE_DEBUG")) e.printStackTrace()
+        None }
+    viaTemplate.getOrElse(requestMode(spark, text, requests, tables))
+  }
+
+  private def serveViaTemplate(spark: SparkSession, text: String,
+      requests: DataFrame, tables: Map[String, DataFrame])
+      : Option[DataFrame] = {
+    import org.apache.spark.sql.GraftServe
+    if (tables.nonEmpty || offlineMode(spark)) return None
+    if (serveUncacheable.contains((spark, text))) return None
+    // literal request batches only — the shape every serving surface
+    // (HTTP POST, CALL, SDK-style embedded) builds. Logical-plan match
+    // first: the hot surfaces build LocalRelation directly, so the
+    // per-request check costs NO analyzer run; expression-built rows
+    // (CALL's literal projection) fold to LocalRelation in optimize.
+    val reqRowsInternal: Seq[org.apache.spark.sql.catalyst.InternalRow] =
+      (requests.queryExecution.logical match {
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+          Some(l.data)
+        case _ => requests.queryExecution.optimizedPlan match {
+          case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+            Some(l.data)
+          case _ => None
+        }
+      }).getOrElse(return None)
+    val sig = reqSigOf(requests)
+    val key: ServeKey = (spark, text, defaultDbTL.get.getOrElse(""),
+      tsHintsTL.get.toSeq.sorted.mkString(","),
+      sig.map { case (n, t) => s"$n:${t.sql}" }.mkString(","))
+
+    def buildTemplate(): Option[ServeTemplate] = {
+      serveTemplateBuilds.incrementAndGet()
+      ensureFunctions(spark)
+      val parser = new Parser(tokenize(text))
+      val q = parser.parseQuery()
+      if (parser.p != parser.toks.length) parser.fail("trailing tokens")
+      // LIMIT keeps the dynamic path: row-count-dependent rewrites
+      if (q.selects.exists(_.limit.isDefined)) return None
+      val names = tableRefNames(q)
+      if (names.isEmpty) return None
+      val sources = names.map { n =>
+        (n, org.apache.spark.sql.GraftServe.rawTempView(
+          spark, resolvedViewName(spark, n)), currentSource(spark, n))
+      }
+      val taggedSchema = org.apache.spark.sql.types.StructType(
+        requests.schema.fields :+ org.apache.spark.sql.types.StructField(
+          ReqUidCol, org.apache.spark.sql.types.LongType, nullable = false))
+      val placeholder = spark.sparkContext.parallelize(
+        Seq.empty[org.apache.spark.sql.catalyst.InternalRow], 1)
+      val tagged = GraftServe.internalRddDf(spark, placeholder,
+        taggedSchema, 16L * 1024)
+      templateModeTL.set(true)
+      val out =
+        try requestModeQuery(spark, q, tagged, Map.empty)
+        finally templateModeTL.set(false)
+      val outD = out.drop(
+        out.columns.filter(_.startsWith(ReqUidCol)).toIndexedSeq: _*)
+      val optimized = GraftServe.optimizedPlan(outD)
+      // an eager checkpoint inside planning (multi-signature window
+      // groups) swallows the placeholder — the template would serve
+      // frozen placeholder data; refuse it
+      if (GraftServe.placeholderCount(optimized, placeholder) == 0)
+        return None
+      val phys = GraftServe.preparePhysicalTemplate(spark, optimized,
+        placeholder, shufflePartitions = 1)
+      Some(ServeTemplate(optimized, placeholder, sig, taggedSchema,
+        outD.schema, GraftServe.fromInternal(outD.schema), sources, phys))
+    }
+
+    val cached = serveTemplates.get(key).filter(t =>
+      t.reqSig == sig && sourcesFresh(spark, t))
+    val tpl = cached.orElse {
+      buildTemplate() match {
+        case Some(t) =>
+          if (serveTemplates.size > 64) serveTemplates.clear()
+          serveTemplates.put(key, t); Some(t)
+        case None =>
+          serveUncacheable.add((spark, text)); None
+      }
+    }
+    tpl.map { t =>
+      val internal = GraftServe.tagRows(reqRowsInternal, requests.schema)
+      val newRdd = spark.sparkContext.parallelize(internal, 1)
+      // serving-shaped batches run the prepared physical template
+      // (1-partition exchanges, shared dim broadcasts); larger batches
+      // re-plan physical at the session's parallelism
+      val collected =
+        t.phys match {
+          case Some(p) if internal.length <= 1024 =>
+            GraftServe.executeCollectPhysical(spark,
+              GraftServe.substitutePhysical(p, t.placeholder, newRdd))
+          case _ =>
+            val sub = GraftServe.substituteRdd(t.optimized, t.placeholder,
+              newRdd, spark, 16L * 1024)
+            GraftServe.executeCollect(spark, sub)
+        }
+      val resRows: Seq[org.apache.spark.sql.Row] =
+        collected.toIndexedSeq.map(t.fromInternal)
+      spark.createDataFrame(
+        java.util.Arrays.asList(resRows: _*), t.outSchema)
+    }
+  }
+
   private def requestModeQuery(spark: SparkSession, q: Query,
       requests: DataFrame, tables: Map[String, DataFrame]): DataFrame = {
     require(q.ctes.isEmpty && q.selects.length == 1,
@@ -1007,6 +1231,13 @@ object GraftSql {
     val keyLists = defs.map(plainKeys)
     if (keyLists.exists(_.isEmpty)) return history
     val distinctLists = keyLists.flatten.distinct
+    if (templateModeTL.get)
+      // compiled serving template: request VALUES are unknown at
+      // template-build time, so membership is a broadcast join against
+      // the request relation's exact key tuples instead of an InSet of
+      // literals — value-independent, so the optimized plan can be
+      // reused across requests with only the request rows swapped
+      return pruneByKeyJoin(history, distinctLists, requests)
     val allKeyCols = distinctLists.flatten.distinct
     // serving-shaped gate: probe the request key tuples. A literal
     // request batch (LocalRelation, the serving surfaces' shape) reads
@@ -1047,6 +1278,50 @@ object GraftSql {
     // RuntimeException in Spark — catch NonFatal)
     try history.filter(distinctLists.map(keyPred).reduce(_ || _))
     catch { case scala.util.control.NonFatal(_) => history }
+  }
+
+  /** Value-independent history pruning for the serving template: one
+    * broadcast join per distinct PARTITION BY key list against the
+    * request relation's distinct key tuples, null-safe (`<=>` — a
+    * null-keyed request keeps null-keyed history in its frames). A
+    * history row survives when ANY window's frame could read it:
+    * a single key list is a LEFT SEMI join; several lists are marker
+    * LEFT joins OR'd (the distinct key projection guarantees at most
+    * one match per list, so the left joins cannot duplicate rows).
+    * Exact tuple membership — a strict subset of the per-column InSet
+    * superset the value-based path uses, so pruning is at least as
+    * tight. Falls back to the unpruned history on any failure. */
+  private def pruneByKeyJoin(history: DataFrame,
+      keyLists: Seq[Seq[String]], requests: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    try {
+      if (keyLists.size == 1) {
+        val keys = keyLists.head
+        val keyDf = requests.select(keys.map(col).toIndexedSeq: _*).distinct()
+        val cond = keys.map(k => history(k) <=> keyDf(k)).reduce(_ && _)
+        history.join(broadcast(keyDf), cond, "left_semi")
+      } else {
+        var h = history
+        val markers = keyLists.zipWithIndex.map { case (keys, i) =>
+          val m = s"__graft_prune_m$i"
+          // unique right-side names: a history column joined against
+          // its same-named key copy would leave duplicate columns
+          val renamed = keys.zipWithIndex.map { case (k, j) =>
+            (k, s"__graft_prune_k${i}_$j")
+          }
+          val keyDf = requests.select(renamed.map { case (k, n) =>
+            col(k).as(n) }.toIndexedSeq: _*)
+            .distinct().withColumn(m, lit(true))
+          val cond = renamed.map { case (k, n) => h(k) <=> keyDf(n) }
+            .reduce(_ && _)
+          h = h.join(broadcast(keyDf), cond, "left")
+            .drop(renamed.map(_._2): _*)
+          m
+        }
+        h.filter(markers.map(m => col(m).isNotNull).reduce(_ || _))
+          .drop(markers: _*)
+      }
+    } catch { case scala.util.control.NonFatal(_) => history }
   }
 
   /** EXPLAIN: the planned query's formatted physical plan (the
@@ -1573,7 +1848,7 @@ object GraftSql {
     * batch-request path; RequestStream serves the streaming path). */
   def serveDeployment(spark: SparkSession, name: String, requests: DataFrame,
       tables: Map[String, DataFrame] = Map.empty): DataFrame =
-    requestMode(spark, deployed(spark).getOrElse(name,
+    serveRequest(spark, deployed(spark).getOrElse(name,
       throw new IllegalArgumentException(s"no deployment named '$name'")),
       requests, tables)
 
@@ -2662,7 +2937,7 @@ object GraftSql {
         reqSchema.fields.zip(argToks).foreach { case (f, ts) =>
           reqRow = reqRow.withColumn(f.name, callArgColumn(ts, f.dataType))
         }
-        Some(requestMode(spark, bodySql, reqRow.drop("__call_seed")))
+        Some(serveRequest(spark, bodySql, reqRow.drop("__call_seed")))
 
       case "DROP" =>
         p.expect("DROP"); p.expect("TABLE")
@@ -2870,6 +3145,73 @@ object GraftSql {
         p.expect("DEDUP"); p.expect("TABLE")
         val srcRaw = readTableName(p)
         p.expect("BY")
+        // Near-dup variants (engine extension, SQL face of the
+        // flagship dedup operators):
+        //   DEDUP TABLE src BY MINHASH(text_col)
+        //     OPTIONS(id=<id_col> [, shingle=1, bands=8, rows=3,
+        //             threshold=0.25, max_bucket=0]) INTO dst
+        //   DEDUP TABLE src BY SEMANTIC(vec_col)
+        //     OPTIONS(id=<id_col> [, threshold=0.3, nlist=8, iters=3,
+        //             nprobe=1, max_cluster=0]) INTO dst
+        // dst = the source rows SURVIVING dedup — one representative
+        // per near-dup component (MINHASH: smallest id in the LSH pair
+        // graph's component; SEMANTIC: the operator's keep rule —
+        // farthest-from-centroid). Same scale shape as the Scala
+        // operators: banded equi-join / bucketed cosine pairs, never
+        // all-pairs.
+        if ((p.peekUp == "MINHASH" || p.peekUp == "SEMANTIC") &&
+            p.toks.lift(p.p + 1).contains("(")) {
+          val variant = p.next().toUpperCase
+          p.expect("(")
+          val valueCol = unq(p.next())
+          p.expect(")")
+          val opts = parseOptions(p)
+          p.expect("INTO")
+          val dstRaw = readTableName(p)
+          if (p.p != p.toks.length) p.fail("trailing tokens after DEDUP")
+          val src = qualifyTable(spark, srcRaw)
+          if (!spark.catalog.tableExists(src))
+            throw new IllegalArgumentException(
+              s"DEDUP source table '$srcRaw' does not exist")
+          val df = spark.table(quoteId(src))
+          val idCol = opts.getOrElse("id", throw new IllegalArgumentException(
+            s"DEDUP BY $variant requires OPTIONS(id=<unique id column>)"))
+          def iOpt(k: String, dflt: Int): Int =
+            opts.get(k).map(_.toInt).getOrElse(dflt)
+          def dOpt(k: String, dflt: Double): Double =
+            opts.get(k).map(_.toDouble).getOrElse(dflt)
+          val out =
+            if (variant == "MINHASH") {
+              val pairs = graft.operators.Dedup.minhashLshPairs(df, idCol,
+                valueCol, shingleN = iOpt("shingle", 1),
+                bands = iOpt("bands", 8), rowsPerBand = iOpt("rows", 3),
+                threshold = dOpt("threshold", 0.25),
+                maxBucketSize = iOpt("max_bucket", 0))
+              val comp = graft.operators.Dedup
+                .connectedComponents(pairs, "id1", "id2")
+              val keep = comp.groupBy(col("component"))
+                .agg(min(col("id")).as("__graft_keep_id"))
+              val drops = comp.join(keep, "component")
+                .filter(col("id") =!= col("__graft_keep_id"))
+                .select(col("id").as("__graft_drop_id"))
+              df.join(drops,
+                df(quoteId(idCol)) === drops("__graft_drop_id"),
+                "left_anti")
+            } else {
+              val res = graft.operators.Dedup.semanticDedup(df, idCol,
+                valueCol, threshold = dOpt("threshold", 0.3),
+                nlist = iOpt("nlist", 8), iters = iOpt("iters", 3),
+                maxClusterSize = iOpt("max_cluster", 0),
+                nprobe = iOpt("nprobe", 1))
+              val kept = res.filter(col("keep"))
+                .select(col("doc_id").as("__graft_keep_id"))
+              df.join(kept,
+                df(quoteId(idCol)) === kept("__graft_keep_id"),
+                "left_semi")
+            }
+          out.createOrReplaceTempView(quoteId(qualifyTable(spark, dstRaw)))
+          return Some(out)
+        }
         val keys = Seq.newBuilder[String]
         keys += unq(p.next())
         while (p.accept(",")) keys += unq(p.next())

@@ -151,7 +151,7 @@ object ServingBench {
         java.util.Arrays.asList(reqRows(i % reqRows.length)), reqSchema)
 
     def embeddedCall(i: Int): Unit = {
-      val n = GraftSql.requestMode(spark, bodySql, oneRequestDf(i)).collect().length
+      val n = GraftSql.serveRequest(spark, bodySql, oneRequestDf(i)).collect().length
       require(n == 1, s"expected 1 row, got $n")
     }
 
