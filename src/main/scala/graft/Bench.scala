@@ -137,13 +137,25 @@ object Bench {
     // report the BEST ours timing for paired queries (the same number
     // the ratio uses) — the first run carries whatever JIT/codegen
     // warm-up survived the sf0.001 pass and is not the plan's cost
+    // solo entries (no plain twin) get best-of-2: a single draw let a
+    // GC/LRU burst own a committed number outright (the r17
+    // q_dedup_lshseen_capped 50.54 s vs its isolated 7.2 s) — the
+    // first reading still surfaces through the cold map when the
+    // spread exceeds 2×
+    val soloFirst = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val soloBest = soloNames.flatMap { name =>
+      spark.catalog.clearCache() // same per-query cold start as pairs
+      val first = timed(name)(materialize(benchQuery(name)(spark, sfDir)))
+      first.foreach(t => soloFirst(name) = t)
+      val second = first.flatMap { _ =>
+        spark.catalog.clearCache()
+        timed(name)(materialize(benchQuery(name)(spark, sfDir)))
+      }
+      first.map(f => name -> math.min(f, second.getOrElse(f)))
+    }
     val results = ratioResults.map { case (n, t) =>
       n -> oursBest.getOrElse(n, t)
-    } ++ soloNames.flatMap { name =>
-      spark.catalog.clearCache() // same per-query cold start as pairs
-      timed(name)(materialize(benchQuery(name)(spark, sfDir)))
-        .map(name -> _)
-    }
+    } ++ soloBest
     val plainOut = plainNames.flatMap(n => plainBest.get(n).map(n -> _))
     val ratios = plainOut.flatMap { case (name, pSec) =>
       oursBest.get(name).map(o => name -> (o / math.max(pSec, 1e-9)))
@@ -154,10 +166,12 @@ object Bench {
     // whole story (the r17 q_bench_shape 2.605-vs-1.2 class)
     // capped at the 8 widest spreads: the one-line JSON must stay
     // under the harness's ~1900-char tail window (BenchGuardSpec)
-    val coldSpread = ratioResults.filter { case (n, first) =>
-      oursBest.get(n).exists(b => first / math.max(b, 1e-9) > 2.0)
+    val bestOf = oursBest ++ soloBest.toMap
+    val coldSpread = (ratioResults ++ soloFirst.toSeq).filter {
+      case (n, first) =>
+        bestOf.get(n).exists(b => first / math.max(b, 1e-9) > 2.0)
     }.sortBy { case (n, first) =>
-      -(first / math.max(oursBest.getOrElse(n, first), 1e-9))
+      -(first / math.max(bestOf.getOrElse(n, first), 1e-9))
     }.take(8)
 
     (emitJson(results, plainOut, ratios, errors.toSeq, sfDir, coldSpread),
