@@ -43,7 +43,8 @@ import org.apache.spark.sql.types._
   * body is plain JIT-compiled Scala, not interpreted Catalyst.
   */
 case class FrameAggExpr(child: Expression, fn: String,
-    vField: Option[String]) extends UnaryExpression with CodegenFallback {
+    vField: Option[String], arg: Double = 0.0)
+    extends UnaryExpression with CodegenFallback {
 
   @transient private lazy val entryType: StructType =
     child.dataType.asInstanceOf[ArrayType]
@@ -67,9 +68,11 @@ case class FrameAggExpr(child: Expression, fn: String,
   }
 
   override def dataType: DataType = fn match {
-    case "sum_double" | "avg"                => DoubleType
+    case "sum_double" | "avg" | "median" | "top1_ratio" |
+         "drawdown" | "ew_avg"               => DoubleType
     case "sum_long" | "count" | "dcount" | "dcount_null" => LongType
     case "min" | "max"                       => valType
+    case "topn_freq" | "topk_int" | "topk_double" => StringType
     case other => throw new IllegalArgumentException(
       s"FrameAggExpr: unknown fn '$other'")
   }
@@ -116,6 +119,66 @@ case class FrameAggExpr(child: Expression, fn: String,
 
   @transient private lazy val ordering: Ordering[Any] =
     TypeUtils.getInterpretedOrdering(valType)
+
+  // Cast-to-string rendering for the string-valued aggregates —
+  // restricted to the types whose rendering is trivially identical to
+  // Catalyst's Cast (strings verbatim, integrals via toString); other
+  // types keep the Column formulation at the dispatch site.
+  @transient private lazy val getS:
+      (InternalRow, Int) => org.apache.spark.unsafe.types.UTF8String =
+    valType match {
+      case StringType => (r, o) => r.getUTF8String(o)
+      case LongType => (r, o) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          r.getLong(o).toString)
+      case IntegerType => (r, o) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          r.getInt(o).toString)
+      case ShortType => (r, o) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          r.getShort(o).toString)
+      case ByteType => (r, o) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          r.getByte(o).toString)
+      case DoubleType => (r, o) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          java.lang.Double.toString(r.getDouble(o)))
+      case FloatType => (r, o) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          java.lang.Float.toString(r.getFloat(o)))
+      case BooleanType => (r, o) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          r.getBoolean(o).toString)
+      case other => throw new IllegalArgumentException(
+        s"FrameAggExpr($fn): unsupported value type $other")
+    }
+
+  /** Non-null values as doubles, in frame (array) order. */
+  private def collectDoubles(arr: ArrayData): Array[Double] = {
+    val n = arr.numElements()
+    val out = new Array[Double](n)
+    var m = 0; var i = 0
+    while (i < n) {
+      val r = valRow(arr, i)
+      if (r != null && !r.isNullAt(valOrd)) { out(m) = getD(r, valOrd); m += 1 }
+      i += 1
+    }
+    if (m == n) out else java.util.Arrays.copyOf(out, m)
+  }
+
+  /** Non-null values as longs, in frame order (exact integral top-k —
+    * a double round-trip would lose unit precision past 2^53). */
+  private def collectLongs(arr: ArrayData): Array[Long] = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var m = 0; var i = 0
+    while (i < n) {
+      val r = valRow(arr, i)
+      if (r != null && !r.isNullAt(valOrd)) { out(m) = getL(r, valOrd); m += 1 }
+      i += 1
+    }
+    if (m == n) out else java.util.Arrays.copyOf(out, m)
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -178,6 +241,149 @@ case class FrameAggExpr(child: Expression, fn: String,
         }
         seen.size.toLong +
           (if (fn == "dcount_null" && sawNull) 1L else 0L)
+      case "median" =>
+        // non-null values as double, ascending sort, middle / mean of
+        // the two middles (exact reference median semantics — the old
+        // array_sort(transform(filter)) chain, one pass + one sort)
+        val vals = collectDoubles(arr)
+        if (vals.isEmpty) null
+        else {
+          java.util.Arrays.sort(vals)
+          val m = vals.length
+          if (m % 2 == 1) vals(m / 2)
+          else (vals(m / 2 - 1) + vals(m / 2)) / 2.0
+        }
+      case "top1_ratio" =>
+        // most-common non-null value count / non-null total, 0.0 when
+        // empty (feature_zero_def.cc:426-471); grouping by the boxed
+        // value gives the same classes as the old cast-to-string
+        // grouping (per-type string rendering is injective)
+        val counts = new java.util.HashMap[Any, java.lang.Long]()
+        var total = 0L; var i = 0
+        while (i < n) {
+          val r = valRow(arr, i)
+          if (r != null && !r.isNullAt(valOrd)) {
+            counts.merge(r.get(valOrd, valType), java.lang.Long.valueOf(1L),
+              (a, b) => java.lang.Long.valueOf(a.longValue + b.longValue))
+            total += 1L
+          }
+          i += 1
+        }
+        if (total == 0L) 0.0
+        else {
+          var mx = 0L
+          val it = counts.values().iterator()
+          while (it.hasNext) {
+            val c = it.next().longValue; if (c > mx) mx = c
+          }
+          mx.toDouble / total
+        }
+      case "drawdown" =>
+        // newest-first walk keeping the running min of newer values
+        // (DrawdownUdafDef, default_udf_library.cc:609-655) — exact
+        // replica of the old fold: state (mn, dd), negatives skipped,
+        // dd only advances on valid values, cur computed against the
+        // PRE-update mn
+        var mnSet = false; var mn = 0.0
+        var ddSet = false; var dd = 0.0
+        var i = 0
+        while (i < n) {
+          val r = valRow(arr, i)
+          if (r != null && !r.isNullAt(valOrd)) {
+            val v = getD(r, valOrd)
+            if (v >= 0.0) {
+              val cur =
+                if (mnSet && mn < v && v != 0.0) (v - mn) / v else 0.0
+              dd = math.max(if (ddSet) dd else 0.0, cur); ddSet = true
+              if (!mnSet || v <= mn) { mn = v; mnSet = true }
+            }
+          }
+          i += 1
+        }
+        if (ddSet) dd else null
+      case "ew_avg" =>
+        // weight (1-alpha)^i for the i-th NEWEST non-null value
+        // (EwAvgUdafDef) — same per-term Math.pow and accumulation
+        // order as the old indexed-transform fold
+        val a = arg
+        var s = 0.0; var c = 0.0; var k = 0; var i = 0
+        while (i < n) {
+          val r = valRow(arr, i)
+          if (r != null && !r.isNullAt(valOrd)) {
+            val w = math.pow(1.0 - a, k)
+            s += getD(r, valOrd) * w; c += w; k += 1
+          }
+          i += 1
+        }
+        if (k == 0) null else s / c
+      case "topn_freq" =>
+        // the arg.toInt most frequent non-null values (count desc, key
+        // string asc in BINARY order — the old struct array_sort), as
+        // rendered strings comma-joined, padded with "NULL"; an EMPTY
+        // frame renders "" (test_feature_zero_function.yaml id 4 row 4)
+        val k = arg.toInt
+        if (k <= 0 || n == 0) org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+        else {
+          type U = org.apache.spark.unsafe.types.UTF8String
+          val counts = new java.util.HashMap[U, java.lang.Long]()
+          var i = 0
+          while (i < n) {
+            val r = valRow(arr, i)
+            if (r != null && !r.isNullAt(valOrd))
+              counts.merge(getS(r, valOrd), java.lang.Long.valueOf(1L),
+                (a, b) => java.lang.Long.valueOf(a.longValue + b.longValue))
+            i += 1
+          }
+          val entries = new java.util.ArrayList[
+            java.util.Map.Entry[U, java.lang.Long]](counts.entrySet())
+          entries.sort(new java.util.Comparator[
+              java.util.Map.Entry[U, java.lang.Long]] {
+            override def compare(
+                a: java.util.Map.Entry[U, java.lang.Long],
+                b: java.util.Map.Entry[U, java.lang.Long]): Int = {
+              val c = java.lang.Long.compare(b.getValue, a.getValue)
+              if (c != 0) c else a.getKey.compareTo(b.getKey)
+            }
+          })
+          val sb = new java.lang.StringBuilder
+          var j = 0
+          while (j < k) {
+            if (j > 0) sb.append(',')
+            if (j < entries.size) sb.append(entries.get(j).getKey.toString)
+            else sb.append("NULL")
+            j += 1
+          }
+          org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+        }
+      case "topk_int" =>
+        // the arg.toInt largest non-null values descending, exact
+        // integral rendering (a double round-trip would lose unit
+        // precision past 2^53)
+        val vals = collectLongs(arr)
+        java.util.Arrays.sort(vals)
+        val take = math.min(arg.toInt, vals.length)
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j < take) {
+          if (j > 0) sb.append(',')
+          sb.append(vals(vals.length - 1 - j).toString)
+          j += 1
+        }
+        org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      case "topk_double" =>
+        // floats render %.6f with Locale.US — format_string semantics
+        val vals = collectDoubles(arr)
+        java.util.Arrays.sort(vals)
+        val take = math.min(arg.toInt, vals.length)
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j < take) {
+          if (j > 0) sb.append(',')
+          sb.append(String.format(java.util.Locale.US, "%.6f",
+            java.lang.Double.valueOf(vals(vals.length - 1 - j))))
+          j += 1
+        }
+        org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
       case other => throw new IllegalArgumentException(
         s"FrameAggExpr: unknown fn '$other'")
     }
@@ -245,6 +451,12 @@ object FrameAgg {
   def agg(arr: Column, fn: String, vField: Option[String] = None): Column =
     GraftColumns.column(
       FrameAggExpr(GraftColumns.expression(arr), fn, vField))
+
+  /** Parameterized aggregates (ew_avg alpha, topn/topk k). */
+  def aggArg(arr: Column, fn: String, arg: Double,
+      vField: Option[String] = None): Column =
+    GraftColumns.column(
+      FrameAggExpr(GraftColumns.expression(arr), fn, vField, arg))
 
   def cutoff(arr: Column, minTs: Column): Column =
     GraftColumns.column(FrameCutoffExpr(

@@ -340,7 +340,9 @@ object WindowOps {
     graft.functions.FrameAgg.agg(arr, "dcount_null")
 
   /** exact median over a frame (even count → mean of the two middle
-    * values; reference udaf median). */
+    * values; reference udaf median). Column formulation — the
+    * exotic-type fallback; numeric frames route to the imperative
+    * FrameAggExpr at the SQL dispatch. */
   def aggMedian(arr: Column): Column = {
     val vals = array_sort(transform(filter(arr, x => x("v").isNotNull),
       x => x("v").cast("double")))
@@ -377,13 +379,8 @@ object WindowOps {
     * empty (feature_zero_def.cc:426-471). Quadratic in the frame span —
     * frames are MAXSIZE/TTL-bounded, and the grouped path keeps its
     * map-accumulator UDAF. */
-  def aggTop1Ratio(arr: Column): Column = {
-    val vals = transform(filter(arr, x => x("v").isNotNull),
-      x => x("v").cast("string"))
-    val mx = array_max(transform(array_distinct(vals),
-      d => size(filter(vals, y => y === d))))
-    when(size(vals) > 0, mx.cast("double") / size(vals)).otherwise(lit(0.0))
-  }
+  def aggTop1Ratio(arr: Column): Column =
+    graft.functions.FrameAgg.agg(arr, "top1_ratio") // boxed-equality groups: any type
 
   /** topn_frequency over a frame: the n most frequent values (count
     * desc, value asc), comma-joined and padded with "NULL" to n entries
@@ -396,9 +393,6 @@ object WindowOps {
       struct((size(filter(vals, y => y === d)) * -1).as("negc"),
         d.as("k")))
     val keys = slice(transform(array_sort(entries), e => e("k")), 1, n)
-    // an EMPTY element stream (e.g. topn over a window_split with no
-    // tokens) renders "", not NULL padding — only present-but-null
-    // elements pad (test_feature_zero_function.yaml id 4 row 4)
     when(size(arr) === 0, lit("")).otherwise(
       array_join(concat(keys,
         array_repeat(lit("NULL"), greatest(lit(n) - size(keys), lit(0)))),
@@ -430,6 +424,10 @@ object WindowOps {
     * floats %.6f — TopKDef, containers.h:72-160; same formatting as
     * the grouped GraftAggregates.topStr). */
   def aggTopK(arr: Column, k: Int, integral: Boolean): Column = {
+    // kept as the Column formulation: the doc surface runs `top` over
+    // STRING values too (format of the null cast — pinned by
+    // FunctionSurfaceSpec); numeric frames route to the imperative
+    // FrameAggExpr at the SQL dispatch where the argument type is known
     val vals = slice(reverse(array_sort(
       transform(filter(arr, x => x("v").isNotNull), x => x("v")))), 1, k)
     val fmted =

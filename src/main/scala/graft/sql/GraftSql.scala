@@ -7769,6 +7769,13 @@ object GraftSql {
           // to their field (`v.<fld>`) inside the loop — no interpreted
           // per-aggregate `transform` copy of the array. Split-valued
           // frames (flattened token streams) keep the narrowed shape.
+          def argNumeric: Boolean =
+            resolveTypeCached(base, args.headOption.getOrElse(""))
+              .exists {
+                case _: org.apache.spark.sql.types.NumericType => true
+                case org.apache.spark.sql.types.BooleanType    => true
+                case _                                         => false
+              }
           def hotAgg(f: String): Column =
             if (splitV.isDefined) f match {
               case "sum" => WindowOps.aggSum(arr,
@@ -7830,21 +7837,67 @@ object GraftSql {
             case "nth_value_where" =>
               WindowOps.aggNthValueWhere(arr,
                 args(1).replace(" ", "").toInt)
-            case "median" => WindowOps.aggMedian(arr)
-            case "drawdown" => WindowOps.aggDrawdown(arr)
-            case "top1_ratio" => WindowOps.aggTop1Ratio(arr)
+            // like the six simple aggregates, the frame-statistic
+            // family scores the SHARED frame directly (field
+            // navigation inside the imperative loop) when the frame is
+            // not a flattened token stream
+            case "median" =>
+              if (splitV.isEmpty && argNumeric)
+                graft.functions.FrameAgg.agg(col(arrName), "median",
+                  Some(fld))
+              else WindowOps.aggMedian(arr)
+            case "drawdown" =>
+              if (splitV.isEmpty && argNumeric)
+                graft.functions.FrameAgg.agg(col(arrName), "drawdown",
+                  Some(fld))
+              else WindowOps.aggDrawdown(arr)
+            case "top1_ratio" =>
+              if (splitV.isEmpty)
+                graft.functions.FrameAgg.agg(col(arrName), "top1_ratio",
+                  Some(fld))
+              else WindowOps.aggTop1Ratio(arr)
             case "topn_frequency" =>
-              WindowOps.aggTopNFrequency(arr, args(1).trim.toInt)
+              val nTop = args(1).trim.toInt
+              val strRenderable = resolveTypeCached(base,
+                args.headOption.getOrElse("")).exists {
+                  case org.apache.spark.sql.types.StringType => true
+                  case _: org.apache.spark.sql.types.DecimalType => false
+                  case _: org.apache.spark.sql.types.NumericType => true
+                  case org.apache.spark.sql.types.BooleanType => true
+                  case _ => false
+                }
+              if (nTop <= 0) lit("")
+              else if (splitV.isEmpty && strRenderable)
+                graft.functions.FrameAgg.aggArg(col(arrName), "topn_freq",
+                  nTop.toDouble, Some(fld))
+              else WindowOps.aggTopNFrequency(arr, nTop)
             case "ew_avg" =>
               // alpha must be literal (the reference's signature);
               // NULL/0 falls back to plain avg (udfs doc ew_avg)
               val aTxt = args.lift(1).map(_.trim.toLowerCase)
                 .filterNot(_ == "null").getOrElse("0")
-              WindowOps.aggEwAvg(arr, aTxt.toDouble)
+              val alpha = aTxt.toDouble
+              if (alpha == 0.0) hotAgg("avg")
+              else if (splitV.isEmpty && argNumeric)
+                graft.functions.FrameAgg.aggArg(col(arrName), "ew_avg",
+                  alpha, Some(fld))
+              else WindowOps.aggEwAvg(arr, alpha)
             case "top" =>
-              WindowOps.aggTopK(arr, args(1).trim.toInt,
-                integral = resolveTypeCached(base, args.head)
-                  .exists(intTypes))
+              import org.apache.spark.sql.types._
+              val ty = resolveTypeCached(base, args.head)
+              val integral = ty.exists(intTypes)
+              val numeric = ty.exists {
+                case _: NumericType => true
+                case _              => false
+              }
+              // non-numeric `top` (doc surface runs it over strings)
+              // keeps the Column formulation's cast semantics
+              if (splitV.isEmpty && numeric)
+                graft.functions.FrameAgg.aggArg(col(arrName),
+                  if (integral) "topk_int" else "topk_double",
+                  args(1).trim.toInt.toDouble, Some(fld))
+              else WindowOps.aggTopK(arr, args(1).trim.toInt,
+                integral = integral)
             case f if userFns(base.sparkSession).get(f)
                 .exists(_.isAggregate) =>
               // CREATE AGGREGATE FUNCTION over a window frame: fold the
