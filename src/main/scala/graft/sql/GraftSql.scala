@@ -1027,6 +1027,7 @@ object GraftSql {
           if (serveTemplates.size > 64) serveTemplates.clear()
           serveTemplates.put(key, t); Some(t)
         case None =>
+          if (serveUncacheable.size > 512) serveUncacheable.clear()
           serveUncacheable.add((spark, text)); None
       }
     }
@@ -3445,6 +3446,18 @@ object GraftSql {
         }
         deployOpts(spark).put(name,
           opts.map { case (k, v) => k -> stripQuotes(v) })
+        // pre-compile the serving template at DEPLOY time (the
+        // reference compiles here too, engine.cc — the first POST/CALL
+        // otherwise pays the build's optimizer sweep). Best-effort:
+        // any shape the template cannot serve just falls back per
+        // request. Long-window deployments serve through the pre-agg
+        // partials path, not requestMode — nothing to pre-compile.
+        if (!opts.contains("long_windows"))
+          try serveRequest(spark, rest.mkString(" "),
+            spark.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+              requestSchemaFor(spark, name)))
+          catch { case scala.util.control.NonFatal(_) => () }
         None
 
       case "SELECT" | "WITH" =>
