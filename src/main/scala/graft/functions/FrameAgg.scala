@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, GraftColumns}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftbridge.CatalystBridge
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -449,16 +450,16 @@ case class FrameCutoffExpr(left: Expression, right: Expression)
 /** Column-level face of [[FrameAggExpr]] / [[FrameCutoffExpr]]. */
 object FrameAgg {
   def agg(arr: Column, fn: String, vField: Option[String] = None): Column =
-    GraftColumns.column(
-      FrameAggExpr(GraftColumns.expression(arr), fn, vField))
+    CatalystBridge.column(
+      FrameAggExpr(CatalystBridge.expression(arr), fn, vField))
 
   /** Parameterized aggregates (ew_avg alpha, topn/topk k). */
   def aggArg(arr: Column, fn: String, arg: Double,
       vField: Option[String] = None): Column =
-    GraftColumns.column(
-      FrameAggExpr(GraftColumns.expression(arr), fn, vField, arg))
+    CatalystBridge.column(
+      FrameAggExpr(CatalystBridge.expression(arr), fn, vField, arg))
 
   def cutoff(arr: Column, minTs: Column): Column =
-    GraftColumns.column(FrameCutoffExpr(
-      GraftColumns.expression(arr), GraftColumns.expression(minTs)))
+    CatalystBridge.column(FrameCutoffExpr(
+      CatalystBridge.expression(arr), CatalystBridge.expression(minTs)))
 }

@@ -9,9 +9,10 @@ import org.apache.spark.sql.classic.ExpressionUtils
   * ColumnNode; `ExpressionUtils` does the conversion). Needed to use
   * internal codegen'd expressions that have no public `functions._` or
   * FunctionRegistry surface — e.g. `BloomFilterMightContain`, whose
-  * only upstream consumer is the optimizer's runtime-filter injection.
-  * Kept to exactly these two converters — no other internals cross
-  * this boundary.
+  * only upstream consumer is the optimizer's runtime-filter injection
+  * — and the engine's own expressions (graft.functions.FrameAggExpr).
+  * Kept to exactly these two converters; the serving-template
+  * internals live in [[org.apache.spark.sql.GraftServe]].
   */
 object CatalystBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
