@@ -121,6 +121,32 @@ case class FrameAggExpr(child: Expression, fn: String,
   @transient private lazy val ordering: Ordering[Any] =
     TypeUtils.getInterpretedOrdering(valType)
 
+  // distinct/top1 group values by BOXED equality (HashSet/HashMap).
+  // For floats that diverges from SQL equality on the zero sign:
+  // boxed -0.0 != 0.0 (Double.equals goes through doubleToLongBits)
+  // while the replaced array_distinct formulation — and the
+  // reference's C++ unordered_set over primitive doubles — treat them
+  // as ONE value. Normalize the two zeros (and canonicalize NaN bit
+  // patterns, harmless since doubleToLongBits already collapses them)
+  // before the value becomes a hash key.
+  @transient private lazy val floatingKey: Boolean = valType match {
+    case DoubleType | FloatType => true
+    case _                      => false
+  }
+  @inline private def canonKey(v: Any): Any =
+    if (!floatingKey) v
+    else v match {
+      case d: java.lang.Double =>
+        val x = d.doubleValue
+        if (java.lang.Double.isNaN(x)) FrameAggExpr.CanonNaN
+        else if (x == 0.0d) FrameAggExpr.CanonZeroD else d
+      case f: java.lang.Float =>
+        val x = f.floatValue
+        if (java.lang.Float.isNaN(x)) FrameAggExpr.CanonNaNF
+        else if (x == 0.0f) FrameAggExpr.CanonZeroF else f
+      case other => other
+    }
+
   // Cast-to-string rendering for the string-valued aggregates —
   // restricted to the types whose rendering is trivially identical to
   // Catalyst's Cast (strings verbatim, integrals via toString); other
@@ -237,7 +263,7 @@ case class FrameAggExpr(child: Expression, fn: String,
         while (i < n) {
           val r = valRow(arr, i)
           if (r == null || r.isNullAt(valOrd)) sawNull = true
-          else seen.add(r.get(valOrd, valType))
+          else seen.add(canonKey(r.get(valOrd, valType)))
           i += 1
         }
         seen.size.toLong +
@@ -264,7 +290,8 @@ case class FrameAggExpr(child: Expression, fn: String,
         while (i < n) {
           val r = valRow(arr, i)
           if (r != null && !r.isNullAt(valOrd)) {
-            counts.merge(r.get(valOrd, valType), java.lang.Long.valueOf(1L),
+            counts.merge(canonKey(r.get(valOrd, valType)),
+              java.lang.Long.valueOf(1L),
               (a, b) => java.lang.Long.valueOf(a.longValue + b.longValue))
             total += 1L
           }
@@ -393,6 +420,15 @@ case class FrameAggExpr(child: Expression, fn: String,
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
   override def prettyName: String = s"frame_$fn"
+}
+
+object FrameAggExpr {
+  // shared canonical boxes for the float-key normalization (allocated
+  // once; the hot loop only pays the sign/NaN test per element)
+  private[functions] val CanonNaN   = java.lang.Double.valueOf(Double.NaN)
+  private[functions] val CanonZeroD = java.lang.Double.valueOf(0.0d)
+  private[functions] val CanonNaNF  = java.lang.Float.valueOf(Float.NaN)
+  private[functions] val CanonZeroF = java.lang.Float.valueOf(0.0f)
 }
 
 /** Range-cutoff over a frame array: keep entries with `ts >= minTs`,

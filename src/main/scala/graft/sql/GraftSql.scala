@@ -867,16 +867,53 @@ object GraftSql {
       // static-side broadcasts SHARED across requests); None when
       // physical substitution is unsafe — execution then re-plans
       // physical from `optimized` per request
-      phys: Option[org.apache.spark.sql.execution.SparkPlan])
+      phys: Option[org.apache.spark.sql.execution.SparkPlan],
+      // last-touched LRU tick (serveClock), updated on every cache hit
+      touched: java.util.concurrent.atomic.AtomicLong =
+        new java.util.concurrent.atomic.AtomicLong(0))
 
-  private type ServeKey = (SparkSession, String, String, String, String)
+  // key: (session, query text, current db, ts hints, request
+  // signature, user-function registry version). The version component
+  // makes CREATE/DROP FUNCTION invalidate compiled templates — the
+  // per-request sourcesFresh check only watches TABLES.
+  private type ServeKey =
+    (SparkSession, String, String, String, String, Long)
   private val serveTemplates =
     new scala.collection.concurrent.TrieMap[ServeKey, ServeTemplate]()
+  // value = last-touched tick, for LRU eviction (was a Set; clear-all
+  // eviction made the 513th uncacheable query forget every prior one)
   private val serveUncacheable =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), Long]()
   /** Template (re)builds — observable for specs pinning cache reuse. */
   private[sql] val serveTemplateBuilds =
     new java.util.concurrent.atomic.AtomicLong(0)
+  // monotonic LRU clock shared by both caches (ticks, not wall time)
+  private val serveClock = new java.util.concurrent.atomic.AtomicLong(0)
+  // var: specs lower it to exercise eviction without 64 real builds
+  private[sql] var serveTemplateCap = 64
+  private val serveUncacheableCap = 512
+
+  /** Evict down to `cap`: stopped-session entries first, then oldest-
+    * touched one at a time — a fleet serving cap+1 hot deployments
+    * loses ONE template per new build, not all of them (the old
+    * clear-all forced a correlated re-plan spike across every hot
+    * deployment). */
+  private def evictLru[K](m: scala.collection.concurrent.TrieMap[K, Long],
+      cap: Int, stopped: K => Boolean): Unit =
+    if (m.size > cap) {
+      m.keysIterator.filter(stopped).toList.foreach(m.remove)
+      while (m.size > cap)
+        m.remove(m.minBy(_._2)._1)
+    }
+
+  private def evictTemplates(): Unit =
+    if (serveTemplates.size > serveTemplateCap) {
+      serveTemplates.keysIterator
+        .filter(_._1.sparkContext.isStopped).toList
+        .foreach(serveTemplates.remove)
+      while (serveTemplates.size > serveTemplateCap)
+        serveTemplates.remove(serveTemplates.minBy(_._2.touched.get)._1)
+    }
 
   private def unwrapView(
       p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
@@ -978,7 +1015,8 @@ object GraftSql {
     val sig = reqSigOf(requests)
     val key: ServeKey = (spark, text, defaultDbTL.get.getOrElse(""),
       tsHintsTL.get.toSeq.sorted.mkString(","),
-      sig.map { case (n, t) => s"$n:${t.sql}" }.mkString(","))
+      sig.map { case (n, t) => s"$n:${t.sql}" }.mkString(","),
+      userFnsVersion.get)
 
     def buildTemplate(): Option[ServeTemplate] = {
       serveTemplateBuilds.incrementAndGet()
@@ -1021,14 +1059,19 @@ object GraftSql {
 
     val cached = serveTemplates.get(key).filter(t =>
       t.reqSig == sig && sourcesFresh(spark, t))
+    cached.foreach(_.touched.set(serveClock.incrementAndGet()))
     val tpl = cached.orElse {
       buildTemplate() match {
         case Some(t) =>
-          if (serveTemplates.size > 64) serveTemplates.clear()
-          serveTemplates.put(key, t); Some(t)
+          t.touched.set(serveClock.incrementAndGet())
+          serveTemplates.put(key, t)
+          evictTemplates()
+          Some(t)
         case None =>
-          if (serveUncacheable.size > 512) serveUncacheable.clear()
-          serveUncacheable.add((spark, text)); None
+          serveUncacheable.put((spark, text), serveClock.incrementAndGet())
+          evictLru(serveUncacheable, serveUncacheableCap,
+            (k: (SparkSession, String)) => k._1.sparkContext.isStopped)
+          None
       }
     }
     tpl.map { t =>
@@ -1720,6 +1763,11 @@ object GraftSql {
   private val userFnsBySession =
     new java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[String, UserFn]]()
+  /** Bumped on every CREATE/DROP FUNCTION — part of [[ServeKey]], so a
+    * redefined function can never be served from a stale compiled
+    * template (sourcesFresh only watches table relations). */
+  private[sql] val userFnsVersion =
+    new java.util.concurrent.atomic.AtomicLong(0)
   private[sql] def userFns(spark: SparkSession)
       : scala.collection.concurrent.TrieMap[String, UserFn] =
     userFnsBySession.synchronized {
@@ -2596,9 +2644,11 @@ object GraftSql {
         userFns(spark).remove(fn) match {
           case None if !ifExists =>
             throw new IllegalArgumentException(s"function '$fn' does not exist")
-          case Some(f) if !f.isAggregate =>
-            // scalar registrations live in the session function registry
-            spark.sql(s"DROP TEMPORARY FUNCTION IF EXISTS ${quoteId(fn)}")
+          case Some(f) =>
+            userFnsVersion.incrementAndGet()
+            if (!f.isAggregate)
+              // scalar registrations live in the session function registry
+              spark.sql(s"DROP TEMPORARY FUNCTION IF EXISTS ${quoteId(fn)}")
           case _ => ()
         }
         None
@@ -2640,6 +2690,7 @@ object GraftSql {
           opts.map { case (k, v) => k -> stripQuotes(v) })
         registerUserFn(spark, fn)
         userFns(spark).put(fname, fn)
+        userFnsVersion.incrementAndGet()
         None
 
       case "CREATE" =>
@@ -7789,6 +7840,22 @@ object GraftSql {
                 case org.apache.spark.sql.types.BooleanType    => true
                 case _                                         => false
               }
+          // distinct_count / top1_ratio group by boxed equality in the
+          // imperative scorer — only atomic value-based-equals types
+          // may take that route (binary is Array[Byte] reference
+          // equality; maps/arrays mix Unsafe/Generic representations).
+          // Exotic types keep the Column formulation's SQL equality.
+          def argAtomicKey: Boolean =
+            resolveTypeCached(base, args.headOption.getOrElse(""))
+              .exists {
+                case _: org.apache.spark.sql.types.NumericType    => true
+                case org.apache.spark.sql.types.StringType |
+                     org.apache.spark.sql.types.BooleanType |
+                     org.apache.spark.sql.types.DateType |
+                     org.apache.spark.sql.types.TimestampType |
+                     org.apache.spark.sql.types.TimestampNTZType => true
+                case _                                            => false
+              }
           def hotAgg(f: String): Column =
             if (splitV.isDefined) f match {
               case "sum" => WindowOps.aggSum(arr,
@@ -7826,7 +7893,9 @@ object GraftSql {
             case "avg"            => hotAgg("avg")
             case "min"            => hotAgg("min")
             case "max"            => hotAgg("max")
-            case "distinct_count" => hotAgg("distinct_count")
+            case "distinct_count" =>
+              if (splitV.isDefined || argAtomicKey) hotAgg("distinct_count")
+              else WindowOps.aggDistinctCount(arr)
             case "lag" | "at"     =>
               val k = if (args.length > 1) args(1).toInt else 1
               // lag counts positions from the CURRENT ROW; when the
@@ -7865,7 +7934,7 @@ object GraftSql {
                   Some(fld))
               else WindowOps.aggDrawdown(arr)
             case "top1_ratio" =>
-              if (splitV.isEmpty)
+              if (splitV.isEmpty && argAtomicKey)
                 graft.functions.FrameAgg.agg(col(arrName), "top1_ratio",
                   Some(fld))
               else WindowOps.aggTop1Ratio(arr)

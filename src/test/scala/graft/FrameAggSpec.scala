@@ -119,4 +119,41 @@ class FrameAggSpec extends SparkSpec {
     assert(r.getLong(1) == 2L) // "x" and "y"; the null struct skipped
     assert(r.getLong(2) == 2L) // {10.0, null}
   }
+
+  test("signed zeros collapse to ONE distinct value for doubles and " +
+      "floats (SQL equality, not boxed Double.equals)") {
+    // boxed -0.0 != 0.0 under Double.equals; the scorer must normalize
+    // (the replaced array_distinct formulation and the reference's C++
+    // unordered_set both treat them as equal)
+    val df = Seq(1).toDF("one").select(array(
+      struct(lit(1L).as("ts"), lit(0.0d).as("v")),
+      struct(lit(2L).as("ts"), lit(-0.0d).as("v")),
+      struct(lit(3L).as("ts"), lit(1.0d).as("v"))).as("arr"))
+    val r = df.select(
+      FrameAgg.agg(col("arr"), "dcount").as("d"),
+      FrameAgg.agg(col("arr"), "dcount_null").as("dn"),
+      FrameAgg.agg(col("arr"), "top1_ratio").as("t1")).collect()(0)
+    assert(r.getLong(0) == 2L)   // {0.0, 1.0} — not three
+    assert(r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 2.0 / 3.0) // the two zeros are one class
+    val ff = Seq(1).toDF("one").select(array(
+      struct(lit(1L).as("ts"), lit(0.0f).as("v")),
+      struct(lit(2L).as("ts"), lit(-0.0f).as("v"))).as("arr"))
+    assert(ff.select(FrameAgg.agg(col("arr"), "dcount"))
+      .collect()(0).getLong(0) == 1L)
+  }
+
+  test("NaN values group as one distinct class") {
+    // two NaNs from different constructions (literal + Math.sqrt(-1))
+    // — boxed-equality grouping must see ONE class
+    val df = Seq(1).toDF("one").select(array(
+      struct(lit(1L).as("ts"), lit(Double.NaN).as("v")),
+      struct(lit(2L).as("ts"), sqrt(lit(-1.0d)).as("v")),
+      struct(lit(3L).as("ts"), lit(7.0d).as("v"))).as("arr"))
+    val r = df.select(
+      FrameAgg.agg(col("arr"), "dcount").as("d"),
+      FrameAgg.agg(col("arr"), "top1_ratio").as("t1")).collect()(0)
+    assert(r.getLong(0) == 2L)
+    assert(r.getDouble(1) == 2.0 / 3.0)
+  }
 }

@@ -69,6 +69,57 @@ class ServeTemplateSpec extends SparkSpec {
     assert(after.getLong(3) == 4L)
   }
 
+  test("LRU eviction: a hot deployment's template survives " +
+      "registration of cap+N distinct templates") {
+    hist.createOrReplaceTempView("sv_hist")
+    val r = req(("u1", "gA", 25L, 100.0))
+    val hot = q2win
+    GraftSql.serveRequest(spark, hot, r) // ensure built + touched
+    val capBefore = GraftSql.serveTemplateCap
+    GraftSql.serveTemplateCap = 4
+    try {
+      val bHot = GraftSql.serveTemplateBuilds.get()
+      for (i <- 1 to 10) {
+        // distinct query text per i → distinct ServeKey → real build
+        GraftSql.serveRequest(spark,
+          q2win.replace("AS s_pk", s"AS s_pk_$i"), r)
+        // touch the hot template so LRU keeps it (the old clear-all
+        // wiped EVERY template at the 65th build regardless of use)
+        val out = GraftSql.serveRequest(spark, hot, r)
+        assert(out.collect()(0).getDouble(2) == 103.0)
+      }
+      // 10 cold builds, 0 hot rebuilds
+      assert(GraftSql.serveTemplateBuilds.get() == bHot + 10,
+        "hot template must never rebuild while it is being served")
+    } finally GraftSql.serveTemplateCap = capBefore
+  }
+
+  test("redefining a user function invalidates compiled templates " +
+      "(CREATE/DROP FUNCTION bumps the template key version)") {
+    hist.createOrReplaceTempView("sv_hist")
+    GraftSql.statement(spark,
+      "CREATE FUNCTION sv_boost(x DOUBLE) RETURNS DOUBLE " +
+        "OPTIONS (RETURN = 'x + 1')")
+    val qf =
+      """SELECT pk, ts, sv_boost(sum(v) OVER w) AS sb
+        |FROM sv_hist
+        |WINDOW w AS (PARTITION BY pk ORDER BY ts
+        |  ROWS_RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)""".stripMargin
+    val r = req(("u1", "gA", 25L, 100.0))
+    try {
+      assert(GraftSql.serveRequest(spark, qf, r)
+        .collect()(0).getDouble(2) == 104.0) // (1+2+100) + 1
+      GraftSql.statement(spark, "DROP FUNCTION sv_boost")
+      GraftSql.statement(spark,
+        "CREATE FUNCTION sv_boost(x DOUBLE) RETURNS DOUBLE " +
+          "OPTIONS (RETURN = 'x + 2')")
+      assert(GraftSql.serveRequest(spark, qf, r)
+        .collect()(0).getDouble(2) == 105.0,
+        "stale compiled template served after function redefinition")
+    } finally
+      GraftSql.statement(spark, "DROP FUNCTION IF EXISTS sv_boost")
+  }
+
   test("LAST JOIN + no-window and null-keyed requests match the " +
       "dynamic path through the template") {
     hist.createOrReplaceTempView("sv_hist")
