@@ -832,12 +832,26 @@ object GraftSql {
   // ------------------------------------------------------------------
   // Compiled serving templates — the reference compiles a DEPLOYed
   // query ONCE and reuses the JIT'd plan per request (EngineLRUCache'd
-  // CompileInfo, hybridse/src/vm/engine.cc:149); our requestMode
-  // instead re-built + re-analyzed + re-optimized the plan per POST
-  // (~0.3 s of every request, SERVING_BENCH_r17 audit). serveRequest
-  // optimizes the request query ONCE against an opaque RDD placeholder
-  // relation, then each request swaps the placeholder's rows and pays
-  // physical planning + execution only.
+  // CompileInfo, hybridse/src/vm/engine.cc:149), then answers each
+  // request from the request key's skiplist segment
+  // (src/storage/mem_table.cc) — it never re-plans and never scans.
+  // serveRequest is the Spark analog of BOTH halves (r18 planning,
+  // r19 execution):
+  //  * the query is optimized ONCE against opaque RDD placeholder
+  //    relations (request rows + each pruned FROM history); each
+  //    request transform-copies the prepared physical plan swapping
+  //    only those RDDs — no parse/analyze/optimize per request.
+  //  * bounded online histories are collected ONCE per template into
+  //    a driver-side key→row-positions index; a request substitutes
+  //    exactly its keys' rows (the skiplist-seek analog). Oversized
+  //    histories fall back to a ServeKeyMembership scan filter whose
+  //    key set is injected driver-side — either way ZERO extra jobs.
+  //  * the per-request working set coalesces to ONE partition, so
+  //    SinglePartition satisfies every window/join distribution and
+  //    the plan has ZERO exchanges: one job, one stage, one task per
+  //    request (ServeTemplateSpec pins the 1-job property;
+  //    SERVING_BENCH_r19: embedded p50 68.5 ms c=1, 125.8 RPS c=10 —
+  //    r17 dynamic path: 601 ms / 15.5).
   // ------------------------------------------------------------------
 
   /** True while a serving template is being PLANNED on this thread:
@@ -846,6 +860,47 @@ object GraftSql {
   private val templateModeTL = new ThreadLocal[Boolean] {
     override def initialValue(): Boolean = false
   }
+  // the placeholder RDD of the template being built (identity check:
+  // expression-based pruning only fires against the RAW request
+  // relation, never a derived subquery whose key values differ from
+  // the raw rows the per-request injector reads)
+  private val templatePlaceholderTL = new ThreadLocal[AnyRef]
+  // PARTITION BY key lists routed to ServeKeyMembership during the
+  // build, in listIdx order — resolved to request-schema ordinals and
+  // stored on the template for per-request key-set extraction
+  private val pruneListsTL =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[Seq[String]]] {
+      override def initialValue() =
+        scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    }
+  // indexed-history slots registered during a template build: the
+  // pruned FROM history is replaced by an opaque placeholder whose
+  // rows the serving layer looks up per request from a driver-side
+  // key→row-positions index (the reference tablet's per-key skiplist
+  // seek, src/storage/mem_table.cc — a request reads ITS keys' rows,
+  // never a scan)
+  private final case class HistSlot0(
+      placeholder: org.apache.spark.rdd.RDD[
+        org.apache.spark.sql.catalyst.InternalRow],
+      history: DataFrame, keyLists: Seq[Seq[String]])
+  private val histSlotsTL =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[HistSlot0]]
+  /** Online histories up to this (estimated) size serve from the
+    * driver-resident index; larger ones keep the scan-side membership
+    * filter. The serving view is the TTL-bounded ONLINE slice — the
+    * reference holds the same slice in tablet RAM by contract. */
+  private val MaxIndexedHistoryBytes = BigInt(256L << 20)
+
+  /** Built index for one history slot: collected rows (original scan
+    * order — uid/tie order identical to the scan the placeholder
+    * replaced) plus, per key list, request-schema fields and the
+    * key→positions map. */
+  private final case class HistSlot(
+      placeholder: org.apache.spark.rdd.RDD[
+        org.apache.spark.sql.catalyst.InternalRow],
+      rows: Array[org.apache.spark.sql.catalyst.InternalRow],
+      lists: IndexedSeq[(Seq[(Int, org.apache.spark.sql.types.DataType)],
+        java.util.HashMap[Any, Array[Int]])])
 
   private final case class ServeTemplate(
       optimized: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
@@ -868,6 +923,14 @@ object GraftSql {
       // physical substitution is unsafe — execution then re-plans
       // physical from `optimized` per request
       phys: Option[org.apache.spark.sql.execution.SparkPlan],
+      // ServeKeyMembership lists by listIdx: each list's key fields as
+      // (ordinal, type) in the REQUEST schema — the per-request
+      // injector extracts key-tuple sets from the literal rows with
+      // these (driver-side, no job)
+      pruneLists: IndexedSeq[Seq[(Int, org.apache.spark.sql.types.DataType)]],
+      // indexed-history slots (placeholder + collected rows + per-list
+      // key→positions maps) — per-request lookup, no history scan
+      histSlots: IndexedSeq[HistSlot],
       // last-touched LRU tick (serveClock), updated on every cache hit
       touched: java.util.concurrent.atomic.AtomicLong =
         new java.util.concurrent.atomic.AtomicLong(0))
@@ -1040,21 +1103,80 @@ object GraftSql {
       val tagged = GraftServe.internalRddDf(spark, placeholder,
         taggedSchema, 16L * 1024)
       templateModeTL.set(true)
-      val out =
-        try requestModeQuery(spark, q, tagged, Map.empty)
-        finally templateModeTL.set(false)
+      templatePlaceholderTL.set(placeholder)
+      pruneListsTL.set(
+        scala.collection.mutable.ArrayBuffer.empty[Seq[String]])
+      histSlotsTL.set(
+        scala.collection.mutable.ArrayBuffer.empty[HistSlot0])
+      val (out, pruneKeyNames, histSlots0) =
+        try (requestModeQuery(spark, q, tagged, Map.empty),
+          pruneListsTL.get.toIndexedSeq, histSlotsTL.get.toIndexedSeq)
+        finally {
+          templateModeTL.set(false)
+          templatePlaceholderTL.remove()
+          pruneListsTL.remove()
+          histSlotsTL.remove()
+        }
+      def reqFieldsOf(keys: Seq[String]): Seq[
+          (Int, org.apache.spark.sql.types.DataType)] =
+        keys.map { k =>
+          val o = requests.schema.fields.indexWhere(
+            _.name.equalsIgnoreCase(k))
+          (o, requests.schema.fields(o).dataType)
+        }
+      // key names (validated present in the request schema by
+      // pruneHistoryForRequests) → request-schema ordinals + types,
+      // for the per-request key-set extraction
+      val pruneLists = pruneKeyNames.map(reqFieldsOf)
+      // collect each indexed history ONCE (template build / DEPLOY
+      // time) and build its key→positions maps — per-request lookups
+      // are then O(request keys), the reference's skiplist-seek analog
+      val histSlots: IndexedSeq[HistSlot] = histSlots0.map { s0 =>
+        val rows = s0.history.queryExecution.executedPlan.executeCollect()
+        val hSchema = s0.history.schema
+        val lists = s0.keyLists.toIndexedSeq.map { keys =>
+          val hFields = keys.map { k =>
+            val o = hSchema.fields.indexWhere(_.name.equalsIgnoreCase(k))
+            (o, hSchema.fields(o).dataType)
+          }
+          val acc = new java.util.HashMap[Any,
+            scala.collection.mutable.ArrayBuffer[Int]]()
+          var i = 0
+          while (i < rows.length) {
+            val k = graft.functions.ServeKeyPrune.keyOf(rows(i), hFields)
+            var b = acc.get(k)
+            if (b == null) {
+              b = scala.collection.mutable.ArrayBuffer.empty[Int]
+              acc.put(k, b)
+            }
+            b += i
+            i += 1
+          }
+          val idx = new java.util.HashMap[Any, Array[Int]](acc.size * 2)
+          acc.forEach((k, b) => idx.put(k, b.toArray))
+          (reqFieldsOf(keys), idx)
+        }
+        HistSlot(s0.placeholder, rows, lists)
+      }
       val outD = out.drop(
         out.columns.filter(_.startsWith(ReqUidCol)).toIndexedSeq: _*)
       val optimized = GraftServe.optimizedPlan(outD)
       // an eager checkpoint inside planning (multi-signature window
       // groups) swallows the placeholder — the template would serve
-      // frozen placeholder data; refuse it
+      // frozen placeholder data; refuse it. Same for every indexed
+      // history placeholder: substitution missing one would serve
+      // frames with NO history.
       if (GraftServe.placeholderCount(optimized, placeholder) == 0)
         return None
+      if (histSlots.exists(s =>
+          GraftServe.placeholderCount(optimized, s.placeholder) == 0))
+        return None
       val phys = GraftServe.preparePhysicalTemplate(spark, optimized,
-        placeholder, shufflePartitions = 1)
+        placeholder, shufflePartitions = 1,
+        required = histSlots.map(_.placeholder))
       Some(ServeTemplate(optimized, placeholder, sig, taggedSchema,
-        outD.schema, GraftServe.fromInternal(outD.schema), sources, phys))
+        outD.schema, GraftServe.fromInternal(outD.schema), sources, phys,
+        pruneLists, histSlots))
     }
 
     val cached = serveTemplates.get(key).filter(t =>
@@ -1077,17 +1199,51 @@ object GraftSql {
     tpl.map { t =>
       val internal = GraftServe.tagRows(reqRowsInternal, requests.schema)
       val newRdd = spark.sparkContext.parallelize(internal, 1)
+      // per-request pruning key sets, extracted from the literal rows
+      // on the driver (no Spark job) and injected into the plan copy —
+      // history pruning rides the main job (see ServeKeyMembership)
+      val pruneSets: IndexedSeq[java.util.HashSet[Any]] =
+        t.pruneLists.map(fields =>
+          graft.functions.ServeKeyPrune.keySetOf(reqRowsInternal, fields))
+      // indexed histories: look up the request keys' row positions
+      // (driver-side, no job, no scan), preserve original scan order —
+      // identical rows and order to what the pruning filter would pass
+      val histSwaps = t.histSlots.map { slot =>
+        val posBuf = scala.collection.mutable.ArrayBuffer.empty[Int]
+        slot.lists.foreach { case (rFields, idx) =>
+          reqRowsInternal.foreach { r =>
+            val hits = idx.get(
+              graft.functions.ServeKeyPrune.keyOf(r, rFields))
+            if (hits != null) posBuf ++= hits
+          }
+        }
+        val pos = posBuf.distinct.sortInPlace()
+        val rows = pos.map(slot.rows(_)).toIndexedSeq
+        (slot.placeholder, spark.sparkContext.parallelize(rows, 1))
+      }
+      val swaps = (t.placeholder, newRdd) +: histSwaps
+      val dbg = sys.env.contains("GRAFT_SERVE_TIMING")
+      val t1 = if (dbg) System.nanoTime() else 0L
       // serving-shaped batches run the prepared physical template
       // (1-partition exchanges, shared dim broadcasts); larger batches
       // re-plan physical at the session's parallelism
       val collected =
         t.phys match {
           case Some(p) if internal.length <= 1024 =>
-            GraftServe.executeCollectPhysical(spark,
-              GraftServe.substitutePhysical(p, t.placeholder, newRdd))
+            val sub = GraftServe.substitutePhysical(p, swaps, pruneSets)
+            val t2 = if (dbg) System.nanoTime() else 0L
+            val out = GraftServe.executeCollectPhysical(spark, sub)
+            if (dbg) {
+              val t3 = System.nanoTime()
+              // scalastyle:off println
+              println(f"[serve-timing] substitute=${(t2 - t1) / 1e6}%.1f " +
+                f"execute=${(t3 - t2) / 1e6}%.1f ms")
+              // scalastyle:on println
+            }
+            out
           case _ =>
-            val sub = GraftServe.substituteRdd(t.optimized, t.placeholder,
-              newRdd, spark, 16L * 1024)
+            val sub = GraftServe.substituteRdd(t.optimized, swaps,
+              spark, 16L * 1024, pruneSets)
             GraftServe.executeCollect(spark, sub)
         }
       val resRows: Seq[org.apache.spark.sql.Row] =
@@ -1194,9 +1350,17 @@ object GraftSql {
     // History goes FIRST so its uids are lower: a request row whose ts
     // ties stored rows must still see them at-or-before itself
     // (test_batch_request.yaml id 8 "current time == history time")
-    val flagged0 = history.withColumn(RequestFlagCol, lit(false))
+    val flagged00 = history.withColumn(RequestFlagCol, lit(false))
       .unionByName(reqRows.withColumn(RequestFlagCol, lit(true)),
         allowMissingColumns = true)
+    // serving template: the working set is the request rows + their
+    // keys' indexed history — coalesce to ONE partition so
+    // SinglePartition satisfies every window distribution and the
+    // per-request job plans ZERO exchanges (one stage, one task; a
+    // coalesce is not a shuffle). Order is preserved (history
+    // partition first), so uid assignment is unchanged.
+    val flagged0 =
+      if (templateModeTL.get) flagged00.coalesce(1) else flagged00
     // keep the FROM table's name resolvable as a qualifier — the query
     // text may reference `t0.c7` (test_batch_request.yaml)
     val fromName0 = sel.fromTable.left.toOption.getOrElse("")
@@ -1275,13 +1439,69 @@ object GraftSql {
     val keyLists = defs.map(plainKeys)
     if (keyLists.exists(_.isEmpty)) return history
     val distinctLists = keyLists.flatten.distinct
-    if (templateModeTL.get)
+    if (templateModeTL.get) {
       // compiled serving template: request VALUES are unknown at
-      // template-build time, so membership is a broadcast join against
-      // the request relation's exact key tuples instead of an InSet of
-      // literals — value-independent, so the optimized plan can be
-      // reused across requests with only the request rows swapped
+      // template-build time. Preferred: a ServeKeyMembership filter
+      // whose key set the serving layer injects per request from the
+      // literal rows — pruning rides the main job, NO per-request
+      // broadcast-build jobs. Requires (a) `requests` to be the raw
+      // placeholder relation (a derived subquery's key values differ
+      // from the raw rows the injector reads) and (b) atomic
+      // non-floating key types on BOTH sides (value-based equality).
+      // Anything else keeps the broadcast key join (value-independent
+      // too, one job per list per request).
+      val rawPlaceholder = requests.queryExecution.logical match {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          templatePlaceholderTL.get != null &&
+            (l.rdd eq templatePlaceholderTL.get)
+        case _ => false
+      }
+      def keyTypeOk(k: String): Boolean = {
+        def tOf(df: DataFrame) = df.schema.fields
+          .find(_.name.equalsIgnoreCase(k)).map(_.dataType)
+        val (ht, rt) = (tOf(history), tOf(requests))
+        ht.isDefined && ht == rt && ht.exists {
+          case org.apache.spark.sql.types.FloatType |
+               org.apache.spark.sql.types.DoubleType => false
+          case _: org.apache.spark.sql.types.NumericType     => true
+          case org.apache.spark.sql.types.StringType |
+               org.apache.spark.sql.types.BooleanType |
+               org.apache.spark.sql.types.DateType |
+               org.apache.spark.sql.types.TimestampType |
+               org.apache.spark.sql.types.TimestampNTZType  => true
+          case _                                             => false
+        }
+      }
+      if (rawPlaceholder && distinctLists.forall(_.forall(keyTypeOk))) {
+        // bounded histories: replace the pruned history OUTRIGHT with
+        // an indexed-lookup placeholder — per request the serving
+        // layer substitutes exactly the request keys' rows (no scan at
+        // all; the one remaining job processes O(frames) rows)
+        val histBytes =
+          try history.queryExecution.optimizedPlan.stats.sizeInBytes
+          catch { case scala.util.control.NonFatal(_) =>
+            BigInt(Long.MaxValue) }
+        val slots = histSlotsTL.get
+        if (slots != null && histBytes <= MaxIndexedHistoryBytes) {
+          val ph = spark.sparkContext.parallelize(
+            Seq.empty[org.apache.spark.sql.catalyst.InternalRow], 1)
+          slots += HistSlot0(ph, history, distinctLists)
+          return org.apache.spark.sql.GraftServe.internalRddDf(
+            spark, ph, history.schema, 1L << 20)
+        }
+        // large histories: ServeKeyMembership filter riding the main
+        // job's scan (key sets injected per request, no extra jobs)
+        val buf = pruneListsTL.get
+        val preds = distinctLists.map { keys =>
+          val idx = buf.length
+          buf += keys
+          graft.functions.ServeKeyPrune.member(
+            keys.map(history(_)).toIndexedSeq, idx)
+        }
+        return history.filter(preds.reduce(_ || _))
+      }
       return pruneByKeyJoin(history, distinctLists, requests)
+    }
     val allKeyCols = distinctLists.flatten.distinct
     // serving-shaped gate: probe the request key tuples. A literal
     // request batch (LocalRelation, the serving surfaces' shape) reads
@@ -4569,7 +4789,8 @@ object GraftSql {
                 "numeric order key")
           val pickOrd = struct(
             if (jc.orderDesc) ordAsc * -1 else ordAsc, rightO(JOrd))
-          equiKeys(cond, rightQual, right.columns.toSet) match {
+          equiKeys(cond, rightQual, right.columns.toSet,
+              leftCols = df.columns.toSet) match {
             case Some(keys)
                 if right.columns.distinct.length == right.columns.length =>
               // scalable path: pre-reduce the right side to one row per
@@ -6713,10 +6934,16 @@ object GraftSql {
 
   /** Detect a pure equi-conjunction join condition; returns
     * (leftExprText, rightColumnName) pairs when every conjunct is
-    * `<left> = <rightQual>.<col>` (either side order). */
+    * `<left> = <rightQual>.<col>` (either side order), or
+    * `<left> = <col>` with a BARE right column name that cannot refer
+    * to the left frame (unambiguous — the dimension-join shape
+    * `ON user_id = c_custkey`; an ambiguous bare name keeps the
+    * general path). */
   private def equiKeys(cond: String, rightQual: String,
-      rightCols: Set[String]): Option[Seq[(String, String)]] = {
+      rightCols: Set[String],
+      leftCols: Set[String] = Set.empty): Option[Seq[(String, String)]] = {
     val ident = "[A-Za-z_][A-Za-z0-9_]*"
+    val leftLower = leftCols.map(_.toLowerCase)
     val out = Seq.newBuilder[(String, String)]
     for (part <- cond.split("(?i)\\bAND\\b").map(_.trim)) {
       // a bare `=` only: `>=` / `<=` / `!=` / `==` / `<=>` conjuncts are
@@ -6726,7 +6953,12 @@ object GraftSql {
       if (sides.length != 2) return None
       def rightKey(sd: String): Option[String] = {
         val m = s"$rightQual \\. ($ident)".r
-        sd match { case m(c) if rightCols(c) => Some(c); case _ => None }
+        sd match {
+          case m(c) if rightCols(c) => Some(c)
+          case c if c.matches(ident) && rightCols(c) &&
+              !leftLower(c.toLowerCase) => Some(c)
+          case _ => None
+        }
       }
       (rightKey(sides(0)), rightKey(sides(1))) match {
         case (Some(r), None) => out += ((sides(1).replace(" . ", "."), r))
@@ -7152,16 +7384,49 @@ object GraftSql {
       * window calls — fnText contains a __graft_w id) go in a later
       * projection; everything independent lands in ONE projection so
       * same-spec window expressions share a single Window stage. */
+    // the window spec arity (max PARTITION BY length) of a column, or
+    // -1 when it holds no window expression — the stacking sort key
+    // below (resolution-independent: Column→Expression conversion
+    // keeps WindowExpression nodes pre-analysis)
+    def winArity(c: Column): Int =
+      try org.apache.spark.sql.graftbridge.CatalystBridge.expression(c)
+        .collect {
+          case we: org.apache.spark.sql.catalyst.expressions
+              .WindowExpression => we.windowSpec.partitionSpec.length
+        }.foldLeft(-1)(_ max _)
+      catch { case scala.util.control.NonFatal(_) => -1 }
+
+    // Stable-sort window-bearing columns so SUBSET partition keys come
+    // FIRST: the analyzer stacks the first-seen spec at the BOTTOM,
+    // and hash(k) satisfies ClusteredDistribution(k, k2) while
+    // hash(k, k2) does NOT satisfy Clustered(k) — subset-first order
+    // chains every same-leading-key window group on ONE exchange
+    // (measured: 2 exchanges → 1 on the two-window serving/bench
+    // shape; at 100 TB that is one fewer full shuffle of the fact
+    // table). Strict subsets always have fewer keys, so arity is a
+    // sufficient sort key; equal arities keep projection order.
+    def sortForStacking(cols: Seq[(String, Column)]): Seq[(String, Column)] =
+      cols.sortBy(nc => winArity(nc._2))
+
     def applyCols(df0: DataFrame, cols: Seq[(String, Column)],
         gexprs: Seq[(String, String, WinDef)]): DataFrame = {
       if (cols.isEmpty) return df0
       val dependent = gexprs.collect {
         case (id, fnText, _) if fnText.contains("__graft_w") => id
       }.toSet
-      val (later, first) = cols.partition(nc => dependent(nc._1))
+      val (later, first0) = cols.partition(nc => dependent(nc._1))
+      // duplicate prep names collapse (same name ⇒ same content-derived
+      // column); ORDERED application — withColumns(Map) loses order,
+      // and order is what drives the analyzer's window stacking
+      val first = sortForStacking(first0.distinctBy(_._1))
       var df = df0
-      if (first.nonEmpty)
-        df = df.withColumns(first.toMap) // duplicate prep names collapse
+      if (first.nonEmpty) {
+        val existing = df.columns.map(_.toLowerCase).toSet
+        df =
+          if (first.forall(nc => !existing(nc._1.toLowerCase)))
+            df.select(col("*") +: first.map { case (n, c) => c.as(n) }: _*)
+          else df.withColumns(first.toMap)
+      }
       // dependent columns stay sequential — one may reference another
       later.foreach { case (n, c) => df = df.withColumn(n, c) }
       df
@@ -7332,6 +7597,11 @@ object GraftSql {
     def prePartition(df0: DataFrame, prep: Seq[(String, Column)],
         gexprs: Seq[(String, String, WinDef)]): DataFrame = {
       val parts = gexprs.map(_._3.partition).distinct
+      // serving template: the per-request working set is tiny and
+      // already coalesced to one partition (SinglePartition satisfies
+      // every window distribution) — an explicit repartition would
+      // reintroduce the exchange/stage the coalesce removed
+      if (templateModeTL.get) return df0
       // skew mode: the bucket column joins the hash keys — hash(keys)
       // alone would satisfy the windows' (keys, bucket) clustering and
       // silently undo the bucket split. Multiple bucket columns (mixed

@@ -169,9 +169,12 @@ object ServingBench {
       require(resp.body().contains("\"code\":0"), resp.body().take(200))
     }
 
-    // warmup: codegen + plan caches on both surfaces
-    (0 until 8).foreach(embeddedCall)
-    (0 until 8).foreach(httpCall)
+    // warmup: plan caches + C2 JIT of the interpreted per-request eval
+    // path on both surfaces (the reference's JMH harness warms the
+    // same way — SampleTime iterations discard warmup; 8 calls left
+    // the c1 sweep measuring JIT ramp, not the serving path)
+    (0 until 96).foreach(embeddedCall)
+    (0 until 48).foreach(httpCall)
 
     val levels = Seq(1, 4, 10)
     def sweep(f: Int => Unit): Map[Int, Stats] =

@@ -48,15 +48,32 @@ object GraftServe {
       case _             => false
     }
 
-  /** Swap every placeholder leaf for this request's rows. */
-  def substituteRdd(plan: LogicalPlan, from: RDD[InternalRow],
-      to: RDD[InternalRow], spark: SparkSession,
-      sizeHintBytes: Long): LogicalPlan =
-    plan.transform {
-      case l: LogicalRDD if l.rdd eq from =>
-        LogicalRDD(l.output, to)(cs(spark),
-          Some(Statistics(sizeInBytes = BigInt(sizeHintBytes))), None)
+  /** Swap every placeholder leaf (request relation + any indexed
+    * history slots) for this request's rows, and inject this request's
+    * pruning key sets into any ServeKeyMembership markers (indexed by
+    * listIdx; missing indices stay unsubstituted = keep-everything,
+    * never wrong). */
+  def substituteRdd(plan: LogicalPlan,
+      swaps: Seq[(RDD[InternalRow], RDD[InternalRow])],
+      spark: SparkSession, sizeHintBytes: Long,
+      pruneSets: IndexedSeq[java.util.HashSet[Any]] = IndexedSeq.empty)
+      : LogicalPlan = {
+    val swapped = plan.transform {
+      case l: LogicalRDD =>
+        swaps.find(_._1 eq l.rdd) match {
+          case Some((_, to)) =>
+            LogicalRDD(l.output, to)(cs(spark),
+              Some(Statistics(sizeInBytes = BigInt(sizeHintBytes))), None)
+          case None => l
+        }
     }
+    if (pruneSets.isEmpty) swapped
+    else swapped.transformAllExpressions {
+      case m: graft.functions.ServeKeyMembership
+          if m.keySet.isEmpty && m.listIdx < pruneSets.length =>
+        m.copy(keySet = Some(pruneSets(m.listIdx)))
+    }
+  }
 
   /** Physical-plan + execute an ALREADY-OPTIMIZED logical plan: no
     * re-parse, no analysis, no optimizer sweep — the per-request cost
@@ -79,7 +96,8 @@ object GraftServe {
     * placeholder does not appear as a plain RDD scan (or hides inside
     * a subquery), i.e. when physical substitution would be unsafe. */
   def preparePhysicalTemplate(spark: SparkSession, plan: LogicalPlan,
-      placeholder: RDD[InternalRow], shufflePartitions: Int)
+      placeholder: RDD[InternalRow], shufflePartitions: Int,
+      required: Seq[RDD[InternalRow]] = Nil)
       : Option[execution.SparkPlan] = {
     SparkSession.setActiveSession(spark)
     val conf = cs(spark).sessionState.conf.clone()
@@ -90,19 +108,21 @@ object GraftServe {
     // every request (compilation is cached, generation is not) — and a
     // one-row serving job gains nothing from codegen; interpreted
     // volcano execution removes the dominant driver-side cost
-    conf.setConf(internal.SQLConf.WHOLESTAGE_CODEGEN_ENABLED, false)
+    conf.setConf(internal.SQLConf.WHOLESTAGE_CODEGEN_ENABLED,
+      sys.env.get("GRAFT_SERVE_CODEGEN").contains("1"))
     val phys = internal.SQLConf.withExistingConf(conf) {
       QueryExecution.prepareExecutedPlan(cs(spark), plan)
     }
-    val leaves = phys.collectLeaves().count {
-      case r: execution.RDDScanExec => r.rdd eq placeholder
-      case _                        => false
-    }
-    val inSubquery = phys.subqueriesAll.exists(_.collectLeaves().exists {
-      case r: execution.RDDScanExec => r.rdd eq placeholder
-      case _                        => false
-    })
-    if (leaves == 0 || inSubquery) None else Some(phys)
+    def leafCount(p: execution.SparkPlan, rdd: RDD[InternalRow]): Int =
+      p.collectLeaves().count {
+        case r: execution.RDDScanExec => r.rdd eq rdd
+        case _                        => false
+      }
+    def inSubquery(rdd: RDD[InternalRow]): Boolean =
+      phys.subqueriesAll.exists(leafCount(_, rdd) > 0)
+    val all = placeholder +: required
+    if (all.exists(r => leafCount(phys, r) == 0 || inSubquery(r))) None
+    else Some(phys)
   }
 
   /** Swap the physical placeholder scans for this request's rows.
@@ -111,10 +131,23 @@ object GraftServe {
     * dimension-table broadcasts build once per template, not per
     * request. */
   def substitutePhysical(plan: execution.SparkPlan,
-      from: RDD[InternalRow], to: RDD[InternalRow]): execution.SparkPlan =
-    plan.transform {
-      case r: execution.RDDScanExec if r.rdd eq from => r.copy(rdd = to)
+      swaps: Seq[(RDD[InternalRow], RDD[InternalRow])],
+      pruneSets: IndexedSeq[java.util.HashSet[Any]] = IndexedSeq.empty)
+      : execution.SparkPlan = {
+    val swapped = plan.transform {
+      case r: execution.RDDScanExec =>
+        swaps.find(_._1 eq r.rdd) match {
+          case Some((_, to)) => r.copy(rdd = to)
+          case None          => r
+        }
     }
+    if (pruneSets.isEmpty) swapped
+    else swapped.transformAllExpressions {
+      case m: graft.functions.ServeKeyMembership
+          if m.keySet.isEmpty && m.listIdx < pruneSets.length =>
+        m.copy(keySet = Some(pruneSets(m.listIdx)))
+    }
+  }
 
   def executeCollectPhysical(spark: SparkSession,
       plan: execution.SparkPlan): Array[InternalRow] = {

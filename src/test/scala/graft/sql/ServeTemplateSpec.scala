@@ -69,6 +69,28 @@ class ServeTemplateSpec extends SparkSpec {
     assert(after.getLong(3) == 4L)
   }
 
+  test("a warm template serves a request in exactly ONE Spark job " +
+      "(indexed history + key-set pruning ride the main job)") {
+    hist.createOrReplaceTempView("sv_hist")
+    val r = req(("u1", "gA", 25L, 100.0))
+    GraftSql.serveRequest(spark, q2win, r).collect() // warm build
+    @volatile var jobs = 0
+    val lst = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(lst)
+    try {
+      val out = GraftSql.serveRequest(spark, q2win,
+        req(("u2", "gB", 40L, 200.0)))
+      assert(out.collect().length == 1)
+      Thread.sleep(500) // listener bus drain
+    } finally spark.sparkContext.removeSparkListener(lst)
+    assert(jobs == 1,
+      s"expected exactly 1 Spark job per warm request, saw $jobs")
+  }
+
   test("LRU eviction: a hot deployment's template survives " +
       "registration of cap+N distinct templates") {
     hist.createOrReplaceTempView("sv_hist")
