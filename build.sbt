@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify mains print ONE machine-parsed JSON line; with the
+// default LoggedOutput the forked process's stdout arrives decorated as
+// "[info] {...}" and the driver's parser has returned parsed:null since
+// BENCH_r15. StdoutOutput passes the child's stdout/stderr through raw.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -65,6 +65,65 @@ object HashOps {
   def fieldSum(arr: Column, field: String): Column =
     CatalystBridge.column(
       StructFieldSumExpr(CatalystBridge.expression(arr), field))
+
+  def firstBandMatch(bandsA: Column, bandsB: Column, band: Column): Column =
+    CatalystBridge.column(FirstBandMatchExpr(
+      CatalystBridge.expression(bandsA), CatalystBridge.expression(bandsB),
+      CatalystBridge.expression(band)))
+
+  def sortedFieldSum(arr: Column, field: String): Column =
+    CatalystBridge.column(
+      SortedStructFieldSumExpr(CatalystBridge.expression(arr), field))
+
+  def distinctSize(arr: Column): Column =
+    CatalystBridge.column(DistinctSizeExpr(CatalystBridge.expression(arr)))
+
+  def distinctNgramSize(ws: Column, n: Int): Column =
+    CatalystBridge.column(
+      DistinctNgramSizeExpr(CatalystBridge.expression(ws), n))
+}
+
+/** The first-match pre-drop of `Dedup.minhashLshPairs` (uncapped path):
+  * TRUE iff no band BEFORE `band` already matched for this pair —
+  * `forall b < band: a(b) != b(b)` with null band hashes never matching
+  * (a null `xxhash64` band hash cannot arise from [[MinHashBandsExpr]],
+  * whose output array is containsNull=false, but the check is total).
+  * Conjoined into the band self-join's condition it is evaluated per
+  * PROBED candidate, so each candidate pair is emitted exactly once —
+  * from its smallest matching band — and the post-join
+  * groupBy(id1,id2) pair-distinct (and its O(candidates) exchange)
+  * disappears. One imperative walk of at most `band` longs. */
+case class FirstBandMatchExpr(bandsA: Expression, bandsB: Expression,
+    band: Expression) extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(bandsA, bandsB, band)
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def foldable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = bandsA.eval(input)
+    val b = bandsB.eval(input)
+    val k = band.eval(input)
+    // a joined row always carries both arrays and its band position
+    // (posexplode of a null array emits no rows) — but stay total
+    if (a == null || b == null || k == null) return true
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val lim = math.min(k.asInstanceOf[Int],
+      math.min(x.numElements(), y.numElements()))
+    var i = 0
+    while (i < lim) {
+      if (!x.isNullAt(i) && !y.isNullAt(i) &&
+          x.getLong(i) == y.getLong(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): Expression =
+    copy(bandsA = cs(0), bandsB = cs(1), band = cs(2))
+  override def prettyName: String = "first_band_match"
 }
 
 /** `aggregate(arr, 0.0, (acc, x) => acc + x.<field>)` — the bit-
@@ -485,4 +544,143 @@ case class SimHash64Expr(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
   override def prettyName: String = "simhash64"
+}
+
+/** `struct_field_sum(array_sort(arr), field)` fused — the per-group
+  * sorted fold of LangModel.perplexity (`array_sort`) and
+  * TextOps.bm25TopK (`sort_array`). Both sort ascending by the struct
+  * ordering and differ only in null-ELEMENT placement, which cannot
+  * change the result here: a null element (or null field) poisons the
+  * fold to NULL wherever it sorts (and `collect_list` never emits one).
+  * One walk validates and copies, one stable sort under the interpreted
+  * struct ordering (exactly the comparisons `array_sort`'s default
+  * comparator lowers to), one primitive summing walk — the Column chain
+  * paid an interpreted comparator lambda PER COMPARISON plus an
+  * intermediate sorted-array allocation. Empty array → 0.0, like the
+  * Column form. */
+case class SortedStructFieldSumExpr(child: Expression, field: String)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  @transient private lazy val entryType: StructType =
+    child.dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]
+  @transient private lazy val ord: Int = entryType.fieldIndex(field)
+  @transient private lazy val entryLen: Int = entryType.length
+  @transient private lazy val isDouble: Boolean = {
+    val dt = entryType(ord).dataType
+    require(dt == DoubleType,
+      s"sorted_field_sum: field '$field' must be double, got $dt")
+    true
+  }
+  @transient private lazy val ordering =
+    org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(entryType)
+
+  override def nullSafeEval(input: Any): Any = {
+    require(isDouble)
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val rows = new Array[org.apache.spark.sql.catalyst.InternalRow](n)
+    var i = 0
+    while (i < n) {
+      val e = arr.getStruct(i, entryLen)
+      if (e == null || e.isNullAt(ord)) return null
+      rows(i) = e
+      i += 1
+    }
+    if (n > 1)
+      java.util.Arrays.sort(rows,
+        ordering.asInstanceOf[java.util.Comparator[
+          org.apache.spark.sql.catalyst.InternalRow]])
+    var s = 0.0
+    i = 0
+    while (i < n) { s += rows(i).getDouble(ord); i += 1 }
+    s
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "sorted_field_sum"
+}
+
+/** `size(array_distinct(ws))` for array<string> in one pass — the
+  * duplicate-word counter of TextOps.dupWordFractionOf. Distinctness is
+  * binary string equality (UTF8String), with a null element counting as
+  * one distinct value, exactly like `array_distinct`; a NULL array
+  * returns -1 (this session's legacy size(null) semantics). Returns
+  * int, like `size`. */
+case class DistinctSizeExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return -1
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val seen = new java.util.HashSet[UTF8String]()
+    var sawNull = false
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) {
+        if (!sawNull) { sawNull = true; c += 1 }
+      } else if (seen.add(arr.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "distinct_size"
+}
+
+/** `size(array_distinct(TextOps.wordNgramsOf(ws, n)))` in one pass for
+  * n >= 2 — the duplicate-n-gram counter of TextOps.dupNgramFractionOf.
+  * N-grams compare as their space-joined strings (`array_join` skips
+  * null words), identically to the Column form, so two windows whose
+  * joins collide count once; a document shorter than n yields ONE
+  * whole-sequence gram. A NULL array returns -1 (the callers' `when`
+  * guard keeps the Column form's null path; the value only documents
+  * size-of-null). Returns int, like `size`. */
+case class DistinctNgramSizeExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 2, s"n must be >= 2, got $n (n = 1 is distinct_size)")
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return -1
+    val arr = v.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val seen = new java.util.HashSet[String]()
+    // one gram = words [i, i+n) space-joined, nulls skipped (array_join)
+    @inline def gram(start: Int, end: Int): String = {
+      val sb = new java.lang.StringBuilder
+      var j = start
+      var first = true
+      while (j < end) {
+        if (!arr.isNullAt(j)) {
+          if (!first) sb.append(' ')
+          sb.append(arr.getUTF8String(j).toString)
+          first = false
+        }
+        j += 1
+      }
+      sb.toString
+    }
+    if (m < n) { seen.add(gram(0, m)); return 1 }
+    var i = 0
+    while (i <= m - n) { seen.add(gram(i, i + n)); i += 1 }
+    seen.size
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "distinct_ngram_size"
 }

@@ -59,6 +59,9 @@ object VecOps {
     CatalystBridge.column(SignLshKeyExpr(
       CatalystBridge.expression(v), planes, table))
 
+  def quantizeInt8(v: Column): Column =
+    CatalystBridge.column(QuantizeInt8Expr(CatalystBridge.expression(v)))
+
   /** Element getter for a numeric array column, resolved at plan time
     * (same Cast-to-double semantics as `transform(v, _.cast("double"))`). */
   private[functions] def doubleGetter(dt: DataType): (ArrayData, Int) => Double =
@@ -198,6 +201,12 @@ case class NearestCentroidExpr(child: Expression,
     centroids: Seq[Seq[Double]], mode: Int)
     extends UnaryExpression with CodegenFallback {
   require(centroids.nonEmpty)
+  // valid() checks the vector against ctr(0) only; mixed-dimensionality
+  // centroids would read past the vector in dist() instead of replaying
+  // the Column form's null-distance ordering — enforce the documented
+  // uniform-dimensionality assumption up front.
+  require(centroids.forall(_.size == centroids.head.size),
+    "all centroids must share one dimensionality")
 
   override def dataType: DataType = mode match {
     case -1 => StructType(Seq(
@@ -351,4 +360,82 @@ case class SignLshKeyExpr(child: Expression, planes: Int, table: Int)
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
   override def prettyName: String = "sign_lsh_key"
+}
+
+/** `Similarity.quantizeInt8`'s per-row math in one pass — the Column
+  * form paid an interpreted `aggregate` fold for the max-|x| scale plus
+  * an interpreted `transform` per element. Returns
+  * struct(qscale float, qvec array<tinyint>), bit-identical to:
+  *
+  *   scale  = aggregate(v, 0.0, (acc, x) => greatest(acc, abs(x))) / 127
+  *   fscale = scale.cast("float")
+  *   qvec_i = when(fscale === 0.0, 0)
+  *            .otherwise(greatest(-127, least(127,
+  *               floor(x_i / fscale + 0.5).cast("int")))).cast("tinyint")
+  *
+  * The division is by the FLOAT-cast scale widened back to double —
+  * in the Column chain the transform's col("qscale") resolved to the
+  * float lateral alias, not the child's double, and the float rounding
+  * is observable: with v = [1.0, -0.5, 0.25], -0.5/(float)(1/127)
+  * lands just below -63.5 and floors to -64 where the double scale
+  * gives exactly -63.5 → -63 (DedupSimilaritySpec pins -64).
+  * Other edges: `greatest` skips a null |x| (null elements do not move
+  * the scale) but NaN is GREATEST in SQL's total order (one NaN
+  * element → scale NaN → every finite element floors to NaN and casts
+  * to 0); a null element under a non-zero scale quantizes to 127
+  * (`least(127, null)` skips the null); a NULL vector yields
+  * (null, null); an empty vector ([], scale 0) yields (0.0f, []). */
+case class QuantizeInt8Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("qscale", FloatType, nullable = true),
+    StructField("qvec", ArrayType(ByteType, containsNull = true),
+      nullable = true)))
+  // the STRUCT is never null (its fields are, for a NULL vector) so the
+  // consumer can project fields unconditionally
+  override def nullable: Boolean = false
+
+  @transient private lazy val getD = VecOps.doubleGetter(child.dataType)
+
+  override def eval(input: InternalRow): Any = {
+    val raw = child.eval(input)
+    if (raw == null) return InternalRow(null, null)
+    val v = raw.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    // pass 1: scale = max|x| / 127 (null skipped, NaN greatest)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (!v.isNullAt(i)) {
+        val a = math.abs(getD(v, i))
+        if (java.lang.Double.compare(a, acc) > 0) acc = a
+      }
+      i += 1
+    }
+    val fscale = (acc / 127.0).toFloat
+    // the division uses the float-rounded scale widened to double —
+    // the Column form's observable semantics (see scaladoc)
+    val dscale = fscale.toDouble
+    // pass 2: quantize
+    val out = new Array[Any](n)
+    val zero = fscale == 0.0f // NaN is not zero; -0.0 cannot arise
+    i = 0
+    while (i < n) {
+      out(i) =
+        if (zero) 0.toByte
+        else if (v.isNullAt(i)) 127.toByte // least(127, null) skips null
+        else {
+          val q = math.floor(getD(v, i) / dscale + 0.5)
+          // non-ANSI double->int cast: NaN -> 0, saturating at Int range
+          val qi = q.toInt
+          math.max(-127, math.min(127, qi)).toByte
+        }
+      i += 1
+    }
+    InternalRow(fscale, new GenericArrayData(out))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "quantize_int8"
 }

@@ -556,7 +556,7 @@ object Dedup {
     // r19: the per-band slice hashes come from one imperative pass
     // (functions.MinHashBandsExpr) instead of an interpreted transform
     // re-walking the signature per band (HashVecOpsSpec pins equality)
-    val banded0 = sig.select(col("doc_id"),
+    def banded0 = sig.select(col("doc_id"),
         posexplode(graft.functions.HashOps.minhashBands(col("sig"),
           bands, rowsPerBand)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
@@ -573,34 +573,63 @@ object Dedup {
     // recall under caps in DedupSimilaritySpec. The size count is one
     // (band, bh) window whose exchange is the same hash partitioning
     // the self-join below needs — no extra shuffle of the banded rows.
-    val banded =
-      if (maxBucketSize <= 0) banded0
-      else {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("bh"))
-        banded0.withColumn("__bsz", count(lit(1)).over(w))
-          .filter(col("__bsz") <= maxBucketSize).drop("__bsz")
-      }
     // Candidate pairs stay NARROW (two ids) through the join — the
     // 2×k-long signatures re-attach afterwards via joins against the
     // small per-doc sig table. On near-dup-dense corpora the candidate
     // set approaches O(n²) rows — shuffling signatures per pair instead
     // of per doc was a >100× data-volume difference (and attaching them
     // to the raw self-join output measured 5× slower end-to-end).
-    // Distinctness comes from a groupBy over the raw band matches: the
-    // partial (map-side) aggregate collapses same-partition duplicates
-    // before the shuffle, so the exchanged volume is ≈ the distinct
-    // pair set. (An earlier first-match-only formulation embedded an
-    // O(bands²) both-sides array compare in the join condition to skip
-    // this shuffle — measured 8-16× SLOWER past 4 bands: the fat
-    // condition is strategy-fragile, while the pure equi-join +
-    // partial-agg shape is stable under any join strategy and scale.)
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.bh") === col("b.bh") && col("a.band") === col("b.band") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("__nb"))
-      .select(col("id1"), col("id2"))
+    //
+    // Pair DISTINCTNESS (r20, guide §2.4 "remove shuffles outright"):
+    // in the uncapped shape each banded row carries its doc's full
+    // band-hash array (bands × 8 bytes — the banded exchange stays
+    // O(n·bands)) and the join condition conjoins
+    // `first_band_match(a.__bv, b.__bv, band)` — TRUE iff no EARLIER
+    // band already matched the pair. Evaluated as the equi-join's
+    // pushed residual (one JIT'd walk of < bands longs per probed
+    // candidate), it emits every pair exactly once, from its smallest
+    // matching band — so the groupBy(id1,id2) pair-distinct and its
+    // O(candidates) exchange (31.1M raw → 9.17M distinct rows, ~11 s
+    // of the 15 s sf0.1 wall; the aggregate hashed 31M probes and
+    // exchanged ~3.4× the distinct volume because cross-BAND
+    // duplicates land in different partitions, out of partial-agg's
+    // reach) disappear outright. An earlier first-match formulation
+    // (pre-r17) measured 8-16× slower past 4 bands — but it compared
+    // both sides' full band arrays through an interpreted O(bands²)
+    // Column chain; the imperative residual is O(band) with no
+    // allocation, and r20 measured the win at sf0.1 (see
+    // OPTIMIZATION_r20.md). The CAPPED path keeps the r18
+    // groupBy-distinct shape: the cap drops individual band buckets,
+    // and "first band where the pair matches" is not knowable from
+    // the band arrays alone once earlier-band buckets may have been
+    // capped away (a first-match emission there would drop pairs the
+    // capped semantics keep).
+    val cand =
+      if (maxBucketSize <= 0) {
+        val withBv = sig
+          .select(col("doc_id"),
+            graft.functions.HashOps.minhashBands(col("sig"),
+              bands, rowsPerBand).as("__bv"))
+          .select(col("doc_id"), col("__bv"), posexplode(col("__bv")))
+          .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+        withBv.as("a").join(withBv.as("b"),
+            col("a.bh") === col("b.bh") && col("a.band") === col("b.band") &&
+              col("a.doc_id") < col("b.doc_id") &&
+              graft.functions.HashOps.firstBandMatch(
+                col("a.__bv"), col("b.__bv"), col("a.band")))
+          .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      } else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bh"))
+        val banded = banded0.withColumn("__bsz", count(lit(1)).over(w))
+          .filter(col("__bsz") <= maxBucketSize).drop("__bsz")
+        banded.as("a").join(banded.as("b"),
+            col("a.bh") === col("b.bh") && col("a.band") === col("b.band") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+          .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("__nb"))
+          .select(col("id1"), col("id2"))
+      }
     // Scoring expression shape matters more than codegen membership
     // here: Catalyst splits filter conjuncts and pushes the
     // deterministic threshold predicate INTO the sig-attach join as a

@@ -95,10 +95,14 @@ object LangModel {
       .groupBy("doc_id")
       // r19: the document-order fold is one imperative walk
       // (functions.StructFieldSumExpr) instead of an interpreted
-      // aggregate lambda per term — same left fold, bit-identical
+      // aggregate lambda per term — same left fold, bit-identical.
+      // r20: the array_sort fuses in (functions.SortedStructFieldSumExpr)
+      // — the default comparator evaluated an interpreted lambda PER
+      // COMPARISON and allocated the sorted copy; same struct ordering,
+      // same fold, bit-identical (HashVecOpsSpec).
       .agg(count(lit(1)).as("n_bigrams"),
-        graft.functions.HashOps.fieldSum(
-          array_sort(collect_list(struct(col("pos"), col("lp")))), "lp")
+        graft.functions.HashOps.sortedFieldSum(
+          collect_list(struct(col("pos"), col("lp"))), "lp")
           .as("__sum"))
       .select(col("doc_id"), col("n_bigrams"),
         round(col("__sum") / col("n_bigrams"), 6).as("avg_logprob"),

@@ -88,9 +88,14 @@ object LastJoin {
     // the big probe side.
     val budget = java.lang.Long.parseLong(left.sparkSession.conf.get(
       "spark.graft.lastjoin.broadcast.budget", "0"))
-    val est = renamed.queryExecution.optimizedPlan.stats.sizeInBytes
+    // stats runs full analysis+optimization of the right subplan —
+    // driver-side planning cost that can never pay off when the knob is
+    // off, so skip it entirely at the default budget 0.
     val rightSide =
-      if (est <= budget) broadcast(renamed) else renamed
+      if (budget > 0 &&
+          renamed.queryExecution.optimizedPlan.stats.sizeInBytes <= budget)
+        broadcast(renamed)
+      else renamed
     // Plain equality: a NULL left key matches nothing (standard SQL join
     // semantics and the reference's stock-Spark fallback) — the left row
     // survives the left-outer join with nulls on the right.

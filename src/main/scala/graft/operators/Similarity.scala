@@ -187,17 +187,17 @@ object Similarity {
     * all-zero code. */
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String)
       : DataFrame = {
-    val v = toDoubleVec(col(vecCol))
-    val scale = aggregate(v, lit(0.0),
-      (acc, x) => greatest(acc, abs(x))) / 127.0
+    // r20: the interpreted aggregate (max-|x| scale) + per-element
+    // transform collapse into one imperative pass
+    // (functions.QuantizeInt8Expr) — bit-identical to the Column form
+    //   scale  = aggregate(v, 0.0, (acc, x) => greatest(acc, abs(x)))/127
+    //   qvec_i = when(scale === 0, 0).otherwise(greatest(-127,
+    //              least(127, floor(x/scale + 0.5).cast("int"))))
+    // including the null/NaN edges (HashVecOpsSpec pins equality).
     df.select(col(idCol).as("vec_id"),
-        v.as("__v"), scale.as("qscale"))
-      .select(col("vec_id"), col("qscale").cast("float").as("qscale"),
-        transform(col("__v"), x =>
-          when(col("qscale") === 0.0, lit(0))
-            .otherwise(greatest(lit(-127), least(lit(127),
-              floor(x / col("qscale") + 0.5).cast("int"))))
-            .cast("tinyint")).as("qvec"))
+        graft.functions.VecOps.quantizeInt8(col(vecCol)).as("__q"))
+      .select(col("vec_id"), col("__q.qscale").as("qscale"),
+        col("__q.qvec").as("qvec"))
   }
 
   /** Brute-force cosine top-k over the QUANTIZED corpus: codes

@@ -130,8 +130,14 @@ object TextOps {
     * fraction of words that repeat an earlier word. Pure expression,
     * scan-scales. */
   def dupWordFractionOf(ws: Column): Column =
+    // r20: size(array_distinct(ws)) → one imperative hash-set pass
+    // (functions.DistinctSizeExpr; array_distinct walked the array
+    // through a CodegenFallback node and allocated the distinct copy
+    // just to take its size). Bit-identical incl. null-element and
+    // size(null) = -1 semantics (HashVecOpsSpec).
     when(size(ws) <= 0, lit(0.0)).otherwise(
-      lit(1.0) - size(array_distinct(ws)).cast("double") / size(ws))
+      lit(1.0) - graft.functions.HashOps.distinctSize(ws).cast("double")
+        / size(ws))
   def dupWordFraction(text: Column): Column =
     dupWordFractionOf(words(text))
 
@@ -140,9 +146,17 @@ object TextOps {
     * for those is guarded away by the `when`). */
   def dupNgramFractionOf(ws: Column, n: Int): Column = {
     val total = size(ws) - (n - 1)
+    // r20: the n-gram string building (interpreted transform +
+    // array_join per window) and the array_distinct + size collapse
+    // into one imperative pass (functions.DistinctNgramSizeExpr):
+    // grams compare as their space-joined strings, exactly like the
+    // Column chain, so colliding windows still count once
+    // (HashVecOpsSpec pins bit-equality).
+    val distinctGrams =
+      if (n == 1) graft.functions.HashOps.distinctSize(ws)
+      else graft.functions.HashOps.distinctNgramSize(ws, n)
     when(size(ws) < n, lit(0.0)).otherwise(
-      lit(1.0) - size(array_distinct(wordNgramsOf(ws, n))).cast("double")
-        / total)
+      lit(1.0) - distinctGrams.cast("double") / total)
   }
   def dupNgramFraction(text: Column, n: Int): Column =
     dupNgramFractionOf(words(text), n)
@@ -316,12 +330,16 @@ object TextOps {
           (col("tf") + lit(k1) * (lit(1.0) - lit(b) +
             lit(b) * col("dl") / col("avgdl"))))
     val scored = contrib.groupBy("qid", "doc_id")
-      .agg(sort_array(collect_list(struct(col("term"), col("w"))))
-        .as("cs"))
+      .agg(collect_list(struct(col("term"), col("w"))).as("cs"))
       // r19: imperative sorted-term fold (functions.StructFieldSumExpr)
-      // — same left fold as the aggregate lambda, bit-identical
+      // — same left fold as the aggregate lambda, bit-identical.
+      // r20: the sort_array fuses in (SortedStructFieldSumExpr) — same
+      // ascending struct order (terms are unique per (qid, doc), and a
+      // null element poisons the fold wherever it sorts), one walk +
+      // one primitive sort instead of a CodegenFallback sort node and
+      // its array copy (HashVecOpsSpec pins equality).
       .withColumn("score",
-        graft.functions.HashOps.fieldSum(col("cs"), "w"))
+        graft.functions.HashOps.sortedFieldSum(col("cs"), "w"))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid"))
       .orderBy(col("score").desc, col("doc_id").asc)

@@ -120,7 +120,13 @@ class HashVecOpsSpec extends SparkSpec {
       Seq[java.lang.Double](1.0, null, 2.0, 3.0, 4.0, 5.0),
       null,
       Seq[java.lang.Double](1.0, 2.0), // wrong dimensionality
-      Seq.empty[java.lang.Double])
+      Seq.empty[java.lang.Double],
+      // quantize floor-boundary: -0.5/(float)(1/127) floors to -64
+      // where the double scale gives -63 — pins the float-scale
+      // division (DedupSimilaritySpec's -64 case)
+      Seq(1.0, -0.5, 0.25, 0.125, -1.0, 0.75).map(java.lang.Double.valueOf),
+      // double scale underflows the float cast to 0 → all-zero codes
+      Seq.fill(6)(java.lang.Double.valueOf(1e-46)))
   }
 
   private def vecDf: DataFrame =
@@ -331,5 +337,147 @@ class HashVecOpsSpec extends SparkSpec {
         vecDf.select(oldSignLshKey(col("v"), planes, table)),
         s"signLshKey planes=$planes table=$table")
     }
+  }
+
+  // ---- r20 pins ----
+
+  test("FirstBandMatchExpr == no-earlier-band-equal Column check") {
+    // randomized band-hash arrays with deliberate collisions so every
+    // prefix length sees both matching and non-matching earlier bands
+    val rnd = new scala.util.Random(2020)
+    val bandArrs: Seq[Seq[Long]] =
+      (1 to 50).map(_ => Seq.fill(8)(rnd.nextInt(4).toLong))
+    val df = bandArrs.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+      .toDF("id", "bv")
+    val pairs = df.as("a").crossJoin(df.as("b"))
+      .crossJoin(Seq(0, 1, 3, 7).toDF("band"))
+      .select(col("a.bv").as("bva"), col("b.bv").as("bvb"), col("band"))
+    val oldForm = size(filter(zip_with(
+      slice(col("bva"), lit(1), col("band")),
+      slice(col("bvb"), lit(1), col("band")),
+      (x, y) => x === y), v => v)) === 0
+    assertSameRows(
+      pairs.select(HashOps.firstBandMatch(col("bva"), col("bvb"),
+        col("band"))),
+      pairs.select(oldForm),
+      "firstBandMatch")
+  }
+
+  test("uncapped minhash candidate set: first-band-match join == " +
+      "groupBy pair-distinct over raw band matches") {
+    // the r20 minhashLshPairs (uncapped) candidate shape vs the r18
+    // groupBy-distinct shape it replaces, over the fixture corpus
+    val (bands, rowsPerBand) = (8, 3)
+    val sig = textDf.select(col("doc_id"),
+      HashOps.minhashSig(HashOps.shingleHashes(col("text"), 1),
+        bands * rowsPerBand).as("sig"))
+    val withBv = sig.select(col("doc_id"),
+        HashOps.minhashBands(col("sig"), bands, rowsPerBand).as("__bv"))
+      .select(col("doc_id"), col("__bv"), posexplode(col("__bv")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    val newCand = withBv.as("a").join(withBv.as("b"),
+        col("a.bh") === col("b.bh") && col("a.band") === col("b.band") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          HashOps.firstBandMatch(col("a.__bv"), col("b.__bv"),
+            col("a.band")))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+    val oldCand = withBv.as("a").join(withBv.as("b"),
+        col("a.bh") === col("b.bh") && col("a.band") === col("b.band") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("__nb"))
+      .select(col("id1"), col("id2"))
+    // exactly-once emission: newCand must itself be duplicate-free
+    val newRows = newCand.collect().toSeq.map(_.toSeq)
+    assert(newRows.size == newRows.distinct.size,
+      "first-band-match join emitted a pair more than once")
+    assertSameRows(
+      newCand.orderBy("id1", "id2"),
+      oldCand.orderBy("id1", "id2"),
+      "uncapped candidate set")
+  }
+
+  test("SortedStructFieldSumExpr == fieldSum(array_sort(arr)) and the " +
+      "aggregate(sort_array(arr)) fold, incl. null/NaN elements") {
+    val rnd = new scala.util.Random(8)
+    val lists: Seq[Seq[java.lang.Double]] =
+      (1 to 40).map(_ => Seq.fill(rnd.nextInt(10))(
+        java.lang.Double.valueOf(rnd.nextGaussian()))) ++
+        Seq(Seq.empty, Seq(java.lang.Double.valueOf(Double.NaN)),
+          Seq[java.lang.Double](1.0, null, 2.0),
+          Seq[java.lang.Double](3.0, Double.NaN, -0.0, 0.0, 3.0), null)
+    val df = lists.zipWithIndex.map { case (l, i) => (i, l) }.toDF("id", "l")
+      // shuffled positions so the sort genuinely reorders
+      .select(col("id"), transform(col("l"),
+        (x, i) => struct((lit(97) - i).as("pos"), x.as("lp"))).as("arr"))
+    assertSameRows(
+      df.select(col("id"), HashOps.sortedFieldSum(col("arr"), "lp")),
+      df.select(col("id"),
+        HashOps.fieldSum(array_sort(col("arr")), "lp")),
+      "sortedFieldSum vs array_sort (perplexity form)")
+    assertSameRows(
+      df.select(col("id"), HashOps.sortedFieldSum(col("arr"), "lp")),
+      df.select(col("id"), aggregate(sort_array(col("arr")), lit(0.0),
+        (acc, x) => acc + x("lp"))),
+      "sortedFieldSum vs sort_array fold (bm25 form)")
+  }
+
+  test("DistinctSizeExpr == size(array_distinct(ws))") {
+    val wordArrs: Seq[Seq[String]] = {
+      val rnd = new scala.util.Random(31)
+      val vocab = Vector("a", "b", "sät", "日本語", "", "x y", "-")
+      (1 to 40).map(_ => Seq.fill(rnd.nextInt(12))(
+        vocab(rnd.nextInt(vocab.size)))) ++
+        Seq(Seq.empty, Seq("only"), Seq("a", null, "a", null), null)
+    }
+    val df = wordArrs.zipWithIndex.map { case (w, i) => (i, w) }
+      .toDF("id", "ws")
+    assertSameRows(
+      df.select(col("id"), HashOps.distinctSize(col("ws"))),
+      df.select(col("id"), size(array_distinct(col("ws")))),
+      "distinctSize")
+  }
+
+  test("DistinctNgramSizeExpr == size(array_distinct(wordNgramsOf))") {
+    val wordArrs: Seq[Seq[String]] = {
+      val rnd = new scala.util.Random(47)
+      val vocab = Vector("the", "cat", "cat cat", "日本", "", "b")
+      (1 to 40).map(_ => Seq.fill(rnd.nextInt(10))(
+        vocab(rnd.nextInt(vocab.size)))) ++
+        Seq(Seq.empty, Seq("one"), Seq("a", "b"), // shorter than n edges
+          Seq("x", null, "y", "x", null, "y"))
+    }
+    val df = wordArrs.zipWithIndex.map { case (w, i) => (i, w) }
+      .toDF("id", "ws")
+    for (n <- Seq(2, 3, 5)) {
+      assertSameRows(
+        df.select(col("id"), HashOps.distinctNgramSize(col("ws"), n)),
+        df.select(col("id"), size(array_distinct(
+          graft.operators.TextOps.wordNgramsOf(col("ws"), n)))),
+        s"distinctNgramSize n=$n")
+    }
+  }
+
+  test("QuantizeInt8Expr == the aggregate-scale + transform chain, " +
+      "incl. NaN / null-element / null-vector / empty / all-zero") {
+    // verbatim pre-r20 Similarity.quantizeInt8: the transform's
+    // col("qscale") resolves against the CHILD plan's double column;
+    // only the output qscale is float-cast
+    val v = transform(col("v"), x => x.cast("double"))
+    val scale = aggregate(v, lit(0.0),
+      (acc, x) => greatest(acc, abs(x))) / 127.0
+    val oldQ = vecDf
+      .select(col("vec_id"), v.as("__v"), scale.as("qscale"))
+      .select(col("vec_id"), col("qscale").cast("float").as("qscale"),
+        transform(col("__v"), x =>
+          when(col("qscale") === 0.0, lit(0))
+            .otherwise(greatest(lit(-127), least(lit(127),
+              floor(x / col("qscale") + 0.5).cast("int"))))
+            .cast("tinyint")).as("qvec"))
+    val newQ = vecDf.select(col("vec_id"),
+        VecOps.quantizeInt8(col("v")).as("__q"))
+      .select(col("vec_id"), col("__q.qscale").as("qscale"),
+        col("__q.qvec").as("qvec"))
+    assertSameRows(newQ, oldQ, "quantizeInt8")
   }
 }
